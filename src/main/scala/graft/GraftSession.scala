@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Local runs use local[N]; on a real cluster the same settings apply
+  * except master/shuffle partitions, which the deployer overrides.
+  * AQE stays on everywhere: it re-plans skewed joins and coalesces
+  * shuffle partitions at runtime, which is exactly what a 100 TB run
+  * needs when static sizing is wrong.
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      : SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      .config("spark.ui.enabled", "false")
+
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Standard table loader: one parquet per table, as in TESTDATA.md. */
+  def table(spark: SparkSession, dir: String, name: String) =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

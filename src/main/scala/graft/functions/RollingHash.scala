@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit FNV-1a rolling hash over a string's UTF-8 bytes — the
+  * document-fingerprint primitive (content-defined, order-sensitive,
+  * stable across partitionings). A native Catalyst Expression with
+  * `doGenCode`, so it participates in whole-stage codegen instead of
+  * breaking the pipeline the way a Scala UDF would.
+  *
+  * Mirrors the role of per-doc fingerprints in dedup pipelines:
+  * group-by fingerprint = one shuffle, exact dedup at any scale.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash expects a string argument, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.fnv1a(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.fnv1a($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime  = 0x100000001b3L
+
+  /** Static so generated code can call it directly. */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+
+  /** Register `rolling_hash` for SQL / `call_function` use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "builtin")
+}

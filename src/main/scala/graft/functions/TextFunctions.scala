@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-data pipelines, as pure Catalyst
+  * expression trees (whole-stage codegen, no UDFs — a narrow map at
+  * 100 TB).
+  *
+  * Every function here is deliberately expressible in ANSI SQL too,
+  * so the DuckDB oracle can verify it bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text counts 0. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, runs of
+    * other non-space chars, each optionally preceded by one space —
+    * the GPT-2 pre-tokenizer shape, minus lookaheads so the same
+    * pattern runs on Java regex and RE2 (DuckDB).
+    */
+  val BpeishPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Tiny per-language stopword marker sets for the heuristic
+    * language ID. Real pipelines would use char n-gram models; the
+    * mechanism (score per language over a token set, argmax) is the
+    * same and this variant is oracle-verifiable.
+    */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有")
+  )
+
+  /** Number of distinct marker words of `lang` present in the text. */
+  def langScore(tokens: Column, words: Seq[String]): Column =
+    size(array_intersect(tokens, array(words.map(lit): _*))).cast("long")
+
+  /** Heuristic language ID: argmax of marker-word hit counts, 'und'
+    * when nothing matches. Ties break in StopwordSets order (en
+    * first), matching the oracle SQL's CASE evaluation order.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = StopwordSets.map { case (l, ws) => l -> langScore(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstBest = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives later langs as the fallback of earlier ones, so
+    // the first (en) wins ties — mirror of a CASE WHEN chain.
+    firstBest
+  }
+
+  /** Quality score in [0,1]: weighted mix of length band, alpha
+    * ratio, and mean word length band — the usual cheap pre-filter
+    * before expensive model-based scoring. Integer/bool arithmetic
+    * only, so the oracle reproduces it exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCountWs(text)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val alphaRatio = alpha.cast("double") / greatest(nChars, lit(1)).cast("double")
+    val meanWordLen = nChars.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val lenOk = (nChars >= 100 && nChars <= 20000).cast("int")
+    val wordLenOk = (meanWordLen >= 3.0 && meanWordLen <= 12.0).cast("int")
+    round(
+      lenOk * 0.3 + wordLenOk * 0.3 + alphaRatio * 0.4,
+      4
+    )
+  }
+}

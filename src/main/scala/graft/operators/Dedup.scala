@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora.
+  *
+  * Scale notes (the whole point of each design):
+  *  - exact: one shuffle on the text hash; never materializes pairs.
+  *  - MinHash LSH: shingle explode is a narrow map; signatures are a
+  *    single groupBy(doc); candidate pairs come from a self-join on
+  *    (band, bandHash) buckets — O(sum of bucket^2), never O(n^2).
+  *  - SimHash: same banding trick on 16-bit signature quarters.
+  *  - n-gram Jaccard: exact verification, used on candidate pairs or
+  *    pre-partitioned groups, via a token-join (shuffle on shingle)
+  *    rather than array intersection of collected sets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical `textCol`. The
+    * groupBy key is the 64-bit xxhash of the text, so the shuffle
+    * moves 8-byte keys, not documents; `min(id)` picks the canonical
+    * row deterministically.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles as a distinct exploded (id, shingle) table.
+    * lower+split is the normalization the verification side must
+    * mirror exactly.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    if (n == 1)
+      df.select(col(idCol).as("id"), explode(toks).as("shingle")).distinct()
+    else {
+      // sliding n-gram over the token array with built-ins only:
+      // starts 1..len-n+1 (slice is 1-based), concat_ws of each slice.
+      val len = size(toks)
+      df.withColumn("_toks", toks)
+        .filter(size(col("_toks")) >= n)
+        .select(col(idCol).as("id"),
+          explode(transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(n))))).as("shingle"))
+        .distinct()
+    }
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * xxhash64(seed_i ++ shingle); signature_i = min over shingles.
+    * One explode + one groupBy(doc) with k partial-agg mins.
+    */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(concat(lit(s"mh$i|"), col("shingle")))).as(s"mh_$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: b bands of r rows (k = b*r). Emits (band, bandHash,
+    * id); docs sharing any band bucket are candidates.
+    */
+  def lshBands(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val bands = (0 until b).map { band =>
+      val rowCols = (band * r until (band + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(band).as("band"), xxhash64(rowCols: _*).as("band_hash"))
+    }
+    sig.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+      col("a.band_hash") === col("b.band_hash") &&
+      col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for every pair of docs that shares >= 1 shingle,
+    * computed distributively: join on shingle -> count intersections,
+    * join per-doc sizes -> |A|+|B|-|∩|. Restrict `sh` (e.g. to LSH
+    * candidates or a partition key) before calling at scale.
+    */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dedup: returns verified pairs with exact
+    * Jaccard >= threshold among LSH candidates.
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val cand = lshCandidates(lshBands(minHashSignatures(sh, numHashes), bands, r))
+    // verify candidates exactly: restrict the shingle table to candidate ids
+    val candIds = cand.select(col("id1").as("id")).union(cand.select(col("id2").as("id"))).distinct()
+    val shCand = sh.join(candIds, "id")
+    jaccardPairs(shCand, threshold)
+      .join(cand, Seq("id1", "id2"), "left_semi")
+  }
+
+  /** SimHash: 64-bit signature; bit j is the sign of the sum over
+    * tokens of ±1 according to bit j of the token hash. One explode +
+    * one groupBy(doc) with 64 partial-agg sums — no shuffle beyond
+    * the doc-key one.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, found
+    * via 4x16-bit band buckets (any pair within distance 3 must agree
+    * on at least one of 4 bands — pigeonhole), then exact popcount
+    * verify.
+    */
+  def simHashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("a.simhash").as("s1"),
+        col("b.id").as("id2"), col("b.simhash").as("s2"))
+      .distinct()
+    cand
+      .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+}

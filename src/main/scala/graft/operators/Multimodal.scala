@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct next to them;
+  * decode / feature-extraction runs batched per partition so a real
+  * decoder (libjpeg, ffmpeg, ...) amortizes init cost per-partition,
+  * not per-row.
+  *
+  * The decode step itself is a STUB (this container has no media
+  * libs): `fakeDecode` derives deterministic pseudo-features from the
+  * bytes. The Spark-side contract — schema, partition-batched
+  * execution, feature shape — is real and tested.
+  */
+object Multimodal {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("head_byte", IntegerType, nullable = false),
+    StructField("byte_mean", DoubleType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)
+  ))
+
+  /** Deterministic stand-in for a media decoder: fixed-length feature
+    * from byte statistics. Replace with the real decoder at
+    * deployment; signature (bytes -> features) is the contract.
+    */
+  def fakeDecode(bytes: Array[Byte], dim: Int = 8): (Long, Int, Double, Array[Double]) = {
+    val n = bytes.length.toLong
+    val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    val mean = if (n > 0) sum.toDouble / n else 0.0
+    val feat = new Array[Double](dim)
+    i = 0
+    while (i < bytes.length) { feat(i % dim) += (bytes(i) & 0xff); i += 1 }
+    (n, head, mean, feat)
+  }
+
+  /** Attach a blob column (here derived from text — the testdata has
+    * no real media) plus its metadata struct: the shape a real
+    * ingest would produce.
+    */
+  def withBlob(df: DataFrame, textCol: String, format: String = "utf8"): DataFrame =
+    df.withColumn("blob", encode(col(textCol), "utf-8"))
+      .withColumn("media_meta", struct(
+        lit(format).as("format"),
+        octet_length(col("blob")).cast("long").as("n_bytes")))
+
+  /** Partition-batched decode: mapPartitions so a real decoder inits
+    * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
+    * feature[dim]).
+    */
+  def decodeFeatures(df: DataFrame, idCol: String, blobCol: String,
+                     dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +: featureSchema.fields.toSeq)
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      // real decoder would be constructed HERE, once per partition
+      it.map { r =>
+        val (n, head, mean, feat) = fakeDecode(r.getAs[Array[Byte]](1), dim)
+        Row(r.getLong(0), n, head, mean, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+  }
+}
