@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load Verify's parquet
+dumps, run each oracle SQL in DuckDB over the same sf tables, compare
+schema (sorted column names), row count, and value hash.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+(Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+fails, passes, weak = [], [], []
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+    if name not in oracle:
+        weak.append((name, len(got)))
+        continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}"))
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"schema: got {list(g.columns)} want {list(e.columns)}"))
+        continue
+    if len(g) != len(e):
+        fails.append((name, f"rows: got {len(g)} want {len(e)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        passes.append(name)
+    except AssertionError as ex:
+        fails.append((name, str(ex).split("\n")[0:6]))
+
+print(f"PASS ({len(passes)}): {' '.join(passes)}")
+print(f"WEAK rows-only ({len(weak)}): {[(n, r) for n, r in weak]}")
+if fails:
+    print(f"FAIL ({len(fails)}):")
+    for n, msg in fails:
+        print(f"  {n}: {msg}")
+    sys.exit(1)
+print("ALL GREEN")

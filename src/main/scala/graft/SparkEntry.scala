@@ -1,13 +1,613 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity, Throttle, Windows}
+import graft.sources.LogSource
+
+/** Driver contract: every SURVEY.md §2 capability gets a `queries`
+  * entry, and (where ANSI-SQL-expressible) a DuckDB `oracleSql` twin
+  * with IDENTICAL output column names, types (bigint/double/string),
+  * and ORDER BY.
+  *
+  * Float discipline (SURVEY §5): every SUM over doubles goes through
+  * DECIMAL so both engines do exact arithmetic, then casts back to
+  * DOUBLE — identical IEEE64 bits on both sides regardless of
+  * accumulation order. Averages divide those exact doubles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Table loader. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark only reads as long via the nanosAsLong legacy flag — so it
+    * arrives as nanos and is floored to a microsecond timestamp here
+    * (`div`, not `/`: ns-since-2024 overflows double precision).
+    * DuckDB's µs-precision TIMESTAMP floors the same way.
+    */
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Exact money sum: cast to decimal, sum, back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def cnt: Column = count(lit(1))
+
+  /** The synthetic "log file": events rows formatted as text lines.
+    * Both the Spark queries and the DuckDB oracle derive from the same
+    * parquet, so parse(format(row)) == row is the oracle relation.
+    */
+  private val EventPattern =
+    """id=(?P<event_id__int>\d+) ts=(?P<ts__date>[0-9:\- ]+) user=(?P<user_id__int>\d+) type=(?P<etype__str>\S+) value=(?P<value__float>\S+)"""
+
+  private def eventLines(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(concat(
+      lit("id="), col("event_id"),
+      lit(" ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+      lit(" user="), col("user_id"),
+      lit(" type="), col("event_type"),
+      lit(" value="), col("value").cast("string")).as("value"))
+
+  private def parsedEvents(s: SparkSession, dir: String): DataFrame =
+    LogSource.parse(eventLines(s, dir), EventPattern)
+
+  private val CustomerPattern =
+    """user=(?P<user__int>\d+) name=(?P<name__str>\S+) segment=(?P<segment__str>\S+)"""
+
+  private def customerLines(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(concat(
+      lit("user="), col("c_custkey"),
+      lit(" name="), col("c_name"),
+      lit(" segment="), col("c_mktsegment")).as("value"))
+
+  // ---------------------------------------------------------------- entry
+
+  /** Flagship: 5-table star join with broadcast dims (q03) at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .join(T(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        cnt.as("n"))
+      .orderBy("r_name", "n_name")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- reference surface (tailsql core) ----------------
+    "r01_regex_parse" -> ((s, dir) =>
+      parsedEvents(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("user_id"), col("etype"), col("value"))
+        .orderBy("event_id")),
+
+    "r02_date_parse" -> ((s, dir) => {
+      val raw = T(s, dir, "events").select(col("event_id"),
+        when(pmod(col("event_id"), lit(3)) === 0,
+          date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
+          .when(pmod(col("event_id"), lit(3)) === 1,
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss")).as("raw"))
+      raw.select(col("event_id"),
+          unix_timestamp(LogSource.parseAnyDate(col("raw"))).as("ts_s"))
+        .orderBy("event_id")
+    }),
+
+    "r03_filter" -> ((s, dir) =>
+      parsedEvents(s, dir)
+        .filter(expr("etype = 'error' AND value > 50.0"))
+        .select(col("event_id"), col("etype"), col("value"))
+        .orderBy("event_id")),
+
+    "r04_sample" -> ((s, dir) =>
+      LogSource.randFilter(parsedEvents(s, dir), 0.1)
+        .select(col("event_id")).orderBy("event_id")),
+
+    "r05_throttle" -> ((s, dir) =>
+      Throttle.firstNPerPeriod(
+          T(s, dir, "events"), "ts", periodSec = 60L, n = 5, tieCols = Seq("event_id"))
+        .select(col("event_id")).orderBy("event_id")),
+
+    "r06_window_tumbling" -> ((s, dir) =>
+      Windows.aggregate(T(s, dir, "events"), "ts", 300L, 300L, Seq("event_type"),
+          Seq(cnt.as("n_events"), dsum(col("value")).as("sum_value")))
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")),
+
+    "r07_window_sliding" -> ((s, dir) =>
+      Windows.aggregate(T(s, dir, "events"), "ts", 600L, 300L, Seq("event_type"),
+          Seq(cnt.as("n_events"), dsum(col("value")).as("sum_value")))
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")),
+
+    "r08_multitable_join" -> ((s, dir) => {
+      val t0 = parsedEvents(s, dir)
+      val t1 = LogSource.parse(customerLines(s, dir), CustomerPattern)
+      t0.join(t1, t0("user_id") === t1("user"))
+        .groupBy(col("segment"))
+        .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("segment")
+    }),
+
+    "r09_sql_per_window" -> ((s, dir) => {
+      Windows.tumbling(parsedEvents(s, dir), "ts", 3600L)
+        .createOrReplaceTempView("graft_r09")
+      s.sql("""SELECT window_start, etype, count(*) AS n, max(value) AS max_v
+               FROM graft_r09 GROUP BY window_start, etype
+               ORDER BY window_start, etype""")
+    }),
+
+    // ---------------- batch SQL engine capability ----------------
+    "q01_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / cnt.cast("double")).as("avg_qty"),
+          cnt.as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_join_agg" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    "q03_multijoin" -> ((s, dir) => q03(s, dir)),
+
+    "q04_topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    "q05_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          cnt.as("n"))
+        .orderBy("l_returnflag")),
+
+    "q06_anti_join" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "q07_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), cnt.as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+
+    "q08_case_agg" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("f_total"),
+          count(when(col("o_orderstatus") === "O", lit(1))).as("n_open"),
+          cnt.as("n"))
+        .orderBy("o_orderpriority")),
+
+    "q09_strings" -> ((s, dir) =>
+      T(s, dir, "part").select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("pfx"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"),
+          when(col("p_name").like("%a%"), lit(1L)).otherwise(lit(0L)).as("has_a"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+        .orderBy("p_partkey")),
+
+    "q10_time_extract" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("DAY", col("ts"))).as("d"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("d", "hr")),
+
+    "q11_percentile" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
+
+    "q12_having" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val per = orders.groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("total"), cnt.as("n"))
+      val thr = orders.agg(
+        (dsum(col("o_totalprice")) / cnt.cast("double")).as("avg_total"))
+      per.crossJoin(broadcast(thr))
+        .filter(col("total") > col("avg_total") * 2.0)
+        .select("o_custkey", "total", "n")
+        .orderBy("o_custkey")
+    }),
+
+    "q13_union" -> ((s, dir) => {
+      val a = T(s, dir, "events").select(col("user_id").as("id")).distinct()
+      val b = T(s, dir, "customer").select(col("c_custkey").cast("long").as("id")).distinct()
+      a.unionAll(b).groupBy("id").agg(cnt.as("n_sources")).orderBy("id")
+    }),
+
+    "q14_json" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("k")),
+
+    // ---------------- LLM-data-pipeline extensions ----------------
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n_dups").orderBy("keep_id")),
+
+    "d02_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashLsh(T(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    "d03_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(
+          Dedup.simHash(T(s, dir, "documents"), "doc_id", "text"), maxDist = 3)
+        .orderBy("id1", "id2")),
+
+    "d04_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          Dedup.shingles(T(s, dir, "documents").filter(col("doc_id") < 500),
+            "doc_id", "text", 3), 0.5)
+        .orderBy("id1", "id2")),
+
+    "d05_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .orderBy("id1", "id2")),
+
+    "s01_ann_brute" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "s02_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          k = 10, numPlanes = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "t01_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t02_quality" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "t03_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_ws"),
+          TextFunctions.tokenCountBpeish(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "t04_fingerprint" -> ((s, dir) => {
+      RollingHash.register(s)
+      T(s, dir, "documents")
+        .groupBy(expr("rolling_hash(text)").as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), cnt.as("n"))
+        .select("keep_id", "n")
+        .orderBy("keep_id")
+    }),
+
+    "m01_multimodal" -> ((s, dir) => {
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.decodeFeatures(blobs, "doc_id", "blob")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("head_byte"),
+          round(col("byte_mean"), 6).as("byte_mean"),
+          size(col("feature")).cast("long").as("feat_dim"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB twin of TextFunctions.langId, generated from the same
+    * stopword table so the two can never drift. */
+  private val langIdOracle: String = {
+    val scoreCols = TextFunctions.StopwordSets.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_intersect(toks, $arr)) AS s_$l"
+    }.mkString(", ")
+    val best = TextFunctions.StopwordSets.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val cases = TextFunctions.StopwordSets.map { case (l, _) =>
+      s"WHEN best > 0 AND s_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (
+          SELECT doc_id, $best AS best, s_${TextFunctions.StopwordSets.map(_._1).mkString(", s_")} FROM (
+            SELECT doc_id, $scoreCols FROM (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              FROM documents)))
+        ORDER BY doc_id"""
+  }
+
+  private val ngramShingleCte =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS shingle
+                   FROM t, (SELECT unnest(range(1, 200)) AS i) i
+                   WHERE i.i + 2 <= len(toks)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "r01_regex_parse" ->
+      """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
+                user_id, event_type AS etype, value
+         FROM events ORDER BY event_id""",
+
+    "r02_date_parse" ->
+      """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s
+         FROM events ORDER BY event_id""",
+
+    "r03_filter" ->
+      """SELECT event_id, event_type AS etype, value FROM events
+         WHERE event_type = 'error' AND value > 50.0 ORDER BY event_id""",
+
+    "r05_throttle" ->
+      """SELECT event_id FROM (
+           SELECT event_id, row_number() OVER (
+             PARTITION BY epoch_us(ts) // 60000000
+             ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events) WHERE rn <= 5 ORDER BY event_id""",
+
+    "r06_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r07_window_sliding" ->
+      """SELECT ws AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT unnest([(epoch_us(ts) // 300000000) * 300 - 300,
+                              (epoch_us(ts) // 300000000) * 300]) AS ws,
+                      event_type, value
+               FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r08_multitable_join" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "r09_sql_per_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                event_type AS etype, CAST(count(*) AS BIGINT) AS n, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q02_join_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q03_multijoin" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q04_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+           FROM orders) WHERE rnk <= 3
+         ORDER BY o_orderpriority, rnk""",
+
+    "q05_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "q07_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    "q08_case_agg" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q09_strings" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS pfx,
+                p_brand || '-' || p_type AS brand_type,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS BIGINT) AS has_a,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+
+    "q10_time_extract" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
+                CAST(hour(ts) AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q12_having" ->
+      """SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_custkey
+         HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) * 2.0 FROM orders)
+         ORDER BY o_custkey""",
+
+    "q13_union" ->
+      """SELECT id, CAST(count(*) AS BIGINT) AS n_sources FROM (
+           SELECT DISTINCT user_id AS id FROM events
+           UNION ALL
+           SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
+         GROUP BY id ORDER BY id""",
+
+    "q14_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "d04_ngram_jaccard" -> (ngramShingleCte +
+      """
+         SELECT id1, id2,
+                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
+         ORDER BY id1, id2"""),
+
+    "d05_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                           a.embedding AS ea, b.embedding AS eb
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              u AS (SELECT id1, id2, CAST(unnest(ea) AS DOUBLE) AS x,
+                           CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+              s AS (SELECT id1, id2, sum(x*y) AS dot,
+                           sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                    FROM u GROUP BY 1, 2)
+         SELECT id1, id2, round(dot / (na * nb), 6) AS cos
+         FROM s WHERE dot / (na * nb) >= 0.45 ORDER BY id1, id2""",
+
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "t01_lang_id" -> langIdOracle,
+
+    "t02_quality" ->
+      """SELECT doc_id, round(
+           (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END) * 0.3
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1 ELSE 0 END) * 0.3
+           + ar * 0.4, 4) AS quality
+         FROM (
+           SELECT doc_id, text,
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,
+                  CAST(length(text) AS DOUBLE) / CAST(greatest(
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS mwl
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "t03_tokens" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+
+    "t04_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "m01_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                ascii(text) AS head_byte,
+                round(CAST(list_aggregate(list_transform(string_split(text, ''),
+                        x -> ascii(x)), 'sum') AS DOUBLE)
+                      / CAST(strlen(text) AS DOUBLE), 6) AS byte_mean,
+                CAST(8 AS BIGINT) AS feat_dim
+         FROM documents ORDER BY doc_id"""
+  )
 }

@@ -55,5 +55,5 @@ object RollingHash {
   /** Register `rolling_hash` for SQL / `call_function` use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "builtin")
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
 }
