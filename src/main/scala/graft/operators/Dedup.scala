@@ -48,12 +48,13 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(seed_i ++ shingle); signature_i = min over shingles.
+    * xxhash64(i, shingle) — the seed rides as a hashed int column, no
+    * per-hash string concat/alloc; signature_i = min over shingles.
     * One explode + one groupBy(doc) with k partial-agg mins.
     */
   def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
-      min(xxhash64(concat(lit(s"mh$i|"), col("shingle")))).as(s"mh_$i"))
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -69,8 +70,12 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct). The
+    * band table is persisted: the self-join would otherwise recompute
+    * the whole shingle→signature DAG for each side.
+    */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val bands = bandsDf.persist()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -85,7 +90,8 @@ object Dedup {
     * join per-doc sizes -> |A|+|B|-|∩|. Restrict `sh` (e.g. to LSH
     * candidates or a partition key) before calling at scale.
     */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(shDf: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shDf.persist() // used three times: sizes + both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -102,19 +108,34 @@ object Dedup {
 
   /** Full MinHash+LSH near-dedup: returns verified pairs with exact
     * Jaccard >= threshold among LSH candidates.
+    *
+    * Candidate pairs (tiny — the whole point of LSH) broadcast
+    * against the shingle table, so exact verification touches only
+    * the shingles of candidate docs; nothing in the plan recomputes
+    * the signature DAG (shingles and candidates are persisted, used
+    * by two branches each).
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
-    val cand = lshCandidates(lshBands(minHashSignatures(sh, numHashes), bands, r))
-    // verify candidates exactly: restrict the shingle table to candidate ids
-    val candIds = cand.select(col("id1").as("id")).union(cand.select(col("id2").as("id"))).distinct()
-    val shCand = sh.join(candIds, "id")
-    jaccardPairs(shCand, threshold)
-      .join(cand, Seq("id1", "id2"), "left_semi")
+    val sh = shingles(df, idCol, textCol, shingleN).persist()
+    val cand = lshCandidates(lshBands(minHashSignatures(sh, numHashes), bands, r)).persist()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = broadcast(cand)
+      .join(sh.as("s1"), col("s1.id") === col("id1"))
+      .join(sh.as("s2"),
+        col("s2.id") === col("id2") && col("s1.shingle") === col("s2.shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash: 64-bit signature; bit j is the sign of the sum over
@@ -141,7 +162,8 @@ object Dedup {
     * on at least one of 4 bands — pigeonhole), then exact popcount
     * verify.
     */
-  def simHashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simHashPairs(sigDf: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = sigDf.persist() // self-joined below; don't recompute the 64-agg DAG twice
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

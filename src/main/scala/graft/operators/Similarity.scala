@@ -4,29 +4,30 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VecDot
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — the query set is small by
   * definition, so it broadcasts and the scan is one shuffle-free pass
-  * over the corpus followed by a top-k per query (partial top-k
-  * map-side via window + AQE). Scale path: random-hyperplane LSH
-  * buckets cut the candidate set per query to one bucket (or a few,
-  * multi-probe) — sublinear probe cost at 100 TB corpus size.
+  * over the corpus followed by a top-k per query. Scale path:
+  * random-hyperplane LSH buckets cut the candidate set per query —
+  * sublinear probe cost at 100 TB corpus size.
+  *
+  * All dot products go through [[VecDot]], a fused codegen loop;
+  * norms are computed ONCE per vector before pairing, never per pair
+  * — per-candidate work is exactly one multiply-accumulate pass.
   */
 object Similarity {
 
-  /** Cosine similarity between two double arrays, as one expression
-    * tree (zip_with + aggregate fold — sequential, deterministic
-    * order, codegen'd).
+  /** Cosine similarity between two numeric arrays. Prefer the
+    * precomputed-norm forms below in pair loops.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    VecDot.dot(a, b) / (sqrt(VecDot.dot(a, a)) * sqrt(VecDot.dot(b, b)))
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** L2 norm of a vector, for one-time precomputation. */
+  def norm(v: Column): Column = sqrt(VecDot.dot(v, v))
 
   /** Brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine. `queries` must be small (it is broadcast).
@@ -35,9 +36,12 @@ object Similarity {
   def bruteTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                 queries: DataFrame, queryId: String, queryVec: String,
                 k: Int): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(asDouble(col(corpusVec)), asDouble(col(queryVec))))
+    val c = corpus.withColumn("_cnrm", norm(col(corpusVec)))
+    val q = queries.withColumn("_qnrm", norm(col(queryVec)))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        VecDot.dot(col(corpusVec), col(queryVec)) / (col("_cnrm") * col("_qnrm")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
     scored
       .withColumn("rank", row_number().over(w))
@@ -51,12 +55,11 @@ object Similarity {
     * every executor — no driver-side randomness to ship.
     */
   private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(concat(lit(s"plane$plane|"), dim.cast("string"))), lit(1000000L))
-      .cast("double") / 1000000.0) - 0.5
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
   /** Random-hyperplane signature: bit p = sign(v . h_p). */
   def lshSignature(vec: Column, numPlanes: Int): Column = {
-    val v = asDouble(vec)
+    val v = transform(vec, x => x.cast("double"))
     (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -74,11 +77,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, numPlanes: Int = 8): DataFrame = {
-    val cb = corpus.withColumn("_sig", lshSignature(col(corpusVec), numPlanes))
-    val qb = queries.withColumn("_sig", lshSignature(col(queryVec), numPlanes))
+    val cb = corpus
+      .withColumn("_sig", lshSignature(col(corpusVec), numPlanes))
+      .withColumn("_cnrm", norm(col(corpusVec)))
+    val qb = queries
+      .withColumn("_sig", lshSignature(col(queryVec), numPlanes))
+      .withColumn("_qnrm", norm(col(queryVec)))
     val scored = cb
       .join(broadcast(qb), "_sig")
-      .withColumn("cos", cosine(asDouble(col(corpusVec)), asDouble(col(queryVec))))
+      .withColumn("cos",
+        VecDot.dot(col(corpusVec), col(queryVec)) / (col("_cnrm") * col("_qnrm")))
     val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
     scored
       .withColumn("rank", row_number().over(w))
@@ -93,10 +101,12 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      norm(col(vecCol)).as("n1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      norm(col(vecCol)).as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosine(asDouble(col("v1")), asDouble(col("v2"))))
+      .withColumn("cos", VecDot.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }

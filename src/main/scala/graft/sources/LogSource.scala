@@ -82,26 +82,35 @@ object LogSource {
   }
 
   /** Lenient timestamp parsing, mirroring dateparse.ParseAny
-    * (lparser.go:137): try a list of common formats, first hit wins.
-    * Pure expression tree — codegen-friendly, no UDF.
+    * (lparser.go:137): recognize the format, then parse once.
+    *
+    * Each candidate format is gated by an anchored shape regex, so
+    * the common case is one cheap regex hit + one parse — not an
+    * exception-driven walk through every DateTimeFormatter (failed
+    * `try_to_timestamp` attempts throw internally; at log scale that
+    * dominates the parse). Shape match with an unparseable value
+    * (month 13) still falls through via try_to_timestamp -> null.
     */
   def parseAnyDate(c: Column): Column = {
-    val formats = Seq(
-      "yyyy/MM/dd HH:mm:ss.SSSSSS",
-      "yyyy/MM/dd HH:mm:ss",
-      "yyyy-MM-dd HH:mm:ss.SSSSSS",
-      "yyyy-MM-dd HH:mm:ss",
-      "yyyy-MM-dd'T'HH:mm:ssXXX",
-      "yyyy-MM-dd'T'HH:mm:ss",
-      "yyyy-MM-dd",
-      "yyyy/MM/dd",
-      "MM/dd/yyyy HH:mm:ss",
-      "dd/MMM/yyyy:HH:mm:ss Z" // common access-log format
-    )
-    val attempts = formats.map(f => try_to_timestamp(c, lit(f))) :+
+    def shaped(shape: String, fmt: String): Column =
+      when(c.rlike(shape), try_to_timestamp(c, lit(fmt)))
+    coalesce(
+      shaped("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$", "yyyy-MM-dd HH:mm:ss"),
+      shaped("^\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}$", "yyyy/MM/dd HH:mm:ss"),
+      shaped("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$", "yyyy-MM-dd'T'HH:mm:ss"),
+      shaped("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(Z|[+-]\\d{2}:?\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ssXXX"),
+      shaped("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      shaped("^\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
+        "yyyy/MM/dd HH:mm:ss.SSSSSS"),
+      shaped("^\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}:\\d{2}$", "MM/dd/yyyy HH:mm:ss"),
+      shaped("^\\d{4}-\\d{2}-\\d{2}$", "yyyy-MM-dd"),
+      shaped("^\\d{4}/\\d{2}/\\d{2}$", "yyyy/MM/dd"),
+      shaped("^\\d{2}/[A-Za-z]{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}$",
+        "dd/MMM/yyyy:HH:mm:ss Z"), // common access-log format
       // bare epoch seconds, the final fallback
-      when(c.rlike("^\\d{9,10}$"), to_timestamp(c.cast(LongType).cast(TimestampType)))
-    coalesce(attempts: _*)
+      when(c.rlike("^\\d{9,10}$"), to_timestamp(c.cast(LongType).cast(TimestampType))))
   }
 
   private def castField(raw: Column, f: LogField): Column = f.typeName match {
@@ -117,19 +126,26 @@ object LogSource {
 
   /** Parse a DataFrame of raw lines into the typed table the pattern
     * declares. Non-matching lines are dropped (lparser.go:96-104).
+    *
+    * The regex automaton runs ONCE per line ([[graft.functions.RegexGroups]]
+    * — null struct = no match = dropped row); the per-field casts then
+    * read struct fields, all inside one whole-stage-codegen pass.
     */
   def parse(lines: DataFrame, pattern: String, lineCol: String = "value",
             tname: Option[String] = None): DataFrame = {
     val lp = compilePattern(pattern)
-    val line = col(lineCol)
+    val maxGroup = lp.fields.map(_.groupIndex).maxOption.getOrElse(0)
+    val matched = lines
+      .select(graft.functions.RegexGroups(col(lineCol), lp.javaRegex, maxGroup).as("_g"))
+      .filter(col("_g").isNotNull)
     val cols = lp.fields.map { f =>
-      castField(regexp_extract(line, lp.javaRegex, f.groupIndex), f)
+      castField(col("_g").getField(s"g${f.groupIndex}"), f)
     }
     val withMeta = tname match {
       case Some(t) => cols :+ lit(t).as("_tname")
       case None    => cols
     }
-    lines.filter(line.rlike(lp.javaRegex)).select(withMeta: _*)
+    matched.select(withMeta: _*)
   }
 
   /** Batch read of a whole log file — the reference's `do_not_tail`
