@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCountWs handles blanks and runs of whitespace") {
+    val out = Seq("a b  c", "  ", "", "one").toDF("t")
+      .select(TextFunctions.tokenCountWs(col("t"))).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 0L, 0L, 1L))
+  }
+
+  test("tokenCountBpeish splits letter/digit/other runs") {
+    val out = Seq("hello world 123!", "a1b").toDF("t")
+      .select(TextFunctions.tokenCountBpeish(col("t"))).as[Long].collect()
+    // "hello"," world"," 123","!" = 4 ; "a","1","b" = 3
+    assert(out.toSeq == Seq(4L, 3L))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    val out = Seq(
+      "the cat of the house and a dog",
+      "el perro de la casa y los gatos",
+      "qwerty zxcvb").toDF("t")
+      .select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("qualityScore is bounded and favors clean prose") {
+    val clean = ("the quick brown fox jumps over the lazy dog " * 5).trim
+    val junk = "@@## !! ~~ ** %% ^^"
+    val out = Seq(clean, junk).toDF("t")
+      .select(TextFunctions.qualityScore(col("t"))).as[Double].collect()
+    assert(out(0) > 0.8 && out(0) <= 1.0)
+    assert(out(1) < 0.4)
+  }
+}
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fnv1a matches the reference constants") {
+    // FNV-1a 64 of empty input is the offset basis; of "a" a known value
+    assert(RollingHash.fnv1a(Array.emptyByteArray) == 0xcbf29ce484222325L)
+    assert(RollingHash.fnv1a("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("expression evaluates via SQL registration and codegen") {
+    RollingHash.register(spark)
+    val out = Seq("a", "abc", "a").toDF("t")
+      .selectExpr("rolling_hash(t) AS h").as[Long].collect()
+    assert(out(0) == 0xaf63dc4c8601ec8cL)
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+  }
+}
+
+class RegexGroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extracts all groups in one pass, null row on no match") {
+    val out = Seq("k=1 v=two", "nope").toDF("s")
+      .select(RegexGroups(col("s"), """k=(\d+) v=(\w+)""", 2).as("g"))
+    val rows = out.collect()
+    assert(rows(0).getStruct(0).getString(0) == "1")
+    assert(rows(0).getStruct(0).getString(1) == "two")
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("optional unmatched group is null inside the struct") {
+    val out = Seq("x=5").toDF("s")
+      .select(RegexGroups(col("s"), """x=(\d+)(?: y=(\d+))?""", 2).as("g"))
+      .head().getStruct(0)
+    assert(out.getString(0) == "5")
+    assert(out.isNullAt(1))
+  }
+}

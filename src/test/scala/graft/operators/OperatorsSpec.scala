@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val events = Seq(
+    (1L, "2024-01-01 00:00:10", "a"), (2L, "2024-01-01 00:04:59", "a"),
+    (3L, "2024-01-01 00:05:00", "b"), (4L, "2024-01-01 00:09:30", "a"))
+    .toDF("id", "ts_s", "k").withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("tumbling assigns epoch-aligned windows") {
+    val out = Windows.tumbling(events, "ts", 300).select("id", "window_start")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    assert(out.toSeq == Seq((1L, base), (2L, base), (3L, base + 300), (4L, base + 300)))
+  }
+
+  test("sliding replicates each row size/slide times") {
+    val out = Windows.sliding(events, "ts", 600, 300)
+    assert(out.count() == events.count() * 2)
+  }
+
+  test("aggregate groups on (window, keys)") {
+    val out = Windows.aggregate(events, "ts", 300, 300, Seq("k"),
+        Seq(count(lit(1)).as("n")))
+      .orderBy("window_start", "k").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val base = 1704067200L
+    assert(out.toSeq == Seq((base, "a", 2L), (base + 300, "a", 1L), (base + 300, "b", 1L)))
+  }
+}
+
+class ThrottleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps first N per period by time, discards overflow") {
+    val df = (0 until 10).map(i => (i.toLong, s"2024-01-01 00:00:${i * 5}%02d".format(i * 5)))
+      .map { case (i, _) => (i, f"2024-01-01 00:00:${i * 5}%02d") }
+      .toDF("id", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    // period 60s: ids 0..11*5<60 → ids 0-9 all in minute 0; keep first 3
+    val out = Throttle.firstNPerPeriod(df, "ts", 60, 3, Seq("id"))
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near dup of 0
+    (3L, "completely different words appear here nothing shared at all"),
+    (4L, "spark engines shuffle data between executors during wide operations"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts dups") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").orderBy("keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val sh = Dedup.shingles(Seq((1L, "a b a b c")).toDF("id", "t"), "id", "t", 2)
+    val got = sh.select("shingle").as[String].collect().sorted
+    assert(got.toSeq == Seq("a b", "b a", "b c"))
+  }
+
+  test("minHashLsh finds the near-dup pair with exact jaccard") {
+    val out = Dedup.minHashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 0/1 identical (J=1); 0/2 and 1/2 share 7 of 9 bigrams (J=7/9)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out(0)._3 == 1.0)
+    assert(math.abs(out(1)._3 - 7.0 / 9.0) < 1e-6)
+  }
+
+  test("simhash of identical docs is identical; near docs are close") {
+    val sig = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(1L))
+    val d02 = java.lang.Long.bitCount(sig(0L) ^ sig(2L))
+    val d03 = java.lang.Long.bitCount(sig(0L) ^ sig(3L))
+    assert(d02 < d03, s"near-dup distance $d02 should beat unrelated $d03")
+  }
+
+  test("simHashPairs finds pairs within hamming distance") {
+    val pairs = Dedup.simHashPairs(Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("jaccardPairs computes exact jaccard") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+    val out = Dedup.jaccardPairs(sh, 0.5).orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("VecDot matches a hand dot product, float and double") {
+    import graft.functions.VecDot
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(VecDot.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 32.0)
+    val f = Seq((Array(1.0f, 2.0f), Array(0.5f, 0.25f))).toDF("a", "b")
+      .select(VecDot.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(f == 1.0)
+  }
+
+  test("cosinePairs finds parallel vectors") {
+    val out = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 3L)))
+  }
+
+  test("bruteTopK ranks by cosine with id tiebreak") {
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.bruteTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3)
+      .orderBy("rank").collect().map(r => r.getLong(1))
+    // cos with [1,0,0]: id0=1, id3=1, id2=0.707, id1=0 → (0,3 tie→id), 2
+    assert(out.toSeq == Seq(0L, 3L, 2L))
+  }
+
+  test("lshTopK returns self as top hit when queries come from corpus") {
+    val q = vecs.filter(col("vec_id") === 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 2, 4)
+      .filter(col("rank") === 1).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+  }
+}
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join result") {
+    val big = (0 until 1000).map(i => (if (i % 3 == 0) "hot" else s"k$i", i))
+      .toDF("key", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "label")
+    val plain = big.join(dim, "key").select("key", "v", "label")
+    val salted = Skew.saltedJoin(big, dim, "key", factor = 4)
+      .select("key", "v", "label")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fakeDecode derives deterministic byte stats") {
+    val (n, head, mean, feat) = Multimodal.fakeDecode("abc".getBytes("UTF-8"), 2)
+    assert(n == 3L && head == 'a'.toInt)
+    assert(math.abs(mean - (97 + 98 + 99) / 3.0) < 1e-12)
+    assert(feat.toSeq == Seq(97.0 + 99.0, 98.0))
+  }
+
+  test("decodeFeatures carries schema and per-row stats") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(
+      Multimodal.withBlob(df, "text"), "doc_id", "blob", dim = 4)
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[Long]("n_bytes") == 5L)
+    assert(rows(0).getAs[Int]("head_byte") == 'h'.toInt)
+    assert(rows(1).getAs[Long]("n_bytes") == 0L)
+    assert(out.schema("feature").dataType.typeName == "array")
+  }
+}

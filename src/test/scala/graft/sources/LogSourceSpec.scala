@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class LogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compilePattern extracts typed fields and strips names") {
+    val lp = LogSource.compilePattern(
+      """(?P<ts__date>\S+) (?P<code__int>\d+) (?P<ratio__float>[\d.]+) (?P<ok__bool>\w+) (?P<msg>.*)""")
+    assert(lp.fields.map(f => (f.name, f.typeName, f.groupIndex)) == Seq(
+      ("ts", "date", 1), ("code", "int", 2), ("ratio", "float", 3),
+      ("ok", "bool", 4), ("msg", "str", 5)))
+    assert(lp.javaRegex == """(\S+) (\d+) ([\d.]+) (\w+) (.*)""")
+    assert(lp.schema == StructType(Seq(
+      StructField("ts", TimestampType), StructField("code", LongType),
+      StructField("ratio", DoubleType), StructField("ok", BooleanType),
+      StructField("msg", StringType))))
+  }
+
+  test("compilePattern keeps anonymous groups' index space and char classes") {
+    val lp = LogSource.compilePattern("""(\w+)=(?P<v__int>\d+) [()<>](?P<t__str>.)""")
+    assert(lp.fields.map(f => (f.name, f.groupIndex)) == Seq(("v", 2), ("t", 3)))
+  }
+
+  test("parse types fields, drops non-matching lines") {
+    val lines = Seq(
+      "2024-01-01 00:00:05 200 0.5 true hello world",
+      "garbage line",
+      "2024-01-02 10:30:00 404 1.25 false bye").toDF("value")
+    val out = LogSource.parse(lines,
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<code__int>\d+) (?P<ratio__float>[\d.]+) (?P<ok__bool>\w+) (?P<msg>.*)""")
+    val rows = out.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("code") == 200L)
+    assert(rows(0).getAs[Double]("ratio") == 0.5)
+    assert(rows(0).getAs[Boolean]("ok"))
+    assert(rows(0).getAs[String]("msg") == "hello world")
+    assert(!rows(1).getAs[Boolean]("ok"))
+  }
+
+  test("parseAnyDate handles the lenient format matrix") {
+    val inputs = Seq(
+      "2024-03-05 06:07:08", "2024/03/05 06:07:08", "2024-03-05T06:07:08",
+      "2024-03-05", "2024/03/05", "03/05/2024 06:07:08",
+      "2024-03-05 06:07:08.123456", "1709618828",
+      "05/Mar/2024:06:07:08 +0000", "not a date")
+    val out = inputs.toDF("s")
+      .select(unix_timestamp(LogSource.parseAnyDate(col("s"))).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    val full = 1709618828L      // 2024-03-05 06:07:08 UTC
+    val dateOnly = 1709596800L  // 2024-03-05 00:00:00 UTC
+    assert(out.toSeq == Seq(full, full, full, dateOnly, dateOnly, full, full, full, full, -1L))
+  }
+
+  test("bool parsing accepts Go strconv.ParseBool forms") {
+    val lines = Seq("1", "t", "TRUE", "0", "F", "false", "zzz").toDF("value")
+    val out = LogSource.parse(lines, """(?P<b__bool>\w+)""")
+    val got = out.collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(true, true, true, false, false, false, null))
+  }
+
+  test("randFilter samples at roughly the requested rate") {
+    val df = spark.range(10000).toDF("id")
+    val n = LogSource.randFilter(df, 0.1).count()
+    assert(n > 700 && n < 1300, s"got $n, expected ~1000")
+  }
+}

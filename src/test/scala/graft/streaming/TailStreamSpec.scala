@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class TailStreamSpec extends SparkSpec {
+
+  private val pattern =
+    """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) (?P<ms__int>\d+)"""
+
+  private def writeLog(dir: java.io.File, name: String, lines: String*): Unit =
+    Files.write(new java.io.File(dir, name).toPath,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  test("end-to-end: tail dir -> parse -> event-time window -> SQL -> formatter") {
+    val dir = Files.createTempDirectory("graft-tail").toFile
+    val ckpt = Files.createTempDirectory("graft-ckpt").toFile
+    writeLog(dir, "a.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 WARN 9",
+      "2024-01-01 00:01:10 INFO 3",
+      "this line does not parse")
+    writeLog(dir, "b.log",
+      "2024-01-01 00:00:40 INFO 7")
+
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      filter = Some("level IN ('INFO','WARN')"),
+      windowSizeSec = 60, tsField = Some("ts"), format = "raw",
+      sql = Some("""SELECT window_start, count(*) AS n, sum(ms) AS total_ms
+                    FROM t0 GROUP BY window_start ORDER BY window_start"""))
+    val q = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).sorted
+    // window 00:00 has 3 rows (5+9+7ms), window 00:01 has 1 row (3ms)
+    assert(out.toSeq == Seq("1704067200,3,21", "1704067260,1,3"), out.toSeq.toString)
+  }
+
+  test("windowedAgg builds a watermarked streaming aggregation plan") {
+    val dir = Files.createTempDirectory("graft-tail2").toFile
+    writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
+    val cfg = TailStream.Config(dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 30, tsField = Some("ts"))
+    val df = TailStream.windowedAgg(spark, cfg, Seq("level"),
+      Seq(count(lit(1)).as("n")))
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("window", "level", "n"))
+  }
+}
