@@ -175,6 +175,20 @@ object LogSource {
     filter.fold(parsed)(f => parsed.filter(expr(f)))
   }
 
+  /** Socket text source — the streaming analogue of the reference's
+    * stdin / named-pipe inputs (source/stdin.go, source/namedpipe.go):
+    * something external pushes lines, we parse them as they arrive.
+    * Dev/debug tool, same caveats as Spark's socket source (not
+    * fault-tolerant; use the file/dir source for production tails).
+    */
+  def socket(spark: SparkSession, host: String, port: Int, pattern: String,
+             filter: Option[String] = None): DataFrame = {
+    val lines = spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+    val parsed = parse(lines, pattern)
+    filter.fold(parsed)(f => parsed.filter(expr(f)))
+  }
+
   /** The reference's `randfilter(rate)` sampling (sql/funcs.go:14):
     * keep each row with probability `rate`. Seeded for reproducible
     * runs; still nondeterministic across partitionings, as in the

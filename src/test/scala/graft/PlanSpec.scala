@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the 100 TB properties (pushdown,
+  * broadcast, partial top-k) must survive refactors, not just the
+  * row-level results.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter reaches the parquet scan; columns pruned") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q03: star join is a broadcast chain, no shuffle before partial agg") {
+    // simple mode: one tree, no repeated node-detail section
+    val p = SparkEntry.queries("q03_multijoin")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("BroadcastHashJoin").length - 1 == 4, p)
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not shuffle")
+  }
+
+  test("q06: anti join broadcasts the orders side") {
+    val p = plan("q06_anti_join")
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p)
+  }
+
+  test("s01: top-k gets a map-side WindowGroupLimit") {
+    val p = plan("s01_ann_brute")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("vec_dot"), "dot product must use the codegen expression")
+  }
+
+  test("r01: parse is a single-pass regex inside one codegen stage") {
+    val p = plan("r01_regex_parse")
+    assert(p.contains("regex_groups"), p)
+    assert(!p.contains("regexp_extract"), "no per-field regex re-runs")
+  }
+}

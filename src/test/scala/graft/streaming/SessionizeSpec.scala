@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+
+  test("streaming sessionization closes sessions on watermark + gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(String, Long, Double)]
+    val events = input.toDF().toDF("key", "tsSec", "value")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "0 seconds")
+      .select("key", "ts", "value").as[Event]
+
+    val q = Sessionize.sessions(events, gapSec = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two users; u1 has two events 10s apart, u2 one event
+      input.addData(("u1", 100L, 1.0), ("u1", 110L, 2.0), ("u2", 100L, 5.0))
+      q.processAllAvailable()
+      // batch 2: much later event advances the watermark past both gaps,
+      // closing u1 and u2's sessions; starts a new u1 session
+      input.addData(("u1", 1000L, 9.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sess").as[Session].collect().sortBy(s => (s.key, s.start))
+      assert(out.length == 2, out.toSeq.toString)
+      val Array(u1, u2) = out
+      assert(u1.key == "u1" && u1.start == 100L && u1.end == 110L
+        && u1.n == 2L && u1.sum == 3.0 && u1.durationSec == 10L)
+      assert(u2.key == "u2" && u2.n == 1L && u2.sum == 5.0)
+    } finally q.stop()
+  }
+
+  test("update closes a session mid-batch when the gap is exceeded") {
+    // Pure transition-function test: gap inside one batch of events.
+    def ev(sec: Long, v: Double) = Event("k", new java.sql.Timestamp(sec * 1000L), v)
+    val state = new TestGroupState[Sessionize.SessionState]
+    val out = Sessionize.update(30L)("k", Iterator(
+      ev(100L, 1.0), ev(105L, 1.0), ev(200L, 7.0)), state).toList
+    assert(out.map(s => (s.start, s.end, s.n)) == List((100L, 105L, 2L)))
+    assert(state.updated.exists(s => s.start == 200L && s.n == 1L))
+  }
+}
+
+/** Minimal GroupState stub for transition-function tests. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  var updated: Option[S] = None
+  private var timeout: Long = -1L
+  override def exists: Boolean = updated.isDefined
+  override def get: S = updated.get
+  override def getOption: Option[S] = updated
+  override def update(s: S): Unit = updated = Some(s)
+  override def remove(): Unit = updated = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(d: Long): Unit = timeout = d
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = timeout = t
+  override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
