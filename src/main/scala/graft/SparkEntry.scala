@@ -307,6 +307,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s03_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          k = 10, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "t01_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.TailStream
+
+/** CLI entry point with the reference app's surface: point it at a
+  * directory of log files, give it a pattern and a SQL, get formatted
+  * window results on stdout.
+  *
+  * {{{
+  * runMain graft.TailApp --dir /var/log/app \
+  *   --pattern '(?P<ts__date>\S+ \S+) (?P<level__str>\w+) (?P<ms__int>\d+)' \
+  *   --window 60 [--slide 30] [--ts-field ts] [--filter "level='ERROR'"] \
+  *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
+  *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once]
+  * }}}
+  */
+object TailApp {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ (if (args.contains("--once")) Map("once" -> "true") else Map.empty)
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args.filterNot(_ == "--once"))
+    val dir = a.getOrElse("dir", sys.error("--dir is required"))
+    val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
+
+    val cfg = TailStream.Config(
+      dir = dir,
+      pattern = pattern,
+      filter = a.get("filter"),
+      maxFilesPerTrigger = a.get("max-files-per-trigger").map(_.toInt),
+      windowSizeSec = a.getOrElse("window", "60").toLong,
+      slideSec = a.get("slide").map(_.toLong),
+      tsField = a.get("ts-field"),
+      watermarkDelay = a.getOrElse("watermark", "10 minutes"),
+      sql = a.get("sql"),
+      format = a.getOrElse("format", "table"))
+
+    val spark = GraftSession.get()
+    val ckpt = a.getOrElse("checkpoint",
+      java.nio.file.Files.createTempDirectory("graft-tailapp").toString)
+    val trigger =
+      if (args.contains("--once")) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
+    val q = TailStream.run(spark, cfg, ckpt, trigger = trigger)
+    q.awaitTermination()
+    spark.stop()
+  }
+}

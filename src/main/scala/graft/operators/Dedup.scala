@@ -26,6 +26,19 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: drop rows whose `textCol` hash was
+    * already seen, with state bounded by the watermark (a duplicate
+    * arriving later than `delay` after the original passes through —
+    * the price of bounded state on an unbounded stream). The state
+    * store holds 8-byte hashes, not documents.
+    */
+  def streamingExact(df: DataFrame, tsCol: String, textCol: String,
+                     delay: String): DataFrame =
+    df.withColumn("_text_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_text_hash")
+      .drop("_text_hash")
+
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must
     * mirror exactly.

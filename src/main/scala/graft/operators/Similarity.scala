@@ -95,6 +95,57 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the classic scale path next to LSH.
+    *
+    * Coarse quantizer: `nlist` centroids sampled deterministically
+    * from the corpus itself (lowest xxhash64(id) — a uniform
+    * pseudo-random sample with no driver-side RNG to ship). Corpus
+    * rows are assigned to their nearest centroid in ONE broadcast
+    * pass; queries probe their `nprobe` nearest centroids and scan
+    * only those inverted lists. Candidate work per query is
+    * ~|corpus| * nprobe / nlist instead of |corpus|.
+    *
+    * At 100 TB: the assignment pass is a narrow map (centroids are a
+    * broadcast table), the probe join shuffles only on centroid id,
+    * and each inverted list is a normal partition-parallel scan.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
+    val cents = corpus
+      .withColumn("_h", xxhash64(col(corpusId)))
+      .orderBy(col("_h"), col(corpusId))
+      .limit(nlist)
+      .select(col(corpusId).as("_cent_id"), col(corpusVec).as("_cent_vec"),
+        norm(col(corpusVec)).as("_cent_nrm"))
+
+    def nearest(df: DataFrame, id: String, vec: String, nrm: Column, take: Int) = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("_cent_cos").desc, col("_cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("_cent_cos",
+          VecDot.dot(col(vec), col("_cent_vec")) / (nrm * col("_cent_nrm")))
+        .withColumn("_cent_rank", row_number().over(w))
+        .filter(col("_cent_rank") <= take)
+        .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank")
+    }
+
+    val c = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
+      corpusId, corpusVec, col("_cnrm"), 1)
+    val q = nearest(queries.withColumn("_qnrm", norm(col(queryVec))),
+      queryId, queryVec, col("_qnrm"), nprobe)
+
+    val scored = c.join(broadcast(q), "_cent_id")
+      .withColumn("cos",
+        VecDot.dot(col(corpusVec), col(queryVec)) / (col("_cnrm") * col("_qnrm")))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    // 3 well-separated clusters around axes, 30 points each
+    val rnd = new scala.util.Random(7)
+    (0 until 90).map { i =>
+      val axis = i % 3
+      val base = Array.fill(8)(0.05f * rnd.nextFloat())
+      base(axis) = 1.0f + 0.05f * rnd.nextFloat()
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivfTopK returns self as top-1 and stays within the probed lists") {
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+      k = 5, nlist = 9, nprobe = 3)
+    val top1 = out.filter(col("rank") === 1).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    // neighbors of an axis-0 query should come from the axis-0 cluster
+    val n0 = out.filter(col("query_id") === 0).collect().map(_.getLong(1))
+    assert(n0.forall(_ % 3 == 0), n0.toSeq.toString)
+  }
+
+  test("ivf recall matches brute force on clustered data") {
+    val q = corpus.filter(col("vec_id") === 30) // axis-0 cluster member
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteTopK(corpus, "vec_id", "embedding", q, "qid", "qvec", 5)
+      .collect().map(_.getLong(1)).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "qid", "qvec",
+      5, nlist = 9, nprobe = 9) // probe all lists => exact
+    assert(ivf.collect().map(_.getLong(1)).toSet == brute)
+  }
+}
+
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streaming exact dedup drops within-watermark duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = Dedup.streamingExact(df, "ts", "text", "1 minute")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData((10L, "aaa"), (11L, "bbb"), (12L, "aaa"))
+      q.processAllAvailable()
+      input.addData((20L, "aaa"), (21L, "ccc"))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("text").as[String].collect().sorted
+      assert(got.toSeq == Seq("aaa", "bbb", "ccc"), got.toSeq.toString)
+    } finally q.stop()
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+  import graft.sources.Bucketing
+
+  test("same-key bucketed tables join without a shuffle") {
+    val s = spark
+    import s.implicits._
+    for (t <- Seq("graft_b_facts", "graft_b_dims")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val facts = (0 until 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dims = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "graft_b_facts", "k", 8)
+    Bucketing.writeBucketed(dims, "graft_b_dims", "k", 8)
+    // hint on the INPUT forces SMJ, so bucketing (not broadcast) carries it
+    val joined = Bucketing.table(s, "graft_b_facts").hint("merge")
+      .join(Bucketing.table(s, "graft_b_dims"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(joined.count() == 1000)
+  }
+}
