@@ -14,6 +14,10 @@ Test / fork := true
 // default-session slot); parallel suite threads would race on it.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output must reach stdout RAW (no sbt "[info] " prefix):
+// the driver parses Bench's single JSON line from stdout, and round 1's
+// bench was recorded as unparseable because of the prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,15 +26,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails, passes, weak = [], [], []
-for name in sorted(os.listdir(out)):
-    d = os.path.join(out, name)
-    if not os.path.isdir(d):
-        continue
-    files = glob.glob(f"{d}/*.parquet")
-    if not files:
-        fails.append((name, "no spark output"))
-        continue
-    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
+for f in sorted(glob.glob(f"{out}/*.parquet")):
+    name = os.path.basename(f)[: -len(".parquet")]
+    got = con.execute(f"SELECT * FROM '{f}'").df()
     if name not in oracle:
         weak.append((name, len(got)))
         continue

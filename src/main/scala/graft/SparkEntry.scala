@@ -257,6 +257,29 @@ object SparkEntry {
       a.unionAll(b).groupBy("id").agg(cnt.as("n_sources")).orderBy("id")
     }),
 
+    "q15_window_funcs" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(wOrd).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(wOrd).as("next_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          row_number().over(wOrd).cast("long").as("order_seq"))
+        .orderBy("o_custkey", "order_seq")
+    }),
+
+    "q16_semi_join" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .join(T(s, dir, "orders").filter(col("o_totalprice") > 100000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
     "q14_json" -> ((s, dir) =>
       T(s, dir, "events")
         .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -542,6 +565,25 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q15_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_total,
+                CAST(row_number() OVER w AS BIGINT) AS order_seq
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, order_seq""",
+
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+         ORDER BY c_custkey""",
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups

@@ -17,9 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // The driver contract is a parquet at outDir/<name>.parquet.
+      // Spark writes a DIRECTORY, so dump to a temp dir and move the
+      // single part file to a plain file — readable by any consumer
+      // (duckdb 'f.parquet', pandas, pyarrow) without directory globs.
+      try {
+        val tmp = s"$outDir/.tmp_$name"
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for $name"))
+        Files.move(part.toPath, Paths.get(s"$outDir/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        new java.io.File(tmp).delete()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -51,6 +51,37 @@ object Multimodal {
         lit(format).as("format"),
         octet_length(col("blob")).cast("long").as("n_bytes")))
 
+  /** Frame sampling for video-shaped blobs: split the byte stream
+    * into `n` evenly spaced "frames" and emit one row per sampled
+    * frame with its feature vector — the explode-shaped contract a
+    * real decoder (ffmpeg keyframe sampling) would fill in. Runs in
+    * the same partition-batched loop as decodeFeatures.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+                   n: Int, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", LongType, nullable = false),
+      StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      // real frame decoder would be constructed HERE, once per partition
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val step = math.max(1, bytes.length / math.max(1, n))
+        (0 until math.min(n, math.max(1, bytes.length))).iterator.map { f =>
+          val from = f * step
+          val until = math.min(bytes.length, from + step)
+          val frame = java.util.Arrays.copyOfRange(bytes, from, until)
+          val (fb, _, _, feat) = fakeDecode(frame, dim)
+          Row(r.getLong(0), f, fb, feat.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder inits
     * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
     * feature[dim]).

@@ -174,6 +174,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.toSeq == Seq(97.0 + 99.0, 98.0))
   }
 
+  test("sampleFrames explodes a blob into n per-frame feature rows") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+    val out = Multimodal.sampleFrames(
+      Multimodal.withBlob(df, "text"), "doc_id", "blob", n = 5, dim = 2)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("frame_bytes")).forall(_ == 2L)) // 10/5
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
   test("decodeFeatures carries schema and per-row stats") {
     val df = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.decodeFeatures(
