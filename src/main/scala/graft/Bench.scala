@@ -33,7 +33,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // dedup/ANN queries persist() intermediates; drop them so later
+      // queries aren't taxed by leftover cache blocks.
+      spark.catalog.clearCache()
+      dt
     }
 
     // Warmup: one cheap query + touch every table's footer/codegen path.

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{RollingHash, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity, Throttle, Windows}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Throttle, Windows}
 import graft.sources.LogSource
 
 /** Driver contract: every SURVEY.md §2 capability gets a `queries`
@@ -286,6 +286,57 @@ object SparkEntry {
         .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("k")),
 
+    "q17_cube" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum(col("o_totalprice")).as("total"), cnt.as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"), col("n"))
+        .orderBy("status", "priority")),
+
+    "q18_corr_subquery" -> ((s, dir) => {
+      val wType = Window.partitionBy("p_type")
+      T(s, dir, "part")
+        .withColumn("avg_price",
+          sum(col("p_retailprice").cast("decimal(18,2)")).over(wType).cast("double")
+            / cnt.over(wType).cast("double"))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    "q19_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("DAY", col("ts"))).as("d"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))
+        .orderBy("d")),
+
+    "q20_asof_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      AsOf.join(errors, clicks, Seq("user_id"), "ts", "event_id",
+          Seq("event_id" -> "click_id", "ts" -> "click_ts"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          unix_timestamp(col("click_ts")).as("click_ts_s"))
+        .orderBy("event_id")
+    }),
+
+    "q21_range_join" -> ((s, dir) => {
+      val buckets = s.range(50).select(col("id").as("bucket"),
+        (col("id") * 10.0).as("lo"), ((col("id") + 1) * 10.0).as("hi"))
+      T(s, dir, "events")
+        .join(broadcast(buckets),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("bucket")
+        .agg(cnt.as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket")
+    }),
+
     // ---------------- LLM-data-pipeline extensions ----------------
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
@@ -356,6 +407,13 @@ object SparkEntry {
           TextFunctions.tokenCountWs(col("text")).as("n_ws"),
           TextFunctions.tokenCountBpeish(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
+
+    "t05_lang_eval" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(cnt.as("n"))
+        .orderBy("lang", "lang_pred")),
 
     "t04_fingerprint" -> ((s, dir) => {
       RollingHash.register(s)
@@ -585,6 +643,53 @@ object SparkEntry {
                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
          ORDER BY c_custkey""",
 
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
+
+    "q18_corr_subquery" ->
+      """SELECT p_partkey, p_type, p_retailprice FROM (
+           SELECT p_partkey, p_type, p_retailprice,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY p_type) AS DOUBLE)
+                    / CAST(count(*) OVER (PARTITION BY p_type) AS DOUBLE) AS avg_price
+           FROM part)
+         WHERE p_retailprice > avg_price ORDER BY p_partkey""",
+
+    "q19_pivot" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
+                CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+                CAST(SUM(CASE WHEN event_type = 'error'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q20_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, c.click_id,
+                epoch_us(date_trunc('second', c.ts)) // 1000000 AS click_ts_s
+         FROM events e ASOF LEFT JOIN c
+           ON e.user_id = c.user_id AND c.ts <= e.ts
+         WHERE e.event_type = 'error' ORDER BY e.event_id""",
+
+    "q21_range_join" ->
+      """SELECT i AS bucket, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN (SELECT unnest(range(50)) AS i) b
+           ON e.value >= i * 10.0 AND e.value < (i + 1) * 10.0
+         GROUP BY 1 ORDER BY 1""",
+
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -626,6 +731,12 @@ object SparkEntry {
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
 
     "t01_lang_id" -> langIdOracle,
+
+    "t05_lang_eval" ->
+      s"""WITH pred AS ($langIdOracle)
+          SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t02_quality" ->
       """SELECT doc_id, round(

@@ -61,14 +61,18 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent permutations approximated by
-    * xxhash64(i, shingle) — the seed rides as a hashed int column, no
-    * per-hash string concat/alloc; signature_i = min over shingles.
-    * One explode + one groupBy(doc) with k partial-agg mins.
+    * re-hashing a SINGLE base hash of the shingle — the variable-length
+    * string is hashed once, then each permutation hashes 12 fixed bytes
+    * (seed int + base long). At 100 TB the per-shingle cost is one
+    * string hash + k constant-size hashes instead of k string hashes.
+    * signature_i = min over shingles; one explode + one groupBy(doc)
+    * with k partial-agg mins (map-side combine does most of the work).
     */
   def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val base = sh.withColumn("_h", xxhash64(col("shingle")))
     val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("_h"))).as(s"mh_$i"))
+    base.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: b bands of r rows (k = b*r). Emits (band, bandHash,

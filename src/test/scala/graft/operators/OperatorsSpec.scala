@@ -195,3 +195,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out.schema("feature").dataType.typeName == "array")
   }
 }
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join attaches latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, "2024-01-01 00:00:05"),
+                   (2L, 10L, "2024-01-01 00:00:20"),
+                   (3L, 20L, "2024-01-01 00:00:10"))
+      .toDF("eid", "uid", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((100L, 10L, "2024-01-01 00:00:05"),  // ties eid=1's ts: match
+                    (101L, 10L, "2024-01-01 00:00:15"),
+                    (102L, 30L, "2024-01-01 00:00:01"))  // other key: never matches
+      .toDF("rid", "uid", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOf.join(left, right, Seq("uid"), "ts", "rid", Seq("rid" -> "match_id"))
+      .select("eid", "match_id").orderBy("eid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L), (2L, 101L), (3L, -1L)))
+  }
+
+  test("equal-ts right rows resolve to the max tie column") {
+    val left = Seq((1L, 10L, "2024-01-01 00:00:10"))
+      .toDF("eid", "uid", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((100L, 10L, "2024-01-01 00:00:10"), (105L, 10L, "2024-01-01 00:00:10"))
+      .toDF("rid", "uid", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = AsOf.join(left, right, Seq("uid"), "ts", "rid", Seq("rid" -> "match_id"))
+      .select("match_id").collect()
+    assert(out.head.getLong(0) == 105L)
+  }
+}
