@@ -391,6 +391,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s04_centroids" -> ((s, dir) =>
+      Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+        .orderBy("label", "pos")),
+
+    "s05_vec_norm" -> ((s, dir) =>
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
+        .orderBy("vec_id")),
+
+    "q22_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          cnt.as("n"))
+        .orderBy("l_returnflag")),
+
     "t01_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -729,6 +746,21 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s04_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+                round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS c
+         FROM (SELECT label, unnest(embedding) AS x,
+                      unnest(range(len(embedding))) AS pos
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s05_vec_norm" ->
+      """SELECT vec_id, round(sqrt(list_aggregate(
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                'sum')), 6) AS l2
+         FROM embeddings ORDER BY vec_id""",
 
     "t01_lang_id" -> langIdOracle,
 

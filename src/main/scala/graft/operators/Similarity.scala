@@ -146,6 +146,19 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Per-label centroids as (label, pos, c) rows: element-wise mean of
+    * the embedding column. posexplode keeps it declarative — partial
+    * aggregation combines map-side, the single shuffle key is
+    * (label, pos), and no executor ever holds more than one running
+    * (sum, count) per dimension. Sums go through DECIMAL so the mean
+    * is order-independent (bit-identical under any partitioning).
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
+        / count(lit(1)).cast("double")).as("c"))
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.

@@ -40,6 +40,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("vec_dot"), "dot product must use the codegen expression")
   }
 
+  test("q20: as-of join is one key shuffle, no join node, no row blowup") {
+    val p = SparkEntry.queries("q20_asof_join")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), "union-merge as-of must not plan a join: " + p)
+    // one Exchange for the window partition key (+ the final orderBy range
+    // exchange); nothing quadratic.
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("q21: range join broadcasts the bucket dim as a nested-loop join") {
+    val p = plan("q21_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("r01: parse is a single-pass regex inside one codegen stage") {
     val p = plan("r01_regex_parse")
     assert(p.contains("regex_groups"), p)
