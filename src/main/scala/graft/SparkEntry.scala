@@ -448,6 +448,22 @@ object SparkEntry {
           round(col("byte_mean"), 6).as("byte_mean"),
           size(col("feature")).cast("long").as("feat_dim"))
         .orderBy("doc_id")
+    }),
+
+    "m02_frames" -> ((s, dir) => {
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.sampleFrames(blobs, "doc_id", "blob", n = 4)
+        .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "m03_resize" -> ((s, dir) => {
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.resizeStub(blobs, "doc_id", "blob", w = 32, h = 32)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("in_bytes"), col("out_bytes"))
+        .orderBy("doc_id")
     })
   )
 
@@ -803,6 +819,22 @@ object SparkEntry {
                         x -> ascii(x)), 'sum') AS DOUBLE)
                       / CAST(strlen(text) AS DOUBLE), 6) AS byte_mean,
                 CAST(8 AS BIGINT) AS feat_dim
+         FROM documents ORDER BY doc_id""",
+
+    "m02_frames" ->
+      """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
+              f AS (SELECT doc_id, len, greatest(1, len // 4) AS step,
+                           unnest(range(least(4, greatest(1, len)))) AS frame_idx
+                    FROM d)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(least(len, frame_idx * step + step) - frame_idx * step AS BIGINT)
+                  AS frame_bytes
+         FROM f ORDER BY doc_id, frame_idx""",
+
+    "m03_resize" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+                CAST(strlen(text) AS BIGINT) AS in_bytes,
+                CAST(least(strlen(text), 1024) AS BIGINT) AS out_bytes
          FROM documents ORDER BY doc_id"""
   )
 }

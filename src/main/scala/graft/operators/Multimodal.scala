@@ -82,6 +82,34 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Resize stub: the Spark-side contract of an image resize — one
+    * output row per input with target dims and the resized payload
+    * (here truncated to w*h bytes; a real impl swaps in the scaler).
+    * Partition-batched like decodeFeatures so the real library inits
+    * once per partition.
+    */
+  def resizeStub(df: DataFrame, idCol: String, blobCol: String,
+                 w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("in_bytes", LongType, nullable = false),
+      StructField("out_bytes", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      // real scaler (libvips etc.) would be constructed HERE
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h))
+        Row(r.getLong(0), w.toLong, h.toLong, bytes.length.toLong,
+          out.length.toLong, out)
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder inits
     * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
     * feature[dim]).

@@ -41,6 +41,37 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state runs on the RocksDB state store provider") {
+    // At 100 TB the dedup/session state outgrows the default in-memory
+    // HDFS-backed store; RocksDB spills to local disk with incremental
+    // checkpointing. Same query semantics, different provider — this
+    // pins that our stateful operators actually run on it.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val df = input.toDF().toDF("tsSec", "text")
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val q = graft.operators.Dedup.streamingExact(df, "ts", "text", "1 minute")
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((100L, "a"), (101L, "a"), (102L, "b"))
+        q.processAllAvailable()
+        assert(spark.table("rocks_dedup").select("text").as[String]
+          .collect().sorted.toSeq == Seq("a", "b"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   test("update closes a session mid-batch when the gap is exceeded") {
     // Pure transition-function test: gap inside one batch of events.
     def ev(sec: Long, v: Double) = Event("k", new java.sql.Timestamp(sec * 1000L), v)
