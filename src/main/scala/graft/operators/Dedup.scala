@@ -90,9 +90,23 @@ object Dedup {
   /** Candidate pairs from LSH buckets (id1 < id2, distinct). The
     * band table is persisted: the self-join would otherwise recompute
     * the whole shingle→signature DAG for each side.
+    *
+    * `maxBucket` drops buckets holding more than that many docs
+    * BEFORE the self-join — a degenerate bucket (boilerplate shingles
+    * hashing together) contributes O(bucket²) pairs and ~zero signal;
+    * at 100 TB this cap is what keeps the join near-linear. Pairs that
+    * genuinely agree will share one of their other b-1 bands.
     */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val bands = bandsDf.persist()
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case Some(m) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        bandsDf.withColumn("_bsz", count(lit(1)).over(wb))
+          .filter(col("_bsz") <= m).drop("_bsz")
+      case None => bandsDf
+    }
+    val bands = pruned.persist()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -134,11 +148,12 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sh = shingles(df, idCol, textCol, shingleN).persist()
-    val cand = lshCandidates(lshBands(minHashSignatures(sh, numHashes), bands, r)).persist()
+    val cand = lshCandidates(
+      lshBands(minHashSignatures(sh, numHashes), bands, r), maxBucket).persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
       .join(sh.as("s1"), col("s1.id") === col("id1"))

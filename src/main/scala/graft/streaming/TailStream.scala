@@ -94,6 +94,56 @@ object TailStream {
       .start()
   }
 
+  /** The reference's multi-file SQL (JOIN across t0..tN inside one
+    * window snapshot, squeryer.go:228) in its Spark-native form: a
+    * watermarked stream-stream join. Each source parses and windows
+    * independently; joining on (window, keys) matches exactly the rows
+    * a per-window snapshot engine would co-locate. Watermarks bound
+    * both sides' join state, so at 100 TB each executor holds one
+    * window's worth of keys — not the stream history.
+    *
+    * Right-side columns (other than the join columns) are suffixed
+    * `_1`, mirroring the reference's t1 naming, so the flat result
+    * view has unique names for downstream SQL.
+    */
+  def joinedStreams(spark: SparkSession, left: Config, right: Config,
+                    keys: Seq[String]): DataFrame = {
+    // After windowing, both the raw ts and the window column carry the
+    // event-time watermark tag; a stream-stream join allows only one
+    // event-time column per side, so the raw ts is dropped — `window`
+    // IS the reference's per-snapshot time key.
+    val l = windowed(parsed(spark, left), left)
+      .drop(left.tsField.toSeq: _*)
+    val r0 = windowed(parsed(spark, right), right)
+      .drop(right.tsField.toSeq: _*)
+    val joinCols = "window" +: keys
+    val r = r0.columns.foldLeft(r0)((df, c) =>
+      if (joinCols.contains(c)) df else df.withColumnRenamed(c, s"${c}_1"))
+    l.join(r, joinCols)
+  }
+
+  /** Per-window SQL over two joined tailed sources: the joined stream
+    * is registered as `t0` per micro-batch (window bounds flattened)
+    * and `sql` runs over it — reference semantics, distributed.
+    */
+  def runJoin(spark: SparkSession, left: Config, right: Config,
+              keys: Seq[String], sql: String, format: String,
+              checkpointDir: String,
+              sink: String => Unit = s => if (s.nonEmpty) println(s),
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    joinedStreams(spark, left, right, keys).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flat = batch
+          .withColumn("window_start", unix_timestamp(col("window.start")))
+          .withColumn("window_end", unix_timestamp(col("window.end")))
+          .drop("window")
+        flat.createOrReplaceTempView("t0")
+        sink(Formatters.format(flat.sparkSession.sql(sql), format))
+      }
+      .start()
+
   /** Continuous event-time windowed aggregation (update-mode state,
     * watermark-bounded) — the engine-native alternative to per-batch
     * SQL when the aggregation is expressible as DataFrame aggs.

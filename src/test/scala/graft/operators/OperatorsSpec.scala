@@ -224,3 +224,17 @@ class AsOfSpec extends SparkSpec {
     assert(out.head.getLong(0) == 105L)
   }
 }
+
+class LshBucketCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("maxBucket drops degenerate buckets before the self-join") {
+    // 4 docs in one bucket (6 pairs), 2 docs in another (1 pair).
+    val bands = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L), (4L, 0, 100L),
+      (5L, 0, 200L), (6L, 0, 200L))
+      .toDF("id", "band", "band_hash")
+    assert(graft.operators.Dedup.lshCandidates(bands, None).count() == 7)
+    assert(graft.operators.Dedup.lshCandidates(bands, Some(3)).count() == 1)
+  }
+}

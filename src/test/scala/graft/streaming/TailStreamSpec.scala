@@ -43,6 +43,37 @@ class TailStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq("1704067200,3,21", "1704067260,1,3"), out.toSeq.toString)
   }
 
+  test("two tailed sources join per window like the reference's t0 JOIN t1") {
+    val dirL = Files.createTempDirectory("graft-jl").toFile
+    val dirR = Files.createTempDirectory("graft-jr").toFile
+    val ckpt = Files.createTempDirectory("graft-jckpt").toFile
+    writeLog(dirL, "l.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 WARN 9",
+      "2024-01-01 00:01:10 INFO 3") // window 00:01 has no right match
+    val patternR =
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) code=(?P<code__int>\d+)"""
+    writeLog(dirR, "r.log",
+      "2024-01-01 00:00:30 INFO code=200",
+      "2024-01-01 00:00:40 ERROR code=500")
+
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cfgL = TailStream.Config(dir = dirL.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"))
+    val cfgR = TailStream.Config(dir = dirR.getAbsolutePath, pattern = patternR,
+      windowSizeSec = 60, tsField = Some("ts"))
+    val q = TailStream.runJoin(spark, cfgL, cfgR, keys = Seq("level"),
+      sql = """SELECT window_start, level, ms, code_1 FROM t0
+               ORDER BY window_start, level, ms""",
+      format = "raw", checkpointDir = ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).sorted
+    // only the 00:00 window's INFO rows co-occur on both sides
+    assert(out.toSeq == Seq("1704067200,INFO,5,200"), out.toSeq.toString)
+  }
+
   test("windowedAgg builds a watermarked streaming aggregation plan") {
     val dir = Files.createTempDirectory("graft-tail2").toFile
     writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
