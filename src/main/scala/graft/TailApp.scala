@@ -15,6 +15,10 @@ import graft.streaming.TailStream
   *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
   *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once]
   * }}}
+  *
+  * A second tailed source (the reference's t1) joins per window on
+  * `--join-keys`: `--dir2 /var/log/other --pattern2 '...' --join-keys
+  * level` — right-side columns appear suffixed `_1` in the SQL view.
   */
 object TailApp {
 
@@ -46,7 +50,18 @@ object TailApp {
     val trigger =
       if (args.contains("--once")) Trigger.AvailableNow()
       else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
-    val q = TailStream.run(spark, cfg, ckpt, trigger = trigger)
+    val q = a.get("dir2") match {
+      case Some(dir2) =>
+        val cfg2 = cfg.copy(dir = dir2,
+          pattern = a.getOrElse("pattern2", pattern),
+          filter = a.get("filter2"))
+        TailStream.runJoin(spark, cfg, cfg2,
+          keys = a.get("join-keys").map(_.split(",").toSeq).getOrElse(Seq.empty),
+          sql = cfg.sql.getOrElse(
+            "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1"),
+          format = cfg.format, checkpointDir = ckpt, trigger = trigger)
+      case None => TailStream.run(spark, cfg, ckpt, trigger = trigger)
+    }
     q.awaitTermination()
     spark.stop()
   }
