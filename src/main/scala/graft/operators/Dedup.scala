@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest id per identical `textCol`. The
-    * groupBy key is the 64-bit xxhash of the text, so the shuffle
-    * moves 8-byte keys, not documents; `min(id)` picks the canonical
-    * row deterministically.
+    * groupBy key is (xxhash64, md5) of the text — 24 bytes shuffled
+    * instead of documents, and the combined 192-bit key makes a
+    * false merge vanishingly unlikely even at 10^10+ docs, where a
+    * lone 64-bit hash hits birthday collisions. `min(id)` picks the
+    * canonical row deterministically.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"),
+        md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Streaming exact dedup: drop rows whose `textCol` hash was
@@ -190,16 +193,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, found
-    * via 4x16-bit band buckets (any pair within distance 3 must agree
-    * on at least one of 4 bands — pigeonhole), then exact popcount
-    * verify.
+    * via pigeonhole banding: the 64-bit signature splits into
+    * maxDist+1 bands, so any pair within maxDist differing bits must
+    * agree exactly on at least one band; same-band buckets are the
+    * candidates, then exact popcount verifies. Works for any
+    * maxDist in [0, 63] (maxDist=3 → the classic 4x16-bit split).
     */
   def simHashPairs(sigDf: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 63]")
+    val nb = maxDist + 1
+    val w = 64 / nb // last band also takes the 64 % nb remainder bits
     val sig = sigDf.persist() // self-joined below; don't recompute the 64-agg DAG twice
     val banded = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nb).map { b =>
+        val width = if (b == nb - 1) 64 - w * (nb - 1) else w
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*)).as("bb"))
+          shiftrightunsigned(col("simhash"), b * w).bitwiseAND(mask).as("bh"))
+      }: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

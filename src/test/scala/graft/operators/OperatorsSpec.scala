@@ -238,3 +238,19 @@ class LshBucketCapSpec extends SparkSpec {
     assert(graft.operators.Dedup.lshCandidates(bands, Some(3)).count() == 1)
   }
 }
+
+class SimHashBandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generalized banding finds pairs at any maxDist by pigeonhole") {
+    // two signatures differing in exactly 5 bits
+    val a = 0L
+    val b = (1L << 0) | (1L << 13) | (1L << 27) | (1L << 45) | (1L << 63)
+    val sig = Seq((1L, a), (2L, b)).toDF("id", "simhash")
+    // maxDist=4 (< 5 differing bits): verify step rejects the pair
+    assert(graft.operators.Dedup.simHashPairs(sig, maxDist = 4).count() == 0)
+    // maxDist=7 -> 8 bands of 8 bits; 5 diffs must leave a band intact
+    val out = graft.operators.Dedup.simHashPairs(sig, maxDist = 7).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("dist") == 5)
+  }
+}
