@@ -401,6 +401,18 @@ object SparkEntry {
         .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
         .orderBy("vec_id")),
 
+    "q23_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("graft_q23_orders")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM graft_q23_orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                       (o_orderstatus, o_orderpriority))
+               ORDER BY 1, 2""")
+    }),
+
     "q22_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -762,6 +774,16 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "q23_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))
+         ORDER BY 1, 2""",
 
     "s04_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos,

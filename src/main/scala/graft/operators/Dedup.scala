@@ -63,27 +63,26 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * re-hashing a SINGLE base hash of the shingle — the variable-length
-    * string is hashed once, then each permutation hashes 12 fixed bytes
-    * (seed int + base long). At 100 TB the per-shingle cost is one
-    * string hash + k constant-size hashes instead of k string hashes.
-    * signature_i = min over shingles; one explode + one groupBy(doc)
-    * with k partial-agg mins (map-side combine does most of the work).
+  /** MinHash signatures: the variable-length shingle string is hashed
+    * ONCE (xxhash64), then [[graft.functions.MinHashAgg]] — a custom
+    * mergeable TypedImperativeAggregate — folds the base hash through
+    * k splitmix64 permutations and keeps element-wise minima in one
+    * array buffer. Map-side partial agg does nearly all the work; the
+    * shuffle carries one k-long array per (doc, mapper), not one row
+    * per shingle. Output: (id, sig array<long>[k]).
     */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val base = sh.withColumn("_h", xxhash64(col("shingle")))
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("_h"))).as(s"mh_$i"))
-    base.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-  }
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.withColumn("_h", xxhash64(col("shingle")))
+      .groupBy(col("id"))
+      .agg(graft.functions.MinHashAgg.sig(col("_h"), k).as("sig"))
 
-  /** LSH banding: b bands of r rows (k = b*r). Emits (band, bandHash,
-    * id); docs sharing any band bucket are candidates.
+  /** LSH banding: b bands of r signature rows (k = b*r). Emits
+    * (band, bandHash, id); docs sharing any band bucket are candidates.
     */
   def lshBands(sig: DataFrame, b: Int, r: Int): DataFrame = {
     val bands = (0 until b).map { band =>
-      val rowCols = (band * r until (band + 1) * r).map(i => col(s"mh_$i"))
+      val rowCols = (band * r until (band + 1) * r)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(band).as("band"), xxhash64(rowCols: _*).as("band_hash"))
     }
     sig.select(col("id"), explode(array(bands: _*)).as("bb"))

@@ -77,3 +77,24 @@ class RegexGroupsSpec extends SparkSpec {
     assert(out.isNullAt(1))
   }
 }
+
+class MinHashAggSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("signature is k long, deterministic, and element-wise min-mergeable") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"))
+      .toDF("id", "tok").withColumn("h", xxhash64(col("tok")))
+    val sigs = df.groupBy("id")
+      .agg(graft.functions.MinHashAgg.sig(col("h"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 16 && sigs(2L).length == 16)
+    // group 1 ⊇ group 2, so sig1 <= sig2 element-wise (min over superset)
+    assert(sigs(1L).zip(sigs(2L)).forall { case (a, b) => a <= b })
+    // identical input -> identical signature (no RNG anywhere)
+    val again = df.filter(col("id") === 1L).groupBy("id")
+      .agg(graft.functions.MinHashAgg.sig(col("h"), 16).as("sig"))
+      .head.getSeq[Long](1)
+    assert(again == sigs(1L))
+  }
+}
