@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RegexGroups, RollingHash, VecDot}
+import graft.functions.{MinHashAgg, RegexGroups, RollingHash, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val pattern = args(1).eval(null).toString
         val n = args(2).eval(null).asInstanceOf[Number].intValue()
         RegexGroups(args(0), pattern, n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(hash, k) - aggregate: k-permutation MinHash signature of a 64-bit hash column"),
+      (args: Seq[Expression]) => {
+        val k = args(1).eval(null).asInstanceOf[Number].intValue()
+        MinHashAgg(args.head, k).toAggregateExpression()
       }))
   }
 }

@@ -28,6 +28,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("d") == 11.0)
       val g = r.getStruct(2)
       assert(g.getString(0) == "7" && g.getString(1) == "x")
+      val sig = s.sql(
+        """SELECT minhash_sig(xxhash64(tok), 8) AS sig
+           FROM VALUES ('a'), ('b'), ('c') AS t(tok)""").head.getSeq[Long](0)
+      assert(sig.length == 8 && sig.forall(_ != Long.MaxValue))
     } finally {
       // Hand the shared-session slot back to the other suites.
       SparkSession.clearActiveSession()
