@@ -74,6 +74,30 @@ class TailStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq("1704067200,INFO,5,200"), out.toSeq.toString)
   }
 
+  test("tailed stream joins a static dim table (broadcast, no stream state)") {
+    val dir = Files.createTempDirectory("graft-ss").toFile
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toFile
+    writeLog(dir, "a.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 TRACE 9") // TRACE has no dim row -> dropped
+    val s = spark
+    import s.implicits._
+    val dim = Seq(("INFO", 1), ("WARN", 2), ("ERROR", 3)).toDF("level", "severity")
+
+    val cfg = TailStream.Config(dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"))
+    val joined = TailStream.parsed(spark, cfg)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "level")
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ss_join").select("level", "ms", "severity")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("INFO", 5L, 1)))
+  }
+
   test("windowedAgg builds a watermarked streaming aggregation plan") {
     val dir = Files.createTempDirectory("graft-tail2").toFile
     writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
