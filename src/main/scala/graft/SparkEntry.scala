@@ -376,7 +376,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, numPlanes = 8)
+          k = 10, numPlanes = 6, numTables = 8)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -386,7 +386,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 4)
+          k = 10, nlist = 16, nprobe = 6)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),

@@ -57,42 +57,52 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
 
-  /** Random-hyperplane signature: bit p = sign(v . h_p). */
-  def lshSignature(vec: Column, numPlanes: Int): Column = {
+  /** Random-hyperplane signature: bit p = sign(v . h_{seed0+p}).
+    * `seed0` selects an independent plane family (one per LSH table).
+    */
+  def lshSignature(vec: Column, numPlanes: Int, seed0: Int = 0): Column = {
     val v = transform(vec, x => x.cast("double"))
     (0 until numPlanes).map { p =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(seed0 + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed ANN: queries and corpus are bucketed by hyperplane
-    * signature; candidates = same-bucket corpus rows; exact cosine +
-    * top-k within candidates. Trades recall for a candidate set
-    * ~corpus/2^planes per query.
+  /** Multi-table LSH ANN: `numTables` independent hyperplane
+    * signatures; a corpus row is a candidate for a query if they share
+    * ANY table's bucket. Candidates are deduped, then exact cosine +
+    * top-k. Recall ≈ 1-(1-p^planes)^tables — tables buy recall,
+    * planes cut per-bucket cost; candidates stay ~tables x
+    * corpus/2^planes per query, sublinear in corpus size.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, numPlanes: Int = 8): DataFrame = {
-    val cb = corpus
-      .withColumn("_sig", lshSignature(col(corpusVec), numPlanes))
-      .withColumn("_cnrm", norm(col(corpusVec)))
-    val qb = queries
-      .withColumn("_sig", lshSignature(col(queryVec), numPlanes))
-      .withColumn("_qnrm", norm(col(queryVec)))
+              k: Int, numPlanes: Int = 6, numTables: Int = 8): DataFrame = {
+    // one fused pass per vector for ALL tables' signatures, then
+    // posexplode tags each signature with its table index
+    def withSig(df: DataFrame, vec: String): DataFrame = df
+      .select(col("*"),
+        posexplode(graft.functions.LshSigs.sigs(col(vec), numPlanes, numTables))
+          .as(Seq("_t", "_sig")))
+      .withColumn("_sg", struct(col("_t"), col("_sig")))
+      .drop("_t", "_sig")
+    val cb = withSig(corpus, corpusVec).withColumn("_cnrm", norm(col(corpusVec)))
+    val qb = withSig(queries, queryVec).withColumn("_qnrm", norm(col(queryVec)))
     val scored = cb
-      .join(broadcast(qb), "_sig")
+      .join(broadcast(qb), "_sg")
       .withColumn("cos",
         VecDot.dot(col(corpusVec), col(queryVec)) / (col("_cnrm") * col("_qnrm")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id") // same pair via >1 table
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** IVF (inverted-file) ANN — the classic scale path next to LSH.

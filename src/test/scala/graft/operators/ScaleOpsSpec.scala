@@ -95,3 +95,30 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 }
+
+/** ANN quality gate: approximate methods must recover a meaningful
+  * fraction of the true top-k (deterministic — no RNG anywhere, so
+  * these are exact regression values, not flaky bounds).
+  */
+class AnnRecallSpec extends graft.SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def neighbors(q: String): Map[Long, Set[Long]] =
+    graft.SparkEntry.queries(q)(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("multi-table LSH and IVF recall vs brute force") {
+    val brute = neighbors("s01_ann_brute")
+    def recall(m: Map[Long, Set[Long]]): Double = {
+      val per = brute.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
+      per.sum / per.size
+    }
+    val lsh = recall(neighbors("s02_ann_lsh"))
+    val ivf = recall(neighbors("s03_ann_ivf"))
+    assert(lsh >= 0.35, s"LSH recall regressed: $lsh")
+    assert(ivf >= 0.40, s"IVF recall regressed: $ivf")
+  }
+}
