@@ -36,23 +36,15 @@ case class MinHashAgg(
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 
-  /** splitmix64 finalizer over (base hash ^ per-permutation constant):
-    * a well-mixed 64-bit permutation family with no per-row allocation.
-    */
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
       var i = 0
       while (i < k) {
-        val p = mix(h ^ (i.toLong * 0xD1B54A32D192ED03L))
+        // splitmix64 permutation family, shared with MinHashRow so batch
+        // and streaming signatures are interchangeable
+        val p = MinHashAgg.mixStatic(h ^ (i.toLong * 0xD1B54A32D192ED03L))
         if (p < buf(i)) buf(i) = p
         i += 1
       }
@@ -93,4 +85,56 @@ object MinHashAgg {
     */
   def sig(baseHash: Column, k: Int): Column =
     ColumnShim.column(MinHashAgg(ColumnShim.expression(baseHash), k).toAggregateExpression())
+
+  @inline private[functions] def mixStatic(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Row-local form: signature of an array of base hashes in one fused
+    * pass — the streaming path, where a document arrives whole in one
+    * row and there is nothing to aggregate across rows. Same
+    * permutation family as the aggregate, so batch and streaming
+    * signatures are interchangeable.
+    */
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val p = mixStatic(h ^ (i.toLong * 0xD1B54A32D192ED03L))
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Row-local MinHash signature expression over array<long> base hashes. */
+case class MinHashRow(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_row"
+  override def nullSafeEval(v: Any): Any =
+    MinHashAgg.compute(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.MinHashAgg.compute($a, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashRow =
+    copy(child = c)
+}
+
+object MinHashRow {
+  def sig(baseHashes: Column, k: Int): Column =
+    ColumnShim.column(MinHashRow(ColumnShim.expression(baseHashes), k))
 }

@@ -42,6 +42,62 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
+  /** Streaming NEAR-dup candidates: each arriving document computes
+    * its MinHash signature row-locally (shingles → base hashes →
+    * [[graft.functions.MinHashRow]], one fused pass), explodes into
+    * LSH bands, and a per-(band, bucket) state cell remembers the
+    * first document seen. Later same-bucket arrivals emit a candidate
+    * pair against that first document. Same banding math as the batch
+    * path, so thresholds transfer.
+    *
+    * State per bucket is ONE (id, ts) — bounded further by the
+    * event-time timeout (watermark + `delay`), after which the bucket
+    * forgets. A pair can surface via several bands; callers dedupe
+    * downstream if exact-once pairs matter.
+    */
+  def streamingNearDupCandidates(df: DataFrame, idCol: String, textCol: String,
+                                 tsCol: String, delay: String,
+                                 shingleN: Int = 3, numHashes: Int = 16,
+                                 bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val toks = split(lower(col(textCol)), "\\s+")
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(size(col("_toks")) - (shingleN - 1), lit(0))),
+      i => concat_ws(" ", slice(col("_toks"), i, lit(shingleN)))))
+    val sig = graft.functions.MinHashRow.sig(
+      transform(col("_sh"), s => xxhash64(s)), numHashes)
+    val banded = df
+      .withColumn("_toks", toks)
+      .withColumn("_sh", sh)
+      .withColumn("_sig", sig)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * r until (b + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+      .withWatermark("ts", delay)
+
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    banded.as[(Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(t => (t._1, t._2)).toSeq.sortBy(_._1)
+            val owner = state.getOption.getOrElse(ids.head._1)
+            if (!state.exists) state.update(owner)
+            state.setTimeoutTimestamp(ids.map(_._2.getTime).max, delay)
+            ids.iterator.filter(_._1 != owner)
+              .map { case (id, _) => (owner, id) }
+          }
+        })
+      .toDF("id1", "id2")
+  }
+
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must
     * mirror exactly.

@@ -102,3 +102,31 @@ class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   override def getCurrentWatermarkMs(): Long = 0L
   override def getCurrentProcessingTimeMs(): Long = 0L
 }
+
+class StreamingNearDupSpec extends graft.SparkSpec {
+
+  test("near-dup candidates stream out via band-bucket state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("id", "tsSec", "text")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+    val q = graft.operators.Dedup.streamingNearDupCandidates(
+        df, "id", "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, 100L, base))
+      q.processAllAvailable()
+      // near-dup of doc 1 (one word changed) + one unrelated doc
+      input.addData((2L, 110L, base.replace("dog", "cat")),
+        (3L, 120L, "completely different words with no overlap whatsoever here"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), pairs.toString)
+    } finally q.stop()
+  }
+}
