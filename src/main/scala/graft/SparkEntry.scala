@@ -151,6 +151,25 @@ object SparkEntry {
                ORDER BY window_start, etype""")
     }),
 
+    "r10_bool_parse" -> ((s, dir) => {
+      // completes the parser's type matrix: bool fields (str/int/float/
+      // date are exercised by r01/r02)
+      val lines = T(s, dir, "events").select(concat(
+        lit("id="), col("event_id"),
+        lit(" big="), (col("value") > 50.0).cast("string")).as("value"))
+      LogSource.parse(lines, """id=(?P<event_id__int>\d+) big=(?P<big__bool>\S+)""")
+        .groupBy("big").agg(cnt.as("n"))
+        .orderBy("big")
+    }),
+
+    "q24_setops" -> ((s, dir) => {
+      val ev = T(s, dir, "events").select(col("user_id").as("id"))
+      val cust = T(s, dir, "customer").select(col("c_custkey").cast("long").as("id"))
+      val both = ev.intersect(cust).withColumn("src", lit("both"))
+      val onlyCust = cust.except(ev).withColumn("src", lit("cust_only"))
+      both.unionAll(onlyCust).orderBy("src", "id")
+    }),
+
     // ---------------- batch SQL engine capability ----------------
     "q01_agg" -> ((s, dir) =>
       T(s, dir, "lineitem")
@@ -560,6 +579,23 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
                 event_type AS etype, CAST(count(*) AS BIGINT) AS n, max(value) AS max_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r10_bool_parse" ->
+      """SELECT value > 50.0 AS big, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q24_setops" ->
+      """SELECT id, src FROM (
+           SELECT id, 'both' AS src FROM (
+             SELECT DISTINCT user_id AS id FROM events
+             INTERSECT
+             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
+           UNION ALL
+           SELECT id, 'cust_only' AS src FROM (
+             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer
+             EXCEPT
+             SELECT DISTINCT user_id AS id FROM events))
+         ORDER BY src, id""",
 
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
