@@ -54,6 +54,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s02: multi-table signatures come from the fused lsh_sigs expression") {
+    val p = plan("s02_ann_lsh")
+    assert(p.contains("lsh_sigs"), p)
+    assert(p.contains("BroadcastHashJoin"), "query side must broadcast: " + p)
+  }
+
   test("r01: parse is a single-pass regex inside one codegen stage") {
     val p = plan("r01_regex_parse")
     assert(p.contains("regex_groups"), p)

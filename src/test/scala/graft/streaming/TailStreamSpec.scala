@@ -98,6 +98,18 @@ class TailStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq(("INFO", 5L, 1)))
   }
 
+  test("processing-time windows apply when no ts field is configured") {
+    // the reference's idx_of_ts_field < 0 default: window over arrival time
+    val s = spark
+    import s.implicits._
+    val cfg = TailStream.Config(dir = "unused", pattern = pattern,
+      windowSizeSec = 60, tsField = None)
+    val out = TailStream.windowed(Seq(("INFO", 5L)).toDF("level", "ms"), cfg)
+    assert(out.columns.contains("window"))
+    val w = out.select("window.start", "window.end").head()
+    assert(w.getTimestamp(1).getTime - w.getTimestamp(0).getTime == 60000L)
+  }
+
   test("windowedAgg builds a watermarked streaming aggregation plan") {
     val dir = Files.createTempDirectory("graft-tail2").toFile
     writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
