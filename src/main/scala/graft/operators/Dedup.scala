@@ -230,22 +230,17 @@ object Dedup {
 
   /** SimHash: 64-bit signature; bit j is the sign of the sum over
     * tokens of ±1 according to bit j of the token hash. One explode +
-    * one groupBy(doc) with 64 partial-agg sums — no shuffle beyond
-    * the doc-key one.
+    * one groupBy(doc) with [[graft.functions.SimHashAgg]] — a single
+    * mergeable 64-counter aggregate (was 64 separate conditional-sum
+    * columns; identical output, bit j set iff counter > 0) — no
+    * shuffle beyond the doc-key one.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
-    }
-    val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col("id"), sig.as("simhash"))
-  }
+      .groupBy(col("id"))
+      .agg(graft.functions.SimHashAgg.sig(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, found
     * via pigeonhole banding: the 64-bit signature splits into
