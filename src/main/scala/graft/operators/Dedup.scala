@@ -102,20 +102,24 @@ object Dedup {
     * lower+split is the normalization the verification side must
     * mirror exactly.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shinglesRaw(df, idCol, textCol, n).distinct()
+
+  /** Multiset variant (no distinct shuffle) — enough for MinHash
+    * signatures, whose element-wise min ignores duplicates.
+    */
+  def shinglesRaw(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(lower(col(textCol)), "\\s+")
     if (n == 1)
-      df.select(col(idCol).as("id"), explode(toks).as("shingle")).distinct()
+      df.select(col(idCol).as("id"), explode(toks).as("shingle"))
     else {
       // sliding n-gram over the token array with built-ins only:
       // starts 1..len-n+1 (slice is 1-based), concat_ws of each slice.
-      val len = size(toks)
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
         .select(col(idCol).as("id"),
           explode(transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
             i => concat_ws(" ", slice(col("_toks"), i, lit(n))))).as("shingle"))
-        .distinct()
     }
   }
 
@@ -204,14 +208,41 @@ object Dedup {
     * the signature DAG (shingles and candidates are persisted, used
     * by two branches each).
     */
+  /** Row-local shingle set of `textCol` as an array column. */
+  private def shingleArray(textCol: Column, n: Int): Column = {
+    val toks = split(lower(textCol), "\\s+")
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingles(df, idCol, textCol, shingleN).persist()
-    val cand = lshCandidates(
-      lshBands(minHashSignatures(sh, numHashes), bands, r), maxBucket).persist()
+    // The whole signature side is a NARROW map per document:
+    // shingle_hashes (fused tokenize+hash, no shingle strings) →
+    // MinHashRow (fused k-permutation minima) → band hashes, all in
+    // one projection. The only wide ops are the band self-join and the
+    // candidate verify; nothing document-sized ever shuffles. The
+    // verify side recomputes shingle hashes ONLY for candidate docs
+    // (tiny broadcast semi-join) and compares hash sets — the standard
+    // hashed-shingle Jaccard, collision odds ~2^-64 per pair.
+    val sigCol = graft.functions.MinHashRow.sig(
+      graft.functions.ShingleHashes.of(col(textCol), shingleN), numHashes)
+    val bandTable = df.select(col(idCol).as("id"), sigCol.as("_sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          xxhash64((b * r until (b + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+    val cand = lshCandidates(bandTable, maxBucket).persist()
+    val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes.of(col(textCol), shingleN)).as("shingle"))
+      .join(broadcast(candIds), "id").distinct().persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = broadcast(cand)
       .join(sh.as("s1"), col("s1.id") === col("id1"))
