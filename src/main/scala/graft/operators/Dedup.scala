@@ -61,15 +61,11 @@ object Dedup {
                                  bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val toks = split(lower(col(textCol)), "\\s+")
-    val sh = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("_toks")) - (shingleN - 1), lit(0))),
-      i => concat_ws(" ", slice(col("_toks"), i, lit(shingleN)))))
+    // same fused shingle_hashes -> minhash_row pipeline as the batch
+    // path, so batch and streaming band hashes are interchangeable
     val sig = graft.functions.MinHashRow.sig(
-      transform(col("_sh"), s => xxhash64(s)), numHashes)
+      graft.functions.ShingleHashes.of(col(textCol), shingleN), numHashes)
     val banded = df
-      .withColumn("_toks", toks)
-      .withColumn("_sh", sh)
       .withColumn("_sig", sig)
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
         posexplode(array((0 until bands).map { b =>

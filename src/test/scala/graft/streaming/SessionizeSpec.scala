@@ -109,7 +109,10 @@ class StreamingNearDupSpec extends graft.SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // long doc with one edited word -> hashed-shingle jaccard ~0.9,
+    // so the pair shares an LSH band with near-certainty (and the
+    // outcome is deterministic: no RNG in the hash family)
+    val base = (1 to 40).map(i => s"word$i").mkString(" ") + " the quick brown fox dog"
     val input = MemoryStream[(Long, Long, String)]
     val df = input.toDF().toDF("id", "tsSec", "text")
       .withColumn("ts", timestamp_seconds(col("tsSec")))
