@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, RegexGroups, RollingHash, VecDot}
+import graft.functions.{MinHashAgg, RegexGroups, RollingHash, ShingleHashes, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val pattern = args(1).eval(null).toString
         val n = args(2).eval(null).asInstanceOf[Number].intValue()
         RegexGroups(args(0), pattern, n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - 64-bit hashes of all word n-gram shingles, one fused pass"),
+      (args: Seq[Expression]) => {
+        val n = args(1).eval(null).asInstanceOf[Number].intValue()
+        ShingleHashes(args.head, n)
       }))
 
     ext.injectFunction((

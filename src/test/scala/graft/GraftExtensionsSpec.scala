@@ -32,6 +32,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT minhash_sig(xxhash64(tok), 8) AS sig
            FROM VALUES ('a'), ('b'), ('c') AS t(tok)""").head.getSeq[Long](0)
       assert(sig.length == 8 && sig.forall(_ != Long.MaxValue))
+      val nShingles = s.sql(
+        "SELECT size(shingle_hashes('a b c d', 2)) AS n").head.getInt(0)
+      assert(nShingles == 3)
     } finally {
       // Hand the shared-session slot back to the other suites.
       SparkSession.clearActiveSession()
