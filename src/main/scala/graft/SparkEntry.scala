@@ -456,6 +456,17 @@ object SparkEntry {
           TextFunctions.tokenCountBpeish(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    "t06_heavy_hitters" -> ((s, dir) =>
+      // k=16 > 5 distinct event types, so Misra-Gries counts are exact
+      // here and the oracle can hash-check the custom aggregate; at
+      // real cardinalities the same aggregate answers approximately in
+      // k-bounded memory
+      T(s, dir, "events")
+        .agg(graft.functions.HeavyHittersAgg.top(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))),
+
     "t05_lang_eval" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -835,6 +846,10 @@ object SparkEntry {
                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 'sum')), 6) AS l2
          FROM embeddings ORDER BY vec_id""",
+
+    "t06_heavy_hitters" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1 ORDER BY cnt DESC, item""",
 
     "t01_lang_id" -> langIdOracle,
 

@@ -98,3 +98,21 @@ class MinHashAggSpec extends graft.SparkSpec {
     assert(again == sigs(1L))
   }
 }
+
+class HeavyHittersSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("exact when k exceeds cardinality; bounded undercount when it doesn't") {
+    val items = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c")).toDF("x")
+    val exact = items.agg(graft.functions.HeavyHittersAgg.top(col("x"), 8).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact == Seq(("a", 50L), ("b", 30L), ("c", 5L)))
+    // k=2: "a" (freq 50/85 > 1/3) must survive with count >= 50 - 85/3
+    val approx = items.repartition(4).agg(graft.functions.HeavyHittersAgg.top(col("x"), 2).as("hh"))
+      .select(explode(col("hh"))).select("col.item", "col.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.contains("a") && approx("a") >= 50L - 85L / 3)
+  }
+}
