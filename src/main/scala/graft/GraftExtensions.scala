@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, RegexGroups, RollingHash, ShingleHashes, VecDot}
+import graft.functions.{HeavyHittersAgg, MinHashAgg, RegexGroups, RollingHash, ShingleHashes, VecDot}
 
 /** Session-extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -57,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         val k = args(1).eval(null).asInstanceOf[Number].intValue()
         MinHashAgg(args.head, k).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(item, k) - aggregate: Misra-Gries approximate top items in k-bounded memory"),
+      (args: Seq[Expression]) => {
+        val k = args(1).eval(null).asInstanceOf[Number].intValue()
+        HeavyHittersAgg(args.head, k).toAggregateExpression()
       }))
   }
 }

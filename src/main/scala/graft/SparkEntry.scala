@@ -432,6 +432,15 @@ object SparkEntry {
                ORDER BY 1, 2""")
     }),
 
+    "q25_percentile_approx" -> ((s, dir) =>
+      // mergeable quantile sketch — the 100 TB path where exact
+      // percentile's full sort-per-group is too expensive
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("percentile_approx(l_quantity, 0.9, 1000)").as("p90_approx"))
+        .orderBy("l_returnflag")),
+
     "q22_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
