@@ -26,6 +26,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails, passes, weak = [], [], []
+# a query that failed inside Verify writes no parquet — that must FAIL
+# the gate, not vanish from it
+manifest_path = f"{out}/queries.json"
+declared = set(json.load(open(manifest_path))) if os.path.exists(manifest_path) else set()
+found = {os.path.basename(f)[: -len(".parquet")] for f in glob.glob(f"{out}/*.parquet")}
+for name in sorted(declared - found):
+    fails.append((name, "no spark output"))
 for f in sorted(glob.glob(f"{out}/*.parquet")):
     name = os.path.basename(f)[: -len(".parquet")]
     got = con.execute(f"SELECT * FROM '{f}'").df()

@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale outputs from a previous run must not mask a now-broken query
+    new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith(".tmp_"))
+      .foreach(f => { if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete() })
     SparkEntry.queries.foreach { case (name, fn) =>
       // The driver contract is a parquet at outDir/<name>.parquet.
       // Spark writes a DIRECTORY, so dump to a temp dir and move the
@@ -50,6 +54,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of EVERY declared query, so the checker can flag queries
+    // that produced no output instead of silently skipping them
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -23,9 +23,12 @@ import org.apache.spark.sql.graft.ColumnShim
   * lets the oracle hash-check this aggregate on a low-cardinality
   * column).
   *
-  * Merge = add counts, then if over k entries subtract the (k+1)-th
+  * Merge = add counts, then if over capacity subtract the (k+1)-th
   * largest count from all and drop the non-positive — the standard
   * mergeable-summaries construction, so map-side combine works.
+  * Buffers are allowed to grow to 2k before compacting back to <= k,
+  * so the per-row cost is amortized O(1) instead of an O(k log k)
+  * sort on every new distinct item once the buffer fills.
   */
 case class HeavyHittersAgg(
     child: Expression,
@@ -44,8 +47,8 @@ case class HeavyHittersAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  private def shrink(buf: mutable.HashMap[String, Long]): Unit =
-    if (buf.size > k) {
+  private def shrink(buf: mutable.HashMap[String, Long], cap: Int): Unit =
+    if (buf.size > cap) {
       val m = buf.values.toArray.sorted(Ordering[Long].reverse)(k)
       val dead = buf.iterator.collect { case (i, c) if c - m <= 0 => i }.toList
       dead.foreach(buf.remove)
@@ -61,7 +64,7 @@ case class HeavyHittersAgg(
         case Some(c) => Some(c + 1)
         case None    => Some(1L)
       }
-      shrink(buf)
+      shrink(buf, 2 * k)
     }
     buf
   }
@@ -72,20 +75,31 @@ case class HeavyHittersAgg(
       case Some(c0) => Some(c0 + c)
       case None     => Some(c)
     } }
-    shrink(a)
+    // final merge result is what eval sees: compact to <= k here
+    shrink(a, k)
     a
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any =
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    // single-partition plans skip merge(), so the update-path 2k
+    // headroom must be compacted here too — callers see <= k items
+    shrink(buf, k)
     new GenericArrayData(buf.toSeq.sortBy { case (i, c) => (-c, i) }.map {
       case (i, c) => InternalRow(UTF8String.fromString(i), c)
     }.toArray[Any])
+  }
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    // length-prefixed bytes, NOT writeUTF: writeUTF throws on items
+    // whose UTF-8 encoding exceeds 64 KiB (long tokens/URLs are
+    // exactly what this aggregate gets pointed at)
+    buf.foreach { case (i, c) =>
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -94,7 +108,12 @@ case class HeavyHittersAgg(
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.put(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

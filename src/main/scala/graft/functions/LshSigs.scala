@@ -47,16 +47,9 @@ object LshSigs {
   def sigs(vec: Column, numPlanes: Int, numTables: Int): Column =
     ColumnShim.column(LshSigs(ColumnShim.expression(vec), numPlanes, numTables))
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic hyperplane component for (plane, dim) in [-0.5, 0.5). */
   @inline def component(plane: Int, dim: Int): Double =
-    ((mix((plane.toLong << 32) | (dim.toLong & 0xffffffffL)) >>> 11)
+    ((Mix64.mix((plane.toLong << 32) | (dim.toLong & 0xffffffffL)) >>> 11)
       * (1.0 / (1L << 53))) - 0.5
 
   /** One pass over the vector, planes*tables accumulators. Called from

@@ -44,7 +44,7 @@ case class MinHashAgg(
       while (i < k) {
         // splitmix64 permutation family, shared with MinHashRow so batch
         // and streaming signatures are interchangeable
-        val p = MinHashAgg.mixStatic(h ^ (i.toLong * 0xD1B54A32D192ED03L))
+        val p = Mix64.mix(h ^ (i.toLong * 0xD1B54A32D192ED03L))
         if (p < buf(i)) buf(i) = p
         i += 1
       }
@@ -86,13 +86,6 @@ object MinHashAgg {
   def sig(baseHash: Column, k: Int): Column =
     ColumnShim.column(MinHashAgg(ColumnShim.expression(baseHash), k).toAggregateExpression())
 
-  @inline private[functions] def mixStatic(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Row-local form: signature of an array of base hashes in one fused
     * pass — the streaming path, where a document arrives whole in one
     * row and there is nothing to aggregate across rows. Same
@@ -108,7 +101,7 @@ object MinHashAgg {
       val h = hashes.getLong(j)
       var i = 0
       while (i < k) {
-        val p = mixStatic(h ^ (i.toLong * 0xD1B54A32D192ED03L))
+        val p = Mix64.mix(h ^ (i.toLong * 0xD1B54A32D192ED03L))
         if (p < sig(i)) sig(i) = p
         i += 1
       }

@@ -41,13 +41,6 @@ object ShingleHashes {
   def of(text: Column, n: Int): Column =
     ColumnShim.column(ShingleHashes(ColumnShim.expression(text), n))
 
-  @inline private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Called from interpreted eval AND generated code. */
   def compute(text: UTF8String, n: Int): GenericArrayData = {
     val s = text.toString
@@ -63,7 +56,7 @@ object ShingleHashes {
           h = (h ^ Character.toLowerCase(s.charAt(i))) * 0x100000001b3L
           i += 1
         }
-        tokenHashes.add(mix(h))
+        tokenHashes.add(Mix64.mix(h))
       }
     }
     val t = tokenHashes.size()
@@ -76,7 +69,7 @@ object ShingleHashes {
       var acc = 0x2545F4914F6CDD1DL
       var j = 0
       while (j < n) {
-        acc = mix(acc * 0xD1B54A32D192ED03L + tokenHashes.get(w + j))
+        acc = Mix64.mix(acc * 0xD1B54A32D192ED03L + tokenHashes.get(w + j))
         j += 1
       }
       out(w) = acc

@@ -62,11 +62,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // same fused shingle_hashes -> minhash_row pipeline as the batch
-    // path, so batch and streaming band hashes are interchangeable
-    val sig = graft.functions.MinHashRow.sig(
-      graft.functions.ShingleHashes.of(col(textCol), shingleN), numHashes)
+    // path, so batch and streaming band hashes are interchangeable;
+    // docs with no shingles are dropped for the same degenerate-bucket
+    // reason as in minHashLsh
     val banded = df
-      .withColumn("_sig", sig)
+      .withColumn("_hs", graft.functions.ShingleHashes.of(col(textCol), shingleN))
+      .filter(size(col("_hs")) > 0)
+      .withColumn("_sig", graft.functions.MinHashRow.sig(col("_hs"), numHashes))
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
         posexplode(array((0 until bands).map { b =>
           xxhash64((b * r until (b + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
@@ -80,13 +82,16 @@ object Dedup {
       .groupByKey { case (_, _, band, bh) => (band, bh) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
-         state: GroupState[Long]) => {
+         state: GroupState[(Long, Long)]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val ids = rows.map(t => (t._1, t._2)).toSeq.sortBy(_._1)
-            val owner = state.getOption.getOrElse(ids.head._1)
-            if (!state.exists) state.update(owner)
-            state.setTimeoutTimestamp(ids.map(_._2.getTime).max, delay)
+            val (owner, prevMaxTs) = state.getOption.getOrElse((ids.head._1, 0L))
+            // timeout must be monotone: a late-but-valid row in this
+            // batch must not pull an existing bucket's expiry earlier
+            val maxTs = math.max(prevMaxTs, ids.map(_._2.getTime).max)
+            state.update((owner, maxTs))
+            state.setTimeoutTimestamp(maxTs, delay)
             ids.iterator.filter(_._1 != owner)
               .map { case (id, _) => (owner, id) }
           }
@@ -204,15 +209,6 @@ object Dedup {
     * the signature DAG (shingles and candidates are persisted, used
     * by two branches each).
     */
-  /** Row-local shingle set of `textCol` as an array column. */
-  private def shingleArray(textCol: Column, n: Int): Column = {
-    val toks = split(lower(textCol), "\\s+")
-    if (n == 1) array_distinct(toks)
-    else array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
-
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
@@ -226,9 +222,15 @@ object Dedup {
     // verify side recomputes shingle hashes ONLY for candidate docs
     // (tiny broadcast semi-join) and compares hash sets — the standard
     // hashed-shingle Jaccard, collision odds ~2^-64 per pair.
-    val sigCol = graft.functions.MinHashRow.sig(
-      graft.functions.ShingleHashes.of(col(textCol), shingleN), numHashes)
-    val bandTable = df.select(col(idCol).as("id"), sigCol.as("_sig"))
+    // docs too short to have any shingle are dropped BEFORE banding:
+    // an empty shingle set would give every short doc the identical
+    // all-MaxValue signature and collapse them into one degenerate
+    // bucket (O(m^2) candidate pairs of unrelated docs)
+    val bandTable = df
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.of(col(textCol), shingleN).as("_hs"))
+      .filter(size(col("_hs")) > 0)
+      .select(col("id"), graft.functions.MinHashRow.sig(col("_hs"), numHashes).as("_sig"))
       .select(col("id"),
         posexplode(array((0 until bands).map { b =>
           xxhash64((b * r until (b + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)

@@ -50,27 +50,6 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane,
-    * dim): a hash folded to [-0.5, 0.5). Generated identically on
-    * every executor — no driver-side randomness to ship.
-    */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Random-hyperplane signature: bit p = sign(v . h_{seed0+p}).
-    * `seed0` selects an independent plane family (one per LSH table).
-    */
-  def lshSignature(vec: Column, numPlanes: Int, seed0: Int = 0): Column = {
-    val v = transform(vec, x => x.cast("double"))
-    (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(seed0 + p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
-
   /** Multi-table LSH ANN: `numTables` independent hyperplane
     * signatures; a corpus row is a candidate for a query if they share
     * ANY table's bucket. Candidates are deduped, then exact cosine +

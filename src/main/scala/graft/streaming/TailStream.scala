@@ -108,6 +108,12 @@ object TailStream {
     */
   def joinedStreams(spark: SparkSession, left: Config, right: Config,
                     keys: Seq[String]): DataFrame = {
+    // Event time is mandatory here: without watermarks the join state
+    // grows forever, and processing-time windows would only match rows
+    // that happen to be picked up in the same wall-clock window.
+    require(left.tsField.isDefined && right.tsField.isDefined,
+      "joinedStreams needs tsField on both sources (stream-stream joins " +
+        "require watermarked event time)")
     // After windowing, both the raw ts and the window column carry the
     // event-time watermark tag; a stream-stream join allows only one
     // event-time column per side, so the raw ts is dropped — `window`

@@ -116,3 +116,19 @@ class HeavyHittersSpec extends graft.SparkSpec {
     assert(approx.contains("a") && approx("a") >= 50L - 85L / 3)
   }
 }
+
+class MinHashConsistencySpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("aggregate and row-local signatures agree on the same base hashes") {
+    val hs = Seq(11L, 22L, 33L, 44L)
+    val viaAgg = hs.map(h => (1L, h)).toDF("id", "h")
+      .groupBy("id").agg(graft.functions.MinHashAgg.sig(col("h"), 12).as("sig"))
+      .head.getSeq[Long](1)
+    val viaRow = Seq(Tuple1(hs)).toDF("hs")
+      .select(graft.functions.MinHashRow.sig(col("hs"), 12).as("sig"))
+      .head.getSeq[Long](0)
+    assert(viaAgg == viaRow)
+  }
+}
