@@ -377,6 +377,18 @@ object SparkEntry {
             "doc_id", "text", 3), 0.5)
         .orderBy("id1", "id2")),
 
+    "d06_dedup_resolve" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      val comp = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     "d05_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
@@ -802,6 +814,21 @@ object SparkEntry {
          FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
          ORDER BY id1, id2"""),
+
+    "d06_dedup_resolve" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+         LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""),
 
     "d05_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

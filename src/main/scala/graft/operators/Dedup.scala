@@ -99,6 +99,56 @@ object Dedup {
       .toDF("id1", "id2")
   }
 
+  /** Connected components over an undirected pair list: every node
+    * gets the MINIMUM id reachable from it as its component label —
+    * the cluster-resolution step that turns near-dup PAIRS into
+    * dedup groups.
+    *
+    * Iterative min-label propagation: each round, every node adopts
+    * the smallest label among itself and its neighbors; converged when
+    * no label changes. Rounds needed ≈ graph diameter (near-dup
+    * clusters are shallow), each round is one join + one groupBy —
+    * all distributed, nothing driver-side except the loop and the
+    * converged check (a count, not data).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionAll(viaNeighbors)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Materialize the deduplicated corpus: keep exactly one row (the
+    * minimum id) per near-dup component; rows in no pair keep
+    * themselves. Output: input rows + their `component` label,
+    * filtered to the keepers.
+    */
+  def resolveKeepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .filter(col(idCol) === col("component"))
+  }
+
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must
     * mirror exactly.

@@ -254,3 +254,20 @@ class SimHashBandingSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Int]("dist") == 5)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-label propagation resolves chains and keeps singletons") {
+    // chain 1-2-3, pair 10-11; node 99 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.resolveKeepers(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
+}
