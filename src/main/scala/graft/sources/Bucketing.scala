@@ -24,4 +24,14 @@ object Bucketing {
       .saveAsTable(table) // managed: location comes from the warehouse dir
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Hive-style partitioned layout (`.../key=value/part-*.parquet`):
+    * the data layout that makes time/tenant filters prune whole
+    * directories at planning time — at 100 TB a day-filter over a
+    * date-partitioned corpus reads 1/Nth of the files before a single
+    * row is scanned. Pair with a `PartitionFilters` plan assertion.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.format("parquet").partitionBy(partitionCols: _*)
+      .mode("overwrite").save(path)
 }

@@ -68,3 +68,27 @@ class LogSourceSpec extends SparkSpec {
     assert(n > 700 && n < 1300, s"got $n, expected ~1000")
   }
 }
+
+class PartitionPruningSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.execution.ExplainMode
+
+  test("a filter on the partition column prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    graft.sources.Bucketing.writePartitioned(events, dir, "day")
+
+    val q = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("2024-01-03"), "partition filter must reach the scan: " + plan)
+    // pruning is real: only one day's directory is read
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 partition, got $scanned")
+    assert(q.count() > 0)
+  }
+}
