@@ -98,6 +98,31 @@ class TailStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq(("INFO", 5L, 1)))
   }
 
+  test("restart from checkpoint processes only files added since the last run") {
+    val dir = Files.createTempDirectory("graft-resume").toFile
+    val ckpt = Files.createTempDirectory("graft-resume-ckpt").toFile
+    val cfg = TailStream.Config(dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), format = "raw",
+      sql = Some("SELECT level, ms FROM t0 ORDER BY ms"))
+
+    writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
+    val captured1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q1 = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
+      sink = s => captured1.add(s), trigger = Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(String.join("\n", captured1).contains("INFO,5"))
+
+    // new file appears between runs; the old one must NOT be reprocessed
+    writeLog(dir, "b.log", "2024-01-01 00:00:20 WARN 9")
+    val captured2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
+      sink = s => captured2.add(s), trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val out2 = String.join("\n", captured2)
+    assert(out2.contains("WARN,9"), out2)
+    assert(!out2.contains("INFO,5"), "checkpoint resume must not reprocess: " + out2)
+  }
+
   test("processing-time windows apply when no ts field is configured") {
     // the reference's idx_of_ts_field < 0 default: window over arrival time
     val s = spark
