@@ -477,6 +477,12 @@ object SparkEntry {
           TextFunctions.tokenCountBpeish(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    "t07_redact" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")),
+
     "t06_heavy_hitters" -> ((s, dir) =>
       // k=16 > 5 distinct event types, so Misra-Gries counts are exact
       // here and the oracle can hash-check the custom aggregate; at
@@ -882,6 +888,14 @@ object SparkEntry {
                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 'sum')), 6) AS l2
          FROM embeddings ORDER BY vec_id""",
+
+    "t07_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                 '<EMAIL>', 'g'),
+                  '[0-9]{9,}', '<NUM>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
 
     "t06_heavy_hitters" ->
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt

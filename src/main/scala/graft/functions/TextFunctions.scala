@@ -48,6 +48,17 @@ object TextFunctions {
     * when nothing matches. Ties break in StopwordSets order (en
     * first), matching the oracle SQL's CASE evaluation order.
     */
+  /** PII scrub for training corpora: emails and long digit runs
+    * replaced by typed placeholder tokens. Pure regexp_replace chain —
+    * codegen, narrow, linear; the pattern set is deliberately
+    * conservative so the DuckDB oracle (same regex dialect subset)
+    * produces byte-identical output.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{9,}"
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
+
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val scores = StopwordSets.map { case (l, ws) => l -> langScore(toks, ws) }
