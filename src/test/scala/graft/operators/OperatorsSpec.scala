@@ -271,3 +271,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 }
+
+class DistributedCCSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the iterative distributed path agrees with union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+      .toDF("id1", "id2")
+    val viaLoop = graft.operators.Dedup
+      .connectedComponents(pairs, driverThreshold = 0) // force distributed path
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaUf = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaLoop == viaUf)
+    assert(viaLoop(4L) == 1L && viaLoop(12L) == 10L)
+  }
+}
