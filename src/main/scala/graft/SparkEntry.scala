@@ -381,11 +381,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
       val pairs = Dedup.jaccardPairs(
         Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
-      val comp = Dedup.connectedComponents(pairs)
-        .withColumnRenamed("id", "doc_id")
-      docs.select(col("doc_id"))
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      Dedup.components(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy("doc_id")
     }),
 

@@ -44,10 +44,6 @@ object TextFunctions {
   def langScore(tokens: Column, words: Seq[String]): Column =
     size(array_intersect(tokens, array(words.map(lit): _*))).cast("long")
 
-  /** Heuristic language ID: argmax of marker-word hit counts, 'und'
-    * when nothing matches. Ties break in StopwordSets order (en
-    * first), matching the oracle SQL's CASE evaluation order.
-    */
   /** PII scrub for training corpora: emails and long digit runs
     * replaced by typed placeholder tokens. Pure regexp_replace chain —
     * codegen, narrow, linear; the pattern set is deliberately
@@ -59,6 +55,10 @@ object TextFunctions {
   def redact(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumRe, "<NUM>")
 
+  /** Heuristic language ID: argmax of marker-word hit counts, 'und'
+    * when nothing matches. Ties break in StopwordSets order (en
+    * first), matching the oracle SQL's CASE evaluation order.
+    */
   def langId(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
     val scores = StopwordSets.map { case (l, ws) => l -> langScore(toks, ws) }

@@ -102,79 +102,95 @@ object Dedup {
   /** Connected components over an undirected pair list: every node
     * gets the MINIMUM id reachable from it as its component label —
     * the cluster-resolution step that turns near-dup PAIRS into
-    * dedup groups.
+    * dedup groups. Ids are cast to long on BOTH paths so the output
+    * schema (id long, component long) never depends on pair count.
     *
-    * Iterative min-label propagation: each round, every node adopts
-    * the smallest label among itself and its neighbors; converged when
-    * no label changes. Rounds needed ≈ graph diameter (near-dup
-    * clusters are shallow), each round is one join + one groupBy —
-    * all distributed, nothing driver-side except the loop and the
-    * converged check (a count, not data).
+    * Candidate-pair graphs are orders of magnitude smaller than the
+    * corpus, so up to `driverThreshold` pairs the components come from
+    * a driver-side union-find with path compression (one collect of
+    * (long, long) pairs — bounded, and far cheaper than 2 Spark jobs
+    * per propagation round). Past the threshold an iterative
+    * distributed min-label propagation runs: each round every node
+    * adopts the smallest label among itself and its neighbors;
+    * converged when no label changes; rounds needed ≈ graph diameter.
+    * Non-convergence within `maxIter` throws rather than silently
+    * returning partial labels (duplicates surviving dedup unnoticed
+    * is worse than a loud failure). The distributed path returns a
+    * PERSISTED DataFrame — unpersist it when done.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverThreshold: Long = 1L << 22): DataFrame = {
-    // LSH/jaccard candidate pairs are orders of magnitude smaller than
-    // the corpus; up to ~4M pairs a driver-side union-find (with path
-    // compression) beats 2 Spark jobs per propagation round by a wide
-    // margin. The iterative distributed path below stays for graphs
-    // that genuinely don't fit.
-    val nPairs = pairs.count()
-    if (nPairs <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
-        .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+                          driverThreshold: Long = 1L << 20): DataFrame = {
+    val p = pairs.select(col("id1").cast("long").as("id1"),
+      col("id2").cast("long").as("id2")).persist()
+    try {
+      val nPairs = p.count()
+      if (nPairs <= driverThreshold) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val es = p.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+        .unionAll(p.select(col("id2").as("a"), col("id1").as("b")))
+        .distinct().persist()
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id")).persist()
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val viaNeighbors = edges
+          .join(labels, edges("b") === labels("id"))
+          .select(col("a").as("id"), col("component"))
+        val next = labels.select(col("id"), col("component"))
+          .unionAll(viaNeighbors)
+          .groupBy("id").agg(min(col("component")).as("component"))
+          .persist()
+        converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") =!= col("prev")).isEmpty
+        labels.unpersist()
+        labels = next
+        iter += 1
       }
-      return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
-    }
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val viaNeighbors = edges
-        .join(labels, edges("b") === labels("id"))
-        .select(col("a").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .unionAll(viaNeighbors)
-        .groupBy("id").agg(min(col("component")).as("component"))
-        .persist()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+      edges.unpersist()
+      if (!converged) {
+        labels.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(graph diameter exceeds maxIter); raise maxIter")
+      }
+      labels
+    } finally p.unpersist()
+  }
+
+  /** Every row of `df` labeled with its near-dup component (rows in no
+    * pair label themselves). The shared core of resolveKeepers and the
+    * d06 resolution query.
+    */
+  def components(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
   }
 
   /** Materialize the deduplicated corpus: keep exactly one row (the
     * minimum id) per near-dup component; rows in no pair keep
-    * themselves. Output: input rows + their `component` label,
-    * filtered to the keepers.
+    * themselves.
     */
-  def resolveKeepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
-    df.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("component", coalesce(col("component"), col(idCol)))
-      .filter(col(idCol) === col("component"))
-  }
+  def resolveKeepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    components(df, idCol, pairs).filter(col(idCol) === col("component"))
 
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must

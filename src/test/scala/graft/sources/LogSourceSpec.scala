@@ -79,6 +79,14 @@ class PartitionPruningSpec extends graft.SparkSpec {
       .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
     graft.sources.Bucketing.writePartitioned(events, dir, "day")
 
+    // guard against vacuity: the layout must actually have many partitions
+    val all = spark.read.parquet(dir)
+    val total = all.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(total.exists(_ > 1), s"test data collapsed to $total partition(s)")
+
     val q = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
     val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("PartitionFilters"), plan)
