@@ -306,3 +306,24 @@ class MinHashRecallSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 }
+
+class SimHashCompletenessSpec extends SparkSpec {
+
+  test("banded simhash pairs equal exhaustive hamming<=3 pairs on real docs") {
+    // pigeonhole banding is COMPLETE for dist <= maxDist, so on any
+    // corpus the banded+verified output must equal the all-pairs scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val sig = Dedup.simHash(docs, "doc_id", "text").persist()
+    val banded = Dedup.simHashPairs(sig, maxDist = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sig.unpersist()
+    assert(exhaustive.nonEmpty, "test corpus must contain simhash near-dups")
+    assert(banded == exhaustive,
+      s"missed=${exhaustive -- banded} extra=${banded -- exhaustive}")
+  }
+}
