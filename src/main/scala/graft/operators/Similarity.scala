@@ -148,6 +148,35 @@ object Similarity {
       .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
         / count(lit(1)).cast("double")).as("c"))
 
+  /** Scale path for embedding near-dup: multi-table hyperplane LSH
+    * buckets the corpus, candidate pairs form only within buckets
+    * (id1 < id2, deduped across tables), then the exact cosine
+    * verifies. Work is O(sum of bucket^2) per table instead of
+    * O(n^2); recall follows the 1-(1-p^planes)^tables curve and rises
+    * with `numTables`. The exact [[cosinePairs]] below remains for
+    * oracle-sized slices.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, numPlanes: Int = 6,
+                     numTables: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_nrm", norm(col("v")))
+      .select(col("id"), col("v"), col("_nrm"),
+        posexplode(graft.functions.LshSigs.sigs(col("v"), numPlanes, numTables))
+          .as(Seq("_t", "_sig")))
+    val cand = base.as("a")
+      .join(base.as("b"),
+        col("a._t") === col("b._t") && col("a._sig") === col("b._sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("a.v").as("v1"), col("a._nrm").as("n1"),
+        col("b.id").as("id2"), col("b.v").as("v2"), col("b._nrm").as("n2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .withColumn("cos", VecDot.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.

@@ -122,3 +122,25 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(ivf >= 0.40, s"IVF recall regressed: $ivf")
   }
 }
+
+class CosinePairsLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH-bucketed cosine pairs find all true near-dups in clusters") {
+    // 20 base vectors, each with a tiny-perturbation twin: 20 true
+    // near-dup pairs (cos ~ 0.999), plus 40 unrelated dimensions of
+    // noise. The operator's regime is high-cosine near-dup detection;
+    // there p^planes is ~1 and multi-table recall is ~certain.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextFloat() - 0.5f)
+      val twin = v.map(x => x + 0.001f * rnd.nextFloat())
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+}
