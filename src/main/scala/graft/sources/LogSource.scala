@@ -132,7 +132,7 @@ object LogSource {
     * read struct fields, all inside one whole-stage-codegen pass.
     */
   def parse(lines: DataFrame, pattern: String, lineCol: String = "value",
-            tname: Option[String] = None): DataFrame = {
+            tname: Option[String] = None, withRowId: Boolean = false): DataFrame = {
     val lp = compilePattern(pattern)
     val maxGroup = lp.fields.map(_.groupIndex).maxOption.getOrElse(0)
     val matched = lines
@@ -141,10 +141,15 @@ object LogSource {
     val cols = lp.fields.map { f =>
       castField(col("_g").getField(s"g${f.groupIndex}"), f)
     }
-    val withMeta = tname match {
+    val withMeta = (tname match {
       case Some(t) => cols :+ lit(t).as("_tname")
       case None    => cols
-    }
+    }) ++ (if (withRowId)
+      // the reference's __id sequence (lparser.go metadata): the
+      // distributed analogue is a unique (partition-encoded, not
+      // contiguous) row id — no global coordination
+      Seq(monotonically_increasing_id().as("_id"))
+    else Seq.empty)
     matched.select(withMeta: _*)
   }
 

@@ -100,3 +100,17 @@ class PartitionPruningSpec extends graft.SparkSpec {
     assert(q.count() > 0)
   }
 }
+
+class ParseMetaSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("parse emits _tname and unique _id metadata columns on request") {
+    val lines = Seq("k=1", "k=2", "nope").toDF("value")
+    val out = graft.sources.LogSource.parse(lines, """k=(?P<k__int>\d+)""",
+      tname = Some("t0"), withRowId = true)
+    assert(out.columns.toSeq == Seq("k", "_tname", "_id"))
+    val rows = out.collect()
+    assert(rows.length == 2 && rows.forall(_.getString(1) == "t0"))
+    assert(rows.map(_.getLong(2)).distinct.length == 2)
+  }
+}
