@@ -539,7 +539,12 @@ object SparkEntry {
   private val langIdOracle: String = {
     val scoreCols = TextFunctions.StopwordSets.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_intersect(toks, $arr)) AS s_$l"
+      if (TextFunctions.UnsegmentedLangs(l))
+        // unsegmented scripts: substring containment on the raw text,
+        // mirroring TextFunctions.langScoreUnsegmented
+        s"len(list_filter($arr, m -> contains(txt, m))) AS s_$l"
+      else
+        s"len(list_intersect(toks, $arr)) AS s_$l"
     }.mkString(", ")
     val best = TextFunctions.StopwordSets.map { case (l, _) => s"s_$l" }
       .mkString("greatest(", ", ", ")")
@@ -549,18 +554,22 @@ object SparkEntry {
     s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (
           SELECT doc_id, $best AS best, s_${TextFunctions.StopwordSets.map(_._1).mkString(", s_")} FROM (
             SELECT doc_id, $scoreCols FROM (
-              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+              SELECT doc_id, lower(text) AS txt,
+                     string_split_regex(lower(text), '\\s+') AS toks
               FROM documents)))
         ORDER BY doc_id"""
   }
 
   private val ngramShingleCte =
+    // shingle start positions unnest per row from range(1, len(toks)-1)
+    // (1-based, stop-exclusive => i+2 <= len), so the bound derives
+    // from each document's own token count — no silent cap on long docs
     """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                   FROM documents WHERE doc_id < 500),
             sh AS (SELECT DISTINCT doc_id,
-                     toks[i.i] || ' ' || toks[i.i+1] || ' ' || toks[i.i+2] AS shingle
-                   FROM t, (SELECT unnest(range(1, 200)) AS i) i
-                   WHERE i.i + 2 <= len(toks)),
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
             sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -932,13 +941,24 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
 
     "m01_multimodal" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-                ascii(text) AS head_byte,
-                round(CAST(list_aggregate(list_transform(string_split(text, ''),
-                        x -> ascii(x)), 'sum') AS DOUBLE)
-                      / CAST(strlen(text) AS DOUBLE), 6) AS byte_mean,
+      // byte-level, not codepoint-level: hex(encode(text)) is the UTF-8
+      // byte sequence, each byte decoded from its two hex digits — so
+      // the equivalence with fakeDecode's byte stats is structural and
+      // holds for multi-byte text, not just ASCII
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents),
+              b AS (SELECT doc_id, n,
+                      list_transform(range(1, n + 1),
+                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
+                    FROM h)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+                CAST(coalesce(bytes[1], 0) AS INT) AS head_byte,
+                round(CASE WHEN n = 0 THEN 0.0
+                      ELSE CAST(list_aggregate(bytes, 'sum') AS DOUBLE)
+                           / CAST(n AS DOUBLE) END, 6) AS byte_mean,
                 CAST(8 AS BIGINT) AS feat_dim
-         FROM documents ORDER BY doc_id""",
+         FROM b ORDER BY doc_id""",
 
     "m02_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),

@@ -40,9 +40,21 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "了", "在", "我", "有")
   )
 
+  /** Languages written without word separators: token-set intersection
+    * can never match them (a whole sentence is one "token"), so their
+    * markers are matched by substring on the raw text instead.
+    */
+  val UnsegmentedLangs: Set[String] = Set("zh")
+
   /** Number of distinct marker words of `lang` present in the text. */
   def langScore(tokens: Column, words: Seq[String]): Column =
     size(array_intersect(tokens, array(words.map(lit): _*))).cast("long")
+
+  /** Marker score for unsegmented scripts: count of markers occurring
+    * anywhere in the raw text (substring containment, codegen instr).
+    */
+  def langScoreUnsegmented(text: Column, words: Seq[String]): Column =
+    words.map(w => (instr(text, w) > 0).cast("long")).reduce(_ + _)
 
   /** PII scrub for training corpora: emails and long digit runs
     * replaced by typed placeholder tokens. Pure regexp_replace chain —
@@ -60,8 +72,12 @@ object TextFunctions {
     * first), matching the oracle SQL's CASE evaluation order.
     */
   def langId(text: Column): Column = {
-    val toks = split(lower(text), "\\s+")
-    val scores = StopwordSets.map { case (l, ws) => l -> langScore(toks, ws) }
+    val lowered = lower(text)
+    val toks = split(lowered, "\\s+")
+    val scores = StopwordSets.map { case (l, ws) =>
+      l -> (if (UnsegmentedLangs(l)) langScoreUnsegmented(lowered, ws)
+            else langScore(toks, ws))
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val firstBest = scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)

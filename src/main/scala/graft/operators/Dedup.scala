@@ -46,11 +46,22 @@ object Dedup {
     * its MinHash signature row-locally (shingles → base hashes →
     * [[graft.functions.MinHashRow]], one fused pass), explodes into
     * LSH bands, and a per-(band, bucket) state cell remembers the
-    * first document seen. Later same-bucket arrivals emit a candidate
-    * pair against that first document. Same banding math as the batch
-    * path, so thresholds transfer.
+    * bucket's OWNER — the earliest document seen so far, by
+    * (event time, then id). Arrivals emit a candidate pair against
+    * the owner; when a smaller (ts, id) document arrives late, it
+    * takes ownership and a (newOwner, oldOwner) pair links the two.
+    * Same banding math as the batch path, so thresholds transfer.
     *
-    * State per bucket is ONE (id, ts) — bounded further by the
+    * Determinism: the exact pair LIST depends on how the input splits
+    * into micro-batches (append mode cannot retract pairs already
+    * emitted against a superseded owner), but every emitted pair
+    * connects documents of the same bucket and every non-owner is
+    * connected to the owner chain — so the pairs always SPAN the same
+    * bucket cluster, and downstream [[connectedComponents]] resolution
+    * yields batching-independent components. Pair orientation
+    * converges to the (min ts, min id) owner.
+    *
+    * State per bucket is ONE (id, ts, maxTs) — bounded further by the
     * event-time timeout (watermark + `delay`), after which the bucket
     * forgets. A pair can surface via several bands; callers dedupe
     * downstream if exact-once pairs matter.
@@ -82,18 +93,33 @@ object Dedup {
       .groupByKey { case (_, _, band, bh) => (band, bh) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
-         state: GroupState[(Long, Long)]) => {
+         state: GroupState[(Long, Long, Long)]) => { // (ownerId, ownerTs, maxTs)
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val ids = rows.map(t => (t._1, t._2)).toSeq.sortBy(_._1)
-            val (owner, prevMaxTs) = state.getOption.getOrElse((ids.head._1, 0L))
+            // each id at its earliest ts in this batch, ordered (ts, id)
+            val arrivals = rows.map(t => (t._2.getTime, t._1)).toSeq
+            val ids = arrivals.groupBy(_._2)
+              .map { case (id, ts) => (ts.map(_._1).min, id) }.toSeq.sorted
+            val prev = state.getOption
+            val (batchTs, batchId) = ids.head
+            // owner = global min by (ts, id) across state + this batch
+            val (ownerId, ownerTs) = prev match {
+              case Some((oid, ots, _))
+                if ots < batchTs || (ots == batchTs && oid <= batchId) => (oid, ots)
+              case _ => (batchId, batchTs)
+            }
             // timeout must be monotone: a late-but-valid row in this
             // batch must not pull an existing bucket's expiry earlier
-            val maxTs = math.max(prevMaxTs, ids.map(_._2.getTime).max)
-            state.update((owner, maxTs))
+            val maxTs = math.max(prev.map(_._3).getOrElse(0L), arrivals.map(_._1).max)
+            state.update((ownerId, ownerTs, maxTs))
             state.setTimeoutTimestamp(maxTs, delay)
-            ids.iterator.filter(_._1 != owner)
-              .map { case (id, _) => (owner, id) }
+            // a superseded owner stays connected via (newOwner, oldOwner)
+            val ownerChain = prev match {
+              case Some((oid, _, _)) if oid != ownerId => Iterator((ownerId, oid))
+              case _ => Iterator.empty
+            }
+            ownerChain ++ ids.iterator.map(_._2)
+              .filter(_ != ownerId).map(id => (ownerId, id))
           }
         })
       .toDF("id1", "id2")

@@ -28,6 +28,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "es", "und"))
   }
 
+  test("langId reaches zh on unsegmented Chinese text (no whitespace)") {
+    // real Chinese has no word separators: token-set intersection sees
+    // one giant token, so zh markers must match by substring containment
+    val out = Seq(
+      "我在这里有一个测试的句子",  // contains 的,在,我,有 markers
+      "这是了不起的成就",          // contains 是,了,的
+      "the plain english text").toDF("t")
+      .select(TextFunctions.langId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("zh", "zh", "en"))
+  }
+
   test("qualityScore is bounded and favors clean prose") {
     val clean = ("the quick brown fox jumps over the lazy dog " * 5).trim
     val junk = "@@## !! ~~ ** %% ^^"

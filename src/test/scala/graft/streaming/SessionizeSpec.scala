@@ -132,4 +132,34 @@ class StreamingNearDupSpec extends graft.SparkSpec {
       assert(pairs == Set((1L, 2L)), pairs.toString)
     } finally q.stop()
   }
+
+  test("pair orientation converges to the (min ts, id) owner under reversed batching") {
+    // the same two near-dup docs arriving in opposite batch orders must
+    // yield the SAME normalized pair: the late-but-earlier document
+    // takes ownership and the owner-chain pair links it to the old owner
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = (1 to 40).map(i => s"word$i").mkString(" ") + " the quick brown fox dog"
+    val docA = (1L, 100L, base)                        // earliest event time -> owner
+    val docB = (2L, 110L, base.replace("dog", "cat"))
+    def run(name: String, batches: Seq[Seq[(Long, Long, String)]]): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, Long, String)]
+      val df = input.toDF().toDF("id", "tsSec", "text")
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+      val q = graft.operators.Dedup.streamingNearDupCandidates(
+          df, "id", "text", "ts", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val fwd = run("neardup_fwd", Seq(Seq(docA), Seq(docB)))
+    val rev = run("neardup_rev", Seq(Seq(docB), Seq(docA)))
+    assert(fwd == Set((1L, 2L)), fwd.toString)
+    assert(rev == Set((1L, 2L)), rev.toString)
+  }
 }
