@@ -135,10 +135,14 @@ object Dedup {
     * corpus, so up to `driverThreshold` pairs the components come from
     * a driver-side union-find with path compression (one collect of
     * (long, long) pairs — bounded, and far cheaper than 2 Spark jobs
-    * per propagation round). Past the threshold an iterative
-    * distributed min-label propagation runs: each round every node
-    * adopts the smallest label among itself and its neighbors;
-    * converged when no label changes; rounds needed ≈ graph diameter.
+    * per propagation round). Past the threshold the distributed
+    * large-star/small-star alternation runs (the MapReduce CC
+    * algorithm of Kiveris et al.): each round rewires every node's
+    * larger neighbors (large-star) then its smaller ones (small-star)
+    * to the neighborhood minimum, converging to min-rooted stars in
+    * O(log n) rounds — INDEPENDENT of graph diameter, where min-label
+    * propagation needs diameter-many rounds and a 100 TB chain of
+    * near-dups (diameter in the millions) would never finish.
     * Non-convergence within `maxIter` throws rather than silently
     * returning partial labels (duplicates surviving dedup unnoticed
     * is worse than a loud failure). The distributed path returns a
@@ -169,36 +173,77 @@ object Dedup {
         }
         return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
       }
-      val edges = p.select(col("id1").as("a"), col("id2").as("b"))
-        .unionAll(p.select(col("id2").as("a"), col("id1").as("b")))
-        .distinct().persist()
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("component", col("id")).persist()
-      var iter = 0
-      var converged = false
-      while (iter < maxIter && !converged) {
-        val viaNeighbors = edges
-          .join(labels, edges("b") === labels("id"))
-          .select(col("a").as("id"), col("component"))
-        val next = labels.select(col("id"), col("component"))
-          .unionAll(viaNeighbors)
-          .groupBy("id").agg(min(col("component")).as("component"))
-          .persist()
-        converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") =!= col("prev")).isEmpty
-        labels.unpersist()
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      if (!converged) {
-        labels.unpersist()
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            "(graph diameter exceeds maxIter); raise maxIter")
-      }
-      labels
+      starComponents(p, maxIter)
     } finally p.unpersist()
+  }
+
+  /** Large-star/small-star alternation over edges kept oriented
+    * (u > v). Each round:
+    *  - large-star: for every node s, each strictly LARGER neighbor d
+    *    is rewired to m = min(neighborhood(s) ∪ {s});
+    *  - small-star: for every node u (now with all-smaller neighbors),
+    *    u and each neighbor are rewired to the neighborhood minimum.
+    * Both steps preserve connectivity and the u > v orientation, and
+    * the edge set reaches its fixpoint — min-rooted stars — in
+    * O(log n) rounds. Convergence is detected by an edge-set
+    * fingerprint (count + XOR of edge hashes — order-independent and
+    * overflow-free on distinct edges, unlike an ANSI-mode sum).
+    */
+  private def starComponents(p: DataFrame, maxIter: Int): DataFrame = {
+    // each round references the previous edge set several times, so the
+    // logical plan DOUBLES per round — lineage must be cut, not just
+    // cached, or the driver OOMs building the plan around round ~8.
+    // localCheckpoint(eager) materializes and truncates; a cluster
+    // deployment with executor churn would use reliable checkpointing
+    // (setCheckpointDir + checkpoint) at the same spot.
+    var e = p.filter(col("id1") =!= col("id2"))
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .distinct().localCheckpoint(true)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = fingerprint(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star over the symmetric view
+      val sym = e.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(e.select(col("v").as("s"), col("u").as("d")))
+      val mins = sym.groupBy("s").agg(min(col("d")).as("minD"))
+        .select(col("s"), least(col("minD"), col("s")).as("m"))
+      val ls = sym.join(mins, "s").filter(col("d") > col("s"))
+        .select(col("d").as("u"), col("m").as("v")).distinct()
+      // small-star: all neighbors of u are now smaller than u
+      val sMins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val withMin = ls.join(sMins, "u")
+      val next = withMin.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true) // eager: safe to drop e below
+      val nextFp = fingerprint(next)
+      converged = nextFp == cur
+      cur = nextFp
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    if (!converged) {
+      e.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds; " +
+          "raise maxIter")
+    }
+    // fixpoint edges are stars (node -> component min); roots label themselves
+    val labels = e.groupBy(col("u").as("id")).agg(min(col("v")).as("component"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .groupBy("id").agg(min(col("component")).as("component"))
+      .persist()
+    labels.count() // materialize before releasing the edge cache
+    e.unpersist()
+    labels
   }
 
   /** Every row of `df` labeled with its near-dup component (rows in no

@@ -66,10 +66,17 @@ object TailStream {
     }
   }
 
-  /** Full pipeline: each micro-batch's windowed rows are registered
-    * as table `t0` (flattened window bounds as window_start/window_end
-    * epoch seconds) and the user SQL runs over it; the result goes to
-    * `sink` formatted as table/raw/rawv.
+  /** Full pipeline, INCREMENTAL flavor: each micro-batch's windowed
+    * rows are registered as table `t0` (flattened window bounds as
+    * window_start/window_end epoch seconds) and the user SQL runs over
+    * it; the result goes to `sink` formatted as table/raw/rawv.
+    *
+    * Under a continuous trigger a window spanning several micro-batches
+    * is reported once per batch, over that batch's rows only — a
+    * partial, incremental preview (useful as a low-latency tail).
+    * For the reference's fire-once-per-complete-window semantics use
+    * [[runSnapshot]]; for aggregations expressible as DataFrame aggs
+    * use [[windowedAgg]] (stateful, no row buffering).
     *
     * `checkpointDir` makes the stream restartable (the reference's
     * seek-to-end tail has no such guarantee — this is strictly
@@ -92,6 +99,76 @@ object TailStream {
         sink(Formatters.format(flat.sparkSession.sql(q), cfg.format))
       }
       .start()
+  }
+
+  /** Shared tail of the snapshot pipelines: rows already carrying a
+    * `window` struct are packed per (window, shard) under the event-time
+    * watermark, and in APPEND mode a (window, shard) group only reaches
+    * foreachBatch once the watermark passes the window end — i.e. once
+    * the window is complete. The batch then explodes the packed rows
+    * back and runs the user SQL once per closed window over its full
+    * snapshot, exactly the reference's per-window in-mem engine fire.
+    *
+    * Scale shape: buffering a window's rows is inherent to "arbitrary
+    * SQL over the complete window" (the reference holds the window in
+    * an in-memory database on one node); here the buffer lives in the
+    * state store sharded `shards` ways across executors, so no single
+    * task holds a hot window. Aggregations expressible as DataFrame
+    * aggs should prefer [[windowedAgg]], which keeps running partials
+    * instead of rows.
+    */
+  private def runSnapshotOn(windowed: DataFrame, dataCols: Seq[String],
+                            sql: String, format: String, checkpointDir: String,
+                            sink: String => Unit, trigger: Trigger,
+                            shards: Int): StreamingQuery =
+    windowed
+      .groupBy(col("window"),
+        pmod(xxhash64(dataCols.map(col): _*), lit(shards)).as("_shard"))
+      .agg(collect_list(struct(dataCols.map(col): _*)).as("_rows"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flat = batch
+          .withColumn("window_start", unix_timestamp(col("window.start")))
+          .withColumn("window_end", unix_timestamp(col("window.end")))
+          .select(col("window_start"), col("window_end"), explode(col("_rows")).as("_r"))
+          .select(Seq(col("window_start"), col("window_end")) ++
+            dataCols.map(c => col(s"_r.$c").as(c)): _*)
+          .persist()
+        try {
+          // one SQL fire per closed window, in window order; the set of
+          // windows closing per trigger is small (trigger/slide bounded)
+          val wins = flat.select("window_start", "window_end").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+          wins.foreach { case (ws, we) =>
+            flat.filter(col("window_start") === ws && col("window_end") === we)
+              .createOrReplaceTempView("t0")
+            sink(Formatters.format(flat.sparkSession.sql(sql), format))
+          }
+        } finally { flat.unpersist(); () }
+      }
+      .start()
+
+  /** Full pipeline, COMPLETE-WINDOW flavor: the user SQL fires exactly
+    * once per window, over that window's full contents, when the
+    * event-time watermark closes it — the reference's window-snapshot
+    * semantics (squeryer.go window stage) made distributed. Requires
+    * `tsField` (completeness is only defined relative to a watermark).
+    */
+  def runSnapshot(spark: SparkSession, cfg: Config, checkpointDir: String,
+                  sink: String => Unit = s => if (s.nonEmpty) println(s),
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                  shards: Int = 32): StreamingQuery = {
+    require(cfg.tsField.isDefined,
+      "runSnapshot needs tsField: fire-once-per-complete-window is defined " +
+        "by the event-time watermark (use run() for processing-time tails)")
+    val q = cfg.sql.getOrElse(
+      "SELECT window_start, window_end, count(*) AS n FROM t0 GROUP BY 1, 2 ORDER BY 1")
+    val src = parsed(spark, cfg)
+    runSnapshotOn(windowed(src, cfg), src.columns.toSeq, q, cfg.format,
+      checkpointDir, sink, trigger, shards)
   }
 
   /** The reference's multi-file SQL (JOIN across t0..tN inside one
@@ -128,9 +205,12 @@ object TailStream {
     l.join(r, joinCols)
   }
 
-  /** Per-window SQL over two joined tailed sources: the joined stream
-    * is registered as `t0` per micro-batch (window bounds flattened)
-    * and `sql` runs over it — reference semantics, distributed.
+  /** Per-window SQL over two joined tailed sources, INCREMENTAL
+    * flavor: the joined stream is registered as `t0` per micro-batch
+    * (window bounds flattened) and `sql` runs over it. Like [[run]],
+    * a window whose matches surface across several micro-batches is
+    * previewed per batch; [[runJoinSnapshot]] gives the fire-once
+    * complete-window form.
     */
   def runJoin(spark: SparkSession, left: Config, right: Config,
               keys: Seq[String], sql: String, format: String,
@@ -149,6 +229,24 @@ object TailStream {
         sink(Formatters.format(flat.sparkSession.sql(sql), format))
       }
       .start()
+
+  /** Complete-window SQL over two joined tailed sources: the
+    * watermarked stream-stream join feeds the same append-mode
+    * window-packing stage as [[runSnapshot]] (two chained stateful
+    * operators — join state then window state, both watermark-bounded),
+    * so `sql` fires exactly once per window over all joined rows of
+    * that window.
+    */
+  def runJoinSnapshot(spark: SparkSession, left: Config, right: Config,
+                      keys: Seq[String], sql: String, format: String,
+                      checkpointDir: String,
+                      sink: String => Unit = s => if (s.nonEmpty) println(s),
+                      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                      shards: Int = 32): StreamingQuery = {
+    val joined = joinedStreams(spark, left, right, keys)
+    runSnapshotOn(joined, joined.columns.filterNot(_ == "window").toSeq,
+      sql, format, checkpointDir, sink, trigger, shards)
+  }
 
   /** Continuous event-time windowed aggregation (update-mode state,
     * watermark-bounded) — the engine-native alternative to per-batch

@@ -275,16 +275,28 @@ class ConnectedComponentsSpec extends SparkSpec {
 class DistributedCCSpec extends SparkSpec {
   import spark.implicits._
 
-  test("the iterative distributed path agrees with union-find") {
+  test("the distributed star path agrees with union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
       .toDF("id1", "id2")
-    val viaLoop = graft.operators.Dedup
+    val viaStars = graft.operators.Dedup
       .connectedComponents(pairs, driverThreshold = 0) // force distributed path
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val viaUf = graft.operators.Dedup.connectedComponents(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(viaLoop == viaUf)
-    assert(viaLoop(4L) == 1L && viaLoop(12L) == 10L)
+    assert(viaStars == viaUf)
+    assert(viaStars(4L) == 1L && viaStars(12L) == 10L)
+  }
+
+  test("star rounds resolve a high-diameter chain in far fewer than diameter rounds") {
+    // a 60-link chain has diameter 60: min-label propagation would need
+    // 60 rounds (well past maxIter=8); large-star/small-star must close
+    // it in O(log n) — this is the shape that matters when near-dup
+    // clusters chain at corpus scale
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = graft.operators.Dedup
+      .connectedComponents(chain, maxIter = 8, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp.size == 61 && comp.values.forall(_ == 0L), comp.toString)
   }
 }
 

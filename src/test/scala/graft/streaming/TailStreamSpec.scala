@@ -123,6 +123,76 @@ class TailStreamSpec extends SparkSpec {
     assert(!out2.contains("INFO,5"), "checkpoint resume must not reprocess: " + out2)
   }
 
+  test("runSnapshot fires once per complete window even when its rows span batches") {
+    // Rows of window 00:00 arrive in TWO separate runs (separate
+    // micro-batches): the incremental run() would report the window
+    // twice, partially; runSnapshot must hold it open until the
+    // watermark passes the window end, then fire exactly once with all
+    // rows. Run 3 only flushes the last window via a later timestamp.
+    val dir = Files.createTempDirectory("graft-snap").toFile
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toFile
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds",
+      format = "raw",
+      sql = Some("""SELECT window_start, count(*) AS n, sum(ms) AS total_ms
+                    FROM t0 GROUP BY window_start ORDER BY window_start"""))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = TailStream.runSnapshot(spark, cfg, ckpt.getAbsolutePath,
+        sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
+      q.awaitTermination(60000)
+    }
+    writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
+    runOnce()
+    writeLog(dir, "b.log", // completes window 00:00, opens 00:01
+      "2024-01-01 00:00:20 WARN 9",
+      "2024-01-01 00:01:10 INFO 3")
+    runOnce()
+    writeLog(dir, "c.log", "2024-01-01 00:30:00 INFO 1") // flushes 00:01
+    runOnce()
+
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // exactly one COMPLETE fire per closed window — no partials
+    assert(out == Seq("1704067200,2,14", "1704067260,1,3"), out.toString)
+  }
+
+  test("runJoinSnapshot fires per-window join SQL once, complete") {
+    val dirL = Files.createTempDirectory("graft-jsl").toFile
+    val dirR = Files.createTempDirectory("graft-jsr").toFile
+    val ckpt = Files.createTempDirectory("graft-js-ckpt").toFile
+    val patternR =
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) code=(?P<code__int>\d+)"""
+    val cfgL = TailStream.Config(dir = dirL.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds")
+    val cfgR = TailStream.Config(dir = dirR.getAbsolutePath, pattern = patternR,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = TailStream.runJoinSnapshot(spark, cfgL, cfgR, keys = Seq("level"),
+        sql = """SELECT window_start, level, ms, code_1 FROM t0
+                 ORDER BY window_start, level, ms""",
+        format = "raw", checkpointDir = ckpt.getAbsolutePath,
+        sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
+      q.awaitTermination(60000)
+    }
+    // the two sides of the 00:00 INFO match arrive in separate runs
+    writeLog(dirL, "l.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 WARN 9")
+    runOnce()
+    writeLog(dirR, "r.log",
+      "2024-01-01 00:00:30 INFO code=200",
+      "2024-01-01 00:00:40 ERROR code=500")
+    runOnce()
+    // both sides far ahead so watermark (min of sides) passes 00:01
+    writeLog(dirL, "l2.log", "2024-01-01 00:30:00 INFO 1")
+    writeLog(dirR, "r2.log", "2024-01-01 00:30:00 INFO code=204")
+    runOnce()
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    assert(out == Seq("1704067200,INFO,5,200"), out.toString)
+  }
+
   test("processing-time windows apply when no ts field is configured") {
     // the reference's idx_of_ts_field < 0 default: window over arrival time
     val s = spark
