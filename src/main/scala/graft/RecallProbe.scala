@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.functions._
+
+/** Dev tool: measure ANN recall (LSH/IVF vs brute force) and MinHash
+  * LSH dedup parity (banded+verified pairs vs exhaustive jaccard) at
+  * the given scale-factor dirs — the quality gates of the unit specs,
+  * re-run at whatever scale the data allows. Usage:
+  * runMain graft.RecallProbe [sfDir ...]
+  */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
-    val s = GraftSession.get("8")
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val s = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    for (sf <- dirs) {
       def res(name: String) = SparkEntry.queries(name)(s, sf)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -15,6 +24,20 @@ object RecallProbe {
         per.sum / per.size
       }
       println(f"RECALL sf=$sf lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f nvec=${s.read.parquet(s"$sf/embeddings.parquet").count()}")
+
+      // minhash dedup parity: the banded pipeline must find EXACTLY the
+      // exhaustive jaccard>=0.5 pairs (recall via banding, precision via
+      // the verify step) — the same gate as MinHashRecallSpec, full corpus
+      import graft.operators.Dedup
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3), 0.5))
+      val banded = pairSet(Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5))
+      println(s"MINHASH sf=$sf exhaustive=${exact.size} lsh=${banded.size} " +
+        s"missed=${(exact -- banded).size} spurious=${(banded -- exact).size} " +
+        s"parity=${exact == banded}")
     }
     s.stop()
   }

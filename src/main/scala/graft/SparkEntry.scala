@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{RollingHash, TextFunctions}
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, Throttle, Windows}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Similarity, TextStats, Throttle, Windows}
 import graft.sources.LogSource
 
 /** Driver contract: every SURVEY.md §2 capability gets a `queries`
@@ -385,6 +385,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d07_keep_best" -> ((s, dir) => {
+      // near-dup resolution a curation pipeline wants: among near
+      // duplicates keep the highest-QUALITY copy, not the smallest id
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      Dedup.resolveKeepBest(docs, "doc_id", "quality", pairs)
+        .select("doc_id", "component", "quality")
+        .orderBy("doc_id")
+    }),
+
+    "d08_decontaminate" -> ((s, dir) => {
+      // eval-contamination sweep: every 50th doc plays the benchmark set
+      val docs = T(s, dir, "documents")
+      Decontaminate.flag(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleN = 3, minOverlap = 5)
+        .select(col("id").as("doc_id"), col("n_bench_hits"), col("max_overlap"))
+        .orderBy("doc_id")
+    }),
+
     "d05_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
@@ -497,6 +520,22 @@ object SparkEntry {
         .agg(cnt.as("n"))
         .orderBy("lang", "lang_pred")),
 
+    "t08_repetition" -> ((s, dir) =>
+      TextStats.repetition(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_toks"),
+          col("top_tok_frac"), col("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    "r11_hash_sample" -> ((s, dir) =>
+      // DETERMINISTIC sampling for data mixing: keep rows whose md5
+      // bucket falls under the rate (26/256 ~ 10.2%) — reproducible
+      // across runs/engines, unlike randfilter (r04), and exactly
+      // oracle-checkable
+      T(s, dir, "events")
+        .filter(substring(md5(col("event_id").cast("string")), 1, 2) < "1a")
+        .select(col("event_id"), col("event_type").as("etype"), col("value"))
+        .orderBy("event_id")),
+
     "t04_fingerprint" -> ((s, dir) => {
       RollingHash.register(s)
       T(s, dir, "documents")
@@ -575,7 +614,85 @@ object SparkEntry {
                       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)"""
 
+  /** DuckDB twin of TextFunctions.qualityScore over documents —
+    * shared by t02 and d07 so the two oracles cannot drift. */
+  private val qualitySubSql =
+    """SELECT doc_id, round(
+           (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END) * 0.3
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1 ELSE 0 END) * 0.3
+           + ar * 0.4, 4) AS quality
+         FROM (
+           SELECT doc_id, text,
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,
+                  CAST(length(text) AS DOUBLE) / CAST(greatest(
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS mwl
+           FROM documents)"""
+
   def oracleSql: Map[String, String] = Map(
+    "d07_keep_best" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      s""",
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         q AS ($qualitySubSql),
+         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, q.quality
+                 FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                 LEFT JOIN comp c ON c.id = d.doc_id
+                 JOIN q ON q.doc_id = d.doc_id)
+         SELECT doc_id, component, quality FROM (
+           SELECT doc_id, component, quality,
+                  row_number() OVER (PARTITION BY component
+                    ORDER BY quality DESC, doc_id) AS rk
+           FROM lab) WHERE rk = 1
+         ORDER BY doc_id"""),
+
+    "d08_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            hit AS (SELECT a.doc_id AS tid, b.doc_id AS bid, count(*) AS ov
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle
+                    WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+                    GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+                CAST(max(ov) AS BIGINT) AS max_overlap
+         FROM hit GROUP BY 1 ORDER BY 1""",
+
+    "t08_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                       FROM documents),
+            u AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            us AS (SELECT doc_id,
+                          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tf,
+                          CAST(sum(c) AS BIGINT) AS n_toks
+                   FROM u GROUP BY 1),
+            tl AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                   FROM documents),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS big
+                   FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tl)),
+            b AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS bf
+                   FROM b GROUP BY 1)
+         SELECT us.doc_id, n_toks, round(tf, 6) AS top_tok_frac,
+                round(coalesce(bs.bf, 0.0), 6) AS top_bigram_frac
+         FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+         ORDER BY us.doc_id""",
+
+    "r11_hash_sample" ->
+      """SELECT event_id, event_type AS etype, value FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+         ORDER BY event_id""",
+
     "r01_regex_parse" ->
       """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
                 user_id, event_type AS etype, value
@@ -914,20 +1031,8 @@ object SparkEntry {
           FROM documents d JOIN pred p ON d.doc_id = p.doc_id
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "t02_quality" ->
-      """SELECT doc_id, round(
-           (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END) * 0.3
-           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1 ELSE 0 END) * 0.3
-           + ar * 0.4, 4) AS quality
-         FROM (
-           SELECT doc_id, text,
-                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                    / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,
-                  CAST(length(text) AS DOUBLE) / CAST(greatest(
-                    CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS mwl
-           FROM documents)
-         ORDER BY doc_id""",
+    "t02_quality" -> (s"SELECT doc_id, quality FROM ($qualitySubSql)" +
+      " ORDER BY doc_id"),
 
     "t03_tokens" ->
       """SELECT doc_id,

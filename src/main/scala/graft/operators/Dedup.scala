@@ -263,6 +263,25 @@ object Dedup {
   def resolveKeepers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     components(df, idCol, pairs).filter(col(idCol) === col("component"))
 
+  /** Materialize the deduplicated corpus keeping the BEST row per
+    * near-dup component — ranked by `scoreCol` descending, ties to the
+    * smallest id — rather than the arbitrary minimum id. This is the
+    * resolution a training-data pipeline actually wants: among near
+    * duplicates, keep the highest-quality copy. One window over the
+    * component (shuffle on component, skew-free: components are near-dup
+    * clusters, orders of magnitude smaller than the corpus).
+    */
+  def resolveKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+                      pairs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    components(df, idCol, pairs)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must
     * mirror exactly.

@@ -300,6 +300,56 @@ class DistributedCCSpec extends SparkSpec {
   }
 }
 
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics expose boilerplate that length filters miss") {
+    val docs = Seq(
+      (1L, "click here click here click here"),    // 3/6 tokens are "click"
+      (2L, "a fresh take on six distinct words"),  // all distinct
+      (3L, "one")                                  // no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetition(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 6L, 0.5, 0.6)))    // top bigram "click here" 3/5
+    assert(out(1)._3 < 0.2 && out(1)._4 < 0.2)
+    assert(out(2) == ((3L, 1L, 1.0, 0.0)))    // single token, bigram frac 0
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags train docs sharing enough shingles with a benchmark doc") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words the quick brown fox jumps over the lazy dog suffix"), // contaminated
+      (2L, "the quick brown cat sits calmly"),                                 // 1 shared shingle
+      (3L, "entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.flag(train, bench, "doc_id", "text",
+        shingleN = 3, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 7L)), out.toSeq.toString)
+  }
+}
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resolveKeepBest keeps the highest-scoring doc per component") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // one cluster: 2 wins (score tie -> min id)
+      (7L, 0.5)                         // singleton keeps itself
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = graft.operators.Dedup.resolveKeepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 7L), kept.toSeq.toString)
+  }
+}
+
 class MinHashRecallSpec extends SparkSpec {
 
   test("minHashLsh finds EXACTLY the exhaustive jaccard>=0.5 pairs on real docs") {
