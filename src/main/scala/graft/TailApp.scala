@@ -13,8 +13,14 @@ import graft.streaming.TailStream
   *   --pattern '(?P<ts__date>\S+ \S+) (?P<level__str>\w+) (?P<ms__int>\d+)' \
   *   --window 60 [--slide 30] [--ts-field ts] [--filter "level='ERROR'"] \
   *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
-  *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once]
+  *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once] \
+  *   [--snapshot]
   * }}}
+  *
+  * `--snapshot` (needs `--ts-field`) switches from the incremental
+  * per-batch preview to fire-once-per-complete-window semantics: the
+  * SQL runs exactly once per window, over all of the window's rows,
+  * when the watermark closes it.
   *
   * A second tailed source (the reference's t1) joins per window on
   * `--join-keys`: `--dir2 /var/log/other --pattern2 '...' --join-keys
@@ -27,8 +33,11 @@ object TailApp {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap ++ (if (args.contains("--once")) Map("once" -> "true") else Map.empty)
 
+  private val Flags = Set("--once", "--snapshot")
+
   def main(args: Array[String]): Unit = {
-    val a = parseArgs(args.filterNot(_ == "--once"))
+    val a = parseArgs(args.filterNot(Flags))
+    val snapshot = args.contains("--snapshot")
     val dir = a.getOrElse("dir", sys.error("--dir is required"))
     val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
 
@@ -55,12 +64,18 @@ object TailApp {
         val cfg2 = cfg.copy(dir = dir2,
           pattern = a.getOrElse("pattern2", pattern),
           filter = a.get("filter2"))
-        TailStream.runJoin(spark, cfg, cfg2,
-          keys = a.get("join-keys").map(_.split(",").toSeq).getOrElse(Seq.empty),
-          sql = cfg.sql.getOrElse(
-            "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1"),
-          format = cfg.format, checkpointDir = ckpt, trigger = trigger)
-      case None => TailStream.run(spark, cfg, ckpt, trigger = trigger)
+        val keys = a.get("join-keys").map(_.split(",").toSeq).getOrElse(Seq.empty)
+        val sql = cfg.sql.getOrElse(
+          "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1")
+        if (snapshot)
+          TailStream.runJoinSnapshot(spark, cfg, cfg2, keys, sql,
+            cfg.format, ckpt, trigger = trigger)
+        else
+          TailStream.runJoin(spark, cfg, cfg2, keys, sql,
+            cfg.format, ckpt, trigger = trigger)
+      case None =>
+        if (snapshot) TailStream.runSnapshot(spark, cfg, ckpt, trigger = trigger)
+        else TailStream.run(spark, cfg, ckpt, trigger = trigger)
     }
     q.awaitTermination()
     spark.stop()

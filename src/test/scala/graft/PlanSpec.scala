@@ -65,4 +65,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("regex_groups"), p)
     assert(!p.contains("regexp_extract"), "no per-field regex re-runs")
   }
+
+  test("d08: the benchmark shingle side broadcasts; filters reach the scan") {
+    val p = plan("d08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench shingles must broadcast: " + p)
+    // the % 50 split must prune at the scan, not post-join
+    assert(p.contains("NOT ((doc_id"), p)
+  }
 }
