@@ -536,6 +536,44 @@ object SparkEntry {
         .select(col("event_id"), col("event_type").as("etype"), col("value"))
         .orderBy("event_id")),
 
+    "r12_sessionize" -> ((s, dir) => {
+      // batch twin of streaming/Sessionize: split each user's events
+      // into sessions on >30min gaps — lag to mark breaks, running sum
+      // to number sessions, one shuffle on user_id for all three steps
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .withColumn("_brk",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L
+            || lag(col("ts_us"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session", sum(col("_brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "session")
+        .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          cnt.as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session")
+    }),
+
+    "r13_stratified" -> ((s, dir) =>
+      // stratified deterministic sampling for data mixing: per-source
+      // md5-bucket rates (src0 ~25%, rest ~10%) — reproducible, and a
+      // pure narrow filter at any scale
+      T(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("source") === "src0", "40").otherwise("1a"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    "t09_top_ngrams" -> ((s, dir) =>
+      // corpus-level vocabulary report: global top-20 trigrams; partial
+      // agg collapses repeats map-side, TakeOrdered keeps the top k —
+      // no global sort of the full gram table
+      Dedup.shinglesRaw(T(s, dir, "documents"), "doc_id", "text", 3)
+        .groupBy("shingle").agg(cnt.as("n"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(20)),
+
     "t04_fingerprint" -> ((s, dir) => {
       RollingHash.register(s)
       T(s, dir, "documents")
@@ -692,6 +730,38 @@ object SparkEntry {
       """SELECT event_id, event_type AS etype, value FROM events
          WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
          ORDER BY event_id""",
+
+    "r12_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+                  FROM g)
+         SELECT user_id, CAST(session AS BIGINT) AS session,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r13_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
+         ORDER BY doc_id""",
+
+    "t09_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents),
+            sh AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t))
+         SELECT shingle, CAST(count(*) AS BIGINT) AS n
+         FROM sh GROUP BY 1 ORDER BY n DESC, shingle LIMIT 20""",
 
     "r01_regex_parse" ->
       """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
