@@ -20,7 +20,7 @@ object RecallProbe {
       val lsh = res("s02_ann_lsh")
       val ivf = res("s03_ann_ivf")
       def recall(m: Map[Long, Set[Long]]) = {
-        val per = brute.keys.map(q => (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
+        val per = brute.keys.toSeq.map(q => (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
         per.sum / per.size
       }
       println(f"RECALL sf=$sf lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f nvec=${s.read.parquet(s"$sf/embeddings.parquet").count()}")

@@ -50,26 +50,46 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
-  /** Multi-table LSH ANN: `numTables` independent hyperplane
-    * signatures; a corpus row is a candidate for a query if they share
-    * ANY table's bucket. Candidates are deduped, then exact cosine +
-    * top-k. Recall ≈ 1-(1-p^planes)^tables — tables buy recall,
-    * planes cut per-bucket cost; candidates stay ~tables x
-    * corpus/2^planes per query, sublinear in corpus size.
+  /** Multi-table, MULTI-PROBE LSH ANN: `numTables` independent
+    * hyperplane signatures; a corpus row is a candidate for a query if
+    * they share ANY table's bucket, where the query also probes every
+    * bucket within Hamming distance `probeRadius` of its signature
+    * (Lv et al.'s multi-probe LSH — the neighbor most likely to hold a
+    * near miss differs in exactly one plane's sign). Candidates are
+    * deduped, then exact cosine + top-k.
+    *
+    * Recall per table goes from p^planes to P(<=radius planes
+    * disagree), a large jump when p is middling (near-orthogonal
+    * neighbors); cost-wise the probe expansion lands on the QUERY side
+    * of the join — the broadcast-small side — so the corpus-side work
+    * (one signature row per table) is unchanged and candidates stay
+    * sublinear in corpus size.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, numPlanes: Int = 6, numTables: Int = 8): DataFrame = {
+              k: Int, numPlanes: Int = 6, numTables: Int = 8,
+              probeRadius: Int = 1): DataFrame = {
+    require(probeRadius <= 1, "probeRadius > 1 not implemented")
     // one fused pass per vector for ALL tables' signatures, then
     // posexplode tags each signature with its table index
     def withSig(df: DataFrame, vec: String): DataFrame = df
       .select(col("*"),
         posexplode(graft.functions.LshSigs.sigs(col(vec), numPlanes, numTables))
           .as(Seq("_t", "_sig")))
+    val cb = withSig(corpus, corpusVec)
       .withColumn("_sg", struct(col("_t"), col("_sig")))
       .drop("_t", "_sig")
-    val cb = withSig(corpus, corpusVec).withColumn("_cnrm", norm(col(corpusVec)))
-    val qb = withSig(queries, queryVec).withColumn("_qnrm", norm(col(queryVec)))
+      .withColumn("_cnrm", norm(col(corpusVec)))
+    val qsigs = withSig(queries, queryVec)
+    val probed =
+      if (probeRadius == 0) qsigs
+      else qsigs.withColumn("_sig", explode(array(
+        col("_sig") +: (0 until numPlanes).map(p =>
+          col("_sig").bitwiseXOR(lit(1L << p))): _*)))
+    val qb = probed
+      .withColumn("_sg", struct(col("_t"), col("_sig")))
+      .drop("_t", "_sig")
+      .withColumn("_qnrm", norm(col(queryVec)))
     val scored = cb
       .join(broadcast(qb), "_sg")
       .withColumn("cos",

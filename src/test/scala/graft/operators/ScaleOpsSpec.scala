@@ -118,7 +118,10 @@ class AnnRecallSpec extends graft.SparkSpec {
     }
     val lsh = recall(neighbors("s02_ann_lsh"))
     val ivf = recall(neighbors("s03_ann_ivf"))
-    assert(lsh >= 0.35, s"LSH recall regressed: $lsh")
+    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales);
+    // the gate leaves headroom for hash-family tweaks, not for losing
+    // the multi-probe expansion
+    assert(lsh >= 0.70, s"LSH recall regressed: $lsh")
     assert(ivf >= 0.40, s"IVF recall regressed: $ivf")
   }
 }
