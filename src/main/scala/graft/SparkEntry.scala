@@ -436,7 +436,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 6)
+          k = 10, nlist = 16, nprobe = 8)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),

@@ -108,7 +108,10 @@ object Similarity {
     *
     * Coarse quantizer: `nlist` centroids sampled deterministically
     * from the corpus itself (lowest xxhash64(id) — a uniform
-    * pseudo-random sample with no driver-side RNG to ship). Corpus
+    * pseudo-random sample with no driver-side RNG to ship), then
+    * tightened by `refineIters` Lloyd passes (assign + re-center on
+    * the list mean), which is what turns arbitrary seed points into a
+    * quantizer whose lists actually partition the space. Corpus
     * rows are assigned to their nearest centroid in ONE broadcast
     * pass; queries probe their `nprobe` nearest centroids and scan
     * only those inverted lists. Candidate work per query is
@@ -120,15 +123,10 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nlist: Int = 64, nprobe: Int = 4): DataFrame = {
-    val cents = corpus
-      .withColumn("_h", xxhash64(col(corpusId)))
-      .orderBy(col("_h"), col(corpusId))
-      .limit(nlist)
-      .select(col(corpusId).as("_cent_id"), col(corpusVec).as("_cent_vec"),
-        norm(col(corpusVec)).as("_cent_nrm"))
-
-    def nearest(df: DataFrame, id: String, vec: String, nrm: Column, take: Int) = {
+              k: Int, nlist: Int = 64, nprobe: Int = 4,
+              refineIters: Int = 1): DataFrame = {
+    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String,
+                nrm: Column, take: Int) = {
       val w = Window.partitionBy(col(id))
         .orderBy(col("_cent_cos").desc, col("_cent_id"))
       df.crossJoin(broadcast(cents))
@@ -139,10 +137,38 @@ object Similarity {
         .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank")
     }
 
+    var cents = corpus
+      .withColumn("_h", xxhash64(col(corpusId)))
+      .orderBy(col("_h"), col(corpusId))
+      .limit(nlist)
+      .select(col(corpusId).as("_cent_id"), col(corpusVec).as("_cent_vec"),
+        norm(col(corpusVec)).as("_cent_nrm"))
+
+    // Lloyd refinement: hash-sampled seeds are arbitrary corpus points,
+    // so lists are lopsided; each pass re-centers every list on the
+    // element-wise mean of its members (decimal-summed — bit-identical
+    // under any partitioning, so probe choices are deterministic).
+    // One pass = one broadcast assign + one (list, pos) shuffle; lists
+    // that capture no members drop out (standard k-means behavior).
+    for (_ <- 0 until refineIters) {
+      val assigned = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
+        cents, corpusId, corpusVec, col("_cnrm"), 1)
+      cents = assigned
+        .select(col("_cent_id"), posexplode(col(corpusVec)).as(Seq("_pos", "_x")))
+        .groupBy(col("_cent_id"), col("_pos"))
+        .agg((sum(col("_x").cast("double").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double")).as("_m"))
+        .groupBy(col("_cent_id"))
+        .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+        .select(col("_cent_id"),
+          expr("transform(_pm, s -> s._m)").as("_cent_vec"))
+        .withColumn("_cent_nrm", norm(col("_cent_vec")))
+    }
+
     val c = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
-      corpusId, corpusVec, col("_cnrm"), 1)
+      cents, corpusId, corpusVec, col("_cnrm"), 1)
     val q = nearest(queries.withColumn("_qnrm", norm(col(queryVec))),
-      queryId, queryVec, col("_qnrm"), nprobe)
+      cents, queryId, queryVec, col("_qnrm"), nprobe)
 
     val scored = c.join(broadcast(q), "_cent_id")
       .withColumn("cos",

@@ -118,11 +118,12 @@ class AnnRecallSpec extends graft.SparkSpec {
     }
     val lsh = recall(neighbors("s02_ann_lsh"))
     val ivf = recall(neighbors("s03_ann_ivf"))
-    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales);
-    // the gate leaves headroom for hash-family tweaks, not for losing
-    // the multi-probe expansion
+    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales) and
+    // refined IVF with nprobe=8/16 measures 0.76-0.80; the gates leave
+    // headroom for hash-family tweaks, not for losing the multi-probe
+    // expansion or the Lloyd refinement
     assert(lsh >= 0.70, s"LSH recall regressed: $lsh")
-    assert(ivf >= 0.40, s"IVF recall regressed: $ivf")
+    assert(ivf >= 0.55, s"IVF recall regressed: $ivf")
   }
 }
 
