@@ -38,6 +38,22 @@ object RecallProbe {
       println(s"MINHASH sf=$sf exhaustive=${exact.size} lsh=${banded.size} " +
         s"missed=${(exact -- banded).size} spurious=${(banded -- exact).size} " +
         s"parity=${exact == banded}")
+
+      // simhash completeness: pigeonhole banding must equal the
+      // exhaustive hamming<=3 pair set (SimHashCompletenessSpec's gate,
+      // full corpus). The exhaustive side is O(n^2/2) popcounts —
+      // capped to corpora where that is a one-off we can afford.
+      if (docs.count() <= 10000) {
+        val sig = Dedup.simHash(docs, "doc_id", "text").persist()
+        val viaBands = pairSet(Dedup.simHashPairs(sig, maxDist = 3))
+        val a = sig.select(col("id").as("id1"), col("simhash").as("s1"))
+        val b = sig.select(col("id").as("id2"), col("simhash").as("s2"))
+        val exhaustive = pairSet(a.join(b, col("id1") < col("id2"))
+          .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 3))
+        sig.unpersist()
+        println(s"SIMHASH sf=$sf exhaustive=${exhaustive.size} banded=${viaBands.size} " +
+          s"parity=${exhaustive == viaBands}")
+      }
     }
     s.stop()
   }
