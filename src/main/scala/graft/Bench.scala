@@ -40,18 +40,20 @@ object Bench {
       dt
     }
 
-    // Warmup: touch every table's footer, then run EVERY query once so
-    // the measured pass reports steady-state throughput — codegen
-    // compilation and planning constants (7s of an 11s cold d02 run)
-    // land here, not in the numbers. OLAP benches (TPC) measure warm.
+    // Warmup: touch every table's footer, then warm and measure each
+    // query back-to-back — codegen compilation and planning constants
+    // (7s of an 11s cold d02 run) land in the warm run, not the
+    // numbers. Interleaving matters: Spark's generated-class cache
+    // holds ~100 entries, so warming ALL queries before measuring ANY
+    // evicts the early queries' code and the "warm" pass silently
+    // recompiles everything (measured q01 4.5-8.9s vs 1-2s true warm).
+    // OLAP benches (TPC) measure warm.
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce)
-
-    val results = names.map(n => n -> runOnce(n))
+    val results = names.map { n => runOnce(n); n -> runOnce(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
