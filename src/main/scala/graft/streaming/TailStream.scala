@@ -230,6 +230,56 @@ object TailStream {
       }
       .start()
 
+  /** The reference's FULL multi-file surface (squeryer.go:429
+    * "create multi table by metafield __tname"): N tailed sources,
+    * each registered per micro-batch as its own view t0..tN inside
+    * one window snapshot, and the user SQL free to join/union any of
+    * them. Spark-native form: every source parses with a `_tname`
+    * tag, the streams union by name (missing columns null-filled —
+    * sources keep their own schemas), window once, and foreachBatch
+    * splits the batch back into per-source views, each restricted to
+    * its own columns plus the flattened window bounds.
+    *
+    * The window/slide/watermark settings of the FIRST config govern
+    * all sources (the reference's WindowCfg is likewise global);
+    * each source keeps its own pattern, filter, throttle, and
+    * tsField name. One union stream means one checkpoint and one
+    * trigger clock for all tails, exactly like the reference's single
+    * merged window stage.
+    */
+  def runMulti(spark: SparkSession, cfgs: Seq[Config], sql: String,
+               format: String, checkpointDir: String,
+               sink: String => Unit = s => if (s.nonEmpty) println(s),
+               trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    require(cfgs.nonEmpty, "runMulti needs at least one source")
+    val win = cfgs.head
+    val parts = cfgs.zipWithIndex.map { case (c, i) =>
+      val src = LogSource.stream(spark, c.dir, c.pattern, c.filter,
+        c.maxFilesPerTrigger, tname = Some(s"t$i"))
+      windowed(src, win.copy(tsField = c.tsField))
+    }
+    // per-source data columns (minus the tag), for re-splitting below
+    val perTable = parts.map(_.columns.filterNot(_ == "_tname").toSeq)
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    unioned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flat = batch
+          .withColumn("window_start", unix_timestamp(col("window.start")))
+          .withColumn("window_end", unix_timestamp(col("window.end")))
+          .drop("window")
+        perTable.zipWithIndex.foreach { case (cols, i) =>
+          flat.filter(col("_tname") === s"t$i")
+            .select((cols.filterNot(_ == "window") :+
+              "window_start" :+ "window_end").map(col): _*)
+            .createOrReplaceTempView(s"t$i")
+        }
+        sink(Formatters.format(flat.sparkSession.sql(sql), format))
+      }
+      .start()
+  }
+
   /** Complete-window SQL over two joined tailed sources: the
     * watermarked stream-stream join feeds the same append-mode
     * window-packing stage as [[runSnapshot]] (two chained stateful

@@ -193,6 +193,44 @@ class TailStreamSpec extends SparkSpec {
     assert(out == Seq("1704067200,INFO,5,200"), out.toString)
   }
 
+  test("runMulti registers N tailed sources as t0..tN for one SQL") {
+    // three sources, three different schemas, one SQL joining all of
+    // them inside the window — the reference's __tname multi-table form
+    val dirs = (0 to 2).map(_ => Files.createTempDirectory("graft-multi").toFile)
+    val ckpt = Files.createTempDirectory("graft-multi-ckpt").toFile
+    writeLog(dirs(0), "a.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 WARN 9")
+    val patternB =
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) code=(?P<code__int>\d+)"""
+    writeLog(dirs(1), "b.log", "2024-01-01 00:00:30 INFO code=200")
+    val patternC =
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) host=(?P<host__str>\S+)"""
+    writeLog(dirs(2), "c.log", "2024-01-01 00:00:40 INFO host=web1")
+
+    val cfgs = Seq(
+      TailStream.Config(dir = dirs(0).getAbsolutePath, pattern = pattern,
+        windowSizeSec = 60, tsField = Some("ts")),
+      TailStream.Config(dir = dirs(1).getAbsolutePath, pattern = patternB,
+        windowSizeSec = 60, tsField = Some("ts")),
+      TailStream.Config(dir = dirs(2).getAbsolutePath, pattern = patternC,
+        windowSizeSec = 60, tsField = Some("ts")))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = TailStream.runMulti(spark, cfgs,
+      sql = """SELECT t0.window_start, t0.level, t0.ms, t1.code, t2.host
+               FROM t0 JOIN t1 ON t0.window_start = t1.window_start
+                        AND t0.level = t1.level
+                       JOIN t2 ON t0.window_start = t2.window_start
+                        AND t0.level = t2.level
+               ORDER BY t0.ms""",
+      format = "raw", checkpointDir = ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // only the INFO rows co-occur across all three tables in window 00:00
+    assert(out == Seq("1704067200,INFO,5,200,web1"), out.toString)
+  }
+
   test("processing-time windows apply when no ts field is configured") {
     // the reference's idx_of_ts_field < 0 default: window over arrival time
     val s = spark
