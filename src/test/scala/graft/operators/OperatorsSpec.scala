@@ -45,6 +45,30 @@ class ThrottleSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(out.toSeq == Seq(0L, 1L, 2L))
   }
+
+  test("streaming throttle counts admissions across micro-batches") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = Throttle.streaming(df, "ts", periodSec = 60, n = 2, delay = "0 seconds")
+      .writeStream.format("memory").queryName("throttle_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two rows of minute 0 -> both admitted
+      input.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      // batch 2: two MORE rows of minute 0 (over budget, must be
+      // discarded even though they arrive in a fresh batch — the
+      // semantics maxFilesPerTrigger cannot give) + one row of minute 5
+      input.addData((3L, 30L), (4L, 40L), (5L, 300L))
+      q.processAllAvailable()
+      val ids = spark.table("throttle_stream").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 5L), ids.toSeq.toString)
+    } finally q.stop()
+  }
 }
 
 class DedupSpec extends SparkSpec {
