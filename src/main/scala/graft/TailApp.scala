@@ -22,6 +22,23 @@ import graft.streaming.TailStream
   * SQL runs exactly once per window, over all of the window's rows,
   * when the watermark closes it.
   *
+  * `--config app.conf` loads a java-properties config instead — the
+  * analogue of the reference's YAML file (config/config.go), including
+  * its N-source form. Sources become per-window views t0..tN
+  * (TailStream.runMulti):
+  * {{{
+  * window.size_seconds=60
+  * # window.slide_seconds=30   window.ts_field=ts   watermark=10 minutes
+  * sql=SELECT t0.window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1
+  * format=table
+  * source.0.dir=/var/log/app
+  * source.0.pattern=(?P<ts__date>\\S+ \\S+) (?P<level__str>\\w+)
+  * # source.0.filter=...  source.0.max_files_per_trigger=10
+  * # source.1.dir=...     source.1.pattern=...
+  * }}}
+  * Explicit CLI flags (checkpoint, format, sql, once) override the
+  * file's values.
+  *
   * A second tailed source (the reference's t1) joins per window on
   * `--join-keys`: `--dir2 /var/log/other --pattern2 '...' --join-keys
   * level` — right-side columns appear suffixed `_1` in the SQL view.
@@ -35,9 +52,64 @@ object TailApp {
 
   private val Flags = Set("--once", "--snapshot")
 
+  /** Translate a properties config (see object doc) into the window
+    * defaults + per-source configs. Pure, so the spec can pin the
+    * translation without launching streams.
+    */
+  def fromProperties(p: java.util.Properties): Seq[TailStream.Config] = {
+    def opt(k: String): Option[String] = Option(p.getProperty(k)).map(_.trim).filter(_.nonEmpty)
+    val sourceIdxs = p.stringPropertyNames().toArray(Array.empty[String])
+      .flatMap { k =>
+        if (k.startsWith("source.")) k.split('.').lift(1).flatMap(_.toIntOption) else None
+      }.distinct.sorted
+    require(sourceIdxs.nonEmpty, "config needs at least source.0.dir / source.0.pattern")
+    sourceIdxs.toSeq.map { i =>
+      TailStream.Config(
+        dir = opt(s"source.$i.dir").getOrElse(sys.error(s"source.$i.dir is required")),
+        pattern = opt(s"source.$i.pattern").getOrElse(sys.error(s"source.$i.pattern is required")),
+        filter = opt(s"source.$i.filter"),
+        maxFilesPerTrigger = opt(s"source.$i.max_files_per_trigger").map(_.toInt),
+        windowSizeSec = opt("window.size_seconds").map(_.toLong).getOrElse(60L),
+        slideSec = opt("window.slide_seconds").map(_.toLong),
+        tsField = opt("window.ts_field"),
+        watermarkDelay = opt("watermark").getOrElse("10 minutes"),
+        sql = opt("sql"),
+        format = opt("format").getOrElse("table"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args.filterNot(Flags))
     val snapshot = args.contains("--snapshot")
+    a.get("config").foreach { path =>
+      val props = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      try props.load(in) finally in.close()
+      val cfgs0 = fromProperties(props)
+      // explicit CLI flags win over the file
+      val cfgs = cfgs0.map(c => c.copy(
+        sql = a.get("sql").orElse(c.sql),
+        format = a.getOrElse("format", c.format)))
+      val spark0 = GraftSession.get()
+      val ckpt0 = a.getOrElse("checkpoint",
+        java.nio.file.Files.createTempDirectory("graft-tailapp").toString)
+      val trig =
+        if (args.contains("--once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
+      val head = cfgs.head
+      val q0 =
+        if (cfgs.size == 1 && snapshot)
+          TailStream.runSnapshot(spark0, head, ckpt0, trigger = trig)
+        else if (cfgs.size == 1)
+          TailStream.run(spark0, head, ckpt0, trigger = trig)
+        else
+          TailStream.runMulti(spark0, cfgs, head.sql.getOrElse(
+            "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1"),
+            head.format, ckpt0, trigger = trig)
+      q0.awaitTermination()
+      spark0.stop()
+      return
+    }
     val dir = a.getOrElse("dir", sys.error("--dir is required"))
     val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
 

@@ -1,0 +1,36 @@
+package graft
+
+class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("properties config translates to per-source configs with shared window") {
+    val p = new java.util.Properties()
+    p.setProperty("window.size_seconds", "30")
+    p.setProperty("window.slide_seconds", "10")
+    p.setProperty("window.ts_field", "ts")
+    p.setProperty("watermark", "2 minutes")
+    p.setProperty("sql", "SELECT 1 FROM t0")
+    p.setProperty("format", "raw")
+    p.setProperty("source.0.dir", "/logs/a")
+    p.setProperty("source.0.pattern", "(?P<ts__date>\\S+)")
+    p.setProperty("source.0.filter", "x > 1")
+    p.setProperty("source.0.max_files_per_trigger", "7")
+    p.setProperty("source.1.dir", "/logs/b")
+    p.setProperty("source.1.pattern", "(?P<ts__date>\\S+) b")
+    val cfgs = TailApp.fromProperties(p)
+    assert(cfgs.size == 2)
+    val c0 = cfgs.head
+    assert(c0.dir == "/logs/a" && c0.filter.contains("x > 1")
+      && c0.maxFilesPerTrigger.contains(7) && c0.windowSizeSec == 30L
+      && c0.slideSec.contains(10L) && c0.tsField.contains("ts")
+      && c0.watermarkDelay == "2 minutes" && c0.sql.contains("SELECT 1 FROM t0")
+      && c0.format == "raw")
+    assert(cfgs(1).dir == "/logs/b" && cfgs(1).filter.isEmpty
+      && cfgs(1).windowSizeSec == 30L)
+  }
+
+  test("config without sources is rejected") {
+    val p = new java.util.Properties()
+    p.setProperty("window.size_seconds", "30")
+    intercept[RuntimeException](TailApp.fromProperties(p))
+  }
+}
