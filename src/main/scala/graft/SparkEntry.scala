@@ -408,6 +408,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d09_blocklist" -> ((s, dir) => {
+      // bloom-prune + exact-verify blocklist scrub: result is exactly
+      // the anti join, but only bloom-positive rows reach the join
+      val docs = T(s, dir, "documents")
+      val blocked = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("text").as("blocked_text"))
+      operators.Blocklist.filterOut(docs, blocked, "text", "blocked_text")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "d05_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
@@ -747,6 +758,11 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "d09_blocklist" ->
+      """SELECT doc_id, source FROM documents
+         WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+         ORDER BY doc_id""",
 
     "r13_stratified" ->
       """SELECT doc_id, source FROM documents

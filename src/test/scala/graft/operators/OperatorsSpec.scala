@@ -324,6 +324,30 @@ class DistributedCCSpec extends SparkSpec {
   }
 }
 
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom prune + exact verify removes exactly the blocked keys") {
+    val corpus = (0L until 1000L).map(i => (i, s"user$i")).toDF("id", "user")
+    val blocked = Seq("user3", "user500", "user999", "ghost").toDF("bad_user")
+    val out = Blocklist.filterOut(corpus, blocked, "user", "bad_user")
+      .select("id").as[Long].collect().sorted
+    assert(out.length == 997)
+    assert(!out.contains(3L) && !out.contains(500L) && !out.contains(999L))
+    // schema survives the split-and-union
+    assert(Blocklist.filterOut(corpus, blocked, "user", "bad_user")
+      .columns.toSeq == Seq("id", "user"))
+  }
+
+  test("bloom-negative rows bypass the join entirely") {
+    // with an empty blocklist every row is bloom-negative: the result
+    // must equal the corpus (and the clean path must not lose rows)
+    val corpus = (0L until 100L).map(i => (i, s"u$i")).toDF("id", "user")
+    val none = Seq.empty[String].toDF("bad_user")
+    assert(Blocklist.filterOut(corpus, none, "user", "bad_user").count() == 100L)
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
