@@ -462,6 +462,20 @@ object SparkEntry {
         .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
         .orderBy("vec_id")),
 
+    "q26_full_outer" -> ((s, dir) => {
+      // full outer join: users seen in events vs customers — either
+      // side may be absent; shuffle on the key, AQE handles skew
+      val ev = T(s, dir, "events")
+        .groupBy(col("user_id")).agg(cnt.as("n_events"))
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("cust_id"), col("c_mktsegment"))
+      ev.join(cust, ev("user_id") === cust("cust_id"), "full_outer")
+        .select(coalesce(col("user_id"), col("cust_id")).as("id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+        .orderBy("id")
+    }),
+
     "q23_grouping_sets" -> ((s, dir) => {
       T(s, dir, "orders").createOrReplaceTempView("graft_q23_orders")
       s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -1071,6 +1085,17 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "q26_full_outer" ->
+      """SELECT coalesce(e.user_id, c.cust_id) AS id,
+                coalesce(e.n_events, 0) AS n_events,
+                coalesce(c.c_mktsegment, 'NONE') AS segment
+         FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1) e
+         FULL OUTER JOIN (SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment
+                          FROM customer) c
+           ON e.user_id = c.cust_id
+         ORDER BY id""",
 
     "q23_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
