@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Blocklist, Decontaminate, Dedup, TextStats}
+
+/** End-to-end corpus curation: the operators composed the way a
+  * training-data pipeline actually chains them. One pass over a
+  * documents table:
+  *
+  *  1. language ID + quality + repetition metrics (narrow, codegen)
+  *  2. quality gate (drop low-quality / boilerplate docs)
+  *  3. blocklist scrub (bloom prune + exact verify)
+  *  4. exact dedup (keep lowest id per identical text)
+  *  5. MinHash near-dup -> connected components -> keep BEST quality
+  *  6. benchmark decontamination (drop docs overlapping the eval set)
+  *  7. deterministic stratified sample per source
+  *  8. write the curated corpus, hive-partitioned by language
+  *
+  * Usage: runMain graft.CurateApp <docsDir> <outDir> [benchModulo]
+  * Prints one JSON line with stage survivor counts. Counting each
+  * stage adds an action per stage (observability you'd keep in a real
+  * pipeline run); set GRAFT_CURATE_COUNTS=0 to skip them and measure
+  * the pure single-pass cost of the composed job.
+  */
+object CurateApp {
+  def main(args: Array[String]): Unit = {
+    val docsDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_curated")
+    val benchMod = args.lift(2).map(_.toInt).getOrElse(97)
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val doCounts = sys.env.getOrElse("GRAFT_CURATE_COUNTS", "1") != "0"
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = if (doCounts) df.count() else -1L
+    val t0 = System.nanoTime()
+
+    val docs = GraftSession.table(spark, docsDir, "documents")
+    val n0 = cnt(docs)
+
+    // 1-2: annotate + gate (single narrow pass; all expression trees)
+    val scored = docs
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val rep = TextStats.repetition(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("top_tok_frac"))
+    val gated = scored.join(rep, "doc_id")
+      .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
+    val n1 = cnt(gated)
+
+    // 3: scrub a blocklist (here: a synthetic takedown list)
+    val blocked = docs.filter(col("doc_id") % 331 === 0)
+      .select(col("text").as("blocked_text"))
+    val scrubbed = Blocklist.filterOut(gated, blocked, "text", "blocked_text")
+    val n2 = cnt(scrubbed)
+
+    // 4: exact dedup — keep the lowest id of identical texts.
+    // exactKept feeds three consumers (signature build, component
+    // resolution, the keeper join) — persist so the parse/gate/scrub
+    // prefix runs once, not per consumer.
+    val keepIds = Dedup.exact(scrubbed, "doc_id", "text").select("keep_id")
+    val exactKept = scrubbed.join(keepIds,
+      scrubbed("doc_id") === keepIds("keep_id")).drop("keep_id").persist()
+    val n3 = cnt(exactKept)
+
+    // 5: near-dup clusters -> keep the highest-quality member
+    val pairs = Dedup.minHashLsh(exactKept, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    val resolved = Dedup.resolveKeepBest(exactKept, "doc_id", "quality", pairs)
+      .persist()
+    val n4 = cnt(resolved)
+
+    // 6: decontaminate against the held-out eval slice
+    val bench = docs.filter(col("doc_id") % benchMod === 0)
+    val contaminated = Decontaminate.flag(
+      resolved, bench, "doc_id", "text", shingleN = 3, minOverlap = 5)
+      .select(col("id").as("bad_id"))
+    val cleanDocs = resolved.join(contaminated,
+      resolved("doc_id") === contaminated("bad_id"), "left_anti")
+    val n5 = cnt(cleanDocs)
+
+    // 7: stratified sample (reproducible md5 buckets; src0 kept denser)
+    val sampled = cleanDocs.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 2) <
+        when(col("source") === "src0", "80").otherwise("40"))
+    val n6 = cnt(sampled)
+
+    // 8: curated corpus, partitioned for downstream partition pruning
+    sampled.select("doc_id", "text", "lang_pred", "source", "quality")
+      .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
+
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(s"""{"stage_counts":{"input":$n0,"quality_gate":$n1,"blocklist":$n2,""" +
+      s""""exact_dedup":$n3,"near_dup":$n4,"decontaminated":$n5,"sampled":$n6},""" +
+      f""""seconds":$dt%.1f,"out":"$outDir"}""")
+    spark.stop()
+  }
+}
