@@ -34,4 +34,21 @@ object Bucketing {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.format("parquet").partitionBy(partitionCols: _*)
       .mode("overwrite").save(path)
+
+  /** Range-clustered parquet: repartitionByRange + sortWithinPartitions
+    * on the cluster key before writing, so each output file owns a
+    * DISJOINT key range. Parquet then records tight min/max stats per
+    * file/row-group, and any later point or range filter on the key
+    * skips every non-overlapping file — the poor man's index, and at
+    * 100 TB the difference between scanning a shard and scanning the
+    * corpus. Use for the one or two columns queries actually filter
+    * on; for equi-join keys prefer [[writeBucketed]].
+    */
+  def writeRangeClustered(df: DataFrame, path: String, key: String,
+                          numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.format("parquet").mode("overwrite").save(path)
+  }
 }

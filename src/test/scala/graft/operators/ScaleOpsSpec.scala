@@ -94,6 +94,32 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan)
     assert(joined.count() == 1000)
   }
+
+  test("range-clustered files own disjoint key ranges (min/max skippable)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc").toFile
+    val df = new scala.util.Random(11).shuffle((0 until 10000).toList)
+      .map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+    Bucketing.writeRangeClustered(df, dir.getAbsolutePath, "k", numFiles = 8)
+    val parts = Option(dir.listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length >= 4, s"expected multiple files, got ${parts.length}")
+    // per-file [min,max] must not overlap: a filter k=x can then skip
+    // every file but one on footer stats alone
+    val ranges = parts.map { f =>
+      val r = s.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ =>
+    }
+    // and the whole corpus survives the rewrite
+    assert(s.read.parquet(dir.getAbsolutePath).count() == 10000L)
+  }
 }
 
 /** ANN quality gate: approximate methods must recover a meaningful
