@@ -48,7 +48,7 @@ object TailApp {
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--once")) Map("once" -> "true") else Map.empty)
+    }.toMap // bare flags (--once, --snapshot) are read from the raw args
 
   private val Flags = Set("--once", "--snapshot")
 
@@ -97,14 +97,18 @@ object TailApp {
         if (args.contains("--once")) Trigger.AvailableNow()
         else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
       val head = cfgs.head
+      val multiSql = head.sql.getOrElse(
+        "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1")
       val q0 =
         if (cfgs.size == 1 && snapshot)
           TailStream.runSnapshot(spark0, head, ckpt0, trigger = trig)
         else if (cfgs.size == 1)
           TailStream.run(spark0, head, ckpt0, trigger = trig)
+        else if (snapshot)
+          TailStream.runMultiSnapshot(spark0, cfgs, multiSql,
+            head.format, ckpt0, trigger = trig)
         else
-          TailStream.runMulti(spark0, cfgs, head.sql.getOrElse(
-            "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1"),
+          TailStream.runMulti(spark0, cfgs, multiSql,
             head.format, ckpt0, trigger = trig)
       q0.awaitTermination()
       spark0.stop()

@@ -11,12 +11,17 @@ import org.apache.spark.sql.graft.ColumnShim
   * domains, opted-out users — WITHOUT anti-joining the whole corpus.
   *
   * Shape: the blocklist folds into a Bloom filter (one small
-  * aggregation), which ships to every task as a literal; the corpus
-  * then splits in a single narrow pass. Bloom-NEGATIVE rows are
+  * aggregation), which ships to every task as a literal; the bloom
+  * probe itself is a narrow codegen filter. Bloom-NEGATIVE rows are
   * definitively clean (no false negatives) and never shuffle.
   * Bloom-POSITIVE rows — truly blocked rows plus ~fpp of the clean
   * corpus — verify against the real blocklist with a broadcast anti
   * join, so the join input is a sliver of the corpus, not the corpus.
+  *
+  * The result unions two filters over `corpus`, so the corpus LINEAGE
+  * is evaluated twice per downstream action (plus once for the bloom
+  * build). For a parquet scan that is cheap re-reads; if `corpus` is
+  * an expensive derived frame, persist it before calling.
   *
   * Uses Spark's own BloomFilterAggregate / BloomFilterMightContain
   * expressions (the machinery behind runtime join filters), so both

@@ -65,6 +65,10 @@ object Dedup {
     * event-time timeout (watermark + `delay`), after which the bucket
     * forgets. A pair can surface via several bands; callers dedupe
     * downstream if exact-once pairs matter.
+    *
+    * State schema v2 (ownerTs added): a checkpoint written by the
+    * earlier (id, maxTs) version cannot be resumed — restart such a
+    * query with a fresh checkpoint directory.
     */
   def streamingNearDupCandidates(df: DataFrame, idCol: String, textCol: String,
                                  tsCol: String, delay: String,

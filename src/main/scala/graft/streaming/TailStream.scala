@@ -117,7 +117,15 @@ object TailStream {
     * aggs should prefer [[windowedAgg]], which keeps running partials
     * instead of rows.
     */
+  /** A per-window view the snapshot runner registers: `tname` filters
+    * the packed rows by their `_tname` tag (None = all rows), `cols`
+    * restricts to that source's own columns.
+    */
+  private case class SnapshotView(name: String, tname: Option[String],
+                                  cols: Seq[String])
+
   private def runSnapshotOn(windowed: DataFrame, dataCols: Seq[String],
+                            views: Seq[SnapshotView],
                             sql: String, format: String, checkpointDir: String,
                             sink: String => Unit, trigger: Trigger,
                             shards: Int): StreamingQuery =
@@ -143,8 +151,13 @@ object TailStream {
           val wins = flat.select("window_start", "window_end").distinct()
             .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
           wins.foreach { case (ws, we) =>
-            flat.filter(col("window_start") === ws && col("window_end") === we)
-              .createOrReplaceTempView("t0")
+            val w = flat.filter(col("window_start") === ws && col("window_end") === we)
+            views.foreach { v =>
+              v.tname.map(t => w.filter(col("_tname") === t)).getOrElse(w)
+                .select((v.cols.filterNot(c => c == "window" || c == "_tname") :+
+                  "window_start" :+ "window_end").map(col): _*)
+                .createOrReplaceTempView(v.name)
+            }
             sink(Formatters.format(flat.sparkSession.sql(sql), format))
           }
         } finally { flat.unpersist(); () }
@@ -167,8 +180,9 @@ object TailStream {
     val q = cfg.sql.getOrElse(
       "SELECT window_start, window_end, count(*) AS n FROM t0 GROUP BY 1, 2 ORDER BY 1")
     val src = parsed(spark, cfg)
-    runSnapshotOn(windowed(src, cfg), src.columns.toSeq, q, cfg.format,
-      checkpointDir, sink, trigger, shards)
+    runSnapshotOn(windowed(src, cfg), src.columns.toSeq,
+      Seq(SnapshotView("t0", None, src.columns.toSeq)),
+      q, cfg.format, checkpointDir, sink, trigger, shards)
   }
 
   /** The reference's multi-file SQL (JOIN across t0..tN inside one
@@ -294,8 +308,39 @@ object TailStream {
                       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
                       shards: Int = 32): StreamingQuery = {
     val joined = joinedStreams(spark, left, right, keys)
-    runSnapshotOn(joined, joined.columns.filterNot(_ == "window").toSeq,
+    val dataCols = joined.columns.filterNot(_ == "window").toSeq
+    runSnapshotOn(joined, dataCols, Seq(SnapshotView("t0", None, dataCols)),
       sql, format, checkpointDir, sink, trigger, shards)
+  }
+
+  /** Complete-window form of [[runMulti]]: N tailed sources still
+    * become per-window views t0..tN, but the SQL fires exactly once
+    * per window — after the watermark closes it — over every source's
+    * full window contents. Same append-mode (window, shard) packing as
+    * [[runSnapshot]], with the `_tname` tag carried through the packed
+    * rows to split the snapshot back into per-source views.
+    */
+  def runMultiSnapshot(spark: SparkSession, cfgs: Seq[Config], sql: String,
+                       format: String, checkpointDir: String,
+                       sink: String => Unit = s => if (s.nonEmpty) println(s),
+                       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                       shards: Int = 32): StreamingQuery = {
+    require(cfgs.nonEmpty, "runMultiSnapshot needs at least one source")
+    require(cfgs.forall(_.tsField.isDefined),
+      "runMultiSnapshot needs tsField on every source (fire-once-per-" +
+        "complete-window is defined by the event-time watermark)")
+    val win = cfgs.head
+    val parts = cfgs.zipWithIndex.map { case (c, i) =>
+      val src = LogSource.stream(spark, c.dir, c.pattern, c.filter,
+        c.maxFilesPerTrigger, tname = Some(s"t$i"))
+      windowed(src, win.copy(tsField = c.tsField))
+    }
+    val views = parts.zipWithIndex.map { case (p, i) =>
+      SnapshotView(s"t$i", Some(s"t$i"), p.columns.filterNot(_ == "window").toSeq)
+    }
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    runSnapshotOn(unioned, unioned.columns.filterNot(_ == "window").toSeq,
+      views, sql, format, checkpointDir, sink, trigger, shards)
   }
 
   /** Continuous event-time windowed aggregation (update-mode state,

@@ -324,6 +324,28 @@ class DistributedCCSpec extends SparkSpec {
   }
 }
 
+class BigDocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("200k-token documents flow through shingle, minhash, and repetition paths") {
+    // guards the no-silent-cap property end to end: nothing truncates,
+    // nothing goes quadratic in document length
+    val big1 = (0 until 200000).map(i => s"tok${i % 50000}").mkString(" ")
+    val big2 = big1.replace("tok49999", "tokX")  // near-dup of big1
+    val small = "just a few short words here"
+    val docs = Seq((1L, big1), (2L, big2), (3L, small)).toDF("doc_id", "text")
+
+    val rep = TextStats.repetition(docs, "doc_id", "text")
+      .filter(col("id") === 1).head()
+    assert(rep.getLong(1) == 200000L, "token count must not cap")
+
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+}
+
 class BlocklistSpec extends SparkSpec {
   import spark.implicits._
 

@@ -231,6 +231,38 @@ class TailStreamSpec extends SparkSpec {
     assert(out == Seq("1704067200,INFO,5,200,web1"), out.toString)
   }
 
+  test("runMultiSnapshot fires once per window across N sources") {
+    val dirs = (0 to 1).map(_ => Files.createTempDirectory("graft-msnap").toFile)
+    val ckpt = Files.createTempDirectory("graft-msnap-ckpt").toFile
+    val patternB =
+      """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) code=(?P<code__int>\d+)"""
+    val cfgs = Seq(
+      TailStream.Config(dir = dirs(0).getAbsolutePath, pattern = pattern,
+        windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds"),
+      TailStream.Config(dir = dirs(1).getAbsolutePath, pattern = patternB,
+        windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds"))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = TailStream.runMultiSnapshot(spark, cfgs,
+        sql = """SELECT t0.window_start, t0.level, t0.ms, t1.code FROM t0
+                 JOIN t1 ON t0.level = t1.level ORDER BY t0.ms""",
+        format = "raw", checkpointDir = ckpt.getAbsolutePath,
+        sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
+      q.awaitTermination(60000)
+    }
+    // the two sides of the window-00:00 match arrive in SEPARATE runs
+    writeLog(dirs(0), "a.log", "2024-01-01 00:00:10 INFO 5")
+    runOnce()
+    writeLog(dirs(1), "b.log", "2024-01-01 00:00:30 INFO code=200")
+    runOnce()
+    // advance both sources' watermark past the window
+    writeLog(dirs(0), "a2.log", "2024-01-01 00:30:00 WARN 1")
+    writeLog(dirs(1), "b2.log", "2024-01-01 00:30:00 WARN code=500")
+    runOnce()
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    assert(out == Seq("1704067200,INFO,5,200"), out.toString)
+  }
+
   test("processing-time windows apply when no ts field is configured") {
     // the reference's idx_of_ts_field < 0 default: window over arrival time
     val s = spark
