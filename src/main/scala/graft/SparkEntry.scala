@@ -625,6 +625,14 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "m04_audio_chunks" -> ((s, dir) => {
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.chunkAudio(blobs, "doc_id", "blob", chunkBytes = 100)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("offset"),
+          col("n_bytes"), round(col("byte_mean"), 6).as("byte_mean"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "m03_resize" -> ((s, dir) => {
       val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
       Multimodal.resizeStub(blobs, "doc_id", "blob", w = 32, h = 32)
@@ -1175,6 +1183,27 @@ object SparkEntry {
                            / CAST(n AS DOUBLE) END, 6) AS byte_mean,
                 CAST(8 AS BIGINT) AS feat_dim
          FROM b ORDER BY doc_id""",
+
+    "m04_audio_chunks" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents),
+            c AS (SELECT doc_id, hx, n,
+                    unnest(range(0, greatest((n + 99) // 100, 1))) AS chunk_idx
+                  FROM h),
+            s AS (SELECT doc_id, chunk_idx, chunk_idx * 100 AS off,
+                         least(n, chunk_idx * 100 + 100) - chunk_idx * 100 AS nb, hx
+                  FROM c),
+            b AS (SELECT doc_id, chunk_idx, off, nb,
+                    CASE WHEN nb = 0 THEN 0.0 ELSE
+                      CAST(list_aggregate(list_transform(range(1, nb + 1),
+                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*(off + i) - 1, 1)) - 1) * 16
+                             + (strpos('0123456789ABCDEF', substr(hx, 2*(off + i), 1)) - 1)),
+                        'sum') AS DOUBLE) / nb END AS bm
+                  FROM s)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(off AS BIGINT) AS offset, CAST(nb AS BIGINT) AS n_bytes,
+                round(bm, 6) AS byte_mean
+         FROM b ORDER BY doc_id, chunk_idx""",
 
     "m02_frames" ->
       """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),

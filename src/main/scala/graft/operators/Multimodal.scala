@@ -110,6 +110,41 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Audio-shaped contract: split the byte stream into fixed-size
+    * chunks (a real pipeline chunks by duration at a sample rate) and
+    * emit per-chunk byte stats — the explode-shaped rows a feature
+    * extractor (fbank/MFCC) would consume. Partition-batched like the
+    * other decode stubs so a real resampler inits once per partition.
+    */
+  def chunkAudio(df: DataFrame, idCol: String, blobCol: String,
+                 chunkBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("byte_mean", DoubleType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      // real resampler/feature frontend would be constructed HERE
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val nChunks = math.max(1, (bytes.length + chunkBytes - 1) / chunkBytes)
+        (0 until nChunks).iterator.map { c =>
+          val from = c * chunkBytes
+          val until = math.min(bytes.length, from + chunkBytes)
+          var sum = 0L
+          var i = from
+          while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
+          val n = math.max(0, until - from)
+          Row(r.getLong(0), c.toLong, from.toLong, n.toLong,
+            if (n > 0) sum.toDouble / n else 0.0)
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder inits
     * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
     * feature[dim]).
