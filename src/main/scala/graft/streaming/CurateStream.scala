@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Incremental curation over an unbounded document stream: the
+  * streaming halves of the batch CurateApp pipeline, composed.
+  *
+  *  - annotate: language ID + quality + redaction (narrow, codegen —
+  *    identical expressions to the batch path, so batch and streaming
+  *    curation agree row-for-row)
+  *  - gate: drop low-quality docs before any state is spent on them
+  *  - exact dedup: watermark-bounded hash state
+  *    ([[graft.operators.Dedup.streamingExact]])
+  *  - near-dup candidates: band-bucket state
+  *    ([[graft.operators.Dedup.streamingNearDupCandidates]]) as a
+  *    SEPARATE stream — append mode cannot retract an already-emitted
+  *    document, so near-dups are surfaced for downstream resolution
+  *    (connected components over the accumulated pairs) rather than
+  *    dropped in-flight.
+  *
+  * Returns (curated, nearDupCandidates); the caller starts each with
+  * its own sink/checkpoint. State at scale: one 8-byte hash per doc
+  * within the watermark for dedup, one (owner, ts) per LSH bucket for
+  * candidates — no document text is ever held in state.
+  */
+object CurateStream {
+
+  def apply(docs: DataFrame, idCol: String, tsCol: String, textCol: String,
+            delay: String, minQuality: Double = 0.3,
+            shingleN: Int = 3, numHashes: Int = 16,
+            bands: Int = 4): (DataFrame, DataFrame) = {
+    val gated = docs
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn(textCol, TextFunctions.redact(col(textCol)))
+    val curated = Dedup.streamingExact(gated, tsCol, textCol, delay)
+    val candidates = Dedup.streamingNearDupCandidates(
+      gated, idCol, textCol, tsCol, delay, shingleN, numHashes, bands)
+    (curated, candidates)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurateStreamSpec extends SparkSpec {
+
+  test("incremental curation gates, dedups, and surfaces near-dup candidates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = (1 to 40).map(i => s"word$i").mkString(" ") + " the quick brown fox dog"
+
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("id", "sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val (curated, candidates) = CurateStream(
+      docs, "id", "ts", "text", delay = "10 minutes")
+    val q1 = curated.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    val q2 = candidates.writeStream.format("memory").queryName("cur_cand")
+      .outputMode("append").start()
+    try {
+      // doc 1 clean; doc 2 exact dup of 1; doc 3 junk (gated out)
+      input.addData((1L, 100L, base), (2L, 110L, base), (3L, 120L, "@ @ @ @"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      // doc 4 near-dup of 1 (one word changed): passes exact dedup but
+      // must surface as a candidate pair against doc 1
+      input.addData((4L, 200L, base.replace("dog", "cat")))
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      val kept = spark.table("cur_out").select("id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 4L), kept.toSeq.toString)
+      // the exact dup (2) also shares every bucket with 1, so it
+      // surfaces as a candidate alongside the true near-dup (4)
+      val pairs = spark.table("cur_cand").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (1L, 4L)), pairs.toString)
+    } finally { q1.stop(); q2.stop() }
+  }
+}
