@@ -23,6 +23,10 @@ object Dedup {
     * false merge vanishingly unlikely even at 10^10+ docs, where a
     * lone 64-bit hash hits birthday collisions. `min(id)` picks the
     * canonical row deterministically.
+    *
+    * NULL texts group together (SQL GROUP-BY-null semantics): all
+    * null-text rows count as duplicates of one another. Filter nulls
+    * upstream if they should instead be dropped or kept individually.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(xxhash64(col(textCol)).as("text_hash"),

@@ -324,6 +324,35 @@ class DistributedCCSpec extends SparkSpec {
   }
 }
 
+class DirtyInputSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("null, empty, and whitespace-only texts flow through without errors") {
+    // real corpora always contain dirty rows; every operator must give
+    // a defined (if degenerate) answer, never throw
+    val docs = Seq((1L, "normal text here with words"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+
+    val lang = docs.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(lang.toSeq == Seq("und", "und", "und", "und"))
+
+    // null propagates as null quality — a `quality >= x` gate drops it
+    val q = docs.select(TextFunctions.qualityScore(col("text"))).collect()
+    assert(q(1).isNullAt(0))
+    assert(docs.filter(TextFunctions.qualityScore(col("text")) >= 0.0).count() == 3)
+
+    // no-shingle docs (null/empty/whitespace) are excluded from banding
+    assert(Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5).count() == 0)
+
+    // null texts form ONE dedup group (documented GROUP-BY-null semantics)
+    val withTwoNulls = docs.unionAll(Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullGroup = Dedup.exact(withTwoNulls, "doc_id", "text")
+      .filter(col("n_dups") === 2).collect()
+    assert(nullGroup.length == 1 && nullGroup.head.getAs[Long]("keep_id") == 2L)
+  }
+}
+
 class BigDocSpec extends SparkSpec {
   import spark.implicits._
 
