@@ -419,6 +419,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d10_containment" -> ((s, dir) =>
+      // asymmetric near-dup: short doc quoted inside a longer one has
+      // low jaccard but high containment from the short side
+      Dedup.containmentPairs(
+          Dedup.shingles(T(s, dir, "documents").filter(col("doc_id") < 500),
+            "doc_id", "text", 3), 0.8)
+        .orderBy("id1", "id2")),
+
+    "t10_heavy_hitters_by_key" -> ((s, dir) =>
+      // the Misra-Gries aggregate is mergeable AND group-able: per-user-
+      // segment top event types in k-bounded memory per group
+      T(s, dir, "events")
+        .withColumn("seg", (col("user_id") % 10).cast("long"))
+        .groupBy("seg")
+        .agg(graft.functions.HeavyHittersAgg.top(col("event_type"), 16).as("hh"))
+        .select(col("seg"), explode(col("hh")).as("h"))
+        .select(col("seg"), col("h.item").as("item"), col("h.cnt").as("cnt"))
+        .orderBy(col("seg"), col("cnt").desc, col("item"))),
+
     "d05_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
@@ -1065,6 +1084,21 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
+
+    "d10_containment" -> (ngramShingleCte +
+      """
+         SELECT id1, id2,
+                round(greatest(CAST(n AS DOUBLE) / CAST(s1.sz AS DOUBLE),
+                               CAST(n AS DOUBLE) / CAST(s2.sz AS DOUBLE)), 6) AS containment
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE greatest(CAST(n AS DOUBLE) / CAST(s1.sz AS DOUBLE),
+                        CAST(n AS DOUBLE) / CAST(s2.sz AS DOUBLE)) >= 0.8
+         ORDER BY id1, id2"""),
+
+    "t10_heavy_hitters_by_key" ->
+      """SELECT user_id % 10 AS seg, event_type AS item,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY seg, cnt DESC, item""",
 
     "d05_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
