@@ -471,6 +471,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s06_cosine_pairs_lsh" -> ((s, dir) =>
+      // the embedding near-dup SCALE path: O(bucket^2) LSH candidates
+      // instead of the O(n^2) exhaustive d05; rows-only check (xxhash
+      // bucketing isn't DuckDB-expressible), quality gated by
+      // CosinePairsLshSpec + the d05 overlap at this threshold
+      Similarity.cosinePairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, numPlanes = 6, numTables = 8)
+        .orderBy("id1", "id2")),
+
     "s04_centroids" -> ((s, dir) =>
       Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
