@@ -37,18 +37,22 @@ object CurateApp {
     val docs = GraftSession.table(spark, docsDir, "documents")
     val n0 = cnt(docs)
 
-    // 1-2: annotate + gate (single narrow pass; all expression trees)
+    // 1-2: annotate + gate + PII redaction (single narrow pass; all
+    // expression trees — identical to CurateStream, so batch and
+    // incremental curation agree row-for-row)
     val scored = docs
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("text", TextFunctions.redact(col("text")))
     val rep = TextStats.repetition(docs, "doc_id", "text")
       .select(col("id").as("doc_id"), col("top_tok_frac"))
     val gated = scored.join(rep, "doc_id")
       .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
     val n1 = cnt(gated)
 
-    // 3: scrub a blocklist (here: a synthetic takedown list)
-    val blocked = docs.filter(col("doc_id") % 331 === 0)
+    // 3: scrub a blocklist (here: a synthetic takedown list, taken from
+    // the same redacted text the match runs against)
+    val blocked = scored.filter(col("doc_id") % 331 === 0)
       .select(col("text").as("blocked_text"))
     // gated feeds both bloom branches of the scrub and the dedup below.
     // It recomputes per consumer ON PURPOSE: each consumer prunes to the
