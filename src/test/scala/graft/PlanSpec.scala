@@ -66,6 +66,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("regexp_extract"), "no per-field regex re-runs")
   }
 
+  test("r12: sessionization rides ONE user_id shuffle end to end") {
+    val p = SparkEntry.queries("r12_sessionize")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // both window ops AND the session aggregate reuse the same
+    // hashpartitioning(user_id) exchange; only the final orderBy adds
+    // its range exchange
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
   test("d08: the benchmark shingle side broadcasts; filters reach the scan") {
     val p = plan("d08_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "bench shingles must broadcast: " + p)
