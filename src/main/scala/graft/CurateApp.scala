@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Blocklist, Decontaminate, Dedup, TextStats}
+import graft.operators.{Blocklist, Decontaminate, Dedup}
 
 /** End-to-end corpus curation: the operators composed the way a
   * training-data pipeline actually chains them. One pass over a
@@ -39,14 +39,15 @@ object CurateApp {
 
     // 1-2: annotate + gate + PII redaction (single narrow pass; all
     // expression trees — identical to CurateStream, so batch and
-    // incremental curation agree row-for-row)
+    // incremental curation agree row-for-row; the repetition gate uses
+    // the row-local topTokenFraction expression, not the exploded
+    // TextStats aggregate, so no extra shuffle)
     val scored = docs
       .withColumn("lang_pred", TextFunctions.langId(col("text")))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("top_tok_frac", TextFunctions.topTokenFraction(col("text")))
       .withColumn("text", TextFunctions.redact(col("text")))
-    val rep = TextStats.repetition(docs, "doc_id", "text")
-      .select(col("id").as("doc_id"), col("top_tok_frac"))
-    val gated = scored.join(rep, "doc_id")
+    val gated = scored
       .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
     val n1 = cnt(gated)
 
@@ -78,8 +79,10 @@ object CurateApp {
       .persist()
     val n4 = cnt(resolved)
 
-    // 6: decontaminate against the held-out eval slice
-    val bench = docs.filter(col("doc_id") % benchMod === 0)
+    // 6: decontaminate against the held-out eval slice — drawn from the
+    // same REDACTED text as the corpus side, so shingles straddling a
+    // redacted span still match (same normalization both sides)
+    val bench = scored.filter(col("doc_id") % benchMod === 0)
     val contaminated = Decontaminate.flag(
       resolved, bench, "doc_id", "text", shingleN = 3, minOverlap = 5)
       .select(col("id").as("bad_id"))

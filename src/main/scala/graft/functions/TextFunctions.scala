@@ -56,6 +56,29 @@ object TextFunctions {
   def langScoreUnsegmented(text: Column, words: Seq[String]): Column =
     words.map(w => (instr(text, w) > 0).cast("long")).reduce(_ + _)
 
+  /** Row-local top-token fraction: the share of all tokens taken by
+    * the single most frequent token — the same number as
+    * [[graft.operators.TextStats.repetition]]'s `top_tok_frac`, but as
+    * a pure expression (sorted token array, longest equal run via a
+    * higher-order aggregate), so it works per-row in streaming gates
+    * where an explode + re-aggregate would need its own shuffle/state.
+    * Empty/null text scores 0.0.
+    */
+  def topTokenFraction(text: Column): Column = {
+    val toks = sort_array(split(lower(text), "\\s+"))
+    val best = aggregate(toks,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (a, t) => {
+        val run = when(t === a.getField("prev"), a.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+    when(size(toks) > 0,
+      best.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
   /** PII scrub for training corpora: emails and long digit runs
     * replaced by typed placeholder tokens. Pure regexp_replace chain —
     * codegen, narrow, linear; the pattern set is deliberately

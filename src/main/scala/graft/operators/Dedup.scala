@@ -375,21 +375,29 @@ object Dedup {
     * join per-doc sizes -> |A|+|B|-|∩|. Restrict `sh` (e.g. to LSH
     * candidates or a partition key) before calling at scale.
     */
-  def jaccardPairs(shDf: DataFrame, minJaccard: Double): DataFrame = {
+  /** Shared overlap core of [[jaccardPairs]] and [[containmentPairs]]:
+    * one shuffle on the shingle, yielding (id1, id2, inter, sz1, sz2)
+    * for every pair with at least one shared shingle. Persists the
+    * shingle table for its three uses within the plan (cleared by the
+    * caller's session lifecycle).
+    */
+  private def pairOverlaps(shDf: DataFrame): DataFrame = {
     val sh = shDf.persist() // used three times: sizes + both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+  }
+
+  def jaccardPairs(shDf: DataFrame, minJaccard: Double): DataFrame =
+    pairOverlaps(shDf)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) >= minContainment.
     * Catches the ASYMMETRIC duplicates jaccard misses — a short
@@ -397,22 +405,13 @@ object Dedup {
     * jaccard (union is large) but containment ~1.0 from the short
     * side. Same single shuffle-on-shingle shape as [[jaccardPairs]].
     */
-  def containmentPairs(shDf: DataFrame, minContainment: Double): DataFrame = {
-    val sh = shDf.persist()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+  def containmentPairs(shDf: DataFrame, minContainment: Double): DataFrame =
+    pairOverlaps(shDf)
       .withColumn("containment",
         greatest(col("inter").cast("double") / col("sz1").cast("double"),
           col("inter").cast("double") / col("sz2").cast("double")))
       .filter(col("containment") >= minContainment)
       .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment"))
-  }
 
   /** Full MinHash+LSH near-dedup: returns verified pairs with exact
     * Jaccard >= threshold among LSH candidates.

@@ -129,16 +129,21 @@ object Multimodal {
       // real resampler/feature frontend would be constructed HERE
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val nChunks = math.max(1, (bytes.length + chunkBytes - 1) / chunkBytes)
-        (0 until nChunks).iterator.map { c =>
-          val from = c * chunkBytes
-          val until = math.min(bytes.length, from + chunkBytes)
-          var sum = 0L
-          var i = from
-          while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
-          val n = math.max(0, until - from)
-          Row(r.getLong(0), c.toLong, from.toLong, n.toLong,
-            if (n > 0) sum.toDouble / n else 0.0)
+        if (bytes == null) Iterator.empty // null blob: no chunks, no NPE
+        else {
+          // Long ceiling-division: the Int form overflows past ~2 GiB
+          // blobs and would silently truncate to one chunk
+          val nChunks = math.max(1L, (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
+          (0L until nChunks).iterator.map { c =>
+            val from = (c * chunkBytes).toInt
+            val until = math.min(bytes.length.toLong, c * chunkBytes + chunkBytes).toInt
+            var sum = 0L
+            var i = from
+            while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
+            val n = math.max(0, until - from)
+            Row(r.getLong(0), c, from.toLong, n.toLong,
+              if (n > 0) sum.toDouble / n else 0.0)
+          }
         }
       }
     }

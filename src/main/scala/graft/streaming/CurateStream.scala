@@ -31,12 +31,14 @@ object CurateStream {
 
   def apply(docs: DataFrame, idCol: String, tsCol: String, textCol: String,
             delay: String, minQuality: Double = 0.3,
+            maxTopTokFrac: Double = 0.5,
             shingleN: Int = 3, numHashes: Int = 16,
             bands: Int = 4): (DataFrame, DataFrame) = {
     val gated = docs
       .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
-      .filter(col("quality") >= minQuality)
+      .withColumn("top_tok_frac", TextFunctions.topTokenFraction(col(textCol)))
+      .filter(col("quality") >= minQuality && col("top_tok_frac") <= maxTopTokFrac)
       .withColumn(textCol, TextFunctions.redact(col(textCol)))
     val curated = Dedup.streamingExact(gated, tsCol, textCol, delay)
     val candidates = Dedup.streamingNearDupCandidates(

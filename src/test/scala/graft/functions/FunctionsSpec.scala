@@ -39,6 +39,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("zh", "zh", "en"))
   }
 
+  test("topTokenFraction (row-local) agrees with TextStats.repetition (exploded)") {
+    val docs = Seq(
+      (1L, "click here click here click here"),
+      (2L, "a fresh take on six distinct words"),
+      (3L, "one"),
+      (4L, "")).toDF("doc_id", "text")
+    val viaExpr = docs
+      .select(col("doc_id"), TextFunctions.topTokenFraction(col("text")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val viaAgg = graft.operators.TextStats.repetition(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // TextStats rounds to 6 decimals; compare at that precision
+    viaAgg.foreach { case (id, f) => assert(math.abs(viaExpr(id) - f) < 5e-7,
+      s"doc $id: expr ${viaExpr(id)} vs agg $f") }
+    assert(viaExpr(1L) == 0.5)
+  }
+
   test("qualityScore is bounded and favors clean prose") {
     val clean = ("the quick brown fox jumps over the lazy dog " * 5).trim
     val junk = "@@## !! ~~ ** %% ^^"
