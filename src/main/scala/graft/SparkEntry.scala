@@ -480,6 +480,11 @@ object SparkEntry {
           threshold = 0.45, numPlanes = 6, numTables = 8)
         .orderBy("id1", "id2")),
 
+    "s07_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("pos"), col("code"), col("scale"))
+        .orderBy("vec_id", "pos")),
+
     "s04_centroids" -> ((s, dir) =>
       Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
@@ -1157,6 +1162,19 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                  (o_orderstatus, o_orderpriority))
          ORDER BY 1, 2""",
+
+    "s07_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                    FROM embeddings),
+              u AS (SELECT vec_id, scale, unnest(embedding) AS x,
+                           unnest(range(len(embedding))) AS pos FROM e)
+         SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT) END AS code,
+                scale
+         FROM u ORDER BY vec_id, pos""",
 
     "s04_centroids" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos,

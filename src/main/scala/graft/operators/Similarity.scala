@@ -181,6 +181,26 @@ object Similarity {
         round(col("cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale = max|x| / 127, code_i = floor(x_i / scale) ∈ [-127, 127].
+    * The 4x storage/bandwidth cut is THE lever for shipping an
+    * embedding corpus at 100 TB scale (dot products then run in int
+    * SIMD against the shared scale). floor — not round — so the
+    * quantization is bit-deterministic across engines and the oracle
+    * can verify codes exactly; all-zero vectors quantize to code 0
+    * with scale 0. Output: (id, pos, code, scale) rows.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0)
+    df.select(col(idCol).as("id"), col(vecCol).as("_v"), scale.as("scale"))
+      .select(col("id"), col("scale"), posexplode(col("_v")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        when(col("scale") === 0, lit(0L))
+          .otherwise(floor(col("x").cast("double") / col("scale")).cast("long"))
+          .as("code"),
+        col("scale"))
+  }
+
   /** Per-label centroids as (label, pos, c) rows: element-wise mean of
     * the embedding column. posexplode keeps it declarative — partial
     * aggregation combines map-side, the single shuffle key is

@@ -43,6 +43,29 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("int8 codes stay in range and reconstruct within one scale step") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // all-zero -> scale 0, codes 0
+      (3L, Array(-0.001f, 127.5f, 3.25f, -9.75f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(q.forall { case (_, _, code, _) => code >= -127L && code <= 127L })
+    assert(q.filter(_._1 == 2L).forall { case (_, _, code, s) => code == 0L && s == 0.0 })
+    // floor quantization: x - code*scale in [0, scale)
+    val orig = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    q.filter(_._4 > 0).foreach { case (id, pos, code, s) =>
+      val err = orig(id)(pos.toInt).toDouble - code * s
+      assert(err >= 0 && err < s + 1e-12, s"id=$id pos=$pos err=$err scale=$s")
+    }
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
 
   test("streaming exact dedup drops within-watermark duplicates") {
