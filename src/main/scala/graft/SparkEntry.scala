@@ -509,6 +509,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "q27_rolling_window" -> ((s, dir) => {
+      // TIME-range frame, not row frame: each event's trailing-1h sum
+      // per user — ties in ts all join the frame, so the result is
+      // order-independent; one shuffle on user_id
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      T(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("rolling_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .drop("value")
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "q28_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderpriority", "drnk", "o_orderkey")
+    }),
+
     "q23_grouping_sets" -> ((s, dir) => {
       T(s, dir, "orders").createOrReplaceTempView("graft_q23_orders")
       s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -1141,6 +1167,24 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "q27_rolling_window" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS rolling_sum
+         FROM events ORDER BY user_id, ts_us, event_id""",
+
+    "q28_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                round(percent_rank() OVER w, 6) AS prnk,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, drnk, o_orderkey""",
 
     "q26_full_outer" ->
       """SELECT coalesce(e.user_id, c.cust_id) AS id,
