@@ -29,6 +29,15 @@ import graft.sources.LogSource
   *
   * State at 100 TB: the watermark bounds window state; the shuffle is
   * on (window, keys) only; parsing stays a narrow map on the source.
+  *
+  * Delivery semantics: the SOURCE side is exactly-once (checkpointed
+  * file offsets; a restarted query never re-reads processed files),
+  * but the stdout-style `sink` callback runs inside foreachBatch and
+  * is therefore at-least-once under failure/retry — a batch that
+  * crashes after printing re-prints on restart. Sinks needing
+  * exactly-once should write through an idempotent/transactional
+  * target (e.g. overwrite-by-batchId parquet) instead of a console
+  * formatter, exactly as with any Spark foreachBatch sink.
   */
 object TailStream {
 

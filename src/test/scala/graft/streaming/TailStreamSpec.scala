@@ -231,6 +231,37 @@ class TailStreamSpec extends SparkSpec {
     assert(out == Seq("1704067200,INFO,5,200,web1"), out.toString)
   }
 
+  test("runSnapshot handles SLIDING windows: each row lands complete in every window") {
+    val dir = Files.createTempDirectory("graft-slide").toFile
+    val ckpt = Files.createTempDirectory("graft-slide-ckpt").toFile
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, slideSec = Some(30),
+      tsField = Some("ts"), watermarkDelay = "0 seconds", format = "raw",
+      sql = Some("""SELECT window_start, count(*) AS n, sum(ms) AS total_ms
+                    FROM t0 GROUP BY window_start ORDER BY window_start"""))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = TailStream.runSnapshot(spark, cfg, ckpt.getAbsolutePath,
+        sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
+      q.awaitTermination(60000)
+    }
+    // 00:00:40 belongs to windows [23:59:30,00:00:30)? no — to
+    // [00:00:00,00:01:00) and [00:00:30,00:01:30); 00:00:10 to
+    // [23:59:30,00:00:30) and [00:00:00,00:01:00)
+    writeLog(dir, "a.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:40 WARN 9")
+    runOnce()
+    writeLog(dir, "b.log", "2024-01-01 00:30:00 INFO 1") // flush
+    runOnce()
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // window starts: 23:59:30 (row 10s only), 00:00:00 (both), 00:00:30
+    // (row 40s only) — every window fires once, complete
+    assert(out == Seq("1704067170,1,5", "1704067200,2,14", "1704067230,1,9"),
+      out.toString)
+  }
+
   test("runMultiSnapshot fires once per window across N sources") {
     val dirs = (0 to 1).map(_ => Files.createTempDirectory("graft-msnap").toFile)
     val ckpt = Files.createTempDirectory("graft-msnap-ckpt").toFile
