@@ -18,6 +18,12 @@ run / fork := true
 // the driver parses Bench's single JSON line from stdout, and round 1's
 // bench was recorded as unparseable because of the prefix.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time..." epilogue: the driver keeps only the last
+// ~2000 chars of output and parses Bench's JSON line out of that window;
+// round 3's line was pushed past the window start by the epilogue and
+// recorded as unparseable.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,10 +54,22 @@ object Bench {
       catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { n => runOnce(n); n -> runOnce(n) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the last ~2000 chars of output and parses
+    // the JSON line found inside that window, so (a) the line must be
+    // the very last thing printed — after spark.stop(), which may log —
+    // and (b) it must stay well under 2000 chars: round values and drop
+    // decimals until it fits.
+    def num(dec: Int, v: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(dec, v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${num(3, total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
+    println(out)
   }
 }
