@@ -36,8 +36,9 @@ import graft.streaming.TailStream
   * # source.0.filter=...  source.0.max_files_per_trigger=10
   * # source.1.dir=...     source.1.pattern=...
   * }}}
-  * Explicit CLI flags (checkpoint, format, sql, once) override the
-  * file's values.
+  * Explicit CLI flags (checkpoint, format, sql, trigger-sec, once,
+  * snapshot) override the file's values; any other flag combined with
+  * `--config` is rejected rather than silently ignored.
   *
   * A second tailed source (the reference's t1) joins per window on
   * `--join-keys`: `--dir2 /var/log/other --pattern2 '...' --join-keys
@@ -82,6 +83,14 @@ object TailApp {
     val a = parseArgs(args.filterNot(Flags))
     val snapshot = args.contains("--snapshot")
     a.get("config").foreach { path =>
+      // only these flags override the file; anything else would be
+      // silently ignored — reject it instead of misleading the operator
+      val overridable = Set("config", "sql", "format", "checkpoint", "trigger-sec")
+      val unsupported = (a.keySet -- overridable).toSeq.sorted
+      require(unsupported.isEmpty,
+        s"--config supports only --sql/--format/--checkpoint/--trigger-sec" +
+          s"/--once/--snapshot as overrides; set the rest in the file. " +
+          s"Unsupported here: ${unsupported.map("--" + _).mkString(", ")}")
       val props = new java.util.Properties()
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try props.load(in) finally in.close()

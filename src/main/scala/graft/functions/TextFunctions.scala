@@ -75,7 +75,10 @@ object TextFunctions {
           greatest(a.getField("best"), run).as("best"))
       },
       a => a.getField("best"))
-    when(size(toks) > 0,
+    // split("", "\\s+") yields [""], which would score whitespace-only
+    // text 1.0 — guard so empty text takes the documented 0.0 path and
+    // the curation gate drops it for low quality, not "repetition".
+    when(length(trim(text)) > 0,
       best.cast("double") / size(toks).cast("double")).otherwise(lit(0.0))
   }
 

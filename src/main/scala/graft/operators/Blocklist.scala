@@ -46,9 +46,13 @@ object Blocklist {
       ColumnShim.expression(lit(bfBytes)),
       ColumnShim.expression(xxhash64(col(corpusCol)))))
     val clean = corpus.filter(!mightHit)
+    // collision-safe verify-side alias: a corpus that already has a
+    // "_blocked" column would make the join condition ambiguous
+    val bcol = Iterator.from(0).map(i => s"_blocked$i")
+      .find(n => !corpus.columns.contains(n)).get
     val verified = corpus.filter(mightHit)
-      .join(broadcast(blocklist.select(col(blockCol).as("_blocked")).distinct()),
-        col(corpusCol) === col("_blocked"), "left_anti")
+      .join(broadcast(blocklist.select(col(blockCol).as(bcol)).distinct()),
+        col(corpusCol) === col(bcol), "left_anti")
     clean.unionByName(verified)
   }
 }

@@ -232,7 +232,12 @@ object Dedup {
         .unionAll(withMin.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint(true) // eager: safe to drop e below
       val nextFp = fingerprint(next)
-      converged = nextFp == cur
+      // the fingerprint (count + XOR) could in principle collide across
+      // different edge sets; confirm the claimed fixpoint with one exact
+      // anti-join — counts already match, so empty anti-join = set
+      // equality. Runs once, at convergence.
+      converged = nextFp == cur &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
       cur = nextFp
       e.unpersist()
       e = next

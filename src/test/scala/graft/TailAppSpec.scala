@@ -33,4 +33,13 @@ class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
     p.setProperty("window.size_seconds", "30")
     intercept[RuntimeException](TailApp.fromProperties(p))
   }
+
+  test("--config combined with a non-overridable flag fails fast") {
+    // --window can only come from the file in config mode; silently
+    // ignoring it would mislead the operator. Fires before file IO, so
+    // a nonexistent path proves the precedence.
+    val e = intercept[IllegalArgumentException](
+      TailApp.main(Array("--config", "/nonexistent.conf", "--window", "5")))
+    assert(e.getMessage.contains("--window"))
+  }
 }
