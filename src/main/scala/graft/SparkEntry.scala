@@ -649,6 +649,42 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    "r14_rate_alert" -> ((s, dir) =>
+      // the reference's monitoring use case as a batch op: hourly
+      // tumbling windows, alert where the error share exceeds 25%.
+      // One shuffle on window_start; the rate is an IEEE division of
+      // the same two longs in both engines, so the filter is exact.
+      Windows.aggregate(T(s, dir, "events"), "ts", 3600L, 3600L, Nil,
+          Seq(cnt.as("n_events"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors")))
+        .filter(col("n_errors").cast("double") / col("n_events").cast("double") > 0.25)
+        .select(col("window_start"), col("n_events"), col("n_errors"),
+          (col("n_errors").cast("double") / col("n_events").cast("double")).as("error_rate"))
+        .orderBy("window_start")),
+
+    "q29_funnel" -> ((s, dir) => {
+      // ordered-step conversion funnel: first view, then first click
+      // within 24h of it, then first purchase within 24h of that. Each
+      // step is one user_id shuffle (agg) + a join against the prior
+      // step's survivors — a set that only shrinks, so at corpus scale
+      // later steps broadcast.
+      val ev = T(s, dir, "events")
+      def first(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(min(col("ts")).as("t"))
+      def step(prev: DataFrame, etype: String): DataFrame =
+        first(ev.filter(col("event_type") === etype)
+          .join(prev.select(col("user_id"), col("t").as("t0")), "user_id")
+          .filter(col("ts") > col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 24 HOURS")))
+      val v = first(ev.filter(col("event_type") === "view"))
+      val c = step(v, "click")
+      val p = step(c, "purchase")
+      v.agg(cnt.as("users")).select(lit("1_view").as("step"), col("users"))
+        .unionAll(c.agg(cnt.as("users")).select(lit("2_click").as("step"), col("users")))
+        .unionAll(p.agg(cnt.as("users")).select(lit("3_purchase").as("step"), col("users")))
+        .orderBy("step")
+    }),
+
     "t09_top_ngrams" -> ((s, dir) =>
       // corpus-level vocabulary report: global top-20 trigrams; partial
       // agg collapses repeats map-side, TakeOrdered keeps the top k —
@@ -850,6 +886,35 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
          ORDER BY doc_id""",
+
+    "r14_rate_alert" ->
+      """SELECT * FROM (
+           SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS error_rate
+           FROM events GROUP BY 1)
+         WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
+         ORDER BY window_start""",
+
+    "q29_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                        AND e.ts <= v.t + INTERVAL 24 HOUR
+                  WHERE e.event_type = 'click' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                        AND e.ts <= c.t + INTERVAL 24 HOUR
+                  WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+         UNION ALL
+         SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+         UNION ALL
+         SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+         ORDER BY step""",
 
     "t09_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -81,4 +81,24 @@ class PlanSpec extends SparkSpec {
     // the % 50 split must prune at the scan, not post-join
     assert(p.contains("NOT ((doc_id"), p)
   }
+
+  test("q29: funnel joins broadcast the shrinking survivor sets") {
+    val p = SparkEntry.queries("q29_funnel")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // each step joins the full event scan against the prior step's
+    // first-ts aggregate — a per-user set that only shrinks, so it must
+    // broadcast rather than reshuffle the events side. The union's three
+    // count branches re-derive the steps (v: 0 joins, c: 1, p: 2).
+    assert(p.split("BroadcastHashJoin").length - 1 == 3, p)
+    assert(!p.contains("SortMergeJoin"), "survivor sets must broadcast: " + p)
+  }
+
+  test("r14: rate alert pushes the event_type filter nowhere — single scan, one shuffle") {
+    val p = SparkEntry.queries("r14_rate_alert")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // conditional agg = one pass over events, one window_start shuffle
+    // (+ the final orderBy range exchange); no join, no second scan
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
