@@ -685,6 +685,35 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    "r15_multiline" -> ((s, dir) => {
+      // multiline log-record assembly (stack-trace style): header lines
+      // start a record, continuation lines attach to the preceding
+      // header. The synthetic "file" is each user's event stream; error
+      // events carry one continuation line. Record numbering is a
+      // running count of headers per user — one user_id shuffle that
+      // the (user_id, rec_no) aggregate reuses (subset partitioning
+      // satisfies the clustered distribution), so assembly scales as a
+      // single-shuffle op however long the traces get.
+      val ev = T(s, dir, "events")
+      val headers = ev.select(col("user_id"),
+        (col("event_id") * 2).as("line_no"),
+        concat(lit("id="), col("event_id"), lit(" type="), col("event_type")).as("line"),
+        lit(1L).as("is_header"))
+      val conts = ev.filter(col("event_type") === "error").select(col("user_id"),
+        (col("event_id") * 2 + 1).as("line_no"),
+        concat(lit("  at trace#"), col("event_id")).as("line"),
+        lit(0L).as("is_header"))
+      headers.unionAll(conts)
+        .withColumn("rec_no", sum(col("is_header"))
+          .over(Window.partitionBy("user_id").orderBy("line_no")))
+        .groupBy(col("user_id"), col("rec_no"))
+        .agg(cnt.as("n_lines"),
+          concat_ws(" | ", transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line"))).as("record"))
+        .orderBy("user_id", "rec_no")
+    }),
+
     "t09_top_ngrams" -> ((s, dir) =>
       // corpus-level vocabulary report: global top-20 trigrams; partial
       // agg collapses repeats map-side, TakeOrdered keeps the top k —
@@ -915,6 +944,23 @@ object SparkEntry {
          UNION ALL
          SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
          ORDER BY step""",
+
+    "r15_multiline" ->
+      """WITH lines AS (
+           SELECT user_id, event_id * 2 AS line_no,
+                  'id=' || event_id || ' type=' || event_type AS line,
+                  1 AS is_header
+           FROM events
+           UNION ALL
+           SELECT user_id, event_id * 2 + 1, '  at trace#' || event_id, 0
+           FROM events WHERE event_type = 'error'),
+            r AS (
+           SELECT user_id, line_no, line,
+                  CAST(sum(is_header) OVER (PARTITION BY user_id ORDER BY line_no) AS BIGINT) AS rec_no
+           FROM lines)
+         SELECT user_id, rec_no, CAST(count(*) AS BIGINT) AS n_lines,
+                string_agg(line, ' | ' ORDER BY line_no) AS record
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t09_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

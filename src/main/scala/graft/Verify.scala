@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // tolerate any arity — a harness passing extra/missing args must not
+    // turn into an instant MatchError and an empty correctness round
+    val sfDir = args.lift(0).filter(_.nonEmpty)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outDir = args.lift(1).filter(_.nonEmpty).getOrElse("/tmp/verify_out")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

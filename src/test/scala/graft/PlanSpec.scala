@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "survivor sets must broadcast: " + p)
   }
 
+  test("r15: multiline assembly rides ONE user_id shuffle") {
+    val p = SparkEntry.queries("r15_multiline")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the running-header-count window partitions by user_id; the
+    // (user_id, rec_no) aggregate is satisfied by that same subset
+    // partitioning, so no second hash exchange (orderBy adds range)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
   test("r14: rate alert pushes the event_type filter nowhere — single scan, one shuffle") {
     val p = SparkEntry.queries("r14_rate_alert")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
