@@ -157,6 +157,36 @@ class TailStreamSpec extends SparkSpec {
     assert(out == Seq("1704067200,2,14", "1704067260,1,3"), out.toString)
   }
 
+  test("snapshot SQL with HAVING is a streaming rate alert: only breaching windows fire") {
+    // the r14_rate_alert semantics on the live path: per complete
+    // window, compute the ERROR share and emit only windows over the
+    // threshold — quiet windows produce no output at all.
+    val dir = Files.createTempDirectory("graft-alert").toFile
+    val ckpt = Files.createTempDirectory("graft-alert-ckpt").toFile
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds",
+      format = "raw",
+      sql = Some("""SELECT window_start, count(*) AS n
+                    FROM t0 GROUP BY window_start
+                    HAVING sum(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) * 2 > count(*)
+                    ORDER BY window_start"""))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    writeLog(dir, "a.log",
+      "2024-01-01 00:00:10 ERROR 5", // window 00:00: 2/3 errors -> alert
+      "2024-01-01 00:00:20 ERROR 9",
+      "2024-01-01 00:00:30 INFO 1",
+      "2024-01-01 00:01:10 ERROR 3", // window 00:01: 1/3 errors -> quiet
+      "2024-01-01 00:01:20 INFO 2",
+      "2024-01-01 00:01:30 INFO 2",
+      "2024-01-01 00:30:00 INFO 1") // flushes both windows
+    val q = TailStream.runSnapshot(spark, cfg, ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
+    q.awaitTermination(60000)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    assert(out == Seq("1704067200,3"), out.toString)
+  }
+
   test("runJoinSnapshot fires per-window join SQL once, complete") {
     val dirL = Files.createTempDirectory("graft-jsl").toFile
     val dirR = Files.createTempDirectory("graft-jsr").toFile
