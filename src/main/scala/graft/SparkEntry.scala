@@ -377,6 +377,45 @@ object SparkEntry {
             "doc_id", "text", 3), 0.5)
         .orderBy("id1", "id2")),
 
+    "d11_minhash_portable" -> ((s, dir) => {
+      // the d02 MinHash+LSH pipeline re-run on an md5 hash family that
+      // DuckDB can evaluate too, so the ENTIRE chain — signatures →
+      // banding → candidate pairs → exact-jaccard verify — is
+      // oracle-exact, not just rows-only. k=8 signatures, 4 bands of
+      // r=2; min over hex strings is a valid minhash (uniform order).
+      // Same shuffle shape as the fast variant: one shingle explode,
+      // one (id, i) aggregate, one band self-join, intersections
+      // computed ONLY for candidate pairs.
+      val sh = Dedup.shingles(T(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", 3)
+      val sigs = sh
+        .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
+        .groupBy("id", "i")
+        .agg(min(md5(concat(col("i"), lit(":"), col("shingle")))).as("sig"))
+      val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
+        .agg(md5(concat(
+          min(when(col("i") % 2 === 0, col("sig"))),
+          min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val sz = sh.groupBy(col("id")).agg(cnt.as("sz"))
+      val inter = cand
+        .join(sh.select(col("id").as("id1"), col("shingle").as("s1")), "id1")
+        .join(sh.select(col("id").as("id2"), col("shingle").as("s2")), "id2")
+        .filter(col("s1") === col("s2"))
+        .groupBy("id1", "id2").agg(cnt.as("n"))
+      inter
+        .join(sz.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sz.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+        .withColumn("jaccard",
+          col("n").cast("double") / (col("sz1") + col("sz2") - col("n")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     "d06_dedup_resolve" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
       val pairs = Dedup.jaccardPairs(
@@ -1212,6 +1251,35 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "d11_minhash_portable" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            sigs AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+            bands AS (SELECT doc_id, i // 2 AS band,
+                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
+                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
+                      FROM sigs GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT c.id1, c.id2, count(*) AS n
+                      FROM cand c
+                      JOIN sh a ON a.doc_id = c.id1
+                      JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                      GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
+         ORDER BY id1, id2""",
 
     "d04_ngram_jaccard" -> (ngramShingleCte +
       """
