@@ -14,8 +14,11 @@ import graft.streaming.TailStream
   *   --window 60 [--slide 30] [--ts-field ts] [--filter "level='ERROR'"] \
   *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
   *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once] \
-  *   [--snapshot]
+  *   [--snapshot] [--seek-end]
   * }}}
+  *
+  * `--seek-end` = the reference's default tail behavior: skip files
+  * already in the directory, read only ones modified after start.
   *
   * `--snapshot` (needs `--ts-field`) switches from the incremental
   * per-batch preview to fire-once-per-complete-window semantics: the
@@ -34,6 +37,9 @@ import graft.streaming.TailStream
   * source.0.dir=/var/log/app
   * source.0.pattern=(?P<ts__date>\\S+ \\S+) (?P<level__str>\\w+)
   * # source.0.filter=...  source.0.max_files_per_trigger=10
+  * # source.0.do_not_tail=true            (default false = seek to end)
+  * # source.0.throttle.max_elements_in_period=100
+  * # source.0.throttle.period_seconds=10  (0/absent = unthrottled)
   * # source.1.dir=...     source.1.pattern=...
   * }}}
   * Explicit CLI flags (checkpoint, format, sql, trigger-sec, once,
@@ -51,7 +57,7 @@ object TailApp {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap // bare flags (--once, --snapshot) are read from the raw args
 
-  private val Flags = Set("--once", "--snapshot")
+  private val Flags = Set("--once", "--snapshot", "--seek-end")
 
   /** Translate a properties config (see object doc) into the window
     * defaults + per-source configs. Pure, so the spec can pin the
@@ -75,7 +81,14 @@ object TailApp {
         tsField = opt("window.ts_field"),
         watermarkDelay = opt("watermark").getOrElse("10 minutes"),
         sql = opt("sql"),
-        format = opt("format").getOrElse("table"))
+        format = opt("format").getOrElse("table"),
+        // reference config.yaml defaults: do_not_tail=false (seek to
+        // end) and throttle 0 = unthrottled
+        doNotTail = opt(s"source.$i.do_not_tail").exists(_.toBoolean),
+        throttleMax = opt(s"source.$i.throttle.max_elements_in_period")
+          .map(_.toInt).filter(_ > 0),
+        throttlePeriodSec = opt(s"source.$i.throttle.period_seconds")
+          .map(_.toLong).filter(_ > 0))
     }
   }
 
@@ -136,7 +149,10 @@ object TailApp {
       tsField = a.get("ts-field"),
       watermarkDelay = a.getOrElse("watermark", "10 minutes"),
       sql = a.get("sql"),
-      format = a.getOrElse("format", "table"))
+      format = a.getOrElse("format", "table"),
+      // CLI default processes what's in the dir (useful with --once);
+      // --seek-end gives the reference's tail-from-now behavior
+      doNotTail = !args.contains("--seek-end"))
 
     val spark = GraftSession.get()
     val ckpt = a.getOrElse("checkpoint",

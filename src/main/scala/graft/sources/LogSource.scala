@@ -173,10 +173,17 @@ object LogSource {
   def stream(spark: SparkSession, dir: String, pattern: String,
              filter: Option[String] = None,
              maxFilesPerTrigger: Option[Int] = None,
-             tname: Option[String] = None): DataFrame = {
+             tname: Option[String] = None,
+             sinceMs: Option[Long] = None): DataFrame = {
     var reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val parsed = parse(reader.text(dir), pattern, tname = tname)
+    // sinceMs = the reference's seek-to-end (`do_not_tail=false`,
+    // source/fs.go): only files modified at/after the cutoff are read —
+    // pre-existing log content is skipped, rotation/new files flow. A
+    // file-metadata pushdown, evaluated at listing time per partition.
+    val raw = sinceMs.fold(reader.text(dir))(ms => reader.text(dir)
+      .filter(col("_metadata.file_modification_time") >= timestamp_millis(lit(ms))))
+    val parsed = parse(raw, pattern, tname = tname)
     filter.fold(parsed)(f => parsed.filter(expr(f)))
   }
 

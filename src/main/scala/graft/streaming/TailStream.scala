@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.operators.Throttle
 import graft.sinks.Formatters
 import graft.sources.LogSource
 
@@ -51,11 +52,38 @@ object TailStream {
       tsField: Option[String] = None, // event-time column; None => processing time
       watermarkDelay: String = "10 minutes",
       sql: Option[String] = None,     // runs per window-fire over view t0
-      format: String = "table")
+      format: String = "table",
+      // the reference's do_not_tail (config.yaml): true = process files
+      // already in the dir (this API's historical behavior, so the
+      // default); false = the reference's default tail -f seek-to-end —
+      // only files modified after the stream starts are read.
+      doNotTail: Boolean = true,
+      // pin the seek-to-end cutoff (epoch ms) instead of "stream start";
+      // None + doNotTail=false resolves to the wall clock at plan time
+      tailSince: Option[Long] = None,
+      // the reference's per-source row throttle (squeryer.go:352): at
+      // most N rows admitted per period, overflow discarded, counted
+      // exactly across micro-batches. Event-time based: requires
+      // tsField. periodSec defaults to the window size.
+      throttleMax: Option[Int] = None,
+      throttlePeriodSec: Option[Long] = None)
 
-  /** source → parse → filter, as an unbounded DataFrame. */
-  def parsed(spark: SparkSession, cfg: Config): DataFrame =
-    LogSource.stream(spark, cfg.dir, cfg.pattern, cfg.filter, cfg.maxFilesPerTrigger)
+  /** source → parse → filter → throttle, as an unbounded DataFrame. */
+  def parsed(spark: SparkSession, cfg: Config): DataFrame = {
+    val sinceMs =
+      if (cfg.doNotTail) None
+      else Some(cfg.tailSince.getOrElse(System.currentTimeMillis()))
+    val base = LogSource.stream(spark, cfg.dir, cfg.pattern, cfg.filter,
+      cfg.maxFilesPerTrigger, sinceMs = sinceMs)
+    cfg.throttleMax match {
+      case Some(n) =>
+        val ts = cfg.tsField.getOrElse(sys.error(
+          "throttle needs ts_field: admissions are counted per event-time period"))
+        Throttle.streaming(base, ts, cfg.throttlePeriodSec.getOrElse(cfg.windowSizeSec),
+          n, cfg.watermarkDelay)
+      case None => base
+    }
+  }
 
   /** Add the window column: event time (with watermark) if tsField is
     * set, else processing time — the reference's

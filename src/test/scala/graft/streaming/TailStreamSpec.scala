@@ -43,6 +43,71 @@ class TailStreamSpec extends SparkSpec {
     assert(out.toSeq == Seq("1704067200,3,21", "1704067260,1,3"), out.toSeq.toString)
   }
 
+  test("do_not_tail=false seeks to end: pre-existing files are skipped") {
+    // the reference's default tail -f semantics: content already in the
+    // directory at stream start never enters the pipeline; only files
+    // modified after the cutoff are read. Pinned via tailSince so the
+    // test is deterministic: a.log is backdated before the cutoff,
+    // b.log touched after it.
+    val dir = Files.createTempDirectory("graft-seek").toFile
+    val ckpt = Files.createTempDirectory("graft-seek-ckpt").toFile
+    writeLog(dir, "a.log", "2024-01-01 00:00:10 INFO 5")
+    val cutoff = System.currentTimeMillis()
+    Files.setLastModifiedTime(new java.io.File(dir, "a.log").toPath,
+      java.nio.file.attribute.FileTime.fromMillis(cutoff - 60000))
+    writeLog(dir, "b.log", "2024-01-01 00:00:20 WARN 9")
+    Files.setLastModifiedTime(new java.io.File(dir, "b.log").toPath,
+      java.nio.file.attribute.FileTime.fromMillis(cutoff + 1000))
+
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), format = "raw",
+      doNotTail = false, tailSince = Some(cutoff),
+      sql = Some("""SELECT window_start, count(*) AS n, sum(ms) AS total_ms
+                    FROM t0 GROUP BY window_start ORDER BY window_start"""))
+    val q = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // only b.log's row: 1 row, 9ms — a.log predates the tail cutoff
+    assert(out == Seq("1704067200,1,9"), out.toString)
+  }
+
+  test("config throttle admits at most N rows per event-time period, across batches") {
+    // the reference's per-source throttle wired through Config: 4 rows
+    // land in one 60s period split over TWO micro-batches (separate
+    // runs); max 2 admitted total — the second batch's rows find the
+    // period's budget already spent in state.
+    val dir = Files.createTempDirectory("graft-thr").toFile
+    val ckpt = Files.createTempDirectory("graft-thr-ckpt").toFile
+    val cfg = TailStream.Config(
+      dir = dir.getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds",
+      format = "raw", throttleMax = Some(2),
+      sql = Some("SELECT count(*) AS n, sum(ms) AS total_ms FROM t0"))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOnce(): Unit = {
+      val q = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
+        sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+      q.awaitTermination(60000)
+    }
+    writeLog(dir, "a.log",
+      "2024-01-01 00:00:10 INFO 1",
+      "2024-01-01 00:00:20 INFO 2")
+    runOnce()
+    writeLog(dir, "b.log",
+      "2024-01-01 00:00:30 INFO 4",
+      "2024-01-01 00:00:40 INFO 8")
+    runOnce()
+    val counts = captured.toArray(Array.empty[String]).toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+    // batch 1 admits both rows (1+2=3ms); batch 2 admits nothing
+    assert(counts.head == "2,3", counts.toString)
+    assert(counts.tail.forall(c => c == "0," || c == "0,0" || c.startsWith("0")), counts.toString)
+  }
+
   test("two tailed sources join per window like the reference's t0 JOIN t1") {
     val dirL = Files.createTempDirectory("graft-jl").toFile
     val dirR = Files.createTempDirectory("graft-jr").toFile
