@@ -377,6 +377,14 @@ object SparkEntry {
             "doc_id", "text", 3), 0.5)
         .orderBy("id1", "id2")),
 
+    "d12_simhash_portable" -> ((s, dir) =>
+      // SimHash on the portable md5 family (Dedup.simHashPortablePairs)
+      // so banding + popcount verify hash-match the DuckDB twin — the
+      // last dedup algorithm family to get an oracle-exact variant
+      Dedup.simHashPortablePairs(
+          T(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text")
+        .orderBy("id1", "id2")),
+
     "d11_minhash_portable" -> ((s, dir) => {
       // the d02 MinHash+LSH pipeline re-run on an md5 hash family that
       // DuckDB can evaluate too, so the ENTIRE chain — signatures →
@@ -864,7 +872,48 @@ object SparkEntry {
                          ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS mwl
            FROM documents)"""
 
+  /** d12's DuckDB twin, generated: the 64 per-bit conditional sums
+    * mirror the Spark aggregate column for column (same instr-based hex
+    * digit parse, same floor-div bit extraction), so both engines
+    * evaluate the identical hash family and banding.
+    */
+  private lazy val d12Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    def chunk(k: Int) =
+      s"((((${dg(4 * k + 1)}) * 16 + ${dg(4 * k + 2)}) * 16 + ${dg(4 * k + 3)}) * 16 + ${dg(4 * k + 4)})"
+    val sumCols = (for (k <- 0 to 3; j <- 0 to 15) yield
+      s"sum(cnt * ((CAST(floor(c$k / ${1 << (15 - j)}) AS INT) % 2) * 2 - 1)) AS s${k}_$j")
+      .mkString(", ")
+    val fCols = (0 to 3).map { k =>
+      (0 to 15).map(j => s"CASE WHEN s${k}_$j > 0 THEN ${1 << (15 - j)} ELSE 0 END")
+        .mkString("(", " + ", s") AS f$k")
+    }.mkString(", ")
+    val ham = "bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) " +
+      "+ bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))"
+    raw"""WITH toks AS (SELECT doc_id, tok, count(*) AS cnt
+                    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                          FROM documents WHERE doc_id < 500)
+                    GROUP BY 1, 2),
+         hx AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
+         ch AS (SELECT doc_id, cnt, ${chunk(0)} AS c0, ${chunk(1)} AS c1,
+                       ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM hx),
+         sums AS (SELECT doc_id, $sumCols FROM ch GROUP BY doc_id),
+         fps AS (SELECT doc_id, $fCols FROM sums),
+         bands AS (SELECT doc_id, f0, f1, f2, f3, k,
+                          CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS bh
+                   FROM fps CROSS JOIN (SELECT unnest(range(4)) AS k)),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                         a.f0 AS a0, a.f1 AS a1, a.f2 AS a2, a.f3 AS a3,
+                         b.f0 AS b0, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3
+                  FROM bands a JOIN bands b
+                    ON a.k = b.k AND a.bh = b.bh AND a.doc_id < b.doc_id)
+     SELECT id1, id2, CAST($ham AS BIGINT) AS hamming
+     FROM cand WHERE $ham <= 3
+     ORDER BY id1, id2"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "d12_simhash_portable" -> d12Oracle,
     "d07_keep_best" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       s""",
          pairs AS (SELECT id1, id2 FROM inter

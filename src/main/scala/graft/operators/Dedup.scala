@@ -520,4 +520,52 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("dist"))
   }
+
+  /** Portable SimHash twin of [[simHash]]+[[simHashPairs]] on an md5
+    * hash family an external ANSI-SQL engine can evaluate identically,
+    * so the WHOLE chain is oracle-checkable. The 64-bit fingerprint is
+    * carried as four 16-bit int chunks (c0..c3) parsed from the first
+    * 16 hex digits of md5(token) with instr-arithmetic; per-bit signs
+    * weight by token count; pairs come from pigeonhole banding on the
+    * four chunks and popcount-verify hamming <= 3. Same shuffle shape
+    * as the fast variant: one token explode + one doc-key aggregate +
+    * one band self-join.
+    */
+  def simHashPortablePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("tok")))
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    def chunk(k: Int) =
+      s"((((${dg(4 * k + 1)}) * 16 + ${dg(4 * k + 2)}) * 16 + ${dg(4 * k + 3)}) * 16 + ${dg(4 * k + 4)})"
+    val withChunks = (0 to 3).foldLeft(toks)((d, k) => d.withColumn(s"c$k", expr(chunk(k))))
+    val sumCols = for (k <- 0 to 3; j <- 0 to 15) yield
+      sum(col("cnt") *
+          (expr(s"(CAST(floor(c$k / ${1 << (15 - j)}) AS INT) % 2)") * 2 - 1))
+        .as(s"s${k}_$j")
+    val sums = withChunks.groupBy("id").agg(sumCols.head, sumCols.tail: _*)
+    val fps = sums.select(col("id") +: (0 to 3).map { k =>
+      (0 to 15).map(j =>
+        when(col(s"s${k}_$j") > 0, lit(1 << (15 - j))).otherwise(lit(0)))
+        .reduce(_ + _).as(s"f$k")
+    }: _*).persist() // self-joined below; don't recompute the 64-agg DAG twice
+    def banded(idAs: String, pre: String) = fps.select(
+      (col("id").as(idAs) +: (0 to 3).map(k => col(s"f$k").as(s"$pre$k"))) :+
+        explode(array((0 to 3).map(k =>
+          struct(lit(k).as("band"), col(s"f$k").as("bh"))): _*)).as("bb"): _*)
+      .select(col(idAs) +: (0 to 3).map(k => col(s"$pre$k")) :+
+        col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
+    val a = banded("id1", "a").alias("L")
+    val b = banded("id2", "b").alias("R")
+    a.join(b, col("L.band") === col("R.band") && col("L.bh") === col("R.bh") &&
+        col("id1") < col("id2"))
+      .select((col("id1") +: col("id2") +:
+        (0 to 3).flatMap(k => Seq(col(s"a$k"), col(s"b$k")))): _*)
+      .distinct()
+      .withColumn("hamming", (0 to 3).map(k =>
+        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
 }
