@@ -68,13 +68,18 @@ object TailStream {
       throttleMax: Option[Int] = None,
       throttlePeriodSec: Option[Long] = None)
 
-  /** source → parse → filter → throttle, as an unbounded DataFrame. */
-  def parsed(spark: SparkSession, cfg: Config): DataFrame = {
+  /** source → parse → filter → throttle, as an unbounded DataFrame.
+    * `tname` tags every row for the multi-source union (runMulti /
+    * runMultiSnapshot) — the tag rides through the throttle, which
+    * keeps the full row schema.
+    */
+  def parsed(spark: SparkSession, cfg: Config,
+             tname: Option[String] = None): DataFrame = {
     val sinceMs =
       if (cfg.doNotTail) None
       else Some(cfg.tailSince.getOrElse(System.currentTimeMillis()))
     val base = LogSource.stream(spark, cfg.dir, cfg.pattern, cfg.filter,
-      cfg.maxFilesPerTrigger, sinceMs = sinceMs)
+      cfg.maxFilesPerTrigger, tname = tname, sinceMs = sinceMs)
     cfg.throttleMax match {
       case Some(n) =>
         val ts = cfg.tsField.getOrElse(sys.error(
@@ -293,8 +298,9 @@ object TailStream {
     *
     * The window/slide/watermark settings of the FIRST config govern
     * all sources (the reference's WindowCfg is likewise global);
-    * each source keeps its own pattern, filter, throttle, and
-    * tsField name. One union stream means one checkpoint and one
+    * each source keeps its own pattern, filter, throttle,
+    * seek-to-end (doNotTail/tailSince), and tsField name. One union
+    * stream means one checkpoint and one
     * trigger clock for all tails, exactly like the reference's single
     * merged window stage.
     */
@@ -305,8 +311,10 @@ object TailStream {
     require(cfgs.nonEmpty, "runMulti needs at least one source")
     val win = cfgs.head
     val parts = cfgs.zipWithIndex.map { case (c, i) =>
-      val src = LogSource.stream(spark, c.dir, c.pattern, c.filter,
-        c.maxFilesPerTrigger, tname = Some(s"t$i"))
+      // route through parsed() so each source's throttle and
+      // seek-to-end (doNotTail/tailSince) config actually applies —
+      // only the WINDOW settings come from the first config
+      val src = parsed(spark, c, tname = Some(s"t$i"))
       windowed(src, win.copy(tsField = c.tsField))
     }
     // per-source data columns (minus the tag), for re-splitting below
@@ -368,8 +376,9 @@ object TailStream {
         "complete-window is defined by the event-time watermark)")
     val win = cfgs.head
     val parts = cfgs.zipWithIndex.map { case (c, i) =>
-      val src = LogSource.stream(spark, c.dir, c.pattern, c.filter,
-        c.maxFilesPerTrigger, tname = Some(s"t$i"))
+      // same per-source config routing as runMulti: throttle and
+      // seek-to-end apply per source, window settings are global
+      val src = parsed(spark, c, tname = Some(s"t$i"))
       windowed(src, win.copy(tsField = c.tsField))
     }
     val views = parts.zipWithIndex.map { case (p, i) =>

@@ -105,7 +105,65 @@ class TailStreamSpec extends SparkSpec {
       .flatMap(_.split("\n")).filter(_.nonEmpty)
     // batch 1 admits both rows (1+2=3ms); batch 2 admits nothing
     assert(counts.head == "2,3", counts.toString)
-    assert(counts.tail.forall(c => c == "0," || c == "0,0" || c.startsWith("0")), counts.toString)
+    assert(counts.tail.forall(c => c.split(",", -1)(0) == "0"), counts.toString)
+  }
+
+  test("runMulti applies each source's own throttle (config not dropped in N-source mode)") {
+    // two sources, each with throttleMax=1 and two rows in the same
+    // 60s period: each source must admit exactly ONE row — the
+    // per-source throttle config has to survive the union into t0/t1
+    val dirs = (0 to 1).map(_ => Files.createTempDirectory("graft-mthr").toFile)
+    val ckpt = Files.createTempDirectory("graft-mthr-ckpt").toFile
+    writeLog(dirs(0), "a.log",
+      "2024-01-01 00:00:10 INFO 1",
+      "2024-01-01 00:00:20 INFO 2")
+    writeLog(dirs(1), "b.log",
+      "2024-01-01 00:00:30 WARN 4",
+      "2024-01-01 00:00:40 WARN 8")
+    val cfgs = (0 to 1).map(i => TailStream.Config(
+      dir = dirs(i).getAbsolutePath, pattern = pattern,
+      windowSizeSec = 60, tsField = Some("ts"), watermarkDelay = "0 seconds",
+      throttleMax = Some(1)))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = TailStream.runMulti(spark, cfgs,
+      sql = """SELECT 't0' AS src, count(*) AS n FROM t0
+               UNION ALL SELECT 't1', count(*) FROM t1 ORDER BY src""",
+      format = "raw", checkpointDir = ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // first fire: exactly one row admitted per source; any later fires
+    // (the stateful operators' final flush batch) must be empty
+    assert(out.take(2) == Seq("t0,1", "t1,1"), out.toString)
+    assert(out.drop(2).forall(c => c.split(",", -1)(1) == "0"), out.toString)
+  }
+
+  test("runMulti honors per-source seek-to-end (doNotTail=false skips pre-existing files)") {
+    // source 0 tails from its cutoff (its pre-existing file is
+    // skipped); source 1 processes from the start — mixed per-source
+    // seek config inside one multi-source stream
+    val dirs = (0 to 1).map(_ => Files.createTempDirectory("graft-mseek").toFile)
+    val ckpt = Files.createTempDirectory("graft-mseek-ckpt").toFile
+    val cutoff = System.currentTimeMillis()
+    writeLog(dirs(0), "old.log", "2024-01-01 00:00:10 INFO 5")
+    Files.setLastModifiedTime(new java.io.File(dirs(0), "old.log").toPath,
+      java.nio.file.attribute.FileTime.fromMillis(cutoff - 60000))
+    writeLog(dirs(1), "keep.log", "2024-01-01 00:00:20 WARN 9")
+    val cfgs = Seq(
+      TailStream.Config(dir = dirs(0).getAbsolutePath, pattern = pattern,
+        windowSizeSec = 60, tsField = Some("ts"),
+        doNotTail = false, tailSince = Some(cutoff)),
+      TailStream.Config(dir = dirs(1).getAbsolutePath, pattern = pattern,
+        windowSizeSec = 60, tsField = Some("ts")))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = TailStream.runMulti(spark, cfgs,
+      sql = """SELECT 't0' AS src, count(*) AS n FROM t0
+               UNION ALL SELECT 't1', count(*) FROM t1 ORDER BY src""",
+      format = "raw", checkpointDir = ckpt.getAbsolutePath,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    assert(out == Seq("t0,0", "t1,1"), out.toString)
   }
 
   test("two tailed sources join per window like the reference's t0 JOIN t1") {
