@@ -20,6 +20,12 @@ import graft.streaming.TailStream
   * `--seek-end` = the reference's default tail behavior: skip files
   * already in the directory, read only ones modified after start.
   *
+  * `--follow-file /var/log/app.log` (instead of `--dir`) follows ONE
+  * growing file by byte offset — the reference's same-file `tail -f`
+  * (source/fs.go Follow+ReOpen): appended lines stream in per trigger,
+  * truncation/rotation reopens from the start, `--seek-end` starts at
+  * the current EOF, and `--max-bytes-per-trigger N` bounds each batch.
+  *
   * `--snapshot` (needs `--ts-field`) switches from the incremental
   * per-batch preview to fire-once-per-complete-window semantics: the
   * SQL runs exactly once per window, over all of the window's rows,
@@ -38,6 +44,8 @@ import graft.streaming.TailStream
   * source.0.pattern=(?P<ts__date>\\S+ \\S+) (?P<level__str>\\w+)
   * # source.0.filter=...  source.0.max_files_per_trigger=10
   * # source.0.do_not_tail=true            (default false = seek to end)
+  * # source.0.follow=true                 (dir is ONE growing file)
+  * # source.0.max_bytes_per_trigger=1048576
   * # source.0.throttle.max_elements_in_period=100
   * # source.0.throttle.period_seconds=10  (0/absent = unthrottled)
   * # source.1.dir=...     source.1.pattern=...
@@ -88,6 +96,10 @@ object TailApp {
         throttleMax = opt(s"source.$i.throttle.max_elements_in_period")
           .map(_.toInt).filter(_ > 0),
         throttlePeriodSec = opt(s"source.$i.throttle.period_seconds")
+          .map(_.toLong).filter(_ > 0),
+        // follow=true: dir is ONE growing file, tailed by byte offset
+        follow = opt(s"source.$i.follow").exists(_.toBoolean),
+        followMaxBytes = opt(s"source.$i.max_bytes_per_trigger")
           .map(_.toLong).filter(_ > 0))
     }
   }
@@ -136,12 +148,16 @@ object TailApp {
       spark0.stop()
       return
     }
-    val dir = a.getOrElse("dir", sys.error("--dir is required"))
+    val followFile = a.get("follow-file")
+    val dir = followFile.getOrElse(
+      a.getOrElse("dir", sys.error("--dir or --follow-file is required")))
     val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
 
     val cfg = TailStream.Config(
       dir = dir,
       pattern = pattern,
+      follow = followFile.isDefined,
+      followMaxBytes = a.get("max-bytes-per-trigger").map(_.toLong),
       filter = a.get("filter"),
       maxFilesPerTrigger = a.get("max-files-per-trigger").map(_.toInt),
       windowSizeSec = a.getOrElse("window", "60").toLong,

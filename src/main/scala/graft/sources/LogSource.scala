@@ -187,6 +187,27 @@ object LogSource {
     filter.fold(parsed)(f => parsed.filter(expr(f)))
   }
 
+  /** Follow ONE growing file by byte offset — the reference's actual
+    * `tail -f` (source/fs.go:24-66 Follow+ReOpen), backed by the
+    * [[FollowFileDataSource]] micro-batch stream: checkpointed byte
+    * offsets, line-boundary flooring (no partial lines), rotation-safe
+    * reopen-from-zero when the file shrinks. `seekToEnd` is the
+    * reference's `do_not_tail=false` default: start at the current
+    * EOF instead of byte 0. `maxBytesPerTrigger` bounds a micro-batch
+    * the way maxFilesPerTrigger does for the directory source.
+    */
+  def followFile(spark: SparkSession, path: String, pattern: String,
+                 filter: Option[String] = None,
+                 tname: Option[String] = None,
+                 seekToEnd: Boolean = false,
+                 maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    var reader = spark.readStream.format("follow-file")
+      .option("path", path).option("seekToEnd", seekToEnd.toString)
+    maxBytesPerTrigger.foreach(m => reader = reader.option("maxBytesPerTrigger", m.toString))
+    val parsed = parse(reader.load(), pattern, tname = tname)
+    filter.fold(parsed)(f => parsed.filter(expr(f)))
+  }
+
   /** Socket text source — the streaming analogue of the reference's
     * stdin / named-pipe inputs (source/stdin.go, source/namedpipe.go):
     * something external pushes lines, we parse them as they arrive.

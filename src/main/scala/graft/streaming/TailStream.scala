@@ -66,7 +66,13 @@ object TailStream {
       // exactly across micro-batches. Event-time based: requires
       // tsField. periodSec defaults to the window size.
       throttleMax: Option[Int] = None,
-      throttlePeriodSec: Option[Long] = None)
+      throttlePeriodSec: Option[Long] = None,
+      // true = `dir` is ONE growing file, followed by byte offset
+      // (LogSource.followFile) — the reference's same-file tail -f.
+      // doNotTail=false then means byte-level seek-to-end, and
+      // followMaxBytes bounds each micro-batch.
+      follow: Boolean = false,
+      followMaxBytes: Option[Long] = None)
 
   /** source → parse → filter → throttle, as an unbounded DataFrame.
     * `tname` tags every row for the multi-source union (runMulti /
@@ -75,11 +81,17 @@ object TailStream {
     */
   def parsed(spark: SparkSession, cfg: Config,
              tname: Option[String] = None): DataFrame = {
-    val sinceMs =
-      if (cfg.doNotTail) None
-      else Some(cfg.tailSince.getOrElse(System.currentTimeMillis()))
-    val base = LogSource.stream(spark, cfg.dir, cfg.pattern, cfg.filter,
-      cfg.maxFilesPerTrigger, tname = tname, sinceMs = sinceMs)
+    val base = if (cfg.follow) {
+      LogSource.followFile(spark, cfg.dir, cfg.pattern, cfg.filter,
+        tname = tname, seekToEnd = !cfg.doNotTail,
+        maxBytesPerTrigger = cfg.followMaxBytes)
+    } else {
+      val sinceMs =
+        if (cfg.doNotTail) None
+        else Some(cfg.tailSince.getOrElse(System.currentTimeMillis()))
+      LogSource.stream(spark, cfg.dir, cfg.pattern, cfg.filter,
+        cfg.maxFilesPerTrigger, tname = tname, sinceMs = sinceMs)
+    }
     cfg.throttleMax match {
       case Some(n) =>
         val ts = cfg.tsField.getOrElse(sys.error(
