@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,13 +116,22 @@ class FollowFileTable(properties: Map[String, String]) extends Table with Suppor
 
 class FollowFileMicroBatchStream(path: String, seekToEnd: Boolean,
                                  maxBytesPerTrigger: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   import FollowFile._
 
   private def fileLength(): Long = {
     val f = new File(path)
     if (f.exists()) f.length() else 0L
   }
+
+  // Trigger.AvailableNow: freeze the goalpost at query start so the run
+  // terminates even while a writer keeps appending; maxBytesPerTrigger
+  // still paces the drain batch by batch up to this target. Without
+  // this the engine would capture ONE capped latestOffset() as the
+  // whole run's target and stop after a single batch.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(fileLength())
 
   override def initialOffset(): Offset =
     // seek-to-end starts at the raw EOF: everything already in the
@@ -140,8 +149,11 @@ class FollowFileMicroBatchStream(path: String, seekToEnd: Boolean,
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[FollowOffset]
-    val len = fileLength()
-    if (len < start.pos) {
+    val rawLen = fileLength()
+    // rotation detection looks at the REAL file; the AvailableNow
+    // target only bounds how far this run is willing to read
+    val len = availableNowTarget.fold(rawLen)(t => math.min(rawLen, t))
+    if (rawLen < start.pos) {
       // shrunk below the committed position: rotated or truncated —
       // reopen from byte 0 under a fresh epoch
       floored(FollowOffset(start.epoch + 1, 0L), len)

@@ -17,21 +17,27 @@ class FollowFileSpec extends SparkSpec {
     Files.write(f.toPath, lines.mkString("", "\n", "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
 
-  /** Drain the follow-file stream into a memory sink; each call is one
-    * AvailableNow run against the same checkpoint (one micro-batch
-    * cycle of a continuously-running tail).
+  /** Drain the follow-file stream via foreachBatch (the memory sink
+    * cannot resume from a checkpoint); each call is one AvailableNow
+    * run against the same checkpoint — one micro-batch cycle of a
+    * continuously-running tail.
     */
   private def runOnce(file: java.io.File, ckpt: java.io.File, name: String,
                       seekToEnd: Boolean = false,
                       maxBytes: Option[Long] = None): Seq[(String, Long)] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     val df = LogSource.followFile(spark, file.getAbsolutePath, pattern,
       seekToEnd = seekToEnd, maxBytesPerTrigger = maxBytes)
-    val q = df.writeStream.format("memory").queryName(name)
+    val q = df.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select("level", "ms").collect()
+          .foreach(r => buf.add((r.getString(0), r.getLong(1))))
+      }
       .option("checkpointLocation", ckpt.getAbsolutePath)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
-    spark.table(name).select("level", "ms").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
   }
 
   test("appended lines to the SAME file arrive across triggers, no re-reads") {
