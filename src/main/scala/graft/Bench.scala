@@ -53,7 +53,16 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { n => runOnce(n); n -> runOnce(n) }
+    // Median of 3 measured runs (after one warm run, still interleaved
+    // per query): the sandbox has ambient load, and a single-shot
+    // record turns one noise spike into a phantom regression in the
+    // round artifact (r4 recorded 4.25s for a query that re-measures
+    // at 0.70s). The median absorbs one outlier per query.
+    val results = names.map { n =>
+      runOnce(n)
+      val ts = Seq.fill(3)(runOnce(n)).sorted
+      n -> ts(1)
+    }
     val total = results.map(_._2).sum
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line found inside that window, so (a) the line must be
@@ -68,7 +77,12 @@ object Bench {
       s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${num(3, total)},"unit":"sec","sf":"$sfDir"}""")
+      .getOrElse {
+        // the driver would otherwise lose the whole per-query
+        // breakdown; stderr is outside its parsed stdout window
+        System.err.println(s"[bench] breakdown too long for stdout window: ${line(1)}")
+        s"""{"metric":"total","value":${num(3, total)},"unit":"sec","sf":"$sfDir"}"""
+      }
     spark.stop()
     println(out)
   }

@@ -486,7 +486,12 @@ object SparkEntry {
         .orderBy(col("seg"), col("cnt").desc, col("item"))),
 
     "d05_dedup_embedding" -> ((s, dir) =>
-      Similarity.cosinePairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      // exact-cosine ORACLE baseline, bounded to a fixed id slice: the
+      // all-pairs join is quadratic, so it runs only on this slice (the
+      // whole table at sf0.01); s06 is the unbounded-scale LSH path
+      Similarity.cosinePairs(
+          T(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
 
     "s01_ann_brute" -> ((s, dir) => {
@@ -523,8 +528,11 @@ object SparkEntry {
       // instead of the O(n^2) exhaustive d05; rows-only check (xxhash
       // bucketing isn't DuckDB-expressible), quality gated by
       // CosinePairsLshSpec + the d05 overlap at this threshold
+      // maxBucket caps a degenerate hyperplane bucket pre-self-join
+      // (no-op at these SFs — buckets run ~100x smaller than the cap)
       Similarity.cosinePairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, numPlanes = 6, numTables = 8)
+          threshold = 0.45, numPlanes = 6, numTables = 8,
+          maxBucket = Some(10000))
         .orderBy("id1", "id2")),
 
     "s07_quantize_int8" -> ((s, dir) =>
@@ -1369,7 +1377,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY seg, cnt DESC, item""",
 
     "d05_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
               p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
                            a.embedding AS ea, b.embedding AS eb
                     FROM e a JOIN e b ON a.vec_id < b.vec_id),

@@ -116,6 +116,11 @@ object TailApp {
         s"--config supports only --sql/--format/--checkpoint/--trigger-sec" +
           s"/--once/--snapshot as overrides; set the rest in the file. " +
           s"Unsupported here: ${unsupported.map("--" + _).mkString(", ")}")
+      // bare flags are stripped before parseArgs, so they need their own
+      // check — --seek-end with --config would otherwise be silently
+      // ignored (seek behavior comes from each source's do_not_tail)
+      require(!args.contains("--seek-end"),
+        "--seek-end cannot combine with --config; set source.N.do_not_tail in the file")
       val props = new java.util.Properties()
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try props.load(in) finally in.close()

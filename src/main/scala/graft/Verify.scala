@@ -10,6 +10,9 @@ object Verify {
     val sfDir = args.lift(0).filter(_.nonEmpty)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     val outDir = args.lift(1).filter(_.nonEmpty).getOrElse("/tmp/verify_out")
+    // make silent-default runs identifiable in harness logs: a missing
+    // arg falls back to a local dataset, which must be visible, not tacit
+    System.err.println(s"[verify] sfDir=$sfDir outDir=$outDir (args=${args.mkString(",")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

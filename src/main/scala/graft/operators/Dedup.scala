@@ -368,11 +368,15 @@ object Dedup {
     val bands = pruned.persist()
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-      col("a.band_hash") === col("b.band_hash") &&
-      col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    // sealed: the candidate set (tiny, the whole point of LSH) comes
+    // back materialized and the band-table cache block is released
+    Caching.sealOver(
+      a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct(),
+      bands)
   }
 
   /** Exact Jaccard for every pair of docs that shares >= 1 shingle,
@@ -386,23 +390,26 @@ object Dedup {
     * shingle table for its three uses within the plan (cleared by the
     * caller's session lifecycle).
     */
-  private def pairOverlaps(shDf: DataFrame): DataFrame = {
+  private def pairOverlaps(shDf: DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
     val sh = shDf.persist() // used three times: sizes + both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    sh.as("a")
+    val overlaps = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
       .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+    // `finish` applies the caller's threshold BEFORE sealing, so only
+    // the small post-filter pair set materializes
+    Caching.sealOver(finish(overlaps), sh)
   }
 
   def jaccardPairs(shDf: DataFrame, minJaccard: Double): DataFrame =
-    pairOverlaps(shDf)
+    pairOverlaps(shDf)(_
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")))
 
   /** Containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) >= minContainment.
     * Catches the ASYMMETRIC duplicates jaccard misses — a short
@@ -411,12 +418,12 @@ object Dedup {
     * side. Same single shuffle-on-shingle shape as [[jaccardPairs]].
     */
   def containmentPairs(shDf: DataFrame, minContainment: Double): DataFrame =
-    pairOverlaps(shDf)
+    pairOverlaps(shDf)(_
       .withColumn("containment",
         greatest(col("inter").cast("double") / col("sz1").cast("double"),
           col("inter").cast("double") / col("sz2").cast("double")))
       .filter(col("containment") >= minContainment)
-      .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment"))
+      .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment")))
 
   /** Full MinHash+LSH near-dedup: returns verified pairs with exact
     * Jaccard >= threshold among LSH candidates.
@@ -453,7 +460,9 @@ object Dedup {
         posexplode(array((0 until bands).map { b =>
           xxhash64((b * r until (b + 1) * r).map(i => element_at(col("_sig"), i + 1)): _*)
         }: _*)).as(Seq("band", "band_hash")))
-    val cand = lshCandidates(bandTable, maxBucket).persist()
+    // lshCandidates seals its result (materialized, lineage-free) —
+    // no extra persist needed to reuse it on two branches below
+    val cand = lshCandidates(bandTable, maxBucket)
     val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
     val sh = df
       .select(col(idCol).as("id"),
@@ -466,13 +475,15 @@ object Dedup {
         col("s2.id") === col("id2") && col("s1.shingle") === col("s2.shingle"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    Caching.sealOver(
+      inter
+        .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")),
+      sh)
   }
 
   /** SimHash: 64-bit signature; bit j is the sign of the sum over
@@ -515,10 +526,12 @@ object Dedup {
       .select(col("a.id").as("id1"), col("a.simhash").as("s1"),
         col("b.id").as("id2"), col("b.simhash").as("s2"))
       .distinct()
-    cand
-      .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
-      .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist"))
+    Caching.sealOver(
+      cand
+        .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
+        .filter(col("dist") <= maxDist)
+        .select(col("id1"), col("id2"), col("dist")),
+      sig)
   }
 
   /** Portable SimHash twin of [[simHash]]+[[simHashPairs]] on an md5
@@ -558,14 +571,16 @@ object Dedup {
         col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
     val a = banded("id1", "a").alias("L")
     val b = banded("id2", "b").alias("R")
-    a.join(b, col("L.band") === col("R.band") && col("L.bh") === col("R.bh") &&
-        col("id1") < col("id2"))
-      .select((col("id1") +: col("id2") +:
-        (0 to 3).flatMap(k => Seq(col(s"a$k"), col(s"b$k")))): _*)
-      .distinct()
-      .withColumn("hamming", (0 to 3).map(k =>
-        bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select(col("id1"), col("id2"), col("hamming"))
+    Caching.sealOver(
+      a.join(b, col("L.band") === col("R.band") && col("L.bh") === col("R.bh") &&
+          col("id1") < col("id2"))
+        .select((col("id1") +: col("id2") +:
+          (0 to 3).flatMap(k => Seq(col(s"a$k"), col(s"b$k")))): _*)
+        .distinct()
+        .withColumn("hamming", (0 to 3).map(k =>
+          bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("id1"), col("id2"), col("hamming")),
+      fps)
   }
 }

@@ -221,15 +221,30 @@ object Similarity {
     * O(n^2); recall follows the 1-(1-p^planes)^tables curve and rises
     * with `numTables`. The exact [[cosinePairs]] below remains for
     * oracle-sized slices.
+    *
+    * `maxBucket` drops (table, signature) buckets holding more than
+    * that many vectors BEFORE the self-join — same role as
+    * [[Dedup.lshCandidates]]' cap: a degenerate hyperplane bucket
+    * (e.g. a mass of near-identical embeddings) would otherwise go
+    * quadratic at corpus scale. Pairs that genuinely agree still meet
+    * in one of the other tables' buckets.
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 6,
-                     numTables: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+                     numTables: Int = 8,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_nrm", norm(col("v")))
       .select(col("id"), col("v"), col("_nrm"),
         posexplode(graft.functions.LshSigs.sigs(col("v"), numPlanes, numTables))
           .as(Seq("_t", "_sig")))
+    val base = maxBucket match {
+      case Some(m) =>
+        val wb = Window.partitionBy(col("_t"), col("_sig"))
+        base0.withColumn("_bsz", count(lit(1)).over(wb))
+          .filter(col("_bsz") <= m).drop("_bsz")
+      case None => base0
+    }
     val cand = base.as("a")
       .join(base.as("b"),
         col("a._t") === col("b._t") && col("a._sig") === col("b._sig") &&

@@ -178,9 +178,12 @@ object LogSource {
     var reader = spark.readStream
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     // sinceMs = the reference's seek-to-end (`do_not_tail=false`,
-    // source/fs.go): only files modified at/after the cutoff are read —
-    // pre-existing log content is skipped, rotation/new files flow. A
-    // file-metadata pushdown, evaluated at listing time per partition.
+    // source/fs.go): only rows from files modified at/after the cutoff
+    // survive — pre-existing log content is skipped, rotation/new files
+    // flow. This is a row-level filter on `_metadata` (old files may
+    // still be listed and decoded unless Spark's metadata-filter
+    // pruning kicks in); for directories with a deep history, pre-list
+    // and pass an explicit glob to avoid scanning cold files.
     val raw = sinceMs.fold(reader.text(dir))(ms => reader.text(dir)
       .filter(col("_metadata.file_modification_time") >= timestamp_millis(lit(ms))))
     val parsed = parse(raw, pattern, tname = tname)

@@ -196,4 +196,25 @@ class CosinePairsLshSpec extends SparkSpec {
     val want = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
+
+  test("maxBucket prunes a degenerate bucket before the self-join") {
+    val rnd = new scala.util.Random(7)
+    // 50 IDENTICAL vectors: every table puts them in one bucket of 50
+    // (1225 candidate pairs of pure boilerplate) — plus one genuine
+    // near-dup twin pair on a different direction
+    val boiler = Array.fill(16)(1.0f)
+    val v = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val twin = v.map(x => x + 0.001f * rnd.nextFloat())
+    val rows = (0 until 50).map(i => (100L + i, boiler)) ++
+      Seq((0L, v), (1L, twin))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.99,
+        maxBucket = Some(10))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the degenerate bucket is gone, the honest pair survives
+    assert(capped == Set((0L, 1L)), capped.toString)
+    // uncapped control: the boilerplate pairs are all there
+    val uncapped = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.99).count()
+    assert(uncapped == 1225L + 1L, uncapped.toString)
+  }
 }
