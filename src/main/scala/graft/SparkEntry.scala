@@ -96,12 +96,17 @@ object SparkEntry {
         .orderBy("event_id")),
 
     "r02_date_parse" -> ((s, dir) => {
+      // six-way format mix round-tripped through parseAnyDate: the
+      // oracle is the original per-second timestamp, so every branch
+      // must be recognized AND parsed to the same instant
+      val m = pmod(col("event_id"), lit(6))
       val raw = T(s, dir, "events").select(col("event_id"),
-        when(pmod(col("event_id"), lit(3)) === 0,
-          date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
-          .when(pmod(col("event_id"), lit(3)) === 1,
-            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
-          .otherwise(date_format(col("ts"), "MM/dd/yyyy HH:mm:ss")).as("raw"))
+        when(m === 0, date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
+          .when(m === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .when(m === 2, date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
+          .when(m === 3, expr("CAST(unix_micros(ts) div 1000 AS STRING)")) // epoch ms
+          .when(m === 4, date_format(col("ts"), "EEE, dd MMM yyyy HH:mm:ss Z")) // RFC1123
+          .otherwise(date_format(col("ts"), "dd MMM yyyy HH:mm:ss")).as("raw"))
       raw.select(col("event_id"),
           unix_timestamp(LogSource.parseAnyDate(col("raw"))).as("ts_s"))
         .orderBy("event_id")
@@ -518,7 +523,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 8)
+          k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),

@@ -26,6 +26,12 @@ import graft.streaming.TailStream
   * truncation/rotation reopens from the start, `--seek-end` starts at
   * the current EOF, and `--max-bytes-per-trigger N` bounds each batch.
   *
+  * `--stdin` reads lines from standard input (`cat app.log | graft
+  * --stdin --once ...`), `--pipe /run/app.fifo` from a named pipe —
+  * both spool into a temp directory via [[graft.sources.StdinSpool]]
+  * and tail that. With `--once`, stdin is drained to EOF before the
+  * run, so the whole piped input is processed.
+  *
   * `--snapshot` (needs `--ts-field`) switches from the incremental
   * per-batch preview to fire-once-per-complete-window semantics: the
   * SQL runs exactly once per window, over all of the window's rows,
@@ -65,7 +71,7 @@ object TailApp {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap // bare flags (--once, --snapshot) are read from the raw args
 
-  private val Flags = Set("--once", "--snapshot", "--seek-end")
+  private val Flags = Set("--once", "--snapshot", "--seek-end", "--stdin")
 
   /** Translate a properties config (see object doc) into the window
     * defaults + per-source configs. Pure, so the spec can pin the
@@ -117,10 +123,13 @@ object TailApp {
           s"/--once/--snapshot as overrides; set the rest in the file. " +
           s"Unsupported here: ${unsupported.map("--" + _).mkString(", ")}")
       // bare flags are stripped before parseArgs, so they need their own
-      // check — --seek-end with --config would otherwise be silently
-      // ignored (seek behavior comes from each source's do_not_tail)
-      require(!args.contains("--seek-end"),
-        "--seek-end cannot combine with --config; set source.N.do_not_tail in the file")
+      // check — --seek-end/--stdin with --config would otherwise be
+      // silently ignored (seek behavior comes from each source's
+      // do_not_tail; spooled input has no config-file form)
+      val unsupportedBare = args.filter(Flags).filterNot(Set("--once", "--snapshot"))
+      require(unsupportedBare.isEmpty,
+        s"${unsupportedBare.mkString(", ")} cannot combine with --config; " +
+          "set source.N.do_not_tail in the file instead of --seek-end")
       val props = new java.util.Properties()
       val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
       try props.load(in) finally in.close()
@@ -153,15 +162,29 @@ object TailApp {
       spark0.stop()
       return
     }
+    // --stdin / --pipe <fifo>: spool the push-style input into a temp
+    // directory and tail THAT — the reference's stdin/namedpipe sources
+    // (source/stdin.go, source/namedpipe.go). With --once the spool is
+    // drained to EOF first so AvailableNow sees the complete input.
+    val spooledDir: Option[String] =
+      if (args.contains("--stdin") || a.contains("pipe")) {
+        val d = java.nio.file.Files.createTempDirectory("graft-spool")
+        val in: java.io.InputStream = a.get("pipe")
+          .map(p => new java.io.FileInputStream(p): java.io.InputStream)
+          .getOrElse(System.in)
+        val th = graft.sources.StdinSpool.spool(in, d)
+        if (args.contains("--once")) th.join()
+        Some(d.toString)
+      } else None
     val followFile = a.get("follow-file")
-    val dir = followFile.getOrElse(
-      a.getOrElse("dir", sys.error("--dir or --follow-file is required")))
+    val dir = spooledDir.orElse(followFile).getOrElse(
+      a.getOrElse("dir", sys.error("--dir, --follow-file, --stdin or --pipe is required")))
     val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
 
     val cfg = TailStream.Config(
       dir = dir,
       pattern = pattern,
-      follow = followFile.isDefined,
+      follow = spooledDir.isEmpty && followFile.isDefined,
       followMaxBytes = a.get("max-bytes-per-trigger").map(_.toLong),
       filter = a.get("filter"),
       maxFilesPerTrigger = a.get("max-files-per-trigger").map(_.toInt),

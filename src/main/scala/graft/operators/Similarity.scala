@@ -124,7 +124,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nlist: Int = 64, nprobe: Int = 4,
-              refineIters: Int = 1): DataFrame = {
+              refineIters: Int = 1, spill: Int = 1): DataFrame = {
     def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String,
                 nrm: Column, take: Int) = {
       val w = Window.partitionBy(col(id))
@@ -165,20 +165,27 @@ object Similarity {
         .withColumn("_cent_nrm", norm(col("_cent_vec")))
     }
 
+    // `spill` > 1 = assignment replication: each corpus vector joins
+    // its top-`spill` lists, so a neighbor sitting just across a
+    // Voronoi boundary from the query's probed cells is still found.
+    // Costs spill× list storage/scan — the classic IVF recall lever
+    // next to nprobe (refinement keeps take=1: true Lloyd k-means).
     val c = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
-      cents, corpusId, corpusVec, col("_cnrm"), 1)
+      cents, corpusId, corpusVec, col("_cnrm"), spill)
     val q = nearest(queries.withColumn("_qnrm", norm(col(queryVec))),
       cents, queryId, queryVec, col("_qnrm"), nprobe)
 
     val scored = c.join(broadcast(q), "_cent_id")
       .withColumn("cos",
         VecDot.dot(col(corpusVec), col(queryVec)) / (col("_cnrm") * col("_qnrm")))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("cos").desc, col(corpusId))
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id") // same pair via two spilled lists
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rank"))
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector

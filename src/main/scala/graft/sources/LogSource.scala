@@ -91,7 +91,11 @@ object LogSource {
     * dominates the parse). Shape match with an unparseable value
     * (month 13) still falls through via try_to_timestamp -> null.
     */
-  def parseAnyDate(c: Column): Column = {
+  def parseAnyDate(c0: Column): Column = {
+    // normalize nano-precision fractions to micros up front: Spark
+    // timestamps are µs precision and the parser rejects 7-9 fraction
+    // digits, so RFC3339-with-nanos truncates to its first 6 digits
+    val c = regexp_replace(c0, "(\\.\\d{6})\\d{1,3}", "$1")
     def shaped(shape: String, fmt: String): Column =
       when(c.rlike(shape), try_to_timestamp(c, lit(fmt)))
     coalesce(
@@ -102,6 +106,10 @@ object LogSource {
         "yyyy-MM-dd'T'HH:mm:ssXXX"),
       shaped("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
         "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      shaped("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      shaped("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}(Z|[+-]\\d{2}:?\\d{2})$",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"), // RFC3339, incl. normalized nanos
       shaped("^\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
         "yyyy/MM/dd HH:mm:ss.SSSSSS"),
       shaped("^\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}:\\d{2}$", "MM/dd/yyyy HH:mm:ss"),
@@ -109,6 +117,18 @@ object LogSource {
       shaped("^\\d{4}/\\d{2}/\\d{2}$", "yyyy/MM/dd"),
       shaped("^\\d{2}/[A-Za-z]{3}/\\d{4}:\\d{2}:\\d{2}:\\d{2} [+-]\\d{4}$",
         "dd/MMM/yyyy:HH:mm:ss Z"), // common access-log format
+      shaped("^\\d{1,2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2}$",
+        "d MMM yyyy HH:mm:ss"),
+      shaped("^\\d{1,2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2} [+-]\\d{4}$",
+        "d MMM yyyy HH:mm:ss Z"),
+      // RFC1123/RFC822 ("Mon, 02 Jan 2006 15:04:05 -0700"): Spark
+      // cannot PARSE a day-of-week token, so strip the name prefix —
+      // it is redundant with the date anyway
+      when(c.rlike("^[A-Za-z]{3}, \\d{1,2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2} [+-]\\d{4}$"),
+        try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
+          lit("d MMM yyyy HH:mm:ss Z"))),
+      // 13-digit epoch millis (dateparse recognizes these by width)
+      when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
       // bare epoch seconds, the final fallback
       when(c.rlike("^\\d{9,10}$"), to_timestamp(c.cast(LongType).cast(TimestampType))))
   }

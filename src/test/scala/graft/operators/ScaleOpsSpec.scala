@@ -167,12 +167,13 @@ class AnnRecallSpec extends graft.SparkSpec {
     }
     val lsh = recall(neighbors("s02_ann_lsh"))
     val ivf = recall(neighbors("s03_ann_ivf"))
-    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales) and
-    // refined IVF with nprobe=8/16 measures 0.76-0.80; the gates leave
-    // headroom for hash-family tweaks, not for losing the multi-probe
-    // expansion or the Lloyd refinement
+    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales);
+    // IVF with 4 Lloyd passes + spill=2 assignment replication
+    // measures 0.96 at sf0.01/sf0.1. The gates leave headroom for
+    // hash-family tweaks, not for losing the multi-probe expansion,
+    // the Lloyd refinement, or the spill
     assert(lsh >= 0.70, s"LSH recall regressed: $lsh")
-    assert(ivf >= 0.55, s"IVF recall regressed: $ivf")
+    assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
   }
 }
 

@@ -55,6 +55,24 @@ class LogSourceSpec extends SparkSpec {
     assert(out.toSeq == Seq(full, full, full, dateOnly, dateOnly, full, full, full, full, -1L))
   }
 
+  test("parseAnyDate covers the wider dateparse.ParseAny surface") {
+    val inputs = Seq(
+      "1709618828123",                        // 13-digit epoch millis
+      "2024-03-05T06:07:08.123456789Z",       // RFC3339 nanos + zone
+      "2024-03-05T06:07:08.123456789",        // nanos, no zone
+      "2024-03-05T06:07:08.123+02:00",        // millis fraction + zone
+      "5 Mar 2024 06:07:08",                  // d MMM yyyy
+      "05 Mar 2024 06:07:08 +0000",           // dd MMM yyyy with offset
+      "Tue, 05 Mar 2024 06:07:08 +0000",      // RFC1123
+      "Tue, 05 Mar 2024 08:07:08 +0200")      // RFC1123, non-UTC offset
+    val out = inputs.toDF("s")
+      .select(unix_timestamp(LogSource.parseAnyDate(col("s"))).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    val full = 1709618828L // 2024-03-05 06:07:08 UTC
+    assert(out.toSeq == Seq(full, full, full, full - 2 * 3600, full, full, full, full),
+      out.toSeq.toString)
+  }
+
   test("bool parsing accepts Go strconv.ParseBool forms") {
     val lines = Seq("1", "t", "TRUE", "0", "F", "false", "zzz").toDF("value")
     val out = LogSource.parse(lines, """(?P<b__bool>\w+)""")

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.streaming.TailStream
+
+class StdinSpoolSpec extends SparkSpec {
+
+  test("spools a bounded stream into rolling files, in order, no temp litter") {
+    val dir = Files.createTempDirectory("graft-spool-unit")
+    val lines = (1 to 2500).map(i => s"line $i")
+    val in = new ByteArrayInputStream(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    StdinSpool.spool(in, dir, maxLinesPerFile = 1000).join(30000)
+    val files = dir.toFile.listFiles().sortBy(_.getName)
+    assert(files.forall(f => f.getName.startsWith("spool-") && f.getName.endsWith(".log")),
+      files.map(_.getName).mkString(","))
+    assert(files.length == 3) // 1000 + 1000 + 500
+    val replayed = files.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+    assert(replayed == lines)
+  }
+
+  test("piped input flows end-to-end: stdin spool -> tail -> windowed SQL") {
+    // the `printf ... | TailApp --stdin --once` path, minus the real
+    // process stdin: spool a byte stream, then AvailableNow over the
+    // spool dir — exactly what TailApp does with --stdin --once
+    val dir = Files.createTempDirectory("graft-spool-e2e")
+    val ckpt = Files.createTempDirectory("graft-spool-ckpt")
+    val text =
+      """2024-01-01 00:00:10 INFO 5
+        |2024-01-01 00:00:20 WARN 9
+        |2024-01-01 00:01:05 INFO 2
+        |""".stripMargin
+    StdinSpool.spool(new ByteArrayInputStream(text.getBytes("UTF-8")), dir)
+      .join(30000) // --once semantics: drain stdin fully, then run
+    val cfg = TailStream.Config(
+      dir = dir.toString,
+      pattern = """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) (?P<ms__int>\d+)""",
+      windowSizeSec = 60, tsField = Some("ts"), format = "raw",
+      sql = Some("""SELECT window_start, count(*) AS n, sum(ms) AS total_ms
+                    FROM t0 GROUP BY window_start ORDER BY window_start"""))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = TailStream.run(spark, cfg, ckpt.toString,
+      sink = s => captured.add(s), trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    assert(out == Seq("1704067200,2,14", "1704067260,1,2"), out.toString)
+  }
+}
