@@ -24,6 +24,25 @@ class StdinSpoolSpec extends SparkSpec {
     assert(replayed == lines)
   }
 
+  test("a named pipe (FIFO) spools like stdin: open blocks, lines flow, EOF ends") {
+    // the --pipe path: FileInputStream on a FIFO — writer side is an
+    // external process (here: a shell printf), reader side is the spool
+    val fifo = Files.createTempDirectory("graft-fifo").resolve("in.fifo")
+    val mk = new ProcessBuilder("mkfifo", fifo.toString).inheritIO().start()
+    assert(mk.waitFor() == 0, "mkfifo failed")
+    val writer = new ProcessBuilder("sh", "-c",
+      s"printf 'a 1\\na 2\\nb 3\\n' > $fifo").start()
+    val dir = Files.createTempDirectory("graft-fifo-spool")
+    // FileInputStream(fifo) blocks until the writer connects — same as
+    // TailApp's --pipe; run it on the spool thread's schedule
+    val in = new java.io.FileInputStream(fifo.toFile)
+    StdinSpool.spool(in, dir).join(30000)
+    assert(writer.waitFor() == 0)
+    val lines = dir.toFile.listFiles().sortBy(_.getName).flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+    assert(lines == Seq("a 1", "a 2", "b 3"), lines.toString)
+  }
+
   test("piped input flows end-to-end: stdin spool -> tail -> windowed SQL") {
     // the `printf ... | TailApp --stdin --once` path, minus the real
     // process stdin: spool a byte stream, then AvailableNow over the
