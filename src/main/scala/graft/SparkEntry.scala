@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{RollingHash, TextFunctions}
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Similarity, TextStats, Throttle, Windows}
+import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Similarity, TextStats, Throttle, Training, Windows}
 import graft.sources.LogSource
 
 /** Driver contract: every SURVEY.md §2 capability gets a `queries`
@@ -823,6 +823,54 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("in_bytes"), col("out_bytes"))
         .orderBy("doc_id")
+    }),
+
+    "p01_pack" -> ((s, dir) =>
+      // sequence packing for training: docs in doc_id order become one
+      // virtual token stream cut into 2048-token sequences; each doc
+      // reports the sequence span it lands in (distributed prefix sum,
+      // no global single-partition window — see Training.packSequences)
+      Training.packSequences(
+        T(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCountWs(col("text")).as("n_toks")),
+        "doc_id", "n_toks", seqLen = 2048L)
+        .orderBy("doc_id")),
+
+    "p02_mixture" -> ((s, dir) =>
+      // mixture sampling: resample the corpus to ~50% with srcs 0-4
+      // upweighted (8% each) and the other 15 sharing the rest — the
+      // domain-mixing step of a training-data pipeline, md5-keyed so
+      // the draw is reproducible and oracle-exact
+      Training.mixtureSample(
+        T(s, dir, "documents"), "source", "doc_id",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit(0.08))
+          .otherwise(lit(0.6) / 15.0),
+        targetFrac = 0.5)
+        .groupBy("source")
+        .agg(cnt.as("n_kept"))
+        .orderBy("source")),
+
+    "p03_shard" -> ((s, dir) =>
+      // shard assignment + deterministic pseudo-random training order:
+      // md5 digit 1 picks the shard, the remaining digits order within
+      // it — a reproducible global shuffle
+      Training.shardAssign(T(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")),
+
+    "t11_normalize" -> ((s, dir) => {
+      // text normalization pre-tokenizer: control chars to spaces, runs
+      // of whitespace collapsed, ends trimmed. Pure codegen'd regex
+      // map — a narrow pass at any scale.
+      val norm = trim(regexp_replace(
+        regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(norm).cast("long").as("n_norm"),
+          (norm =!= col("text")).cast("long").as("changed"),
+          norm.as("norm_text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1565,6 +1613,68 @@ object SparkEntry {
       """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
                 CAST(strlen(text) AS BIGINT) AS in_bytes,
                 CAST(least(strlen(text), 1024) AS BIGINT) AS out_bytes
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "p01_pack" ->
+      // the oracle computes the same packing with a plain global
+      // cumsum — fine single-node; the Spark side is the distributed
+      // prefix sum
+      """WITH tk AS (SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                         AS BIGINT) AS n_toks
+                     FROM documents),
+              c AS (SELECT doc_id, n_toks,
+                       coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                    FROM tk)
+         SELECT doc_id, n_toks,
+                CAST(cb // 2048 AS BIGINT) AS seq_start,
+                CAST((cb + n_toks - 1) // 2048 AS BIGINT) AS seq_end,
+                CAST(cb % 2048 AS BIGINT) AS seq_off
+         FROM c WHERE n_toks > 0 ORDER BY doc_id""",
+
+    "p02_mixture" ->
+      // identical IEEE64 rate math on both sides: w * (total*0.5) / n,
+      // floored once into a 5-hex-digit md5 prefix threshold
+      """WITH w AS (SELECT doc_id, source,
+                      CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                           THEN CAST(0.08 AS DOUBLE)
+                           ELSE CAST(0.6 AS DOUBLE) / CAST(15.0 AS DOUBLE) END AS w
+                    FROM documents),
+            cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n, min(w) AS w
+                   FROM w GROUP BY 1),
+            tt AS (SELECT sum(n) AS total FROM cs),
+           thr AS (SELECT source,
+                      printf('%05x', CAST(least(floor(least(
+                        w * (CAST(total AS DOUBLE) * 0.5) / CAST(n AS DOUBLE),
+                        1.0) * 1048576.0), 1048575.0) AS BIGINT)) AS t
+                   FROM cs CROSS JOIN tt)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+         FROM documents d JOIN thr ON d.source = thr.source
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < thr.t
+         GROUP BY 1 ORDER BY 1""",
+
+    "p03_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents)
+         SELECT doc_id,
+                CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
+                  AS shard,
+                CAST(row_number() OVER (
+                  PARTITION BY strpos('0123456789abcdef', substr(h, 1, 1))
+                  ORDER BY substr(h, 2), doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
+
+    "t11_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+                      trim(regexp_replace(regexp_replace(text,
+                        '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                    FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+                CAST(length(norm) AS BIGINT) AS n_norm,
+                CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+                norm AS norm_text
+         FROM n ORDER BY doc_id"""
   )
 }

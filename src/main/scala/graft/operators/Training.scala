@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly: the last mile of an LLM curation pipeline,
+  * after dedup/filter/decontaminate — pack documents into fixed-length
+  * training sequences, sample sources to a target mixture, and assign
+  * docs to shards in a deterministic pseudo-random order.
+  *
+  * All three are deterministic (md5-keyed, not rand()) so runs are
+  * reproducible and every op is oracle-checkable bit-for-bit.
+  */
+object Training {
+
+  /** Concat-and-chunk sequence packing: documents are laid out in
+    * `orderCol` order as one virtual token stream, which is cut into
+    * sequences of exactly `seqLen` tokens (GPT-style packing; a doc
+    * may span a sequence boundary). Returns, per document, the
+    * half-open span it occupies: first/last sequence index and the
+    * offset of its first token within the first sequence.
+    *
+    * Shape at scale: the global running total is a distributed prefix
+    * sum — per-range-partition local cumsum, then a prefix over the
+    * per-partition totals (one row per partition, so the single-task
+    * window on it is O(partitions), not O(rows)) broadcast-joined
+    * back. Both shuffles move only (id, n_toks) pairs — 16 bytes a
+    * row — never document text, so the op is two narrow passes at any
+    * corpus size. No global single-partition window anywhere.
+    */
+  def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
+                    seqLen: Long): DataFrame = {
+    val ranged = df.select(col(orderCol), col(nTokCol))
+      .repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_lcum",
+      sum(col(nTokCol)).over(Window.partitionBy("_pid").orderBy(orderCol)))
+    // one row per partition; the un-partitioned window here scans
+    // #partitions rows, not the corpus
+    val prefix = local.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))
+      .withColumn("_poff", coalesce(
+        sum(col("_ptot")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_ptot")
+    local.join(broadcast(prefix), "_pid")
+      .withColumn("_cb", col("_poff") + col("_lcum") - col(nTokCol))
+      .filter(col(nTokCol) > 0)
+      .select(col(orderCol), col(nTokCol),
+        expr(s"_cb div $seqLen").as("seq_start"),
+        expr(s"(_cb + $nTokCol - 1) div $seqLen").as("seq_end"),
+        (col("_cb") % seqLen).as("seq_off"))
+  }
+
+  /** Deterministic mixture sampling: downsample each source so the
+    * kept corpus approaches `targetFrac` of the input with per-source
+    * shares given by `weightExpr` (a Column of the desired mixture
+    * weight for the row's source, summing to 1 across sources).
+    * Per-source keep rate = min(1, w_s * targetFrac * N / n_s),
+    * applied as an md5-threshold filter — reproducible across runs
+    * and engines, unlike rand()-based sampling.
+    *
+    * Shape at scale: one count aggregate (bytes per source), rate
+    * math on that tiny frame, broadcast back, then a narrow filter.
+    * The corpus is scanned twice but shuffled never.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    weightExpr: Column, targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_n"), first(weightExpr).as("_w"))
+    val total = counts.agg(sum(col("_n")).as("_total"))
+    // 1048576 = 16^5: the keep threshold as a 5-hex-digit md5 prefix
+    // bound — floor'd once here so both engines compare identical
+    // strings; rate 1.0 caps at 'fffff' (keeps all but 1/2^20)
+    val thr = counts.crossJoin(broadcast(total))
+      .withColumn("_rate", least(
+        col("_w") * (col("_total").cast("double") * targetFrac)
+          / col("_n").cast("double"), lit(1.0)))
+      .withColumn("_thr", format_string("%05x",
+        least(floor(col("_rate") * 1048576.0), lit(1048575.0)).cast("long")))
+      .select(col(sourceCol), col("_thr"))
+    df.join(broadcast(thr), sourceCol)
+      .filter(substring(md5(col(idCol).cast("string")), 1, 5) < col("_thr"))
+      .drop("_thr")
+  }
+
+  /** Shard assignment + within-shard pseudo-random order: shard by
+    * the first md5 hex digit of the id (16 shards here; a real export
+    * uses O(10k), which also makes the per-shard ordering window as
+    * parallel as the cluster), position by the remaining digits — a
+    * deterministic global shuffle of training order, reproducible
+    * across runs.
+    */
+  def shardAssign(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shard = (expr(s"position(substring(md5(cast($idCol as string)), 1, 1), " +
+      "'0123456789abcdef')") - 1).cast("long")
+    df.withColumn("_h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(substring(col("_h"), 2, 31), col(idCol)))
+        .cast("long"))
+      .drop("_h")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TrainingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: spans are contiguous, exhaustive, and partition-count-independent") {
+    // 1000 docs with varying token counts; L=100
+    val docs = (1L to 1000L).map(i => (i, (i % 37) + 1)).toDF("id", "n")
+    val packed = Training.packSequences(docs, "id", "n", seqLen = 100L)
+      .orderBy("id").collect()
+    // offsets reconstruct the exact global cumsum: doc i starts where
+    // doc i-1 ended
+    var cum = 0L
+    packed.foreach { r =>
+      val (n, s0, s1, off) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s0 == cum / 100 && off == cum % 100, s"doc ${r.getLong(0)}")
+      assert(s1 == (cum + n - 1) / 100)
+      cum += n
+    }
+    // the distributed prefix sum must not depend on the partition
+    // layout of the input
+    val repart = Training.packSequences(docs.repartition(7), "id", "n", 100L)
+      .orderBy("id").collect()
+    assert(packed.map(_.toSeq).toSeq == repart.map(_.toSeq).toSeq)
+  }
+
+  test("packSequences: zero-token docs occupy no space and are dropped") {
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "n")
+    val out = Training.packSequences(docs, "id", "n", 10L).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // doc 3 starts at offset 5: the empty doc contributed nothing
+    assert(out(1).getLong(4) == 5L)
+  }
+
+  test("mixtureSample: per-source keep counts track the requested rates, deterministically") {
+    val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val w = when(col("source") === "a", lit(0.75)).otherwise(lit(0.25))
+    val kept = Training.mixtureSample(docs, "source", "doc_id", w, targetFrac = 0.5)
+    val counts = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // rate_a = 0.75*2000/2000 = 0.75, rate_b = 0.25*2000/2000 = 0.25
+    assert(math.abs(counts("a") - 1500L) < 150, counts.toString)
+    assert(math.abs(counts("b") - 500L) < 100, counts.toString)
+    // md5-keyed: the same draw twice
+    val again = Training.mixtureSample(docs, "source", "doc_id", w, 0.5)
+    assert(kept.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("mixtureSample: rate caps at 1.0 (a source below its target keeps everything but 1/2^20)") {
+    val docs = ((1L to 100L).map(i => (i, "rare")) ++
+      (101L to 2000L).map(i => (i, "common"))).toDF("doc_id", "source")
+    val w = when(col("source") === "rare", lit(0.9)).otherwise(lit(0.1))
+    // rare target = 0.9 * 1000 = 900 >> 100 present -> rate 1.0
+    val kept = Training.mixtureSample(docs, "source", "doc_id", w, 0.5)
+      .filter(col("source") === "rare").count()
+    assert(kept == 100L, s"rare kept $kept")
+  }
+
+  test("shardAssign: every doc lands in one shard, positions are dense ranks, order is reproducible") {
+    val docs = (1L to 1000L).toDF("doc_id")
+    val a = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()
+    assert(a.length == 1000)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    // positions within each shard are 1..n_shard with no gaps
+    val byShard = a.groupBy(_.getLong(1)).values
+    byShard.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // all 16 shards hit and roughly balanced on 1000 ids
+    assert(byShard.size == 16)
+    assert(byShard.map(_.length).max < 130)
+    val b = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
