@@ -173,7 +173,9 @@ object TailApp {
           .map(p => new java.io.FileInputStream(p): java.io.InputStream)
           .getOrElse(System.in)
         val th = graft.sources.StdinSpool.spool(in, d)
-        if (args.contains("--once")) th.join()
+        // bounded run: drain to EOF and refuse to process a spool a
+        // mid-stream I/O failure truncated
+        if (args.contains("--once")) th.joinAndCheck()
         Some(d.toString)
       } else None
     val followFile = a.get("follow-file")

@@ -9,18 +9,34 @@ import org.apache.spark.sql.DataFrame
   * between queries, but a long-lived user session would accumulate
   * orphaned cache entries.
   *
-  * [[sealOver]] eagerly materializes `result` with `localCheckpoint`
-  * — which also CUTS THE LINEAGE, so the returned plan no longer
+  * [[sealOver]] eagerly materializes `result` with a checkpoint —
+  * which also CUTS THE LINEAGE, so the returned plan no longer
   * references the persisted intermediates — then unpersists them.
-  * The checkpoint blocks are owned by the returned DataFrame and are
-  * reclaimed by Spark's ContextCleaner once it is unreferenced;
-  * nothing stays behind in the cache with no owner. Results sealed
-  * this way are the SMALL end of their operators (verified pair
-  * sets, candidate lists), so materializing them eagerly is cheap
-  * relative to the self-joins they conclude.
+  * Results sealed this way are the SMALL end of their operators
+  * (verified pair sets, candidate lists), so materializing them
+  * eagerly is cheap relative to the self-joins they conclude.
+  *
+  * Checkpoint flavor is chosen by durability context:
+  *
+  *  - when `SparkContext.setCheckpointDir` is set (any real cluster
+  *    run should set one), a RELIABLE `checkpoint()` writes the
+  *    sealed result to the checkpoint filesystem — executor loss
+  *    (spot kill, dynamic-allocation decommission) cannot invalidate
+  *    it, because the lineage needed to recompute it has been cut;
+  *  - otherwise `localCheckpoint()` keeps blocks on executors —
+  *    fine for local[] and tests, NOT fault-tolerant on a cluster.
+  *
+  * Callers of the sealing operators (Dedup / Similarity pair and
+  * candidate entry points) should note both tradeoffs: sealing runs
+  * a Spark job eagerly at operator-construction time (not at first
+  * action, unlike a plain lazy DataFrame), and without a checkpoint
+  * dir the sealed result is only as durable as its executors.
   */
 private[graft] object Caching {
   def sealOver(result: DataFrame, cached: DataFrame*): DataFrame =
-    try result.localCheckpoint(eager = true)
-    finally cached.foreach { df => df.unpersist(); () }
+    try {
+      val sc = result.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isDefined) result.checkpoint(eager = true)
+      else result.localCheckpoint(eager = true)
+    } finally cached.foreach { df => df.unpersist(); () }
 }

@@ -63,11 +63,24 @@ object Training {
     * Shape at scale: one count aggregate (bytes per source), rate
     * math on that tiny frame, broadcast back, then a narrow filter.
     * The corpus is scanned twice but shuffled never.
+    *
+    * `weightExpr` must be a pure function of `sourceCol` (one weight
+    * per source). That contract is ENFORCED: the aggregate takes
+    * min and max of the weight per source and fails the job if they
+    * differ, rather than silently picking an arbitrary row's value
+    * (`first()` would) and breaking reproducibility.
     */
   def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
                     weightExpr: Column, targetFrac: Double): DataFrame = {
     val counts = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("_n"), first(weightExpr).as("_w"))
+      .agg(count(lit(1)).as("_n"),
+        min(weightExpr).as("_w"), max(weightExpr).as("_wmax"))
+      .withColumn("_w",
+        when(col("_w") === col("_wmax"), col("_w"))
+          .otherwise(raise_error(concat(
+            lit("mixtureSample: weightExpr is not constant within source "),
+            col(sourceCol).cast("string")))))
+      .drop("_wmax")
     val total = counts.agg(sum(col("_n")).as("_total"))
     // 1048576 = 16^5: the keep threshold as a 5-hex-digit md5 prefix
     // bound — floor'd once here so both engines compare identical

@@ -150,14 +150,18 @@ class FollowFileMicroBatchStream(path: String, seekToEnd: Boolean,
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val start = startOffset.asInstanceOf[FollowOffset]
     val rawLen = fileLength()
-    // rotation detection looks at the REAL file; the AvailableNow
-    // target only bounds how far this run is willing to read
-    val len = availableNowTarget.fold(rawLen)(t => math.min(rawLen, t))
     if (rawLen < start.pos) {
       // shrunk below the committed position: rotated or truncated —
-      // reopen from byte 0 under a fresh epoch
-      floored(FollowOffset(start.epoch + 1, 0L), len)
+      // reopen from byte 0 under a fresh epoch. The AvailableNow
+      // target was captured against the OLD file; "everything
+      // available now" for the rest of the drain is the new file's
+      // current length, so recapture it for the new epoch.
+      availableNowTarget = availableNowTarget.map(_ => rawLen)
+      floored(FollowOffset(start.epoch + 1, 0L), rawLen)
     } else {
+      // rotation detection looks at the REAL file; the AvailableNow
+      // target only bounds how far this run is willing to read
+      val len = availableNowTarget.fold(rawLen)(t => math.min(rawLen, t))
       floored(start, len)
     }
   }

@@ -60,6 +60,19 @@ class TrainingSpec extends SparkSpec {
     assert(kept == 100L, s"rare kept $kept")
   }
 
+  test("mixtureSample: a weight that varies WITHIN a source fails loudly, not silently") {
+    val docs = (1L to 100L).map(i => (i, "a")).toDF("doc_id", "source")
+    // weight depends on the row, not the source — violates the
+    // documented contract; first() would silently pick one row's value
+    val badW = when(col("doc_id") % 2 === 0, lit(0.9)).otherwise(lit(0.1))
+    val ex = intercept[Exception] {
+      Training.mixtureSample(docs, "source", "doc_id", badW, 0.5).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("not constant within source"), messages(ex))
+  }
+
   test("shardAssign: every doc lands in one shard, positions are dense ranks, order is reproducible") {
     val docs = (1L to 1000L).toDF("doc_id")
     val a = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()

@@ -96,6 +96,31 @@ class FollowFileSpec extends SparkSpec {
     assert(out.map(_._2) == (1 to 50).map(_.toLong), out.toString)
   }
 
+  test("AvailableNow target refreshes when the file rotates mid-drain (unit)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import FollowFile.FollowOffset
+    val f = Files.createTempFile("graft-anrot", ".log").toFile
+    def put(n: Int): Unit = // n lines of exactly 10 bytes
+      Files.write(f.toPath, ("AAAAAAAAA\n" * n).getBytes("UTF-8"))
+    put(10) // 100 bytes
+    val s = new FollowFileMicroBatchStream(f.getAbsolutePath,
+      seekToEnd = false, maxBytesPerTrigger = None)
+    s.prepareForTriggerAvailableNow() // target frozen at 100
+    assert(s.latestOffset(FollowOffset(0, 0), ReadLimit.allAvailable())
+      == FollowOffset(0, 100))
+    // rotate mid-drain: the new file is 40 bytes — the drain target
+    // must refresh to the NEW epoch's length, not stay pinned to the
+    // old file's 100
+    put(4)
+    assert(s.latestOffset(FollowOffset(0, 100), ReadLimit.allAvailable())
+      == FollowOffset(1, 40))
+    // appends AFTER the rotation snapshot are next run's data: the
+    // goalpost stays frozen so the AvailableNow run still terminates
+    put(7)
+    assert(s.latestOffset(FollowOffset(1, 40), ReadLimit.allAvailable())
+      == FollowOffset(1, 40))
+  }
+
   test("offsets floor to line ends (unit): no newline in range -> no advance") {
     val f = Files.createTempFile("graft-floor", ".log").toFile
     Files.write(f.toPath, "abc\ndefgh".getBytes("UTF-8"))

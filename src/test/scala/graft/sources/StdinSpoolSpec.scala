@@ -43,6 +43,64 @@ class StdinSpoolSpec extends SparkSpec {
     assert(lines == Seq("a 1", "a 2", "b 3"), lines.toString)
   }
 
+  test("a writer stalled MID-LINE does not hold complete lines hostage") {
+    val dir = Files.createTempDirectory("graft-spool-stall")
+    val out = new java.io.PipedOutputStream()
+    val in = new java.io.PipedInputStream(out, 64 * 1024)
+    val sp = StdinSpool.spool(in, dir, maxLinesPerFile = 1000)
+    // two complete lines, then a partial one with NO newline — the
+    // writer stalls here
+    out.write("done 1\ndone 2\npart".getBytes("UTF-8"))
+    out.flush()
+    // the spool must publish the two complete lines once input goes
+    // idle, even though readLine-style consumption would block on the
+    // partial third
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def published(): Seq[String] =
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".log")).sortBy(_.getName)
+        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+    while (published().size < 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(published() == Seq("done 1", "done 2"), published().toString)
+    // the stalled line completes: it arrives whole, nothing dropped
+    out.write("ial done\n".getBytes("UTF-8"))
+    out.close()
+    sp.join(30000)
+    assert(sp.failure.isEmpty, sp.failure.toString)
+    assert(published() == Seq("done 1", "done 2", "partial done"))
+  }
+
+  test("a mid-stream failure is recorded and joinAndCheck fails the bounded run") {
+    val dir = Files.createTempDirectory("graft-spool-fail")
+    // stream that delivers one full line then dies with a non-IO error
+    // (read-side IOException is normal pipe teardown = EOF; anything
+    // else must surface instead of silently truncating the input)
+    val in = new java.io.InputStream {
+      private val data = "good line\nbad".getBytes("UTF-8")
+      private var i = 0
+      override def read(): Int =
+        if (i < data.length) { val b = data(i); i += 1; b & 0xff }
+        else throw new RuntimeException("upstream exploded")
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (i < data.length) {
+          val n = math.min(len, data.length - i)
+          System.arraycopy(data, i, b, off, n); i += n; n
+        } else throw new RuntimeException("upstream exploded")
+      override def available(): Int = data.length - i
+    }
+    val sp = StdinSpool.spool(in, dir)
+    sp.join(30000)
+    assert(sp.failure.isDefined)
+    val ex = intercept[java.io.IOException](sp.joinAndCheck(1000))
+    assert(ex.getMessage.contains("partial input"), ex.getMessage)
+    // what WAS complete before the failure is still published (with
+    // the trailing partial, readLine parity), so ops can inspect it
+    val lines = dir.toFile.listFiles().sortBy(_.getName).flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+    assert(lines == Seq("good line", "bad"), lines.toString)
+  }
+
   test("piped input flows end-to-end: stdin spool -> tail -> windowed SQL") {
     // the `printf ... | TailApp --stdin --once` path, minus the real
     // process stdin: spool a byte stream, then AvailableNow over the
