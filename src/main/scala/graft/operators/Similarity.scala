@@ -106,74 +106,143 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the classic scale path next to LSH.
     *
-    * Coarse quantizer: `nlist` centroids sampled deterministically
+    * Coarse quantizer: `nlist` centroids seeded deterministically
     * from the corpus itself (lowest xxhash64(id) — a uniform
     * pseudo-random sample with no driver-side RNG to ship), then
     * tightened by `refineIters` Lloyd passes (assign + re-center on
     * the list mean), which is what turns arbitrary seed points into a
-    * quantizer whose lists actually partition the space. Corpus
-    * rows are assigned to their nearest centroid in ONE broadcast
-    * pass; queries probe their `nprobe` nearest centroids and scan
-    * only those inverted lists. Candidate work per query is
-    * ~|corpus| * nprobe / nlist instead of |corpus|.
+    * quantizer whose lists actually partition the space.
     *
-    * At 100 TB: the assignment pass is a narrow map (centroids are a
-    * broadcast table), the probe join shuffles only on centroid id,
-    * and each inverted list is a normal partition-parallel scan.
+    * The quantizer TRAINS ON THE DRIVER over a bounded hash-sample
+    * (`trainCap` rows — the same move FAISS makes: k-means converges
+    * on a sample held in RAM; `trainCap` × dims doubles is the
+    * explicit memory bound). One distributed top-`trainCap` selection
+    * fetches the sample; the Lloyd loop is then local arithmetic —
+    * zero cluster round-trips per pass — and fully deterministic
+    * (fixed iteration order, no partitioning in sight). Only the
+    * ASSIGNMENT touches every corpus row, and that is one narrow
+    * broadcast-style map: small quantizers embed as codegen literals,
+    * large ones ride a broadcast join. Queries probe their `nprobe`
+    * nearest centroids and scan only those inverted lists — candidate
+    * work per query is ~|corpus| * nprobe / nlist instead of |corpus|.
+    *
+    * At 100 TB: the sample fetch is a distributed top-K (no full
+    * sort), the assignment pass is narrow, the probe join shuffles
+    * only on centroid id, and each inverted list is a normal
+    * partition-parallel scan.
     */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nlist: Int = 64, nprobe: Int = 4,
-              refineIters: Int = 1, spill: Int = 1): DataFrame = {
-    def nearest(df: DataFrame, cents: DataFrame, id: String, vec: String,
-                nrm: Column, take: Int) = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("_cent_cos").desc, col("_cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("_cent_cos",
-          VecDot.dot(col(vec), col("_cent_vec")) / (nrm * col("_cent_nrm")))
-        .withColumn("_cent_rank", row_number().over(w))
-        .filter(col("_cent_rank") <= take)
-        .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank")
+              refineIters: Int = 1, spill: Int = 1,
+              trainCap: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val spark = corpus.sparkSession
+    require(trainCap >= nlist, s"trainCap=$trainCap must cover nlist=$nlist")
+
+    // training sample: the trainCap lowest-hash rows — deterministic,
+    // uniform, fetched with one distributed top-K (TakeOrdered)
+    val trainRows = corpus
+      .select(col(corpusId).as("_id"),
+        col(corpusVec).cast("array<double>").as("_v"),
+        xxhash64(col(corpusId)).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(trainCap)
+      .collect()
+    val trainVecs: Array[Array[Double]] =
+      trainRows.map(_.getSeq[Double](1).toArray)
+    val dims = if (trainVecs.isEmpty) 0 else trainVecs(0).length
+
+    def l2(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
     }
 
-    var cents = corpus
-      .withColumn("_h", xxhash64(col(corpusId)))
-      .orderBy(col("_h"), col(corpusId))
-      .limit(nlist)
-      .select(col(corpusId).as("_cent_id"), col(corpusVec).as("_cent_vec"),
-        norm(col(corpusVec)).as("_cent_nrm"))
+    // seeds = first nlist sample rows (already in hash order); Lloyd
+    // re-centers each list on its member mean. Ties in the local
+    // assignment break on centroid POSITION, which is seed-hash order
+    // — the same deterministic-order principle as the SQL id
+    // tie-break, and exact ties are measure-zero for float cosines.
+    case class Cent(id: Any, vec: Array[Double], nrm: Double)
+    var cents: Array[Cent] = trainRows.take(nlist)
+      .map(r => Cent(r.get(0), r.getSeq[Double](1).toArray, l2(r.getSeq[Double](1).toArray)))
 
-    // Lloyd refinement: hash-sampled seeds are arbitrary corpus points,
-    // so lists are lopsided; each pass re-centers every list on the
-    // element-wise mean of its members (decimal-summed — bit-identical
-    // under any partitioning, so probe choices are deterministic).
-    // One pass = one broadcast assign + one (list, pos) shuffle; lists
-    // that capture no members drop out (standard k-means behavior).
     for (_ <- 0 until refineIters) {
-      val assigned = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
-        cents, corpusId, corpusVec, col("_cnrm"), 1)
-      cents = assigned
-        .select(col("_cent_id"), posexplode(col(corpusVec)).as(Seq("_pos", "_x")))
-        .groupBy(col("_cent_id"), col("_pos"))
-        .agg((sum(col("_x").cast("double").cast("decimal(28,12)")).cast("double")
-          / count(lit(1)).cast("double")).as("_m"))
-        .groupBy(col("_cent_id"))
-        .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
-        .select(col("_cent_id"),
-          expr("transform(_pm, s -> s._m)").as("_cent_vec"))
-        .withColumn("_cent_nrm", norm(col("_cent_vec")))
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      var t = 0
+      while (t < trainVecs.length) {
+        val v = trainVecs(t)
+        val vn = l2(v)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cos = dotd(v, cents(c).vec) / (vn * cents(c).nrm)
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dims) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        t += 1
+      }
+      // empty lists drop out (standard k-means behavior)
+      cents = cents.indices.iterator.filter(counts(_) > 0).map { c =>
+        val m = sums(c).map(_ / counts(c))
+        Cent(cents(c).id, m, l2(m))
+      }.toArray
     }
+
+    val idType = corpus.schema(corpusId).dataType
+    def centFrame(): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(cents.map(c => Row(c.id, c.vec.toSeq, c.nrm)): _*),
+      StructType(Seq(StructField("_cent_id", idType),
+        StructField("_cent_vec", ArrayType(DoubleType)),
+        StructField("_cent_nrm", DoubleType))))
+
+    /** Top-`take` nearest centroids per row. Small quantizers embed as
+      * LITERALS: score + sort happen in-row, one narrow codegen map —
+      * no crossJoin blow-up, no per-row window shuffle. Large
+      * quantizers (nlist beyond expression-tree size) fall back to a
+      * broadcast join + per-row top-take window.
+      */
+    def assign(df: DataFrame, vec: String, nrm: Column, take: Int): DataFrame =
+      if (cents.length <= 128) {
+        val scoredArr = array(cents.map(c => struct(
+          (-(VecDot.dot(col(vec), lit(c.vec)) / (nrm * lit(c.nrm)))).as("_negcos"),
+          lit(c.id).as("_cid"))): _*)
+        df.withColumn("_cand", explode(slice(sort_array(scoredArr), 1, take)))
+          .withColumn("_cent_id", col("_cand._cid"))
+          .drop("_cand")
+      } else {
+        df.withColumn("_rowid", monotonically_increasing_id())
+          .crossJoin(broadcast(centFrame()))
+          .withColumn("_cent_cos",
+            VecDot.dot(col(vec), col("_cent_vec")) / (nrm * col("_cent_nrm")))
+          .withColumn("_cent_rank", row_number().over(
+            Window.partitionBy(col("_rowid"))
+              .orderBy(col("_cent_cos").desc, col("_cent_id"))))
+          .filter(col("_cent_rank") <= take)
+          .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank", "_rowid")
+      }
 
     // `spill` > 1 = assignment replication: each corpus vector joins
     // its top-`spill` lists, so a neighbor sitting just across a
     // Voronoi boundary from the query's probed cells is still found.
     // Costs spill× list storage/scan — the classic IVF recall lever
     // next to nprobe (refinement keeps take=1: true Lloyd k-means).
-    val c = nearest(corpus.withColumn("_cnrm", norm(col(corpusVec))),
-      cents, corpusId, corpusVec, col("_cnrm"), spill)
-    val q = nearest(queries.withColumn("_qnrm", norm(col(queryVec))),
-      cents, queryId, queryVec, col("_qnrm"), nprobe)
+    val c = assign(corpus.withColumn("_cnrm", norm(col(corpusVec))),
+      corpusVec, col("_cnrm"), spill)
+    val q = assign(queries.withColumn("_qnrm", norm(col(queryVec))),
+      queryVec, col("_qnrm"), nprobe)
 
     val scored = c.join(broadcast(q), "_cent_id")
       .withColumn("cos",
