@@ -871,6 +871,69 @@ object SparkEntry {
           (norm =!= col("text")).cast("long").as("changed"),
           norm.as("norm_text"))
         .orderBy("doc_id")
+    }),
+
+    "t12_boilerplate" -> ((s, dir) => {
+      // C4-style repeated-line scrub. The corpus has single-line docs,
+      // so the fixture FRAMES each one the way a crawl page arrives:
+      // a banner every page shares, the body, a footer shared by half
+      // the corpus, and a per-doc line. The operator must strip
+      // exactly the first two classes (>= minDocs docs) and keep the
+      // body and unique footer, reassembled in order.
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("subscribe to our newsletter\n"),
+        col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0, lit("all rights reserved"))
+          .otherwise(lit("thanks for reading")),
+        lit("\nref "), col("doc_id")).as("text"))
+      TextStats.stripRepeatedLines(framed, "doc_id", "text", minDocs = 100L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t13_unigram_logprob" -> ((s, dir) =>
+      // unigram-LM quality score (KenLM-perplexity stand-in): mean
+      // log-prob of each doc's tokens under the corpus's own unigram
+      // distribution; per-token log-probs rounded then decimal-summed
+      // so the mean is partitioning-independent and oracle-exact
+      TextStats.unigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "d13_url_canon" -> ((s, dir) => {
+      // URL canonicalization + dedup, the crawl-side twin of d01: two
+      // surface forms per target (scheme/host case, default port, www,
+      // trailing slash) plus tracking params and fragments, collapsed
+      // to one canonical URL; keep-first, count variants
+      val urls = T(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 3 === 0,
+            concat(lit("HTTP://WWW.Example.COM:80/articles/item-"),
+              col("doc_id") % 100, lit("/")))
+          .otherwise(concat(lit("http://example.com/articles/item-"),
+            col("doc_id") % 100)),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&ref=home"))
+          .otherwise(lit("?ref=home")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+      urls
+        .withColumn("canon_url", TextFunctions.canonicalizeUrl(col("url")))
+        .groupBy("canon_url")
+        .agg(min(col("doc_id")).as("keep_id"), cnt.as("n_variants"))
+        .orderBy("canon_url")
+    }),
+
+    "d14_cross_dedup" -> ((s, dir) => {
+      // dedupe the NEW crawl against the EXISTING training set: every
+      // 10th doc plays the existing corpus; incoming docs near any of
+      // them (banded md5 MinHash -> exact-jaccard verify) are flagged.
+      // Unlike d02/d11's self-join this is an incoming x existing band
+      // join — existing-vs-existing pairs never form.
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      Dedup.crossNearDupPortable(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+        .orderBy("doc_id", "matched_id")
     })
   )
 
@@ -1675,6 +1738,104 @@ object SparkEntry {
                 CAST(length(norm) AS BIGINT) AS n_norm,
                 CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
                 norm AS norm_text
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+
+    "t12_boilerplate" ->
+      """WITH framed AS (SELECT doc_id,
+               'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+                    ELSE 'thanks for reading' END ||
+               chr(10) || 'ref ' || doc_id AS text
+             FROM documents),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM framed),
+            lines AS (SELECT doc_id, a[i] AS line, i
+                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                            FROM ls)),
+            freq AS (SELECT line FROM (
+                       SELECT line, count(DISTINCT doc_id) AS nd
+                       FROM lines GROUP BY 1) WHERE nd >= 100),
+            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1),
+            kept AS (SELECT doc_id, line, i FROM lines
+                     WHERE line NOT IN (SELECT line FROM freq))
+         SELECT k.doc_id,
+                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
+         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    "t13_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+            tt AS (SELECT sum(n) AS total FROM vocab)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                round(CAST(sum(CAST(round(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                        AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
+         FROM tk JOIN vocab USING (tok) CROSS JOIN tt
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "d13_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'HTTP://WWW.Example.COM:80/articles/item-' || (doc_id % 100) || '/'
+                    ELSE 'http://example.com/articles/item-' || (doc_id % 100) END ||
+               CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=home'
+                    ELSE '?ref=home' END ||
+               CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+             FROM documents),
+            c AS (SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+               regexp_replace(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+             FROM u),
+            c2 AS (SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http'
+                    THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
+                    WHEN scheme = 'https'
+                    THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
+                    ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
+               path,
+               array_to_string(list_filter(string_split(q, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|fbclid|gclid)(=|$)')), '&') AS qs
+             FROM c)
+         SELECT scheme || '://' || host || path ||
+                CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url,
+                min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
+         FROM c2 GROUP BY 1 ORDER BY 1""",
+
+    "d14_cross_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            sigs AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+            bands AS (SELECT doc_id, i // 2 AS band,
+                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
+                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
+                      FROM sigs GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                     WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT c.id1, c.id2, count(*) AS n
+                      FROM cand c
+                      JOIN sh a ON a.doc_id = c.id1
+                      JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+                      GROUP BY 1, 2)
+         SELECT id1 AS doc_id, id2 AS matched_id,
+                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
+         ORDER BY doc_id, matched_id"""
   )
 }

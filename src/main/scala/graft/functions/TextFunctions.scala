@@ -131,4 +131,35 @@ object TextFunctions {
       4
     )
   }
+
+  /** URL canonicalization for crawl dedup — the normalization CommonCrawl
+    * pipelines apply before "same page, different link" dedup:
+    *
+    *  - scheme and host lowercased; a leading `www.` dropped;
+    *  - default ports stripped (`:80` for http, `:443` for https);
+    *  - trailing slashes removed from the path;
+    *  - tracking parameters (`utm_*`, `fbclid`, `gclid`) dropped from
+    *    the query string, remaining params kept in original order;
+    *  - the fragment discarded.
+    *
+    * Pure regexp/array expression chain — codegen'd, narrow, and
+    * reproducible verbatim in the oracle's SQL dialect.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = filter(split(rawQuery, "&"), p =>
+      (p =!= lit("")) && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val query = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, query)
+  }
 }

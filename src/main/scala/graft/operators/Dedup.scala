@@ -320,6 +320,61 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus near-dedup: flag INCOMING documents that are near
+    * duplicates of any EXISTING document — the "dedupe the new crawl
+    * against everything already in the training set" step, where a
+    * self-join is the wrong shape because existing-vs-existing pairs
+    * are not wanted.
+    *
+    * Same sublinear chain as the portable MinHash self-dedup (k=8 md5
+    * signatures, 4 bands of r=2), but the band join is incoming ×
+    * existing: candidates form only where a band bucket holds docs
+    * from BOTH corpora, then the exact jaccard verifies candidates
+    * only. The md5 family keeps every stage oracle-expressible.
+    *
+    * At 100 TB: each side shuffles (id, band, bkey) triples — 40-ish
+    * bytes a row, never text; the verify join touches candidate pairs
+    * only. Output: (doc_id, matched_id, jaccard) for every incoming
+    * doc × existing doc pair at or above `minJaccard`.
+    */
+  def crossNearDupPortable(incoming: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3,
+                           minJaccard: Double = 0.5): DataFrame = {
+    def portableBands(df: DataFrame): (DataFrame, DataFrame) = {
+      val sh = shingles(df, idCol, textCol, shingleN)
+      val sigs = sh
+        .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
+        .groupBy("id", "i")
+        .agg(min(md5(concat(col("i"), lit(":"), col("shingle")))).as("sig"))
+      val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
+        .agg(md5(concat(
+          min(when(col("i") % 2 === 0, col("sig"))),
+          min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+      (sh, bands)
+    }
+    val (shIn, bandsIn) = portableBands(incoming)
+    val (shEx, bandsEx) = portableBands(existing)
+    val cand = bandsIn.as("a").join(bandsEx.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val szIn = shIn.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val szEx = shEx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shIn.select(col("id").as("id1"), col("shingle").as("s1")), "id1")
+      .join(shEx.select(col("id").as("id2"), col("shingle").as("s2")), "id2")
+      .filter(col("s1") === col("s2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n"))
+    inter
+      .join(szIn.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(szEx.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .withColumn("jaccard",
+        col("n").cast("double") / (col("sz1") + col("sz2") - col("n")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id1").as("doc_id"), col("id2").as("matched_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signatures: the variable-length shingle string is hashed
     * ONCE (xxhash64), then [[graft.functions.MinHashAgg]] — a custom
     * mergeable TypedImperativeAggregate — folds the base hash through

@@ -35,4 +35,71 @@ object TextStats {
         round(col("top_tok_frac"), 6).as("top_tok_frac"),
         round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"))
   }
+
+  /** C4-style boilerplate removal: drop every LINE that occurs in at
+    * least `minDocs` distinct documents (nav menus, cookie banners,
+    * copyright footers — the text that repeats across a crawl), then
+    * reassemble each document from its surviving lines in order.
+    *
+    * Shape at scale: explode to (doc, pos, line), count distinct docs
+    * per line (two-phase aggregate — map-side partials collapse the
+    * repeats that make a line boilerplate in the first place), then an
+    * anti-join against the frequent-line set. That set is bounded by
+    * total_lines / minDocs — small by construction — so it BROADCASTS;
+    * the corpus-side pass stays narrow. Reassembly is one doc-id
+    * shuffle (array_sort over (pos, line) structs, then join).
+    * Output: (id, text_clean, n_kept, n_dropped); documents whose
+    * every line was boilerplate drop out entirely (nothing remains).
+    */
+  def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                         minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("line"))
+    val totals = lines.groupBy(col("id")).agg(count(lit(1)).as("_n_tot"))
+    lines.join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), "\n").as("text_clean"),
+        count(lit(1)).as("_n_kept"))
+      .join(totals, "id")
+      .select(col("id"), col("text_clean"),
+        col("_n_kept").cast("long").as("n_kept"),
+        (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
+  }
+
+  /** Unigram language-model quality score: mean log-probability of a
+    * document's tokens under the corpus's own unigram distribution —
+    * the cheap stand-in for a KenLM perplexity filter. Gibberish and
+    * rare-token spam score low; fluent text built from common tokens
+    * scores high.
+    *
+    * Shape at scale: one token explode feeds both the vocabulary count
+    * and the scoring join. The vocabulary is Zipf-bounded (far smaller
+    * than the corpus) and the join key is the token, so partial
+    * aggregation carries the weight; per-token log-probs are rounded
+    * then DECIMAL-summed so the per-doc mean is order-independent —
+    * bit-identical under any partitioning, and against the oracle.
+    * Output: (id, n_toks, mean_logprob).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_n"))
+    val total = vocab.agg(sum(col("_n")).as("_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("_lp",
+        round(log(col("_n").cast("double") / col("_total").cast("double")), 6)
+          .cast("decimal(24,8)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_toks"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
+  }
 }

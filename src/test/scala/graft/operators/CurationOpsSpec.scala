@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Round-7 curation operators: boilerplate line removal, unigram-LM
+  * quality scoring, URL canonicalization, cross-corpus near-dedup.
+  */
+class StripRepeatedLinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lines in >= minDocs docs are stripped; unique lines survive in order") {
+    val docs = (1L to 10L).map(i =>
+      (i, s"shared banner\nbody of doc $i\nunique tail $i")).toDF("id", "text")
+    val out = TextStats.stripRepeatedLines(docs, "id", "text", minDocs = 5L)
+      .orderBy("id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == s"body of doc $id\nunique tail $id")
+      assert(r.getLong(2) == 2L && r.getLong(3) == 1L) // kept 2, dropped 1
+    }
+  }
+
+  test("a doc that is ALL boilerplate drops out entirely") {
+    val docs = ((1L to 6L).map(i => (i, s"same line\nown $i")) :+ (7L, "same line"))
+      .toDF("id", "text")
+    val out = TextStats.stripRepeatedLines(docs, "id", "text", minDocs = 6L)
+    assert(out.filter(col("id") === 7L).count() == 0)
+    assert(out.count() == 6)
+  }
+
+  test("threshold is DISTINCT docs, not occurrences") {
+    // one doc repeats a line 10 times; that is 1 distinct doc, not 10
+    val docs = Seq((1L, Seq.fill(10)("echo echo").mkString("\n") + "\nkeep 1"),
+      (2L, "other\nkeep 2")).toDF("id", "text")
+    val out = TextStats.stripRepeatedLines(docs, "id", "text", minDocs = 2L)
+      .orderBy("id").collect()
+    assert(out(0).getString(1).linesIterator.count(_ == "echo echo") == 10)
+  }
+}
+
+class UnigramLogProbSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scores equal hand-computed unigram log-probs, rare tokens score lower") {
+    // corpus: "a" x3, "b" x2, "z" x1 -> total 6
+    val docs = Seq((1L, "a a a"), (2L, "b b z")).toDF("id", "text")
+    val out = TextStats.unigramLogProb(docs, "id", "text")
+      .orderBy("id").collect()
+    def lp(n: Int) = BigDecimal(math.log(n / 6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((lp(3) * 3) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = ((lp(2) * 2 + lp(1)) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 3L)
+    assert(math.abs(out(0).getDouble(2) - exp1.toDouble) < 1e-9, out(0).toString)
+    assert(math.abs(out(1).getDouble(2) - exp2.toDouble) < 1e-9, out(1).toString)
+    assert(out(1).getDouble(2) < out(0).getDouble(2)) // rare tokens -> lower score
+  }
+
+  test("deterministic under repartitioning (decimal-summed mean)") {
+    val docs = (1L to 50L).map(i => (i, s"tok$i common common word$i"))
+      .toDF("id", "text")
+    val a = TextStats.unigramLogProb(docs.repartition(1), "id", "text")
+      .orderBy("id").collect().toSeq
+    val b = TextStats.unigramLogProb(docs.repartition(17), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
+
+class CanonicalizeUrlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toSeq.toDF("url")
+      .select(TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("case, www, default port, trailing slash, tracking params, fragment") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/A/B/?utm_source=x&q=1#frag",
+      "http://example.com/A/B?q=1",
+      "HTTPS://example.com:443/",
+      "https://example.com",
+      "https://Example.com:8443/p/?fbclid=abc&gclid&x=2"
+    ) == Seq(
+      "http://example.com/A/B?q=1",
+      "http://example.com/A/B?q=1",
+      "https://example.com",
+      "https://example.com",
+      "https://example.com:8443/p?x=2" // non-default port kept
+    ))
+  }
+
+  test("params other than tracking keep their original order") {
+    assert(canon("http://h/p?b=2&utm_campaign=c&a=1") == Seq("http://h/p?b=2&a=1"))
+  }
+}
+
+class CrossNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags incoming docs near an existing doc; never existing-vs-existing") {
+    val mk = (extra: String) => s"alpha beta gamma delta epsilon zeta eta theta $extra"
+    val existing = Seq((100L, mk("one")), (101L, "totally different words here " +
+      "nothing shared with others at all")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, mk("two")),          // near dup of 100
+      (2L, mk("one")),          // exact text of 100's shape
+      (3L, "unrelated corpus entry with its own vocabulary set entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossNearDupPortable(incoming, existing, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L), out.mkString(","))
+    assert(out.forall(_.getLong(1) == 100L))
+    // jaccard of the exact-shape twin is higher than the near dup's
+    val j = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(j(2L) > j(1L))
+  }
+}
