@@ -71,16 +71,23 @@ object Bench {
     // decimals until it fits.
     def num(dec: Int, v: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(dec, v) }
-        .mkString("{", ",", "}")
+    // Per-query keys shrink to their unique prefix (q01_agg -> q01)
+    // once the full-name line would overflow the window — losing the
+    // breakdown entirely is worse than losing the suffixes.
+    def line(dec: Int, short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + num(dec, v)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1900)
+    val out = Seq((3, false), (2, false), (3, true), (2, true), (1, true))
+      .map { case (d, s) => line(d, s) }.find(_.length <= 1900)
       .getOrElse {
         // the driver would otherwise lose the whole per-query
         // breakdown; stderr is outside its parsed stdout window
-        System.err.println(s"[bench] breakdown too long for stdout window: ${line(1)}")
+        System.err.println(
+          s"[bench] breakdown too long for stdout window: ${line(1, short = false)}")
         s"""{"metric":"total","value":${num(3, total)},"unit":"sec","sf":"$sfDir"}"""
       }
     spark.stop()

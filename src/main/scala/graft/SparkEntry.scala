@@ -545,6 +545,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("pos"), col("code"), col("scale"))
         .orderBy("vec_id", "pos")),
 
+    "s08_random_projection" -> ((s, dir) =>
+      // deterministic SRP 64 -> 16 dims (md5-parity signs, decimal
+      // sums): the dimensionality-reduction front of an embedding
+      // pipeline, bit-identical across engines
+      Similarity.randomProjection(T(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("id").as("vec_id"), col("j"), col("proj"))
+        .orderBy("vec_id", "j")),
+
+    "p04_source_quota" -> ((s, dir) =>
+      // cap any one source's contribution (md5-ordered keep, not
+      // arrival-ordered): no giant domain dominates the corpus
+      Training.sourceQuota(T(s, dir, "documents"), "source", "doc_id", 30L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     "s04_centroids" -> ((s, dir) =>
       Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
@@ -1586,6 +1601,25 @@ object SparkEntry {
                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 'sum')), 6) AS l2
          FROM embeddings ORDER BY vec_id""",
+
+    "s08_random_projection" ->
+      """WITH sj AS (SELECT vec_id, j, embedding FROM embeddings
+                     CROSS JOIN (SELECT unnest(range(16)) AS j))
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+                round(list_aggregate(list_transform(range(len(embedding)),
+                  i -> CAST(embedding[i + 1] AS DOUBLE) *
+                       (CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
+         FROM sj ORDER BY vec_id, j""",
+
+    "p04_source_quota" ->
+      """WITH r AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+             FROM documents)
+         SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
 
     "t07_redact" ->
       """SELECT doc_id,

@@ -97,6 +97,27 @@ object Training {
       .drop("_thr")
   }
 
+  /** Per-source quota: keep at most `maxPerSource` documents from each
+    * source, chosen by deterministic md5 order (not arrival order, so
+    * the kept subset is unbiased and reproducible). The crawl-curation
+    * counterpart of mixture sampling when the target is an absolute
+    * cap ("no domain contributes more than K docs"), the standard
+    * guard against a single giant domain dominating the corpus.
+    *
+    * Shape at scale: one shuffle on the source key for the per-source
+    * rank window; rows carry (source, id) plus payload — no second
+    * pass, no driver state. A skewed mega-source makes a hot window
+    * partition; for those, pre-filtering with an md5-threshold (the
+    * mixtureSample trick) before ranking bounds the skew.
+    */
+  def sourceQuota(df: DataFrame, sourceCol: String, idCol: String,
+                  maxPerSource: Long): DataFrame =
+    df.withColumn("_qr", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("_qr") <= maxPerSource)
+      .drop("_qr")
+
   /** Shard assignment + within-shard pseudo-random order: shard by
     * the first md5 hex digit of the id (16 shards here; a real export
     * uses O(10k), which also makes the per-shard ordering window as

@@ -99,6 +99,70 @@ class CanonicalizeUrlSpec extends SparkSpec {
   }
 }
 
+class SourceQuotaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("caps each source at maxPerSource, md5-ordered, reproducible") {
+    val docs = ((1L to 100L).map(i => (i, "big")) ++ (101L to 110L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Training.sourceQuota(docs, "source", "doc_id", 25L)
+    val counts = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 25L, "small" -> 10L)) // under-cap source untouched
+    // the SAME 25 every run: md5 order, not arrival/partition order
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Training.sourceQuota(docs.repartition(13), "source", "doc_id", 25L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
+
+class RandomProjectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("projects to outDims signed sums; deterministic under repartitioning") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i * 31 + d).toFloat / 100f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(vecs, "vec_id", "embedding", 4)
+    assert(out.count() == 40 * 4)
+    val a = out.orderBy("id", "j").collect().toSeq
+    val b = Similarity.randomProjection(vecs.repartition(7), "vec_id", "embedding", 4)
+      .orderBy("id", "j").collect().toSeq
+    assert(a == b)
+  }
+
+  test("matches a hand-computed projection for one vector") {
+    val v = Array(1.0f, 2.0f, 4.0f)
+    val out = Similarity.randomProjection(
+        Seq((1L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding", 2)
+      .orderBy("j").collect().map(_.getDouble(2))
+    def sgn(i: Int, j: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      val digit = Integer.parseInt(f"${(h(0) >> 4) & 0xf}%x", 16)
+      if (digit % 2 == 0) 1 else -1
+    }
+    val exp = (0 until 2).map(j =>
+      (0 until 3).map(i => v(i).toDouble * sgn(i, j)).sum)
+    assert(out.zip(exp).forall { case (g, e) => math.abs(g - e) < 1e-6 },
+      out.toSeq + " vs " + exp)
+  }
+
+  test("SRP preserves cosine structure approximately (near pair stays nearer)") {
+    val base = Array.tabulate(32)(d => math.sin(d + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(32)(d => math.cos(3 * d + 2).toFloat)
+    val vecs = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(vecs, "vec_id", "embedding", 16)
+      .orderBy("id", "j").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getDouble(2)) }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(proj(1L), proj(2L)) > cos(proj(1L), proj(3L)))
+  }
+}
+
 class CrossNearDupSpec extends SparkSpec {
   import spark.implicits._
 
