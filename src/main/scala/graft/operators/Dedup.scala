@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: exact verification, used on candidate pairs or
   *    pre-partitioned groups, via a token-join (shuffle on shingle)
   *    rather than array intersection of collected sets.
+  *
+  * Sealing semantics: the pair/candidate entry points that cache
+  * intermediates ([[lshCandidates]], [[minHashLsh]], [[jaccardPairs]],
+  * [[containmentPairs]], [[simHashPairs]], [[simHashPortablePairs]])
+  * return an EAGERLY materialized result via [[Caching.sealOver]] —
+  * construction runs a Spark job, unlike a plain lazy DataFrame. With
+  * `SparkContext.setCheckpointDir` set the sealed result is a reliable
+  * checkpoint (survives executor loss); without one it lives in
+  * executor storage only — set a checkpoint dir on real clusters.
   */
 object Dedup {
 

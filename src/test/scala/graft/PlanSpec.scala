@@ -110,4 +110,35 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("t12: the frequent-line set broadcasts into the anti join") {
+    val p = plan("t12_boilerplate")
+    // corpus-side lines must anti-join a BROADCAST boilerplate set —
+    // a shuffled anti join would move the whole corpus by line text
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("s08: random projection is one narrow pass — no join, no aggregate") {
+    val p = SparkEntry.queries("s08_random_projection")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), "sign matrix must embed as literals: " + p)
+    assert(!p.contains("HashAggregate"),
+      "per-dim sums must be row-local vec_dot loops, not aggregates: " + p)
+    // the only exchange is the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("p04: quota rides ONE source-key shuffle") {
+    val p = SparkEntry.queries("p04_source_quota")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d14: cross-corpus candidates verify against shingles via broadcast") {
+    val p = SparkEntry.queries("d14_cross_dedup")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the candidate pair set is the SMALL side everywhere it joins
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
