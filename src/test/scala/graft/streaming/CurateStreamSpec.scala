@@ -40,4 +40,36 @@ class CurateStreamSpec extends SparkSpec {
       assert(pairs == Set((1L, 2L), (1L, 4L)), pairs.toString)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("streaming crawl-ingest dedup by CANONICAL url across micro-batches") {
+    // the ingest-side twin of d13: the same page arriving under
+    // different surface forms (case, www, default port, utm params,
+    // fragment) must dedup to one kept row, with state bounded by the
+    // watermark — canonicalizeUrl feeds streamingExact unchanged
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val pages = input.toDF().toDF("id", "sec", "url")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("canon_url",
+        graft.functions.TextFunctions.canonicalizeUrl(col("url")))
+    val deduped = graft.operators.Dedup.streamingExact(
+      pages, "ts", "canon_url", delay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 100L, "HTTP://WWW.Site.COM:80/a/?utm_source=x&p=1"),
+        (2L, 110L, "http://site.com/a?p=1#frag")) // same page, later form
+      q.processAllAvailable()
+      // a batch boundary between duplicates: state must carry over
+      input.addData(
+        (3L, 120L, "http://site.com/a?p=1"),
+        (4L, 130L, "https://site.com/a?p=1")) // DIFFERENT scheme: kept
+      q.processAllAvailable()
+      val kept = spark.table("url_dedup").select("id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(1L, 4L), kept.toSeq.toString)
+    } finally q.stop()
+  }
 }
