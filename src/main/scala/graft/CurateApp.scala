@@ -3,19 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Blocklist, Decontaminate, Dedup}
+import graft.operators.{Blocklist, Decontaminate, Dedup, TextStats, Training}
 
 /** End-to-end corpus curation: the operators composed the way a
   * training-data pipeline actually chains them. One pass over a
   * documents table:
   *
+  *  0. boilerplate line removal (lines in >= minDocs docs stripped,
+  *     docs reassembled; all-boilerplate docs drop out)
   *  1. language ID + quality + repetition metrics (narrow, codegen)
-  *  2. quality gate (drop low-quality / boilerplate docs)
+  *  2. quality gate (drop low-quality / boilerplate docs) + a
+  *     unigram-LM floor (mean token log-prob under the corpus's own
+  *     distribution — the KenLM-perplexity stand-in)
   *  3. blocklist scrub (bloom prune + exact verify)
   *  4. exact dedup (keep lowest id per identical text)
   *  5. MinHash near-dup -> connected components -> keep BEST quality
   *  6. benchmark decontamination (drop docs overlapping the eval set)
-  *  7. deterministic stratified sample per source
+  *  7. deterministic stratified sample per source, then a per-source
+  *     quota cap (no domain dominates the output)
   *  8. write the curated corpus, hive-partitioned by language
   *
   * Usage: runMain graft.CurateApp <docsDir> <outDir> [benchModulo]
@@ -34,8 +39,16 @@ object CurateApp {
     def cnt(df: org.apache.spark.sql.DataFrame): Long = if (doCounts) df.count() else -1L
     val t0 = System.nanoTime()
 
-    val docs = GraftSession.table(spark, docsDir, "documents")
-    val n0 = cnt(docs)
+    val raw = GraftSession.table(spark, docsDir, "documents")
+    val n0 = cnt(raw)
+
+    // 0: strip lines that repeat across >= 100 docs (nav menus,
+    // cookie banners); the frequent-line set broadcasts, the corpus
+    // side stays an anti-join + reassembly
+    val docs = TextStats.stripRepeatedLines(raw, "doc_id", "text", minDocs = 100L)
+      .select(col("id").as("doc_id"), col("text_clean").as("text"))
+      .join(raw.drop("text"), "doc_id")
+    val n0b = cnt(docs)
 
     // 1-2: annotate + gate + PII redaction (single narrow pass; all
     // expression trees — identical to CurateStream, so batch and
@@ -47,8 +60,16 @@ object CurateApp {
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("top_tok_frac", TextFunctions.topTokenFraction(col("text")))
       .withColumn("text", TextFunctions.redact(col("text")))
+    // unigram-LM floor: mean token log-prob under the corpus's own
+    // distribution; a loose bound (-12 nats) drops only rare-token
+    // gibberish, not ordinary text
+    val lmScore = TextStats.unigramLogProb(scored, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("mean_logprob"))
     val gated = scored
       .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
+      .join(lmScore, "doc_id")
+      .filter(col("mean_logprob") >= -12.0)
+      .drop("mean_logprob")
     val n1 = cnt(gated)
 
     // 3: scrub a blocklist (here: a synthetic takedown list, taken from
@@ -90,19 +111,25 @@ object CurateApp {
       resolved("doc_id") === contaminated("bad_id"), "left_anti")
     val n5 = cnt(cleanDocs)
 
-    // 7: stratified sample (reproducible md5 buckets; src0 kept denser)
+    // 7: stratified sample (reproducible md5 buckets; src0 kept denser),
+    // then an absolute per-source cap so no domain dominates
     val sampled = cleanDocs.filter(
       substring(md5(col("doc_id").cast("string")), 1, 2) <
         when(col("source") === "src0", "80").otherwise("40"))
     val n6 = cnt(sampled)
+    val capped = Training.sourceQuota(sampled, "source", "doc_id",
+      maxPerSource = 2000L)
+    val n7 = cnt(capped)
 
     // 8: curated corpus, partitioned for downstream partition pruning
-    sampled.select("doc_id", "text", "lang_pred", "source", "quality")
+    capped.select("doc_id", "text", "lang_pred", "source", "quality")
       .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
 
     val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"stage_counts":{"input":$n0,"quality_gate":$n1,"blocklist":$n2,""" +
-      s""""exact_dedup":$n3,"near_dup":$n4,"decontaminated":$n5,"sampled":$n6},""" +
+    println(s"""{"stage_counts":{"input":$n0,"boilerplate":$n0b,""" +
+      s""""quality_gate":$n1,"blocklist":$n2,""" +
+      s""""exact_dedup":$n3,"near_dup":$n4,"decontaminated":$n5,""" +
+      s""""sampled":$n6,"quota":$n7},""" +
       f""""seconds":$dt%.1f,"out":"$outDir"}""")
     spark.stop()
   }

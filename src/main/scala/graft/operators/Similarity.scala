@@ -298,7 +298,9 @@ object Similarity {
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int): DataFrame = {
-    val dims = df.select(size(col(vecCol))).head.getInt(0)
+    // take(1), not head(): an empty frame projects to an empty frame
+    val dims = df.select(size(col(vecCol))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val digest = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
       val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
