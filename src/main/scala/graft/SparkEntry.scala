@@ -915,6 +915,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t14_token_entropy" -> ((s, dir) =>
+      // within-doc token entropy: the low-entropy detector that
+      // catches even-cycling template text top-fraction metrics miss
+      TextStats.tokenEntropy(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "d13_url_canon" -> ((s, dir) => {
       // URL canonicalization + dedup, the crawl-side twin of d01: two
       // surface forms per target (scheme/host case, default port, www,
@@ -1809,6 +1816,20 @@ object SparkEntry {
                         AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
          FROM tk JOIN vocab USING (tok) CROSS JOIN tt
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "t14_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+            n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+         SELECT c.doc_id, CAST(any_value(n.n) AS BIGINT) AS n_toks,
+                round(CAST(-sum(CAST(round(
+                    (CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                    ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+                  AS DECIMAL(24,8))) AS DOUBLE), 6) AS token_entropy
+         FROM c JOIN n ON c.doc_id = n.doc_id
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
 
     "d13_url_canon" ->
       """WITH u AS (SELECT doc_id,

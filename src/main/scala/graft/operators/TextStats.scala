@@ -73,6 +73,35 @@ object TextStats {
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** Within-document token entropy: H = -sum_t p_t ln p_t over the
+    * doc's own token distribution. Low entropy marks repetitive /
+    * template text (the "click here click here" failure mode) from a
+    * different angle than [[repetition]]'s top-fraction metrics — a
+    * doc cycling five tokens evenly fools top-frac but not entropy.
+    *
+    * Shape at scale: one (doc, token) count aggregate; the per-doc
+    * total rides a window over the SAME doc key (no extra exchange),
+    * and the final per-doc sum reuses that partitioning. Per-term
+    * contributions are rounded then DECIMAL-summed — deterministic
+    * under any partitioning, exact against the oracle.
+    * Output: (id, n_toks, token_entropy).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("_c"))
+    val withN = counts.withColumn("_n",
+      sum(col("_c")).over(Window.partitionBy(col("id"))))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    withN
+      .withColumn("_term", round(p * log(p), 6).cast("decimal(24,8)"))
+      .groupBy(col("id"))
+      .agg(max(col("_n")).cast("long").as("n_toks"),
+        round(-sum(col("_term")).cast("double"), 6).as("token_entropy"))
+  }
+
   /** Unigram language-model quality score: mean log-probability of a
     * document's tokens under the corpus's own unigram distribution —
     * the cheap stand-in for a KenLM perplexity filter. Gibberish and

@@ -70,6 +70,35 @@ class UnigramLogProbSpec extends SparkSpec {
   }
 }
 
+class TokenEntropySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uniform tokens give ln(k); repetition lowers entropy; top-frac blind spot caught") {
+    val docs = Seq(
+      (1L, "a b c d"),          // 4 distinct, uniform -> ln(4)
+      (2L, "a a a a"),          // one token -> 0
+      (3L, "a b a b a b a b"),  // even 2-cycle: top_frac = 0.5 (passes
+                                // a 0.5 gate) but entropy = ln(2)
+      (4L, "a a a b"))          // skewed -> between 0 and ln(2)
+      .toDF("id", "text")
+    val out = TextStats.tokenEntropy(docs, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out(0)._2 == 4L && math.abs(out(0)._3 - math.log(4)) < 1e-5, out(0).toString)
+    assert(out(1)._3 == 0.0)
+    assert(math.abs(out(2)._3 - math.log(2)) < 1e-5)
+    assert(out(3)._3 > 0.0 && out(3)._3 < math.log(2) + 1e-9)
+  }
+
+  test("deterministic under repartitioning (decimal-summed terms)") {
+    val docs = (1L to 60L).map(i => (i, s"x y z tok$i tok$i")).toDF("id", "text")
+    val a = TextStats.tokenEntropy(docs.repartition(1), "id", "text")
+      .orderBy("id").collect().toSeq
+    val b = TextStats.tokenEntropy(docs.repartition(19), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
+
 class CanonicalizeUrlSpec extends SparkSpec {
   import spark.implicits._
 
