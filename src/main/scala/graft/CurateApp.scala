@@ -65,10 +65,13 @@ object CurateApp {
     // gibberish, not ordinary text
     val lmScore = TextStats.unigramLogProb(scored, "doc_id", "text")
       .select(col("id").as("doc_id"), col("mean_logprob"))
+    // LEFT join: a doc that tokenizes to nothing (every surviving line
+    // blank after boilerplate strip + redaction) has no LM evidence —
+    // it is the quality gate's call, not an implicit inner-join drop
     val gated = scored
       .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
-      .join(lmScore, "doc_id")
-      .filter(col("mean_logprob") >= -12.0)
+      .join(lmScore, Seq("doc_id"), "left")
+      .filter(coalesce(col("mean_logprob"), lit(0.0)) >= -12.0)
       .drop("mean_logprob")
     val n1 = cnt(gated)
 

@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      // reclaim reliable-checkpoint files (Caching.sealOver) when the
+      // sealed result is GC'd; default false leaks one rdd-* dir per seal
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

@@ -1845,7 +1845,7 @@ object SparkEntry {
                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
                regexp_replace(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-               regexp_extract(url, '\?([^#]*)', 1) AS q
+               regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
              FROM u),
             c2 AS (SELECT doc_id, scheme,
                CASE WHEN scheme = 'http'

@@ -155,7 +155,9 @@ object TextFunctions {
     val path = regexp_replace(
       regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
       "/+$", "")
-    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchored before any '#': a '?' inside the fragment (SPA-style
+    // "#/route?x=1") is fragment text, not a query string
+    val rawQuery = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
     val keptParams = filter(split(rawQuery, "&"), p =>
       (p =!= lit("")) && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
     val query = when(size(keptParams) > 0,

@@ -22,9 +22,19 @@ import org.apache.spark.sql.DataFrame
   *    run should set one), a RELIABLE `checkpoint()` writes the
   *    sealed result to the checkpoint filesystem — executor loss
   *    (spot kill, dynamic-allocation decommission) cannot invalidate
-  *    it, because the lineage needed to recompute it has been cut;
+  *    it, because the lineage needed to recompute it has been cut.
+  *    The result is persisted around the checkpoint so the eager
+  *    action and the checkpoint-write job compute the lineage ONCE
+  *    (RDD.checkpoint otherwise re-runs it for the write pass);
   *  - otherwise `localCheckpoint()` keeps blocks on executors —
   *    fine for local[] and tests, NOT fault-tolerant on a cluster.
+  *
+  * Checkpoint FILES are reclaimed by Spark's ContextCleaner when the
+  * sealed result is garbage-collected — but only under
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, which
+  * [[graft.GraftSession]] sets. Sessions built elsewhere should set
+  * it too, or a long-lived session leaks one rdd-* directory on the
+  * checkpoint FS per sealed result.
   *
   * Callers of the sealing operators (Dedup / Similarity pair and
   * candidate entry points) should note both tradeoffs: sealing runs
@@ -36,7 +46,10 @@ private[graft] object Caching {
   def sealOver(result: DataFrame, cached: DataFrame*): DataFrame =
     try {
       val sc = result.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isDefined) result.checkpoint(eager = true)
-      else result.localCheckpoint(eager = true)
+      if (sc.getCheckpointDir.isDefined) {
+        result.persist()
+        try result.checkpoint(eager = true)
+        finally { result.unpersist(); () }
+      } else result.localCheckpoint(eager = true)
     } finally cached.foreach { df => df.unpersist(); () }
 }

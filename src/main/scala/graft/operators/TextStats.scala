@@ -45,8 +45,12 @@ object TextStats {
     * per line (two-phase aggregate — map-side partials collapse the
     * repeats that make a line boilerplate in the first place), then an
     * anti-join against the frequent-line set. That set is bounded by
-    * total_lines / minDocs — small by construction — so it BROADCASTS;
-    * the corpus-side pass stays narrow. Reassembly is one doc-id
+    * total_lines / minDocs — usually broadcast-sized, but the bound
+    * grows LINEARLY with the corpus, so the broadcast decision is left
+    * to the planner (AQE): a typical run broadcasts, a pathological
+    * one (trillions of lines, low minDocs) degrades to a shuffled
+    * anti-join instead of collecting an unbounded set on the driver.
+    * Reassembly is one doc-id
     * shuffle (array_sort over (pos, line) structs, then join).
     * Output: (id, text_clean, n_kept, n_dropped); documents whose
     * every line was boilerplate drop out entirely (nothing remains).
@@ -60,7 +64,7 @@ object TextStats {
       .filter(col("_nd") >= minDocs)
       .select(col("line"))
     val totals = lines.groupBy(col("id")).agg(count(lit(1)).as("_n_tot"))
-    lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    lines.join(frequent, Seq("line"), "left_anti")
       .groupBy(col("id"))
       .agg(
         array_join(transform(

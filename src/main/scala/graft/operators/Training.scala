@@ -72,15 +72,22 @@ object Training {
     */
   def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
                     weightExpr: Column, targetFrac: Double): DataFrame = {
+    // count(weightExpr) < count(*) catches NULL weights (min/max skip
+    // nulls, so an all-NULL weight would otherwise hit the constancy
+    // branch as NULL === NULL and die with a misleading message)
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("_n"),
-        min(weightExpr).as("_w"), max(weightExpr).as("_wmax"))
+        min(weightExpr).as("_w"), max(weightExpr).as("_wmax"),
+        count(weightExpr).as("_wn"))
       .withColumn("_w",
-        when(col("_w") === col("_wmax"), col("_w"))
+        when(col("_wn") < col("_n"), raise_error(concat(
+            lit("mixtureSample: weightExpr is NULL for source "),
+            col(sourceCol).cast("string"))))
+          .when(col("_w") === col("_wmax"), col("_w"))
           .otherwise(raise_error(concat(
             lit("mixtureSample: weightExpr is not constant within source "),
             col(sourceCol).cast("string")))))
-      .drop("_wmax")
+      .drop("_wmax", "_wn")
     val total = counts.agg(sum(col("_n")).as("_total"))
     // 1048576 = 16^5: the keep threshold as a 5-hex-digit md5 prefix
     // bound — floor'd once here so both engines compare identical

@@ -87,27 +87,23 @@ object StdinSpool {
           else if (c == '\n') { if (!lastWasCR) endLine(); lastWasCR = false }
           else { line.append(c.toChar); lastWasCR = false }
         }
-        // Read-side IOExceptions (pipe torn down, stream closed under
-        // us) are normal end-of-input; write-side failures (disk full
-        // in the spool dir) are real errors and recorded on the handle.
-        def readyNoThrow(): Boolean =
-          try reader.ready()
-          catch { case _: java.io.IOException => false }
-        def readChar(): Int =
-          try reader.read()
-          catch { case _: java.io.IOException => -1 }
+        // A closed pipe/stdin delivers EOF as read() == -1, never as
+        // an exception — so a read-side IOException is a GENUINE
+        // failure (EIO on flaky storage, stream torn down mid-read)
+        // and is recorded on the handle like write-side failures,
+        // instead of being mistaken for a clean drain.
         try {
           var eof = false
           while (!eof) {
-            if (readyNoThrow()) {
+            if (reader.ready()) {
               // buffered data: drain char-wise without blocking
-              val c = readChar()
+              val c = reader.read()
               if (c < 0) eof = true else accept(c)
             } else {
               // idle: publish complete lines BEFORE a read that may
               // block (a stalled mid-line writer must not delay them)
               flush()
-              val c = readChar()
+              val c = reader.read()
               if (c < 0) eof = true else accept(c)
             }
           }

@@ -112,9 +112,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t12: the frequent-line set broadcasts into the anti join") {
-    val p = plan("t12_boilerplate")
     // corpus-side lines must anti-join a BROADCAST boilerplate set —
-    // a shuffled anti join would move the whole corpus by line text
+    // a shuffled anti join would move the whole corpus by line text.
+    // The operator deliberately leaves the decision to the planner
+    // (no forced hint: the set's bound grows with the corpus), so the
+    // assertion runs the query and reads the FINAL adaptive plan.
+    val df = SparkEntry.queries("t12_boilerplate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 

@@ -126,6 +126,20 @@ class CanonicalizeUrlSpec extends SparkSpec {
   test("params other than tracking keep their original order") {
     assert(canon("http://h/p?b=2&utm_campaign=c&a=1") == Seq("http://h/p?b=2&a=1"))
   }
+
+  test("a '?' inside the fragment is not a query string") {
+    // SPA-style fragment routes: everything after '#' is discarded,
+    // and must NOT be mistaken for (or collapsed with) a real query
+    assert(canon(
+      "http://example.com/page#frag?x=1",
+      "http://example.com/page",
+      "http://example.com/page?x=1"
+    ) == Seq(
+      "http://example.com/page",
+      "http://example.com/page",
+      "http://example.com/page?x=1"
+    ))
+  }
 }
 
 class SourceQuotaSpec extends SparkSpec {

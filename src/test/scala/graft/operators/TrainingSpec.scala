@@ -73,6 +73,20 @@ class TrainingSpec extends SparkSpec {
     assert(messages(ex).contains("not constant within source"), messages(ex))
   }
 
+  test("mixtureSample: a NULL weight fails with a NULL message, not 'not constant'") {
+    val docs = (1L to 100L).map(i => (i, "a")).toDF("doc_id", "source")
+    // a lookup `when` with no branch for this source yields NULL for
+    // every row; min === max is NULL === NULL which must not be read
+    // as "varies" — the real problem is the missing weight
+    val nullW = when(col("source") === "other", lit(0.9))
+    val ex = intercept[Exception] {
+      Training.mixtureSample(docs, "source", "doc_id", nullW, 0.5).count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("weightExpr is NULL for source"), messages(ex))
+  }
+
   test("shardAssign: every doc lands in one shard, positions are dense ranks, order is reproducible") {
     val docs = (1L to 1000L).toDF("doc_id")
     val a = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()

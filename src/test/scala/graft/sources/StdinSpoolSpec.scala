@@ -72,33 +72,38 @@ class StdinSpoolSpec extends SparkSpec {
   }
 
   test("a mid-stream failure is recorded and joinAndCheck fails the bounded run") {
-    val dir = Files.createTempDirectory("graft-spool-fail")
-    // stream that delivers one full line then dies with a non-IO error
-    // (read-side IOException is normal pipe teardown = EOF; anything
-    // else must surface instead of silently truncating the input)
-    val in = new java.io.InputStream {
+    // stream that delivers one full line then dies mid-read. A clean
+    // drain (pipe closed) is read() == -1, never an exception — so
+    // BOTH an IOException (EIO on flaky storage) and any other error
+    // must surface instead of silently truncating the input.
+    def dyingStream(boom: => Throwable) = new java.io.InputStream {
       private val data = "good line\nbad".getBytes("UTF-8")
       private var i = 0
       override def read(): Int =
         if (i < data.length) { val b = data(i); i += 1; b & 0xff }
-        else throw new RuntimeException("upstream exploded")
+        else throw boom
       override def read(b: Array[Byte], off: Int, len: Int): Int =
         if (i < data.length) {
           val n = math.min(len, data.length - i)
           System.arraycopy(data, i, b, off, n); i += n; n
-        } else throw new RuntimeException("upstream exploded")
+        } else throw boom
       override def available(): Int = data.length - i
     }
-    val sp = StdinSpool.spool(in, dir)
-    sp.join(30000)
-    assert(sp.failure.isDefined)
-    val ex = intercept[java.io.IOException](sp.joinAndCheck(1000))
-    assert(ex.getMessage.contains("partial input"), ex.getMessage)
-    // what WAS complete before the failure is still published (with
-    // the trailing partial, readLine parity), so ops can inspect it
-    val lines = dir.toFile.listFiles().sortBy(_.getName).flatMap(f =>
-      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
-    assert(lines == Seq("good line", "bad"), lines.toString)
+    for (boom <- Seq[() => Throwable](
+        () => new RuntimeException("upstream exploded"),
+        () => new java.io.IOException("EIO: device error"))) {
+      val dir = Files.createTempDirectory("graft-spool-fail")
+      val sp = StdinSpool.spool(dyingStream(boom()), dir)
+      sp.join(30000)
+      assert(sp.failure.isDefined)
+      val ex = intercept[java.io.IOException](sp.joinAndCheck(1000))
+      assert(ex.getMessage.contains("partial input"), ex.getMessage)
+      // what WAS complete before the failure is still published (with
+      // the trailing partial, readLine parity), so ops can inspect it
+      val lines = dir.toFile.listFiles().sortBy(_.getName).flatMap(f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq).toSeq
+      assert(lines == Seq("good line", "bad"), lines.toString)
+    }
   }
 
   test("piped input flows end-to-end: stdin spool -> tail -> windowed SQL") {
