@@ -560,6 +560,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    "s09_semdedup" -> ((s, dir) => {
+      // SemDeDup: centroid clusters bound the quadratic cosine scan;
+      // within each cluster the lowest-id member of every >=0.35 ball
+      // survives. Centroids here = the 8 lowest-id embeddings (a
+      // deterministic stand-in for the k-means step, which the oracle
+      // cannot replay)
+      val emb = T(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     "s04_centroids" -> ((s, dir) =>
       Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
@@ -1627,6 +1641,32 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
              FROM documents)
          SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
+
+    "s09_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              u AS (SELECT vec_id, cid, sum(x*y) AS dot,
+                           sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nc
+                    FROM (SELECT vec_id, cid, CAST(unnest(ev) AS DOUBLE) AS x,
+                                 CAST(unnest(ce) AS DOUBLE) AS y FROM e, c)
+                    GROUP BY 1, 2),
+              a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY round(dot/(ne*nc), 6) DESC, cid) AS rn FROM u),
+              asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+              pe AS (SELECT a1.vec_id AS id1, a2.vec_id AS id2, e1.ev AS v1, e2.ev AS v2
+                     FROM asg a1 JOIN asg a2
+                       ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+                     JOIN e e1 ON e1.vec_id = a1.vec_id
+                     JOIN e e2 ON e2.vec_id = a2.vec_id),
+              pu AS (SELECT id1, id2, sum(x*y) AS dot,
+                            sqrt(sum(x*x)) AS n1, sqrt(sum(y*y)) AS n2
+                     FROM (SELECT id1, id2, CAST(unnest(v1) AS DOUBLE) AS x,
+                                  CAST(unnest(v2) AS DOUBLE) AS y FROM pe)
+                     GROUP BY 1, 2),
+              dups AS (SELECT DISTINCT id2 FROM pu WHERE dot/(n1*n2) >= 0.35)
+         SELECT asg.vec_id, asg.cluster FROM asg
+         LEFT JOIN dups ON asg.vec_id = dups.id2
+         WHERE dups.id2 IS NULL ORDER BY vec_id""",
 
     "t07_redact" ->
       """SELECT doc_id,

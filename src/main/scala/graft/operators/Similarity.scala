@@ -373,6 +373,55 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * by cosine, then within each cluster drop any vector whose cosine
+    * to a LOWER-id cluster-mate reaches `threshold` — one
+    * representative per semantic ball survives. The centroid set
+    * replaces LSH banding as the bucketing device: the quadratic pair
+    * scan runs per cluster, never corpus-wide.
+    *
+    * `cents` must be SMALL — it is collected to the driver (K
+    * centroids; SemDeDup uses K ~ sqrt(n), and clusters bound the
+    * per-cluster pair cost at n/K). Assignment embeds the centroids
+    * as literals, the same device as [[ivfTopK]]'s quantizer: one
+    * narrow codegen pass over the corpus, NO shuffle. The only
+    * exchange is the cluster-key shuffle feeding the within-cluster
+    * pair join. Cosines are rounded to 6dp BEFORE the argmax so
+    * near-ties resolve by centroid id identically in any engine.
+    * Output: surviving rows (id, cluster).
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame, centIdCol: String, centVecCol: String,
+               threshold: Double): DataFrame = {
+    val centRows = cents
+      .select(col(centIdCol), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
+    require(centRows.nonEmpty, "semDedup: empty centroid set")
+    require(centRows.length <= 4096,
+      s"semDedup: ${centRows.length} centroids exceed the literal-embed bound")
+    def l2(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_nrm", norm(col("v")))
+    // argmax cosine over K literal centroids, row-local: min struct =
+    // (highest rounded cos, lowest centroid id)
+    val scoredArr = array(centRows.map { case (cid, cv) => struct(
+      round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2(cv)))), 6)
+        .as("_negcos"),
+      lit(cid).as("_cid")) }: _*)
+    val assigned = e
+      .withColumn("cluster", sort_array(scoredArr).getItem(0).getField("_cid"))
+      .select(col("id"), col("v"), col("_nrm"), col("cluster"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(VecDot.dot(col("a.v"), col("b.v")) /
+        (col("a._nrm") * col("b._nrm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dups, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.

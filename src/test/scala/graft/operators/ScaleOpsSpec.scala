@@ -219,3 +219,54 @@ class CosinePairsLshSpec extends SparkSpec {
     assert(uncapped == 1225L + 1L, uncapped.toString)
   }
 }
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated directions (axes 0 and 1) with near-dup twins
+  // around each, plus one lone vector near axis 0 but below threshold
+  private def corpus() = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid A
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // centroid B
+    (10L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // dup of 0 in cluster A
+    (11L, Array(0.98f, 0.02f, 0.0f, 0.0f)), // dup of 0/10 in cluster A
+    (20L, Array(0.02f, 0.99f, 0.0f, 0.0f)), // dup of 1 in cluster B
+    (30L, Array(0.6f, 0.0f, 0.8f, 0.0f))    // cluster A, cos 0.6 to axis: kept
+  ).toDF("vec_id", "embedding")
+
+  test("one representative per semantic ball survives, per cluster") {
+    val cents = corpus().filter(col("vec_id") < 2)
+    val kept = Similarity.semDedup(corpus(), "vec_id", "embedding",
+        cents, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // balls: {0,10,11} -> keep 0; {1,20} -> keep 1; 30 alone -> kept
+    assert(kept == Set((0L, 0L), (1L, 1L), (30L, 0L)), kept.toString)
+  }
+
+  test("the pair scan never crosses clusters") {
+    // 10 and 20 have cos ~0 so they'd never pair anyway; instead plant
+    // two near-identical vectors that land in DIFFERENT clusters: the
+    // cluster bound (SemDeDup's approximation) must keep both
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (40L, Array(0.71f, 0.70f, 0.0f, 0.0f)),  // barely cluster A
+      (41L, Array(0.70f, 0.71f, 0.0f, 0.0f))   // barely cluster B
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding",
+        df.filter(col("vec_id") < 2), "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 40L, 41L), kept.toString)
+  }
+
+  test("assignment is one narrow pass: no exchange before the cluster shuffle") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.semDedup(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", 0.35)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // centroids ride as literals: no join or window in the assignment,
+    // so the plan's joins are exactly the pair join + the anti join
+    assert(!p.contains("Window"), p)
+  }
+}
