@@ -560,6 +560,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    "s10_pq" -> ((s, dir) => {
+      // product quantization m=8 over 64 dims — 8 codes per vector,
+      // the IVF-PQ storage layout; codebook = the 16 lowest-id
+      // vectors' subvectors (deterministic k-means stand-in)
+      val emb = T(s, dir, "embeddings")
+      Similarity.productQuantize(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding", m = 8)
+        .select(col("id").as("vec_id"), col("sub"), col("code"))
+        .orderBy("vec_id", "sub")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball
@@ -1641,6 +1652,23 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
              FROM documents)
          SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
+
+    "s10_pq" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              sj AS (SELECT vec_id, ev, code, cv, j FROM e
+                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              d AS (SELECT vec_id, j, code,
+                      round(list_aggregate(list_transform(range(8), i ->
+                          CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                        - 2 * list_aggregate(list_transform(range(8), i ->
+                          CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                        6) AS dist
+                    FROM sj),
+              r AS (SELECT vec_id, j, code, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM d)
+         SELECT vec_id, CAST(j AS BIGINT) AS sub, code
+         FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
 
     "s09_semdedup" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

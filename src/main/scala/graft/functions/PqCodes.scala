@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.graft.ColumnShim
+
+/** All product-quantization codes of a vector in ONE pass.
+  *
+  * The Column formulation (m × K literal `vec_dot` calls + struct
+  * sort) generates a doConsume past janino's 64 KB method limit —
+  * Spark then falls back to interpreted eval AND re-attempts the
+  * failed compile on every execution. This expression is one compact
+  * generated call: the codebook rides along as a reference object
+  * (not inlined code), and the nested (subspace × codeword × dim)
+  * loop lives in a static method shared by interpreted and codegen
+  * paths.
+  *
+  * Determinism contract (what lets a SQL oracle reproduce the codes
+  * bit-for-bit): the |x|² term is dropped (constant per row and
+  * subspace — cannot move the argmin); dist = c2 − 2·(x·c) rounds
+  * HALF_UP to 6dp before comparison (same as `round(x, 6)` in Spark
+  * and DuckDB); codewords are scanned in ascending code order, and
+  * only a strictly smaller distance displaces the incumbent — so
+  * ties keep the LOWEST code id.
+  *
+  * Output: array<long> of length m; element j is subspace j's code.
+  */
+case class PqCodes(child: Expression, m: Int, d: Int,
+                   codes: Seq[Long], codebook: Seq[Double], c2: Seq[Double])
+  extends UnaryExpression {
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  @transient private lazy val codesArr = codes.toArray
+  @transient private lazy val cbArr = codebook.toArray
+  @transient private lazy val c2Arr = c2.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  // the codebook is K*d doubles — keep it out of plan strings
+  override def toString: String =
+    s"pq_codes($child, m=$m, d=$d, k=${codes.length})"
+  override def sql: String = s"pq_codes(${child.sql}, $m, $d, k=${codes.length})"
+
+  override def nullSafeEval(v: Any): Any =
+    PqCodes.compute(v.asInstanceOf[ArrayData], isFloat, m, d,
+      codesArr, cbArr, c2Arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cd = ctx.addReferenceObj("pqCodeIds", codesArr, "long[]")
+    val cb = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
+    val cc = ctx.addReferenceObj("pqC2", c2Arr, "double[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.PqCodes.compute($a, $isFloat, $m, $d, $cd, $cb, $cc)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+object PqCodes {
+
+  /** `codebook` is row-major K×d (rows in ascending `codes` order);
+    * `c2` is the per-(codeword, subspace) squared norm, laid out
+    * c*m + j, summed left-to-right like the oracle's list sum.
+    */
+  def codes(vec: Column, m: Int, d: Int, codeIds: Seq[Long],
+            codebook: Seq[Double], c2: Seq[Double]): Column =
+    ColumnShim.column(PqCodes(ColumnShim.expression(vec), m, d,
+      codeIds, codebook, c2))
+
+  /** Matches `round(x, 6)` in both Spark and DuckDB (HALF_UP). */
+  @inline private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(a: ArrayData, isFloat: Boolean, m: Int, d: Int,
+              codeIds: Array[Long], cb: Array[Double],
+              c2: Array[Double]): ArrayData = {
+    val sub = d / m
+    val k = codeIds.length
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var bestDist = Double.PositiveInfinity
+      var bestCode = Long.MaxValue
+      val voff = j * sub
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        val off = c * d + voff
+        var i = 0
+        while (i < sub) {
+          val x = if (isFloat) a.getFloat(voff + i).toDouble
+                  else a.getDouble(voff + i)
+          dot += x * cb(off + i)
+          i += 1
+        }
+        val dist = round6(c2(c * m + j) - 2.0 * dot)
+        if (dist < bestDist) { bestDist = dist; bestCode = codeIds(c) }
+        c += 1
+      }
+      out(j) = bestCode
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}

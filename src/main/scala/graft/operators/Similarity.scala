@@ -422,6 +422,51 @@ object Similarity {
       .select(col("id"), col("cluster"))
   }
 
+  /** Product quantization (Jégou, Douze, Schmid 2011): split each
+    * vector into `m` equal subvectors and code each against its
+    * subspace codebook by nearest L2 (argmin). PQ is the storage
+    * layout of billion-scale ANN (IVF-PQ): m small codes per vector
+    * instead of 4*d bytes — the compression lever AFTER
+    * [[quantizeInt8]] on the way to 100 TB embedding corpora.
+    *
+    * `codebook` rows supply the codewords — collected to the driver
+    * (bounded K; a deterministic stand-in for per-subspace k-means,
+    * e.g. the K lowest-id corpus rows). Coding runs through
+    * [[graft.functions.PqCodes]], ONE compact codegen call per row
+    * with the codebook as a reference object (m × K literal dot
+    * columns would blow janino's method-size limit and fall back to
+    * interpreted eval): the |x|² term is dropped (constant per row
+    * and subspace — cannot move the argmin), distances round to 6dp
+    * before comparison, ties keep the lowest code id, so any engine
+    * reproduces the codes exactly. One narrow codegen pass, ZERO
+    * shuffles. Output: (id, sub, code) — m rows per vector.
+    */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+                      codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                      m: Int): DataFrame = {
+    val cb = codebook
+      .select(col(cbIdCol).cast("long"), col(cbVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // ascending scan order = lowest-code-id tie-break
+    require(cb.nonEmpty, "productQuantize: empty codebook")
+    require(cb.length <= 65536,
+      s"productQuantize: ${cb.length} codewords exceed the driver-collect bound")
+    val d = cb(0)._2.length
+    require(d % m == 0, s"productQuantize: dim $d not divisible by m=$m")
+    val sub = d / m
+    val codeIds = cb.map(_._1).toSeq
+    val flat = cb.flatMap(_._2).toSeq
+    // per-(codeword, subspace) |c|², summed left-to-right like the
+    // oracle's list sum
+    val c2 = cb.toSeq.flatMap { case (_, cv) =>
+      (0 until m).map(j => cv.slice(j * sub, (j + 1) * sub).map(x => x * x).sum)
+    }
+    df.select(col(idCol).as("id"),
+        posexplode(graft.functions.PqCodes.codes(col(vecCol), m, d,
+          codeIds, flat, c2)).as(Seq("sub", "code")))
+      .select(col("id"), col("sub").cast("long").as("sub"), col("code"))
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.

@@ -220,6 +220,49 @@ class CosinePairsLshSpec extends SparkSpec {
   }
 }
 
+class ProductQuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each subvector codes to its nearest codeword") {
+    // 4 dims, m=2: subspace 0 = first two dims, subspace 1 = last two.
+    // codeword 0 = (1,0 | 0,1), codeword 1 = (0,1 | 1,0)
+    val cb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f, 0.9f, 0.1f)),  // sub0 -> 0, sub1 -> 1
+      (11L, Array(0.1f, 0.9f, 0.1f, 0.9f))   // sub0 -> 1, sub1 -> 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.productQuantize(vecs, "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 0L, 0L), (10L, 1L, 1L),
+      (11L, 0L, 1L), (11L, 1L, 0L)), got.toString)
+  }
+
+  test("ties break on the lower code id") {
+    val cb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), // identical codewords
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val vecs = Seq((10L, Array(0.9f, 0.2f))).toDF("vec_id", "embedding")
+    val got = Similarity.productQuantize(vecs, "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L)), got.toString)
+  }
+
+  test("coding is one narrow pass: no join, no window, no aggregate") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.productQuantize(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", 8)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+}
+
 class SemDedupSpec extends SparkSpec {
   import spark.implicits._
 
