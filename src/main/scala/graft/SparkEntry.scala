@@ -571,6 +571,19 @@ object SparkEntry {
         .orderBy("vec_id", "sub")
     }),
 
+    "s11_pq_adc" -> ((s, dir) => {
+      // PQ asymmetric-distance top-k: the IVF-PQ query path — corpus
+      // seen only through its 8 codes, per-query distance tables
+      // broadcast, decimal-summed lookups (deterministic vs oracle)
+      val emb = T(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+          m = 8, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball
@@ -1669,6 +1682,39 @@ object SparkEntry {
                       PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM d)
          SELECT vec_id, CAST(j AS BIGINT) AS sub, code
          FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
+
+    "s11_pq_adc" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              sj AS (SELECT vec_id, ev, code, cv, j FROM e
+                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              dmat AS (SELECT vec_id, j, code,
+                         round(list_aggregate(list_transform(range(8), i ->
+                             CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                           - 2 * list_aggregate(list_transform(range(8), i ->
+                             CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                           6) AS dist
+                       FROM sj),
+              codes AS (SELECT vec_id, j, code FROM (
+                          SELECT vec_id, j, code, row_number() OVER (
+                            PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM dmat)
+                        WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              dt AS (SELECT qid, j, code,
+                       round(list_aggregate(list_transform(range(8), i ->
+                           CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                         - 2 * list_aggregate(list_transform(range(8), i ->
+                           CAST(qv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                         6) AS dist
+                     FROM q CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              s AS (SELECT dt.qid, c.vec_id AS nid,
+                           round(CAST(sum(CAST(dt.dist AS DECIMAL(24,8))) AS DOUBLE), 6) AS adc_dist
+                    FROM codes c JOIN dt ON dt.j = c.j AND dt.code = c.code
+                    GROUP BY 1, 2),
+              r2 AS (SELECT qid, nid, adc_dist, CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY adc_dist, nid) AS BIGINT) AS rank FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, adc_dist, rank
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s09_semdedup" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),

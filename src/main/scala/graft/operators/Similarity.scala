@@ -467,6 +467,67 @@ object Similarity {
       .select(col("id"), col("sub").cast("long").as("sub"), col("code"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k — the query path of IVF-PQ:
+    * corpus vectors are seen only through their [[productQuantize]]
+    * codes; each query precomputes a (subspace × codeword) distance
+    * table, and a candidate's approximate distance is m table lookups
+    * summed. This is how a 100 TB embedding corpus is actually
+    * searched: the scan touches m small codes per vector, never the
+    * 4*d raw floats.
+    *
+    * The tables are computed on the DRIVER (queries are small by
+    * contract — ADC tables are per-query state in any PQ engine) and
+    * broadcast: |Q| * m * K rows. Table entries drop the constant
+    * |q_sub|² term (same rank, same argmin) and round HALF_UP to 6dp;
+    * the per-candidate sum runs over DECIMAL(24,8) — deterministic
+    * under any partitioning, bit-reproducible by a SQL oracle.
+    * Output: (query_id, neighbor_id, adc_dist, rank), rank <= k by
+    * (distance, neighbor id).
+    */
+  def pqAdcTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                m: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = codebook
+      .select(col(cbIdCol).cast("long"), col(cbVecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cb.nonEmpty, "pqAdcTopK: empty codebook")
+    val d = cb(0)._2.length
+    require(d % m == 0, s"pqAdcTopK: dim $d not divisible by m=$m")
+    val sub = d / m
+    val codes = productQuantize(corpus, corpusId, corpusVec,
+      codebook, cbIdCol, cbVecCol, m)
+    val qRows = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val table = for {
+      (qid, qv) <- qRows.toSeq
+      j <- 0 until m
+      (code, cv) <- cb.toSeq
+    } yield {
+      val cs = cv.slice(j * sub, (j + 1) * sub)
+      val c2 = cs.map(x => x * x).sum // sequential, oracle list-sum order
+      var dot = 0.0
+      var i = 0
+      while (i < sub) { dot += qv(j * sub + i) * cs(i); i += 1 }
+      (qid, j.toLong, code, round6(c2 - 2.0 * dot))
+    }
+    val dt = table.toDF("query_id", "sub", "code", "_d")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
     * threshold. O(n^2) — callers bound the input (LSH buckets or a
     * partition key) at scale; used directly for oracle-sized slices.
