@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.graft.ColumnShim
 
 /** All product-quantization codes of a vector in ONE pass.
@@ -35,6 +36,12 @@ case class PqCodes(child: Expression, m: Int, d: Int,
   private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes expects an array<float|double> arg, got $t")
   }
 
   @transient private lazy val codesArr = codes.toArray
@@ -77,7 +84,7 @@ object PqCodes {
       codeIds, codebook, c2))
 
   /** Matches `round(x, 6)` in both Spark and DuckDB (HALF_UP). */
-  @inline private def round6(x: Double): Double =
+  @inline private[graft] def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -87,18 +94,24 @@ object PqCodes {
               c2: Array[Double]): ArrayData = {
     val sub = d / m
     val k = codeIds.length
+    // dirty-input guard: a vector shorter than the codebook dim is
+    // read only up to its own length (missing dims contribute 0 to
+    // the dot, like vec_dot's min-length truncation) — never past the
+    // end of the backing buffer
+    val n = a.numElements()
     val out = new Array[Long](m)
     var j = 0
     while (j < m) {
       var bestDist = Double.PositiveInfinity
       var bestCode = Long.MaxValue
       val voff = j * sub
+      val lim = math.max(0, math.min(sub, n - voff))
       var c = 0
       while (c < k) {
         var dot = 0.0
         val off = c * d + voff
         var i = 0
-        while (i < sub) {
+        while (i < lim) {
           val x = if (isFloat) a.getFloat(voff + i).toDouble
                   else a.getDouble(voff + i)
           dot += x * cb(off + i)

@@ -383,43 +383,72 @@ object Similarity {
     *
     * `cents` must be SMALL — it is collected to the driver (K
     * centroids; SemDeDup uses K ~ sqrt(n), and clusters bound the
-    * per-cluster pair cost at n/K). Assignment embeds the centroids
-    * as literals, the same device as [[ivfTopK]]'s quantizer: one
-    * narrow codegen pass over the corpus, NO shuffle. The only
-    * exchange is the cluster-key shuffle feeding the within-cluster
-    * pair join. Cosines are rounded to 6dp BEFORE the argmax so
-    * near-ties resolve by centroid id identically in any engine.
-    * Output: surviving rows (id, cluster).
+    * per-cluster pair cost at n/K). Cosines are rounded to 6dp BEFORE
+    * the argmax so near-ties resolve by centroid id identically in
+    * any engine. Output: surviving rows (id, cluster).
+    *
+    * Assignment picks its shape by K — the same split as
+    * [[ivfTopK]]'s quantizer:
+    *
+    *  - K <= 128: centroids embed as literals, one narrow codegen
+    *    pass, NO shuffle (more would blow janino's method limit and
+    *    fall back to interpreted eval). The lazy assignment subplan
+    *    is evaluated once per consumer (both pair-join sides + the
+    *    anti join) — at <= 128 bounded-dim dots per row, recomputing
+    *    the narrow pass is cheaper than caching corpus + vectors;
+    *  - K > 128: a broadcast cross join + per-id argmin aggregate
+    *    (one id-key shuffle). THAT pass is expensive, so it persists,
+    *    and the (small, narrow) result seals via [[Caching.sealOver]]
+    *    — eager, lineage-cut, inputs unpersisted.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                cents: DataFrame, centIdCol: String, centVecCol: String,
                threshold: Double): DataFrame = {
-    val centRows = cents
-      .select(col(centIdCol), col(centVecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.get(0), r.getSeq[Double](1).toArray))
-    require(centRows.nonEmpty, "semDedup: empty centroid set")
-    require(centRows.length <= 4096,
-      s"semDedup: ${centRows.length} centroids exceed the literal-embed bound")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val cb = collectCodebook(cents, centIdCol, centVecCol, "semDedup")
     def l2(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_nrm", norm(col("v")))
-    // argmax cosine over K literal centroids, row-local: min struct =
-    // (highest rounded cos, lowest centroid id)
-    val scoredArr = array(centRows.map { case (cid, cv) => struct(
-      round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2(cv)))), 6)
-        .as("_negcos"),
-      lit(cid).as("_cid")) }: _*)
-    val assigned = e
-      .withColumn("cluster", sort_array(scoredArr).getItem(0).getField("_cid"))
-      .select(col("id"), col("v"), col("_nrm"), col("cluster"))
+    val literalPath = cb.length <= 128
+    val assigned0 =
+      if (literalPath) {
+        // argmax cosine over K literal centroids, row-local: min
+        // struct = (highest rounded cos, lowest centroid id)
+        val scoredArr = array(cb.map { case (cid, cv) => struct(
+          round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2(cv)))), 6)
+            .as("_negcos"),
+          lit(cid).as("_cid")) }.toSeq: _*)
+        e.withColumn("cluster", sort_array(scoredArr).getItem(0).getField("_cid"))
+          .select(col("id"), col("v"), col("_nrm"), col("cluster"))
+      } else {
+        val spark = df.sparkSession
+        val centDf = spark.createDataFrame(
+          java.util.Arrays.asList(cb.map { case (cid, cv) =>
+            Row(cid, cv.toSeq, l2(cv)) }: _*),
+          StructType(Seq(
+            StructField("_cid", org.apache.spark.sql.types.LongType),
+            StructField("_cv", ArrayType(DoubleType)),
+            StructField("_cnrm", DoubleType))))
+        e.crossJoin(broadcast(centDf))
+          .withColumn("_negcos", round(
+            -(VecDot.dot(col("v"), col("_cv")) / (col("_nrm") * col("_cnrm"))), 6))
+          .groupBy(col("id"))
+          .agg(min(struct(col("_negcos"), col("_cid"))).as("_best"),
+            // v/_nrm are constant per id — first() is deterministic here
+            first(col("v")).as("v"), first(col("_nrm")).as("_nrm"))
+          .select(col("id"), col("v"), col("_nrm"),
+            col("_best").getField("_cid").as("cluster"))
+      }
+    val assigned = if (literalPath) assigned0 else assigned0.persist()
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .filter(VecDot.dot(col("a.v"), col("b.v")) /
         (col("a._nrm") * col("b._nrm")) >= threshold)
       .select(col("b.id").as("id")).distinct()
-    assigned.join(dups, Seq("id"), "left_anti")
+    val kept = assigned.join(dups, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"))
+    if (literalPath) kept else Caching.sealOver(kept, assigned)
   }
 
   /** Product quantization (Jégou, Douze, Schmid 2011): split each
@@ -443,14 +472,36 @@ object Similarity {
     */
   def productQuantize(df: DataFrame, idCol: String, vecCol: String,
                       codebook: DataFrame, cbIdCol: String, cbVecCol: String,
-                      m: Int): DataFrame = {
+                      m: Int): DataFrame =
+    pqCodesFrame(df, idCol, vecCol,
+      collectCodebook(codebook, cbIdCol, cbVecCol, "productQuantize"), m)
+
+  /** Collect a small codebook/centroid table to the driver: rows
+    * sorted ascending by id (= lowest-code-id tie-break as scan
+    * order), rectangular (a ragged row would silently misalign the
+    * row-major flat layout every later codeword reads from).
+    */
+  private def collectCodebook(codebook: DataFrame, cbIdCol: String,
+                              cbVecCol: String,
+                              who: String): Array[(Long, Array[Double])] = {
     val cb = codebook
       .select(col(cbIdCol).cast("long"), col(cbVecCol).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1) // ascending scan order = lowest-code-id tie-break
-    require(cb.nonEmpty, "productQuantize: empty codebook")
+      .sortBy(_._1)
+    require(cb.nonEmpty, s"$who: empty codebook")
     require(cb.length <= 65536,
-      s"productQuantize: ${cb.length} codewords exceed the driver-collect bound")
+      s"$who: ${cb.length} codewords exceed the driver-collect bound")
+    val d = cb(0)._2.length
+    cb.foreach { case (id, v) =>
+      require(v.length == d,
+        s"$who: ragged codebook — codeword $id has ${v.length} dims, expected $d")
+    }
+    cb
+  }
+
+  private def pqCodesFrame(df: DataFrame, idCol: String, vecCol: String,
+                           cb: Array[(Long, Array[Double])],
+                           m: Int): DataFrame = {
     val d = cb(0)._2.length
     require(d % m == 0, s"productQuantize: dim $d not divisible by m=$m")
     val sub = d / m
@@ -490,21 +541,16 @@ object Similarity {
                 m: Int, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cb = codebook
-      .select(col(cbIdCol).cast("long"), col(cbVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cb.nonEmpty, "pqAdcTopK: empty codebook")
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "pqAdcTopK")
     val d = cb(0)._2.length
     require(d % m == 0, s"pqAdcTopK: dim $d not divisible by m=$m")
     val sub = d / m
-    val codes = productQuantize(corpus, corpusId, corpusVec,
-      codebook, cbIdCol, cbVecCol, m)
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m)
     val qRows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // NaN/Infinity-safe, HALF_UP — the same rounding the code path uses
+    def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
     val table = for {
       (qid, qv) <- qRows.toSeq
       j <- 0 until m

@@ -251,6 +251,32 @@ class ProductQuantizeSpec extends SparkSpec {
     assert(got == Set((0L, 0L)), got.toString)
   }
 
+  test("a ragged codebook is rejected, not silently misaligned") {
+    val cb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val vecs = Seq((10L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.productQuantize(vecs, "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 2)
+    }
+    assert(ex.getMessage.contains("ragged codebook"), ex.getMessage)
+  }
+
+  test("a short dirty vector codes from its own elements only (no buffer over-read)") {
+    val cb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // 2 elements where the codebook expects 4: missing dims read as 0
+    val vecs = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.productQuantize(vecs, "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // sub0 sees (0.9, 0.1) -> codeword 0's (1,0); sub1 reads nothing
+    // (dot 0 for both) so the smaller-|c|^2 codeword 0 wins
+    assert(got == Set((0L, 0L), (1L, 0L)), got.toString)
+  }
+
   test("coding is one narrow pass: no join, no window, no aggregate") {
     import org.apache.spark.sql.execution.ExplainMode
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -349,5 +375,34 @@ class SemDedupSpec extends SparkSpec {
     // centroids ride as literals: no join or window in the assignment,
     // so the plan's joins are exactly the pair join + the anti join
     assert(!p.contains("Window"), p)
+  }
+
+  test("the broadcast fallback (K > 128) assigns the same clusters as the literal math") {
+    // 130 centroids forces the broadcast + per-id argmin path; verify
+    // its assignments against a driver-side replica of the contract
+    // (round-6 cosine argmax, lowest-centroid-id tie-break)
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    val cents = (0L until 130L).map(i => (i, vec()))
+    val corpus = (1000L until 1100L).map(i => (i, vec()))
+    val centsDf = cents.toDF("vec_id", "embedding")
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(corpusDf, "vec_id", "embedding",
+        centsDf, "vec_id", "embedding", threshold = 2.0) // no dups: pure assignment
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def l2(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = corpus.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      id -> cents.map { case (cid, cw) =>
+        val cd = cw.map(_.toDouble)
+        val cos = vd.zip(cd).map { case (a, b) => a * b }.sum / (l2(vd) * l2(cd))
+        (-r6(cos), cid)
+      }.min._2
+    }.toMap
+    assert(got == want,
+      (got.toSet -- want.toSet).take(5).toString + " vs " +
+        (want.toSet -- got.toSet).take(5).toString)
   }
 }
