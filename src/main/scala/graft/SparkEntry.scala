@@ -944,6 +944,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t15_collapse_runs" -> ((s, dir) => {
+      // intra-doc consecutive-duplicate-line collapse. The corpus has
+      // single-line docs, so the fixture builds the failure mode: a
+      // "loading..." flood (1-2 lines), the body stuttered twice, a
+      // closing line — the operator must keep one of each run, in order
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("loading...\n")).otherwise(lit("")),
+        lit("loading...\n"),
+        col("text"), lit("\n"), col("text"),
+        lit("\ndone")).as("text"))
+      TextStats.collapseRepeatRuns(framed, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t13_unigram_logprob" -> ((s, dir) =>
       // unigram-LM quality score (KenLM-perplexity stand-in): mean
       // log-prob of each doc's tokens under the corpus's own unigram
@@ -1912,6 +1927,28 @@ object SparkEntry {
             tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1),
             kept AS (SELECT doc_id, line, i FROM lines
                      WHERE line NOT IN (SELECT line FROM freq))
+         SELECT k.doc_id,
+                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
+         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    "t15_collapse_runs" ->
+      """WITH framed AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'loading...' || chr(10) ELSE '' END ||
+               'loading...' || chr(10) || text || chr(10) || text || chr(10) || 'done' AS text
+             FROM documents),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM framed),
+            lines AS (SELECT doc_id, a[i] AS line, i
+                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                            FROM ls)),
+            marked AS (SELECT doc_id, line, i,
+                         lag(line) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                       FROM lines),
+            kept AS (SELECT doc_id, line, i FROM marked
+                     WHERE prev IS NULL OR prev <> line),
+            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1)
          SELECT k.doc_id,
                 string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
                 CAST(count(*) AS BIGINT) AS n_kept,

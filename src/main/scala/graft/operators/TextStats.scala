@@ -77,6 +77,35 @@ object TextStats {
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** Collapse RUNS of consecutive identical lines within a document
+    * to a single occurrence — terminal spam ("loading..." floods,
+    * progress bars), copy-paste stutters, repeated paragraphs. The
+    * intra-doc twin of [[stripRepeatedLines]] (which scrubs CROSS-doc
+    * boilerplate); non-adjacent repeats are [[repetition]]'s metric
+    * territory and stay untouched here.
+    *
+    * Shape at scale: lines explode narrow; run detection is one lag()
+    * window on (id ORDER BY pos) and the reassembly groupBy rides the
+    * SAME id partitioning — one shuffle end to end.
+    * Output: (id, text_clean, n_kept, n_dropped).
+    */
+  def collapseRepeatRuns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("_prev", lag(col("line"), 1).over(w))
+      .withColumn("_keep", col("_prev").isNull || col("_prev") =!= col("line"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("_keep"), struct(col("pos"), col("line"))))),
+          s => s("line")), "\n").as("text_clean"),
+        count(when(col("_keep"), lit(1))).cast("long").as("n_kept"),
+        (count(lit(1)) - count(when(col("_keep"), lit(1))))
+          .cast("long").as("n_dropped"))
+  }
+
   /** Within-document token entropy: H = -sum_t p_t ln p_t over the
     * doc's own token distribution. Low entropy marks repetitive /
     * template text (the "click here click here" failure mode) from a

@@ -42,6 +42,32 @@ class StripRepeatedLinesSpec extends SparkSpec {
   }
 }
 
+class CollapseRepeatRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runs collapse to one line each, order preserved; non-adjacent repeats stay") {
+    val docs = Seq(
+      (1L, "loading...\nloading...\nloading...\nbody\nbody\ndone"),
+      (2L, "a\nb\na"), // non-adjacent repeat is NOT a run — untouched
+      (3L, "only line")).toDF("id", "text")
+    val out = TextStats.collapseRepeatRuns(docs, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "loading...\nbody\ndone")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 3L)
+    assert(out(1).getString(1) == "a\nb\na")
+    assert(out(1).getLong(3) == 0L)
+    assert(out(2).getString(1) == "only line")
+  }
+
+  test("the whole collapse rides ONE id shuffle (window + reassembly co-partitioned)") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val docs = Seq((1L, "x\nx\ny")).toDF("id", "text")
+    val p = TextStats.collapseRepeatRuns(docs, "id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+}
+
 class UnigramLogProbSpec extends SparkSpec {
   import spark.implicits._
 
