@@ -430,12 +430,17 @@ object Similarity {
             StructField("_cid", org.apache.spark.sql.types.LongType),
             StructField("_cv", ArrayType(DoubleType)),
             StructField("_cnrm", DoubleType))))
-        e.crossJoin(broadcast(centDf))
+        // group on a per-ROW key, not the id: duplicate ids must keep
+        // one output row each (as the literal path does), not merge
+        // into an argmin over both rows' cosines
+        e.withColumn("_rowid", monotonically_increasing_id())
+          .crossJoin(broadcast(centDf))
           .withColumn("_negcos", round(
             -(VecDot.dot(col("v"), col("_cv")) / (col("_nrm") * col("_cnrm"))), 6))
-          .groupBy(col("id"))
+          .groupBy(col("_rowid"))
           .agg(min(struct(col("_negcos"), col("_cid"))).as("_best"),
-            // v/_nrm are constant per id — first() is deterministic here
+            // id/v/_nrm are constant per _rowid — first() is exact here
+            first(col("id")).as("id"),
             first(col("v")).as("v"), first(col("_nrm")).as("_nrm"))
           .select(col("id"), col("v"), col("_nrm"),
             col("_best").getField("_cid").as("cluster"))
@@ -474,7 +479,8 @@ object Similarity {
                       codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                       m: Int): DataFrame =
     pqCodesFrame(df, idCol, vecCol,
-      collectCodebook(codebook, cbIdCol, cbVecCol, "productQuantize"), m)
+      collectCodebook(codebook, cbIdCol, cbVecCol, "productQuantize"), m,
+      "productQuantize")
 
   /** Collect a small codebook/centroid table to the driver: rows
     * sorted ascending by id (= lowest-code-id tie-break as scan
@@ -486,7 +492,12 @@ object Similarity {
                               who: String): Array[(Long, Array[Double])] = {
     val cb = codebook
       .select(col(cbIdCol).cast("long"), col(cbVecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"$who: codebook id ($cbIdCol) is null or not castable to long")
+        require(!r.isNullAt(1), s"$who: codeword ${r.getLong(0)} has a null vector")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
       .sortBy(_._1)
     require(cb.nonEmpty, s"$who: empty codebook")
     require(cb.length <= 65536,
@@ -501,9 +512,9 @@ object Similarity {
 
   private def pqCodesFrame(df: DataFrame, idCol: String, vecCol: String,
                            cb: Array[(Long, Array[Double])],
-                           m: Int): DataFrame = {
+                           m: Int, who: String): DataFrame = {
     val d = cb(0)._2.length
-    require(d % m == 0, s"productQuantize: dim $d not divisible by m=$m")
+    require(d % m == 0, s"$who: dim $d not divisible by m=$m")
     val sub = d / m
     val codeIds = cb.map(_._1).toSeq
     val flat = cb.flatMap(_._2).toSeq
@@ -545,10 +556,15 @@ object Similarity {
     val d = cb(0)._2.length
     require(d % m == 0, s"pqAdcTopK: dim $d not divisible by m=$m")
     val sub = d / m
-    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m)
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, "pqAdcTopK")
     val qRows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"pqAdcTopK: query id ($queryId) is null or not castable to long")
+        require(!r.isNullAt(1), s"pqAdcTopK: query ${r.getLong(0)} has a null vector")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
     // NaN/Infinity-safe, HALF_UP — the same rounding the code path uses
     def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
     val table = for {
@@ -558,9 +574,12 @@ object Similarity {
     } yield {
       val cs = cv.slice(j * sub, (j + 1) * sub)
       val c2 = cs.map(x => x * x).sum // sequential, oracle list-sum order
+      // clamp to the query's own length — a short dirty query vector
+      // contributes 0 for its missing dims, same rule as pq_codes
       var dot = 0.0
       var i = 0
-      while (i < sub) { dot += qv(j * sub + i) * cs(i); i += 1 }
+      val lim = math.max(0, math.min(sub, qv.length - j * sub))
+      while (i < lim) { dot += qv(j * sub + i) * cs(i); i += 1 }
       (qid, j.toLong, code, round6(c2 - 2.0 * dot))
     }
     val dt = table.toDF("query_id", "sub", "code", "_d")

@@ -404,5 +404,12 @@ class SemDedupSpec extends SparkSpec {
     assert(got == want,
       (got.toSet -- want.toSet).take(5).toString + " vs " +
         (want.toSet -- got.toSet).take(5).toString)
+
+    // a duplicated id stays two rows (grouping is per ROW, not per id
+    // — merging them would argmin over both vectors' cosines)
+    val dupDf = (corpus :+ (1050L, vec())).toDF("vec_id", "embedding")
+    val n = Similarity.semDedup(dupDf, "vec_id", "embedding",
+      centsDf, "vec_id", "embedding", threshold = 2.0).count()
+    assert(n == 101L, n.toString)
   }
 }
