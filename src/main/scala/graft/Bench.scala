@@ -35,8 +35,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       val dt = (System.nanoTime() - t0) / 1e9
       // dedup/ANN queries persist() intermediates; drop them so later
-      // queries aren't taxed by leftover cache blocks.
+      // queries aren't taxed by leftover cache blocks. clearCache only
+      // covers CacheManager entries — localCheckpoint blocks (sealed
+      // pair pipelines, Caching.sealOver) register on the RDD directly
+      // and otherwise linger until GC + ContextCleaner happen to run,
+      // which made seal-heavy queries' medians bimodal across runs
+      // (d07 1.2s vs 4.3s with identical code).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
 
@@ -75,8 +82,14 @@ object Bench {
     // once the full-name line would overflow the window — losing the
     // breakdown entirely is worse than losing the suffixes.
     def line(dec: Int, short: Boolean): String = {
+      // Shortened keys must stay unique — two names sharing a prefix
+      // would emit duplicate JSON keys and silently lose a
+      // measurement. On collision keep the colliders' full names.
+      val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+      val dupPrefixes = shortKeys.groupBy(identity).filter(_._2.length > 1).keySet
       val qs = results.map { case (k, v) =>
-        val key = if (short) k.takeWhile(_ != '_') else k
+        val prefix = k.takeWhile(_ != '_')
+        val key = if (short && !dupPrefixes(prefix)) prefix else k
         "\"" + key + "\":" + num(dec, v)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
