@@ -584,6 +584,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s12_ivf_pq" -> ((s, dir) => {
+      // IVF-PQ end-to-end (FAISS IVFPQ composition): coarse-probe
+      // nprobe of 16 lists, ADC-rank candidates through their 8 PQ
+      // codes — the billion-scale query path assembled from s03's
+      // lists + s10's codes + s11's ADC scan. Vectors are
+      // L2-NORMALIZED first (the FAISS cosine recipe: on unit vectors
+      // L2² = 2 − 2·cos, so the ADC L2 rank IS the cosine rank —
+      // unnormalized, the two orderings diverge and recall@10 vs the
+      // cosine brute force drops 0.42-level). Codebook = TRAINED
+      // per-subspace k-means (trainPqCodebook — raw corpus rows as
+      // codewords, s11's stand-in, quantize near-random embeddings too
+      // coarsely to rank neighbors). Rows-only check (xxhash seeding
+      // not DuckDB-expressible); recall@10 gated in AnnRecallSpec.
+      val emb = T(s, dir, "embeddings").withColumn("embedding",
+        transform(col("embedding"),
+          x => x.cast("double") / Similarity.norm(col("embedding"))))
+      val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+        m = 16, ksub = 256, iters = 4)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cb, "code", "codeword",
+          m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball

@@ -104,6 +104,122 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  private case class Cent(id: Any, vec: Array[Double], nrm: Double)
+
+  private def l2d(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver-side coarse-quantizer training shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: seed `nlist` centroids from the trainCap
+    * lowest-hash rows (deterministic, uniform, one distributed top-K
+    * — TakeOrdered, no full sort), then `refineIters` Lloyd passes.
+    * Null vectors are excluded up front: they carry no geometry to
+    * train on, and the PQ family's dirty-input contract (pq_codes,
+    * pqAdcTopK) likewise skips/rejects rather than NPEs.
+    *
+    * Ties in the local assignment break on centroid POSITION, which is
+    * seed-hash order — the same deterministic-order principle as the
+    * SQL id tie-break, and exact ties are measure-zero for float
+    * cosines.
+    */
+  private def trainCoarse(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          nlist: Int, refineIters: Int, trainCap: Int): Array[Cent] = {
+    require(trainCap >= nlist, s"trainCap=$trainCap must cover nlist=$nlist")
+    val trainRows = corpus
+      .filter(col(corpusVec).isNotNull)
+      .select(col(corpusId).as("_id"),
+        col(corpusVec).cast("array<double>").as("_v"),
+        xxhash64(col(corpusId)).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(trainCap)
+      .collect()
+    val trainVecs: Array[Array[Double]] =
+      trainRows.map(_.getSeq[Double](1).toArray)
+    val dims = if (trainVecs.isEmpty) 0 else trainVecs(0).length
+
+    // seeds = first nlist sample rows (already in hash order); Lloyd
+    // re-centers each list on its member mean.
+    var cents: Array[Cent] = trainRows.take(nlist)
+      .map(r => Cent(r.get(0), r.getSeq[Double](1).toArray, l2d(r.getSeq[Double](1).toArray)))
+
+    for (_ <- 0 until refineIters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      var t = 0
+      while (t < trainVecs.length) {
+        val v = trainVecs(t)
+        val vn = l2d(v)
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cos = dotd(v, cents(c).vec) / (vn * cents(c).nrm)
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        // clamp to the vector's own length — a short dirty vector
+        // contributes 0 for its missing dims, the same min-length rule
+        // as dotd / pq_codes / pqAdcTopK
+        val s = sums(best); var i = 0
+        val lim = math.min(dims, v.length)
+        while (i < lim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        t += 1
+      }
+      // empty lists drop out (standard k-means behavior)
+      cents = cents.indices.iterator.filter(counts(_) > 0).map { c =>
+        val m = sums(c).map(_ / counts(c))
+        Cent(cents(c).id, m, l2d(m))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Top-`take` nearest centroids per row. Small quantizers embed as
+    * LITERALS: score + sort happen in-row, one narrow codegen map —
+    * no crossJoin blow-up, no per-row window shuffle. Large
+    * quantizers (nlist beyond expression-tree size) fall back to a
+    * broadcast join + per-row top-take window.
+    */
+  private def assignCents(cents: Array[Cent],
+                          idType: org.apache.spark.sql.types.DataType,
+                          df: DataFrame, vec: String, nrm: Column,
+                          take: Int): DataFrame =
+    if (cents.length <= 128) {
+      val scoredArr = array(cents.map(c => struct(
+        (-(VecDot.dot(col(vec), lit(c.vec)) / (nrm * lit(c.nrm)))).as("_negcos"),
+        lit(c.id).as("_cid"))): _*)
+      df.withColumn("_cand", explode(slice(sort_array(scoredArr), 1, take)))
+        .withColumn("_cent_id", col("_cand._cid"))
+        .drop("_cand")
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+      val centFrame = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(cents.map(c => Row(c.id, c.vec.toSeq, c.nrm)): _*),
+        StructType(Seq(StructField("_cent_id", idType),
+          StructField("_cent_vec", ArrayType(DoubleType)),
+          StructField("_cent_nrm", DoubleType))))
+      df.withColumn("_rowid", monotonically_increasing_id())
+        .crossJoin(broadcast(centFrame))
+        .withColumn("_cent_cos",
+          VecDot.dot(col(vec), col("_cent_vec")) / (nrm * col("_cent_nrm")))
+        .withColumn("_cent_rank", row_number().over(
+          Window.partitionBy(col("_rowid"))
+            .orderBy(col("_cent_cos").desc, col("_cent_id"))))
+        .filter(col("_cent_rank") <= take)
+        .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank", "_rowid")
+    }
+
   /** IVF (inverted-file) ANN — the classic scale path next to LSH.
     *
     * Coarse quantizer: `nlist` centroids seeded deterministically
@@ -136,112 +252,19 @@ object Similarity {
               k: Int, nlist: Int = 64, nprobe: Int = 4,
               refineIters: Int = 1, spill: Int = 1,
               trainCap: Int = 65536): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
-    val spark = corpus.sparkSession
-    require(trainCap >= nlist, s"trainCap=$trainCap must cover nlist=$nlist")
-
-    // training sample: the trainCap lowest-hash rows — deterministic,
-    // uniform, fetched with one distributed top-K (TakeOrdered)
-    val trainRows = corpus
-      .select(col(corpusId).as("_id"),
-        col(corpusVec).cast("array<double>").as("_v"),
-        xxhash64(col(corpusId)).as("_h"))
-      .orderBy(col("_h"), col("_id"))
-      .limit(trainCap)
-      .collect()
-    val trainVecs: Array[Array[Double]] =
-      trainRows.map(_.getSeq[Double](1).toArray)
-    val dims = if (trainVecs.isEmpty) 0 else trainVecs(0).length
-
-    def l2(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    def dotd(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-
-    // seeds = first nlist sample rows (already in hash order); Lloyd
-    // re-centers each list on its member mean. Ties in the local
-    // assignment break on centroid POSITION, which is seed-hash order
-    // — the same deterministic-order principle as the SQL id
-    // tie-break, and exact ties are measure-zero for float cosines.
-    case class Cent(id: Any, vec: Array[Double], nrm: Double)
-    var cents: Array[Cent] = trainRows.take(nlist)
-      .map(r => Cent(r.get(0), r.getSeq[Double](1).toArray, l2(r.getSeq[Double](1).toArray)))
-
-    for (_ <- 0 until refineIters) {
-      val sums = Array.fill(cents.length)(new Array[Double](dims))
-      val counts = new Array[Long](cents.length)
-      var t = 0
-      while (t < trainVecs.length) {
-        val v = trainVecs(t)
-        val vn = l2(v)
-        var best = 0; var bestCos = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          val cos = dotd(v, cents(c).vec) / (vn * cents(c).nrm)
-          if (cos > bestCos) { bestCos = cos; best = c }
-          c += 1
-        }
-        val s = sums(best); var i = 0
-        while (i < dims) { s(i) += v(i); i += 1 }
-        counts(best) += 1
-        t += 1
-      }
-      // empty lists drop out (standard k-means behavior)
-      cents = cents.indices.iterator.filter(counts(_) > 0).map { c =>
-        val m = sums(c).map(_ / counts(c))
-        Cent(cents(c).id, m, l2(m))
-      }.toArray
-    }
-
+    val cents = trainCoarse(corpus, corpusId, corpusVec, nlist, refineIters, trainCap)
     val idType = corpus.schema(corpusId).dataType
-    def centFrame(): DataFrame = spark.createDataFrame(
-      java.util.Arrays.asList(cents.map(c => Row(c.id, c.vec.toSeq, c.nrm)): _*),
-      StructType(Seq(StructField("_cent_id", idType),
-        StructField("_cent_vec", ArrayType(DoubleType)),
-        StructField("_cent_nrm", DoubleType))))
-
-    /** Top-`take` nearest centroids per row. Small quantizers embed as
-      * LITERALS: score + sort happen in-row, one narrow codegen map —
-      * no crossJoin blow-up, no per-row window shuffle. Large
-      * quantizers (nlist beyond expression-tree size) fall back to a
-      * broadcast join + per-row top-take window.
-      */
-    def assign(df: DataFrame, vec: String, nrm: Column, take: Int): DataFrame =
-      if (cents.length <= 128) {
-        val scoredArr = array(cents.map(c => struct(
-          (-(VecDot.dot(col(vec), lit(c.vec)) / (nrm * lit(c.nrm)))).as("_negcos"),
-          lit(c.id).as("_cid"))): _*)
-        df.withColumn("_cand", explode(slice(sort_array(scoredArr), 1, take)))
-          .withColumn("_cent_id", col("_cand._cid"))
-          .drop("_cand")
-      } else {
-        df.withColumn("_rowid", monotonically_increasing_id())
-          .crossJoin(broadcast(centFrame()))
-          .withColumn("_cent_cos",
-            VecDot.dot(col(vec), col("_cent_vec")) / (nrm * col("_cent_nrm")))
-          .withColumn("_cent_rank", row_number().over(
-            Window.partitionBy(col("_rowid"))
-              .orderBy(col("_cent_cos").desc, col("_cent_id"))))
-          .filter(col("_cent_rank") <= take)
-          .drop("_cent_vec", "_cent_nrm", "_cent_cos", "_cent_rank", "_rowid")
-      }
 
     // `spill` > 1 = assignment replication: each corpus vector joins
     // its top-`spill` lists, so a neighbor sitting just across a
     // Voronoi boundary from the query's probed cells is still found.
     // Costs spill× list storage/scan — the classic IVF recall lever
     // next to nprobe (refinement keeps take=1: true Lloyd k-means).
-    val c = assign(corpus.withColumn("_cnrm", norm(col(corpusVec))),
+    val c = assignCents(cents, idType,
+      corpus.withColumn("_cnrm", norm(col(corpusVec))),
       corpusVec, col("_cnrm"), spill)
-    val q = assign(queries.withColumn("_qnrm", norm(col(queryVec))),
+    val q = assignCents(cents, idType,
+      queries.withColumn("_qnrm", norm(col(queryVec))),
       queryVec, col("_qnrm"), nprobe)
 
     val scored = c.join(broadcast(q), "_cent_id")
@@ -298,9 +321,15 @@ object Similarity {
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int): DataFrame = {
-    // take(1), not head(): an empty frame projects to an empty frame
-    val dims = df.select(size(col(vecCol))).take(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // Sign matrix is built to the CORPUS MAX length, not an arbitrary
+    // first row: [[VecDot]] clamps each dot to min(row length, sign
+    // length), so with a max-length matrix every row sums over exactly
+    // its own dims — the same per-row len(embedding) the s08 oracle
+    // computes — and ragged inputs agree with the oracle instead of
+    // silently truncating to whichever row take(1) happened to see.
+    // One aggregate job, same eager cost as the old take(1).
+    val dims = df.agg(max(size(col(vecCol)))).take(1)
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0)
     val digest = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
       val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
@@ -482,6 +511,84 @@ object Similarity {
       collectCodebook(codebook, cbIdCol, cbVecCol, "productQuantize"), m,
       "productQuantize")
 
+  /** Train a real PQ codebook (Jégou, Douze, Schmid 2011 §III):
+    * INDEPENDENT k-means per subspace — `ksub` L2 centroids over each
+    * of the `m` subvector distributions — assembled into ksub full-d
+    * codewords (codeword k's subspace-j slice = subspace j's k-th
+    * centroid). Coding picks argmin PER SUBSPACE, so the assembled
+    * frame plugs into [[productQuantize]]/[[pqAdcTopK]]/[[ivfPqTopK]]
+    * unchanged while behaving exactly like m separate codebooks.
+    * Raw corpus rows as codewords (the s10/s11 stand-in) quantize
+    * near-random embeddings too coarsely to rank neighbors; trained
+    * subspace centroids are what makes ADC recall usable.
+    *
+    * Same driver-training contract as the coarse quantizer
+    * ([[trainCoarse]]): one distributed top-`trainCap` hash-sample
+    * (explicit memory bound), local Lloyd arithmetic, deterministic
+    * seeds (hash order) and tie-breaks (centroid position); an empty
+    * cluster keeps its previous centroid so every subspace holds
+    * exactly K codewords. Output: (code, codeword), code 0..K-1.
+    */
+  def trainPqCodebook(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      m: Int, ksub: Int = 256, iters: Int = 4,
+                      trainCap: Int = 65536): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(ksub >= 1 && trainCap >= ksub,
+      s"trainCap=$trainCap must cover ksub=$ksub")
+    val sample = corpus
+      .filter(col(corpusVec).isNotNull)
+      .select(col(corpusId).as("_id"),
+        col(corpusVec).cast("array<double>").as("_v"),
+        xxhash64(col(corpusId)).as("_h"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(trainCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "trainPqCodebook: empty corpus")
+    val d = sample.map(_.length).max
+    require(d % m == 0, s"trainPqCodebook: dim $d not divisible by m=$m")
+    val sub = d / m
+    val k = math.min(ksub, sample.length)
+    // per-subspace slice, zero-padded to `sub` (the pq_codes dirty-
+    // input rule: missing dims read as 0)
+    def slice(v: Array[Double], j: Int): Array[Double] =
+      Array.tabulate(sub)(i =>
+        if (j * sub + i < v.length) v(j * sub + i) else 0.0)
+    val perSub: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      val pts = sample.map(slice(_, j))
+      var cents: Array[Array[Double]] = pts.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Long](k)
+        var t = 0
+        while (t < pts.length) {
+          val p = pts(t)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var dist = 0.0; var i = 0
+            while (i < sub) {
+              val dx = p(i) - cents(c)(i); dist += dx * dx; i += 1
+            }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          val s = sums(best); var i = 0
+          while (i < sub) { s(i) += p(i); i += 1 }
+          counts(best) += 1
+          t += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+      }
+      cents
+    }
+    val rows = (0 until k).map { code =>
+      (code.toLong, (0 until m).flatMap(j => perSub(j)(code).toSeq))
+    }
+    rows.toDF("code", "codeword")
+  }
+
   /** Collect a small codebook/centroid table to the driver: rows
     * sorted ascending by id (= lowest-code-id tie-break as scan
     * order), rectangular (a ragged row would silently misalign the
@@ -550,21 +657,49 @@ object Similarity {
                 queries: DataFrame, queryId: String, queryVec: String,
                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                 m: Int, k: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "pqAdcTopK")
-    val d = cb(0)._2.length
-    require(d % m == 0, s"pqAdcTopK: dim $d not divisible by m=$m")
-    val sub = d / m
     val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, "pqAdcTopK")
+    val dt = adcTable(queries, queryId, queryVec, cb, m, "pqAdcTopK")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Per-query ADC distance tables, built on the DRIVER (queries are
+    * per-query state in any PQ engine — "small by contract", enforced)
+    * and returned as a broadcast-sized (query_id, sub, code, _d)
+    * frame. Table entries drop the constant |q_sub|² term (same rank,
+    * same argmin) and round HALF_UP to 6dp. Shared by [[pqAdcTopK]]
+    * and [[ivfPqTopK]].
+    */
+  private def adcTable(queries: DataFrame, queryId: String, queryVec: String,
+                       cb: Array[(Long, Array[Double])], m: Int,
+                       who: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val d = cb(0)._2.length
+    require(d % m == 0, s"$who: dim $d not divisible by m=$m")
+    val sub = d / m
+    // Enforce the contract instead of OOMing: collect one row past the
+    // bound so an oversized frame fails loudly and cheaply.
+    val maxQueries = 4096
     val qRows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .limit(maxQueries + 1)
       .collect().map { r =>
         require(!r.isNullAt(0),
-          s"pqAdcTopK: query id ($queryId) is null or not castable to long")
-        require(!r.isNullAt(1), s"pqAdcTopK: query ${r.getLong(0)} has a null vector")
+          s"$who: query id ($queryId) is null or not castable to long")
+        require(!r.isNullAt(1), s"$who: query ${r.getLong(0)} has a null vector")
         (r.getLong(0), r.getSeq[Double](1).toArray)
       }
+    require(qRows.length <= maxQueries,
+      s"$who: more than $maxQueries query rows — ADC tables are " +
+        "per-query driver state; shard the query set or raise the bound")
     // NaN/Infinity-safe, HALF_UP — the same rounding the code path uses
     def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
     val table = for {
@@ -582,10 +717,66 @@ object Similarity {
       while (i < lim) { dot += qv(j * sub + i) * cs(i); i += 1 }
       (qid, j.toLong, code, round6(c2 - 2.0 * dot))
     }
-    val dt = table.toDF("query_id", "sub", "code", "_d")
+    table.toDF("query_id", "sub", "code", "_d")
+  }
+
+  /** IVF-PQ end-to-end ANN (the FAISS IVFPQ composition; Jégou,
+    * Douze, Schmid 2011 §IV): the coarse quantizer restricts each
+    * query's scan to its `nprobe` inverted lists, and WITHIN those
+    * lists candidates are ranked by PQ asymmetric distance — m table
+    * lookups per candidate, never the raw floats. This composes
+    * [[ivfTopK]]'s list probe (the candidate bound) with
+    * [[pqAdcTopK]]'s ADC scan (the compressed-domain rank): the
+    * billion-scale query path where neither the full corpus nor even
+    * a probed list's raw vectors are read at query time.
+    *
+    * This variant PQ-encodes RAW vectors; FAISS's residual encoding
+    * (PQ over v − centroid, one codebook shared across lists) is a
+    * recall refinement that needs a residual-trained codebook — out
+    * of scope while codebooks arrive as a caller-provided frame.
+    *
+    * Shape at scale: quantizer training and the codebook are bounded
+    * driver state (trainCap / 65536-row caps); corpus-side work is
+    * two narrow codegen passes (centroid assignment, pq_codes) paired
+    * by one id-key join; the probe join and the distance tables are
+    * broadcast (query side small by contract); the final rank
+    * aggregates (query, neighbor) partials map-side before one
+    * bounded shuffle. No shuffle ever carries a raw corpus vector.
+    *
+    * `spill` replicates each corpus vector into its top-`spill` lists
+    * (same recall lever as [[ivfTopK]]); duplicate (query, neighbor)
+    * meetings across spilled lists collapse in the rank aggregate.
+    * Output: (query_id, neighbor_id, adc_dist, rank), rank <= k.
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                m: Int, k: Int, nlist: Int = 64, nprobe: Int = 4,
+                refineIters: Int = 1, spill: Int = 1,
+                trainCap: Int = 65536): DataFrame = {
+    val cents = trainCoarse(corpus, corpusId, corpusVec, nlist, refineIters, trainCap)
+    val idType = corpus.schema(corpusId).dataType
+    val lists = assignCents(cents, idType,
+        corpus.withColumn("_cnrm", norm(col(corpusVec))), corpusVec,
+        col("_cnrm"), spill)
+      .select(col(corpusId).as("id"), col("_cent_id"))
+    val probes = assignCents(cents, idType,
+        queries.withColumn("_qnrm", norm(col(queryVec))), queryVec,
+        col("_qnrm"), nprobe)
+      .select(col(queryId).cast("long").as("query_id"), col("_cent_id"))
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "ivfPqTopK")
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, "ivfPqTopK")
+    val dt = adcTable(queries, queryId, queryVec, cb, m, "ivfPqTopK")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist"), col("neighbor_id"))
-    codes.join(broadcast(dt), Seq("sub", "code"))
+    // distinct BEFORE attaching codes: with spill > 1 a pair can meet
+    // in several lists, and a duplicate candidate row would double its
+    // m code rows into the ADC sum
+    val cands = lists.join(broadcast(probes), "_cent_id")
+      .select(col("query_id"), col("id"))
+      .dropDuplicates("query_id", "id")
+    codes.join(cands, "id")
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
         .as("adc_dist"))

@@ -175,6 +175,19 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(lsh >= 0.70, s"LSH recall regressed: $lsh")
     assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
   }
+
+  test("IVF-PQ recall@10 vs brute force clears the gate") {
+    val brute = neighbors("s01_ann_brute")
+    val ivfpq = neighbors("s12_ivf_pq")
+    val per = brute.keys.toSeq.map { q =>
+      (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
+    }
+    val recall = per.sum / per.size
+    // compounded loss: coarse-probe coverage (s03's lever) × ADC rank
+    // quality (trained 256-codeword × m=16 subspace codebooks)
+    info(f"IVF-PQ recall@10 = $recall%.2f")
+    assert(recall >= 0.70, s"IVF-PQ recall@10 regressed: $recall")
+  }
 }
 
 class CosinePairsLshSpec extends SparkSpec {
@@ -324,6 +337,47 @@ class PqAdcSpec extends SparkSpec {
     // the gate pins "clearly better than chance", refined-codebook
     // accuracy is the caller's lever (bigger K, trained codebooks)
     assert(recall >= 0.30, f"ADC recall@10 = $recall%.2f")
+  }
+}
+
+class IvfPqSpec extends SparkSpec {
+  private val emb = () =>
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "neighbor_id", "adc_dist", "rank")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("probing every list reproduces the full ADC scan exactly") {
+    val e = emb()
+    val q = e.filter(col("vec_id") < 5)
+    val cb = e.filter(col("vec_id") < 16)
+    val full = rows(Similarity.pqAdcTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, "vec_id", "embedding", m = 8, k = 10))
+    val ivfpq = rows(Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, "vec_id", "embedding",
+      m = 8, k = 10, nlist = 4, nprobe = 4))
+    // nprobe = nlist: every candidate survives the coarse filter, so
+    // the compressed-domain rank must agree bit-for-bit with s11's
+    assert(ivfpq == full,
+      s"missing=${(full -- ivfpq).take(5)} extra=${(ivfpq -- full).take(5)}")
+  }
+
+  test("spilled replication never double-counts a candidate's ADC sum") {
+    val e = emb()
+    val q = e.filter(col("vec_id") < 5)
+    val cb = e.filter(col("vec_id") < 16)
+    val full = rows(Similarity.pqAdcTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, "vec_id", "embedding", m = 8, k = 10))
+    // spill = 3 of 4 lists: most pairs meet in several lists — any
+    // duplicate candidate row would triple its codes into the sum and
+    // push adc_dist off the full-scan value
+    val spilled = rows(Similarity.ivfPqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", cb, "vec_id", "embedding",
+      m = 8, k = 10, nlist = 4, nprobe = 4, spill = 3))
+    assert(spilled == full,
+      s"missing=${(full -- spilled).take(5)} extra=${(spilled -- full).take(5)}")
   }
 }
 
