@@ -142,20 +142,33 @@ object TextStats {
     * scores high.
     *
     * Shape at scale: one token explode feeds both the vocabulary count
-    * and the scoring join. The vocabulary is Zipf-bounded (far smaller
-    * than the corpus) and the join key is the token, so partial
-    * aggregation carries the weight; per-token log-probs are rounded
-    * then DECIMAL-summed so the per-doc mean is order-independent —
-    * bit-identical under any partitioning, and against the oracle.
-    * Output: (id, n_toks, mean_logprob).
+    * and the scoring join. A plain shuffle join on `tok` would
+    * concentrate the Zipf head ("the", "a") onto a handful of tasks,
+    * so the scoring join is SPLIT: the top-`headVocab` tokens by count
+    * — which carry almost all token OCCURRENCES — join as a broadcast
+    * (no shuffle of the exploded stream at all), and only the
+    * unmatched residual, the Zipf tail where every token is rare and
+    * the key distribution is flat, takes the shuffle join. Per-token
+    * log-probs are rounded then DECIMAL-summed so the per-doc mean is
+    * order-independent — bit-identical under any partitioning, and
+    * against the oracle. Output: (id, n_toks, mean_logprob).
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     headVocab: Int = 65536): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_n"))
     val total = vocab.agg(sum(col("_n")).as("_total"))
-    toks.join(vocab, "tok")
+    // head = distributed top-K by count (TakeOrdered, tok tie-break:
+    // deterministic); 64K (tok, count) pairs broadcast in single MBs
+    val head = vocab.orderBy(col("_n").desc, col("tok")).limit(headVocab)
+    val tagged = toks.join(broadcast(head), Seq("tok"), "left")
+    val headHits = tagged.filter(col("_n").isNotNull)
+    val residual = tagged.filter(col("_n").isNull).drop("_n")
+      .join(vocab.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti"),
+        Seq("tok"))
+    headHits.unionByName(residual)
       .crossJoin(broadcast(total))
       .withColumn("_lp",
         round(log(col("_n").cast("double") / col("_total").cast("double")), 6)

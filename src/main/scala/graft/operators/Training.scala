@@ -111,19 +111,31 @@ object Training {
     * cap ("no domain contributes more than K docs"), the standard
     * guard against a single giant domain dominating the corpus.
     *
-    * Shape at scale: one shuffle on the source key for the per-source
-    * rank window; rows carry (source, id) plus payload — no second
-    * pass, no driver state. A skewed mega-source makes a hot window
-    * partition; for those, pre-filtering with an md5-threshold (the
-    * mixtureSample trick) before ranking bounds the skew.
+    * Shape at scale: two-phase salted top-K. Phase 1 ranks within
+    * (source, salt) — `saltBuckets` deterministic hash buckets — and
+    * keeps each bucket's local top-`maxPerSource`; a mega-domain's
+    * rows spread over saltBuckets tasks instead of one hot window
+    * partition. Phase 2 ranks the survivors (≤ saltBuckets × cap per
+    * source — BOUNDED regardless of input skew) on the source key
+    * alone. Any row in the global md5-top-cap of its source is also in
+    * the top-cap of its own salt bucket, so the result is EXACTLY the
+    * single-window answer — unconditionally, unlike an md5-threshold
+    * prefilter (the mixtureSample trick), whose binomial survivor
+    * count can undershoot the cap and which needs a verify-fallback
+    * pass to stay exact.
     */
   def sourceQuota(df: DataFrame, sourceCol: String, idCol: String,
-                  maxPerSource: Long): DataFrame =
-    df.withColumn("_qr", row_number().over(
-        Window.partitionBy(col(sourceCol))
-          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+                  maxPerSource: Long, saltBuckets: Int = 64): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val salt = pmod(xxhash64(col(idCol)), lit(saltBuckets))
+    df.withColumn("_qr1", row_number().over(
+        Window.partitionBy(col(sourceCol), salt).orderBy(h, col(idCol))))
+      .filter(col("_qr1") <= maxPerSource)
+      .withColumn("_qr", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))))
       .filter(col("_qr") <= maxPerSource)
-      .drop("_qr")
+      .drop("_qr1", "_qr")
+  }
 
   /** Shard assignment + within-shard pseudo-random order: shard by
     * the first md5 hex digit of the id (16 shards here; a real export

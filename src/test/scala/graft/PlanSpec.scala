@@ -133,10 +133,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("p04: quota rides ONE source-key shuffle") {
+  test("p04: two-phase salted quota — salted exchange, then a bounded source-key exchange") {
     val p = SparkEntry.queries("p04_source_quota")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
-    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    // phase 1 shuffles on (source, salt) — two keys — so a mega-source
+    // spreads over saltBuckets tasks; phase 2's source-key exchange
+    // moves only phase-1 survivors (<= saltBuckets * cap per source),
+    // with map-side WindowGroupLimit bounding both stages' inputs
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
+    assert("hashpartitioning\\(source#\\d+, _w0#\\d+L".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("Join"), p)
   }
 

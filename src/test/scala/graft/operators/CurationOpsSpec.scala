@@ -94,6 +94,26 @@ class UnigramLogProbSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("head/residual join split leaves every score unchanged") {
+    // "common" is the Zipf head; tok$i/word$i are the singleton tail.
+    // headVocab=1 puts ONLY "common" on the broadcast path and forces
+    // every other token through the residual shuffle join — the split
+    // is pure plumbing, so scores must be bit-identical to the default
+    // (all-head) path
+    val docs = (1L to 50L).map(i => (i, s"tok$i common common word$i"))
+      .toDF("id", "text")
+    val full = TextStats.unigramLogProb(docs, "id", "text")
+      .orderBy("id").collect().toSeq
+    val split = TextStats.unigramLogProb(docs, "id", "text", headVocab = 1)
+      .orderBy("id").collect().toSeq
+    assert(split == full)
+    // plan gate: the head path must be a broadcast join (the exploded
+    // token stream never shuffles for the Zipf head)
+    val plan = TextStats.unigramLogProb(docs, "id", "text", headVocab = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
 
 class TokenEntropySpec extends SparkSpec {
@@ -182,6 +202,46 @@ class SourceQuotaSpec extends SparkSpec {
     val b = Training.sourceQuota(docs.repartition(13), "source", "doc_id", 25L)
       .select("doc_id").as[Long].collect().toSet
     assert(a == b)
+  }
+
+  test("a mega-source's global rank window ingests <= saltBuckets*cap rows, result unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    // one 20k-row mega source next to a 10-row one: the skew case the
+    // two-phase salted top-K exists for
+    val docs = ((1L to 20000L).map(i => (i, "mega")) ++
+      (90001L to 90010L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val cap = 7L
+    val buckets = 8
+    val kept = Training.sourceQuota(docs, "source", "doc_id", cap, buckets)
+    // exactness: bit-identical to the one-window definition
+    val ref = docs.withColumn("_r", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("_r") <= cap).drop("_r")
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      ref.select("doc_id").as[Long].collect().toSet)
+    assert(kept.groupBy("source").count().as[(String, Long)].collect().toMap ==
+      Map("mega" -> cap, "small" -> cap))
+    // what phase 2 ingests — phase 1's survivors — is bounded by
+    // saltBuckets × cap per source no matter how big the source is
+    val phase1 = docs.withColumn("_qr1", row_number().over(
+        Window.partitionBy(col("source"), pmod(xxhash64(col("doc_id")), lit(buckets)))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("_qr1") <= cap)
+    val survivors = phase1.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(survivors("mega") <= buckets * cap, survivors.toString)
+    // plan gate: two window stages; phase 1's exchange partitions on
+    // (source, salt) — TWO keys — so a mega-source spreads over
+    // saltBuckets tasks (the salt expression itself constant-folds
+    // into the scan for local relations, so match the exchange keys,
+    // not the pmod text). Bonus pinned here: Spark inserts partial
+    // WindowGroupLimit before BOTH exchanges — map-side top-cap.
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 == 2, plan)
+    assert("hashpartitioning\\(source#\\d+, _w0#\\d+L".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }
 
