@@ -601,7 +601,7 @@ object SparkEntry {
         transform(col("embedding"),
           x => x.cast("double") / Similarity.norm(col("embedding"))))
       val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
-        m = 16, ksub = 256, iters = 4)
+        m = 16, ksub = 256, iters = 2)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           cb, "code", "codeword",

@@ -100,12 +100,12 @@ object PqCodes {
     // end of the backing buffer
     val n = a.numElements()
     val out = new Array[Long](m)
+    val dists = new Array[Double](k)
     var j = 0
     while (j < m) {
-      var bestDist = Double.PositiveInfinity
-      var bestCode = Long.MaxValue
       val voff = j * sub
       val lim = math.max(0, math.min(sub, n - voff))
+      var rawMin = Double.PositiveInfinity
       var c = 0
       while (c < k) {
         var dot = 0.0
@@ -117,8 +117,29 @@ object PqCodes {
           dot += x * cb(off + i)
           i += 1
         }
-        val dist = round6(c2(c * m + j) - 2.0 * dot)
-        if (dist < bestDist) { bestDist = dist; bestCode = codeIds(c) }
+        val dist = c2(c * m + j) - 2.0 * dot
+        dists(c) = dist
+        if (dist < rawMin) rawMin = dist
+        c += 1
+      }
+      // Round ONLY the contenders: round6 goes through BigDecimal
+      // (Double.toString inside), and calling it K times per subspace
+      // made coding 70x slower than the arithmetic. HALF_UP to 6dp
+      // moves a value by at most 5e-7, so any raw distance beyond
+      // 1e-6 (+ slack) of the raw minimum cannot reach the rounded
+      // minimum — even as a tie. Contenders are re-scanned in
+      // ascending code order with the original strictly-smaller
+      // displacement rule, so the argmin and the lowest-code-id
+      // tie-break are bit-identical to rounding everything.
+      val cut = rawMin + 1.000001e-6
+      var bestDist = Double.PositiveInfinity
+      var bestCode = Long.MaxValue
+      c = 0
+      while (c < k) {
+        if (dists(c) <= cut) {
+          val r = round6(dists(c))
+          if (r < bestDist) { bestDist = r; bestCode = codeIds(c) }
+        }
         c += 1
       }
       out(j) = bestCode
