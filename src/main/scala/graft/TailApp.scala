@@ -14,11 +14,24 @@ import graft.streaming.TailStream
   *   --window 60 [--slide 30] [--ts-field ts] [--filter "level='ERROR'"] \
   *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
   *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once] \
-  *   [--snapshot] [--seek-end]
+  *   [--snapshot] [--seek-end] [--log-level WARN]
   * }}}
   *
   * `--seek-end` = the reference's default tail behavior: skip files
   * already in the directory, read only ones modified after start.
+  *
+  * **Repeated flags = N sources** (the reference's `-f/-r/-F` slice
+  * flags, cmd/query.go:25–36): give `--dir` N times and the sources
+  * become per-window views t0..tN for the SQL, exactly like the
+  * config-file form. `--pattern` must repeat 1:1 with `--dir`
+  * (reference: "regex num must match with files"); `--filter` is
+  * absent or 1:1 ("filters num must match with files"). Window,
+  * format, and watermark settings are shared:
+  * {{{
+  * runMain graft.TailApp --dir /log/app --pattern '...' \
+  *   --dir /log/gw --pattern '...' --window 60 --ts-field ts \
+  *   --sql "SELECT ... FROM t0 JOIN t1 ON ..."
+  * }}}
   *
   * `--follow-file /var/log/app.log` (instead of `--dir`) follows ONE
   * growing file by byte offset — the reference's same-file `tail -f`
@@ -36,6 +49,9 @@ import graft.streaming.TailStream
   * per-batch preview to fire-once-per-complete-window semantics: the
   * SQL runs exactly once per window, over all of the window's rows,
   * when the watermark closes it.
+  *
+  * `--log-level LEVEL` sets the Spark log level (the reference's
+  * `-l/--log-level`, logrus levels); default WARN.
   *
   * `--config app.conf` loads a java-properties config instead — the
   * analogue of the reference's YAML file (config/config.go), including
@@ -56,20 +72,36 @@ import graft.streaming.TailStream
   * # source.0.throttle.period_seconds=10  (0/absent = unthrottled)
   * # source.1.dir=...     source.1.pattern=...
   * }}}
-  * Explicit CLI flags (checkpoint, format, sql, trigger-sec, once,
-  * snapshot) override the file's values; any other flag combined with
+  * Explicit CLI flags (checkpoint, format, sql, trigger-sec, log-level,
+  * once, snapshot) override the file's values — the same overrides the
+  * reference allows next to `-c`; any other flag combined with
   * `--config` is rejected rather than silently ignored.
   *
-  * A second tailed source (the reference's t1) joins per window on
-  * `--join-keys`: `--dir2 /var/log/other --pattern2 '...' --join-keys
-  * level` — right-side columns appear suffixed `_1` in the SQL view.
+  * A second tailed source (the reference's t1) can also join per
+  * window on `--join-keys`: `--dir2 /var/log/other --pattern2 '...'
+  * --join-keys level` — right-side columns appear suffixed `_1` in
+  * the SQL view. (The repeated `--dir` form exposes the sources as
+  * independent views instead; use whichever fits the query.)
   */
 object TailApp {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
+  private def parseArgs(args: Array[String]): Map[String, Seq[String]] =
     args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap // bare flags (--once, --snapshot) are read from the raw args
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  // bare flags (--once, --snapshot) are read from the raw args
+
+  /** Flags that may repeat (one value per source, reference slice
+    * flags); every other flag given twice is an operator error.
+    */
+  private val Repeatable = Set("dir", "pattern", "filter")
+
+  private def one(a: Map[String, Seq[String]], k: String): Option[String] =
+    a.get(k).map { vs =>
+      require(vs.size == 1 || Repeatable(k),
+        s"--$k given ${vs.size} times; only --dir/--pattern/--filter repeat")
+      vs.head
+    }
 
   private val Flags = Set("--once", "--snapshot", "--seek-end", "--stdin")
 
@@ -110,18 +142,63 @@ object TailApp {
     }
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Translate the repeated-flag form (N × `--dir`) into per-source
+    * configs — the reference's `-f/-r/-F` slice semantics
+    * (config/config.go NewCfg): patterns 1:1 with dirs, filters
+    * absent or 1:1, window/format settings shared. Pure, spec-pinned.
+    */
+  def fromRepeatedFlags(a: Map[String, Seq[String]],
+                        seekEnd: Boolean): Seq[TailStream.Config] = {
+    val dirs = a.getOrElse("dir", Seq.empty)
+    val patterns = a.getOrElse("pattern", Seq.empty)
+    val filters = a.getOrElse("filter", Seq.empty)
+    require(patterns.size == dirs.size,
+      s"--pattern must repeat 1:1 with --dir (reference: 'regex num must " +
+        s"match with files'); got ${dirs.size} dirs, ${patterns.size} patterns")
+    require(filters.isEmpty || filters.size == dirs.size,
+      s"--filter must be absent or repeat 1:1 with --dir (reference: " +
+        s"'filters num must match with files'); got ${dirs.size} dirs, " +
+        s"${filters.size} filters")
+    dirs.indices.map { i =>
+      TailStream.Config(
+        dir = dirs(i),
+        pattern = patterns(i),
+        filter = filters.lift(i).map(_.trim).filter(_.nonEmpty),
+        maxFilesPerTrigger = one(a, "max-files-per-trigger").map(_.toInt),
+        windowSizeSec = one(a, "window").map(_.toLong).getOrElse(60L),
+        slideSec = one(a, "slide").map(_.toLong),
+        tsField = one(a, "ts-field"),
+        watermarkDelay = one(a, "watermark").getOrElse("10 minutes"),
+        sql = one(a, "sql"),
+        format = one(a, "format").getOrElse("table"),
+        doNotTail = !seekEnd)
+    }
+  }
+
+  def main(args: Array[String]): Unit =
+    runCli(args, s => if (s.nonEmpty) println(s))
+
+  /** The whole CLI, with the result sink injectable so the spec can
+    * drive a real two-source run end to end and capture its output.
+    */
+  private[graft] def runCli(args: Array[String], sink: String => Unit,
+                            stopSparkOnExit: Boolean = true): Unit = {
     val a = parseArgs(args.filterNot(Flags))
     val snapshot = args.contains("--snapshot")
-    a.get("config").foreach { path =>
+    def setLogLevel(spark: org.apache.spark.sql.SparkSession): Unit =
+      // the reference's -l/--log-level (logrus levels); Spark takes
+      // the same names upper-cased
+      one(a, "log-level").foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
+    one(a, "config").foreach { path =>
       // only these flags override the file; anything else would be
       // silently ignored — reject it instead of misleading the operator
-      val overridable = Set("config", "sql", "format", "checkpoint", "trigger-sec")
+      val overridable =
+        Set("config", "sql", "format", "checkpoint", "trigger-sec", "log-level")
       val unsupported = (a.keySet -- overridable).toSeq.sorted
       require(unsupported.isEmpty,
         s"--config supports only --sql/--format/--checkpoint/--trigger-sec" +
-          s"/--once/--snapshot as overrides; set the rest in the file. " +
-          s"Unsupported here: ${unsupported.map("--" + _).mkString(", ")}")
+          s"/--log-level/--once/--snapshot as overrides; set the rest in the " +
+          s"file. Unsupported here: ${unsupported.map("--" + _).mkString(", ")}")
       // bare flags are stripped before parseArgs, so they need their own
       // check — --seek-end/--stdin with --config would otherwise be
       // silently ignored (seek behavior comes from each source's
@@ -136,30 +213,60 @@ object TailApp {
       val cfgs0 = fromProperties(props)
       // explicit CLI flags win over the file
       val cfgs = cfgs0.map(c => c.copy(
-        sql = a.get("sql").orElse(c.sql),
-        format = a.getOrElse("format", c.format)))
+        sql = one(a, "sql").orElse(c.sql),
+        format = one(a, "format").getOrElse(c.format)))
       val spark0 = GraftSession.get()
-      val ckpt0 = a.getOrElse("checkpoint",
+      setLogLevel(spark0)
+      val ckpt0 = one(a, "checkpoint").getOrElse(
         java.nio.file.Files.createTempDirectory("graft-tailapp").toString)
       val trig =
         if (args.contains("--once")) Trigger.AvailableNow()
-        else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
+        else Trigger.ProcessingTime(
+          one(a, "trigger-sec").getOrElse("5").toLong * 1000L)
       val head = cfgs.head
       val multiSql = head.sql.getOrElse(
         "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1")
       val q0 =
         if (cfgs.size == 1 && snapshot)
-          TailStream.runSnapshot(spark0, head, ckpt0, trigger = trig)
+          TailStream.runSnapshot(spark0, head, ckpt0, sink, trigger = trig)
         else if (cfgs.size == 1)
-          TailStream.run(spark0, head, ckpt0, trigger = trig)
+          TailStream.run(spark0, head, ckpt0, sink, trigger = trig)
         else if (snapshot)
           TailStream.runMultiSnapshot(spark0, cfgs, multiSql,
-            head.format, ckpt0, trigger = trig)
+            head.format, ckpt0, sink, trigger = trig)
         else
           TailStream.runMulti(spark0, cfgs, multiSql,
-            head.format, ckpt0, trigger = trig)
+            head.format, ckpt0, sink, trigger = trig)
       q0.awaitTermination()
-      spark0.stop()
+      if (stopSparkOnExit) spark0.stop()
+      return
+    }
+    // repeated --dir = the reference's N-source slice-flag form
+    if (a.getOrElse("dir", Seq.empty).size > 1) {
+      val incompatible = Seq("dir2", "pattern2", "filter2", "join-keys",
+        "follow-file", "pipe").filter(a.contains) ++
+        (if (args.contains("--stdin")) Seq("stdin") else Nil)
+      require(incompatible.isEmpty,
+        s"repeated --dir cannot combine with ${incompatible.map("--" + _).mkString(", ")}" +
+          "; each repeated source is a tailed directory")
+      val cfgs = fromRepeatedFlags(a, seekEnd = args.contains("--seek-end"))
+      val spark = GraftSession.get()
+      setLogLevel(spark)
+      val ckpt = one(a, "checkpoint").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-tailapp").toString)
+      val trig =
+        if (args.contains("--once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(
+          one(a, "trigger-sec").getOrElse("5").toLong * 1000L)
+      val sql = cfgs.head.sql.getOrElse(
+        "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1")
+      val q =
+        if (snapshot) TailStream.runMultiSnapshot(spark, cfgs, sql,
+          cfgs.head.format, ckpt, sink, trigger = trig)
+        else TailStream.runMulti(spark, cfgs, sql,
+          cfgs.head.format, ckpt, sink, trigger = trig)
+      q.awaitTermination()
+      if (stopSparkOnExit) spark.stop()
       return
     }
     // --stdin / --pipe <fifo>: spool the push-style input into a temp
@@ -169,7 +276,7 @@ object TailApp {
     val spooledDir: Option[String] =
       if (args.contains("--stdin") || a.contains("pipe")) {
         val d = java.nio.file.Files.createTempDirectory("graft-spool")
-        val in: java.io.InputStream = a.get("pipe")
+        val in: java.io.InputStream = one(a, "pipe")
           .map(p => new java.io.FileInputStream(p): java.io.InputStream)
           .getOrElse(System.in)
         val th = graft.sources.StdinSpool.spool(in, d)
@@ -178,53 +285,56 @@ object TailApp {
         if (args.contains("--once")) th.joinAndCheck()
         Some(d.toString)
       } else None
-    val followFile = a.get("follow-file")
+    val followFile = one(a, "follow-file")
     val dir = spooledDir.orElse(followFile).getOrElse(
-      a.getOrElse("dir", sys.error("--dir, --follow-file, --stdin or --pipe is required")))
-    val pattern = a.getOrElse("pattern", sys.error("--pattern is required"))
+      one(a, "dir").getOrElse(
+        sys.error("--dir, --follow-file, --stdin or --pipe is required")))
+    val pattern = one(a, "pattern").getOrElse(sys.error("--pattern is required"))
 
     val cfg = TailStream.Config(
       dir = dir,
       pattern = pattern,
       follow = spooledDir.isEmpty && followFile.isDefined,
-      followMaxBytes = a.get("max-bytes-per-trigger").map(_.toLong),
-      filter = a.get("filter"),
-      maxFilesPerTrigger = a.get("max-files-per-trigger").map(_.toInt),
-      windowSizeSec = a.getOrElse("window", "60").toLong,
-      slideSec = a.get("slide").map(_.toLong),
-      tsField = a.get("ts-field"),
-      watermarkDelay = a.getOrElse("watermark", "10 minutes"),
-      sql = a.get("sql"),
-      format = a.getOrElse("format", "table"),
+      followMaxBytes = one(a, "max-bytes-per-trigger").map(_.toLong),
+      filter = one(a, "filter"),
+      maxFilesPerTrigger = one(a, "max-files-per-trigger").map(_.toInt),
+      windowSizeSec = one(a, "window").getOrElse("60").toLong,
+      slideSec = one(a, "slide").map(_.toLong),
+      tsField = one(a, "ts-field"),
+      watermarkDelay = one(a, "watermark").getOrElse("10 minutes"),
+      sql = one(a, "sql"),
+      format = one(a, "format").getOrElse("table"),
       // CLI default processes what's in the dir (useful with --once);
       // --seek-end gives the reference's tail-from-now behavior
       doNotTail = !args.contains("--seek-end"))
 
     val spark = GraftSession.get()
-    val ckpt = a.getOrElse("checkpoint",
+    setLogLevel(spark)
+    val ckpt = one(a, "checkpoint").getOrElse(
       java.nio.file.Files.createTempDirectory("graft-tailapp").toString)
     val trigger =
       if (args.contains("--once")) Trigger.AvailableNow()
-      else Trigger.ProcessingTime(a.getOrElse("trigger-sec", "5").toLong * 1000L)
-    val q = a.get("dir2") match {
+      else Trigger.ProcessingTime(
+        one(a, "trigger-sec").getOrElse("5").toLong * 1000L)
+    val q = one(a, "dir2") match {
       case Some(dir2) =>
         val cfg2 = cfg.copy(dir = dir2,
-          pattern = a.getOrElse("pattern2", pattern),
-          filter = a.get("filter2"))
-        val keys = a.get("join-keys").map(_.split(",").toSeq).getOrElse(Seq.empty)
+          pattern = one(a, "pattern2").getOrElse(pattern),
+          filter = one(a, "filter2"))
+        val keys = one(a, "join-keys").map(_.split(",").toSeq).getOrElse(Seq.empty)
         val sql = cfg.sql.getOrElse(
           "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1")
         if (snapshot)
           TailStream.runJoinSnapshot(spark, cfg, cfg2, keys, sql,
-            cfg.format, ckpt, trigger = trigger)
+            cfg.format, ckpt, sink, trigger = trigger)
         else
           TailStream.runJoin(spark, cfg, cfg2, keys, sql,
-            cfg.format, ckpt, trigger = trigger)
+            cfg.format, ckpt, sink, trigger = trigger)
       case None =>
-        if (snapshot) TailStream.runSnapshot(spark, cfg, ckpt, trigger = trigger)
-        else TailStream.run(spark, cfg, ckpt, trigger = trigger)
+        if (snapshot) TailStream.runSnapshot(spark, cfg, ckpt, sink, trigger = trigger)
+        else TailStream.run(spark, cfg, ckpt, sink, trigger = trigger)
     }
     q.awaitTermination()
-    spark.stop()
+    if (stopSparkOnExit) spark.stop()
   }
 }

@@ -50,4 +50,90 @@ class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
       TailApp.main(Array("--config", "/nonexistent.conf", "--window", "5")))
     assert(e.getMessage.contains("--window"))
   }
+
+  test("repeated --dir/--pattern/--filter translate to N source configs (reference slice flags)") {
+    val a = Map(
+      "dir" -> Seq("/logs/a", "/logs/b"),
+      "pattern" -> Seq("(?P<ts__date>\\S+) a", "(?P<ts__date>\\S+) b"),
+      "filter" -> Seq("x > 1", ""),
+      "window" -> Seq("30"), "ts-field" -> Seq("ts"), "format" -> Seq("raw"))
+    val cfgs = TailApp.fromRepeatedFlags(a, seekEnd = false)
+    assert(cfgs.size == 2)
+    assert(cfgs(0).dir == "/logs/a" && cfgs(0).pattern.endsWith(" a")
+      && cfgs(0).filter.contains("x > 1"))
+    // an empty filter slot means "no filter for this source"
+    assert(cfgs(1).dir == "/logs/b" && cfgs(1).filter.isEmpty)
+    assert(cfgs.forall(c => c.windowSizeSec == 30L && c.tsField.contains("ts")
+      && c.format == "raw" && c.doNotTail))
+    assert(TailApp.fromRepeatedFlags(a, seekEnd = true).forall(!_.doNotTail))
+  }
+
+  test("pattern/filter counts must match dir count, like the reference's NewCfg") {
+    val base = Map("dir" -> Seq("/a", "/b"), "pattern" -> Seq("p"))
+    val e1 = intercept[IllegalArgumentException](
+      TailApp.fromRepeatedFlags(base, seekEnd = false))
+    assert(e1.getMessage.contains("match with files"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](TailApp.fromRepeatedFlags(
+      base + ("pattern" -> Seq("p", "q"), "filter" -> Seq("f")), seekEnd = false))
+    assert(e2.getMessage.contains("filters num"), e2.getMessage)
+  }
+
+  test("a non-repeatable flag given twice is rejected, not last-wins") {
+    val e = intercept[IllegalArgumentException](TailApp.main(Array(
+      "--dir", "/a", "--pattern", "p", "--window", "5", "--window", "6")))
+    assert(e.getMessage.contains("--window given 2 times"), e.getMessage)
+  }
+}
+
+/** End-to-end CLI runs (real streams over temp dirs, shared session). */
+class TailAppCliSpec extends SparkSpec {
+  import java.nio.file.Files
+
+  private val pattern =
+    """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) (?P<ms__int>\d+)"""
+
+  test("two repeated --dir sources join per window through the CLI, no config file") {
+    spark.sparkContext // force the shared session up before runCli getOrCreate's
+    val dirs = (0 to 1).map(_ => Files.createTempDirectory("graft-cli").toFile)
+    val ckpt = Files.createTempDirectory("graft-cli-ckpt").toFile
+    def writeLog(dir: java.io.File, name: String, lines: String*): Unit =
+      Files.write(new java.io.File(dir, name).toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeLog(dirs(0), "a.log",
+      "2024-01-01 00:00:10 INFO 5",
+      "2024-01-01 00:00:20 WARN 9")
+    writeLog(dirs(1), "b.log",
+      "2024-01-01 00:00:30 WARN 4")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    TailApp.runCli(Array(
+      "--dir", dirs(0).getAbsolutePath, "--pattern", pattern,
+      "--dir", dirs(1).getAbsolutePath, "--pattern", pattern,
+      "--window", "60", "--ts-field", "ts", "--format", "raw",
+      "--checkpoint", ckpt.getAbsolutePath, "--once",
+      "--sql", """SELECT t0.window_start, t0.n AS n0, t1.n AS n1 FROM
+                    (SELECT window_start, count(*) AS n FROM t0 GROUP BY 1) t0
+                  JOIN
+                    (SELECT window_start, count(*) AS n FROM t1 GROUP BY 1) t1
+                  USING (window_start)"""),
+      sink = s => captured.add(s), stopSparkOnExit = false)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // one 00:00 window: 2 rows from source 0 joined to 1 row from source 1
+    assert(out.exists(_.endsWith(",2,1")), out.toString)
+  }
+
+  test("--log-level flag reaches the Spark context (reference -l/--log-level)") {
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft-cli-ll").toFile
+    val ckpt = Files.createTempDirectory("graft-cli-ll-ckpt").toFile
+    try {
+      TailApp.runCli(Array(
+        "--dir", dir.getAbsolutePath, "--pattern", pattern,
+        "--window", "60", "--log-level", "warn",
+        "--checkpoint", ckpt.getAbsolutePath, "--once"),
+        sink = _ => (), stopSparkOnExit = false)
+      val lvl = org.apache.logging.log4j.LogManager.getRootLogger
+        .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
+      assert(lvl == org.apache.logging.log4j.Level.WARN, lvl.toString)
+    } finally spark.sparkContext.setLogLevel("ERROR") // restore test default
+  }
 }
