@@ -19,9 +19,19 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim reliable-checkpoint files (Caching.sealOver) when the
+      // sealed result is GC'd — same setting as GraftSession
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR routes every sealed operator through
+    // the RELIABLE checkpoint branch (Caching.sealOver's cluster-mode
+    // path) instead of localCheckpoint — the full query surface then
+    // exercises the branch end to end, and the tail of the run asserts
+    // the checkpoint FS is reclaimed (no rdd-* leak).
+    val ckptDir = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    ckptDir.foreach(spark.sparkContext.setCheckpointDir)
     new java.io.File(outDir).mkdirs()
     // stale outputs from a previous run must not mask a now-broken query
     def rmTree(f: java.io.File): Unit = {
@@ -69,6 +79,31 @@ object Verify {
     // that produced no output instead of silently skipping them
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    ckptDir.foreach { root =>
+      // every sealed result is unreachable now; drop cache/block refs,
+      // then let GC + ContextCleaner (cleanCheckpoints=true) reclaim
+      // the rdd-* dirs. Leaked dirs after the grace window = the seal
+      // discipline regressed — fail loudly.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+          (if (c.isDirectory) rddDirs(c) else Nil) ++
+            (if (c.getName.startsWith("rdd-")) Seq(c) else Nil)
+        }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var left = rddDirs(new java.io.File(root))
+      while (left.nonEmpty && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(1000)
+        left = rddDirs(new java.io.File(root))
+      }
+      System.err.println(
+        s"[verify] reliable-checkpoint rdd dirs remaining after cleanup: ${left.size}")
+      if (left.nonEmpty) throw new IllegalStateException(
+        s"${left.size} rdd-* checkpoint dirs leaked under $root: " +
+          left.take(3).mkString(", "))
+    }
     spark.stop()
   }
 }
