@@ -96,16 +96,21 @@ object SparkEntry {
         .orderBy("event_id")),
 
     "r02_date_parse" -> ((s, dir) => {
-      // six-way format mix round-tripped through parseAnyDate: the
-      // oracle is the original per-second timestamp, so every branch
-      // must be recognized AND parsed to the same instant
-      val m = pmod(col("event_id"), lit(6))
+      // nine-way format mix round-tripped through parseAnyDate: the
+      // oracle is the original timestamp truncated to each format's
+      // own resolution (second for most, minute for RFC822Z, day for
+      // yyyyMMdd), so every branch must be recognized AND parsed to
+      // the same instant
+      val m = pmod(col("event_id"), lit(9))
       val raw = T(s, dir, "events").select(col("event_id"),
         when(m === 0, date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
           .when(m === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
           .when(m === 2, date_format(col("ts"), "MM/dd/yyyy HH:mm:ss"))
           .when(m === 3, expr("CAST(unix_micros(ts) div 1000 AS STRING)")) // epoch ms
           .when(m === 4, date_format(col("ts"), "EEE, dd MMM yyyy HH:mm:ss Z")) // RFC1123
+          .when(m === 5, date_format(col("ts"), "dd MMM yy HH:mm Z")) // RFC822Z
+          .when(m === 6, date_format(col("ts"), "MMM d, yyyy HH:mm:ss")) // US long
+          .when(m === 7, date_format(col("ts"), "yyyyMMdd"))
           .otherwise(date_format(col("ts"), "dd MMM yyyy HH:mm:ss")).as("raw"))
       raw.select(col("event_id"),
           unix_timestamp(LogSource.parseAnyDate(col("raw"))).as("ts_s"))
@@ -1290,7 +1295,11 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "r02_date_parse" ->
-      """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s
+      """SELECT event_id, CASE
+           WHEN event_id % 9 = 5 THEN epoch_us(date_trunc('minute', ts)) // 1000000
+           WHEN event_id % 9 = 7 THEN epoch_us(date_trunc('day', ts)) // 1000000
+           ELSE epoch_us(date_trunc('second', ts)) // 1000000
+         END AS ts_s
          FROM events ORDER BY event_id""",
 
     "r03_filter" ->

@@ -127,6 +127,19 @@ object LogSource {
       when(c.rlike("^[A-Za-z]{3}, \\d{1,2} [A-Za-z]{3} \\d{4} \\d{2}:\\d{2}:\\d{2} [+-]\\d{4}$"),
         try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""),
           lit("d MMM yyyy HH:mm:ss Z"))),
+      // RFC822 with numeric zone ("02 Jan 06 15:04 -0700"): two-digit
+      // year, minute resolution
+      shaped("^\\d{2} [A-Za-z]{3} \\d{2} \\d{2}:\\d{2} [+-]\\d{4}$",
+        "dd MMM yy HH:mm Z"),
+      // US forms ("Jan 2, 2006 15:04:05" / "Jan 2, 2006" /
+      // "January 2, 2006")
+      shaped("^[A-Za-z]{3} \\d{1,2}, \\d{4} \\d{1,2}:\\d{2}:\\d{2}$",
+        "MMM d, yyyy H:mm:ss"),
+      shaped("^[A-Za-z]{3} \\d{1,2}, \\d{4}$", "MMM d, yyyy"),
+      shaped("^[A-Za-z]{4,9} \\d{1,2}, \\d{4}$", "MMMM d, yyyy"),
+      // width-8 digit run = yyyyMMdd (dateparse recognizes by width;
+      // invalid month/day still null out via try_to_timestamp)
+      shaped("^\\d{8}$", "yyyyMMdd"),
       // 13-digit epoch millis (dateparse recognizes these by width)
       when(c.rlike("^\\d{13}$"), timestamp_millis(c.cast(LongType))),
       // bare epoch seconds, the final fallback

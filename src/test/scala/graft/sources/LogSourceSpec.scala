@@ -73,6 +73,26 @@ class LogSourceSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("parseAnyDate round-8 tranche: RFC822Z, yyyyMMdd, US month-name forms") {
+    val inputs = Seq(
+      "05 Mar 24 06:07 +0000",   // RFC822 numeric zone, minute resolution
+      "05 Mar 24 08:07 +0200",   // same instant, non-UTC offset
+      "20240305",                // width-8 yyyyMMdd
+      "20241399",                // shape-matches, invalid month -> null
+      "Mar 5, 2024 06:07:08",    // US long form
+      "Mar 5, 2024",             // US date-only
+      "January 5, 2024")         // full month name
+    val out = inputs.toDF("s")
+      .select(unix_timestamp(LogSource.parseAnyDate(col("s"))).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    val minute = 1709618820L   // 2024-03-05 06:07:00 UTC
+    val day = 1709596800L      // 2024-03-05 00:00:00 UTC
+    val full = 1709618828L     // 2024-03-05 06:07:08 UTC
+    val jan5 = 1704412800L     // 2024-01-05 00:00:00 UTC
+    assert(out.toSeq == Seq(minute, minute, day, -1L, full, day, jan5),
+      out.toSeq.toString)
+  }
+
   test("bool parsing accepts Go strconv.ParseBool forms") {
     val lines = Seq("1", "t", "TRUE", "0", "F", "false", "zzz").toDF("value")
     val out = LogSource.parse(lines, """(?P<b__bool>\w+)""")
