@@ -430,6 +430,36 @@ object Similarity {
     *    and the (small, narrow) result seals via [[Caching.sealOver]]
     *    — eager, lineage-cut, inputs unpersisted.
     */
+  /** (cluster, cos) of each row's nearest centroid by round-6 cosine
+    * argmax — the assignment half of [[semDedup]]'s literal path,
+    * factored out so the STREAMING semantic gate
+    * ([[graft.streaming.CurateStream.semGate]]) makes bit-identical
+    * decisions per micro-batch: one narrow codegen pass, no shuffle,
+    * no state, centroids embedded as literals (K <= 128 enforced —
+    * past that janino's method limit forces interpreted eval; a
+    * streaming gate's prototype set is small by design). Ties resolve
+    * to the lowest centroid id, same as batch. Appends `clusterCol`
+    * (long) and `cosCol` (cosine to that centroid, rounded 6dp).
+    */
+  def assignNearestCentroid(df: DataFrame, vecCol: String,
+                            cents: DataFrame, centIdCol: String,
+                            centVecCol: String,
+                            clusterCol: String = "cluster",
+                            cosCol: String = "centroid_cos"): DataFrame = {
+    val cb = collectCodebook(cents, centIdCol, centVecCol, "assignNearestCentroid")
+    require(cb.length <= 128,
+      s"assignNearestCentroid: ${cb.length} centroids exceed the literal-path bound (128)")
+    val nrm = norm(col(vecCol))
+    val scoredArr = array(cb.map { case (cid, cv) => struct(
+      round(-(VecDot.dot(col(vecCol), lit(cv)) / (nrm * lit(l2d(cv)))), 6)
+        .as("_negcos"),
+      lit(cid).as("_cid")) }.toSeq: _*)
+    df.withColumn("_best", sort_array(scoredArr).getItem(0))
+      .withColumn(clusterCol, col("_best").getField("_cid"))
+      .withColumn(cosCol, -col("_best").getField("_negcos"))
+      .drop("_best")
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                cents: DataFrame, centIdCol: String, centVecCol: String,
                threshold: Double): DataFrame = {
@@ -443,7 +473,8 @@ object Similarity {
     val assigned0 =
       if (literalPath) {
         // argmax cosine over K literal centroids, row-local: min
-        // struct = (highest rounded cos, lowest centroid id)
+        // struct = (highest rounded cos, lowest centroid id) — the
+        // same expression assignNearestCentroid exposes for streaming
         val scoredArr = array(cb.map { case (cid, cv) => struct(
           round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2(cv)))), 6)
             .as("_negcos"),

@@ -45,4 +45,26 @@ object CurateStream {
       gated, idCol, textCol, tsCol, delay, shingleN, numHashes, bands)
     (curated, candidates)
   }
+
+  /** Streaming SemDeDup gate: drop any document whose embedding sits
+    * within `threshold` cosine of its nearest FIXED centroid —
+    * "semantically identical to a known prototype" (the boilerplate /
+    * already-ingested-content ball around each centroid). Surviving
+    * rows carry (cluster, centroid_cos) for downstream routing.
+    *
+    * Reuses batch s09's literal-assignment expression
+    * ([[graft.operators.Similarity.assignNearestCentroid]]): one
+    * narrow codegen pass, NO shuffle, NO state — micro-batch
+    * boundaries cannot change a decision, so streaming and batch
+    * agree row-for-row against the same centroid set. (Cross-document
+    * dedup among the survivors remains batch [[graft.operators.Similarity.semDedup]]'s
+    * job — append mode cannot retract an emitted doc; this gate is
+    * the stateless prototype-ball filter in front of it.)
+    */
+  def semGate(docs: DataFrame, embCol: String,
+              cents: DataFrame, centIdCol: String, centVecCol: String,
+              threshold: Double): DataFrame =
+    graft.operators.Similarity
+      .assignNearestCentroid(docs, embCol, cents, centIdCol, centVecCol)
+      .filter(col("centroid_cos") < threshold)
 }

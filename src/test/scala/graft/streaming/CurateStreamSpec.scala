@@ -72,4 +72,42 @@ class CurateStreamSpec extends SparkSpec {
       assert(kept.toSeq == Seq(1L, 4L), kept.toSeq.toString)
     } finally q.stop()
   }
+
+  test("semGate drops prototype-ball members per micro-batch, identically to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // two fixed prototypes on axes 0 and 1; docs 1/3 are inside a
+    // prototype ball (cos >= 0.95), docs 2/4 are their cluster's
+    // honest outliers
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("cid", "cvec")
+    val rows = Seq(
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // ball of centroid 0: dropped
+      (2L, Array(0.6f, 0.0f, 0.8f, 0.0f)),    // cluster 0, cos 0.6: kept
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f)),  // ball of centroid 1: dropped
+      (4L, Array(0.0f, 0.7f, 0.0f, 0.71f)))   // cluster 1, kept
+    val input = MemoryStream[(Long, Array[Float])]
+    val gated = CurateStream.semGate(input.toDF().toDF("id", "embedding"),
+      "embedding", cents, "cid", "cvec", threshold = 0.95)
+    val q = gated.select("id", "cluster").writeStream.format("memory")
+      .queryName("sem_gate").outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*) // batch boundary between clusters
+      q.processAllAvailable()
+      val kept = spark.table("sem_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kept == Set((2L, 0L), (4L, 1L)), kept.toString)
+      // stateless: the batch path over the same frame, same expression,
+      // makes the same decisions
+      val batchKept = CurateStream.semGate(rows.toDF("id", "embedding"),
+          "embedding", cents, "cid", "cvec", threshold = 0.95)
+        .select("id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchKept == kept, s"batch=$batchKept stream=$kept")
+    } finally q.stop()
+  }
 }
