@@ -26,6 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the inter-query cleanup below unpersists localCheckpointed RDDs;
+    // Spark warns per RDD that the truncated lineage cannot recompute
+    // (intended — sealed results are never reused across queries), and
+    // ~4 lines × 92 queries would flood the driver's captured tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -777,14 +777,23 @@ object Similarity {
     * `spill` replicates each corpus vector into its top-`spill` lists
     * (same recall lever as [[ivfTopK]]); duplicate (query, neighbor)
     * meetings across spilled lists collapse in the rank aggregate.
-    * Output: (query_id, neighbor_id, adc_dist, rank), rank <= k.
+    *
+    * `refine` > 1 adds the FAISS refine step (IndexRefineFlat): the
+    * compressed scan shortlists the ADC top-(refine × k), then ONLY
+    * those candidates re-rank by exact cosine against their raw
+    * vectors — refine×k×|Q| raw reads total, independent of corpus
+    * size, recovering the recall the quantizer loses for the price of
+    * one broadcast-shortlist join. Output stays (query_id,
+    * neighbor_id, cos, rank). With refine = 1 the output carries the
+    * compressed-domain (query_id, neighbor_id, adc_dist, rank).
     */
   def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                 queries: DataFrame, queryId: String, queryVec: String,
                 codebook: DataFrame, cbIdCol: String, cbVecCol: String,
                 m: Int, k: Int, nlist: Int = 64, nprobe: Int = 4,
                 refineIters: Int = 1, spill: Int = 1,
-                trainCap: Int = 65536): DataFrame = {
+                refine: Int = 1, trainCap: Int = 65536): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
     val cents = trainCoarse(corpus, corpusId, corpusVec, nlist, refineIters, trainCap)
     val idType = corpus.schema(corpusId).dataType
     val lists = assignCents(cents, idType,
@@ -806,13 +815,37 @@ object Similarity {
     val cands = lists.join(broadcast(probes), "_cent_id")
       .select(col("query_id"), col("id"))
       .dropDuplicates("query_id", "id")
-    codes.join(cands, "id")
+    val adcRanked = codes.join(cands, "id")
       .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
         .as("adc_dist"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= k * refine)
+    if (refine == 1) adcRanked
+    else {
+      // shortlist is refine×k×|Q| rows — broadcast-small by contract —
+      // so the exact pass reads raw vectors for the shortlist ONLY
+      // (one broadcast join into the corpus scan, no shuffle of it)
+      val shortlist = adcRanked.select(col("query_id"), col("neighbor_id"))
+      val c = corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("_cv"), norm(col(corpusVec)).as("_cnrm"))
+      val q = queries.select(col(queryId).cast("long").as("query_id"),
+        col(queryVec).as("_qv"), norm(col(queryVec)).as("_qnrm"))
+      // rank on the RAW cosine, round only for display — the same
+      // ordering contract as bruteTopK, so probing every list with a
+      // corpus-sized shortlist degenerates to brute force exactly
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("_rawcos").desc, col("neighbor_id"))
+      c.join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .withColumn("_rawcos",
+          VecDot.dot(col("_cv"), col("_qv")) / (col("_cnrm") * col("_qnrm")))
+        .withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("_rawcos"), 6).as("cos"), col("rank"))
+    }
   }
 
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=

@@ -183,10 +183,14 @@ class AnnRecallSpec extends graft.SparkSpec {
       (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
     }
     val recall = per.sum / per.size
-    // compounded loss: coarse-probe coverage (s03's lever) × ADC rank
-    // quality (trained 256-codeword × m=16 subspace codebooks)
+    // compounded loss: coarse-probe coverage (s03's lever) × ADC
+    // shortlist quality (trained 256-codeword × m=16 subspace
+    // codebooks) — then the refine=3 exact re-rank recovers most of
+    // the quantizer's loss (0.74 unrefined → 0.98 measured). The gate
+    // pins the refined level with headroom for codebook tweaks, not
+    // for losing the refine step or the trained codebooks.
     info(f"IVF-PQ recall@10 = $recall%.2f")
-    assert(recall >= 0.70, s"IVF-PQ recall@10 regressed: $recall")
+    assert(recall >= 0.90, s"IVF-PQ recall@10 regressed: $recall")
   }
 }
 
@@ -362,6 +366,27 @@ class IvfPqSpec extends SparkSpec {
     // the compressed-domain rank must agree bit-for-bit with s11's
     assert(ivfpq == full,
       s"missing=${(full -- ivfpq).take(5)} extra=${(ivfpq -- full).take(5)}")
+  }
+
+  test("probe-all + corpus-sized refine shortlist degenerates to exact brute force") {
+    val e = emb()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteTopK(e, "vec_id", "embedding", q, "qid", "qvec", 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // nprobe = nlist covers every candidate; refine = 50 makes the ADC
+    // shortlist corpus-sized (500); the exact re-rank then IS brute
+    // force — same cosines, same ranks, same tie-breaks
+    val refined = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        m = 8, k = 10, nlist = 4, nprobe = 4, refine = 50)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(refined == brute,
+      s"missing=${(brute -- refined).take(5)} extra=${(refined -- brute).take(5)}")
   }
 
   test("spilled replication never double-counts a candidate's ADC sum") {
