@@ -1044,6 +1044,23 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", shingleN = 3, minJaccard = 0.5)
         .orderBy("doc_id", "matched_id")
+    }),
+
+    "d15_para_dedup" -> ((s, dir) => {
+      // paragraph-level exact cross-corpus dedup (RefinedWeb/CCNet
+      // step): each distinct paragraph survives once, in its
+      // (id, pos)-first document. The corpus has single-paragraph
+      // docs, so the fixture frames each one the way a crawl page
+      // arrives: a site-wide "about us" para (first doc wins it), the
+      // body, a half-shared footer para, and a per-doc unique para.
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("about us\n\n"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n\ncontact us at example.com"))
+          .otherwise(lit("\n\nfollow us on social media")),
+        lit("\n\npara "), col("doc_id")).as("text"))
+      Dedup.paraDedup(framed, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2081,6 +2098,30 @@ object SparkEntry {
                 round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
          FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
-         ORDER BY doc_id, matched_id"""
+         ORDER BY doc_id, matched_id""",
+
+    "d15_para_dedup" ->
+      """WITH framed AS (SELECT doc_id,
+               'about us' || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'contact us at example.com'
+                    ELSE 'follow us on social media' END ||
+               chr(10) || chr(10) || 'para ' || doc_id AS text
+             FROM documents),
+            ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a
+                   FROM framed),
+            paras AS (SELECT doc_id, a[i] AS para, i
+                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                            FROM ps)),
+            kept AS (SELECT doc_id, para, i FROM (
+                       SELECT doc_id, para, i, row_number() OVER (
+                         PARTITION BY md5(para) ORDER BY doc_id, i) AS rn
+                       FROM paras) WHERE rn = 1),
+            tot AS (SELECT doc_id, count(*) AS n_tot FROM paras GROUP BY 1)
+         SELECT k.doc_id,
+                string_agg(k.para, chr(10) || chr(10) ORDER BY k.i) AS text_clean,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
+         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+         GROUP BY k.doc_id ORDER BY k.doc_id"""
   )
 }

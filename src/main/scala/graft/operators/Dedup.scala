@@ -647,4 +647,47 @@ object Dedup {
         .select(col("id1"), col("id2"), col("hamming")),
       fps)
   }
+
+  /** PARAGRAPH-level exact cross-corpus dedup (the RefinedWeb /
+    * CCNet-style curation step between line-level C4 scrubbing and
+    * whole-document dedup): every distinct paragraph survives exactly
+    * ONCE in the corpus — in its first occurrence, ordered by
+    * (id, position) — and every other copy is dropped, including
+    * later repeats inside the same document. Documents are then
+    * reassembled from their surviving paragraphs in order; a document
+    * whose every paragraph appeared earlier elsewhere drops out.
+    *
+    * Shape at scale: paragraphs explode narrow; the winner per
+    * paragraph is min(struct(id, pos)) grouped by md5(para) — a hash
+    * aggregate whose map-side partials absorb even a
+    * million-duplicate boilerplate paragraph (no window, no hot
+    * partition). Survivors are selected by an INNER JOIN on the full
+    * (hash, id, pos) triple: the mass of duplicate rows spreads
+    * across partitions by (id, pos), so the join has no hot key
+    * either. Reassembly is one id shuffle. Paragraph text shuffles
+    * exactly twice (join + reassembly), hashes otherwise.
+    * Output: (id, text_clean, n_kept, n_dropped).
+    */
+  def paraDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("_h", md5(col("para")))
+    val winners = paras.groupBy(col("_h"))
+      .agg(min(struct(col("id"), col("pos"))).as("_w"))
+      .select(col("_h"), col("_w.id").as("id"), col("_w.pos").as("pos"))
+    val totals = paras.groupBy(col("id")).agg(count(lit(1)).as("_n_tot"))
+    paras.join(winners, Seq("_h", "id", "pos"))
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s("para")), sep).as("text_clean"),
+        count(lit(1)).as("_n_kept"))
+      .join(totals, "id")
+      .select(col("id"), col("text_clean"),
+        col("_n_kept").cast("long").as("n_kept"),
+        (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
+  }
 }

@@ -245,6 +245,39 @@ class SourceQuotaSpec extends SparkSpec {
   }
 }
 
+class ParaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each distinct paragraph survives once, in its (id,pos)-first doc; docs can empty out") {
+    val docs = Seq(
+      (1L, "shared\n\nbody one\n\nshared"), // intra-doc repeat: later copy dropped
+      (2L, "shared\n\nbody two"),           // loses "shared" to doc 1
+      (3L, "shared")                        // every para seen earlier -> doc drops out
+    ).toDF("id", "text")
+    val out = Dedup.paraDedup(docs, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), out.mkString(";"))
+    assert(out(0).getString(1) == "shared\n\nbody one"
+      && out(0).getLong(2) == 2L && out(0).getLong(3) == 1L, out(0).toString)
+    assert(out(1).getString(1) == "body two"
+      && out(1).getLong(2) == 1L && out(1).getLong(3) == 1L, out(1).toString)
+  }
+
+  test("winner choice is (id, pos)-deterministic under repartitioning") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"boilerplate header\n\nbody $i\n\n${if (i % 3 == 0) "promo" else "note"} block"))
+      .toDF("id", "text")
+    val a = Dedup.paraDedup(docs.repartition(1), "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Dedup.paraDedup(docs.repartition(13), "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the shared header lives exactly once, in doc 1
+    val kept = a.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+    assert(kept.count(_._2.contains("boilerplate header")) == 1)
+    assert(kept.head._1 == 1L && kept.head._2.startsWith("boilerplate header"))
+  }
+}
+
 class RandomProjectionSpec extends SparkSpec {
   import spark.implicits._
 
