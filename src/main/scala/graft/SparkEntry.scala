@@ -1061,6 +1061,22 @@ object SparkEntry {
       Dedup.paraDedup(framed, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "d16_dup_substrings" -> ((s, dir) => {
+      // exact duplicated-substring spans (Lee et al. 2021). Fixture:
+      // every doc opens with a shared 8-token slogan (cross-doc dup
+      // span), every 7th doc repeats its own body (intra-doc dup) —
+      // the operator reports tokens covered by any k-gram occurring
+      // more than once in the corpus.
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("subscribe to our newsletter today for free updates "),
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" "), col("text")))
+          .otherwise(lit(""))).as("text"))
+      Dedup.dupSubstringSpans(framed, "doc_id", "text", k = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2122,6 +2138,29 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_kept,
                 CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
          FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-         GROUP BY k.doc_id ORDER BY k.doc_id"""
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    "d16_dup_substrings" ->
+      """WITH framed AS (SELECT doc_id,
+               'subscribe to our newsletter today for free updates ' || text ||
+               CASE WHEN doc_id % 7 = 0 THEN ' ' || text ELSE '' END AS text
+             FROM documents),
+            t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                  FROM framed),
+            grams AS (SELECT doc_id, i - 1 AS start,
+                             md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3]) AS h
+                      FROM (SELECT doc_id, toks,
+                              unnest(range(1, len(toks) - 2)) AS i FROM t)),
+            dup AS (SELECT h FROM (
+                      SELECT h, count(*) AS c FROM grams GROUP BY 1) WHERE c > 1),
+            m AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
+            cov AS (SELECT doc_id, count(DISTINCT start + j) AS nd
+                    FROM m CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1),
+            tot AS (SELECT doc_id, len(toks) AS n FROM t)
+         SELECT t.doc_id, CAST(n AS BIGINT) AS n_toks,
+                CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_toks,
+                round(CAST(coalesce(nd, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_frac
+         FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id"""
   )
 }

@@ -668,6 +668,63 @@ object Dedup {
     * exactly twice (join + reassembly), hashes otherwise.
     * Output: (id, text_clean, n_kept, n_dropped).
     */
+  /** Exact duplicated-substring SPANS (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * exact-substring family, arXiv:2107.06499, done the Spark way):
+    * every k-token window whose content appears MORE THAN ONCE in the
+    * corpus — across documents or repeated within one — marks its
+    * token span; per document the overlapping spans merge and the
+    * operator reports how many tokens sit inside duplicated
+    * substrings. The downstream cut/filter decision is the caller's
+    * (Lee et al. cut the spans; a filter drops docs above a
+    * dup_frac).
+    *
+    * Their suffix array is a shared-memory structure; the
+    * distributed equivalent of its "repeated substring of length >= k
+    * exists" predicate is exactly "some k-gram occurs twice", and
+    * k-grams shuffle as md5 hashes with map-side partial counts.
+    * Span merging is a per-document sorted fold (one higher-order
+    * aggregate over gram starts — no k× row blowup, no window).
+    * Shape: gram hashes shuffle once for the count, once for the
+    * dup-mark join (planner/AQE decide broadcast vs shuffle, skew
+    * split absorbs boilerplate grams), plus one id shuffle for the
+    * fold. Output: (id, n_toks, n_dup_toks, dup_frac).
+    */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val base = df.select(col(idCol).as("id"),
+        split(lower(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val grams = base
+      .filter(col("_n") >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), col("_n") - k),
+          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
+        .as(Seq("start", "_h")))
+      .select(col("id"), col("start").cast("long").as("start"), col("_h"))
+    val dupes = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("_h"))
+    // covered tokens = fold over the doc's sorted dup-gram starts:
+    // each start s adds max(0, s + k - max(end, s)) new tokens
+    val spans = grams.join(dupes, "_h")
+      .groupBy(col("id"))
+      .agg(aggregate(array_sort(collect_list(col("start"))),
+        struct(lit(0L).as("cov"), lit(Long.MinValue).as("end")),
+        (acc, s) => struct(
+          (acc.getField("cov") + greatest(lit(0L),
+            s + k - greatest(acc.getField("end"), s))).as("cov"),
+          greatest(acc.getField("end"), s + k).as("end")),
+        acc => acc.getField("cov")).as("_dup"))
+    base.select(col("id"), col("_n"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"), col("_n").cast("long").as("n_toks"),
+        coalesce(col("_dup"), lit(0L)).cast("long").as("n_dup_toks"),
+        round(coalesce(col("_dup"), lit(0L)).cast("double")
+          / col("_n").cast("double"), 6).as("dup_frac"))
+  }
+
   def paraDedup(df: DataFrame, idCol: String, textCol: String,
                 sep: String = "\n\n"): DataFrame = {
     val paras = df.select(col(idCol).as("id"),

@@ -278,6 +278,38 @@ class ParaDedupSpec extends SparkSpec {
   }
 }
 
+class DupSubstringSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spans cover exactly the tokens inside corpus-repeated k-grams, merged") {
+    // docs 1/2 share a 5-token prefix: with k=4, grams at starts 0 and
+    // 1 repeat -> merged span covers tokens 0..4 (5 tokens) in each.
+    // doc 3 is clean. doc 4 repeats its own 4-token phrase twice
+    // (intra-doc dup): both occurrences' spans count.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one two"),
+      (2L, "alpha beta gamma delta epsilon three four"),
+      (3L, "nothing here repeats at all ever"),
+      (4L, "p q r s filler filler2 p q r s")
+    ).toDF("id", "text")
+    val out = Dedup.dupSubstringSpans(docs, "id", "text", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 7L, 5L, 0.714286)), out(0).toString)
+    assert(out(1) == ((2L, 7L, 5L, 0.714286)), out(1).toString)
+    assert(out(2) == ((3L, 6L, 0L, 0.0)), out(2).toString)
+    assert(out(3) == ((4L, 10L, 8L, 0.8)), out(3).toString)
+  }
+
+  test("docs shorter than k produce no grams and report zero dup") {
+    val docs = Seq((1L, "too short"), (2L, "too short")).toDF("id", "text")
+    val out = Dedup.dupSubstringSpans(docs, "id", "text", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 0L)), out.mkString(";"))
+  }
+}
+
 class RandomProjectionSpec extends SparkSpec {
   import spark.implicits._
 
