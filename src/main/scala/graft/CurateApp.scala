@@ -10,11 +10,14 @@ import graft.operators.{Blocklist, Decontaminate, Dedup, TextStats, Training}
   * documents table:
   *
   *  0. boilerplate line removal (lines in >= minDocs docs stripped,
-  *     docs reassembled; all-boilerplate docs drop out)
+  *     docs reassembled; all-boilerplate docs drop out), then
+  *     paragraph-level exact dedup (each distinct paragraph survives
+  *     once corpus-wide, RefinedWeb-style)
   *  1. language ID + quality + repetition metrics (narrow, codegen)
   *  2. quality gate (drop low-quality / boilerplate docs) + a
   *     unigram-LM floor (mean token log-prob under the corpus's own
-  *     distribution — the KenLM-perplexity stand-in)
+  *     distribution — the KenLM-perplexity stand-in) + a
+  *     duplicated-substring ceiling (Lee et al. spans as a fraction)
   *  3. blocklist scrub (bloom prune + exact verify)
   *  4. exact dedup (keep lowest id per identical text)
   *  5. MinHash near-dup -> connected components -> keep BEST quality
@@ -45,10 +48,19 @@ object CurateApp {
     // 0: strip lines that repeat across >= 100 docs (nav menus,
     // cookie banners); the frequent-line set broadcasts, the corpus
     // side stays an anti-join + reassembly
-    val docs = TextStats.stripRepeatedLines(raw, "doc_id", "text", minDocs = 100L)
+    val lineStripped = TextStats.stripRepeatedLines(raw, "doc_id", "text", minDocs = 100L)
       .select(col("id").as("doc_id"), col("text_clean").as("text"))
       .join(raw.drop("text"), "doc_id")
-    val n0b = cnt(docs)
+    val n0b = cnt(lineStripped)
+
+    // 0b: paragraph-level exact dedup (RefinedWeb/CCNet step): each
+    // distinct paragraph survives once corpus-wide, in its
+    // (id, pos)-first doc; docs whose every paragraph appeared
+    // earlier drop out here
+    val docs = Dedup.paraDedup(lineStripped, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("text_clean").as("text"))
+      .join(raw.drop("text"), "doc_id")
+    val n0c = cnt(docs)
 
     // 1-2: annotate + gate + PII redaction (single narrow pass; all
     // expression trees — identical to CurateStream, so batch and
@@ -68,11 +80,20 @@ object CurateApp {
     // LEFT join: a doc that tokenizes to nothing (every surviving line
     // blank after boilerplate strip + redaction) has no LM evidence —
     // it is the quality gate's call, not an implicit inner-join drop
+    // duplicated-substring ceiling (Lee et al. 2021): a doc mostly
+    // made of corpus-repeated k-grams is boilerplate/spam the line-
+    // and paragraph-level passes missed (LEFT join, same reasoning as
+    // the LM floor: no grams = no dup evidence = keep)
+    val dupFrac = Dedup.dupSubstringSpans(scored, "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("dup_frac"))
     val gated = scored
       .filter(col("quality") >= 0.3 && col("top_tok_frac") <= 0.5)
       .join(lmScore, Seq("doc_id"), "left")
       .filter(coalesce(col("mean_logprob"), lit(0.0)) >= -12.0)
       .drop("mean_logprob")
+      .join(dupFrac, Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.6)
+      .drop("dup_frac")
     val n1 = cnt(gated)
 
     // 3: scrub a blocklist (here: a synthetic takedown list, taken from
@@ -129,7 +150,7 @@ object CurateApp {
       .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
 
     val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"stage_counts":{"input":$n0,"boilerplate":$n0b,""" +
+    println(s"""{"stage_counts":{"input":$n0,"boilerplate":$n0b,"para_dedup":$n0c,""" +
       s""""quality_gate":$n1,"blocklist":$n2,""" +
       s""""exact_dedup":$n3,"near_dup":$n4,"decontaminated":$n5,""" +
       s""""sampled":$n6,"quota":$n7},""" +
