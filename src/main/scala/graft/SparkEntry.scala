@@ -619,6 +619,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s13_ivf_pq_residual" -> ((s, dir) => {
+      // RESIDUAL-encoded IVF-PQ (the actual FAISS layout): corpus
+      // vectors PQ-encode v − centroid with residual-trained subspace
+      // codebooks; each query builds one ADC table per probed list
+      // from its own residual. refine=1 on purpose: this entry shows
+      // the COMPRESSED-domain rank quality residual coding buys
+      // (recall gate in AnnRecallSpec); s12 shows the refined path.
+      val emb = T(s, dir, "embeddings").withColumn("embedding",
+        transform(col("embedding"),
+          x => x.cast("double") / Similarity.norm(col("embedding"))))
+      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
+          refineIters = 4, pqIters = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball

@@ -823,29 +823,179 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k * refine)
     if (refine == 1) adcRanked
-    else {
-      // shortlist is refine×k×|Q| rows — broadcast-small by contract —
-      // so the exact pass reads raw vectors for the shortlist ONLY
-      // (one broadcast join into the corpus scan, no shuffle of it)
-      val shortlist = adcRanked.select(col("query_id"), col("neighbor_id"))
-      val c = corpus.select(col(corpusId).as("neighbor_id"),
-        col(corpusVec).as("_cv"), norm(col(corpusVec)).as("_cnrm"))
-      val q = queries.select(col(queryId).cast("long").as("query_id"),
-        col(queryVec).as("_qv"), norm(col(queryVec)).as("_qnrm"))
-      // rank on the RAW cosine, round only for display — the same
-      // ordering contract as bruteTopK, so probing every list with a
-      // corpus-sized shortlist degenerates to brute force exactly
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("_rawcos").desc, col("neighbor_id"))
-      c.join(broadcast(shortlist), "neighbor_id")
-        .join(broadcast(q), "query_id")
-        .withColumn("_rawcos",
-          VecDot.dot(col("_cv"), col("_qv")) / (col("_cnrm") * col("_qnrm")))
-        .withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("_rawcos"), 6).as("cos"), col("rank"))
+    else refineExact(adcRanked, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
+  }
+
+  /** The FAISS IndexRefineFlat step shared by the IVF-PQ variants:
+    * re-rank an ADC shortlist by exact cosine against raw vectors.
+    * The shortlist is refine×k×|Q| rows — broadcast-small by contract
+    * — so the exact pass reads raw vectors for the shortlist ONLY
+    * (one broadcast join into the corpus scan, no shuffle of it).
+    * Ranks on the RAW cosine, rounds only for display — the same
+    * ordering contract as [[bruteTopK]], so probing every list with a
+    * corpus-sized shortlist degenerates to brute force exactly.
+    */
+  private def refineExact(adcRanked: DataFrame,
+                          corpus: DataFrame, corpusId: String, corpusVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int): DataFrame = {
+    val shortlist = adcRanked.select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusVec).as("_cv"), norm(col(corpusVec)).as("_cnrm"))
+    val q = queries.select(col(queryId).cast("long").as("query_id"),
+      col(queryVec).as("_qv"), norm(col(queryVec)).as("_qnrm"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_rawcos").desc, col("neighbor_id"))
+    c.join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("_rawcos",
+        VecDot.dot(col("_cv"), col("_qv")) / (col("_cnrm") * col("_qnrm")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_rawcos"), 6).as("cos"), col("rank"))
+  }
+
+  /** RESIDUAL-encoded IVF-PQ — the actual FAISS IVFPQ layout (Jégou
+    * 2011 §IV-A): corpus vectors PQ-encode their residual v − c(v)
+    * against the assigned coarse centroid, with the subspace
+    * codebooks TRAINED ON RESIDUALS (one codebook shared across
+    * lists, as FAISS defaults). Residuals carry far less energy than
+    * raw vectors, so the same m × ksub budget quantizes them finer —
+    * the recall refinement [[ivfPqTopK]]'s raw-vector variant trades
+    * away for a caller-suppliable codebook.
+    *
+    * Query side: ||q − v||² = ||(q − c) − (v − c)||² exactly, so each
+    * query builds ONE ADC table per probed list from its own residual
+    * q − c — tables are (|Q| × nprobe × m × ksub) driver rows,
+    * bounded by the same small-by-contract limits as [[pqAdcTopK]].
+    * The query's probed lists are computed on the DRIVER with
+    * arithmetic identical to the distributed assignment expression
+    * (same operation order, same tie-breaks), which the probe-parity
+    * spec pins.
+    *
+    * Shape at scale: training is bounded driver state (trainCap);
+    * corpus-side work is one narrow assign+residual+encode pass and
+    * one id-key join; the ADC tables broadcast; the rank aggregates
+    * map-side. Corpus vectors are stored/scanned as m codes — raw
+    * floats are read only by the optional `refine` re-rank
+    * shortlist. Coarse assignment takes the literal path, so
+    * nlist <= 128 (the janino bound; FAISS-scale nlist needs the
+    * broadcast-assign variant and is out of scope here).
+    * Output: (query_id, neighbor_id, adc_dist|cos, rank) as in
+    * [[ivfPqTopK]].
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        m: Int, k: Int, ksub: Int = 256, nlist: Int = 64,
+                        nprobe: Int = 4, refineIters: Int = 1,
+                        pqIters: Int = 4, refine: Int = 1,
+                        trainCap: Int = 65536): DataFrame = {
+    require(refine >= 1, s"refine=$refine must be >= 1")
+    val cents = trainCoarse(corpus, corpusId, corpusVec, nlist, refineIters, trainCap)
+    require(cents.length <= 128,
+      s"ivfPqResidualTopK: ${cents.length} lists exceed the literal-path bound (128)")
+    val idType = corpus.schema(corpusId).dataType
+    // the driver-built ADC tables carry the probed list id as a long —
+    // reject other id types up front rather than corrupting the join
+    require(idType == org.apache.spark.sql.types.LongType,
+      s"ivfPqResidualTopK: corpus id ($corpusId) must be LONG, got $idType")
+
+    // centroid vector by assigned id, as one chained-when literal
+    // lookup (the same device as the assignment expression itself)
+    def centVecFor(centId: Column): Column =
+      cents.foldLeft(lit(null).cast("array<double>")) { (acc, c) =>
+        when(centId === lit(c.id), lit(c.vec)).otherwise(acc)
+      }
+    // residual with the dirty-input rule: missing dims read as 0 on
+    // either side (zip_with pads the shorter array with nulls)
+    def residual(vec: Column, centId: Column): Column =
+      zip_with(vec.cast("array<double>"), centVecFor(centId),
+        (a, b) => coalesce(a, lit(0.0)) - coalesce(b, lit(0.0)))
+
+    val assigned = assignCents(cents, idType,
+        corpus.withColumn("_cnrm", norm(col(corpusVec))), corpusVec,
+        col("_cnrm"), 1)
+      .select(col(corpusId).as("id"), col("_cent_id"),
+        residual(col(corpusVec), col("_cent_id")).as("_res"))
+    val cb = {
+      val trained = trainPqCodebook(assigned, "id", "_res", m, ksub, pqIters, trainCap)
+      collectCodebook(trained, "code", "codeword", "ivfPqResidualTopK")
     }
+    val codes = pqCodesFrame(assigned, "id", "_res", cb, m, "ivfPqResidualTopK")
+      .join(assigned.select(col("id"), col("_cent_id")), "id")
+
+    // driver-side probe + per-(query, probed list) residual ADC table
+    val d = cb(0)._2.length
+    require(d % m == 0, s"ivfPqResidualTopK: dim $d not divisible by m=$m")
+    val sub = d / m
+    val maxQueries = 4096
+    val qRows = queries
+      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
+      .limit(maxQueries + 1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"ivfPqResidualTopK: query id ($queryId) is null or not castable to long")
+        require(!r.isNullAt(1),
+          s"ivfPqResidualTopK: query ${r.getLong(0)} has a null vector")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
+    require(qRows.length <= maxQueries,
+      s"ivfPqResidualTopK: more than $maxQueries query rows — ADC tables are " +
+        "per-query driver state; shard the query set or raise the bound")
+    def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
+    val table = for {
+      (qid, qv) <- qRows.toSeq
+      // same scoring arithmetic and (score, position) tie-break as the
+      // assignment expression: -(dot/(|q| |c|)), seed-hash order
+      probed <- {
+        val qn = l2d(qv)
+        cents
+          .map(c => (-(dotd(qv, c.vec) / (qn * c.nrm)), c))
+          .sortBy { case (negcos, c) => (negcos, c.id.asInstanceOf[Long]) }
+          .take(nprobe).map(_._2)
+      }
+      j <- 0 until m
+      (code, cv) <- cb.toSeq
+    } yield {
+      val cs = cv.slice(j * sub, (j + 1) * sub)
+      val c2 = cs.map(x => x * x).sum
+      // UNLIKE pqAdcTopK, the |query residual|² term cannot be
+      // dropped: it varies per PROBED LIST (q − c differs per c), and
+      // a query compares candidates ACROSS its probed lists — dropping
+      // it biases cross-list ranking. Entries carry the full
+      // per-subspace ||qres_j − cb_j||², so the sum is the true
+      // quantized L2 (the three-term expansion FAISS evaluates).
+      var dot = 0.0
+      var qr2 = 0.0
+      var i = 0
+      val lim = math.max(0, math.min(sub, math.max(qv.length, probed.vec.length) - j * sub))
+      while (i < lim) {
+        val q = if (j * sub + i < qv.length) qv(j * sub + i) else 0.0
+        val c = if (j * sub + i < probed.vec.length) probed.vec(j * sub + i) else 0.0
+        val qr = q - c
+        if (i < cs.length) dot += qr * cs(i)
+        qr2 += qr * qr
+        i += 1
+      }
+      (qid, probed.id.asInstanceOf[Long], j.toLong, code, round6(qr2 + c2 - 2.0 * dot))
+    }
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qt = table.toDF("query_id", "_cent_id", "sub", "code", "_d")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val adcRanked = codes
+      .join(broadcast(qt), Seq("_cent_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k * refine)
+    if (refine == 1) adcRanked
+    else refineExact(adcRanked, corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, k)
   }
 
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=
