@@ -2013,7 +2013,8 @@ object SparkEntry {
                             FROM ls)),
             freq AS (SELECT line FROM (
                        SELECT line, count(DISTINCT doc_id) AS nd
-                       FROM lines GROUP BY 1) WHERE nd >= 100),
+                       FROM lines GROUP BY 1)
+                     WHERE nd >= 100 AND len(line) > 0),
             tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1),
             kept AS (SELECT doc_id, line, i FROM lines
                      WHERE line NOT IN (SELECT line FROM freq))
@@ -2163,7 +2164,9 @@ object SparkEntry {
                'subscribe to our newsletter today for free updates ' || text ||
                CASE WHEN doc_id % 7 = 0 THEN ' ' || text ELSE '' END AS text
              FROM documents),
-            t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            t AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0) AS toks
                   FROM framed),
             grams AS (SELECT doc_id, i - 1 AS start,
                              md5(toks[i] || ' ' || toks[i+1] || ' ' ||

@@ -241,8 +241,17 @@ object TailApp {
       if (stopSparkOnExit) spark0.stop()
       return
     }
+    // the slice flags must pair 1:1 with --dir even when --dir is NOT
+    // repeated — `--dir /a --pattern p1 --pattern p2` would otherwise
+    // silently truncate to p1 (the reference rejects it: "regex num
+    // must match with files")
+    val nDirs = a.getOrElse("dir", Seq.empty).size
+    for (k <- Seq("pattern", "filter"))
+      require(a.getOrElse(k, Seq.empty).size <= math.max(nDirs, 1),
+        s"--$k given ${a(k).size} times for $nDirs --dir value(s); " +
+          "slice flags pair 1:1 with --dir")
     // repeated --dir = the reference's N-source slice-flag form
-    if (a.getOrElse("dir", Seq.empty).size > 1) {
+    if (nDirs > 1) {
       val incompatible = Seq("dir2", "pattern2", "filter2", "join-keys",
         "follow-file", "pipe").filter(a.contains) ++
         (if (args.contains("--stdin")) Seq("stdin") else Nil)

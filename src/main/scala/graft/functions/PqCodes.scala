@@ -125,19 +125,24 @@ object PqCodes {
       // Round ONLY the contenders: round6 goes through BigDecimal
       // (Double.toString inside), and calling it K times per subspace
       // made coding 70x slower than the arithmetic. HALF_UP to 6dp
-      // moves a value by at most 5e-7, so any raw distance beyond
-      // 1e-6 (+ slack) of the raw minimum cannot reach the rounded
-      // minimum — even as a tie. Contenders are re-scanned in
-      // ascending code order with the original strictly-smaller
-      // displacement rule, so the argmin and the lowest-code-id
-      // tie-break are bit-identical to rounding everything.
-      val cut = rawMin + 1.000001e-6
+      // moves a value by at most 5e-7 PLUS the representation error of
+      // landing on the nearest double (ulp/2 — which DOMINATES once
+      // |dist| is large enough that ulp > 1e-6, e.g. unscaled
+      // embeddings with |x| ~ 1e5), so a raw distance beyond
+      // 1e-6 + ulp slack of the raw minimum cannot reach the rounded
+      // minimum even as a tie. Contenders are re-scanned in ascending
+      // code order with the original strictly-smaller displacement
+      // rule, so the argmin and the lowest-code-id tie-break are
+      // bit-identical to rounding everything.
       var bestDist = Double.PositiveInfinity
       var bestCode = Long.MaxValue
       c = 0
       while (c < k) {
-        if (dists(c) <= cut) {
-          val r = round6(dists(c))
+        val dc = dists(c)
+        val cut = rawMin + 1.000001e-6 +
+          2.0 * Math.ulp(math.max(math.abs(dc), math.abs(rawMin)))
+        if (dc <= cut) {
+          val r = round6(dc)
           if (r < bestDist) { bestDist = r; bestCode = codeIds(c) }
         }
         c += 1

@@ -693,8 +693,14 @@ object Dedup {
   def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // zero-length tokens (leading whitespace) are dropped BEFORE gram
+    // building: an empty first token would inflate n_toks, shift every
+    // gram window, and make two docs differing only in leading
+    // whitespace hash the same phrase differently — the same rule as
+    // unigramLogProb's tokenizer
     val base = df.select(col(idCol).as("id"),
-        split(lower(col(textCol)), "\\s+").as("_toks"))
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
     val grams = base
       .filter(col("_n") >= k)

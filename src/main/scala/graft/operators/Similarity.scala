@@ -327,7 +327,11 @@ object Similarity {
     // its own dims — the same per-row len(embedding) the s08 oracle
     // computes — and ragged inputs agree with the oracle instead of
     // silently truncating to whichever row take(1) happened to see.
-    // One aggregate job, same eager cost as the old take(1).
+    // COST: this is an eager aggregate over the vector column (a full
+    // column pass, unlike the old one-row take(1)) — the price of the
+    // ragged-input contract. Callers who can ASSERT uniform dims and
+    // need to skip the pass should slice/pad upstream; a sampled max
+    // would reintroduce the silent-truncation bug this fixed.
     val dims = df.agg(max(size(col(vecCol)))).take(1)
       .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -466,7 +470,6 @@ object Similarity {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
     val cb = collectCodebook(cents, centIdCol, centVecCol, "semDedup")
-    def l2(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_nrm", norm(col("v")))
     val literalPath = cb.length <= 128
@@ -476,7 +479,7 @@ object Similarity {
         // struct = (highest rounded cos, lowest centroid id) — the
         // same expression assignNearestCentroid exposes for streaming
         val scoredArr = array(cb.map { case (cid, cv) => struct(
-          round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2(cv)))), 6)
+          round(-(VecDot.dot(col("v"), lit(cv)) / (col("_nrm") * lit(l2d(cv)))), 6)
             .as("_negcos"),
           lit(cid).as("_cid")) }.toSeq: _*)
         e.withColumn("cluster", sort_array(scoredArr).getItem(0).getField("_cid"))
@@ -485,7 +488,7 @@ object Similarity {
         val spark = df.sparkSession
         val centDf = spark.createDataFrame(
           java.util.Arrays.asList(cb.map { case (cid, cv) =>
-            Row(cid, cv.toSeq, l2(cv)) }: _*),
+            Row(cid, cv.toSeq, l2d(cv)) }: _*),
           StructType(Seq(
             StructField("_cid", org.apache.spark.sql.types.LongType),
             StructField("_cv", ArrayType(DoubleType)),
@@ -708,16 +711,14 @@ object Similarity {
     * same argmin) and round HALF_UP to 6dp. Shared by [[pqAdcTopK]]
     * and [[ivfPqTopK]].
     */
-  private def adcTable(queries: DataFrame, queryId: String, queryVec: String,
-                       cb: Array[(Long, Array[Double])], m: Int,
-                       who: String): DataFrame = {
-    val spark = queries.sparkSession
-    import spark.implicits._
-    val d = cb(0)._2.length
-    require(d % m == 0, s"$who: dim $d not divisible by m=$m")
-    val sub = d / m
-    // Enforce the contract instead of OOMing: collect one row past the
-    // bound so an oversized frame fails loudly and cheaply.
+  /** Bounded driver collection of a query frame — ADC tables are
+    * per-query driver state ("small by contract"): collect one row
+    * past the bound so an oversized frame fails loudly instead of
+    * OOMing. Shared by every ADC-table builder.
+    */
+  private def collectQueries(queries: DataFrame, queryId: String,
+                             queryVec: String,
+                             who: String): Array[(Long, Array[Double])] = {
     val maxQueries = 4096
     val qRows = queries
       .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
@@ -731,6 +732,18 @@ object Similarity {
     require(qRows.length <= maxQueries,
       s"$who: more than $maxQueries query rows — ADC tables are " +
         "per-query driver state; shard the query set or raise the bound")
+    qRows
+  }
+
+  private def adcTable(queries: DataFrame, queryId: String, queryVec: String,
+                       cb: Array[(Long, Array[Double])], m: Int,
+                       who: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val d = cb(0)._2.length
+    require(d % m == 0, s"$who: dim $d not divisible by m=$m")
+    val sub = d / m
+    val qRows = collectQueries(queries, queryId, queryVec, who)
     // NaN/Infinity-safe, HALF_UP — the same rounding the code path uses
     def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
     val table = for {
@@ -914,11 +927,16 @@ object Similarity {
       zip_with(vec.cast("array<double>"), centVecFor(centId),
         (a, b) => coalesce(a, lit(0.0)) - coalesce(b, lit(0.0)))
 
+    // persisted: THREE consumers re-evaluate this corpus-wide
+    // assign+residual pass otherwise (codebook training collect, the
+    // encode scan, the list join) — the semDedup broadcast-path
+    // precedent; the final small ranked frame seals over it below
     val assigned = assignCents(cents, idType,
         corpus.withColumn("_cnrm", norm(col(corpusVec))), corpusVec,
         col("_cnrm"), 1)
       .select(col(corpusId).as("id"), col("_cent_id"),
         residual(col(corpusVec), col("_cent_id")).as("_res"))
+      .persist()
     val cb = {
       val trained = trainPqCodebook(assigned, "id", "_res", m, ksub, pqIters, trainCap)
       collectCodebook(trained, "code", "codeword", "ivfPqResidualTopK")
@@ -930,20 +948,7 @@ object Similarity {
     val d = cb(0)._2.length
     require(d % m == 0, s"ivfPqResidualTopK: dim $d not divisible by m=$m")
     val sub = d / m
-    val maxQueries = 4096
-    val qRows = queries
-      .select(col(queryId).cast("long"), col(queryVec).cast("array<double>"))
-      .limit(maxQueries + 1)
-      .collect().map { r =>
-        require(!r.isNullAt(0),
-          s"ivfPqResidualTopK: query id ($queryId) is null or not castable to long")
-        require(!r.isNullAt(1),
-          s"ivfPqResidualTopK: query ${r.getLong(0)} has a null vector")
-        (r.getLong(0), r.getSeq[Double](1).toArray)
-      }
-    require(qRows.length <= maxQueries,
-      s"ivfPqResidualTopK: more than $maxQueries query rows — ADC tables are " +
-        "per-query driver state; shard the query set or raise the bound")
+    val qRows = collectQueries(queries, queryId, queryVec, "ivfPqResidualTopK")
     def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
     val table = for {
       (qid, qv) <- qRows.toSeq
@@ -993,9 +998,14 @@ object Similarity {
         .as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k * refine)
-    if (refine == 1) adcRanked
-    else refineExact(adcRanked, corpus, corpusId, corpusVec,
-      queries, queryId, queryVec, k)
+    val result =
+      if (refine == 1) adcRanked
+      else refineExact(adcRanked, corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k)
+    // seal the small ranked frame eagerly, then release the persisted
+    // assign+residual pass (Caching.sealOver cuts the lineage so the
+    // returned plan no longer references it)
+    Caching.sealOver(result, assigned)
   }
 
   /** Embedding near-duplicate pairs: all (id1 < id2) with cosine >=

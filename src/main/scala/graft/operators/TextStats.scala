@@ -59,9 +59,13 @@ object TextStats {
                          minDocs: Long): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // empty lines are STRUCTURE (paragraph breaks), not boilerplate:
+    // any corpus where >= minDocs docs contain a blank line would
+    // otherwise strip every "\n\n" separator and silently break the
+    // downstream paragraph-level pass (Dedup.paraDedup)
     val frequent = lines.groupBy(col("line"))
       .agg(countDistinct(col("id")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
+      .filter(col("_nd") >= minDocs && length(col("line")) > 0)
       .select(col("line"))
     val totals = lines.groupBy(col("id")).agg(count(lit(1)).as("_n_tot"))
     lines.join(frequent, Seq("line"), "left_anti")

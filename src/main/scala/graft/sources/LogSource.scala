@@ -213,31 +213,20 @@ object LogSource {
     // sinceMs = the reference's seek-to-end (`do_not_tail=false`,
     // source/fs.go): only rows from files modified at/after the cutoff
     // survive — pre-existing log content is skipped, rotation/new files
-    // flow. Two layers: `maxFileAge` prunes cold history at LISTING
-    // time (FileStreamSource ignores files older than newest-seen −
-    // age, so a deep-history directory is never decoded into the
-    // seen-files map), set one hour slack BEFORE the cutoff so the
-    // prune can never outrun the contract; the `_metadata` row filter
-    // then enforces the EXACT cutoff. (maxFileAge is inert only under
-    // latestFirst + maxFilesPerTrigger together; latestFirst stays
-    // default-false here.)
-    val raw = sinceMs.fold(reader.text(dir)) { ms =>
-      reader.option("maxFileAge", s"${seekPruneAgeMs(System.currentTimeMillis(), ms)}ms")
-        .text(dir)
-        .filter(col("_metadata.file_modification_time") >= timestamp_millis(lit(ms)))
-    }
+    // flow. This is a row-level filter on `_metadata` (old files may
+    // still be listed and decoded unless Spark's metadata-filter
+    // pruning kicks in); for directories with a deep history, pre-list
+    // and pass an explicit glob to avoid scanning cold files.
+    // NOT a `maxFileAge` listing prune: that cutoff is RELATIVE to the
+    // newest-seen file and keeps advancing, so on a stream running
+    // longer than any fixed slack it overtakes the sinceMs contract
+    // and silently drops late-appearing files (e.g. restored with a
+    // preserved old mtime) that the row filter would admit.
+    val raw = sinceMs.fold(reader.text(dir))(ms => reader.text(dir)
+      .filter(col("_metadata.file_modification_time") >= timestamp_millis(lit(ms))))
     val parsed = parse(raw, pattern, tname = tname)
     filter.fold(parsed)(f => parsed.filter(expr(f)))
   }
-
-  /** Listing-prune age for seek-to-end: distance from now back to one
-    * hour BEFORE the cutoff. Strictly wider than the row-level cutoff
-    * filter, so pruning can drop only files the filter would drop
-    * anyway — the slack absorbs mod-time skew between the lister and
-    * the writer.
-    */
-  private[sources] def seekPruneAgeMs(nowMs: Long, sinceMs: Long): Long =
-    math.max(0L, nowMs - sinceMs) + 3600L * 1000L
 
   /** Follow ONE growing file by byte offset — the reference's actual
     * `tail -f` (source/fs.go:24-66 Follow+ReOpen), backed by the

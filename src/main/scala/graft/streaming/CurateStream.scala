@@ -66,5 +66,9 @@ object CurateStream {
               threshold: Double): DataFrame =
     graft.operators.Similarity
       .assignNearestCentroid(docs, embCol, cents, centIdCol, centVecCol)
-      .filter(col("centroid_cos") < threshold)
+      // null/missing embedding = no similarity evidence = KEEP, the
+      // same dirty-input rule as the batch gates (LM floor, dup
+      // ceiling); a bare `< threshold` would evaluate to null and
+      // silently drop the row
+      .filter(coalesce(col("centroid_cos") < threshold, lit(true)))
 }

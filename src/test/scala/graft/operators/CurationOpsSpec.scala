@@ -308,6 +308,19 @@ class DupSubstringSpansSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 0L), (2L, 2L, 0L)), out.mkString(";"))
   }
+
+  test("leading whitespace neither shifts gram windows nor inflates n_toks") {
+    // doc 2 = doc 1 with leading newline/spaces: identical token
+    // stream, so the whole 4-token doc is one duplicated span in both
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "\n  alpha beta gamma delta")).toDF("id", "text")
+    val out = Dedup.dupSubstringSpans(docs, "id", "text", k = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 4L, 4L, 1.0), (2L, 4L, 4L, 1.0)),
+      out.mkString(";"))
+  }
 }
 
 class RandomProjectionSpec extends SparkSpec {

@@ -93,17 +93,6 @@ class LogSourceSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
-  test("seek-to-end listing prune stays strictly behind the row cutoff") {
-    // the prune line must sit BEFORE sinceMs (1h slack), so listing
-    // can only skip files the _metadata row filter drops anyway
-    val now = 1_700_000_000_000L
-    val since = now - 86_400_000L // cutoff: 1 day ago
-    val age = LogSource.seekPruneAgeMs(now, since)
-    assert(now - age == since - 3_600_000L, age.toString)
-    // a cutoff in the future (clock skew) still yields the slack only
-    assert(LogSource.seekPruneAgeMs(now, now + 10_000) == 3_600_000L)
-  }
-
   test("bool parsing accepts Go strconv.ParseBool forms") {
     val lines = Seq("1", "t", "TRUE", "0", "F", "false", "zzz").toDF("value")
     val out = LogSource.parse(lines, """(?P<b__bool>\w+)""")

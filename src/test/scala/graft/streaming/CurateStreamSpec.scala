@@ -108,6 +108,14 @@ class CurateStreamSpec extends SparkSpec {
         .select("id", "cluster").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(batchKept == kept, s"batch=$batchKept stream=$kept")
+      // null embedding = no similarity evidence = KEEP (the batch
+      // gates' dirty-input rule), not a silent null-predicate drop
+      val withNull = (rows :+ (5L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "embedding")
+      val keptIds = CurateStream.semGate(withNull,
+          "embedding", cents, "cid", "cvec", threshold = 0.95)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(keptIds == Set(2L, 4L, 5L), keptIds.toString)
     } finally q.stop()
   }
 }
