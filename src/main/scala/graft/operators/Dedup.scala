@@ -702,6 +702,9 @@ object Dedup {
         filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
+    // persisted: the gram build (an interpreted higher-order transform
+    // — HOFs don't codegen) feeds BOTH the dup count and the mark
+    // join; the small per-doc result seals over it below
     val grams = base
       .filter(col("_n") >= k)
       .select(col("id"), posexplode(
@@ -709,6 +712,7 @@ object Dedup {
           i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
         .as(Seq("start", "_h")))
       .select(col("id"), col("start").cast("long").as("start"), col("_h"))
+      .persist()
     val dupes = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
       .select(col("_h"))
@@ -723,12 +727,14 @@ object Dedup {
             s + k - greatest(acc.getField("end"), s))).as("cov"),
           greatest(acc.getField("end"), s + k).as("end")),
         acc => acc.getField("cov")).as("_dup"))
-    base.select(col("id"), col("_n"))
-      .join(spans, Seq("id"), "left")
-      .select(col("id"), col("_n").cast("long").as("n_toks"),
-        coalesce(col("_dup"), lit(0L)).cast("long").as("n_dup_toks"),
-        round(coalesce(col("_dup"), lit(0L)).cast("double")
-          / col("_n").cast("double"), 6).as("dup_frac"))
+    Caching.sealOver(
+      base.select(col("id"), col("_n"))
+        .join(spans, Seq("id"), "left")
+        .select(col("id"), col("_n").cast("long").as("n_toks"),
+          coalesce(col("_dup"), lit(0L)).cast("long").as("n_dup_toks"),
+          round(coalesce(col("_dup"), lit(0L)).cast("double")
+            / col("_n").cast("double"), 6).as("dup_frac")),
+      grams)
   }
 
   def paraDedup(df: DataFrame, idCol: String, textCol: String,
