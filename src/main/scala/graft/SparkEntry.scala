@@ -565,6 +565,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    "p05_split" -> ((s, dir) =>
+      // deterministic 10/10/80 val/test/train split by md5 hash range:
+      // a doc's split never changes as the corpus grows
+      Training.assignSplit(T(s, dir, "documents"), "doc_id",
+          valFrac = 0.1, testFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    "p06_token_budget" -> ((s, dir) =>
+      // reproducible ~N-token corpus cut: whole docs in md5 order
+      // until the budget; distributed prefix sum, no global window
+      Training.tokenBudget(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")),
+          "doc_id", "n_toks", budget = 20000L)
+        .select(col("doc_id"), col("n_toks"))
+        .orderBy("doc_id")),
+
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
       // the IVF-PQ storage layout; codebook = the 16 lowest-id
@@ -1770,6 +1788,24 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
              FROM documents)
          SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
+
+    "p05_split" ->
+      """SELECT doc_id, CASE
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '19999' THEN 'val'
+           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '33333' THEN 'test'
+           ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "p06_token_budget" ->
+      """WITH n AS (SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+             FROM documents),
+            c AS (SELECT doc_id, n_toks,
+                    sum(n_toks) OVER (
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+                  FROM n)
+         SELECT doc_id, n_toks FROM c WHERE cum <= 20000 ORDER BY doc_id""",
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

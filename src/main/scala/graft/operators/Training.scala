@@ -137,6 +137,57 @@ object Training {
       .drop("_qr1", "_qr")
   }
 
+  /** Deterministic train/val/test split by md5 hash range: the first
+    * 5 hex digits of md5(id) land in [0, val), [val, val+test), or
+    * the rest — reproducible across runs and engines (no rand()),
+    * stable under corpus growth (a doc's split never changes when
+    * other docs arrive), and exactly the mixtureSample threshold
+    * trick with named buckets. One narrow projection, zero shuffles.
+    * Output: input columns + `split` ∈ {train, val, test}.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  valFrac: Double, testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
+      s"assignSplit: bad fractions val=$valFrac test=$testFrac")
+    val valThr = f"${math.floor(valFrac * 1048576.0).toLong}%05x"
+    val bothThr = f"${math.floor((valFrac + testFrac) * 1048576.0).toLong}%05x"
+    val h = substring(md5(col(idCol).cast("string")), 1, 5)
+    df.withColumn("split",
+      when(h < valThr, "val").when(h < bothThr, "test").otherwise("train"))
+  }
+
+  /** Token-budget cut: keep documents, in deterministic md5(id)
+    * order, while the cumulative token count stays within `budget` —
+    * "give me exactly ~N tokens of this corpus, reproducibly" (the
+    * corpus-sizing step after mixture/quota shaping). Only WHOLE
+    * documents are kept: the doc that would cross the budget is
+    * dropped, as is everything after it in hash order.
+    *
+    * Shape at scale: the same distributed prefix sum as
+    * [[packSequences]] — per-range-partition local cumsum, a prefix
+    * over one row per partition, broadcast back, then a narrow
+    * filter. No global single-partition window anywhere.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, nTokCol: String,
+                  budget: Long): DataFrame = {
+    val ranged = df.withColumn("_h", md5(col(idCol).cast("string")))
+      .repartitionByRange(col("_h"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_lcum",
+      sum(col(nTokCol)).over(
+        Window.partitionBy("_pid").orderBy(col("_h"), col(idCol))))
+    // one row per partition: the un-partitioned window scans
+    // #partitions rows, not the corpus
+    val prefix = local.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))
+      .withColumn("_poff", coalesce(
+        sum(col("_ptot")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_ptot")
+    local.join(broadcast(prefix), "_pid")
+      .filter(col("_poff") + col("_lcum") <= budget)
+      .drop("_h", "_pid", "_lcum", "_poff")
+  }
+
   /** Shard assignment + within-shard pseudo-random order: shard by
     * the first md5 hex digit of the id (16 shards here; a real export
     * uses O(10k), which also makes the per-shard ordering window as

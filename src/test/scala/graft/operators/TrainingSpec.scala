@@ -87,6 +87,43 @@ class TrainingSpec extends SparkSpec {
     assert(messages(ex).contains("weightExpr is NULL for source"), messages(ex))
   }
 
+  test("assignSplit: fractions track, assignments are growth-stable and engine-deterministic") {
+    val docs = (1L to 4000L).toDF("doc_id")
+    val split = Training.assignSplit(docs, "doc_id", 0.1, 0.1)
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("val") - 400L) < 80, counts.toString)
+    assert(math.abs(counts("test") - 400L) < 80, counts.toString)
+    assert(counts("train") > 3000L, counts.toString)
+    // growth stability: the first 1000 docs' splits are unchanged when
+    // 3000 more arrive — md5 is per-doc, not corpus-relative
+    val small = Training.assignSplit((1L to 1000L).toDF("doc_id"), "doc_id", 0.1, 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val big = split.filter(col("doc_id") <= 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(small == big)
+  }
+
+  test("tokenBudget: whole docs in md5 order up to the budget, partition-independent") {
+    val docs = (1L to 500L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "n")
+    val kept = Training.tokenBudget(docs, "doc_id", "n", budget = 700L)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: single-window cumulative sum in (md5, id) order
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs.withColumn("_c", sum(col("n")).over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("_c") <= 700L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == ref, s"missing=${ref -- kept} extra=${kept -- ref}")
+    // the kept token mass stays within budget and the next doc in hash
+    // order would cross it
+    val total = docs.filter(col("doc_id").isin(kept.toSeq: _*))
+      .agg(sum("n")).as[Long].head()
+    assert(total <= 700L && total > 700L - 14L, total.toString)
+    val repart = Training.tokenBudget(docs.repartition(17), "doc_id", "n", 700L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart == kept)
+  }
+
   test("shardAssign: every doc lands in one shard, positions are dense ranks, order is reproducible") {
     val docs = (1L to 1000L).toDF("doc_id")
     val a = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()
