@@ -1039,6 +1039,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t16_bigram_logprob" -> ((s, dir) =>
+      // bigram-LM quality score: mean CONDITIONAL log-prob of each
+      // doc's adjacent token pairs — one Markov order up from t13,
+      // catches fluent-token word salad unigram scores miss
+      TextStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t14_token_entropy" -> ((s, dir) =>
       // within-doc token entropy: the low-entropy detector that
       // catches even-cycling template text top-fraction metrics miss
@@ -2082,6 +2090,22 @@ object SparkEntry {
                 CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
          FROM kept k JOIN tot t ON k.doc_id = t.doc_id
          GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    "t16_bigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\s+'),
+                t -> len(t) > 0) AS toks FROM documents),
+            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                      FROM (SELECT doc_id, toks,
+                              unnest(range(1, len(toks))) AS i FROM tk)
+                      WHERE len(toks) >= 2),
+            bg AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY 1, 2),
+            pf AS (SELECT w1, count(*) AS np FROM pairs GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(CAST(sum(CAST(round(ln(CAST(nb AS DOUBLE) / CAST(np AS DOUBLE)), 6)
+                        AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
+         FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "t13_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id, tok FROM (

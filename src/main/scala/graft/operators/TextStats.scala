@@ -181,4 +181,55 @@ object TextStats {
       .agg(count(lit(1)).cast("long").as("n_toks"),
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
   }
+
+  /** Bigram language-model quality score: mean CONDITIONAL
+    * log-probability log(c(w1,w2) / c(w1·)) of a document's adjacent
+    * token pairs under the corpus's own bigram counts — one Markov
+    * order up from [[unigramLogProb]] on the way to a KenLM-style
+    * filter: catches fluent-token word salad (common tokens in
+    * impossible orders) that any unigram score misses by
+    * construction. Documents with fewer than two tokens have no
+    * bigram evidence and drop out (the caller's no-evidence rule
+    * applies, as with the LM floor).
+    *
+    * Shape at scale: one exploded (id, w1, w2) pair stream feeds the
+    * bigram counts, the prefix counts c(w1·) ride the SAME stream
+    * grouped by w1, and scoring joins both back. The bigram-key join
+    * runs first — its key space is near-flat (the heaviest bigram is
+    * far rarer than the heaviest token). The Zipf-head skew lives on
+    * the PREFIX key (every "the …" pair shares prefix "the"), so that
+    * join takes the same broadcast-top-K-head + residual-tail split
+    * as [[unigramLogProb]]. Per-pair log-probs round then
+    * DECIMAL-sum: order-independent, oracle-exact.
+    * Output: (id, n_bigrams, mean_logprob).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    headVocab: Int = 65536): DataFrame = {
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val pairs = df.select(col(idCol).as("id"), toksArr.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("_t")) - 2),
+        i => struct(element_at(col("_t"), i + 1).as("w1"),
+          element_at(col("_t"), i + 2).as("w2")))).as("_p"))
+      .select(col("id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_nb"))
+    val prefixCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("_np"))
+    val head = prefixCounts.orderBy(col("_np").desc, col("w1")).limit(headVocab)
+    val scored = pairs.join(bigramCounts, Seq("w1", "w2"))
+    val tagged = scored.join(broadcast(head), Seq("w1"), "left")
+    val headHits = tagged.filter(col("_np").isNotNull)
+    val residual = tagged.filter(col("_np").isNull).drop("_np")
+      .join(prefixCounts.join(broadcast(head.select(col("w1"))),
+        Seq("w1"), "left_anti"), Seq("w1"))
+    headHits.unionByName(residual)
+      .withColumn("_lp",
+        round(log(col("_nb").cast("double") / col("_np").cast("double")), 6)
+          .cast("decimal(24,8)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
+  }
 }

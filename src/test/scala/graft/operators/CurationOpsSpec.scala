@@ -116,6 +116,42 @@ class UnigramLogProbSpec extends SparkSpec {
   }
 }
 
+class BigramLogProbSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scores equal hand-computed conditional log-probs; word salad scores lower") {
+    // doc 1 "a b a b" -> pairs (a,b),(b,a),(a,b); doc 2 "b b a" ->
+    // pairs (b,b),(b,a). Corpus counts: c(a,b)=2, c(b,a)=2, c(b,b)=1;
+    // prefixes c(a·)=2, c(b·)=3.
+    val docs = Seq((1L, "a b a b"), (2L, "b b a")).toDF("id", "text")
+    val out = TextStats.bigramLogProb(docs, "id", "text")
+      .orderBy("id").collect()
+    def lp(nb: Int, np: Int) = BigDecimal(math.log(nb.toDouble / np))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // c(a,b)=2 c(b,a)=2 c(b,b)=1; c(a·)=2 c(b·)=3
+    val exp1 = ((lp(2, 2) * 2 + lp(2, 3)) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp2 = ((lp(1, 3) + lp(2, 3)) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - exp1.toDouble) < 1e-9, out(0).toString)
+    assert(math.abs(out(1).getDouble(2) - exp2.toDouble) < 1e-9, out(1).toString)
+    // the rarer-transition doc scores lower
+    assert(out(1).getDouble(2) < out(0).getDouble(2))
+  }
+
+  test("single-token and empty docs drop out (no bigram evidence); split path identical") {
+    val docs = Seq((1L, "common common tail1"), (2L, "common common tail2"),
+      (3L, "solo"), (4L, " ")).toDF("id", "text")
+    val full = TextStats.bigramLogProb(docs, "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(full.map(_.getLong(0)) == Seq(1L, 2L))
+    // headVocab=1 forces the residual join for every non-head prefix —
+    // scores must not move (same contract as unigramLogProb's split)
+    val split = TextStats.bigramLogProb(docs, "id", "text", headVocab = 1)
+      .orderBy("id").collect().toSeq
+    assert(split == full)
+  }
+}
+
 class TokenEntropySpec extends SparkSpec {
   import spark.implicits._
 
