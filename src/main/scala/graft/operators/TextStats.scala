@@ -207,6 +207,9 @@ object TextStats {
                     headVocab: Int = 65536): DataFrame = {
     val toksArr = filter(split(lower(col(textCol)), "\\s+"),
       t => length(t) > 0)
+    // persisted: the pair build (an interpreted higher-order transform
+    // — HOFs don't codegen) feeds THREE consumers (bigram counts,
+    // prefix counts, scoring); the small per-doc result seals over it
     val pairs = df.select(col(idCol).as("id"), toksArr.as("_t"))
       .filter(size(col("_t")) >= 2)
       .select(col("id"), explode(transform(
@@ -214,6 +217,7 @@ object TextStats {
         i => struct(element_at(col("_t"), i + 1).as("w1"),
           element_at(col("_t"), i + 2).as("w2")))).as("_p"))
       .select(col("id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .persist()
     val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("_nb"))
     val prefixCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("_np"))
@@ -224,12 +228,14 @@ object TextStats {
     val residual = tagged.filter(col("_np").isNull).drop("_np")
       .join(prefixCounts.join(broadcast(head.select(col("w1"))),
         Seq("w1"), "left_anti"), Seq("w1"))
-    headHits.unionByName(residual)
-      .withColumn("_lp",
-        round(log(col("_nb").cast("double") / col("_np").cast("double")), 6)
-          .cast("decimal(24,8)"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
+    Caching.sealOver(
+      headHits.unionByName(residual)
+        .withColumn("_lp",
+          round(log(col("_nb").cast("double") / col("_np").cast("double")), 6)
+            .cast("decimal(24,8)"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob")),
+      pairs)
   }
 }
