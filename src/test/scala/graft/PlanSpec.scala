@@ -147,6 +147,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("d15: paragraph-dedup winners come from an aggregate, not a window") {
+    val p = SparkEntry.queries("d15_para_dedup")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // min-struct winner = hash aggregate with map-side partials (a
+    // boilerplate paragraph in a million docs combines locally); a
+    // row_number window over md5(para) would be the hot-partition
+    // formulation this operator exists to avoid
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min"), "winner must pre-aggregate map-side: " + p)
+  }
+
+  test("p06: the token-budget prefix sum never windows over corpus-keyed data") {
+    // (t16's equivalent gate is impossible from outside: sealOver cuts
+    // its lineage to a checkpoint scan; its split-equality spec pins
+    // the head/residual behavior instead)
+    val p = SparkEntry.queries("p06_token_budget")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // exactly two windows: the local cumsum partitioned by _pid, and
+    // the prefix over per-partition TOTALS — whose single-partition
+    // exchange ingests only the one-row-per-partition aggregate
+    assert(p.split("\\bWindow \\[").length - 1 == 2, p)
+    assert(p.contains("windowspecdefinition(_pid#"), p)
+    assert(p.split("Exchange SinglePartition").length - 1 == 1, p)
+    assert("Exchange SinglePartition[\\s\\S]{0,200}HashAggregate\\(keys=\\[_pid".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("d14: cross-corpus candidates verify against shingles via broadcast") {
     val p = SparkEntry.queries("d14_cross_dedup")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
