@@ -319,13 +319,14 @@ object Dedup {
     if (n == 1)
       df.select(col(idCol).as("id"), explode(toks).as("shingle"))
     else {
-      // sliding n-gram over the token array with built-ins only:
-      // starts 1..len-n+1 (slice is 1-based), concat_ws of each slice.
+      // sliding n-gram over the token array via the compiled
+      // shingle_strings expression — the combinator form
+      // (transform + slice + concat_ws) runs interpreted per gram;
+      // gram strings are byte-identical either way
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
         .select(col(idCol).as("id"),
-          explode(transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-            i => concat_ws(" ", slice(col("_toks"), i, lit(n))))).as("shingle"))
+          explode(graft.functions.ShingleStrings.of(col("_toks"), n)).as("shingle"))
     }
   }
 
@@ -702,16 +703,17 @@ object Dedup {
         filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
-    // persisted: the gram build (an interpreted higher-order transform
-    // — HOFs don't codegen) feeds BOTH the dup count and the mark
-    // join; the small per-doc result seals over it below
+    // persisted: the gram build feeds BOTH the dup count and the mark
+    // join; the small per-doc result seals over it below. Grams come
+    // from the compiled shingle_strings pass (position i = start i),
+    // md5 runs codegen'd on the exploded column.
     val grams = base
       .filter(col("_n") >= k)
       .select(col("id"), posexplode(
-        transform(sequence(lit(0), col("_n") - k),
-          i => md5(concat_ws(" ", slice(col("_toks"), i + 1, lit(k))))))
-        .as(Seq("start", "_h")))
-      .select(col("id"), col("start").cast("long").as("start"), col("_h"))
+        graft.functions.ShingleStrings.of(col("_toks"), k))
+        .as(Seq("start", "_g")))
+      .select(col("id"), col("start").cast("long").as("start"),
+        md5(col("_g")).as("_h"))
       .persist()
     val dupes = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)

@@ -167,3 +167,31 @@ class MinHashConsistencySpec extends graft.SparkSpec {
     assert(viaAgg == viaRow)
   }
 }
+
+class ShingleStringsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("compiled grams are byte-identical to the transform/slice/concat_ws combinator") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps",
+      "a b",
+      "one",                       // shorter than n: no grams
+      "  leading and trailing  ",  // empty tokens from split survive as-is
+      "").toDF("text")
+      .withColumn("_toks", split(lower(col("text")), "\\s+"))
+    for (n <- Seq(2, 3)) {
+      val compiled = docs.select(
+        graft.functions.ShingleStrings.of(col("_toks"), n).as("g"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      val combinator = docs.select(
+        when(size(col("_toks")) >= n,
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      assert(compiled == combinator, s"n=$n: $compiled vs $combinator")
+    }
+  }
+}
