@@ -164,15 +164,7 @@ object TextStats {
       .filter(length(col("tok")) > 0)
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_n"))
     val total = vocab.agg(sum(col("_n")).as("_total"))
-    // head = distributed top-K by count (TakeOrdered, tok tie-break:
-    // deterministic); 64K (tok, count) pairs broadcast in single MBs
-    val head = vocab.orderBy(col("_n").desc, col("tok")).limit(headVocab)
-    val tagged = toks.join(broadcast(head), Seq("tok"), "left")
-    val headHits = tagged.filter(col("_n").isNotNull)
-    val residual = tagged.filter(col("_n").isNull).drop("_n")
-      .join(vocab.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti"),
-        Seq("tok"))
-    headHits.unionByName(residual)
+    joinHeadResidual(toks, vocab, "tok", "_n", headVocab)
       .crossJoin(broadcast(total))
       .withColumn("_lp",
         round(log(col("_n").cast("double") / col("_total").cast("double")), 6)
@@ -180,6 +172,27 @@ object TextStats {
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_toks"),
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
+  }
+
+  /** Broadcast-head / shuffled-residual count join shared by the LM
+    * scorers: attach `counts`' `countCol` to `stream` on `key`,
+    * routing the top-`headVocab` keys by count through a BROADCAST
+    * join (the Zipf mass — the exploded stream never shuffles for
+    * them) and only the flat-keyed residual tail through the shuffle
+    * join. The head is a distributed top-K (TakeOrdered, key
+    * tie-break: deterministic); 64K (key, count) pairs broadcast in
+    * single MBs.
+    */
+  private def joinHeadResidual(stream: DataFrame, counts: DataFrame,
+                               key: String, countCol: String,
+                               headVocab: Int): DataFrame = {
+    val head = counts.orderBy(col(countCol).desc, col(key)).limit(headVocab)
+    val tagged = stream.join(broadcast(head), Seq(key), "left")
+    val headHits = tagged.filter(col(countCol).isNotNull)
+    val residual = tagged.filter(col(countCol).isNull).drop(countCol)
+      .join(counts.join(broadcast(head.select(col(key))), Seq(key), "left_anti"),
+        Seq(key))
+    headHits.unionByName(residual)
   }
 
   /** Bigram language-model quality score: mean CONDITIONAL
@@ -221,15 +234,9 @@ object TextStats {
     val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("_nb"))
     val prefixCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("_np"))
-    val head = prefixCounts.orderBy(col("_np").desc, col("w1")).limit(headVocab)
     val scored = pairs.join(bigramCounts, Seq("w1", "w2"))
-    val tagged = scored.join(broadcast(head), Seq("w1"), "left")
-    val headHits = tagged.filter(col("_np").isNotNull)
-    val residual = tagged.filter(col("_np").isNull).drop("_np")
-      .join(prefixCounts.join(broadcast(head.select(col("w1"))),
-        Seq("w1"), "left_anti"), Seq("w1"))
     Caching.sealOver(
-      headHits.unionByName(residual)
+      joinHeadResidual(scored, prefixCounts, "w1", "_np", headVocab)
         .withColumn("_lp",
           round(log(col("_nb").cast("double") / col("_np").cast("double")), 6)
             .cast("decimal(24,8)"))

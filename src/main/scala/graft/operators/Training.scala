@@ -31,25 +31,37 @@ object Training {
     */
   def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
                     seqLen: Long): DataFrame = {
+    // persisted: the per-partition totals AND the final join both read
+    // this frame, and a repartitionByRange evaluated twice can SAMPLE
+    // DIFFERENT BOUNDARIES (RangePartitioner's reservoir seed varies
+    // per execution) — _pid would then disagree between _lcum and
+    // _poff and silently corrupt the prefix sum. The cache pins one
+    // evaluation; the result seals over it below. (tokenBudget avoids
+    // the hazard outright with value-derived hash buckets, but an
+    // ARBITRARY orderCol has no deterministic range bucketing without
+    // sampling.)
     val ranged = df.select(col(orderCol), col(nTokCol))
       .repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val local = ranged.withColumn("_lcum",
       sum(col(nTokCol)).over(Window.partitionBy("_pid").orderBy(orderCol)))
     // one row per partition; the un-partitioned window here scans
     // #partitions rows, not the corpus
-    val prefix = local.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))
+    val prefix = ranged.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))
       .withColumn("_poff", coalesce(
         sum(col("_ptot")).over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_ptot")
-    local.join(broadcast(prefix), "_pid")
-      .withColumn("_cb", col("_poff") + col("_lcum") - col(nTokCol))
-      .filter(col(nTokCol) > 0)
-      .select(col(orderCol), col(nTokCol),
-        expr(s"_cb div $seqLen").as("seq_start"),
-        expr(s"(_cb + $nTokCol - 1) div $seqLen").as("seq_end"),
-        (col("_cb") % seqLen).as("seq_off"))
+    Caching.sealOver(
+      local.join(broadcast(prefix), "_pid")
+        .withColumn("_cb", col("_poff") + col("_lcum") - col(nTokCol))
+        .filter(col(nTokCol) > 0)
+        .select(col(orderCol), col(nTokCol),
+          expr(s"_cb div $seqLen").as("seq_start"),
+          expr(s"(_cb + $nTokCol - 1) div $seqLen").as("seq_end"),
+          (col("_cb") % seqLen).as("seq_off")),
+      ranged)
   }
 
   /** Deterministic mixture sampling: downsample each source so the
@@ -149,8 +161,13 @@ object Training {
                   valFrac: Double, testFrac: Double): DataFrame = {
     require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac <= 1,
       s"assignSplit: bad fractions val=$valFrac test=$testFrac")
-    val valThr = f"${math.floor(valFrac * 1048576.0).toLong}%05x"
-    val bothThr = f"${math.floor((valFrac + testFrac) * 1048576.0).toLong}%05x"
+    // clamp to 'fffff' like mixtureSample: fraction 1.0 would format
+    // the 6-char '100000', which compares lexicographically BELOW
+    // every hex prefix starting 2-f and silently misroutes to train
+    def thr(frac: Double): String =
+      f"${math.min(math.floor(frac * 1048576.0).toLong, 1048575L)}%05x"
+    val valThr = thr(valFrac)
+    val bothThr = thr(valFrac + testFrac)
     val h = substring(md5(col(idCol).cast("string")), 1, 5)
     df.withColumn("split",
       when(h < valThr, "val").when(h < bothThr, "test").otherwise("train"))
@@ -163,29 +180,34 @@ object Training {
     * documents are kept: the doc that would cross the budget is
     * dropped, as is everything after it in hash order.
     *
-    * Shape at scale: the same distributed prefix sum as
-    * [[packSequences]] — per-range-partition local cumsum, a prefix
-    * over one row per partition, broadcast back, then a narrow
-    * filter. No global single-partition window anywhere.
+    * Shape at scale: a distributed prefix sum over VALUE-derived
+    * buckets — the first 3 hex chars of md5(id) give 4096 balanced
+    * (md5-uniform), hash-order-contiguous buckets, so the per-bucket
+    * cumsum window plus a prefix over the 4096 bucket totals is the
+    * exact global cumulative sum. Unlike [[packSequences]]'
+    * repartitionByRange, the bucket of a row is a pure function of
+    * its value: the bucketed frame can be evaluated once per consumer
+    * with no sampled partition boundaries to disagree between the
+    * cumsum side and the totals side. No persist, no global
+    * corpus-keyed window.
     */
   def tokenBudget(df: DataFrame, idCol: String, nTokCol: String,
                   budget: Long): DataFrame = {
-    val ranged = df.withColumn("_h", md5(col(idCol).cast("string")))
-      .repartitionByRange(col("_h"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_lcum",
+    val b = df.withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("_b", substring(col("_h"), 1, 3))
+    val local = b.withColumn("_lcum",
       sum(col(nTokCol)).over(
-        Window.partitionBy("_pid").orderBy(col("_h"), col(idCol))))
-    // one row per partition: the un-partitioned window scans
-    // #partitions rows, not the corpus
-    val prefix = local.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))
+        Window.partitionBy("_b").orderBy(col("_h"), col(idCol))))
+    // one row per bucket: the un-partitioned window scans <= 4096
+    // rows, not the corpus
+    val prefix = b.groupBy("_b").agg(sum(col(nTokCol)).as("_btot"))
       .withColumn("_poff", coalesce(
-        sum(col("_ptot")).over(Window.orderBy("_pid")
+        sum(col("_btot")).over(Window.orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_ptot")
-    local.join(broadcast(prefix), "_pid")
+      .drop("_btot")
+    local.join(broadcast(prefix), "_b")
       .filter(col("_poff") + col("_lcum") <= budget)
-      .drop("_h", "_pid", "_lcum", "_poff")
+      .drop("_h", "_b", "_lcum", "_poff")
   }
 
   /** Shard assignment + within-shard pseudo-random order: shard by

@@ -164,13 +164,14 @@ class PlanSpec extends SparkSpec {
     // the head/residual behavior instead)
     val p = SparkEntry.queries("p06_token_budget")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
-    // exactly two windows: the local cumsum partitioned by _pid, and
-    // the prefix over per-partition TOTALS — whose single-partition
-    // exchange ingests only the one-row-per-partition aggregate
+    // exactly two windows: the local cumsum partitioned by the
+    // value-derived hash bucket, and the prefix over per-bucket
+    // TOTALS — whose single-partition exchange ingests only the
+    // <= 4096-row bucket aggregate, never corpus-keyed rows
     assert(p.split("\\bWindow \\[").length - 1 == 2, p)
-    assert(p.contains("windowspecdefinition(_pid#"), p)
+    assert(p.contains("windowspecdefinition(_b#"), p)
     assert(p.split("Exchange SinglePartition").length - 1 == 1, p)
-    assert("Exchange SinglePartition[\\s\\S]{0,200}HashAggregate\\(keys=\\[_pid".r
+    assert("Exchange SinglePartition[\\s\\S]{0,200}HashAggregate\\(keys=\\[_b".r
       .findFirstIn(p).isDefined, p)
   }
 

@@ -139,13 +139,15 @@ class BigramLogProbSpec extends SparkSpec {
   }
 
   test("single-token and empty docs drop out (no bigram evidence); split path identical") {
-    val docs = Seq((1L, "common common tail1"), (2L, "common common tail2"),
-      (3L, "solo"), (4L, " ")).toDF("id", "text")
+    // prefixes: "common" (the Zipf head, 2 pairs per doc) AND the
+    // singleton "mid$i" prefixes — with headVocab=1 the mid$i-prefixed
+    // pairs MUST take the residual join, so a bug there moves scores
+    // (a corpus whose every prefix is the head would test nothing)
+    val docs = ((1L to 20L).map(i => (i, s"common mid$i common end")) ++
+      Seq((21L, "solo"), (22L, " "))).toDF("id", "text")
     val full = TextStats.bigramLogProb(docs, "id", "text")
       .orderBy("id").collect().toSeq
-    assert(full.map(_.getLong(0)) == Seq(1L, 2L))
-    // headVocab=1 forces the residual join for every non-head prefix —
-    // scores must not move (same contract as unigramLogProb's split)
+    assert(full.map(_.getLong(0)) == (1L to 20L))
     val split = TextStats.bigramLogProb(docs, "id", "text", headVocab = 1)
       .orderBy("id").collect().toSeq
     assert(split == full)

@@ -101,6 +101,14 @@ class TrainingSpec extends SparkSpec {
     val big = split.filter(col("doc_id") <= 1000)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(small == big)
+    // fraction 1.0 clamps to 'fffff' (the mixtureSample cap) instead
+    // of formatting the 6-char '100000', which would compare BELOW
+    // most hex prefixes and silently misroute nearly all docs to train
+    val extreme = Training.assignSplit(docs, "doc_id", 0.5, 0.5)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(extreme.getOrElse("train", 0L) <= 4L, extreme.toString)
+    assert(math.abs(extreme("val") - 2000L) < 150, extreme.toString)
+    assert(math.abs(extreme("test") - 2000L) < 150, extreme.toString)
   }
 
   test("tokenBudget: whole docs in md5 order up to the budget, partition-independent") {
