@@ -713,7 +713,9 @@ object Dedup {
         graft.functions.ShingleStrings.of(col("_toks"), k))
         .as(Seq("start", "_g")))
       .select(col("id"), col("start").cast("long").as("start"),
-        md5(col("_g")).as("_h"))
+        // 16-byte binary digest: internal key only, half the shuffle
+        // width of the hex string
+        unhex(md5(col("_g"))).as("_h"))
       .persist()
     val dupes = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
@@ -744,7 +746,10 @@ object Dedup {
     val paras = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
-      .withColumn("_h", md5(col("para")))
+      // unhex: the 16-byte binary digest, not the 32-char hex string —
+      // the key is internal (never surfaces in output), and binary
+      // equality classes are identical, at half the shuffle width
+      .withColumn("_h", unhex(md5(col("para"))))
     val winners = paras.groupBy(col("_h"))
       .agg(min(struct(col("id"), col("pos"))).as("_w"))
       .select(col("_h"), col("_w.id").as("id"), col("_w.pos").as("pos"))
