@@ -31,19 +31,31 @@ object Training {
     */
   def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
                     seqLen: Long): DataFrame = {
-    // persisted: the per-partition totals AND the final join both read
-    // this frame, and a repartitionByRange evaluated twice can SAMPLE
-    // DIFFERENT BOUNDARIES (RangePartitioner's reservoir seed varies
-    // per execution) — _pid would then disagree between _lcum and
-    // _poff and silently corrupt the prefix sum. The cache pins one
-    // evaluation; the result seals over it below. (tokenBudget avoids
-    // the hazard outright with value-derived hash buckets, but an
-    // ARBITRARY orderCol has no deterministic range bucketing without
-    // sampling.)
-    val ranged = df.select(col(orderCol), col(nTokCol))
-      .repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+    // SEALED AT THE INPUT, not the output: the per-partition totals
+    // AND the final join both read this frame, and a
+    // repartitionByRange evaluated twice can SAMPLE DIFFERENT
+    // BOUNDARIES (RangePartitioner's reservoir seed varies per
+    // execution) — _pid would then disagree between _lcum and _poff
+    // and silently corrupt the prefix sum. Sealing the narrow
+    // (orderCol, nTok, _pid) frame pins ONE evaluation while the
+    // corpus-sized RESULT stays lazy (sealing that would violate
+    // sealOver's small-result contract). tokenBudget avoids the
+    // hazard outright with value-derived hash buckets, but an
+    // ARBITRARY orderCol has no deterministic range bucketing
+    // without sampling.
+    val ranged = Caching.sealOver(
+      df.select(col(orderCol), col(nTokCol))
+        .repartitionByRange(col(orderCol))
+        .withColumn("_pid", spark_partition_id()))
+    // duplicate order keys would make the layout ambiguous (the
+    // cumsum window's RANGE frame sums PEERS together: two docs
+    // sharing a key would claim overlapping spans) — enforce the
+    // uniqueness contract on the sealed frame, cheaply
+    val dups = ranged.groupBy(col(orderCol)).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).limit(1).count()
+    require(dups == 0,
+      s"packSequences: $orderCol values must be unique — duplicate order " +
+        "keys make the packed token stream's layout ambiguous")
     val local = ranged.withColumn("_lcum",
       sum(col(nTokCol)).over(Window.partitionBy("_pid").orderBy(orderCol)))
     // one row per partition; the un-partitioned window here scans
@@ -53,15 +65,13 @@ object Training {
         sum(col("_ptot")).over(Window.orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_ptot")
-    Caching.sealOver(
-      local.join(broadcast(prefix), "_pid")
-        .withColumn("_cb", col("_poff") + col("_lcum") - col(nTokCol))
-        .filter(col(nTokCol) > 0)
-        .select(col(orderCol), col(nTokCol),
-          expr(s"_cb div $seqLen").as("seq_start"),
-          expr(s"(_cb + $nTokCol - 1) div $seqLen").as("seq_end"),
-          (col("_cb") % seqLen).as("seq_off")),
-      ranged)
+    local.join(broadcast(prefix), "_pid")
+      .withColumn("_cb", col("_poff") + col("_lcum") - col(nTokCol))
+      .filter(col(nTokCol) > 0)
+      .select(col(orderCol), col(nTokCol),
+        expr(s"_cb div $seqLen").as("seq_start"),
+        expr(s"(_cb + $nTokCol - 1) div $seqLen").as("seq_end"),
+        (col("_cb") % seqLen).as("seq_off"))
   }
 
   /** Deterministic mixture sampling: downsample each source so the
@@ -193,7 +203,14 @@ object Training {
     */
   def tokenBudget(df: DataFrame, idCol: String, nTokCol: String,
                   budget: Long): DataFrame = {
-    val b = df.withColumn("_h", md5(col(idCol).cast("string")))
+    // null ids have no hash position in the keep order — excluded UP
+    // FRONT (the trainCoarse null-vector rule), so they neither
+    // surface nor charge their tokens against the budget. Leaving
+    // them in would do the worst of both: md5(null) buckets sort
+    // first and offset every _poff, while the inner bucket join
+    // silently drops the rows themselves.
+    val b = df.filter(col(idCol).isNotNull)
+      .withColumn("_h", md5(col(idCol).cast("string")))
       .withColumn("_b", substring(col("_h"), 1, 3))
     val local = b.withColumn("_lcum",
       sum(col(nTokCol)).over(

@@ -35,6 +35,25 @@ class TrainingSpec extends SparkSpec {
     assert(out(1).getLong(4) == 5L)
   }
 
+  test("packSequences: duplicate order keys are rejected, not silently overlapped") {
+    // the cumsum window's RANGE frame sums PEERS together — two docs
+    // sharing an order key would claim overlapping spans
+    val docs = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("id", "n")
+    val ex = intercept[IllegalArgumentException](
+      Training.packSequences(docs, "id", "n", 10L))
+    assert(ex.getMessage.contains("must be unique"), ex.getMessage)
+  }
+
+  test("tokenBudget: null ids neither surface nor charge the budget") {
+    val docs = Seq((Some(1L), 5L), (None, 400L), (Some(2L), 6L), (Some(3L), 7L))
+      .toDF("doc_id", "n")
+    // budget covers all three real docs ONLY if the null row's 400
+    // tokens don't offset the prefix sum
+    val kept = Training.tokenBudget(docs, "doc_id", "n", budget = 18L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), kept.toString)
+  }
+
   test("mixtureSample: per-source keep counts track the requested rates, deterministically") {
     val docs = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "source")
