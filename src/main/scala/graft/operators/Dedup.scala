@@ -699,10 +699,14 @@ object Dedup {
     // gram window, and make two docs differing only in leading
     // whitespace hash the same phrase differently — the same rule as
     // unigramLogProb's tokenizer
+    // persisted: the tokenization pass feeds BOTH the gram build and
+    // the final (id, n_toks) side of the mark join — without the
+    // persist the split/lower/filter of the full corpus runs twice
     val base = df.select(col(idCol).as("id"),
         filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
+      .persist()
     // persisted: the gram build feeds BOTH the dup count and the mark
     // join; the small per-doc result seals over it below. Grams come
     // from the compiled shingle_strings pass (position i = start i),
@@ -738,7 +742,7 @@ object Dedup {
           coalesce(col("_dup"), lit(0L)).cast("long").as("n_dup_toks"),
           round(coalesce(col("_dup"), lit(0L)).cast("double")
             / col("_n").cast("double"), 6).as("dup_frac")),
-      grams)
+      grams, base)
   }
 
   def paraDedup(df: DataFrame, idCol: String, textCol: String,

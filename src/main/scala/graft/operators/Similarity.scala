@@ -320,7 +320,7 @@ object Similarity {
     * Output: (id, j, proj).
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
-                       outDims: Int): DataFrame = {
+                       outDims: Int, inDims: Option[Int] = None): DataFrame = {
     // Sign matrix is built to the CORPUS MAX length, not an arbitrary
     // first row: [[VecDot]] clamps each dot to min(row length, sign
     // length), so with a max-length matrix every row sums over exactly
@@ -328,12 +328,16 @@ object Similarity {
     // computes — and ragged inputs agree with the oracle instead of
     // silently truncating to whichever row take(1) happened to see.
     // COST: this is an eager aggregate over the vector column (a full
-    // column pass, unlike the old one-row take(1)) — the price of the
-    // ragged-input contract. Callers who can ASSERT uniform dims and
-    // need to skip the pass should slice/pad upstream; a sampled max
-    // would reintroduce the silent-truncation bug this fixed.
-    val dims = df.agg(max(size(col(vecCol)))).take(1)
-      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0)
+    // column pass at plan-BUILD time, unlike the old one-row take(1))
+    // — the price of the ragged-input contract, paid on every call.
+    // `inDims` is the escape hatch: a caller who can assert an upper
+    // bound on row length (fixed-dim embedding tables — the common
+    // case) passes it and no job fires. A bound BELOW some row's true
+    // length silently truncates that row, which is exactly the bug
+    // the corpus-max default exists to prevent — hence opt-in only.
+    val dims = inDims.getOrElse(
+      df.agg(max(size(col(vecCol)))).take(1)
+        .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0))
     val digest = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
       val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
@@ -444,6 +448,10 @@ object Similarity {
     * streaming gate's prototype set is small by design). Ties resolve
     * to the lowest centroid id, same as batch. Appends `clusterCol`
     * (long) and `cosCol` (cosine to that centroid, rounded 6dp).
+    * A null/missing embedding has no similarity evidence: both
+    * appended columns are null (not the arbitrary lowest centroid id
+    * the all-null sort would pick), so downstream routing sees the
+    * row as visibly unassigned.
     */
   def assignNearestCentroid(df: DataFrame, vecCol: String,
                             cents: DataFrame, centIdCol: String,
@@ -458,7 +466,8 @@ object Similarity {
       round(-(VecDot.dot(col(vecCol), lit(cv)) / (nrm * lit(l2d(cv)))), 6)
         .as("_negcos"),
       lit(cid).as("_cid")) }.toSeq: _*)
-    df.withColumn("_best", sort_array(scoredArr).getItem(0))
+    df.withColumn("_best",
+        when(col(vecCol).isNotNull, sort_array(scoredArr).getItem(0)))
       .withColumn(clusterCol, col("_best").getField("_cid"))
       .withColumn(cosCol, -col("_best").getField("_negcos"))
       .drop("_best")

@@ -43,21 +43,38 @@ object Training {
     // hazard outright with value-derived hash buckets, but an
     // ARBITRARY orderCol has no deterministic range bucketing
     // without sampling.
+    // RETENTION NOTE: the sealed blocks (3 narrow columns × corpus
+    // rows) stay pinned until this result frame is garbage-collected
+    // and ContextCleaner runs — there is no safe earlier unpersist
+    // point, because the lazy result reads the sealed frame twice
+    // (cumsum + totals). One-shot jobs don't care; a long-lived
+    // session packing many corpora should drop its reference to the
+    // result when done (Bench-style `getPersistentRDDs` hygiene also
+    // works). Sized: ~24 bytes/row, NOT the documents.
     val ranged = Caching.sealOver(
       df.select(col(orderCol), col(nTokCol))
         .repartitionByRange(col(orderCol))
         .withColumn("_pid", spark_partition_id()))
+    val cumWin = Window.partitionBy("_pid").orderBy(orderCol)
     // duplicate order keys would make the layout ambiguous (the
     // cumsum window's RANGE frame sums PEERS together: two docs
-    // sharing a key would claim overlapping spans) — enforce the
-    // uniqueness contract on the sealed frame, cheaply
-    val dups = ranged.groupBy(col(orderCol)).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") > 1).limit(1).count()
-    require(dups == 0,
-      s"packSequences: $orderCol values must be unique — duplicate order " +
-        "keys make the packed token stream's layout ambiguous")
+    // sharing a key would claim overlapping spans). Enforced INSIDE
+    // the cumsum pass rather than as its own eager aggregation:
+    // equal keys are adjacent in the window sort and range
+    // partitioning keeps them in one partition, so a null-safe lag
+    // compare sees every duplicate. Folded into _lcum arithmetic
+    // (+0 on the clean path) so column pruning can't drop the check;
+    // fails at first action, not at call time.
+    val dupGuard = coalesce(
+      when(lag(col(orderCol), 1).over(cumWin) <=> col(orderCol),
+        raise_error(concat(
+          lit(s"packSequences: duplicate $orderCol value "),
+          col(orderCol).cast("string"),
+          lit(" — order keys must be unique or the packed layout is ambiguous")))
+          .cast("long")),
+      lit(0L))
     val local = ranged.withColumn("_lcum",
-      sum(col(nTokCol)).over(Window.partitionBy("_pid").orderBy(orderCol)))
+      sum(col(nTokCol)).over(cumWin) + dupGuard)
     // one row per partition; the un-partitioned window here scans
     // #partitions rows, not the corpus
     val prefix = ranged.groupBy("_pid").agg(sum(col(nTokCol)).as("_ptot"))

@@ -122,7 +122,16 @@ class TailAppCliSpec extends SparkSpec {
   }
 
   test("--log-level flag reaches the Spark context (reference -l/--log-level)") {
+    // Mutates the JVM-global log4j root logger by design (that IS the
+    // flag's observable effect; one JVM = one root logger). Safe here
+    // because Test/parallelExecution := false runs suites serially,
+    // and the finally restores the EXACT prior level (not an assumed
+    // default) so no WARN window leaks past this test even if an
+    // earlier suite changed the baseline.
+    def rootLevel = org.apache.logging.log4j.LogManager.getRootLogger
+      .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
     spark.sparkContext
+    val prior = rootLevel
     val dir = Files.createTempDirectory("graft-cli-ll").toFile
     val ckpt = Files.createTempDirectory("graft-cli-ll-ckpt").toFile
     try {
@@ -131,9 +140,7 @@ class TailAppCliSpec extends SparkSpec {
         "--window", "60", "--log-level", "warn",
         "--checkpoint", ckpt.getAbsolutePath, "--once"),
         sink = _ => (), stopSparkOnExit = false)
-      val lvl = org.apache.logging.log4j.LogManager.getRootLogger
-        .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel
-      assert(lvl == org.apache.logging.log4j.Level.WARN, lvl.toString)
-    } finally spark.sparkContext.setLogLevel("ERROR") // restore test default
+      assert(rootLevel == org.apache.logging.log4j.Level.WARN, rootLevel.toString)
+    } finally spark.sparkContext.setLogLevel(prior.name())
   }
 }

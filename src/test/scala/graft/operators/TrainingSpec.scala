@@ -37,11 +37,15 @@ class TrainingSpec extends SparkSpec {
 
   test("packSequences: duplicate order keys are rejected, not silently overlapped") {
     // the cumsum window's RANGE frame sums PEERS together — two docs
-    // sharing an order key would claim overlapping spans
+    // sharing an order key would claim overlapping spans. The guard
+    // rides the cumsum window (no extra job), so it fires at first
+    // action, wrapped in Spark's execution exception.
     val docs = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("id", "n")
-    val ex = intercept[IllegalArgumentException](
-      Training.packSequences(docs, "id", "n", 10L))
-    assert(ex.getMessage.contains("must be unique"), ex.getMessage)
+    val ex = intercept[Exception](
+      Training.packSequences(docs, "id", "n", 10L).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("must be unique")), ex.toString)
   }
 
   test("tokenBudget: null ids neither surface nor charge the budget") {

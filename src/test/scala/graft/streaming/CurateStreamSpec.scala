@@ -112,10 +112,16 @@ class CurateStreamSpec extends SparkSpec {
       // gates' dirty-input rule), not a silent null-predicate drop
       val withNull = (rows :+ (5L, null.asInstanceOf[Array[Float]]))
         .toDF("id", "embedding")
-      val keptIds = CurateStream.semGate(withNull,
+      val keptRows = CurateStream.semGate(withNull,
           "embedding", cents, "cid", "cvec", threshold = 0.95)
-        .select("id").collect().map(_.getLong(0)).toSet
+        .select("id", "cluster", "centroid_cos").collect()
+      val keptIds = keptRows.map(_.getLong(0)).toSet
       assert(keptIds == Set(2L, 4L, 5L), keptIds.toString)
+      // ...and the no-evidence row is visibly UNASSIGNED: null
+      // cluster + cos, not the arbitrary lowest centroid id an
+      // all-null argmin sort would have picked
+      val nullRow = keptRows.find(_.getLong(0) == 5L).get
+      assert(nullRow.isNullAt(1) && nullRow.isNullAt(2), nullRow.toString)
     } finally q.stop()
   }
 }
