@@ -404,24 +404,38 @@ object SparkEntry {
       // Same shuffle shape as the fast variant: one shingle explode,
       // one (id, i) aggregate, one band self-join, intersections
       // computed ONLY for candidate pairs.
+      //
+      // INTERNAL stages run on 16-byte unhex'd digests, not 32-char
+      // hex strings — Spark's BinaryType min is unsigned-byte-ordered
+      // and lowercase hex is order-isomorphic to it, so
+      // min(unhex(x)) == unhex(min(x)) and every stage's DECISIONS
+      // (min sigs, band-bucket equality, shingle-intersection counts)
+      // are bitwise the oracle's while the shuffles carry half the
+      // bytes. Nothing binary surfaces: the output is (id1, id2,
+      // jaccard), identical to the hex chain DuckDB runs.
       val sh = Dedup.shingles(T(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", 3)
       val sigs = sh
         .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
         .groupBy("id", "i")
-        .agg(min(md5(concat(col("i"), lit(":"), col("shingle")))).as("sig"))
+        .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle"))))).as("sig"))
       val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
-        .agg(md5(concat(
+        .agg(unhex(md5(concat(
           min(when(col("i") % 2 === 0, col("sig"))),
-          min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+          min(when(col("i") % 2 === 1, col("sig")))))).as("bkey"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
       val sz = sh.groupBy(col("id")).agg(cnt.as("sz"))
+      // the verify join keys on the shingle DIGEST too: candidate
+      // docs' shingle sets meet on 16 bytes a row instead of the
+      // (longer) shingle text; counts agree with the oracle's
+      // text-keyed join absent an md5 collision, which the signature
+      // stages already presuppose
       val inter = cand
-        .join(sh.select(col("id").as("id1"), col("shingle").as("s1")), "id1")
-        .join(sh.select(col("id").as("id2"), col("shingle").as("s2")), "id2")
+        .join(sh.select(col("id").as("id1"), unhex(md5(col("shingle"))).as("s1")), "id1")
+        .join(sh.select(col("id").as("id2"), unhex(md5(col("shingle"))).as("s2")), "id2")
         .filter(col("s1") === col("s2"))
         .groupBy("id1", "id2").agg(cnt.as("n"))
       inter

@@ -342,10 +342,19 @@ object Dedup {
     * from BOTH corpora, then the exact jaccard verifies candidates
     * only. The md5 family keeps every stage oracle-expressible.
     *
-    * At 100 TB: each side shuffles (id, band, bkey) triples — 40-ish
-    * bytes a row, never text; the verify join touches candidate pairs
-    * only. Output: (doc_id, matched_id, jaccard) for every incoming
-    * doc × existing doc pair at or above `minJaccard`.
+    * At 100 TB: each side shuffles (id, band, bkey) triples — the
+    * bkey a 16-byte unhex'd digest, never text; the verify join
+    * touches candidate pairs only, keyed on shingle digests (16
+    * bytes) rather than shingle strings. Binary stages make bitwise
+    * the hex chain's decisions: Spark's BinaryType min is
+    * unsigned-byte-ordered and lowercase hex is order-isomorphic to
+    * it, so min(unhex(x)) == unhex(min(x)), band-bucket equality is
+    * digest equality either way, and intersection counts agree with
+    * a text-keyed join absent an md5 collision (which the signature
+    * stages already presuppose). Output: (doc_id, matched_id,
+    * jaccard) for every incoming doc × existing doc pair at or above
+    * `minJaccard` — no binary surfaces, so the DuckDB twin runs the
+    * hex chain unchanged.
     */
   def crossNearDupPortable(incoming: DataFrame, existing: DataFrame,
                            idCol: String, textCol: String,
@@ -356,11 +365,11 @@ object Dedup {
       val sigs = sh
         .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
         .groupBy("id", "i")
-        .agg(min(md5(concat(col("i"), lit(":"), col("shingle")))).as("sig"))
+        .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle"))))).as("sig"))
       val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
-        .agg(md5(concat(
+        .agg(unhex(md5(concat(
           min(when(col("i") % 2 === 0, col("sig"))),
-          min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+          min(when(col("i") % 2 === 1, col("sig")))))).as("bkey"))
       (sh, bands)
     }
     val (shIn, bandsIn) = portableBands(incoming)
@@ -371,8 +380,8 @@ object Dedup {
     val szIn = shIn.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val szEx = shEx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(shIn.select(col("id").as("id1"), col("shingle").as("s1")), "id1")
-      .join(shEx.select(col("id").as("id2"), col("shingle").as("s2")), "id2")
+      .join(shIn.select(col("id").as("id1"), unhex(md5(col("shingle"))).as("s1")), "id1")
+      .join(shEx.select(col("id").as("id2"), unhex(md5(col("shingle"))).as("s2")), "id2")
       .filter(col("s1") === col("s2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n"))
     inter
@@ -456,7 +465,11 @@ object Dedup {
     * caller's session lifecycle).
     */
   private def pairOverlaps(shDf: DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
-    val sh = shDf.persist() // used three times: sizes + both join sides
+    // the self-join shuffles on the shingle DIGEST (16 bytes), not
+    // the variable-length shingle string; intersection counts agree
+    // with a string-keyed join absent an md5 collision (~2^-128/pair)
+    val sh = shDf.withColumn("shingle", unhex(md5(col("shingle"))))
+      .persist() // used three times: sizes + both join sides
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val overlaps = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
