@@ -68,6 +68,13 @@ object SparkEntry {
       lit(" name="), col("c_name"),
       lit(" segment="), col("c_mktsegment")).as("value"))
 
+  /** Seed queries for the BM25 retrieval op (t17): shared between the
+    * Spark query and the DuckDB oracle's VALUES list. */
+  private val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "hash", "q1" -> "join", "q1" -> "merge",
+    "q2" -> "window", "q2" -> "stream", "q2" -> "batch",
+    "q3" -> "spark", "q3" -> "vector", "q3" -> "scan")
+
   // ---------------------------------------------------------------- entry
 
   /** Flagship: 5-table star join with broadcast dims (q03) at sf0.001. */
@@ -597,6 +604,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"))
         .orderBy("doc_id")),
 
+    "p07_dsir" -> ((s, dir) =>
+      // DSIR importance resampling (Xie et al. 2023): hashed
+      // unigram+bigram bucket LM ratio of the en-language target
+      // slice vs the raw corpus; deterministic top-100 by log weight
+      Training.dsirWeights(T(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
       // the IVF-PQ storage layout; codebook = the 16 lowest-id
@@ -860,6 +876,14 @@ object SparkEntry {
           (col("n_errors").cast("double") / col("n_events").cast("double")).as("error_rate"))
         .orderBy("window_start")),
 
+    "r16_rate_anomaly" -> ((s, dir) =>
+      // statistical upgrade of r14: per-event-type hourly counts
+      // scored against the trailing-24h mean/stddev; the rolling
+      // window runs over the hourly frame, never the event stream
+      Windows.rateAnomaly(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hr_start")),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -1061,6 +1085,28 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t17_bm25" -> ((s, dir) => {
+      // BM25 top-10 per query over the corpus: the sparse-retrieval
+      // side of data mining (rank corpus docs against seed queries).
+      // Token stream filtered to the broadcast query vocabulary before
+      // anything shuffles; per-term contributions rounded then
+      // decimal-summed; rank window runs as WindowGroupLimit.
+      import s.implicits._
+      val qt = bm25Queries.toDF("qid", "term")
+      operators.Retrieval.bm25TopK(
+          T(s, dir, "documents"), "doc_id", "text", qt, "qid", "term", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("qid", "rank")
+    }),
+
+    "t18_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail terciles of the per-language unigram-LM
+      // score distribution — cut on the (lang, score) histogram, the
+      // corpus never windows
+      TextStats.pplBuckets(T(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t14_token_entropy" -> ((s, dir) =>
       // within-doc token entropy: the low-entropy detector that
       // catches even-cycling template text top-fraction metrics miss
@@ -1135,7 +1181,17 @@ object SparkEntry {
       Dedup.dupSubstringSpans(framed, "doc_id", "text", k = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
-    })
+    }),
+
+    "d17_winnowing" -> ((s, dir) =>
+      // winnowing fingerprints (Schleimer et al. 2003, MOSS): min-hash
+      // of each w-gram window of k-gram hashes, rightmost min on ties;
+      // docs sharing >= 2 fingerprint hashes pair up. Exact variant
+      // (no bucket cap) on the oracle slice.
+      Dedup.winnowingPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", k = 4, w = 4, minShared = 2)
+        .orderBy("id1", "id2"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1202,6 +1258,114 @@ object SparkEntry {
     * digit parse, same floor-div bit extraction), so both engines
     * evaluate the identical hash family and banding.
     */
+  /** BM25 oracle: identical arithmetic association as
+    * Retrieval.bm25TopK — idf * ((tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl)))
+    * with per-term contributions rounded to 6 then DECIMAL-summed, so
+    * both engines produce identical IEEE64 scores and therefore
+    * identical ranks (ties broken by doc_id).
+    */
+  private lazy val t17Oracle: String = {
+    val values = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, tok AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            q(qid, term) AS (VALUES $values),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+                   JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            ct AS (SELECT qid, doc_id,
+                     round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                    / (CAST(df AS DOUBLE) + 0.5))
+                           * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                                 + (0.75 * CAST(dl AS DOUBLE))
+                                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS c
+                   FROM tf JOIN q USING (term) JOIN dfq USING (term)
+                   JOIN dl USING (doc_id) CROSS JOIN st),
+            sc AS (SELECT qid, doc_id,
+                     round(CAST(sum(CAST(c AS DECIMAL(24,8))) AS DOUBLE), 6) AS bm25
+                   FROM ct GROUP BY 1, 2)
+         SELECT qid, doc_id, bm25, CAST(rk AS BIGINT) AS rank FROM (
+           SELECT qid, doc_id, bm25,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY bm25 DESC, doc_id) AS rk FROM sc)
+         WHERE rk <= 10 ORDER BY qid, rk"""
+  }
+
+  /** DSIR oracle: identical feature stream (unigrams + space-joined
+    * adjacent bigrams), identical 3-hex-digit md5 bucketing, identical
+    * smoothed-ratio association ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)),
+    * rounded to 6 then DECIMAL-summed per doc.
+    */
+  private lazy val p07Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val bucket = s"((${dg(1)} * 16 + ${dg(2)}) * 16 + ${dg(3)})"
+    s"""WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt, list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> len(t) > 0) AS toks FROM documents),
+            uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM tk),
+            bi AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS f
+                   FROM (SELECT doc_id, tgt, toks,
+                           unnest(range(1, len(toks))) AS i FROM tk)
+                   WHERE len(toks) >= 2),
+            feats AS (SELECT doc_id, tgt, $bucket AS b
+                      FROM (SELECT doc_id, tgt, md5(f) AS h
+                            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))),
+            counts AS (SELECT b, count(*) AS cr,
+                              count(CASE WHEN tgt THEN 1 END) AS ct
+                       FROM feats GROUP BY 1),
+            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+            lr AS (SELECT b, round(ln(
+                     (CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+                     / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))), 6) AS lr
+                   FROM counts CROSS JOIN tot),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     round(CAST(sum(CAST(lr AS DECIMAL(24,8))) AS DOUBLE), 6) AS log_weight
+                   FROM feats JOIN lr USING (b) GROUP BY 1)
+         SELECT doc_id, n_feats, log_weight FROM (
+           SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk
+           FROM sc)
+         WHERE rk <= 100 ORDER BY doc_id"""
+  }
+
+  /** Winnowing oracle: identical 32-bit md5-prefix gram hash, the
+    * same h·2³¹ + (2³¹−1−pos) pack (so MIN = min hash, rightmost
+    * position), a w-row window frame, and the same distinct-hash
+    * pair count.
+    */
+  private lazy val d17Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val h32 = (1 to 8).map(dg).reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH t AS (SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> len(t) > 0) AS toks
+              FROM documents WHERE doc_id < 500),
+            g AS (SELECT doc_id, i - 1 AS start,
+                         md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                             toks[i+2] || ' ' || toks[i+3]) AS h
+                  FROM (SELECT doc_id, toks,
+                          unnest(range(1, len(toks) - 2)) AS i FROM t)
+                  WHERE len(toks) >= 4),
+            e AS (SELECT doc_id, start,
+                         $h32 * 2147483648 + (2147483647 - start) AS enc
+                  FROM g),
+            win AS (SELECT doc_id,
+                      min(enc) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                      count(*) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+                    FROM e),
+            fp AS (SELECT DISTINCT doc_id, wmin // 2147483648 AS fh
+                   FROM win WHERE wn = 4)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id1, id2"""
+  }
+
   private lazy val d12Oracle: String = {
     def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
     def chunk(k: Int) =
@@ -1339,6 +1503,32 @@ object SparkEntry {
            FROM events GROUP BY 1)
          WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
          ORDER BY window_start""",
+
+    "r16_rate_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c * c AS DECIMAL(38,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc)
+         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(m, 6) AS mean_trailing,
+                round(zs, 6) AS z_score,
+                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
+         FROM z ORDER BY event_type, hr_start""",
 
     "q29_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t FROM events
@@ -1829,6 +2019,8 @@ object SparkEntry {
                   FROM n)
          SELECT doc_id, n_toks FROM c WHERE cum <= 20000 ORDER BY doc_id""",
 
+    "p07_dsir" -> p07Oracle,
+
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
               e AS (SELECT vec_id, embedding AS ev FROM embeddings),
@@ -2105,6 +2297,40 @@ object SparkEntry {
          FROM kept k JOIN tot t ON k.doc_id = t.doc_id
          GROUP BY k.doc_id ORDER BY k.doc_id""",
 
+    "t17_bm25" -> t17Oracle,
+
+    "t18_ppl_buckets" ->
+      """WITH tk AS (SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
+            tt AS (SELECT sum(n) AS total FROM vocab),
+            sc AS (SELECT doc_id,
+                     round(CAST(sum(CAST(round(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                             AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
+                   FROM tk JOIN vocab USING (tok) CROSS JOIN tt
+                   GROUP BY doc_id),
+            sl AS (SELECT sc.doc_id, d.lang, sc.mean_logprob
+                   FROM sc JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, mean_logprob, count(*) AS c
+                     FROM sl GROUP BY 1, 2),
+            cut AS (SELECT lang, mean_logprob,
+                      CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                               ORDER BY mean_logprob DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                             < (1.0 / 3.0) THEN 'head'
+                           WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                               ORDER BY mean_logprob DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                             < (2.0 / 3.0) THEN 'middle'
+                           ELSE 'tail' END AS bucket
+                    FROM hist)
+         SELECT doc_id, lang, mean_logprob, bucket
+         FROM sl JOIN cut USING (lang, mean_logprob)
+         ORDER BY doc_id""",
+
     "t16_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id, list_filter(
                 string_split_regex(lower(text), '\s+'),
@@ -2256,6 +2482,8 @@ object SparkEntry {
          SELECT t.doc_id, CAST(n AS BIGINT) AS n_toks,
                 CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_toks,
                 round(CAST(coalesce(nd, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_frac
-         FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id"""
+         FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
+
+    "d17_winnowing" -> d17Oracle
   )
 }

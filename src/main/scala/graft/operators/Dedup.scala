@@ -783,4 +783,71 @@ object Dedup {
         col("_n_kept").cast("long").as("n_kept"),
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
+
+  /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson,
+    * Aiken 2003 — the MOSS algorithm): hash every k-gram, slide a
+    * w-gram window over the hash sequence, and keep each window's
+    * minimum hash (rightmost minimum on ties) as a fingerprint; two
+    * documents sharing at least `minShared` distinct fingerprint
+    * hashes are reported as a candidate near-dup pair. Winnowing's
+    * guarantee: any shared substring of length >= w + k - 1 tokens
+    * produces at least one shared fingerprint, while only ~2/(w+1) of
+    * grams are kept — a tunable density/recall dial between whole-doc
+    * MinHash (d02) and the exact k-gram predicate (d16).
+    *
+    * The rightmost-min-on-ties rule is ONE window aggregate here: the
+    * gram hash (32-bit, from the md5 hex prefix — portable) and the
+    * position pack into a single long, h·2³¹ + (2³¹−1−pos), whose MIN
+    * over the w-row frame is exactly "min hash, rightmost position".
+    * Positions must fit 31 bits — 2 G tokens per document, far beyond
+    * any real document; the pack would silently alias past it, so the
+    * gram pass enforces the bound (raise_error, not a wrong answer).
+    *
+    * Shape at scale: gram hashing is narrow; the sliding window is
+    * one id-keyed shuffle (grams shuffle as 20-byte (id, start, enc)
+    * rows, never text); fingerprints are ~2/(w+1) of grams, and the
+    * pair join runs on the fingerprint hash with distinct-(id, h)
+    * inputs. A boilerplate phrase shared by millions of docs would
+    * make its fingerprint bucket quadratic — `maxBucket` prunes such
+    * degenerate buckets before the self-join (the lshCandidates cap;
+    * None = exact, the oracle twin).
+    * Output: (id1, id2, n_shared), id1 < id2.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 4, w: Int = 4, minShared: Int = 2,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowingPairs: k=$k, w=$w must be >= 1")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val grams = df.select(col(idCol).as("id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("id"), posexplode(
+        graft.functions.ShingleStrings.of(col("_t"), k)).as(Seq("start", "_g")))
+    val h32 = conv(substring(md5(col("_g")), 1, 8), 16, 10).cast("long")
+    val posGuard = when(col("start") >= (1L << 31),
+      raise_error(lit("winnowingPairs: gram position exceeds 2^31 — " +
+        "the hash/position pack would alias"))).otherwise(col("start"))
+    val enc = grams.select(col("id"), col("start"),
+      (h32 * (1L << 31) + (lit((1L << 31) - 1L) - posGuard)).as("_enc"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("start"))
+      .rowsBetween(0, w - 1)
+    val fps = enc
+      .withColumn("_wmin", min(col("_enc")).over(frame))
+      .withColumn("_wn", count(lit(1)).over(frame))
+      .filter(col("_wn") === w)
+      // integer div, NOT `/` (double division loses bits above 2^53)
+      .select(col("id"), expr(s"_wmin div ${1L << 31}").as("_h"))
+      .distinct()
+    val capped = maxBucket.fold(fps) { cap =>
+      val big = fps.groupBy(col("_h")).agg(count(lit(1)).as("_bc"))
+        .filter(col("_bc") > cap).select(col("_h"))
+      fps.join(big, Seq("_h"), "left_anti")
+    }
+    capped.select(col("_h"), col("id").as("id1"))
+      .join(capped.select(col("_h"), col("id").as("id2")), Seq("_h"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

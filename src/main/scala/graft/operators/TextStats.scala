@@ -174,6 +174,53 @@ object TextStats {
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every document with the unigram-LM quality score
+    * ([[unigramLogProb]] — the KenLM stand-in), then cut each
+    * language's score distribution into head / middle / tail terciles
+    * — the buckets CCNet samples from to bias a corpus toward
+    * Wikipedia-like text without hard-dropping the tail.
+    *
+    * Buckets are assigned BY SCORE VALUE, not per-row rank: a doc is
+    * `head` when strictly-better-scoring docs of its language make up
+    * < 1/3 of that language, `middle` below 2/3, else `tail` — docs
+    * with equal scores land in the same bucket (deterministic, and
+    * portable: no rank tie-break needed).
+    *
+    * Shape at scale: the corpus itself never windows. The tercile cut
+    * runs on the per-(lang, score) HISTOGRAM — bounded by distinct
+    * rounded scores per language, orders of magnitude smaller than
+    * the corpus — and the strictly-greater cumulative count is a
+    * window over that small frame; assignment joins the bucket of
+    * each (lang, score) back to the scored docs on the same key the
+    * histogram grouped on. (CCNet itself estimates the cutoffs on a
+    * sample; the histogram form is exact at the same shuffle cost,
+    * and the q25 sketch family is the approximation lever if even
+    * the histogram is too wide.)
+    * Output: (id, lang, mean_logprob, bucket).
+    */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+                 langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+      .select(col("id"), col("lang"), col("mean_logprob"))
+    val hist = scored.groupBy(col("lang"), col("mean_logprob"))
+      .agg(count(lit(1)).as("_c"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("mean_logprob").desc)
+    val cut = hist
+      .withColumn("_before", coalesce(sum(col("_c")).over(
+        wl.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("lang"))))
+      .withColumn("_frac", col("_before").cast("double") / col("_n").cast("double"))
+      .select(col("lang"), col("mean_logprob"),
+        when(col("_frac") < lit(1.0) / 3.0, "head")
+          .when(col("_frac") < lit(2.0) / 3.0, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(cut, Seq("lang", "mean_logprob"))
+      .select(col("id"), col("lang"), col("mean_logprob"), col("bucket"))
+  }
+
   /** Broadcast-head / shuffled-residual count join shared by the LM
     * scorers: attach `counts`' `countCol` to `stream` on `key`,
     * routing the top-`headVocab` keys by count through a BROADCAST

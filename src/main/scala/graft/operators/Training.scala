@@ -244,6 +244,68 @@ object Training {
       .drop("_h", "_b", "_lcum", "_poff")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (docs matching `targetPred`, e.g. a
+    * benchmark/seed domain) than under the RAW corpus distribution,
+    * then keep the `topN` highest-weight documents. Features are
+    * unigrams + adjacent bigrams hashed into `buckets`=4096 portable
+    * md5 buckets (first 3 hex digits); bucket probabilities are
+    * add-1-smoothed; the log importance weight of a doc is the sum of
+    * its occurrences' per-bucket log ratios.
+    *
+    * Deterministic end to end: md5 bucketing (no seed), per-bucket
+    * log ratios rounded to 6 then DECIMAL-summed per doc, top-N ties
+    * broken by id — oracle-exact. (The paper resamples with Gumbel
+    * noise; the deterministic top-N is the reproducible variant a
+    * curation pipeline actually wants to re-run.)
+    *
+    * Shape at scale: the feature explode is narrow and feeds (a) one
+    * 4096-row bucket-count aggregate — map-side partials collapse the
+    * stream to `buckets` rows per task, and target + raw counts ride
+    * ONE pass as a conditional count — and (b) the scoring join
+    * against the broadcast 4096-row log-ratio table, followed by one
+    * id-keyed sum. The corpus is scanned twice (mixtureSample-style:
+    * counts pass + scoring pass — a narrow recompute, cheaper at
+    * scale than persisting a corpus-sized exploded stream) but the
+    * only corpus-sized shuffle is the per-doc sum keyed on id. Top-N
+    * is a TakeOrdered, not a global sort.
+    *
+    * Output: (id, n_feats, log_weight) for the selected top-N docs.
+    * Docs with no tokens have no feature evidence and drop out.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 4096,
+                  topN: Int = 100): DataFrame = {
+    require(buckets == 4096,
+      "dsirWeights: bucket count is pinned to 4096 = 16^3 (3 md5 hex digits)")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), targetPred.as("_tgt"), toksArr.as("_t"))
+    val uni = base.select(col("id"), col("_tgt"), explode(col("_t")).as("_f"))
+    val bi = base.filter(size(col("_t")) >= 2)
+      .select(col("id"), col("_tgt"),
+        explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_f"))
+    def feats = uni.unionByName(bi)
+      .withColumn("_b", conv(substring(md5(col("_f")), 1, 3), 16, 10).cast("long"))
+    val counts = feats.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        count(when(col("_tgt"), lit(1))).as("_ct"))
+    val tot = counts.agg(sum(col("_cr")).as("_nr"), sum(col("_ct")).as("_nt"))
+    val lr = counts.crossJoin(broadcast(tot))
+      .withColumn("_lr", round(log(
+        ((col("_ct") + 1L).cast("double") / (col("_nt") + buckets).cast("double")) /
+          ((col("_cr") + 1L).cast("double") / (col("_nr") + buckets).cast("double"))), 6)
+        .cast("decimal(24,8)"))
+      .select(col("_b"), col("_lr"))
+    feats.join(broadcast(lr), Seq("_b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("_lr")).cast("double"), 6).as("log_weight"))
+      .orderBy(col("log_weight").desc, col("id"))
+      .limit(topN)
+  }
+
   /** Shard assignment + within-shard pseudo-random order: shard by
     * the first md5 hex digit of the id (16 shards here; a real export
     * uses O(10k), which also makes the per-shard ordering window as

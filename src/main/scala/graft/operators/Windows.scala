@@ -43,4 +43,61 @@ object Windows {
       .groupBy((Seq("window_start", "window_end") ++ keys).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Rolling z-score anomaly detection — the statistical upgrade of
+    * the fixed-threshold rate alert (r14): bucket events into
+    * per-(key, hour) counts, compare each hour's count against the
+    * mean and population-stddev of the TRAILING `trailingHours` hours
+    * (a RANGE frame on the hour index: silent hours simply don't
+    * appear, they are not zero-filled), and flag hours whose z-score
+    * crosses `zThreshold`. Hours with fewer than `minHistory` trailing
+    * observations emit no score (cold start — no evidence, no alert).
+    *
+    * Shape at scale: the raw event stream collapses to (key, hour)
+    * counts in one aggregation (map-side partials do the heavy
+    * lifting); the rolling window runs over the HOURLY frame — 8760
+    * rows per key-year, not the event stream — partitioned by key.
+    * The sum of squares accumulates in DECIMAL: hourly counts of 10⁹
+    * square to 10¹⁸ and a long sum overflows within a day at 100 TB
+    * rates; decimal keeps the arithmetic exact on both engines.
+    * Variance uses the E[X²] − mean² form on those exact sums, so
+    * mean/z are identical IEEE64 on both sides.
+    * Output: (key, hr_start, n_events, mean_trailing, z_score,
+    * is_anomaly) for every scored hour.
+    */
+  def rateAnomaly(df: DataFrame, ts: String, keyCol: String,
+                  trailingHours: Int = 24, minHistory: Int = 12,
+                  zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("_hr"))
+      .rangeBetween(-trailingHours, -1)
+    val nd = col("_tn").cast("double")
+    val mean = col("_ts").cast("double") / nd
+    val variance = col("_tss").cast("double") / nd - mean * mean
+    hourly
+      .withColumn("_tn", count(lit(1)).over(w))
+      .withColumn("_ts", sum(col("_c")).over(w))
+      .withColumn("_tss", sum((col("_c") * col("_c")).cast("decimal(38,0)")).over(w))
+      .filter(col("_tn") >= minHistory)
+      .withColumn("_mean", mean)
+      // zero-variance history: any deviation from the constant rate
+      // is an anomaly BY DEFINITION (z is undefined — left null — but
+      // the flag must not go false: constant-10/hour then a spike is
+      // the textbook alert), and matching the mean exactly scores 0
+      .withColumn("_z", when(variance > 0.0,
+        (col("_c").cast("double") - col("_mean")) / sqrt(variance))
+        .when(col("_c").cast("double") === col("_mean"), lit(0.0)))
+      .select(col("key"),
+        // epoch seconds, engine- and timezone-neutral (the r14 rule)
+        (col("_hr") * 3600L).as("hr_start"),
+        col("_c").cast("long").as("n_events"),
+        round(col("_mean"), 6).as("mean_trailing"),
+        round(col("_z"), 6).as("z_score"),
+        (coalesce(abs(col("_z")) >= zThreshold, lit(false)) ||
+          col("_z").isNull).as("is_anomaly"))
+  }
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** Round-9 operators: BM25 retrieval, DSIR importance weights,
+  * winnowing fingerprints, CCNet perplexity buckets, rolling z-score
+  * anomaly detection.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def rd6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  test("scores match the hand-computed Okapi formula") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")).toDF("id", "text")
+    val q = Seq(("q1", "apple"), ("q1", "banana")).toDF("qid", "term")
+    val out = Retrieval.bm25TopK(docs, "id", "text", q, "qid", "term", k = 10)
+      .orderBy("rank").collect()
+    // N=3, avgdl=8/3; contributions rounded to 6 then summed
+    val avgdl = 8.0 / 3.0
+    def idf(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def norm(tf: Int, dl: Int) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + (0.75 * dl) / avgdl))
+    val exp1 = rd6(idf(1) * norm(2, 3)) + rd6(idf(2) * norm(1, 3))
+    val exp2 = rd6(idf(2) * norm(1, 2))
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // doc 3 matches nothing
+    assert(out(0).getDouble(2) == exp1.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getDouble(2) == exp2.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("identical docs tie and rank by id; k caps the result per query") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x y"))
+      .toDF("id", "text")
+    val q = Seq(("q1", "x")).toDF("qid", "term")
+    val out = Retrieval.bm25TopK(docs, "id", "text", q, "qid", "term", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(2)).distinct.length == 1)
+  }
+
+  test("the query-vocabulary filter is a broadcast semi-join (the token stream never shuffles for it)") {
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val q = Seq(("q1", "a")).toDF("qid", "term")
+    val p = Retrieval.bm25TopK(docs, "id", "text", q, "qid", "term", k = 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+}
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("docs resembling the target slice outweigh docs that do not") {
+    // target docs speak "alpha beta"; doc 3 mimics them, doc 4 does not
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta alpha", true),
+      (3L, "alpha beta alpha beta", false),
+      (4L, "gamma delta epsilon zeta", false)).toDF("id", "text", "tgt")
+    val out = Training.dsirWeights(docs, "id", "text", col("tgt"), topN = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) > out(4L))
+    assert(out(1L) > out(4L))
+  }
+
+  test("n_feats counts unigrams + adjacent bigrams; empty docs drop out") {
+    val docs = Seq((1L, "a b c", true), (2L, "   ", false)).toDF("id", "text", "tgt")
+    val out = Training.dsirWeights(docs, "id", "text", col("tgt"), topN = 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getLong(1) == 5L) // 3 unigrams + 2 bigrams
+  }
+
+  test("topN keeps the highest weights with id tie-break") {
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) "t t t" else "r r r", i <= 2)).toDF("id", "text", "tgt")
+    val out = Training.dsirWeights(docs, "id", "text", col("tgt"), topN = 3)
+      .orderBy("id").collect()
+    // target speaks "t": the five t-docs outweigh r-docs; lowest ids win ties
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+}
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a shared substring of >= w+k-1 tokens guarantees a shared fingerprint") {
+    // winnowing guarantee: window w=4 of k=4-gram hashes covers any
+    // 7-token match; the two docs share an 8-token phrase
+    val docs = Seq(
+      (1L, "one two three four five six seven eight unique1 tail1"),
+      (2L, "prefix2 one two three four five six seven eight other2"),
+      (3L, "totally different words with no overlap at all here")).toDF("id", "text")
+    val out = Dedup.winnowingPairs(docs, "id", "text", k = 4, w = 4, minShared = 1)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("identical docs share their full distinct-fingerprint set") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, text), (2L, text)).toDF("id", "text")
+    val pair = Dedup.winnowingPairs(docs, "id", "text", k = 4, w = 4, minShared = 1)
+      .collect()
+    assert(pair.length == 1)
+    val nShared = pair(0).getLong(2)
+    assert(nShared >= 1)
+    // docs shorter than k+w-1 grams still fingerprint every full window
+    val grams = text.split(" ").length - 3
+    assert(nShared <= grams)
+  }
+
+  test("maxBucket prunes degenerate fingerprint buckets before the self-join") {
+    // 20 docs all sharing one boilerplate sentence: every pair collides
+    // exactly through that bucket; capping at 10 removes it
+    val docs = (1L to 20L).map(i =>
+      (i, s"subscribe to our newsletter today for great offers u$i v$i w$i x$i"))
+      .toDF("id", "text")
+    val exact = Dedup.winnowingPairs(docs, "id", "text", k = 4, w = 4, minShared = 1)
+    val capped = Dedup.winnowingPairs(docs, "id", "text", k = 4, w = 4,
+      minShared = 1, maxBucket = Some(10))
+    assert(exact.count() > 0)
+    assert(capped.count() < exact.count())
+  }
+
+  test("disjoint docs produce no pairs") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "ii jj kk ll mm nn oo pp")).toDF("id", "text")
+    assert(Dedup.winnowingPairs(docs, "id", "text", k = 4, w = 4, minShared = 1)
+      .count() == 0)
+  }
+}
+
+class PplBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-language terciles: common-token docs head, rare-token docs tail") {
+    // en corpus: "x" dominates the vocabulary, "q r s" are singletons
+    val docs = Seq(
+      (1L, "x x x x", "en"),
+      (2L, "x x y y", "en"),
+      (3L, "q r s z", "en")).toDF("id", "text", "lang")
+    val out = TextStats.pplBuckets(docs, "id", "text", "lang")
+      .orderBy("id").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("head", "middle", "tail"))
+    // scores strictly ordered
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+    assert(out(1).getDouble(2) > out(2).getDouble(2))
+  }
+
+  test("equal scores land in the same bucket (value cut, not rank cut)") {
+    val docs = Seq(
+      (1L, "x x", "en"), (2L, "x x", "en"), (3L, "x x", "en"),
+      (4L, "q r", "en")).toDF("id", "text", "lang")
+    val out = TextStats.pplBuckets(docs, "id", "text", "lang")
+      .orderBy("id").collect()
+    assert(out.take(3).map(_.getString(3)).distinct.toSeq == Seq("head"))
+    assert(out(3).getString(3) == "tail")
+  }
+
+  test("languages bucket independently") {
+    val docs = Seq(
+      (1L, "x x x", "en"), (2L, "x y z", "en"), (3L, "q r s", "en"),
+      (4L, "m m m", "de"), (5L, "m n o", "de"), (6L, "p q u", "de"))
+      .toDF("id", "text", "lang")
+    val out = TextStats.pplBuckets(docs, "id", "text", "lang")
+    val en = out.filter(col("lang") === "en").orderBy("id")
+      .collect().map(_.getString(3))
+    val de = out.filter(col("lang") === "de").orderBy("id")
+      .collect().map(_.getString(3))
+    assert(en.contains("head") && en.contains("tail"))
+    assert(de.contains("head") && de.contains("tail"))
+  }
+}
+
+class RateAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsAt(counts: Seq[(Long, Int)], key: String = "click") = {
+    val rows = counts.flatMap { case (hr, n) =>
+      (1 to n).map(i => (key, hr * 3600L + i))
+    }
+    rows.toDF("event_type", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+  }
+
+  test("a spike after noisy history is flagged with the hand-computed z") {
+    // 24h alternating 9/11 (mean 10, pop var 1), then a 20-count hour
+    val hist = (0L until 24L).map(h => h -> (if (h % 2 == 0) 9 else 11))
+    val df = eventsAt(hist :+ (24L -> 20))
+    val out = Windows.rateAnomaly(df, "ts", "event_type")
+      .orderBy("hr_start").collect()
+    val spike = out.last
+    assert(spike.getLong(1) == 24L * 3600L)
+    assert(spike.getDouble(4) == 10.0) // (20 - 10) / sqrt(1)
+    assert(spike.getBoolean(5))
+    // the quiet hours in between score |z| <= 1 and stay unflagged
+    val quiet = out.dropRight(1)
+    assert(quiet.nonEmpty && quiet.forall(r => !r.getBoolean(5)))
+  }
+
+  test("zero-variance history: matching the mean scores 0, deviating flags with null z") {
+    val df = eventsAt((0L until 24L).map(_ -> 10) ++ Seq(24L -> 10, 25L -> 50))
+    val out = Windows.rateAnomaly(df, "ts", "event_type")
+      .orderBy("hr_start").collect()
+    val steady = out.find(_.getLong(1) == 24L * 3600L).get
+    assert(steady.getDouble(4) == 0.0 && !steady.getBoolean(5))
+    val spike = out.find(_.getLong(1) == 25L * 3600L).get
+    assert(spike.isNullAt(4) && spike.getBoolean(5))
+  }
+
+  test("hours with fewer than minHistory trailing observations are not scored") {
+    val df = eventsAt((0L until 6L).map(_ -> 10))
+    assert(Windows.rateAnomaly(df, "ts", "event_type").count() == 0)
+  }
+
+  test("the trailing frame is a 24h RANGE: older hours age out") {
+    // 24 hours of 10s, a gap, then the scored hour sees only what is
+    // inside [hr-24, hr-1] — hour 30 keeps 18 trailing hours (12..29
+    // minus the 6-hour gap), hour 50 has none left and is unscored
+    val df = eventsAt((0L until 24L).map(_ -> 10) ++ (30L to 35L).map(_ -> 10)
+      ++ Seq(50L -> 10))
+    val out = Windows.rateAnomaly(df, "ts", "event_type")
+      .collect().map(_.getLong(1) / 3600L).toSet
+    assert(!out.contains(50L))
+  }
+
+  test("the rolling window runs over the hourly frame, partitioned by key") {
+    val df = eventsAt((0L until 25L).map(_ -> 2))
+    val p = Windows.rateAnomaly(df, "ts", "event_type")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // exactly one aggregate exchange keyed on (key, hour) feeding the
+    // window; no single-partition global window anywhere
+    assert(!p.contains("SinglePartition"), p)
+  }
+}
