@@ -1191,7 +1191,28 @@ object SparkEntry {
       Dedup.winnowingPairs(
           T(s, dir, "documents").filter(col("doc_id") < 500),
           "doc_id", "text", k = 4, w = 4, minShared = 2)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    "d18_dup_substring_cut" -> ((s, dir) => {
+      // the CUT step of Lee et al. exact-substring dedup, on the d16
+      // fixture (shared slogan + every-7th-doc self-repeat): remove
+      // every token covered by a corpus-duplicated k-gram
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("subscribe to our newsletter today for free updates "),
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" "), col("text")))
+          .otherwise(lit(""))).as("text"))
+      Dedup.cutDupSubstrings(framed, "doc_id", "text", k = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t19_gopher_rules" -> ((s, dir) =>
+      // the Gopher hard-filter bundle (Rae et al. 2021 A1): every
+      // signal surfaced next to the composite pass flag; zero shuffles
+      TextStats.gopherRules(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2484,6 +2505,77 @@ object SparkEntry {
                 round(CAST(coalesce(nd, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_frac
          FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
 
-    "d17_winnowing" -> d17Oracle
+    "d17_winnowing" -> d17Oracle,
+
+    "d18_dup_substring_cut" ->
+      """WITH framed AS (SELECT doc_id,
+               'subscribe to our newsletter today for free updates ' || text ||
+               CASE WHEN doc_id % 7 = 0 THEN ' ' || text ELSE '' END AS text
+             FROM documents),
+            t AS (SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '\s+'),
+                    t -> len(t) > 0) AS toks
+                  FROM framed),
+            grams AS (SELECT doc_id, i - 1 AS start,
+                             md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                 toks[i+2] || ' ' || toks[i+3]) AS h
+                      FROM (SELECT doc_id, toks,
+                              unnest(range(1, len(toks) - 2)) AS i FROM t)),
+            dup AS (SELECT h FROM (
+                      SELECT h, count(*) AS c FROM grams GROUP BY 1) WHERE c > 1),
+            m AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
+            cov AS (SELECT DISTINCT doc_id, start + j AS pos
+                    FROM m CROSS JOIN (SELECT unnest(range(4)) AS j)),
+            tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) + 1)) AS i FROM t)),
+            kept AS (SELECT k.doc_id,
+                       string_agg(k.tok, ' ' ORDER BY k.pos) AS clean,
+                       count(*) AS nk
+                     FROM tk k LEFT JOIN cov c
+                       ON c.doc_id = k.doc_id AND c.pos = k.pos
+                     WHERE c.pos IS NULL GROUP BY 1),
+            tot AS (SELECT doc_id, len(toks) AS n FROM t)
+         SELECT t.doc_id, coalesce(clean, '') AS text_clean,
+                CAST(n AS BIGINT) AS n_toks,
+                CAST(n - coalesce(nk, 0) AS BIGINT) AS n_dup_toks
+         FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
+
+    "t19_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks,
+               string_split(text, chr(10)) AS lines
+             FROM documents),
+            sig AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS nws,
+              len(regexp_replace(text, '\s', '', 'g')) AS chars_in,
+              len(text) - len(replace(text, '#', '')) AS nhash,
+              (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
+              CAST(greatest(len(lines), 1) AS DOUBLE) AS nlines,
+              len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                  OR starts_with(ltrim(l), '*')
+                  OR starts_with(ltrim(l), '•'))) AS bl,
+              len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS el,
+              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+              CAST(len(list_filter(toks, t -> list_contains(
+                ['the','be','to','of','and','that','have','with'], lower(t))))
+                AS BIGINT) AS n_stop
+            FROM b),
+            o AS (SELECT doc_id, n_words,
+              round(CAST(chars_in AS DOUBLE) / nws, 6) AS mean_word_len,
+              round(CAST(nhash + nell AS DOUBLE) / nws, 6) AS symbol_ratio,
+              round(CAST(bl AS DOUBLE) / nlines, 6) AS bullet_frac,
+              round(CAST(el AS DOUBLE) / nlines, 6) AS ellipsis_frac,
+              round(CAST(aw AS DOUBLE) / nws, 6) AS alpha_frac,
+              n_stop FROM sig)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                ellipsis_frac, alpha_frac, n_stop,
+                (n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_ratio <= 0.1
+                 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+                 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass
+         FROM o ORDER BY doc_id"""
   )
 }

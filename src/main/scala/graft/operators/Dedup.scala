@@ -784,6 +784,66 @@ object Dedup {
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** The CUT step of exact duplicated-substring dedup —
+    * [[dupSubstringSpans]] reports how much of each document sits in
+    * corpus-duplicated substrings; this operator actually removes
+    * those tokens (what Lee et al. 2021 do to the training set) and
+    * returns the surviving text. A token survives when NO k-gram
+    * containing it occurs more than once in the corpus; cutting
+    * reassembles the survivors in order, single-space-joined (the op
+    * is defined on the token stream, like the paper's — original
+    * inter-token whitespace is not preserved).
+    *
+    * Shape at scale: the duplicate-gram predicate is the d16 chain
+    * (gram md5 count > 1, map-side partials, 16-byte digests). Only
+    * DUP grams explode to their k covered positions — the k× blowup
+    * is proportional to duplicated volume, not corpus volume; the
+    * token stream anti-joins those (id, pos) pairs and one id-keyed
+    * aggregation rebuilds each document. Output: (id, text_clean,
+    * n_toks, n_dup_toks); a fully-duplicated doc keeps an empty
+    * text_clean rather than vanishing.
+    */
+  def cutDupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val base = df.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .persist()
+    val grams = base
+      .filter(col("_n") >= k)
+      .select(col("id"), posexplode(
+        graft.functions.ShingleStrings.of(col("_toks"), k))
+        .as(Seq("start", "_g")))
+      .select(col("id"), col("start").cast("long").as("start"),
+        unhex(md5(col("_g"))).as("_h"))
+      .persist()
+    val dupes = grams.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("_h"))
+    val covered = grams.join(dupes, "_h")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("id"), posexplode(col("_toks")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok")), " ").as("_clean"),
+        count(lit(1)).as("_kept"))
+    Caching.sealOver(
+      base.select(col("id"), col("_n"))
+        .join(kept, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_clean"), lit("")).as("text_clean"),
+          col("_n").cast("long").as("n_toks"),
+          (col("_n") - coalesce(col("_kept"), lit(0L))).cast("long").as("n_dup_toks")),
+      grams, base)
+  }
+
   /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson,
     * Aiken 2003 — the MOSS algorithm): hash every k-gram, slide a
     * w-gram window over the hash sequence, and keep each window's

@@ -174,6 +174,63 @@ object TextStats {
         round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A1): the
+    * published per-document heuristic filter bundle, each signal
+    * surfaced alongside the composite pass/fail so a pipeline can
+    * audit WHY a document was dropped (t02's qualityScore is a soft
+    * score; this is the named hard-filter standard):
+    *
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ('#' or '...') <= 0.1
+    *  - < 90% of lines start with a bullet, < 30% end with ellipsis
+    *  - >= 80% of words contain an alphabetic character
+    *  - >= 2 occurrences of common English stop words
+    *
+    * Pure per-row projection — zero shuffles, scales as a narrow
+    * map at any corpus size. The token-level predicates run as
+    * higher-order filters over the doc's own token array (bounded by
+    * document length; interpreted, but per-row — nothing here feeds
+    * a hot million-iteration inner loop the way the shingle family
+    * does). Thresholds compare the ROUNDED ratios, so the pass flag
+    * is bit-portable. Output: (id, n_words, mean_word_len,
+    * symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop,
+    * pass).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val text = col(textCol)
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val lines = split(text, "\n")
+    val nWords = size(toks).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L)).cast("double")
+    val charsInToks = length(regexp_replace(text, "\\s", ""))
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+        ltrim(l).startsWith("•")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(toks, t => lower(t).isin(stops: _*)))
+    df.select(col(idCol).as("id"),
+        nWords.as("n_words"),
+        round(charsInToks.cast("double") / nWordsSafe, 6).as("mean_word_len"),
+        round((nHash + nEllipsis).cast("double") / nWordsSafe, 6).as("symbol_ratio"),
+        round(bulletLines.cast("double") / nLines, 6).as("bullet_frac"),
+        round(ellipsisLines.cast("double") / nLines, 6).as("ellipsis_frac"),
+        round(alphaWords.cast("double") / nWordsSafe, 6).as("alpha_frac"),
+        stopHits.cast("long").as("n_stop"))
+      .withColumn("pass",
+        col("n_words") >= 50L && col("n_words") <= 100000L &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_stop") >= 2L)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     * every document with the unigram-LM quality score
     * ([[unigramLogProb]] — the KenLM stand-in), then cut each

@@ -138,6 +138,92 @@ class WinnowingSpec extends SparkSpec {
   }
 }
 
+class CutDupSubstringsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus-duplicated k-grams are cut; unique text survives in order") {
+    val docs = Seq(
+      (1L, "shared slogan goes here first unique one body"),
+      (2L, "shared slogan goes here second unique two body"),
+      (3L, "completely different text with no duplication whatsoever")).toDF("id", "text")
+    val out = Dedup.cutDupSubstrings(docs, "id", "text", k = 4)
+      .orderBy("id").collect()
+    // "shared slogan goes here" is the only 4-gram occurring twice
+    assert(out(0).getString(1) == "first unique one body")
+    assert(out(0).getLong(2) == 8L && out(0).getLong(3) == 4L)
+    assert(out(1).getString(1) == "second unique two body")
+    assert(out(2).getString(1) == docs.collect()(2).getString(1))
+    assert(out(2).getLong(3) == 0L)
+  }
+
+  test("a fully duplicated doc keeps an empty text_clean, not a missing row") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),
+      (3L, "unique words entirely here")).toDF("id", "text")
+    val out = Dedup.cutDupSubstrings(docs, "id", "text", k = 4)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "" && out(0).getLong(3) == 4L)
+    assert(out(1).getString(1) == "")
+  }
+
+  test("cut coverage equals dupSubstringSpans' span accounting") {
+    val docs = Seq(
+      (1L, "x y z w shared phrase of four tokens t1"),
+      (2L, "a b shared phrase of four tokens c d e")).toDF("id", "text")
+    val cut = Dedup.cutDupSubstrings(docs, "id", "text", k = 4)
+      .select("id", "n_toks", "n_dup_toks").orderBy("id").collect()
+    val spans = Dedup.dupSubstringSpans(docs, "id", "text", k = 4)
+      .select("id", "n_toks", "n_dup_toks").orderBy("id").collect()
+    assert(cut.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+}
+
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signals match hand computation on a crafted doc") {
+    val text = "the cat sat on the mat with a hat ### ..."
+    val out = TextStats.gopherRules(Seq((1L, text)).toDF("id", "text"),
+      "id", "text").collect()(0)
+    assert(out.getLong(1) == 11L) // words incl '###' and '...'
+    // symbol hits: 3 hashes + 1 ellipsis = 4 over 11 words
+    assert(out.getDouble(3) == BigDecimal(4.0 / 11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // alpha words: all but '###' and '...'
+    assert(out.getDouble(6) == BigDecimal(9.0 / 11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getLong(7) == 3L) // stop hits: the, the, with
+  }
+
+  test("pass requires every rule: a 10-word doc fails on length alone") {
+    val good = ("the data " * 30).trim + " " +
+      "of and that have with real words making sense here now then"
+    val docs = Seq((1L, good), (2L, "short doc of and that have with")).toDF("id", "text")
+    val out = TextStats.gopherRules(docs, "id", "text").orderBy("id").collect()
+    assert(out(0).getBoolean(8))
+    assert(!out(1).getBoolean(8)) // 7 words < 50
+  }
+
+  test("bullet- and ellipsis-heavy layouts fail their line rules") {
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val ell = (1 to 10).map(i => s"line $i goes on...").mkString("\n")
+    val out = TextStats.gopherRules(
+      Seq((1L, bullets), (2L, ell)).toDF("id", "text"), "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getDouble(4) == 1.0 && !out(0).getBoolean(8))
+    assert(out(1).getDouble(5) == 1.0 && !out(1).getBoolean(8))
+  }
+
+  test("zero shuffles: the whole bundle is one narrow projection") {
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val p = TextStats.gopherRules(docs, "id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+  }
+}
+
 class PplBucketsSpec extends SparkSpec {
   import spark.implicits._
 
