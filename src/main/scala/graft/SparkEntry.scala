@@ -1531,7 +1531,7 @@ object SparkEntry {
             r AS (SELECT event_type, hr, c,
                     count(*) OVER w AS tn,
                     sum(c) OVER w AS tsum,
-                    sum(CAST(c * c AS DECIMAL(38,0))) OVER w AS tss
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
                   FROM h
                   WINDOW w AS (PARTITION BY event_type ORDER BY hr
                                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),

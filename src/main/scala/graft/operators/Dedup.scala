@@ -704,39 +704,47 @@ object Dedup {
     * split absorbs boilerplate grams), plus one id shuffle for the
     * fold. Output: (id, n_toks, n_dup_toks, dup_frac).
     */
-  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
+  /** Shared front of the exact-substring family (d16 spans / d18
+    * cut): tokenize, shingle, hash, and mark corpus-duplicated
+    * k-grams. Returns (base, grams, dupes); base and grams come back
+    * PERSISTED — the caller owns sealing over them.
+    *
+    * Zero-length tokens (leading whitespace) are dropped BEFORE gram
+    * building: an empty first token would inflate n_toks, shift every
+    * gram window, and make two docs differing only in leading
+    * whitespace hash the same phrase differently — the same rule as
+    * unigramLogProb's tokenizer. base persists because tokenization
+    * feeds both the gram build and the per-doc totals; grams persists
+    * because the gram stream feeds both the dup count and the mark
+    * join. Grams come from the compiled shingle_strings pass
+    * (position i = start i); hashes shuffle as 16-byte binary digests
+    * (internal key only, half the hex-string width).
+    */
+  private def dupGrams(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): (DataFrame, DataFrame, DataFrame) = {
     require(k >= 1, s"k=$k must be >= 1")
-    // zero-length tokens (leading whitespace) are dropped BEFORE gram
-    // building: an empty first token would inflate n_toks, shift every
-    // gram window, and make two docs differing only in leading
-    // whitespace hash the same phrase differently — the same rule as
-    // unigramLogProb's tokenizer
-    // persisted: the tokenization pass feeds BOTH the gram build and
-    // the final (id, n_toks) side of the mark join — without the
-    // persist the split/lower/filter of the full corpus runs twice
     val base = df.select(col(idCol).as("id"),
         filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .persist()
-    // persisted: the gram build feeds BOTH the dup count and the mark
-    // join; the small per-doc result seals over it below. Grams come
-    // from the compiled shingle_strings pass (position i = start i),
-    // md5 runs codegen'd on the exploded column.
     val grams = base
       .filter(col("_n") >= k)
       .select(col("id"), posexplode(
         graft.functions.ShingleStrings.of(col("_toks"), k))
         .as(Seq("start", "_g")))
       .select(col("id"), col("start").cast("long").as("start"),
-        // 16-byte binary digest: internal key only, half the shuffle
-        // width of the hex string
         unhex(md5(col("_g"))).as("_h"))
       .persist()
     val dupes = grams.groupBy(col("_h"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
       .select(col("_h"))
+    (base, grams, dupes)
+  }
+
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    val (base, grams, dupes) = dupGrams(df, idCol, textCol, k)
     // covered tokens = fold over the doc's sorted dup-gram starts:
     // each start s adds max(0, s + k - max(end, s)) new tokens
     val spans = grams.join(dupes, "_h")
@@ -805,23 +813,7 @@ object Dedup {
     */
   def cutDupSubstrings(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
-    val base = df.select(col(idCol).as("id"),
-        filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0).as("_toks"))
-      .withColumn("_n", size(col("_toks")))
-      .persist()
-    val grams = base
-      .filter(col("_n") >= k)
-      .select(col("id"), posexplode(
-        graft.functions.ShingleStrings.of(col("_toks"), k))
-        .as(Seq("start", "_g")))
-      .select(col("id"), col("start").cast("long").as("start"),
-        unhex(md5(col("_g"))).as("_h"))
-      .persist()
-    val dupes = grams.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
-      .select(col("_h"))
+    val (base, grams, dupes) = dupGrams(df, idCol, textCol, k)
     val covered = grams.join(dupes, "_h")
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
@@ -859,9 +851,9 @@ object Dedup {
     * gram hash (32-bit, from the md5 hex prefix — portable) and the
     * position pack into a single long, h·2³¹ + (2³¹−1−pos), whose MIN
     * over the w-row frame is exactly "min hash, rightmost position".
-    * Positions must fit 31 bits — 2 G tokens per document, far beyond
-    * any real document; the pack would silently alias past it, so the
-    * gram pass enforces the bound (raise_error, not a wrong answer).
+    * The pack is total: positions are array indices (IntegerType,
+    * ≤ 2³¹−1 by construction), so h·2³¹ + (2³¹−1−pos) stays within
+    * a positive signed long for every representable position.
     *
     * Shape at scale: gram hashing is narrow; the sliding window is
     * one id-keyed shuffle (grams shuffle as 20-byte (id, start, enc)
@@ -883,11 +875,8 @@ object Dedup {
       .select(col("id"), posexplode(
         graft.functions.ShingleStrings.of(col("_t"), k)).as(Seq("start", "_g")))
     val h32 = conv(substring(md5(col("_g")), 1, 8), 16, 10).cast("long")
-    val posGuard = when(col("start") >= (1L << 31),
-      raise_error(lit("winnowingPairs: gram position exceeds 2^31 — " +
-        "the hash/position pack would alias"))).otherwise(col("start"))
     val enc = grams.select(col("id"), col("start"),
-      (h32 * (1L << 31) + (lit((1L << 31) - 1L) - posGuard)).as("_enc"))
+      (h32 * (1L << 31) + (lit((1L << 31) - 1L) - col("start"))).as("_enc"))
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("start"))
       .rowsBetween(0, w - 1)

@@ -47,7 +47,11 @@ object Retrieval {
     val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     // N / avgdl over token-bearing docs: two exact longs -> one double
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val q = queryTerms.select(col(qidCol).as("qid"), col(termCol).as("term"))
+    // query terms normalize through the SAME lowercasing as document
+    // tokens (a mixed-case query term could otherwise never match),
+    // and dedupe per query so "Hash" + "hash" can't double-count
+    val q = queryTerms.select(col(qidCol).as("qid"),
+      lower(col(termCol)).as("term")).distinct()
     val vocab = q.select(col("term")).distinct()
     // only query-term occurrences survive the broadcast semi-join;
     // everything downstream is bounded by |queries| x |corpus hits|

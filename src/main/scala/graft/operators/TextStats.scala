@@ -259,9 +259,13 @@ object TextStats {
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
                  langCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the scored frame (the expensive full-corpus LM pass)
+    // feeds BOTH the histogram and the final assignment join; the
+    // narrow per-doc result seals over it below
     val scored = unigramLogProb(df, idCol, textCol)
       .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
       .select(col("id"), col("lang"), col("mean_logprob"))
+      .persist()
     val hist = scored.groupBy(col("lang"), col("mean_logprob"))
       .agg(count(lit(1)).as("_c"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("mean_logprob").desc)
@@ -274,8 +278,10 @@ object TextStats {
         when(col("_frac") < lit(1.0) / 3.0, "head")
           .when(col("_frac") < lit(2.0) / 3.0, "middle")
           .otherwise("tail").as("bucket"))
-    scored.join(cut, Seq("lang", "mean_logprob"))
-      .select(col("id"), col("lang"), col("mean_logprob"), col("bucket"))
+    Caching.sealOver(
+      scored.join(cut, Seq("lang", "mean_logprob"))
+        .select(col("id"), col("lang"), col("mean_logprob"), col("bucket")),
+      scored)
   }
 
   /** Broadcast-head / shuffled-residual count join shared by the LM

@@ -81,7 +81,10 @@ object Windows {
     hourly
       .withColumn("_tn", count(lit(1)).over(w))
       .withColumn("_ts", sum(col("_c")).over(w))
-      .withColumn("_tss", sum((col("_c") * col("_c")).cast("decimal(38,0)")).over(w))
+      // square IN decimal, not before the cast: a long*long square
+      // overflows first at c > ~3.04e9 events/hour
+      .withColumn("_tss", sum(col("_c").cast("decimal(19,0)")
+        * col("_c").cast("decimal(19,0)")).over(w))
       .filter(col("_tn") >= minHistory)
       .withColumn("_mean", mean)
       // zero-variance history: any deviation from the constant rate

@@ -60,7 +60,10 @@ object Anomaly {
     else {
       val c = counts(hr)
       val ts = trailing.sum
-      val tss = trailing.map(v => v * v).sum
+      // BigInt, matching the batch op's DECIMAL sum of squares: a
+      // Long sum of squares wraps first at ~6e8 events/hour × 24h,
+      // exactly where the parity contract must still hold
+      val tss = trailing.map(v => BigInt(v) * BigInt(v)).sum
       val nd = tn.toDouble
       val mean = ts.toDouble / nd
       val variance = tss.toDouble / nd - mean * mean
