@@ -685,6 +685,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s14_hamming_topk" -> ((s, dir) => {
+      // binary-sketch ANN (Charikar simhash-for-cosine): 16-bit
+      // portable SRP sign codes, XOR+popcount shortlist, exact-cosine
+      // rerank — the whole path md5-deterministic, so unlike the
+      // seeded LSH family it is oracle-exact end to end
+      val emb = T(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball
@@ -2002,6 +2013,40 @@ object SparkEntry {
                 list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                 'sum')), 6) AS l2
          FROM embeddings ORDER BY vec_id""",
+
+    "s14_hamming_topk" ->
+      """WITH pj AS (SELECT vec_id, j,
+                round(list_aggregate(list_transform(range(len(embedding)),
+                  i -> CAST(embedding[i + 1] AS DOUBLE) *
+                       (CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(16)) AS j)),
+            code AS (SELECT vec_id,
+                       sum(CASE WHEN proj > 0
+                           THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END) AS code
+                     FROM pj GROUP BY 1),
+            qc AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 10),
+            hm AS (SELECT qid, c.vec_id AS cid, bit_count(xor(c.code, qcode)) AS ham
+                   FROM code c CROSS JOIN qc),
+            sl AS (SELECT qid, cid, ham FROM (
+                     SELECT qid, cid, ham, row_number() OVER (
+                       PARTITION BY qid ORDER BY ham, cid) AS srnk FROM hm)
+                   WHERE srnk <= 50),
+            u AS (SELECT qid, cid, ham, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
+                         CAST(unnest(qe.embedding) AS DOUBLE) AS y
+                  FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
+                          JOIN embeddings qe ON qe.vec_id = sl.qid),
+            s AS (SELECT qid, cid, ham,
+                         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                  FROM u GROUP BY 1, 2, 3),
+            r AS (SELECT qid, cid, ham, cos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                  FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
+                round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
 
     "s08_random_projection" ->
       """WITH sj AS (SELECT vec_id, j, embedding FROM embeddings

@@ -319,6 +319,80 @@ object Similarity {
     * and mirrors the oracle's list-order sum (the s05 precedent).
     * Output: (id, j, proj).
     */
+  /** Corpus-max vector length (for sign matrices that must cover
+    * every ragged row). An eager aggregate — a Spark job fires at
+    * plan-build time; fixed-dim callers pass `inDims` instead. */
+  private def corpusMaxDims(df: DataFrame, vecCol: String): Int =
+    df.agg(max(size(col(vecCol)))).take(1)
+      .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0)
+
+  /** The portable SRP sign matrix shared by s08/s14: sign(i, j) =
+    * +1 iff the first md5 hex digit of "i:j" is even — reproducible
+    * in any engine with an md5 (the s08 oracle recomputes it in SQL).
+    */
+  private def srpSigns(dims: Int, outDims: Int): IndexedSeq[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    (0 until outDims).map(j => Array.tabulate(dims)(i => sign(i, j)))
+  }
+
+  /** Binary-sketch ANN: SRP sign codes + Hamming shortlist + exact
+    * rerank (Charikar 2002 simhash-for-cosine). Every vector gets a
+    * `bits`-bit code (bit j = sign of its j-th portable SRP
+    * projection — the same md5-parity matrix as [[randomProjection]],
+    * so the whole path is deterministic and oracle-checkable, unlike
+    * the seeded LSH family); candidates rank by
+    * popcount(code XOR query code), the top-`shortlist` per query get
+    * the exact cosine, and the top-k of those return.
+    *
+    * Shape at scale: codes are a row-local projection (one 8-byte
+    * long per vector — the 64-dim float corpus shrinks 32×; at 100 TB
+    * the code table is the only thing the scan reads). The
+    * corpus × queries Hamming compare is one XOR+popcount per pair —
+    * integer ops against the broadcast query codes, no shuffle — and
+    * the rank windows run as WindowGroupLimit map-side top-k. The
+    * exact cosine touches only shortlist×queries raw vectors, so the
+    * expensive float work is O(shortlist), independent of corpus
+    * size.
+    * Output: (query_id, neighbor_id, hamming, cos, rank).
+    */
+  def hammingTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  k: Int, bits: Int = 16, shortlist: Int = 50,
+                  inDims: Option[Int] = None): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits=$bits must fit a signed long")
+    val dims = inDims.getOrElse(corpusMaxDims(corpus, corpusVec))
+    val signVecs = srpSigns(dims, bits)
+    def codeOf(vec: Column): Column =
+      (0 until bits).map { j =>
+        when(round(VecDot.dot(vec, lit(signVecs(j))), 6) > 0.0,
+          lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+      .withColumn("_code", codeOf(col("cv")))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
+      .withColumn("_qcode", codeOf(col("qv")))
+    val slWin = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cid"))
+    val shortlisted = c.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        expr("bit_count(_code ^ _qcode)").cast("long"))
+      .withColumn("_srnk", row_number().over(slWin))
+      .filter(col("_srnk") <= shortlist)
+    val rerankWin = Window.partitionBy(col("qid"))
+      .orderBy(col("_cos").desc, col("cid"))
+    shortlisted
+      .withColumn("_cos", VecDot.dot(col("cv"), col("qv"))
+        / (norm(col("cv")) * norm(col("qv"))))
+      .withColumn("rank", row_number().over(rerankWin).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("hamming"), round(col("_cos"), 6).as("cos"), col("rank"))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int, inDims: Option[Int] = None): DataFrame = {
     // Sign matrix is built to the CORPUS MAX length, not an arbitrary
@@ -335,16 +409,8 @@ object Similarity {
     // case) passes it and no job fires. A bound BELOW some row's true
     // length silently truncates that row, which is exactly the bug
     // the corpus-max default exists to prevent — hence opt-in only.
-    val dims = inDims.getOrElse(
-      df.agg(max(size(col(vecCol)))).take(1)
-        .headOption.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(0))
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    def sign(i: Int, j: Int): Double = {
-      val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
-    }
-    val signVecs: IndexedSeq[Array[Double]] =
-      (0 until outDims).map(j => Array.tabulate(dims)(i => sign(i, j)))
+    val dims = inDims.getOrElse(corpusMaxDims(df, vecCol))
+    val signVecs = srpSigns(dims, outDims)
     df.select(col(idCol).as("id"),
         explode(array((0 until outDims).map(j => struct(
           lit(j.toLong).as("j"),

@@ -224,6 +224,60 @@ class GopherRulesSpec extends SparkSpec {
   }
 }
 
+class HammingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("a shortlist covering the whole corpus reproduces brute-force exactly") {
+    // deterministic pseudo-random corpus; queries are rows 0..2
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val viaHamming = Similarity.hammingTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, shortlist = 40)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBrute = Similarity.bruteTopK(corpus, "vec_id", "embedding",
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(viaHamming == viaBrute)
+  }
+
+  test("identical and sign-identical vectors land at hamming 0; self is rank 1") {
+    val corpus = Seq(
+      (0L, vec(1, -2, 3, -4)),
+      (1L, vec(2, -4, 6, -8)),      // same signs, scaled: hamming 0
+      (2L, vec(-1, 2, -3, 4))).toDF("vec_id", "embedding") // opposite
+    val out = Similarity.hammingTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 3, shortlist = 3)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 0L) // self
+    assert(out(1).getLong(1) == 1L && out(1).getLong(2) == 0L)
+    assert(out(1).getDouble(3) == 1.0) // exact rerank: colinear
+    assert(out(2).getLong(1) == 2L && out(2).getLong(2) > 0L)
+  }
+
+  test("a tight shortlist keeps true near-duplicates (sign codes collide)") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val twin = base.map(x => x * 1.01 + math.signum(x) * 1e-3)
+    val noise = (2L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val corpus = (Seq((0L, base.map(_.toFloat)), (1L, twin.map(_.toFloat)))
+      ++ noise).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 2, shortlist = 5)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L)) // self, then twin
+  }
+}
+
 class PplBucketsSpec extends SparkSpec {
   import spark.implicits._
 
