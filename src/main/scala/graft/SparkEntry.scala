@@ -895,6 +895,41 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r17_parse_rate" -> ((s, dir) => {
+      // monitor the reference parser's silent failure mode: lines the
+      // regex rejects just vanish (lparser.go drops non-matching
+      // lines). Every 13th event line is corrupted, the REAL parse
+      // path (RegexGroups) runs over the mix, and per-hour parse
+      // rates alert below 95%. The oracle knows the drop set
+      // analytically, so this also gates that the parser never drops
+      // a well-formed line.
+      val lines = T(s, dir, "events").select(concat(
+        when(col("event_id") % 13 === 0, lit("corrupt ")).otherwise(lit("id=")),
+        col("event_id"),
+        lit(" ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        lit(" user="), col("user_id"),
+        lit(" type="), col("event_type"),
+        lit(" value="), col("value").cast("string")).as("value"))
+      // the hour of EVERY line, parsed or not, comes from the still-
+      // intact ts= field — the denominator a real monitor needs
+      val total = lines
+        .withColumn("_ts_raw", to_timestamp(
+          regexp_extract(col("value"), " ts=([0-9: -]+) user", 1)))
+        .groupBy(expr("unix_timestamp(_ts_raw) div 3600").as("_hr"))
+        .agg(cnt.as("n_lines"))
+      val parsed = LogSource.parse(lines, EventPattern)
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("_hr"))
+        .agg(cnt.as("n_parsed"))
+      total.join(parsed, Seq("_hr"), "left")
+        .select((col("_hr") * 3600L).as("hr_start"),
+          col("n_lines"),
+          coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+          (coalesce(col("n_parsed"), lit(0L)).cast("double")
+            / col("n_lines").cast("double")).as("parse_rate"))
+        .withColumn("alert", col("parse_rate") < 0.95)
+        .orderBy("hr_start")
+    }),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -1561,6 +1596,17 @@ object SparkEntry {
                 round(zs, 6) AS z_score,
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY event_type, hr_start""",
+
+    "r17_parse_rate" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                count(*) AS n_lines,
+                sum(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS n_parsed
+             FROM events GROUP BY 1)
+         SELECT hr * 3600 AS hr_start, CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(n_parsed AS BIGINT) AS n_parsed,
+                CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) AS parse_rate,
+                (CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.95) AS alert
+         FROM h ORDER BY hr_start""",
 
     "q29_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t FROM events
