@@ -181,4 +181,34 @@ class PlanSpec extends SparkSpec {
     // the candidate pair set is the SMALL side everywhere it joins
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("t17: BM25 filters tokens to the broadcast query vocabulary before any exchange") {
+    val p = SparkEntry.queries("t17_bm25")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the semi-join against the query vocabulary must be broadcast
+    // (the full token stream never shuffles to find its matches), and
+    // the per-query top-k must run as a map-side group limit
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  // (t18's window-over-histogram gate is impossible from outside:
+  // pplBuckets seals its result, so the visible plan is a checkpoint
+  // scan. Its value-cut semantics are pinned row-level in
+  // PplBucketsSpec instead — same situation as t16, noted at p06.)
+
+  test("s14: Hamming shortlist + rerank are both map-side group limits; query codes broadcast") {
+    val p = SparkEntry.queries("s14_hamming_topk")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("vec_dot"), "codes and rerank must use the codegen expression: " + p)
+  }
+
+  test("r16: the anomaly window runs per event_type over hourly aggregates, never SinglePartition") {
+    val p = SparkEntry.queries("r16_rate_anomaly")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("windowspecdefinition(key#"), p)
+  }
 }
