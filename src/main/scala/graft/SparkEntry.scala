@@ -1258,7 +1258,29 @@ object SparkEntry {
       // signal surfaced next to the composite pass flag; zero shuffles
       TextStats.gopherRules(T(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "t20_cms" -> ((s, dir) => {
+      // Count-Min sketch frequency estimates: the mergeable d=4×w=1024
+      // grid aggregates map-side; probes (incl. an absent term) read
+      // the broadcast sketch via the SAME portable md5 buckets; the
+      // exact counts ride along to exhibit the one-sided error
+      import s.implicits._
+      val probes = Seq("hash", "join", "batch", "the", "nosuchtoken").toDF("term")
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sk = toks.agg(
+        graft.functions.CountMinAgg.sketch(col("tok"), 1024, 4).as("sk"))
+      val exact = toks.groupBy(col("tok").as("term")).agg(cnt.as("_ex"))
+      probes.crossJoin(broadcast(sk))
+        .withColumn("est", graft.functions.CountMinAgg.estimate(
+          col("sk"), col("term"), 1024, 4))
+        .join(exact, Seq("term"), "left")
+        .select(col("term"), col("est").cast("long").as("est"),
+          coalesce(col("_ex"), lit(0L)).cast("long").as("exact"))
+        .orderBy("term")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1395,6 +1417,34 @@ object SparkEntry {
            SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk
            FROM sc)
          WHERE rk <= 100 ORDER BY doc_id"""
+  }
+
+  /** CMS oracle: rebuilds the Count-Min grid in SQL with the same
+    * portable row hashes ((first 4 md5 hex digits of "r:item") mod w)
+    * and takes the same min-over-rows estimate — bit-for-bit against
+    * the JVM aggregate.
+    */
+  private lazy val t20Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val hex4 = (1 to 4).map(dg).reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH tk AS (SELECT tok FROM (
+                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            rb AS (SELECT r, $hex4 % 1024 AS bkt FROM (
+                     SELECT r, md5(CAST(r AS VARCHAR) || ':' || tok) AS h
+                     FROM tk CROSS JOIN (SELECT unnest(range(4)) AS r))),
+            bc AS (SELECT r, bkt, count(*) AS c FROM rb GROUP BY 1, 2),
+            probe(term) AS (VALUES ('hash'), ('join'), ('batch'), ('the'),
+                                   ('nosuchtoken')),
+            pb AS (SELECT term, r, $hex4 % 1024 AS bkt FROM (
+                     SELECT term, r, md5(CAST(r AS VARCHAR) || ':' || term) AS h
+                     FROM probe CROSS JOIN (SELECT unnest(range(4)) AS r))),
+            est AS (SELECT term, min(coalesce(c, 0)) AS est
+                    FROM pb LEFT JOIN bc USING (r, bkt) GROUP BY 1),
+            ex AS (SELECT tok AS term, count(*) AS exact FROM tk GROUP BY 1)
+         SELECT term, CAST(est AS BIGINT) AS est,
+                CAST(coalesce(exact, 0) AS BIGINT) AS exact
+         FROM est LEFT JOIN ex USING (term) ORDER BY term"""
   }
 
   /** Winnowing oracle: identical 32-bit md5-prefix gram hash, the
@@ -2597,6 +2647,8 @@ object SparkEntry {
          FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
 
     "d17_winnowing" -> d17Oracle,
+
+    "t20_cms" -> t20Oracle,
 
     "d18_dup_substring_cut" ->
       """WITH framed AS (SELECT doc_id,

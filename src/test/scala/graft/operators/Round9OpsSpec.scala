@@ -224,6 +224,42 @@ class GopherRulesSpec extends SparkSpec {
   }
 }
 
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.CountMinAgg
+
+  test("estimates are one-sided: est >= exact, and exact when buckets don't collide") {
+    val toks = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = toks.toDF("tok")
+    val sk = df.agg(CountMinAgg.sketch(col("tok"), 1024, 4).as("sk"))
+    val out = Seq("a", "b", "c", "absent").toDF("term")
+      .crossJoin(sk)
+      .withColumn("est", CountMinAgg.estimate(col("sk"), col("term"), 1024, 4))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 3 distinct items in 4x1024 buckets: no collisions, estimates exact
+    assert(out("a") == 7L && out("b") == 3L && out("c") == 1L)
+    assert(out("absent") == 0L)
+  }
+
+  test("the sketch is mergeable: partitioning never changes the grid") {
+    val df = (1 to 500).map(i => s"tok${i % 37}").toDF("tok")
+    def grid(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(CountMinAgg.sketch(col("tok"), 256, 4))
+        .collect()(0).getSeq[Long](0)
+    assert(grid(1) == grid(13))
+  }
+
+  test("a tight width forces collisions and the estimate still bounds from above") {
+    val df = (1 to 300).map(i => s"item$i").toDF("tok")
+    val sk = df.agg(CountMinAgg.sketch(col("tok"), 16, 4).as("sk"))
+    val est = Seq("item1").toDF("term").crossJoin(sk)
+      .withColumn("est", CountMinAgg.estimate(col("sk"), col("term"), 16, 4))
+      .collect()(0).getLong(2)
+    assert(est >= 1L) // true count 1; collisions only push it up
+  }
+}
+
 class HammingTopKSpec extends SparkSpec {
   import spark.implicits._
 
