@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators for training-data curation that need
@@ -197,9 +197,14 @@ object TextStats {
     * symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop,
     * pass).
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The seven Gopher signals as named expression columns over one
+    * text column — the single source of truth shared by the batch
+    * report ([[gopherRules]]) and the streaming gate
+    * (`CurateStream.gopherGate` filters on [[gopherPass]] built from
+    * these), so the two can never drift.
+    */
+  private def gopherSignals(text: Column): Seq[(String, Column)] = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val text = col(textCol)
     val toks = filter(split(text, "\\s+"), t => length(t) > 0)
     val lines = split(text, "\n")
     val nWords = size(toks).cast("long")
@@ -215,21 +220,35 @@ object TextStats {
     val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
     val stopHits = size(filter(toks, t => lower(t).isin(stops: _*)))
-    df.select(col(idCol).as("id"),
-        nWords.as("n_words"),
-        round(charsInToks.cast("double") / nWordsSafe, 6).as("mean_word_len"),
-        round((nHash + nEllipsis).cast("double") / nWordsSafe, 6).as("symbol_ratio"),
-        round(bulletLines.cast("double") / nLines, 6).as("bullet_frac"),
-        round(ellipsisLines.cast("double") / nLines, 6).as("ellipsis_frac"),
-        round(alphaWords.cast("double") / nWordsSafe, 6).as("alpha_frac"),
-        stopHits.cast("long").as("n_stop"))
-      .withColumn("pass",
-        col("n_words") >= 50L && col("n_words") <= 100000L &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
-          col("alpha_frac") >= 0.8 && col("n_stop") >= 2L)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(charsInToks.cast("double") / nWordsSafe, 6),
+      "symbol_ratio" -> round((nHash + nEllipsis).cast("double") / nWordsSafe, 6),
+      "bullet_frac" -> round(bulletLines.cast("double") / nLines, 6),
+      "ellipsis_frac" -> round(ellipsisLines.cast("double") / nLines, 6),
+      "alpha_frac" -> round(alphaWords.cast("double") / nWordsSafe, 6),
+      "n_stop" -> stopHits.cast("long"))
   }
+
+  /** The composite Gopher verdict as ONE boolean expression —
+    * thresholds compare the ROUNDED ratios, so the flag is
+    * bit-portable and identical between the batch report and the
+    * streaming gate. Pure projection: usable as a streaming filter
+    * with no state and no shuffle.
+    */
+  def gopherPass(text: Column): Column = {
+    val s = gopherSignals(text).toMap
+    s("n_words") >= 50L && s("n_words") <= 100000L &&
+      s("mean_word_len") >= 3.0 && s("mean_word_len") <= 10.0 &&
+      s("symbol_ratio") <= 0.1 &&
+      s("bullet_frac") < 0.9 && s("ellipsis_frac") < 0.3 &&
+      s("alpha_frac") >= 0.8 && s("n_stop") >= 2L
+  }
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id") +:
+      gopherSignals(col(textCol)).map { case (n, c) => c.as(n) } :+
+      TextStats.gopherPass(col(textCol)).as("pass"): _*)
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     * every document with the unigram-LM quality score

@@ -71,4 +71,14 @@ object CurateStream {
       // ceiling); a bare `< threshold` would evaluate to null and
       // silently drop the row
       .filter(coalesce(col("centroid_cos") < threshold, lit(true)))
+
+  /** Streaming Gopher gate: keep only documents passing the Rae et
+    * al. 2021 A1 rule bundle, live. The verdict is ONE boolean
+    * expression ([[graft.operators.TextStats.gopherPass]] — the same
+    * tree the batch report's `pass` column evaluates), so the gate is
+    * a stateless, shuffle-free filter on the micro-batch and batch /
+    * streaming decisions are identical by construction (spec-pinned).
+    */
+  def gopherGate(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(graft.operators.TextStats.gopherPass(col(textCol)))
 }

@@ -124,4 +124,33 @@ class CurateStreamSpec extends SparkSpec {
       assert(nullRow.isNullAt(1) && nullRow.isNullAt(2), nullRow.toString)
     } finally q.stop()
   }
+
+  test("gopherGate filters a live stream with the batch op's exact verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pass = ("the data " * 30).trim +
+      " of and that have with real words making sense here now then"
+    val rows = Seq(
+      (1L, pass),
+      (2L, "short doc of and that have with"),        // < 50 words
+      (3L, (1 to 60).map(i => s"- item $i").mkString("\n"))) // bullets
+    val input = MemoryStream[(Long, String)]
+    val gated = CurateStream.gopherGate(input.toDF().toDF("id", "text"), "text")
+    val q = gated.select("id").writeStream.format("memory")
+      .queryName("gopher_gate").outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val kept = spark.table("gopher_gate").collect().map(_.getLong(0)).toSet
+      // batch verdicts from the report op decide the expectation —
+      // the gate and the report share one expression tree
+      val expected = graft.operators.TextStats
+        .gopherRules(rows.toDF("id", "text"), "id", "text")
+        .filter(col("pass")).collect().map(_.getLong(0)).toSet
+      assert(kept == expected && kept == Set(1L), s"kept=$kept expected=$expected")
+    } finally q.stop()
+  }
 }
