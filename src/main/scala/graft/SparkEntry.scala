@@ -1239,6 +1239,21 @@ object SparkEntry {
           "doc_id", "text", k = 4, w = 4, minShared = 2)
         .orderBy("id1", "id2")),
 
+    "d19_bloom_decontaminate" -> ((s, dir) => {
+      // d08's sweep in its bloom-only 100 TB-prefilter shape: the
+      // benchmark shingles fold into one portable 2^20-bit bitmap
+      // (128 KB broadcast), the corpus side is a narrow codegen probe
+      // with NO shingle join; the oracle rebuilds the identical
+      // bitmap in SQL, so even false positives hash-match
+      val docs = T(s, dir, "documents")
+      Decontaminate.bloomFlag(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleN = 3, minHits = 5)
+        .select(col("id").as("doc_id"), col("bloom_hits"))
+        .orderBy("doc_id")
+    }),
+
     "d18_dup_substring_cut" -> ((s, dir) => {
       // the CUT step of Lee et al. exact-substring dedup, on the d16
       // fixture (shared slogan + every-7th-doc self-repeat): remove
@@ -1445,6 +1460,37 @@ object SparkEntry {
          SELECT term, CAST(est AS BIGINT) AS est,
                 CAST(coalesce(exact, 0) AS BIGINT) AS exact
          FROM est LEFT JOIN ex USING (term) ORDER BY term"""
+  }
+
+  /** Bloom-decontamination oracle: rebuilds the IDENTICAL portable
+    * bitmap — the same 3 bit positions per shingle (first 5 md5 hex
+    * digits of "r:shingle" = 20 bits, the full 2^20 range) — as a
+    * distinct (r, pos) set, then declares a training shingle
+    * bloom-positive iff all 3 of its positions are in the set. False
+    * positives reproduce exactly, so the sweep hash-matches.
+    */
+  private lazy val d19Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val hex5 = (1 to 5).map(dg).reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            bits AS (SELECT DISTINCT r, $hex5 AS pos FROM (
+                       SELECT r, md5(CAST(r AS VARCHAR) || ':' || shingle) AS h
+                       FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+                       CROSS JOIN (SELECT unnest(range(3)) AS r))),
+            pr AS (SELECT doc_id, shingle, r, $hex5 AS pos FROM (
+                     SELECT doc_id, shingle, r,
+                            md5(CAST(r AS VARCHAR) || ':' || shingle) AS h
+                     FROM sh CROSS JOIN (SELECT unnest(range(3)) AS r)
+                     WHERE doc_id % 50 <> 0)),
+            hitsh AS (SELECT doc_id, shingle FROM pr JOIN bits USING (r, pos)
+                      GROUP BY 1, 2 HAVING count(*) = 3)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_hits
+         FROM hitsh GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1"""
   }
 
   /** Winnowing oracle: identical 32-bit md5-prefix gram hash, the
@@ -2649,6 +2695,8 @@ object SparkEntry {
     "d17_winnowing" -> d17Oracle,
 
     "t20_cms" -> t20Oracle,
+
+    "d19_bloom_decontaminate" -> d19Oracle,
 
     "d18_dup_substring_cut" ->
       """WITH framed AS (SELECT doc_id,

@@ -31,4 +31,33 @@ object Decontaminate {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bench_hits"), max(col("overlap")).as("max_overlap"))
   }
+
+  /** Bloom-only sweep ([[flag]]'s 100 TB-prefilter shape): fold the
+    * benchmark shingle set into ONE portable m-bit Bloom bitmap
+    * ([[graft.functions.BloomAgg]], 128 KB at m = 2^20), broadcast
+    * it, and count per training doc the distinct shingles the filter
+    * claims are benchmark shingles. No join on the shingle key at
+    * all — the corpus side is one narrow codegen pass — at the price
+    * of a bounded false-positive rate (~(kn/m)^k overcount; never an
+    * undercount, so no contaminated doc escapes). The portable md5
+    * bit positions make even the false positives reproducible by the
+    * oracle, so d19 hash-checks this sweep end to end.
+    *
+    * Per flagged training doc: `bloom_hits` = distinct shingles the
+    * filter reports present (>= `minHits`). Docs below the threshold
+    * are absent, mirroring [[flag]].
+    */
+  def bloomFlag(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, minHits: Int = 5,
+                bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
+    import graft.functions.BloomAgg
+    val bloom = Dedup.shingles(bench, idCol, textCol, shingleN)
+      .agg(BloomAgg.build(col("shingle"), bits, hashes).as("_bloom"))
+    Dedup.shingles(train, idCol, textCol, shingleN)
+      .crossJoin(broadcast(bloom))
+      .filter(BloomAgg.mightContain(col("_bloom"), col("shingle"), bits, hashes))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("bloom_hits"))
+      .filter(col("bloom_hits") >= minHits)
+  }
 }

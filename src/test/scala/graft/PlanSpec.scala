@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("NOT ((doc_id"), p)
   }
 
+  test("d19: bloom sweep never joins on the shingle key") {
+    val p = SparkEntry.queries("d19_bloom_decontaminate")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the ONLY join is the broadcast of the one-row bitmap; the corpus
+    // side is a narrow probe filter — a shingle-keyed join here would
+    // mean the prefilter degenerated into d08's exact sweep
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // shuffles: the bitmap's single-row aggregate, the per-doc hit
+    // count, and the final orderBy — nothing keyed by shingle
+    assert(!p.contains("hashpartitioning(shingle"), p)
+  }
+
   test("q29: funnel joins broadcast the shrinking survivor sets") {
     val p = SparkEntry.queries("q29_funnel")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))

@@ -260,6 +260,61 @@ class CountMinSpec extends SparkSpec {
   }
 }
 
+class BloomDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.BloomAgg
+
+  private def bench = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (50L, "one two three four five six seven eight nine ten"))
+    .toDF("doc_id", "text")
+
+  private def train = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "totally different words sharing nothing with any benchmark document at all"),
+    (3L, "one two three four five interruption here six seven eight nine ten"))
+    .toDF("doc_id", "text")
+
+  test("bloom sweep flags exactly the contaminated docs with exact hit counts") {
+    // tiny bench (16 trigrams) in 2^20 bits: P(false positive) ~ 1e-13,
+    // so the sweep's counts equal the true shared-shingle counts
+    val out = Decontaminate
+      .bloomFlag(train, bench, "doc_id", "text", shingleN = 3, minHits = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 = verbatim bench doc (8 distinct trigrams); doc 3 shares
+    // two 5-token runs (3 trigrams each); doc 2 is clean
+    assert(out == Map(1L -> 8L, 3L -> 6L), out.toString)
+  }
+
+  test("no false negatives: every exact-flagged doc is bloom-flagged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+    val be = docs.filter(col("doc_id") % 50 === 0)
+    val exact = Decontaminate.flag(tr, be, "doc_id", "text", 3, 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.bloomFlag(tr, be, "doc_id", "text", 3, 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a doc with >= 5 overlap vs ONE bench doc has >= 5 shingles in the
+    // bench set, and a Bloom filter never misses a present item
+    assert(exact.subsetOf(bloom), s"missed: ${exact.diff(bloom)}")
+  }
+
+  test("the bitmap is mergeable: partitioning never changes a bit") {
+    val df = (1 to 400).map(i => s"gram ${i % 53} x").toDF("shingle")
+    def bm(parts: Int): Seq[Long] =
+      df.repartition(parts)
+        .agg(BloomAgg.build(col("shingle"), 1 << 16, 3))
+        .collect()(0).getSeq[Long](0)
+    assert(bm(1) == bm(11))
+  }
+
+  test("an empty benchmark set flags nothing") {
+    val out = Decontaminate.bloomFlag(
+      train, bench.filter(col("doc_id") < 0), "doc_id", "text", 3, 1)
+    assert(out.count() == 0L)
+  }
+}
+
 class HammingTopKSpec extends SparkSpec {
   import spark.implicits._
 
