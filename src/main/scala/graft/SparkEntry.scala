@@ -1275,6 +1275,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t21_quality_classifier" -> ((s, dir) =>
+      // GPT-3-style quality filter: every-50th doc plays the curated
+      // seed set (same split as d08/d19); naive-Bayes log-odds over
+      // hashed n-gram buckets score the whole corpus, keep = score>0
+      Training.qualityClassifier(T(s, dir, "documents"), "doc_id", "text",
+          posPred = col("doc_id") % 50 === 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t20_cms" -> ((s, dir) => {
       // Count-Min sketch frequency estimates: the mergeable d=4×w=1024
       // grid aggregates map-side; probes (incl. an absent term) read
@@ -1460,6 +1469,45 @@ object SparkEntry {
          SELECT term, CAST(est AS BIGINT) AS est,
                 CAST(coalesce(exact, 0) AS BIGINT) AS exact
          FROM est LEFT JOIN ex USING (term) ORDER BY term"""
+  }
+
+  /** Quality-classifier oracle: the p07 feature/bucket SQL with a
+    * seed-vs-rest contrast — per-bucket naive-Bayes log-odds, doc
+    * prior, DECIMAL-summed per-doc scores, keep = score > 0.
+    */
+  private lazy val t21Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val bucket = s"((${dg(1)} * 16 + ${dg(2)}) * 16 + ${dg(3)})"
+    s"""WITH tk AS (SELECT doc_id, (doc_id % 50 = 0) AS pos, list_filter(
+                string_split_regex(lower(text), '\\s+'),
+                t -> len(t) > 0) AS toks FROM documents),
+            uni AS (SELECT doc_id, pos, unnest(toks) AS f FROM tk),
+            bi AS (SELECT doc_id, pos, toks[i] || ' ' || toks[i+1] AS f
+                   FROM (SELECT doc_id, pos, toks,
+                           unnest(range(1, len(toks))) AS i FROM tk)
+                   WHERE len(toks) >= 2),
+            feats AS (SELECT doc_id, pos, $bucket AS b
+                      FROM (SELECT doc_id, pos, md5(f) AS h
+                            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))),
+            counts AS (SELECT b, count(CASE WHEN pos THEN 1 END) AS cp,
+                              count(CASE WHEN NOT pos THEN 1 END) AS cn
+                       FROM feats GROUP BY 1),
+            tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+            w AS (SELECT b, round(ln(
+                     (CAST(cp + 1 AS DOUBLE) / CAST(np + 4096 AS DOUBLE))
+                     / (CAST(cn + 1 AS DOUBLE) / CAST(nn + 4096 AS DOUBLE))), 6) AS w
+                  FROM counts CROSS JOIN tot),
+            prior AS (SELECT round(ln(
+                     CAST(count(CASE WHEN pos THEN 1 END) + 1 AS DOUBLE)
+                     / CAST(count(CASE WHEN NOT pos THEN 1 END) + 1 AS DOUBLE)), 6) AS pw
+                  FROM tk),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                     round(CAST(sum(CAST(w AS DECIMAL(24,8)))
+                                + CAST(pw AS DECIMAL(24,8)) AS DOUBLE), 6) AS score
+                   FROM feats JOIN w USING (b) CROSS JOIN prior
+                   GROUP BY doc_id, pw)
+         SELECT doc_id, n_feats, score, score > 0 AS keep
+         FROM sc ORDER BY doc_id"""
   }
 
   /** Bloom-decontamination oracle: rebuilds the IDENTICAL portable
@@ -2695,6 +2743,8 @@ object SparkEntry {
     "d17_winnowing" -> d17Oracle,
 
     "t20_cms" -> t20Oracle,
+
+    "t21_quality_classifier" -> t21Oracle,
 
     "d19_bloom_decontaminate" -> d19Oracle,
 

@@ -306,6 +306,64 @@ object Training {
       .limit(topN)
   }
 
+  /** GPT-3-style quality classifier, trained and applied in-engine:
+    * label a curated SEED slice (`posPred` — the role WebText plays
+    * in Brown et al. 2020 §2.2) positive and the rest of the corpus
+    * negative, fit naive-Bayes log-odds over the SAME hashed
+    * unigram+bigram features as [[dsirWeights]] (4096 portable md5
+    * buckets, add-1 smoothing), then score EVERY document:
+    * score = prior log-odds + sum of its features' bucket log-odds;
+    * `keep` = score > 0 (= P(seed|doc) > 0.5). The difference from
+    * DSIR is the contrast: DSIR weighs target vs the WHOLE corpus
+    * for resampling; the classifier weighs seed vs NON-seed and
+    * emits a hard keep/drop verdict.
+    *
+    * Training is two tiny aggregates (4096 bucket rows + one prior
+    * row); inference is the broadcast-join + id-keyed sum shape of
+    * dsirWeights — no corpus-sized shuffle except the per-doc sum.
+    * Deterministic end to end (md5 buckets, round-6 log-odds,
+    * DECIMAL sums) — oracle-exact. Docs with no tokens have no
+    * evidence and drop out.
+    *
+    * Output: (id, n_feats, score, keep) for every doc with features.
+    */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+                        posPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets == 4096,
+      "qualityClassifier: bucket count is pinned to 4096 = 16^3 (3 md5 hex digits)")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"), posPred.as("_pos"), toksArr.as("_t"))
+    val uni = base.select(col("id"), col("_pos"), explode(col("_t")).as("_f"))
+    val bi = base.filter(size(col("_t")) >= 2)
+      .select(col("id"), col("_pos"),
+        explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_f"))
+    def feats = uni.unionByName(bi)
+      .withColumn("_b", conv(substring(md5(col("_f")), 1, 3), 16, 10).cast("long"))
+    val counts = feats.groupBy(col("_b"))
+      .agg(count(when(col("_pos"), lit(1))).as("_cp"),
+        count(when(!col("_pos"), lit(1))).as("_cn"))
+    val tot = counts.agg(sum(col("_cp")).as("_np"), sum(col("_cn")).as("_nn"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("_w", round(log(
+        ((col("_cp") + 1L).cast("double") / (col("_np") + buckets).cast("double")) /
+          ((col("_cn") + 1L).cast("double") / (col("_nn") + buckets).cast("double"))), 6)
+        .cast("decimal(24,8)"))
+      .select(col("_b"), col("_w"))
+    // class prior from DOC counts (add-1: a single-class corpus still
+    // gets a finite prior)
+    val prior = base.agg(round(log(
+        (count(when(col("_pos"), lit(1))) + 1L).cast("double") /
+          (count(when(!col("_pos"), lit(1))) + 1L).cast("double")), 6)
+      .cast("decimal(24,8)").as("_pw"))
+    feats.join(broadcast(w), Seq("_b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"), sum(col("_w")).as("_sw"))
+      .crossJoin(broadcast(prior))
+      .withColumn("score", round((col("_sw") + col("_pw")).cast("double"), 6))
+      .select(col("id"), col("n_feats"), col("score"),
+        (col("score") > 0.0).as("keep"))
+  }
+
   /** Shard assignment + within-shard pseudo-random order: shard by
     * the first md5 hex digit of the id (16 shards here; a real export
     * uses O(10k), which also makes the per-shard ordering window as

@@ -260,6 +260,44 @@ class CountMinSpec extends SparkSpec {
   }
 }
 
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, true,  "careful prose with thoughtful structure and careful argument"),
+    (1L, true,  "thoughtful prose with careful analysis and clear structure"),
+    (2L, false, "buy cheap pills now click here buy now"),
+    (3L, false, "click here cheap pills cheap pills buy"),
+    (4L, false, "careful thoughtful prose with clear structure and analysis"),
+    (5L, false, "cheap pills click now buy here now"))
+    .toDF("doc_id", "is_seed", "text")
+
+  test("seed-like docs score above spam-like docs; keep tracks the sign") {
+    val out = Training.qualityClassifier(corpus, "doc_id", "text", col("is_seed"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // doc 4 shares the seed vocabulary, doc 5 the spam vocabulary
+    assert(out(4L)._1 > out(5L)._1, out.toString)
+    assert(out(0L)._1 > out(2L)._1, out.toString)
+    out.values.foreach { case (score, keep) => assert(keep == (score > 0.0)) }
+  }
+
+  test("scores are partition-invariant") {
+    def scores(parts: Int) =
+      Training.qualityClassifier(corpus.repartition(parts), "doc_id", "text",
+          col("is_seed"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1) == scores(7))
+  }
+
+  test("docs with no tokens drop out; a single-class corpus still scores") {
+    val oneClass = Seq((1L, "some words here"), (2L, "   "), (3L, "more words"))
+      .toDF("doc_id", "text")
+    val out = Training.qualityClassifier(oneClass, "doc_id", "text", lit(true))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L), out.toString)
+  }
+}
+
 class BloomDecontaminateSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.BloomAgg
