@@ -81,4 +81,19 @@ object CurateStream {
     */
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(graft.operators.TextStats.gopherPass(col(textCol)))
+
+  /** Live token-frequency sketch: the batch t20 Count-Min aggregate
+    * ([[graft.functions.CountMinAgg]]) run AS STREAMING STATE — the
+    * d×w counter grid is the aggregation buffer, so the state store
+    * holds one 32 KB grid total (not per-token counts), micro-batches
+    * merge by element-wise add, and the sketch after any prefix of
+    * the stream is bit-identical to the batch sketch over the same
+    * rows (spec-pinned). Run with complete/update output mode; probe
+    * the emitted grid with [[graft.functions.CountMinAgg.estimate]].
+    */
+  def tokenSketch(docs: DataFrame, textCol: String,
+                  width: Int = 1024, depth: Int = 4): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .agg(graft.functions.CountMinAgg.sketch(col("_tok"), width, depth).as("sketch"))
 }

@@ -125,6 +125,36 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tokenSketch state merges across micro-batches into the exact batch grid") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch1 = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"))
+    val batch2 = Seq((3L, "alpha epsilon  gamma"), (4L, "zeta"))
+    val input = MemoryStream[(Long, String)]
+    val q = CurateStream.tokenSketch(input.toDF().toDF("id", "text"), "text")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()(0).getSeq[Long](0)
+      val batch = CurateStream.tokenSketch(
+        (batch1 ++ batch2).toDF("id", "text"), "text").collect()(0).getSeq[Long](0)
+      assert(streamed == batch)
+      // and the merged grid answers point queries exactly here (no
+      // collisions at 6 distinct tokens in 4x1024 buckets)
+      val est = Seq("alpha", "zeta", "absent").toDF("term")
+        .crossJoin(spark.table("cms_stream"))
+        .withColumn("est", graft.functions.CountMinAgg.estimate(
+          col("sketch"), col("term"), 1024, 4))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(est == Map("alpha" -> 3L, "zeta" -> 1L, "absent" -> 0L), est.toString)
+    } finally q.stop()
+  }
+
   test("gopherGate filters a live stream with the batch op's exact verdicts") {
     val s = spark
     import s.implicits._
