@@ -1275,6 +1275,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t22_gopher_repetition" -> ((s, dir) => {
+      // Gopher A2 repetition rules on a d18-style framed fixture
+      // (the raw corpus has no line structure or injected repeats):
+      // a shared slogan line plus an every-7th-doc full self-repeat
+      // as a second line — those docs must fail the line AND
+      // dup-n-gram rules, the rest only their natural repetition
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("subscribe to our newsletter today for free updates"), lit("\n"),
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit("\n"), col("text")))
+          .otherwise(lit(""))).as("text"))
+      TextStats.gopherRepetition(framed, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
@@ -1508,6 +1524,65 @@ object SparkEntry {
                    GROUP BY doc_id, pw)
          SELECT doc_id, n_feats, score, score > 0 AS keep
          FROM sc ORDER BY doc_id"""
+  }
+
+  /** Gopher-repetition oracle: same framing, same line/char/n-gram
+    * conventions (occurrence-sum duplicates, top ties to the
+    * lexicographically first gram), same rounded thresholds.
+    */
+  private lazy val t22Oracle: String = {
+    val topFracs = Seq(2, 3, 4).map(n =>
+      s"round(CAST(coalesce(t$n, 0) AS DOUBLE) / tc, 6) AS top_${n}gram_char_frac")
+    val dupFracs = (5 to 10).map(n =>
+      s"round(CAST(coalesce(d$n, 0) AS DOUBLE) / tc, 6) AS dup_${n}gram_char_frac")
+    val pivTop = Seq(2, 3, 4).map(n => s"max(CASE WHEN n = $n THEN topc END) AS t$n")
+    val pivDup = (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dupc END) AS d$n")
+    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val passDup = (5 to 10).map(n =>
+      s"round(CAST(coalesce(d$n, 0) AS DOUBLE) / tc, 6) <= ${dupThr(n)}").mkString(" AND ")
+    s"""WITH framed AS (SELECT doc_id,
+               'subscribe to our newsletter today for free updates' || chr(10) ||
+               text ||
+               CASE WHEN doc_id % 7 = 0 THEN chr(10) || text ELSE '' END AS text
+             FROM documents),
+            ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                     CAST(greatest(len(text), 1) AS DOUBLE) AS tc,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> len(t) > 0) AS toks
+                   FROM framed),
+            lstat AS (SELECT doc_id, tc, toks,
+                     round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                       / greatest(len(lines), 1), 6) AS dlf,
+                     round(CAST(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
+                         - list_aggregate(list_transform(list_distinct(lines), l -> len(l)), 'sum')
+                         AS DOUBLE)
+                       / greatest(list_aggregate(list_transform(lines, l -> len(l)), 'sum'), 1),
+                       6) AS dlcf
+                   FROM ln),
+            grams AS (SELECT doc_id, n,
+                     array_to_string(toks[i:i+n-1], ' ') AS g
+                   FROM (SELECT doc_id, toks, n, unnest(range(1, len(toks) - n + 2)) AS i
+                         FROM lstat CROSS JOIN (SELECT unnest(range(2, 11)) AS n)
+                         WHERE len(toks) >= n)),
+            cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+            ranked AS (SELECT doc_id, n, c * len(g) AS topc,
+                     row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
+                   FROM cnt),
+            dup AS (SELECT doc_id, n,
+                     sum(CASE WHEN c >= 2 THEN c * len(g) END) AS dupc
+                   FROM cnt GROUP BY 1, 2),
+            pern AS (SELECT r.doc_id, r.n, r.topc, d.dupc
+                   FROM ranked r JOIN dup d USING (doc_id, n) WHERE r.rn = 1),
+            piv AS (SELECT doc_id, ${(pivTop ++ pivDup).mkString(", ")}
+                   FROM pern GROUP BY 1)
+         SELECT doc_id, dlf AS dup_line_frac, dlcf AS dup_line_char_frac,
+                ${(topFracs ++ dupFracs).mkString(", ")},
+                (dlf <= 0.30 AND dlcf <= 0.20
+                 AND round(CAST(coalesce(t2, 0) AS DOUBLE) / tc, 6) <= 0.20
+                 AND round(CAST(coalesce(t3, 0) AS DOUBLE) / tc, 6) <= 0.18
+                 AND round(CAST(coalesce(t4, 0) AS DOUBLE) / tc, 6) <= 0.16
+                 AND $passDup) AS pass
+         FROM lstat JOIN piv USING (doc_id) ORDER BY doc_id"""
   }
 
   /** Bloom-decontamination oracle: rebuilds the IDENTICAL portable
@@ -2745,6 +2820,8 @@ object SparkEntry {
     "t20_cms" -> t20Oracle,
 
     "t21_quality_classifier" -> t21Oracle,
+
+    "t22_gopher_repetition" -> t22Oracle,
 
     "d19_bloom_decontaminate" -> d19Oracle,
 

@@ -250,6 +250,86 @@ object TextStats {
       gopherSignals(col(textCol)).map { case (n, c) => c.as(n) } :+
       TextStats.gopherPass(col(textCol)).as("pass"): _*)
 
+  /** Gopher repetition rules (Rae et al. 2021 Table A1, the A2
+    * half — [[gopherRules]] is the A1 quality half): per document,
+    *
+    *  - `dup_line_frac`: line occurrences beyond a line's first
+    *    appearance / total lines; `dup_line_char_frac`: the same in
+    *    line characters (both <= their thresholds for repetitive
+    *    boilerplate docs)
+    *  - `top_{2,3,4}gram_char_frac`: characters claimed by the most
+    *    frequent word n-gram (count x gram length, ties to the
+    *    lexicographically first gram) / document characters
+    *  - `dup_{5..10}gram_char_frac`: characters claimed by ALL
+    *    duplicated n-grams (sum of count x length over grams with
+    *    count >= 2) / document characters — the occurrence-sum
+    *    convention (overlaps counted, so > 1 is possible on
+    *    degenerate docs), deterministic and engine-portable
+    *  - `pass`: the paper's thresholds over the ROUNDED fractions
+    *    (0.30/0.20 lines, 0.20/0.18/0.16 top, 0.15..0.10 dup)
+    *
+    * Shape at scale: line signals are a row-local projection; the
+    * nine gram streams explode in ONE pass over the token array
+    * (posexplode of the 9 gram arrays), feed one (id, n, gram)
+    * count, one (id, n) reduction — top gram via min(struct(-count,
+    * gram)), never a per-(id,n) window — and one per-id pivot. The
+    * per-doc scalars ride the gram rows as min() passengers, so the
+    * corpus shuffles ONCE — no doc-table self-join at the end.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val dLines = size(array_distinct(lines)).cast("double")
+    val lineChars = aggregate(transform(lines, l => length(l).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val dLineChars = aggregate(transform(array_distinct(lines), l => length(l).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val toksArr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val base = df.select(col(idCol).as("id"),
+      round((nLines - dLines) / greatest(nLines, lit(1.0)), 6).as("_dlf"),
+      round((lineChars - dLineChars) / greatest(lineChars, lit(1.0)), 6).as("_dlcf"),
+      greatest(length(text), lit(1)).cast("double").as("_tc"),
+      toksArr.as("_t"))
+    val grams = base
+      .select(col("id"), col("_dlf"), col("_dlcf"), col("_tc"),
+        posexplode(array((2 to 10).map(n =>
+          when(size(col("_t")) >= n,
+            graft.functions.ShingleStrings.of(col("_t"), n))): _*)))
+      .select(col("id"), col("_dlf"), col("_dlcf"), col("_tc"),
+        (col("pos") + 2).as("_n"), explode(col("col")).as("_g"))
+    val counted = grams.groupBy(col("id"), col("_n"), col("_g"))
+      .agg(count(lit(1)).as("_c"), min(col("_dlf")).as("_dlf"),
+        min(col("_dlcf")).as("_dlcf"), min(col("_tc")).as("_tc"))
+    val perN = counted.groupBy(col("id"), col("_n"))
+      .agg(
+        min(struct((-col("_c")).as("_nc"), col("_g"))).as("_top"),
+        sum(when(col("_c") >= 2L, col("_c") * length(col("_g")).cast("long")))
+          .as("_dupc"),
+        min(col("_dlf")).as("_dlf"), min(col("_dlcf")).as("_dlcf"),
+        min(col("_tc")).as("_tc"))
+      .withColumn("_topc",
+        (-col("_top").getField("_nc")) * length(col("_top").getField("_g")).cast("long"))
+    def nVal(n: Int, c: Column) = max(when(col("_n") === n, c))
+    val outCols =
+      Seq(min(col("_dlf")).as("dup_line_frac"),
+        min(col("_dlcf")).as("dup_line_char_frac")) ++
+      Seq(2, 3, 4).map(n =>
+        round(coalesce(nVal(n, col("_topc")), lit(0L)).cast("double") / min(col("_tc")), 6)
+          .as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n =>
+        round(coalesce(nVal(n, col("_dupc")), lit(0L)).cast("double") / min(col("_tc")), 6)
+          .as(s"dup_${n}gram_char_frac"))
+    val pivoted = perN.groupBy(col("id"))
+      .agg(outCols.head, outCols.tail: _*)
+    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    pivoted.withColumn("pass",
+      col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top_2gram_char_frac") <= 0.20 && col("top_3gram_char_frac") <= 0.18 &&
+        col("top_4gram_char_frac") <= 0.16 &&
+        (5 to 10).map(n => col(s"dup_${n}gram_char_frac") <= dupThr(n)).reduce(_ && _))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     * every document with the unigram-LM quality score
     * ([[unigramLogProb]] — the KenLM stand-in), then cut each

@@ -260,6 +260,50 @@ class CountMinSpec extends SparkSpec {
   }
 }
 
+class GopherRepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("line and n-gram repetition fractions match hand computation") {
+    val docs = Seq(
+      (1L, "x y\nx y\nz w v"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, (0 until 60).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val a = out(1L)
+    // lines [x y, x y, z w v]: 1 of 3 occurrences duplicated; 3 of 11
+    // line chars; top 2-gram "x y" covers 2x3 of the 13 text chars
+    assert(a.getDouble(1) == 0.333333, "dup_line_frac " + a)
+    assert(a.getDouble(2) == 0.272727, "dup_line_char_frac " + a)
+    assert(a.getDouble(3) == 0.461538, "top_2gram_char_frac " + a)
+    // 3-grams all unique: tie broken to "x y x" (5 chars / 13)
+    assert(a.getDouble(4) == 0.384615, "top_3gram_char_frac " + a)
+    assert(a.getDouble(6) == 0.0, "dup_5gram_char_frac " + a)
+    assert(!a.getBoolean(12), "doc 1 must fail dup_line_frac")
+
+    val b = out(2L)
+    assert(b.getDouble(1) == 0.0 && b.getDouble(2) == 0.0, b.toString)
+    // unique 3-gram "a b c": 5 of 23 chars = 0.217391 > 0.18 -> fail
+    assert(b.getDouble(4) == 0.217391, b.toString)
+    assert(!b.getBoolean(12), b.toString)
+
+    // a long non-repetitive doc passes every rule
+    assert(out(3L).getBoolean(12), out(3L).toString)
+  }
+
+  test("fractions are partition-invariant") {
+    val docs = (1 to 40)
+      .map(i => (i.toLong, (0 to 30).map(j => s"t${(i * j) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(parts: Int) =
+      TextStats.gopherRepetition(docs.repartition(parts), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(rows(1) == rows(9))
+  }
+}
+
 class QualityClassifierSpec extends SparkSpec {
   import spark.implicits._
 
