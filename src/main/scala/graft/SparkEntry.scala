@@ -1281,11 +1281,16 @@ object SparkEntry {
       // a shared slogan line plus an every-7th-doc full self-repeat
       // as a second line — those docs must fail the line AND
       // dup-n-gram rules, the rest only their natural repetition
-      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
-        lit("subscribe to our newsletter today for free updates"), lit("\n"),
-        col("text"),
-        when(col("doc_id") % 7 === 0, concat(lit("\n"), col("text")))
-          .otherwise(lit(""))).as("text"))
+      // the testdata file is ONE parquet row group = one input split,
+      // which would serialize the gram-counting projection onto a
+      // single core; a real corpus arrives in thousands of splits, so
+      // spread the tiny frame first (0.6 MB shuffle, then 32-way CPU)
+      val framed = T(s, dir, "documents").repartition(32, col("doc_id"))
+        .select(col("doc_id"), concat(
+          lit("subscribe to our newsletter today for free updates"), lit("\n"),
+          col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit("\n"), col("text")))
+            .otherwise(lit(""))).as("text"))
       TextStats.gopherRepetition(framed, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")

@@ -268,13 +268,14 @@ object TextStats {
     *  - `pass`: the paper's thresholds over the ROUNDED fractions
     *    (0.30/0.20 lines, 0.20/0.18/0.16 top, 0.15..0.10 dup)
     *
-    * Shape at scale: line signals are a row-local projection; the
-    * nine gram streams explode in ONE pass over the token array
-    * (posexplode of the 9 gram arrays), feed one (id, n, gram)
-    * count, one (id, n) reduction — top gram via min(struct(-count,
-    * gram)), never a per-(id,n) window — and one per-id pivot. The
-    * per-doc scalars ride the gram rows as min() passengers, so the
-    * corpus shuffles ONCE — no doc-table self-join at the end.
+    * Shape at scale: ONE narrow row-local projection, zero shuffles —
+    * every A2 signal is a within-document aggregate, so the gram
+    * counting runs inside [[graft.functions.RepetitionStats]] (a
+    * compiled expression: one count-map pass per n over the doc's own
+    * token array) instead of exploding nine corpus-wide gram streams
+    * into an (id, n, gram) shuffle that carries no cross-row
+    * information. Docs with fewer than 2 tokens have no gram
+    * evidence and drop out (matching the t-family convention).
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = col(textCol)
@@ -291,37 +292,19 @@ object TextStats {
       round((lineChars - dLineChars) / greatest(lineChars, lit(1.0)), 6).as("_dlcf"),
       greatest(length(text), lit(1)).cast("double").as("_tc"),
       toksArr.as("_t"))
-    val grams = base
-      .select(col("id"), col("_dlf"), col("_dlcf"), col("_tc"),
-        posexplode(array((2 to 10).map(n =>
-          when(size(col("_t")) >= n,
-            graft.functions.ShingleStrings.of(col("_t"), n))): _*)))
-      .select(col("id"), col("_dlf"), col("_dlcf"), col("_tc"),
-        (col("pos") + 2).as("_n"), explode(col("col")).as("_g"))
-    val counted = grams.groupBy(col("id"), col("_n"), col("_g"))
-      .agg(count(lit(1)).as("_c"), min(col("_dlf")).as("_dlf"),
-        min(col("_dlcf")).as("_dlcf"), min(col("_tc")).as("_tc"))
-    val perN = counted.groupBy(col("id"), col("_n"))
-      .agg(
-        min(struct((-col("_c")).as("_nc"), col("_g"))).as("_top"),
-        sum(when(col("_c") >= 2L, col("_c") * length(col("_g")).cast("long")))
-          .as("_dupc"),
-        min(col("_dlf")).as("_dlf"), min(col("_dlcf")).as("_dlcf"),
-        min(col("_tc")).as("_tc"))
-      .withColumn("_topc",
-        (-col("_top").getField("_nc")) * length(col("_top").getField("_g")).cast("long"))
-    def nVal(n: Int, c: Column) = max(when(col("_n") === n, c))
+      .filter(size(col("_t")) >= 2)
+      .select((col("id") +: col("_dlf") +: col("_dlcf") +: col("_tc") +:
+        (2 to 10).map(n =>
+          graft.functions.RepetitionStats.of(col("_t"), n).as(s"_s$n"))): _*)
     val outCols =
-      Seq(min(col("_dlf")).as("dup_line_frac"),
-        min(col("_dlcf")).as("dup_line_char_frac")) ++
+      Seq(col("_dlf").as("dup_line_frac"), col("_dlcf").as("dup_line_char_frac")) ++
       Seq(2, 3, 4).map(n =>
-        round(coalesce(nVal(n, col("_topc")), lit(0L)).cast("double") / min(col("_tc")), 6)
+        round(col(s"_s$n").getField("topc").cast("double") / col("_tc"), 6)
           .as(s"top_${n}gram_char_frac")) ++
       (5 to 10).map(n =>
-        round(coalesce(nVal(n, col("_dupc")), lit(0L)).cast("double") / min(col("_tc")), 6)
+        round(col(s"_s$n").getField("dupc").cast("double") / col("_tc"), 6)
           .as(s"dup_${n}gram_char_frac"))
-    val pivoted = perN.groupBy(col("id"))
-      .agg(outCols.head, outCols.tail: _*)
+    val pivoted = base.select(col("id") +: outCols: _*)
     val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
     pivoted.withColumn("pass",
       col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&

@@ -95,6 +95,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(shingle"), p)
   }
 
+  test("t22: repetition signals are one compiled narrow pass — no join, no aggregate") {
+    val p = SparkEntry.queries("t22_gopher_repetition")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // all A2 signals are within-document: an (id, n, gram) shuffle or
+    // a per-doc aggregate here means the op regressed to the exploded
+    // formulation (measured 6.2s vs 0.9s at sf0.1, shuffle poison at
+    // scale); the only exchanges are the explicit input spread and the
+    // final orderBy
+    assert(p.contains("repetition_stats"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("q29: funnel joins broadcast the shrinking survivor sets") {
     val p = SparkEntry.queries("q29_funnel")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
