@@ -277,8 +277,15 @@ object TextStats {
     * information. Docs with fewer than 2 tokens have no gram
     * evidence and drop out (matching the t-family convention).
     */
-  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+  private val dupGramThresholds =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The eleven A2 fractions as named expression columns over one
+    * text column — the shared tree of the batch report
+    * ([[gopherRepetition]]) and the streaming gate
+    * (`CurateStream.repetitionGate` filters on [[repetitionPass]]).
+    */
+  private def repetitionFracs(text: Column): Seq[(String, Column)] = {
     val lines = split(text, "\n")
     val nLines = size(lines).cast("double")
     val dLines = size(array_distinct(lines)).cast("double")
@@ -287,30 +294,43 @@ object TextStats {
     val dLineChars = aggregate(transform(array_distinct(lines), l => length(l).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double")
     val toksArr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    val base = df.select(col(idCol).as("id"),
-      round((nLines - dLines) / greatest(nLines, lit(1.0)), 6).as("_dlf"),
-      round((lineChars - dLineChars) / greatest(lineChars, lit(1.0)), 6).as("_dlcf"),
-      greatest(length(text), lit(1)).cast("double").as("_tc"),
-      toksArr.as("_t"))
-      .filter(size(col("_t")) >= 2)
-      .select((col("id") +: col("_dlf") +: col("_dlcf") +: col("_tc") +:
-        (2 to 10).map(n =>
-          graft.functions.RepetitionStats.of(col("_t"), n).as(s"_s$n"))): _*)
-    val outCols =
-      Seq(col("_dlf").as("dup_line_frac"), col("_dlcf").as("dup_line_char_frac")) ++
-      Seq(2, 3, 4).map(n =>
-        round(col(s"_s$n").getField("topc").cast("double") / col("_tc"), 6)
-          .as(s"top_${n}gram_char_frac")) ++
-      (5 to 10).map(n =>
-        round(col(s"_s$n").getField("dupc").cast("double") / col("_tc"), 6)
-          .as(s"dup_${n}gram_char_frac"))
-    val pivoted = base.select(col("id") +: outCols: _*)
-    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
-    pivoted.withColumn("pass",
-      col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
-        col("top_2gram_char_frac") <= 0.20 && col("top_3gram_char_frac") <= 0.18 &&
-        col("top_4gram_char_frac") <= 0.16 &&
-        (5 to 10).map(n => col(s"dup_${n}gram_char_frac") <= dupThr(n)).reduce(_ && _))
+    val tc = greatest(length(text), lit(1)).cast("double")
+    Seq(
+      "dup_line_frac" -> round((nLines - dLines) / greatest(nLines, lit(1.0)), 6),
+      "dup_line_char_frac" ->
+        round((lineChars - dLineChars) / greatest(lineChars, lit(1.0)), 6)) ++
+    Seq(2, 3, 4).map(n => s"top_${n}gram_char_frac" ->
+      round(graft.functions.RepetitionStats.of(toksArr, n).getField("topc")
+        .cast("double") / tc, 6)) ++
+    (5 to 10).map(n => s"dup_${n}gram_char_frac" ->
+      round(graft.functions.RepetitionStats.of(toksArr, n).getField("dupc")
+        .cast("double") / tc, 6))
+  }
+
+  /** The composite A2 verdict as ONE boolean expression over the
+    * ROUNDED fractions — stateless and shuffle-free, so it gates a
+    * stream identically to the batch report's `pass` column. Docs
+    * with no n-grams score 0 on every gram fraction and pass those
+    * rules vacuously (no repetition evidence keeps the doc, the
+    * dirty-input rule — where the batch REPORT simply omits docs
+    * with < 2 tokens).
+    */
+  def repetitionPass(text: Column): Column = {
+    val f = repetitionFracs(text).toMap
+    f("dup_line_frac") <= 0.30 && f("dup_line_char_frac") <= 0.20 &&
+      f("top_2gram_char_frac") <= 0.20 && f("top_3gram_char_frac") <= 0.18 &&
+      f("top_4gram_char_frac") <= 0.16 &&
+      (5 to 10).map(n => f(s"dup_${n}gram_char_frac") <= dupGramThresholds(n))
+        .reduce(_ && _)
+  }
+
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toksArr = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    df.filter(size(toksArr) >= 2)
+      .select(col(idCol).as("id") +:
+        repetitionFracs(text).map { case (n, c) => c.as(n) } :+
+        repetitionPass(text).as("pass"): _*)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score

@@ -82,6 +82,16 @@ object CurateStream {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(graft.operators.TextStats.gopherPass(col(textCol)))
 
+  /** Streaming Gopher A2 gate: drop repetitive documents live, with
+    * the SAME rounded fractions and thresholds as the batch
+    * [[graft.operators.TextStats.gopherRepetition]] report
+    * ([[graft.operators.TextStats.repetitionPass]] is one shared
+    * boolean expression tree — row-local gram counting via the
+    * compiled repetition_stats pass, no state, no shuffle).
+    */
+  def repetitionGate(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(graft.operators.TextStats.repetitionPass(col(textCol)))
+
   /** Live token-frequency sketch: the batch t20 Count-Min aggregate
     * ([[graft.functions.CountMinAgg]]) run AS STREAMING STATE — the
     * d×w counter grid is the aggregation buffer, so the state store

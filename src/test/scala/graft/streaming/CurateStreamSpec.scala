@@ -125,6 +125,33 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repetitionGate drops repetitive docs with the batch op's exact verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clean = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val rows = Seq(
+      (1L, clean),
+      (2L, clean + "\n" + clean),             // dup line: dropped
+      (3L, ("spam ham " * 40).trim))          // top-2-gram: dropped
+    val input = MemoryStream[(Long, String)]
+    val gated = CurateStream.repetitionGate(
+      input.toDF().toDF("id", "text"), "text")
+    val q = gated.select("id").writeStream.format("memory")
+      .queryName("rep_gate").outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val kept = spark.table("rep_gate").collect().map(_.getLong(0)).toSet
+      val expected = graft.operators.TextStats
+        .gopherRepetition(rows.toDF("id", "text"), "id", "text")
+        .filter(col("pass")).collect().map(_.getLong(0)).toSet
+      assert(kept == expected && kept == Set(1L), s"kept=$kept expected=$expected")
+    } finally q.stop()
+  }
+
   test("tokenSketch state merges across micro-batches into the exact batch grid") {
     val s = spark
     import s.implicits._
