@@ -613,6 +613,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "p08_temperature" -> ((s, dir) =>
+      // Pile/mT5-style temperature mixture: halve the corpus with
+      // per-source shares ∝ sqrt(n_s); exact integer quota math,
+      // salted two-phase md5-order selection
+      Training.temperatureSample(T(s, dir, "documents"), "source",
+          "doc_id", targetNum = 1L, targetDen = 2L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
       // the IVF-PQ storage layout; codebook = the 16 lowest-id
@@ -2356,6 +2365,24 @@ object SparkEntry {
          SELECT doc_id, n_toks FROM c WHERE cum <= 20000 ORDER BY doc_id""",
 
     "p07_dsir" -> p07Oracle,
+
+    "p08_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+              r AS (SELECT source, n,
+                      CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS rs
+                    FROM c),
+              tot AS (SELECT CAST(sum(n) AS HUGEINT) AS total, sum(rs) AS s FROM r),
+              k AS (SELECT source,
+                      least(CAST(n AS HUGEINT),
+                            ((SELECT total FROM tot) * 1 // 2) * rs // (SELECT s FROM tot))
+                        AS cap
+                    FROM r),
+              ranked AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                         FROM documents)
+         SELECT doc_id, source FROM ranked JOIN k USING (source)
+         WHERE rn <= cap ORDER BY doc_id""",
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

@@ -176,6 +176,75 @@ object Training {
       .drop("_qr1", "_qr")
   }
 
+  /** Temperature-weighted mixture sampling (the multinomial
+    * source-reweighting of GPT-3 / The Pile / mT5 §3.1): sample the
+    * corpus down to `total * targetNum / targetDen` documents, with
+    * each source's share proportional to n_s^alpha — alpha < 1
+    * flattens the source distribution, boosting small sources
+    * relative to giant crawls. Per-source targets are EXACT counts
+    * (not mixtureSample's binomial keep-rates): source s keeps its
+    * md5-first min(n_s, T * n_s^alpha / Σ n_t^alpha) documents.
+    *
+    * Determinism across engines: n^alpha is scaled to the integer
+    * R_s = floor(n^0.5 * 1e6) — sqrt is IEEE-correctly-rounded in
+    * both the JVM and DuckDB, so R_s is bit-identical — and every
+    * downstream step (Σ R_s, T = total*num/den, k_s = T*R_s/S) is
+    * arbitrary-precision integer floor arithmetic: BigInt here,
+    * HUGEINT in the oracle. No floating sum whose addition order
+    * could differ. alpha values other than 0.5 go through pow(),
+    * whose libm rounding is NOT pinned across engines — supported,
+    * but only alpha=0.5 carries the oracle-exact guarantee.
+    *
+    * Shape at scale: one count aggregate collapses the corpus to
+    * #sources rows — collected to the driver ONLY at that size (the
+    * trainCoarse/driver-quantizer rule) for the exact quota math —
+    * then the quota map broadcasts back and selection is
+    * [[sourceQuota]]'s two-phase salted top-K with a per-source cap:
+    * bounded survivors regardless of skew, exactly the single-window
+    * answer. Sampling-by-count is the paper formulation; weigh by
+    * tokens instead by pre-aggregating nTok into the count if needed.
+    */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+                        targetNum: Long, targetDen: Long,
+                        alpha: Double = 0.5, saltBuckets: Int = 64): DataFrame = {
+    require(targetDen > 0 && targetNum >= 0 && targetNum <= targetDen,
+      s"temperatureSample: target fraction $targetNum/$targetDen not in [0,1]")
+    require(alpha > 0 && alpha <= 1, s"temperatureSample: alpha $alpha not in (0,1]")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol).as("_src"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    def rs(n: Long): BigInt = {
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      BigInt(math.floor(w * 1e6).toLong)
+    }
+    val total = BigInt(counts.map(_._2).sum)
+    val s = counts.map { case (_, n) => rs(n) }.sum
+    val t = total * targetNum / targetDen
+    val quotas = counts.map { case (src, n) =>
+      val k = (t * rs(n) / s).min(BigInt(n))
+      org.apache.spark.sql.Row(src, k.toLong)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_src",
+        df.schema(sourceCol).dataType),
+      org.apache.spark.sql.types.StructField("_cap",
+        org.apache.spark.sql.types.LongType)))
+    val capDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(quotas.toSeq, 1), schema)
+    val h = md5(col(idCol).cast("string"))
+    val salt = pmod(xxhash64(col(idCol)), lit(saltBuckets))
+    df.join(broadcast(capDf), col(sourceCol) === col("_src"))
+      .withColumn("_qr1", row_number().over(
+        Window.partitionBy(col(sourceCol), salt).orderBy(h, col(idCol))))
+      .filter(col("_qr1") <= col("_cap"))
+      .withColumn("_qr", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))))
+      .filter(col("_qr") <= col("_cap"))
+      .drop("_qr1", "_qr", "_src", "_cap")
+  }
+
   /** Deterministic train/val/test split by md5 hash range: the first
     * 5 hex digits of md5(id) land in [0, val), [val, val+test), or
     * the rest — reproducible across runs and engines (no rand()),

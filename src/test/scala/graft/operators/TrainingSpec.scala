@@ -171,4 +171,51 @@ class TrainingSpec extends SparkSpec {
     val b = Training.shardAssign(docs, "doc_id").orderBy("doc_id").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("temperatureSample: exact integer quotas, md5-first selection, small-source cap") {
+    // heavy skew: alpha=0.5 flattens A's dominance; C is boosted past
+    // its size and must cap at n_C
+    val docs = ((1L to 10000L).map(i => (i, "A")) ++
+      (10001L to 10100L).map(i => (i, "B")) ++
+      (10101L to 10104L).map(i => (i, "C"))).toDF("doc_id", "source")
+    val out = Training.temperatureSample(docs, "source", "doc_id",
+      targetNum = 1L, targetDen = 2L)
+    val kept = out.select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // driver math: T=5052, R=(1e8, 1e7, 2e6), S=1.12e8
+    // k_A = 5052*100/112 = 4510; B and C are boosted past their size
+    // (451 and 90) and cap at n_s — kept whole
+    assert(bySrc("A").size == 4510, bySrc("A").size.toString)
+    assert(bySrc("B").size == 100)
+    assert(bySrc("C").size == 4)
+    // selection is the md5-first prefix of each source, not arbitrary
+    def md5First(ids: Seq[Long], k: Int): Set[Long] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      ids.sortBy { i =>
+        d.reset()
+        d.digest(i.toString.getBytes).map("%02x".format(_)).mkString
+      }.take(k).toSet
+    }
+    assert(bySrc("A") == md5First(1L to 10000L, 4510))
+    // partition layout must not change the answer
+    val repart = Training.temperatureSample(docs.repartition(13), "source",
+      "doc_id", 1L, 2L).select("doc_id").as[Long].collect().toSet
+    assert(repart == kept.map(_._1).toSet)
+  }
+
+  test("temperatureSample: alpha=1 recovers proportional sampling; bad params rejected") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    // alpha=1: shares stay proportional — each source halves
+    val out = Training.temperatureSample(docs, "source", "doc_id",
+        1L, 2L, alpha = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("big") == 450 && out("small") == 50, out.toString)
+    intercept[IllegalArgumentException] {
+      Training.temperatureSample(docs, "source", "doc_id", 3L, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Training.temperatureSample(docs, "source", "doc_id", 1L, 2L, alpha = 0.0)
+    }
+  }
 }
