@@ -1305,6 +1305,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t23_divergence" -> ((s, dir) =>
+      // per-source KL / cross-entropy vs the corpus unigram blend:
+      // which slice drifts, in nats; absent-token mass folded in
+      // exactly via the factored add-1 correction (O(nnz), no V×G)
+      TextStats.corpusDivergence(T(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
@@ -2854,6 +2861,46 @@ object SparkEntry {
     "t21_quality_classifier" -> t21Oracle,
 
     "t22_gopher_repetition" -> t22Oracle,
+
+    "t23_divergence" ->
+      """WITH tk AS (SELECT source, tok FROM (
+                SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+            vocab AS (SELECT tok, sum(c) AS ct FROM c GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                           CAST(sum(ct) AS BIGINT) AS n FROM vocab),
+            lnq AS (SELECT tok, CAST(round(ln(
+                      CAST(ct + 1 AS DOUBLE) /
+                      CAST((SELECT n FROM tot) + (SELECT v FROM tot) AS DOUBLE)), 6)
+                    AS DECIMAL(24,8)) AS lnq FROM vocab),
+            lnqall AS (SELECT sum(lnq) AS lnq_all FROM lnq),
+            g AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng,
+                         CAST(count(*) AS BIGINT) AS vg FROM c GROUP BY 1),
+            terms AS (SELECT c.source,
+                CAST(round((CAST(c.c + 1 AS DOUBLE) /
+                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
+                    (ln(CAST(c.c + 1 AS DOUBLE) /
+                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE))
+                     - CAST(l.lnq AS DOUBLE)), 6) AS DECIMAL(24,8)) AS kl_t,
+                CAST(round(-(CAST(c.c + 1 AS DOUBLE) /
+                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
+                    CAST(l.lnq AS DOUBLE), 6) AS DECIMAL(24,8)) AS ce_t,
+                l.lnq AS lnq
+              FROM c JOIN lnq l USING (tok) JOIN g USING (source)),
+            s AS (SELECT source, sum(kl_t) AS s_kl, sum(ce_t) AS s_ce,
+                         sum(lnq) AS lnq_g FROM terms GROUP BY 1)
+         SELECT s.source, g.ng AS n_toks, g.vg AS n_types,
+                round(CAST(s_kl AS DOUBLE) +
+                  (CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
+                  (CAST((SELECT v FROM tot) - g.vg AS DOUBLE) *
+                     ln(CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE))
+                   - CAST(lnq_all - lnq_g AS DOUBLE)), 6) AS kl,
+                round(CAST(s_ce AS DOUBLE) -
+                  (CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
+                  CAST(lnq_all - lnq_g AS DOUBLE), 6) AS ce
+         FROM s JOIN g USING (source) CROSS JOIN lnqall
+         ORDER BY source""",
 
     "d19_bloom_decontaminate" -> d19Oracle,
 

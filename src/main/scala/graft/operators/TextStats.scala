@@ -457,4 +457,78 @@ object TextStats {
           round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob")),
       pairs)
   }
+
+  /** Corpus divergence report: for each group (source/domain/shard),
+    * KL(P_g || Q) and cross-entropy H(P_g, Q) of the group's add-1
+    * smoothed unigram distribution against the whole corpus's — the
+    * data-mixture diagnostic that says WHICH slice drifts from the
+    * blend and by how many nats (DSIR's target/raw contrast, scored
+    * per source instead of per document).
+    *
+    * Both sums nominally run over the FULL joint vocabulary — every
+    * group × every token, including tokens the group never uses. The
+    * absent terms would be |V| × groups blowup at corpus scale, but
+    * under add-1 smoothing an absent token's p is the constant
+    * p0_g = 1/(N_g+|V|), so their contribution factors exactly:
+    *   Σ_{t∉g} p0 ln(p0/q_t) = p0·(|V|−V_g)·ln p0 − p0·(lnQ − lnQ_g)
+    * with lnQ = Σ_V ln q_t and lnQ_g its present-token slice. The op
+    * therefore touches only nnz = Σ_g V_g (group, token) pairs plus
+    * one |V|-sized aggregate — no cross join anywhere.
+    *
+    * Determinism: per-term doubles are identical in both engines
+    * (ratios of exact integers, one ln), rounded to 6 and
+    * DECIMAL-summed; the factored correction combines those exact
+    * decimals and exact BIGINT counts in a fixed expression shape —
+    * oracle-exact. The (group, token) join key carries no Zipf skew:
+    * the nnz frame holds DISTINCT pairs, so a token appears at most
+    * #groups times. Output: (group, n_toks, n_types, kl, ce).
+    */
+  def corpusDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val vocab = counts.groupBy(col("tok")).agg(sum(col("_c")).as("_ct"))
+    val tot = vocab.agg(count(lit(1)).as("_v"), sum(col("_ct")).as("_n"))
+    // ln q_t rounded once, reused by every consumer — the decimal is
+    // the cross-engine contract
+    val lnq = vocab.crossJoin(broadcast(tot))
+      .withColumn("_lnq", round(log((col("_ct") + 1L).cast("double") /
+        (col("_n") + col("_v")).cast("double")), 6).cast("decimal(24,8)"))
+      .select(col("tok"), col("_lnq"))
+    val lnQAll = lnq.agg(sum(col("_lnq")).as("_lnq_all"))
+    val grpTot = counts.groupBy(col("grp"))
+      .agg(sum(col("_c")).as("_ng"), count(lit(1)).as("_vg"))
+    // present-token terms: p and q from exact integers via the
+    // broadcast totals; the join key (tok) is skew-free on this
+    // distinct-pair frame
+    val joined = counts.join(lnq, Seq("tok"))
+      .join(broadcast(grpTot), Seq("grp"))
+      .crossJoin(broadcast(tot))
+    val p = (col("_c") + 1L).cast("double") /
+      (col("_ng") + col("_v")).cast("double")
+    val perGrp = joined
+      .withColumn("_kl_t",
+        round(p * (log(p) - col("_lnq").cast("double")), 6).cast("decimal(24,8)"))
+      .withColumn("_ce_t", round(-p * col("_lnq").cast("double"), 6)
+        .cast("decimal(24,8)"))
+      .groupBy(col("grp"))
+      .agg(sum(col("_kl_t")).as("_s_kl"), sum(col("_ce_t")).as("_s_ce"),
+        sum(col("_lnq")).as("_lnq_g"))
+    val res = perGrp.join(broadcast(grpTot), Seq("grp"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(lnQAll))
+    // absent-token correction, identical expression shape both engines
+    val p0 = lit(1.0) / (col("_ng") + col("_v")).cast("double")
+    val absent = (col("_v") - col("_vg")).cast("double")
+    val lnqGap = (col("_lnq_all") - col("_lnq_g")).cast("double")
+    Caching.sealOver(
+      res.select(col("grp").as(groupCol),
+        col("_ng").cast("long").as("n_toks"),
+        col("_vg").cast("long").as("n_types"),
+        round(col("_s_kl").cast("double") +
+          p0 * (absent * log(p0) - lnqGap), 6).as("kl"),
+        round(col("_s_ce").cast("double") - p0 * lnqGap, 6).as("ce")),
+      counts)
+  }
 }

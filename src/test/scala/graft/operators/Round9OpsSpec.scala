@@ -554,3 +554,68 @@ class RateAnomalySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 }
+
+class CorpusDivergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference over the FULL joint vocabulary — the
+    * definition the factored absent-token correction must equal. */
+  private def brute(docs: Seq[(String, String)]): Map[String, (Double, Double)] = {
+    val toks = docs.map { case (g, t) =>
+      g -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val vocab = toks.flatMap(_._2).distinct
+    val v = vocab.size
+    val n = toks.map(_._2.size).sum
+    val corpus = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    toks.groupBy(_._1).map { case (g, rows) =>
+      val mine = rows.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val ng = rows.map(_._2.size).sum
+      val (kl, ce) = vocab.foldLeft((0.0, 0.0)) { case ((k, c), t) =>
+        val p = (mine.getOrElse(t, 0) + 1.0) / (ng + v)
+        val q = (corpus(t) + 1.0) / (n + v)
+        (k + p * math.log(p / q), c - p * math.log(q))
+      }
+      g -> (kl, ce)
+    }
+  }
+
+  test("a single group IS the corpus: kl = 0, ce = corpus entropy") {
+    val docs = Seq(("web", "the cat sat"), ("web", "the dog ran the race"))
+    val out = TextStats.corpusDivergence(docs.toDF("source", "text"),
+      "source", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(3) == 0.0)
+    assert(math.abs(out.head.getDouble(4) - brute(docs)("web")._2) < 1e-4)
+  }
+
+  test("factored absent-token correction equals the full-vocabulary brute force") {
+    // three groups with overlapping and disjoint vocab slices
+    val docs = Seq(
+      ("web", "the cat sat on the mat"), ("web", "the dog sat"),
+      ("code", "def foo return foo bar"), ("code", "class bar extends foo"),
+      ("wiki", "the history of the cat species"), ("wiki", "cat and dog species"))
+    val ref = brute(docs)
+    val out = TextStats.corpusDivergence(docs.toDF("source", "text"),
+        "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (g, (kl, ce)) =>
+      assert(math.abs(out(g)._1 - kl) < 1e-4, s"$g kl ${out(g)._1} vs $kl")
+      assert(math.abs(out(g)._2 - ce) < 1e-4, s"$g ce ${out(g)._2} vs $ce")
+      assert(out(g)._1 >= 0.0)
+    }
+    // the drifted slice (disjoint vocab) diverges most
+    assert(out("code")._1 > out("web")._1)
+  }
+
+  test("counts surface correctly and no single-partition window appears") {
+    val docs = Seq(("a", "x y x"), ("b", "y z")).toDF("source", "text")
+    val res = TextStats.corpusDivergence(docs, "source", "text")
+    val rows = res.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("a") == ((3L, 2L)) && rows("b") == ((2L, 2L)))
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("SinglePartition") || !p.contains("Window"), p)
+  }
+}
