@@ -939,6 +939,16 @@ object SparkEntry {
         .orderBy("hr_start")
     }),
 
+    "r18_log_templates" -> ((s, dir) =>
+      // Drain-style template mining over a two-pattern line corpus:
+      // variable fields (numbers incl. engine-specific float digits)
+      // mask to placeholders, constants survive — the population of
+      // distinct things the stream says, with frequencies
+      operators.LogMining.templates(
+          eventLines(s, dir).unionByName(customerLines(s, dir)), "value")
+        .select(col("template"), col("n"))
+        .orderBy("template")),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -1847,6 +1857,25 @@ object SparkEntry {
                 CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) AS parse_rate,
                 (CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.95) AS alert
          FROM h ORDER BY hr_start""",
+
+    "r18_log_templates" ->
+      """WITH lines AS (
+           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events
+           UNION ALL
+           SELECT 'user=' || c_custkey || ' name=' || c_name
+               || ' segment=' || c_mktsegment FROM customer),
+           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+              FROM lines)
+         SELECT template, CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1 ORDER BY template""",
 
     "q29_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t FROM events

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Log-template mining: collapse raw log lines into their constant
+  * skeletons by masking the variable fields (the heuristic front of
+  * Drain, He et al. 2017 — reference: tailsql's users grep these
+  * streams by hand; the reference parser at lparser.go extracts typed
+  * fields from ONE known pattern, this op discovers the pattern
+  * population). "Error fetching user 4711 from 10.0.3.7" and
+  * "Error fetching user 93 from 10.2.0.4" are the same event type;
+  * template mining is what turns a 100 TB log corpus into the few
+  * hundred distinct things it actually says.
+  */
+object LogMining {
+
+  /** Masking regexes are intentionally in the RE2-compatible subset
+    * shared by Java regex and DuckDB, so the op is oracle-checkable
+    * verbatim. Order matters: UUID before HEX before IP before NUM —
+    * each later class would otherwise eat pieces of the earlier ones
+    * (a UUID is four hex runs; an IP is four digit runs).
+    */
+  private val Uuid =
+    "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+  private val Hex = "0x[0-9a-fA-F]+"
+  private val Ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val Num = "-?[0-9]+(\\.[0-9]+)?([Ee][+-]?[0-9]+)?"
+
+  /** The template of one line: variable fields masked to typed
+    * placeholders. Numbers cover ints, floats, and exponent forms in
+    * ONE token, so the same double prints to the same placeholder
+    * regardless of the engine's float-to-string digits.
+    */
+  def template(line: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+      Uuid, "<UUID>"), Hex, "<HEX>"), Ip, "<IP>"), Num, "<N>")
+
+  /** Mine the template population: one row per distinct skeleton with
+    * its frequency and a deterministic example line. Shape at scale:
+    * a narrow codegen'd projection into one count aggregate —
+    * map-side partials collapse each task's lines to its distinct
+    * templates, so a template dominating the corpus (the health-check
+    * ping) never concentrates rows on one task.
+    *
+    * The example is anchored by min(xxhash64(line)), NOT min(line):
+    * a raw-string MIN buffer is not hash-aggregable and demotes the
+    * whole corpus pass to sort-based aggregation (Spark's
+    * HashAggregate needs fixed-size mutable buffers), while the long
+    * hash keeps it a HashAggregate. The anchor line is then fetched
+    * by a second narrow scan broadcast-joined against the (small —
+    * that's the premise of template mining) template frame; hash
+    * ties are identical lines, broken by a string min over the
+    * one-row-per-template remnant. Example semantics: the
+    * deterministic min-hash representative, not the lexicographic
+    * min.
+    */
+  def templates(df: DataFrame, lineCol: String): DataFrame = {
+    val counts = df
+      .select(template(col(lineCol)).as("template"),
+        xxhash64(col(lineCol)).as("_h"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"), min(col("_h")).as("_hmin"))
+    val ex = df.select(col(lineCol).as("_l"))
+      .withColumn("template", template(col("_l")))
+      .join(broadcast(counts.select(col("template"), col("_hmin"))),
+        Seq("template"))
+      .filter(xxhash64(col("_l")) === col("_hmin"))
+      .groupBy(col("template"))
+      .agg(min(col("_l")).as("example"))
+    counts.drop("_hmin").join(ex, Seq("template"))
+  }
+}

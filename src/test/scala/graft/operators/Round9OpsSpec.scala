@@ -555,6 +555,62 @@ class RateAnomalySpec extends SparkSpec {
   }
 }
 
+class LogMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("uuid, hex, ip, and number fields mask to typed placeholders") {
+    val lines = Seq(
+      "req 550e8400-e29b-41d4-a716-446655440000 from 10.0.3.7 took 35ms",
+      "req deadbeef-dead-beef-dead-beefdeadbeef from 192.168.0.1 took 7ms",
+      "cache at 0xDEADbeef evicted 1024 entries",
+      "cache at 0x1f evicted 3 entries",
+      "score -3.5e-2 for user 42",
+      "score 17.25 for user 9").toDF("line")
+    val out = LogMining.templates(lines, "line")
+      .orderBy("template").collect()
+    val t = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map(
+      "req <UUID> from <IP> took <N>ms" -> 2L,
+      "cache at <HEX> evicted <N> entries" -> 2L,
+      "score <N> for user <N>" -> 2L), t.toString)
+  }
+
+  test("the example is a deterministic member of its template, stable across layouts") {
+    val raw = Seq("user 9 ok", "user 12 ok", "user 3 ok")
+    val lines = raw.toDF("line")
+    val out = LogMining.templates(lines, "line").collect()
+    assert(out.length == 1)
+    val ex = out.head.getString(2)
+    assert(raw.contains(ex))
+    val again = LogMining.templates(lines.repartition(5), "line")
+      .collect().head.getString(2)
+    assert(again == ex)
+  }
+
+  test("the corpus pass is a HashAggregate, never a sort-based one") {
+    val lines = (1 to 5000).map(i => s"ping $i ok").toDF("line")
+      .repartition(8)
+    val res = LogMining.templates(lines, "line")
+    val row = res.collect().head
+    assert(row.getLong(1) == 5000L)
+    // the corpus-sized aggregate (string KEY, count + long-min
+    // BUFFERS) must stay hash-based; a raw-string min buffer would
+    // demote it to SortAggregate and sort every line. Assert on the
+    // counts pass in isolation — the full plan's example side also
+    // aggregates, but only over the ~one-anchor-row-per-template
+    // remnant of the broadcast join.
+    val counts = lines
+      .select(LogMining.template(col("line")).as("template"),
+        xxhash64(col("line")).as("_h"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n"), min(col("_h")).as("_hmin"))
+    val p = counts.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+}
+
 class CorpusDivergenceSpec extends SparkSpec {
   import spark.implicits._
 
