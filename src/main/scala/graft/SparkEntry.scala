@@ -1322,6 +1322,12 @@ object SparkEntry {
       TextStats.corpusDivergence(T(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    "t24_zipf" -> ((s, dir) =>
+      // power-law exponent of the top-500 vocabulary: one-number
+      // corpus health check; everything after the TakeOrdered runs
+      // on 500 rows
+      TextStats.zipfFit(T(s, dir, "documents"), "text", topR = 500)),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
@@ -2930,6 +2936,48 @@ object SparkEntry {
                   CAST(lnq_all - lnq_g AS DOUBLE), 6) AS ce
          FROM s JOIN g USING (source) CROSS JOIN lnqall
          ORDER BY source""",
+
+    "t24_zipf" ->
+      """WITH tk AS (SELECT tok FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            top AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1
+                    ORDER BY c DESC, tok LIMIT 500),
+            ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+                       FROM top),
+            t AS (SELECT
+                CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(24,8)) AS x,
+                CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(24,8)) AS y,
+                CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS xy,
+                CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS xx,
+                CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS yy
+              FROM ranked),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx,
+                         sum(yy) AS syy FROM t)
+         SELECT n AS n_ranks,
+                round(-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) AS alpha,
+                round((CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+                round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM s""",
 
     "d19_bloom_decontaminate" -> d19Oracle,
 

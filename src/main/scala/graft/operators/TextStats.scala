@@ -531,4 +531,48 @@ object TextStats {
         round(col("_s_ce").cast("double") - p0 * lnqGap, 6).as("ce")),
       counts)
   }
+
+  /** Zipf's-law fit: least-squares slope of ln(freq) on ln(rank) over
+    * the corpus's top-`topR` tokens — natural text sits near
+    * alpha ≈ 1; machine-generated or templated corpora drift, so the
+    * exponent (with its r² goodness) is a one-number corpus health
+    * check (Zipf 1949; the diagnostic CCNet §4 eyeballs as a
+    * frequency plot).
+    *
+    * Shape at scale: the vocabulary aggregate collapses the corpus to
+    * distinct tokens; top-R is a TakeOrdered (no global sort), and
+    * everything after runs on R ≤ a few thousand rows — the
+    * unpartitioned rank window scans R rows, never the corpus. The
+    * closed form needs only the five rounded-then-DECIMAL-summed
+    * moment sums (Σx, Σy, Σxy, Σx², Σy²), so the result is
+    * deterministic under any partitioning and oracle-exact.
+    * Output: one row (n_ranks, alpha, intercept, r2).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok")).limit(topR)
+    // R rows post-limit: the global window is O(topR) by construction
+    val ranked = top.withColumn("_r",
+      row_number().over(Window.orderBy(col("_c").desc, col("tok"))))
+    val x = log(col("_r").cast("double"))
+    val y = log(col("_c").cast("double"))
+    def dec(c: Column) = round(c, 6).cast("decimal(24,8)")
+    val sums = ranked.select(dec(x).as("_x"), dec(y).as("_y"),
+        dec(x * y).as("_xy"), dec(x * x).as("_xx"), dec(y * y).as("_yy"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_xy")).as("_sxy"),
+        sum(col("_xx")).as("_sxx"), sum(col("_yy")).as("_syy"))
+    val n = col("_n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val covN = n * d("_sxy") - d("_sx") * d("_sy")
+    val varN = n * d("_sxx") - d("_sx") * d("_sx")
+    val varYN = n * d("_syy") - d("_sy") * d("_sy")
+    sums.select(col("_n").cast("long").as("n_ranks"),
+      round(-(covN / varN), 6).as("alpha"),
+      round((d("_sy") - (covN / varN) * d("_sx")) / n, 6).as("intercept"),
+      round((covN * covN) / (varN * varYN), 6).as("r2"))
+  }
 }

@@ -555,6 +555,29 @@ class RateAnomalySpec extends SparkSpec {
   }
 }
 
+class ZipfFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a constructed rank^-1 corpus recovers alpha ~ 1 with r2 ~ 1") {
+    // token w_i appears floor(3000/i) times: an exact Zipf(1) profile
+    // up to flooring
+    val text = (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"w$i")).mkString(" ")
+    val out = TextStats.zipfFit(Seq(text).toDF("text"), "text", topR = 40)
+      .collect().head
+    assert(out.getLong(0) == 40L)
+    assert(math.abs(out.getDouble(1) - 1.0) < 0.02, out.getDouble(1).toString)
+    assert(out.getDouble(3) > 0.999, out.getDouble(3).toString)
+  }
+
+  test("a steeper rank^-2 profile fits alpha ~ 2; vocab smaller than topR caps n_ranks") {
+    val text = (1 to 15).flatMap(i => Seq.fill(20000 / (i * i))(s"w$i")).mkString(" ")
+    val out = TextStats.zipfFit(Seq(text).toDF("text"), "text", topR = 500)
+      .collect().head
+    assert(out.getLong(0) == 15L)
+    assert(math.abs(out.getDouble(1) - 2.0) < 0.03, out.getDouble(1).toString)
+  }
+}
+
 class LogMiningSpec extends SparkSpec {
   import spark.implicits._
 
