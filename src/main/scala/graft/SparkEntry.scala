@@ -463,6 +463,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d20_soft_dedup" -> ((s, dir) => {
+      // SoftDeDup: downweight near-dup clusters to unit total mass
+      // instead of dropping members — weight = 1/|component|
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      Dedup.softDedupWeights(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("doc_id"), col("component"), col("cluster_size"), col("weight"))
+        .orderBy("doc_id")
+    }),
+
     "d07_keep_best" -> ((s, dir) => {
       // near-dup resolution a curation pipeline wants: among near
       // duplicates keep the highest-QUALITY copy, not the smallest id
@@ -2224,6 +2235,26 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
+
+    "d20_soft_dedup" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                  LEFT JOIN comp c ON c.id = d.doc_id),
+         csz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                 FROM allc GROUP BY 1)
+         SELECT f.doc_id, f.component, s.cluster_size,
+                round(CAST(1 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE), 6) AS weight
+         FROM allc f JOIN csz s USING (component)
+         ORDER BY f.doc_id"""),
 
     "d10_containment" -> (ngramShingleCte +
       """

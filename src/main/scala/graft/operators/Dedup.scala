@@ -304,6 +304,29 @@ object Dedup {
       .drop("_rk")
   }
 
+  /** Soft dedup (the reweighting alternative to dropping — SoftDeDup,
+    * He et al. 2024): every member of a near-dup component keeps its
+    * row but trains with weight 1/|component|, so the cluster
+    * contributes one document's worth of mass in total while
+    * coverage (the copies' small diffs) survives. Rows in no pair are
+    * singletons at weight 1.
+    *
+    * Shape at scale: [[components]] plus one component-keyed size
+    * aggregate joined back. Both the aggregate and the join key on
+    * component ids — near-dup clusters, orders of magnitude smaller
+    * and flatter than the corpus — and the weight is a round-6 of an
+    * exact small-integer ratio, so the op stays oracle-exact.
+    * Output: input id + (component, cluster_size, weight).
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val c = components(df, idCol, pairs)
+    val sizes = c.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    c.join(sizes, Seq("component"))
+      .withColumn("weight",
+        round(lit(1.0) / col("cluster_size").cast("double"), 6))
+  }
+
   /** Word n-gram shingles as a distinct exploded (id, shingle) table.
     * lower+split is the normalization the verification side must
     * mirror exactly.

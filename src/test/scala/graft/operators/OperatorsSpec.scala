@@ -447,6 +447,22 @@ class KeepBestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(2L, 7L), kept.toSeq.toString)
   }
+
+  test("softDedupWeights: clusters sum to unit mass, singletons keep weight 1") {
+    val docs = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("doc_id")
+    // {1,2,3} via chain, {7,8} direct, {9} singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val out = graft.operators.Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(0), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == docs.as[Long].collect().toSet)
+    assert(out(1L) == ((1L, 3L, 0.333333)) && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(7L) == ((7L, 2L, 0.5)) && out(8L)._1 == 7L)
+    assert(out(9L) == ((9L, 1L, 1.0)))
+    // total mass = number of distinct components (up to round-6)
+    val mass = out.values.map(_._3).sum
+    assert(math.abs(mass - 3.0) < 1e-4, mass.toString)
+  }
 }
 
 class MinHashRecallSpec extends SparkSpec {
