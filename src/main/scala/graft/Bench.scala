@@ -65,7 +65,13 @@ object Bench {
         "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // dev loop: SPARK_GRAFT_ONLY=d02_dedup_minhash,d03_... measures a
+    // subset in isolation (the driver never sets it)
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(SparkEntry.queries.keys.toSeq)(f =>
+        SparkEntry.queries.keys.toSeq.filter(f))
+      .sorted
     // Median of 3 measured runs (after one warm run, still interleaved
     // per query): the sandbox has ambient load, and a single-shot
     // record turns one noise spike into a phantom regression in the

@@ -484,6 +484,16 @@ object TextStats {
     * #groups times. Output: (group, n_toks, n_types, kl, ce).
     */
   def corpusDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val (res, counts) = corpusDivergenceRaw(df, groupCol, textCol)
+    Caching.sealOver(res, counts)
+  }
+
+  /** Unsealed internals: (result, persisted nnz counts frame). The
+    * plan specs assert on the result's shape BEFORE sealOver hides it
+    * behind a checkpoint scan; callers use [[corpusDivergence]].
+    */
+  private[graft] def corpusDivergenceRaw(
+      df: DataFrame, groupCol: String, textCol: String): (DataFrame, DataFrame) = {
     val counts = df.select(col(groupCol).as("grp"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -522,13 +532,12 @@ object TextStats {
     val p0 = lit(1.0) / (col("_ng") + col("_v")).cast("double")
     val absent = (col("_v") - col("_vg")).cast("double")
     val lnqGap = (col("_lnq_all") - col("_lnq_g")).cast("double")
-    Caching.sealOver(
-      res.select(col("grp").as(groupCol),
-        col("_ng").cast("long").as("n_toks"),
-        col("_vg").cast("long").as("n_types"),
-        round(col("_s_kl").cast("double") +
-          p0 * (absent * log(p0) - lnqGap), 6).as("kl"),
-        round(col("_s_ce").cast("double") - p0 * lnqGap, 6).as("ce")),
+    (res.select(col("grp").as(groupCol),
+      col("_ng").cast("long").as("n_toks"),
+      col("_vg").cast("long").as("n_types"),
+      round(col("_s_kl").cast("double") +
+        p0 * (absent * log(p0) - lnqGap), 6).as("kl"),
+      round(col("_s_ce").cast("double") - p0 * lnqGap, 6).as("ce")),
       counts)
   }
 

@@ -237,4 +237,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(p.contains("windowspecdefinition(key#"), p)
   }
+
+  test("p08: temperature selection is the salted two-phase shape with a broadcast quota map") {
+    val p = SparkEntry.queries("p08_temperature")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // same skew discipline as p04: phase 1 ranks within (source, salt),
+    // phase 2 only over bounded survivors; the per-source caps arrive
+    // as a broadcast, never a shuffle join. (No WindowGroupLimit here:
+    // the rank bound is a per-source COLUMN, and the group-limit
+    // rewrite needs a literal — the salted split is what bounds the
+    // sort inputs instead.)
+    assert("hashpartitioning\\(source#\\d+, _w0#\\d+L".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t23: divergence never windows and only broadcast-joins its tiny frames") {
+    // the sealed public form plans as a checkpoint scan — assert on
+    // the raw internals, which is what actually executes at seal time
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (res, counts) = operators.TextStats.corpusDivergenceRaw(docs, "source", "text")
+    try {
+      val p = res.queryExecution.explainString(ExplainMode.fromString("simple"))
+      // the (group, token) nnz join may shuffle (distinct pairs, flat
+      // keys), but the totals/group/lnQ frames must all broadcast and
+      // nothing may funnel through a global window
+      assert(!p.contains("windowspecdefinition"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally counts.unpersist()
+  }
+
+  test("r18: template mining counts in a hash aggregate over the corpus pass") {
+    val p = SparkEntry.queries("r18_log_templates")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
