@@ -716,6 +716,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s15_matryoshka" -> ((s, dir) => {
+      // Matryoshka prefix-dim ANN (Kusupati et al. 2022): 16-of-64-dim
+      // prefix cosine shortlist (the scan reads 1/4 of the vector
+      // bytes), exact full-dim rerank of the top-50 — plain arithmetic
+      // end to end, so oracle-exact
+      val emb = T(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 10, prefixDims = 16, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     "s09_semdedup" -> ((s, dir) => {
       // SemDeDup: centroid clusters bound the quadratic cosine scan;
       // within each cluster the lowest-id member of every >=0.35 ball
@@ -2398,6 +2410,36 @@ object SparkEntry {
                   FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
                 round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s15_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 10),
+            c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+            pu AS (SELECT qid, cid, CAST(unnest(ce[1:16]) AS DOUBLE) AS x,
+                          CAST(unnest(qe[1:16]) AS DOUBLE) AS y
+                   FROM (SELECT qid, cid, qe, ce FROM q, c)),
+            ps AS (SELECT qid, cid,
+                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                            AS pcos
+                   FROM pu GROUP BY 1, 2),
+            sl AS (SELECT qid, cid, pcos FROM (
+                     SELECT qid, cid, pcos, row_number() OVER (
+                       PARTITION BY qid ORDER BY pcos DESC, cid) AS srnk FROM ps)
+                   WHERE srnk <= 50),
+            fu AS (SELECT qid, cid, pcos, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
+                          CAST(unnest(qe.embedding) AS DOUBLE) AS y
+                   FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
+                           JOIN embeddings qe ON qe.vec_id = sl.qid),
+            fs AS (SELECT qid, cid, pcos,
+                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                            AS cos
+                   FROM fu GROUP BY 1, 2, 3),
+            r AS (SELECT qid, cid, pcos, cos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                  FROM fs)
+         SELECT qid AS query_id, cid AS neighbor_id, pcos AS prefix_cos,
+                cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
 
     "s08_random_projection" ->

@@ -393,6 +393,56 @@ object Similarity {
         col("hamming"), round(col("_cos"), 6).as("cos"), col("rank"))
   }
 
+  /** Matryoshka / prefix-dimension ANN (Kusupati et al. 2022 MRL
+    * "adaptive retrieval"): shortlist every query's candidates by
+    * cosine over only the FIRST `prefixDims` dimensions, then
+    * exact-rerank the top-`shortlist` with the full vectors. With
+    * MRL-trained embeddings the low-dim prefix is itself a valid
+    * embedding, so the cheap pass is a real retriever, not a random
+    * sketch.
+    *
+    * Shape at scale: the corpus scan reads `prefixDims`/D of every
+    * vector's bytes (at 100 TB the prefix lives in its own parquet
+    * column, so the scan literally touches that fraction of the
+    * storage); both rank windows run as WindowGroupLimit map-side
+    * top-k against the broadcast query side, and the full-dimension
+    * float work touches only shortlist×queries rows — O(shortlist),
+    * independent of corpus size. Unlike the seeded LSH family the
+    * whole path is plain arithmetic, so it is oracle-exact.
+    *
+    * Both stages rank on the ROUNDED cosine (6 digits, ties to the
+    * lower id) so the ordering is reproducible in any engine doing
+    * exact double arithmetic.
+    * Output: (query_id, neighbor_id, prefix_cos, cos, rank).
+    */
+  def matryoshkaTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, prefixDims: Int = 16,
+                     shortlist: Int = 50): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims=$prefixDims must be positive")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val c = corpus.select(col(corpusId).as("cid"), col(corpusVec).as("cv"))
+      .withColumn("_cp", slice(col("cv"), 1, prefixDims))
+    val q = queries.select(col(queryId).as("qid"), col(queryVec).as("qv"))
+      .withColumn("_qp", slice(col("qv"), 1, prefixDims))
+    val slWin = Window.partitionBy(col("qid"))
+      .orderBy(col("prefix_cos").desc, col("cid"))
+    val shortlisted = c.crossJoin(broadcast(q))
+      .withColumn("prefix_cos", round(VecDot.dot(col("_cp"), col("_qp"))
+        / (norm(col("_cp")) * norm(col("_qp"))), 6))
+      .withColumn("_srnk", row_number().over(slWin))
+      .filter(col("_srnk") <= shortlist)
+    val rerankWin = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    shortlisted
+      .withColumn("cos", round(VecDot.dot(col("cv"), col("qv"))
+        / (norm(col("cv")) * norm(col("qv"))), 6))
+      .withColumn("rank", row_number().over(rerankWin).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+        col("prefix_cos"), col("cos"), col("rank"))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int, inDims: Option[Int] = None): DataFrame = {
     // Sign matrix is built to the CORPUS MAX length, not an arbitrary

@@ -698,3 +698,63 @@ class CorpusDivergenceSpec extends SparkSpec {
     assert(!p.contains("SinglePartition") || !p.contains("Window"), p)
   }
 }
+
+class MatryoshkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("a shortlist covering the whole corpus reproduces brute-force ranks") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 40L).map(i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val viaPrefix = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5, prefixDims = 8, shortlist = 40)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBrute = Similarity.bruteTopK(corpus, "vec_id", "embedding",
+        queries.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(viaPrefix == viaBrute)
+  }
+
+  test("prefix stage reads ONLY the prefix; rerank restores full-dim order") {
+    // decoy 1 matches the query's prefix exactly but flips the tail;
+    // vector 2 is colinear with the query everywhere. The prefix pass
+    // cannot tell them apart (both prefix_cos 1.0); the full-dim
+    // rerank must put the true twin first.
+    val corpus = Seq(
+      (0L, vec(1, 2, -5, 7)),
+      (1L, vec(1, 2, 5, -7)),   // prefix twin, tail flipped
+      (2L, vec(2, 4, -10, 14)), // colinear with query
+      (3L, vec(-1, -2, 5, -7))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 4, prefixDims = 2, shortlist = 4)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(3) == 1.0) // self
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(3) == 1.0) // colinear
+    assert(out(0).getDouble(2) == 1.0 && out(1).getDouble(2) == 1.0)
+    // the prefix twin had prefix_cos 1.0 too but reranks below
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(2) == 1.0
+      && out(2).getDouble(3) < 1.0)
+    assert(out(3).getLong(1) == 3L) // anti-colinear last
+  }
+
+  test("a tight shortlist can only return shortlisted candidates") {
+    val rnd = new scala.util.Random(19)
+    val corpus = (0L until 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 10, prefixDims = 4, shortlist = 10)
+      .collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(4)).toSet == (1L to 10L).toSet)
+    // self survives any shortlist: its prefix cosine is exactly 1
+    assert(out.exists(r => r.getLong(1) == 0L && r.getLong(4) == 1L))
+  }
+}
