@@ -1351,6 +1351,12 @@ object SparkEntry {
       // on 500 rows
       TextStats.zipfFit(T(s, dir, "documents"), "text", topR = 500)),
 
+    "t25_bpe_pairs" -> ((s, dir) =>
+      // BPE tokenizer training, first iteration (Sennrich 2016):
+      // adjacent char-pair counts over the word HISTOGRAM — the pair
+      // explode runs on the vocabulary, never the corpus
+      TextStats.bpePairStats(T(s, dir, "documents"), "text", topK = 30)),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
@@ -3009,6 +3015,18 @@ object SparkEntry {
                   CAST(lnq_all - lnq_g AS DOUBLE), 6) AS ce
          FROM s JOIN g USING (source) CROSS JOIN lnqall
          ORDER BY source""",
+
+    "t25_bpe_pairs" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                       FROM documents),
+            words AS (SELECT w, count(*) AS wc FROM toks
+                      WHERE length(w) > 1 GROUP BY 1),
+            pairs AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+                      FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+                            FROM words)),
+            agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+                    FROM pairs GROUP BY 1)
+         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""",
 
     "t24_zipf" ->
       """WITH tk AS (SELECT tok FROM (

@@ -557,6 +557,36 @@ object TextStats {
     * deterministic under any partitioning and oracle-exact.
     * Output: one row (n_ranks, alpha, intercept, r2).
     */
+  /** BPE merge-candidate statistics (Sennrich et al. 2016 §3.2, the
+    * first training iteration): adjacent character-pair frequencies
+    * over the corpus, the argmax being the tokenizer's first merge.
+    * Counting runs the way the reference algorithm trains — on the
+    * token HISTOGRAM, not the token stream: the corpus collapses to
+    * (distinct word, count) first, and the pair explode touches only
+    * vocabulary rows (≪ corpus by Heaps' law), each pair weighted by
+    * its word's frequency. Every pair POSITION counts ("aaaa"
+    * contributes three "aa"), matching the reference count.
+    *
+    * Shape at scale: one corpus-wide token aggregate (partial agg
+    * collapses repeats map-side), then all remaining work is
+    * vocab-sized; the final top-K is a TakeOrdered, no global sort.
+    * Output: (pair, n) — the top `topK` merge candidates.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    val words = df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 1) // a 1-char word holds no pair
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      // sequence end is >= 1 because of the length filter, so the
+      // descending-sequence trap (sequence(1,0) = [1,0]) can't fire
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = df.select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))

@@ -758,3 +758,32 @@ class MatryoshkaSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) == 0L && r.getLong(4) == 1L))
   }
 }
+
+class BpePairStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pair counts weight by word frequency, per position") {
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "low lowest")).toDF("doc_id", "text")
+    val out = TextStats.bpePairStats(docs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // low(3): lo ow | lower(1): lo ow we er | lowest(1): lo ow we es st
+    assert(out == Map("lo" -> 5L, "ow" -> 5L, "we" -> 2L,
+      "er" -> 1L, "es" -> 1L, "st" -> 1L))
+  }
+
+  test("repeated pairs inside one word count once per POSITION") {
+    val docs = Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
+    // "aaaa" holds three 'aa' positions, twice; 1-char "b" holds none
+    val out = TextStats.bpePairStats(docs, "text", topK = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "aa" && out.head.getLong(1) == 6L)
+  }
+
+  test("top-K orders by count desc then pair; case folds") {
+    val docs = Seq((1L, "AB ab xy")).toDF("doc_id", "text")
+    val out = TextStats.bpePairStats(docs, "text", topK = 1).collect()
+    assert(out.head.getString(0) == "ab" && out.head.getLong(1) == 2L)
+  }
+}
