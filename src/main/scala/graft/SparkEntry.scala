@@ -497,6 +497,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d21_semantic_decontaminate" -> ((s, dir) => {
+      // paraphrase-contamination sweep: the 20 lowest-id embeddings
+      // play the eval set; corpus rows within cosine 0.35 of any of
+      // them flag, with the nearest eval item named. Eval vectors ride
+      // as literals — zero shuffles, no join
+      val emb = T(s, dir, "embeddings")
+      Decontaminate.semanticFlag(
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("id").as("vec_id"), col("eval_id"), col("cos"))
+        .orderBy("vec_id")
+    }),
+
     "d09_blocklist" -> ((s, dir) => {
       // bloom-prune + exact-verify blocklist scrub: result is exactly
       // the anti join, but only bloom-positive rows reach the join
@@ -1776,6 +1790,25 @@ object SparkEntry {
                     ORDER BY quality DESC, doc_id) AS rk
            FROM lab) WHERE rk = 1
          ORDER BY doc_id"""),
+
+    "d21_semantic_decontaminate" ->
+      """WITH q AS (SELECT vec_id AS eid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 20),
+            c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id >= 20),
+            u AS (SELECT cid, eid, CAST(unnest(ce) AS DOUBLE) AS x,
+                         CAST(unnest(qe) AS DOUBLE) AS y
+                  FROM (SELECT cid, eid, ce, qe FROM c, q)),
+            s AS (SELECT cid, eid,
+                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                           AS cos
+                  FROM u GROUP BY 1, 2),
+            best AS (SELECT cid, eid, cos FROM (
+                       SELECT cid, eid, cos, row_number() OVER (
+                         PARTITION BY cid ORDER BY cos DESC, eid) AS rn FROM s)
+                     WHERE rn = 1)
+         SELECT cid AS vec_id, eid AS eval_id, cos FROM best
+         WHERE cos >= 0.35 ORDER BY vec_id""",
 
     "d08_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

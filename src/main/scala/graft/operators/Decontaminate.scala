@@ -60,4 +60,33 @@ object Decontaminate {
       .agg(count(lit(1)).as("bloom_hits"))
       .filter(col("bloom_hits") >= minHits)
   }
+
+  /** SEMANTIC decontamination: flag corpus items whose embedding lands
+    * within cosine `threshold` of ANY benchmark/eval embedding — the
+    * paraphrase-contamination sweep n-gram overlap ([[flag]]) misses
+    * by construction (a reworded eval question shares no shingles but
+    * stays semantically close; cf. the rephrased-sample contamination
+    * studies, e.g. Yang et al. 2023).
+    *
+    * Shape at scale: eval sets are small by nature, so the eval
+    * embeddings ride as LITERALS in one narrow codegen pass over the
+    * corpus ([[Similarity.assignNearestCentroid]]'s device) — ZERO
+    * shuffles, no join; the corpus scan reads only (id, vector). The
+    * ≤128-vector literal bound is the same janino contract as s09's
+    * gate; larger eval sets go through chunked calls (the union of
+    * per-chunk flags is exact because max-cos ≥ τ ⟺ any chunk's
+    * max-cos ≥ τ). Rows with null embeddings carry no similarity
+    * evidence and are kept out of the report rather than guessed at.
+    *
+    * Output per flagged corpus row: (id, eval_id of the nearest eval
+    * item by rounded-6dp cosine — ties to the lowest eval id — and
+    * that cosine).
+    */
+  def semanticFlag(corpus: DataFrame, idCol: String, vecCol: String,
+                   evalSet: DataFrame, evalIdCol: String, evalVecCol: String,
+                   threshold: Double): DataFrame =
+    Similarity.assignNearestCentroid(corpus, vecCol,
+        evalSet, evalIdCol, evalVecCol, clusterCol = "eval_id", cosCol = "cos")
+      .filter(col("cos") >= threshold)
+      .select(col(idCol).as("id"), col("eval_id"), col("cos"))
 }

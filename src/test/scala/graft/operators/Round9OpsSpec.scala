@@ -787,3 +787,43 @@ class BpePairStatsSpec extends SparkSpec {
     assert(out.head.getString(0) == "ab" && out.head.getLong(1) == 2L)
   }
 }
+
+class SemanticDecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("a paraphrase-close vector flags with its nearest eval item") {
+    val evalSet = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, vec(0.9, 0.1, 0, 0)),  // near eval 0
+      (11L, vec(0.1, 2.0, 0, 0)),  // near eval 1 (scale-invariant)
+      (12L, vec(0, 0, 1, 1)),      // orthogonal to both
+      (13L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticFlag(corpus, "vec_id", "embedding",
+        evalSet, "vec_id", "embedding", threshold = 0.8)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((10L, 0L), (11L, 1L)))
+    assert(out.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("ties on rounded cosine resolve to the lowest eval id") {
+    val evalSet = Seq(
+      (5L, vec(1, 0)), (3L, vec(1, 0))).toDF("vec_id", "embedding")
+    val corpus = Seq((20L, vec(2, 0))).toDF("vec_id", "embedding")
+    val out = Decontaminate.semanticFlag(corpus, "vec_id", "embedding",
+        evalSet, "vec_id", "embedding", threshold = 0.5).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 3L)
+  }
+
+  test("nothing flags below the threshold") {
+    val evalSet = Seq((0L, vec(1, 0, 0))).toDF("vec_id", "embedding")
+    val corpus = Seq((10L, vec(0, 1, 0)), (11L, vec(0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    assert(Decontaminate.semanticFlag(corpus, "vec_id", "embedding",
+      evalSet, "vec_id", "embedding", threshold = 0.3).isEmpty)
+  }
+}
