@@ -986,6 +986,16 @@ object SparkEntry {
         .select(col("template"), col("n"))
         .orderBy("template")),
 
+    "r19_template_latency" -> ((s, dir) =>
+      // per-template metric percentiles: the r18 skeletons with exact
+      // p50/p95/max of the value field extracted back off each line —
+      // "which event type is slow" over a pattern-unknown stream
+      operators.LogMining.templateQuantiles(
+          eventLines(s, dir).withColumn("_lat",
+            regexp_extract(col("value"), " value=(.+)$", 1).cast("double")),
+          "value", "_lat")
+        .orderBy("template")),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -1943,6 +1953,26 @@ object SparkEntry {
                  '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
               FROM lines)
          SELECT template, CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1 ORDER BY template""",
+
+    "r19_template_latency" ->
+      """WITH lines AS (
+           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template,
+                 CAST(regexp_extract(l, ' value=(.+)$', 1) AS DOUBLE) AS v
+              FROM lines)
+         SELECT template, CAST(count(*) AS BIGINT) AS n,
+                round(quantile_cont(v, 0.5), 6) AS p50,
+                round(quantile_cont(v, 0.95), 6) AS p95,
+                round(max(v), 6) AS max_v
          FROM t GROUP BY 1 ORDER BY template""",
 
     "q29_funnel" ->

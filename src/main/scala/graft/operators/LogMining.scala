@@ -55,6 +55,30 @@ object LogMining {
     * deterministic min-hash representative, not the lexicographic
     * min.
     */
+  /** Per-template metric percentiles: group lines by their mined
+    * skeleton and report exact p50/p95/max of a numeric column the
+    * caller extracted from each line (latency, payload size — the
+    * "which event type is slow" monitoring question asked of a log
+    * corpus whose patterns are unknown up front). One narrow
+    * projection into one template-key aggregate; the template
+    * population is small (that's the premise of template mining), so
+    * the shuffle is tiny regardless of corpus size.
+    *
+    * Exact percentiles buffer each group's values; the template
+    * count is bounded but a single template's row count is not — at
+    * 100 TB swap in the mergeable quantile sketch
+    * (`approx_percentile`, the q25 device) for fixed executor
+    * memory, the same stated fallback as t18's histogram.
+    */
+  def templateQuantiles(df: DataFrame, lineCol: String,
+                        valueCol: String): DataFrame =
+    df.select(template(col(lineCol)).as("template"), col(valueCol).as("_v"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(_v, 0.5)"), 6).as("p50"),
+        round(expr("percentile(_v, 0.95)"), 6).as("p95"),
+        round(max(col("_v")), 6).as("max_v"))
+
   def templates(df: DataFrame, lineCol: String): DataFrame = {
     val counts = df
       .select(template(col(lineCol)).as("template"),

@@ -827,3 +827,25 @@ class SemanticDecontaminateSpec extends SparkSpec {
       evalSet, "vec_id", "embedding", threshold = 0.3).isEmpty)
   }
 }
+
+class TemplateQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lines group by skeleton; percentiles are exact per group") {
+    val lines = Seq(
+      ("GET /user/17 took 10", 10.0),
+      ("GET /user/99 took 20", 20.0),
+      ("GET /user/3 took 30", 30.0),
+      ("GC pause 400", 400.0)).toDF("line", "lat")
+    val out = LogMining.templateQuantiles(lines, "line", "lat")
+      .orderBy("template").collect()
+    assert(out.length == 2)
+    val gc = out(0); val get = out(1)
+    assert(gc.getString(0) == "GC pause <N>" && gc.getLong(1) == 1L
+      && gc.getDouble(2) == 400.0)
+    assert(get.getString(0) == "GET /user/<N> took <N>" && get.getLong(1) == 3L)
+    assert(get.getDouble(2) == 20.0)           // p50 of {10,20,30}
+    assert(get.getDouble(3) == 29.0)           // p95 interpolated: 20+0.9*10
+    assert(get.getDouble(4) == 30.0)           // max
+  }
+}
