@@ -1375,6 +1375,23 @@ object SparkEntry {
       // on 500 rows
       TextStats.zipfFit(T(s, dir, "documents"), "text", topR = 500)),
 
+    "s16_knn_graph" -> ((s, dir) =>
+      // exact directed 5-NN graph of a bounded node slice (the input
+      // to kNN clustering / label propagation); the LSH family is the
+      // corpus-scale candidate path, as with d05 vs s06
+      Similarity.knnGraph(
+          T(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 5)
+        .orderBy("src", "rank")),
+
+    "t26_lexical_diversity" -> ((s, dir) =>
+      // named lexical-diversity indices (TTR, Guiraud, Herdan) —
+      // row-local, zero shuffles
+      TextStats.lexicalDiversity(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_types"),
+          col("ttr"), col("root_ttr"), col("herdan_c"))
+        .orderBy("doc_id")),
+
     "t25_bpe_pairs" -> ((s, dir) =>
       // BPE tokenizer training, first iteration (Sennrich 2016):
       // adjacent char-pair counts over the word HISTOGRAM — the pair
@@ -3078,6 +3095,42 @@ object SparkEntry {
                   CAST(lnq_all - lnq_g AS DOUBLE), 6) AS ce
          FROM s JOIN g USING (source) CROSS JOIN lnqall
          ORDER BY source""",
+
+    "s16_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            u AS (SELECT src, dst, CAST(unnest(se) AS DOUBLE) AS x,
+                         CAST(unnest(de) AS DOUBLE) AS y
+                  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+                               a.embedding AS se, b.embedding AS de
+                        FROM v a, v b WHERE a.vec_id <> b.vec_id)),
+            s AS (SELECT src, dst,
+                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                           AS cos
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT src, dst, cos, CAST(row_number() OVER (
+                    PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
+                  FROM s)
+         SELECT src, dst, cos, rank FROM r WHERE rank <= 5
+         ORDER BY src, rank""",
+
+    "t26_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents),
+            c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+                  FROM t)
+         SELECT doc_id, n_tokens, n_types,
+                CASE WHEN n_tokens > 0 THEN round(
+                  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr,
+                CASE WHEN n_tokens > 0 THEN round(
+                  CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                  END AS root_ttr,
+                CASE WHEN n_tokens > 1 THEN round(
+                  ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+                  END AS herdan_c
+         FROM c ORDER BY doc_id""",
 
     "t25_bpe_pairs" ->
       """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w

@@ -443,6 +443,37 @@ object Similarity {
         col("prefix_cos"), col("cos"), col("rank"))
   }
 
+  /** Exact directed k-NN graph over a BOUNDED node set: each node's
+    * top-k other nodes by cosine — the construction step every
+    * kNN-based pipeline starts from (kNN clustering, label
+    * propagation over near-neighbors, UMAP-style manifold layouts).
+    * The node frame is broadcast and the pair scan is O(n²), so the
+    * exact form is for oracle-sized slices and sampled subgraphs BY
+    * CONTRACT; at corpus scale build candidate edges with the LSH
+    * family ([[cosinePairsLsh]] for edges above a threshold,
+    * [[lshTopK]] with corpus-side queries for per-node top-k) and
+    * rerank exactly, as s02/s06 do.
+    *
+    * Ranks use the rounded-6dp cosine with ties to the lower
+    * neighbor id, so any exact-arithmetic engine reproduces the
+    * graph bit-for-bit. Output: (src, dst, cos, rank).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("src"), col(vecCol).as("_sv"))
+      .withColumn("_an", norm(col("_sv")))
+    val b = df.select(col(idCol).as("dst"), col(vecCol).as("_dv"))
+      .withColumn("_bn", norm(col("_dv")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst"))
+    a.join(broadcast(b), col("src") =!= col("dst"))
+      .withColumn("cos", round(VecDot.dot(col("_sv"), col("_dv"))
+        / (col("_an") * col("_bn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rank"))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int, inDims: Option[Int] = None): DataFrame = {
     // Sign matrix is built to the CORPUS MAX length, not an arbitrary

@@ -557,6 +557,35 @@ object TextStats {
     * deterministic under any partitioning and oracle-exact.
     * Output: one row (n_ranks, alpha, intercept, r2).
     */
+  /** Lexical diversity per document: type-token ratio and its
+    * length-corrected forms — root TTR (Guiraud's index) and
+    * Herdan's C = ln V / ln N. Plain TTR shrinks with length by
+    * Heaps' law, so the corrected forms are what a quality filter
+    * thresholds on: templated/spammy text repeats its vocabulary and
+    * scores low at any length (the same signal family as t14's token
+    * entropy, but the standard named indices).
+    *
+    * Everything is row-local — tokenize, distinct, count inside one
+    * projection — ZERO shuffles; undefined indices (empty docs; a
+    * one-token doc for Herdan's ln N = 0) are null, not guessed.
+    * Output: (id, n_tokens, n_types, ttr, root_ttr, herdan_c).
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    val nTyp = size(array_distinct(toks)).cast("long")
+    val nT = col("n_tokens").cast("double")
+    val nV = col("n_types").cast("double")
+    df.select(col(idCol).as("id"), nTok.as("n_tokens"), nTyp.as("n_types"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0, round(nV / nT, 6)))
+      .withColumn("root_ttr",
+        when(col("n_tokens") > 0, round(nV / sqrt(nT), 6)))
+      .withColumn("herdan_c",
+        when(col("n_tokens") > 1, round(log(nV) / log(nT), 6)))
+  }
+
   /** BPE merge-candidate statistics (Sennrich et al. 2016 §3.2, the
     * first training iteration): adjacent character-pair frequencies
     * over the corpus, the argmax being the tokenizer's first merge.

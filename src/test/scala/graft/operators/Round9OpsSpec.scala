@@ -849,3 +849,58 @@ class TemplateQuantilesSpec extends SparkSpec {
     assert(get.getDouble(4) == 30.0)           // max
   }
 }
+
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("each node ranks the OTHERS; self edges never appear") {
+    val nodes = Seq(
+      (0L, vec(1, 0)),
+      (1L, vec(0.9, 0.1)),
+      (2L, vec(0, 1))).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(nodes, "vec_id", "embedding", k = 2)
+      .orderBy("src", "rank").collect()
+    assert(out.length == 6) // 3 nodes x 2 edges
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // node 0's nearest other node is 1, then 2
+    assert(out(0).getLong(1) == 1L && out(1).getLong(1) == 2L)
+    // node 2 prefers 1 (slightly rotated toward it) over 0
+    assert(out(4).getLong(1) == 1L)
+  }
+
+  test("k larger than n-1 returns all n-1 edges per node") {
+    val rnd = new scala.util.Random(23)
+    val nodes = (0L until 5L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.knnGraph(nodes, "vec_id", "embedding", k = 10)
+    assert(out.count() == 20) // 5 x 4
+    val perSrc = out.groupBy("src").count().collect()
+    assert(perSrc.forall(_.getLong(1) == 4L))
+  }
+}
+
+class LexicalDiversitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TTR family on a hand-checked doc; repetition scores low") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),     // 6 tokens, 5 types
+      (2L, "spam spam spam spam"),        // 4 tokens, 1 type
+      (3L, ""),                            // empty: all null
+      (4L, "one")).toDF("doc_id", "text") // 1 token: herdan null
+    val out = TextStats.lexicalDiversity(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val d1 = out(0)
+    assert(d1.getLong(1) == 6L && d1.getLong(2) == 5L)
+    assert(d1.getDouble(3) == BigDecimal(5.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val d2 = out(1)
+    assert(d2.getDouble(3) == 0.25 && d2.getDouble(3) < d1.getDouble(3))
+    val d3 = out(2)
+    assert(d3.getLong(1) == 0L && d3.isNullAt(3) && d3.isNullAt(4) && d3.isNullAt(5))
+    val d4 = out(3)
+    assert(d4.getLong(1) == 1L && d4.getDouble(3) == 1.0 && d4.isNullAt(5))
+  }
+}
