@@ -511,6 +511,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "d22_source_overlap" -> ((s, dir) =>
+      // cross-source overlap audit: pairwise shingle-Jaccard estimates
+      // from per-source KMV bottom-128 sketches — the "how much does
+      // crawl A repeat crawl B" report, corpus touched exactly once
+      Dedup.sourceOverlapKmv(T(s, dir, "documents"), "source", "text",
+          k = 128)
+        .orderBy("s1", "s2")),
+
     "d09_blocklist" -> ((s, dir) => {
       // bloom-prune + exact-verify blocklist scrub: result is exactly
       // the anti join, but only bloom-positive rows reach the join
@@ -645,6 +653,16 @@ object SparkEntry {
       Training.temperatureSample(T(s, dir, "documents"), "source",
           "doc_id", targetNum = 1L, targetDen = 2L)
         .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    "p09_curriculum" -> ((s, dir) =>
+      // curriculum staging: 4 quality bands cut BY VALUE on the score
+      // histogram (stage 1 = cleanest; equal scores share a stage) —
+      // the corpus itself never windows
+      Training.curriculumStages(T(s, dir, "documents"), "doc_id",
+          functions.TextFunctions.qualityScore(col("text")), nStages = 4)
+        .select(col("id").as("doc_id"), col("score").as("quality"),
+          col("stage"))
         .orderBy("doc_id")),
 
     "s10_pq" -> ((s, dir) => {
@@ -1852,6 +1870,34 @@ object SparkEntry {
                 CAST(max(ov) AS BIGINT) AS max_overlap
          FROM hit GROUP BY 1 ORDER BY 1""",
 
+    "d22_source_overlap" ->
+      """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents),
+            sh AS (SELECT DISTINCT source,
+                     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+                   FROM (SELECT source, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            bk AS (SELECT source, h FROM (
+                     SELECT source, h,
+                            row_number() OVER (PARTITION BY source ORDER BY h) AS r
+                     FROM sh) WHERE r <= 128),
+            srcs AS (SELECT DISTINCT source FROM bk),
+            m AS (SELECT least(bk.source, s.source) AS s1,
+                         greatest(bk.source, s.source) AS s2, bk.h,
+                         max(bk.source < s.source) AS in1,
+                         max(bk.source > s.source) AS in2
+                  FROM bk, srcs s WHERE bk.source <> s.source
+                  GROUP BY 1, 2, 3),
+            rk AS (SELECT s1, s2, in1, in2,
+                          row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
+                   FROM m)
+         SELECT s1, s2, CAST(count(*) AS BIGINT) AS k_eff,
+                CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_common,
+                round(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS jaccard_est
+         FROM rk WHERE r <= 128 GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "t08_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
                        FROM documents),
@@ -2584,6 +2630,20 @@ object SparkEntry {
                          FROM documents)
          SELECT doc_id, source FROM ranked JOIN k USING (source)
          WHERE rn <= cap ORDER BY doc_id""",
+
+    "p09_curriculum" -> (
+      s"""WITH q AS ($qualitySubSql),
+             h AS (SELECT quality, count(*) AS c FROM q GROUP BY 1),
+             b AS (SELECT quality,
+                     coalesce(sum(c) OVER (ORDER BY quality DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS bef,
+                     sum(c) OVER () AS n
+                   FROM h),
+             st AS (SELECT quality,
+                      CAST((bef * 4) // n + 1 AS BIGINT) AS stage FROM b)
+         SELECT q.doc_id, q.quality, st.stage
+         FROM q JOIN st USING (quality) ORDER BY q.doc_id"""),
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

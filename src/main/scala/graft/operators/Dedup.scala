@@ -922,4 +922,66 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-source overlap audit: estimate the shingle-set Jaccard of
+    * every pair of corpus sources from K-Minimum-Values sketches
+    * (Beyer et al. 2007; the bottom-k variant of Broder's min-hash).
+    * "How much does crawl A repeat crawl B" is the dataset-audit
+    * question asked before mixing sources — exact pairwise Jaccard is
+    * a full shingle self-join, but each source's k smallest md5
+    * shingle hashes determine every pairwise estimate at once:
+    * J(A,B) ~= |bottomK(A u B) n A n B| / |bottomK(A u B)|, and the
+    * estimate is EXACT whenever the union's distinct-shingle count is
+    * under k (the sketch then holds the whole set).
+    *
+    * Shape at scale: the only corpus-sized work is the distinct
+    * (source, md5) projection; bottom-k per source is the exact
+    * two-phase salted rank (the p04 device — phase 1 caps any
+    * mega-source's survivors at saltBuckets x k rows, so the phase-2
+    * per-source window is bounded regardless of skew). Everything
+    * after runs on nSources x k sketch rows — pair expansion, union
+    * ranking, and the estimator never touch the corpus again, so 100
+    * sources over 100 TB audit with the same nSources^2 x k tail.
+    * Portable md5 hashing makes every estimate (not just the exact
+    * ones) reproducible by the oracle.
+    * Output: (s1, s2, k_eff, n_common, jaccard_est), s1 < s2, one row
+    * per source pair.
+    */
+  def sourceOverlapKmv(df: DataFrame, sourceCol: String, textCol: String,
+                       k: Int = 128, shingleN: Int = 3,
+                       saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"sourceOverlapKmv: k=$k must be >= 1")
+    val hs = shingles(df, sourceCol, textCol, shingleN)
+      .select(col("id").as("_src"), md5(col("shingle")).as("_h"))
+    val salt = pmod(xxhash64(col("_h")), lit(saltBuckets))
+    val sk = hs
+      .withColumn("_r1", row_number().over(
+        Window.partitionBy(col("_src"), salt).orderBy(col("_h"))))
+      .filter(col("_r1") <= k)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_src")).orderBy(col("_h"))))
+      .filter(col("_r") <= k)
+      .select(col("_src"), col("_h"))
+    // nSources x k rows from here on. Each sketch row joins every
+    // OTHER source to form the unordered pair it votes in; the merge
+    // marks which side(s) of the pair hold the hash.
+    val srcs = sk.select(col("_src").as("_other")).distinct()
+    val merged = sk.join(broadcast(srcs), col("_src") =!= col("_other"))
+      .select(least(col("_src"), col("_other")).as("s1"),
+        greatest(col("_src"), col("_other")).as("s2"), col("_h"),
+        (col("_src") < col("_other")).as("_o1"))
+      .groupBy(col("s1"), col("s2"), col("_h"))
+      .agg(max(col("_o1")).as("_in1"), max(!col("_o1")).as("_in2"))
+    merged
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("s1"), col("s2")).orderBy(col("_h"))))
+      .filter(col("_r") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("_in1") && col("_in2"), 1L).otherwise(0L)).as("n_common"))
+      .select(col("s1"), col("s2"), col("k_eff"), col("n_common"),
+        round(col("n_common").cast("double") / col("k_eff").cast("double"), 6)
+          .as("jaccard_est"))
+  }
 }
