@@ -451,4 +451,38 @@ object Training {
         .cast("long"))
       .drop("_h")
   }
+
+  /** Curriculum staging (curriculum learning, Bengio et al. 2009, as
+    * data pipelines realize it: cut the corpus into quality bands and
+    * schedule cleaner bands into later epochs). Stage 1 holds the
+    * best-scoring band, stage `nStages` the worst.
+    *
+    * Assignment is BY SCORE VALUE, not per-row rank (the t18 CCNet
+    * device): a doc's stage is floor(strictlyBetter * nStages / n) + 1
+    * in INTEGER math, so equal scores always share a stage and no
+    * rank tie-break is needed. The corpus never windows — the cut
+    * runs on the per-score HISTOGRAM (bounded by distinct rounded
+    * score values, orders of magnitude smaller than the corpus; its
+    * global window is histogram-sized by construction) and the stage
+    * joins back to the scored docs on the score value the histogram
+    * grouped on. Stage sizes are n/nStages up to value-tie rounding.
+    * Output: (id, score, stage).
+    */
+  def curriculumStages(df: DataFrame, idCol: String, score: Column,
+                       nStages: Int): DataFrame = {
+    require(nStages >= 1, s"curriculumStages: nStages=$nStages must be >= 1")
+    val scored = df.select(col(idCol).as("id"), score.as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("score").desc)
+    val cut = hist
+      .withColumn("_before", coalesce(sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // integer div: a long `/` would go through IEEE double and the
+      // floor of a near-boundary quotient could differ between engines
+      .select(col("score"),
+        (expr(s"(_before * $nStages) div _n") + 1L).as("stage"))
+    scored.join(cut, Seq("score")).select(col("id"), col("score"), col("stage"))
+  }
 }

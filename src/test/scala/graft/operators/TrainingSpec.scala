@@ -218,4 +218,36 @@ class TrainingSpec extends SparkSpec {
       Training.temperatureSample(docs, "source", "doc_id", 1L, 2L, alpha = 0.0)
     }
   }
+
+  test("curriculumStages: distinct scores split evenly, best score = stage 1") {
+    // 12 docs, scores 12..1 — 4 stages of 3
+    val docs = (1L to 12L).map(i => (i, 13.0 - i)).toDF("doc_id", "s")
+    val out = Training.curriculumStages(docs, "doc_id", col("s"), nStages = 4)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq == Seq(1L, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4))
+    assert(out.head._1 == 1L && out.head._3 == 1L) // doc 1 has the top score
+  }
+
+  test("curriculumStages: value ties share a stage (never split by rank)") {
+    // 6 docs of one score, 2 of a worse one, nStages=4: the big tie
+    // group lands entirely in stage 1, the tail in stage 4
+    val docs = ((1L to 6L).map(i => (i, 0.9)) ++
+      (7L to 8L).map(i => (i, 0.1))).toDF("doc_id", "s")
+    val out = Training.curriculumStages(docs, "doc_id", col("s"), nStages = 4)
+      .as[(Long, Double, Long)].collect()
+    assert(out.filter(_._2 == 0.9).map(_._3).toSet == Set(1L))
+    assert(out.filter(_._2 == 0.1).map(_._3).toSet == Set(4L)) // 6*4/8+1
+  }
+
+  test("curriculumStages: stage is monotone in score and covers 1..n on spread data") {
+    val docs = (1L to 100L).map(i => (i, (i % 37).toDouble)).toDF("doc_id", "s")
+    val out = Training.curriculumStages(docs, "doc_id", col("s"), nStages = 5)
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._3).toSet == Set(1L, 2, 3, 4, 5))
+    // higher score never lands in a later-numbered (worse) stage
+    val byStage = out.groupBy(_._3).view.mapValues(v => (v.map(_._2).min, v.map(_._2).max))
+    for (s <- 1L to 4L)
+      assert(byStage(s)._1 >= byStage(s + 1)._2,
+        s"stage $s scores ${byStage(s)} overlap stage ${s + 1} ${byStage(s + 1)}")
+  }
 }
