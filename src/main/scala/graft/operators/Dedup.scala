@@ -934,35 +934,30 @@ object Dedup {
     * estimate is EXACT whenever the union's distinct-shingle count is
     * under k (the sketch then holds the whole set).
     *
-    * Shape at scale: the only corpus-sized work is the distinct
-    * (source, md5) projection; bottom-k per source is the exact
-    * two-phase salted rank (the p04 device — phase 1 caps any
-    * mega-source's survivors at saltBuckets x k rows, so the phase-2
-    * per-source window is bounded regardless of skew). Everything
-    * after runs on nSources x k sketch rows — pair expansion, union
-    * ranking, and the estimator never touch the corpus again, so 100
-    * sources over 100 TB audit with the same nSources^2 x k tail.
-    * Portable md5 hashing makes every estimate (not just the exact
-    * ones) reproducible by the oracle.
+    * Shape at scale: the only corpus-sized work is ONE narrow hash
+    * aggregate — the mergeable [[graft.functions.KmvAgg]] folds each
+    * mapper's shingle stream into a <= k-string partial (the TreeSet
+    * dedupes, so no distinct pass exists at all), partials combine
+    * map-side, and the shuffle moves k-sized states per (mapper,
+    * source) instead of every distinct (source, hash) pair; a
+    * mega-source needs no skew handling because its rows fold into
+    * its mappers' bounded partials. Everything after runs on
+    * nSources x k sketch rows — pair expansion, union ranking, and
+    * the estimator never touch the corpus again, so 100 sources over
+    * 100 TB audit with the same nSources^2 x k tail. Portable md5
+    * hashing makes every estimate (not just the exact ones)
+    * reproducible by the oracle.
     * Output: (s1, s2, k_eff, n_common, jaccard_est), s1 < s2, one row
     * per source pair.
     */
   def sourceOverlapKmv(df: DataFrame, sourceCol: String, textCol: String,
-                       k: Int = 128, shingleN: Int = 3,
-                       saltBuckets: Int = 32): DataFrame = {
+                       k: Int = 128, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"sourceOverlapKmv: k=$k must be >= 1")
-    val hs = shingles(df, sourceCol, textCol, shingleN)
-      .select(col("id").as("_src"), md5(col("shingle")).as("_h"))
-    val salt = pmod(xxhash64(col("_h")), lit(saltBuckets))
-    val sk = hs
-      .withColumn("_r1", row_number().over(
-        Window.partitionBy(col("_src"), salt).orderBy(col("_h"))))
-      .filter(col("_r1") <= k)
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col("_src")).orderBy(col("_h"))))
-      .filter(col("_r") <= k)
-      .select(col("_src"), col("_h"))
+    val sk = shinglesRaw(df, sourceCol, textCol, shingleN)
+      .groupBy(col("id").as("_src"))
+      .agg(graft.functions.KmvAgg.sketch(md5(col("shingle")), k).as("_sk"))
+      .select(col("_src"), explode(col("_sk")).as("_h"))
     // nSources x k rows from here on. Each sketch row joins every
     // OTHER source to form the unordered pair it votes in; the merge
     // marks which side(s) of the pair hold the hash.

@@ -57,12 +57,24 @@ class OverlapAuditSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
   }
 
-  test("phase-1 salting never changes the answer (exact two-phase rank)") {
+  test("partition layout never changes the answer (mergeable partials)") {
     val df = (0 until 40).map { i =>
       (s"s${i % 4}", (0 until 30).map(j => s"t${(i * 7 + j * 3) % 50}").mkString(" "))
     }.toDF("source", "text")
-    val one = Dedup.sourceOverlapKmv(df, "source", "text", k = 8, saltBuckets = 1)
-    val many = Dedup.sourceOverlapKmv(df, "source", "text", k = 8, saltBuckets = 7)
+    val one = Dedup.sourceOverlapKmv(df.coalesce(1), "source", "text", k = 8)
+    val many = Dedup.sourceOverlapKmv(df.repartition(13), "source", "text", k = 8)
     assert(one.exceptAll(many).count() == 0L && many.exceptAll(one).count() == 0L)
+  }
+
+  test("kmv_sketch: k smallest DISTINCT values, ascending, duplicates folded") {
+    val vals = Seq("c", "a", "e", "a", "b", "d", "b").map(Tuple1(_)).toDF("v")
+    val got = vals.repartition(3)
+      .agg(graft.functions.KmvAgg.sketch(col("v"), 3).as("sk"))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+    // under k: the whole distinct set, still sorted
+    val all = vals.agg(graft.functions.KmvAgg.sketch(col("v"), 99).as("sk"))
+      .collect().head.getSeq[String](0)
+    assert(all == Seq("a", "b", "c", "d", "e"))
   }
 }
