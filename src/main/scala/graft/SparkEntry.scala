@@ -852,6 +852,19 @@ object SparkEntry {
           cnt.as("n"))
         .orderBy("l_returnflag")),
 
+    "q30_distinct_kmv" -> ((s, dir) =>
+      // q22's portable twin: KMV distinct estimate off the mergeable
+      // bottom-256 md5 sketch — deterministic, so unlike HLL the
+      // ESTIMATE itself hash-matches the oracle
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(functions.KmvAgg.sketch(
+          md5(col("l_partkey").cast("string")), 256).as("_sk"))
+        .select(col("l_returnflag"),
+          size(col("_sk")).cast("long").as("n_sketch"),
+          functions.KmvAgg.distinctEst(col("_sk"), 256).as("distinct_est"))
+        .orderBy("l_returnflag")),
+
     "t01_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -2481,6 +2494,23 @@ object SparkEntry {
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                  (o_orderstatus, o_orderpriority))
          ORDER BY 1, 2""",
+
+    "q30_distinct_kmv" ->
+      """WITH d AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+                    FROM lineitem GROUP BY 1, 2),
+            rk AS (SELECT l_returnflag, h,
+                          row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY h) AS r
+                   FROM d),
+            sk AS (SELECT l_returnflag, count(*) AS n_sketch, max(h) AS hk
+                   FROM rk WHERE r <= 256 GROUP BY 1)
+         SELECT l_returnflag, CAST(n_sketch AS BIGINT) AS n_sketch,
+                CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+                     ELSE round(255.0 * 1152921504606846976.0 /
+                            CAST(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)
+                                 AS DOUBLE), 4)
+                END AS distinct_est
+         FROM sk ORDER BY l_returnflag""",
 
     "s07_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding,

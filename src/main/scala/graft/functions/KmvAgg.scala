@@ -103,4 +103,21 @@ object KmvAgg {
     * values (the whole distinct set when it fits under k). */
   def sketch(value: Column, k: Int): Column =
     ColumnShim.column(KmvAgg(ColumnShim.expression(value), k).toAggregateExpression())
+
+  /** KMV distinct-count estimate off a [[sketch]] over md5 hashes:
+    * EXACT (= sketch size) under k, else the Beyer et al. estimator
+    * (k-1)/U(k) with U(k) = the k-th smallest hash read as a 60-bit
+    * fraction of the hash space. Every step is engine-portable —
+    * 15-hex-digit parse, one exactly-representable 2^60 literal, one
+    * IEEE division — so unlike HLL (q22, rows-only by design) this
+    * estimate hash-matches an oracle that replays the same bottom-k.
+    */
+  def distinctEst(sketchCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val vk = conv(substring(element_at(sketchCol, -1), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    when(size(sketchCol) < k, size(sketchCol).cast("double"))
+      .otherwise(round(
+        lit((k - 1).toDouble) * lit(1152921504606846976.0) / vk, 4))
+  }
 }

@@ -33,6 +33,20 @@ class ApproxAccuracySpec extends SparkSpec {
     }
   }
 
+  test("KMV distinct estimate stays within 4 sigma of the exact count") {
+    val exact = T("lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+    val est = SparkEntry.queries("q30_distinct_kmv")(spark, dir)
+    val joined = exact.join(est, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (e, a) = (r.getAs[Long]("exact").toDouble, r.getAs[Double]("distinct_est"))
+      // KMV relative std is ~1/sqrt(k-2) ~= 6.3% at k=256; gate at 4x
+      assert(math.abs(a - e) / e < 0.25, s"${r.get(0)}: est $a vs exact $e")
+    }
+  }
+
   test("percentile_approx stays near the exact percentile") {
     val exact = T("lineitem")
       .groupBy("l_returnflag")
