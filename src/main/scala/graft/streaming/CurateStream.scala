@@ -106,4 +106,21 @@ object CurateStream {
     docs.select(explode(split(lower(col(textCol)), "\\s+")).as("_tok"))
       .filter(length(col("_tok")) > 0)
       .agg(graft.functions.CountMinAgg.sketch(col("_tok"), width, depth).as("sketch"))
+
+  /** Live per-key distinct-count sketch: the d22/q30 KMV aggregate
+    * ([[graft.functions.KmvAgg]]) run AS STREAMING STATE — the state
+    * store holds one <= k-string sorted set per key (bounded at any
+    * stream size; "distinct users per source, live" never needs the
+    * distinct set itself), micro-batches merge by union-then-trim,
+    * and the sketch after any prefix of the stream is bit-identical
+    * to the batch sketch over the same rows (spec-pinned — the KMV
+    * result is a set property, independent of arrival order). Run
+    * with complete/update output mode; probe the emitted sketch with
+    * [[graft.functions.KmvAgg.distinctEst]] for the live estimate.
+    */
+  def distinctSketch(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Int = 256): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.KmvAgg.sketch(
+        md5(col(valueCol).cast("string")), k).as("sketch"))
 }

@@ -182,6 +182,39 @@ class CurateStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctSketch state merges across micro-batches into the exact batch sketch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val batch1 = (1L to 40L).map(i => (s"src${i % 2}", i % 7))
+    val batch2 = (41L to 80L).map(i => (s"src${i % 2}", i % 13))
+    val input = MemoryStream[(String, Long)]
+    val q = CurateStream.distinctSketch(
+        input.toDF().toDF("source", "user"), "source", "user", k = 8)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val batch = CurateStream.distinctSketch(
+          (batch1 ++ batch2).toDF("source", "user"), "source", "user", k = 8)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(streamed == batch)
+      // 13 distinct values per source > k=8: the estimation path is
+      // live; under-k exactness is covered by the OverlapAuditSpec
+      val est = spark.table("kmv_stream")
+        .withColumn("est", graft.functions.KmvAgg.distinctEst(col("sketch"), 8))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+      est.foreach { case (src, e) =>
+        assert(e > 4.0 && e < 40.0, s"$src: est $e for 13 distinct")
+      }
+    } finally q.stop()
+  }
+
   test("gopherGate filters a live stream with the batch op's exact verdicts") {
     val s = spark
     import s.implicits._
