@@ -954,10 +954,15 @@ object Dedup {
                        k: Int = 128, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"sourceOverlapKmv: k=$k must be >= 1")
-    val sk = shinglesRaw(df, sourceCol, textCol, shingleN)
-      .groupBy(col("id").as("_src"))
-      .agg(graft.functions.KmvAgg.sketch(md5(col("shingle")), k).as("_sk"))
-      .select(col("_src"), explode(col("_sk")).as("_h"))
+    // sealed: the corpus-sized aggregate feeds BOTH the pair expansion
+    // and the source list below — without the seal the whole shingle +
+    // sketch pass would run twice. The sealed frame is nSources x k
+    // strings, well inside sealOver's small-result contract.
+    val sk = Caching.sealOver(
+      shinglesRaw(df, sourceCol, textCol, shingleN)
+        .groupBy(col("id").as("_src"))
+        .agg(graft.functions.KmvAgg.sketch(md5(col("shingle")), k).as("_sk"))
+        .select(col("_src"), explode(col("_sk")).as("_h")))
     // nSources x k rows from here on. Each sketch row joins every
     // OTHER source to form the unordered pair it votes in; the merge
     // marks which side(s) of the pair hold the hash.

@@ -276,4 +276,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("d22: KMV sketches fold map-side; the corpus pass runs once (sealed)") {
+    val p = SparkEntry.queries("d22_source_overlap")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the corpus never reaches the pair math: both join sides read the
+    // sealed sketch, so no FileScan of documents survives in this plan
+    assert(!p.contains("FileScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), "source list must broadcast: " + p)
+    // the union bottom-k gets the partial+final group-limit treatment
+    assert(p.split("WindowGroupLimit").length - 1 == 2, p)
+  }
+
+  test("q30: the KMV aggregate is one ObjectHashAggregate pass with map-side partials") {
+    val p = plan("q30_distinct_kmv")
+    assert(p.contains("partial_kmv_sketch"), "partials must combine map-side: " + p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), "the corpus pass must stay hash-based: " + p)
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      "columns must prune to the two used: " + p)
+  }
+
+  test("p09: the stage map broadcasts; the corpus never windows or shuffles for it") {
+    val p = SparkEntry.queries("p09_curriculum")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one Window — over the score histogram, never the corpus
+    assert(p.split("\\bWindow\\b").length - 1 == 1, p)
+  }
 }
