@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet timestamps with isAdjustedToUTC=false read as plain
+      // TIMESTAMP (UTC session), not TIMESTAMP_NTZ: the raw µs value
+      // then equals DuckDB's epoch_us over the same file, and ops like
+      // unix_micros/LTZ comparisons keep working regardless of how the
+      // writer flagged the column
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       // reclaim reliable-checkpoint files (Caching.sealOver) when the

@@ -19,6 +19,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // reclaim reliable-checkpoint files (Caching.sealOver) when the
       // sealed result is GC'd — same setting as GraftSession
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -113,8 +113,14 @@ class PartitionPruningSpec extends graft.SparkSpec {
 
   test("a filter on the partition column prunes at planning time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+    // `ts` is long nanos under the legacy schema, TIMESTAMP under the
+    // current one — normalize either way (same rule as SparkEntry.T)
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tsCol =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts")
+    val events = raw.withColumn("day", to_date(tsCol))
     graft.sources.Bucketing.writePartitioned(events, dir, "day")
 
     // guard against vacuity: the layout must actually have many partitions
