@@ -729,17 +729,23 @@ object Dedup {
     */
   /** Shared front of the exact-substring family (d16 spans / d18
     * cut): tokenize, shingle, hash, and mark corpus-duplicated
-    * k-grams. Returns (base, grams, dupes); base and grams come back
-    * PERSISTED — the caller owns sealing over them.
+    * k-grams. Returns (base, grams, dupes); grams comes back
+    * PERSISTED — the caller owns sealing over it.
     *
     * Zero-length tokens (leading whitespace) are dropped BEFORE gram
     * building: an empty first token would inflate n_toks, shift every
     * gram window, and make two docs differing only in leading
     * whitespace hash the same phrase differently — the same rule as
-    * unigramLogProb's tokenizer. base persists because tokenization
-    * feeds both the gram build and the per-doc totals; grams persists
-    * because the gram stream feeds both the dup count and the mark
-    * join. Grams come from the compiled shingle_strings pass
+    * unigramLogProb's tokenizer. grams persists because the gram
+    * stream feeds both the dup count and the mark join. base is
+    * deliberately NOT persisted even though two consumers read it:
+    * caching the tokenized corpus (the pipeline's biggest
+    * intermediate, all text re-boxed as string arrays) breaks the
+    * tokenize→shingle→md5 codegen fusion and pays array
+    * materialization + cached-read costs that a 6× d16 bench
+    * regression traced to this exact persist — re-running the fused
+    * narrow tokenize per consumer is the cheap side of the tradeoff.
+    * Grams come from the compiled shingle_strings pass
     * (position i = start i); hashes shuffle as 16-byte binary digests
     * (internal key only, half the hex-string width).
     */
@@ -750,7 +756,6 @@ object Dedup {
         filter(split(lower(col(textCol)), "\\s+"),
           t => length(t) > 0).as("_toks"))
       .withColumn("_n", size(col("_toks")))
-      .persist()
     val grams = base
       .filter(col("_n") >= k)
       .select(col("id"), posexplode(
@@ -786,7 +791,7 @@ object Dedup {
           coalesce(col("_dup"), lit(0L)).cast("long").as("n_dup_toks"),
           round(coalesce(col("_dup"), lit(0L)).cast("double")
             / col("_n").cast("double"), 6).as("dup_frac")),
-      grams, base)
+      grams)
   }
 
   def paraDedup(df: DataFrame, idCol: String, textCol: String,
@@ -856,7 +861,7 @@ object Dedup {
         .select(col("id"), coalesce(col("_clean"), lit("")).as("text_clean"),
           col("_n").cast("long").as("n_toks"),
           (col("_n") - coalesce(col("_kept"), lit(0L))).cast("long").as("n_dup_toks")),
-      grams, base)
+      grams)
   }
 
   /** Winnowing fingerprint near-dup pairs (Schleimer, Wilkerson,
