@@ -637,6 +637,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"))
         .orderBy("doc_id")),
 
+    "p10_chunk_windows" -> ((s, dir) =>
+      // context-window chunking: 32-token windows every 24 tokens
+      // (8-token overlap); the tail chunk runs short, empty docs drop
+      Training.chunkWindows(T(s, dir, "documents"), "doc_id", "text",
+          maxLen = 32, stride = 24)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+
     "p07_dsir" -> ((s, dir) =>
       // DSIR importance resampling (Xie et al. 2023): hashed
       // unigram+bigram bucket LM ratio of the en-language target
@@ -1207,6 +1215,31 @@ object SparkEntry {
         col("text"), lit("\n"), col("text"),
         lit("\ndone")).as("text"))
       TextStats.collapseRepeatRuns(framed, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "t27_c4_line_filter" -> ((s, dir) => {
+      // C4 line-level cleaning (Raffel et al. 2020 §2.2). The corpus
+      // has single-line docs, so the fixture frames each one as a
+      // crawled page exercising every rule: a nav line (no terminal
+      // punctuation), two well-formed sentences, the body (terminated;
+      // short bodies fail the 3-word floor and can sink the page below
+      // minKeptLines), a javascript plea, a policy line, and — on a
+      // sparse modulus — the two page-level killers (lorem ipsum /
+      // curly brace).
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("home | about | contact\n"),
+        lit("this page is archived for reference.\n"),
+        col("text"), lit(".\n"),
+        lit("comments are closed on this article.\n"),
+        lit("please enable javascript to continue.\n"),
+        lit("read our privacy policy."),
+        when(col("doc_id") % 97 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 89 === 0, lit("\nfunction() { return; }"))
+          .otherwise(lit(""))).as("text"))
+      TextStats.c4LineFilter(framed, "doc_id", "text", minKeptLines = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
@@ -2641,6 +2674,19 @@ object SparkEntry {
                   FROM n)
          SELECT doc_id, n_toks FROM c WHERE cum <= 20000 ORDER BY doc_id""",
 
+    "p10_chunk_windows" ->
+      """WITH tk AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           t -> len(t) > 0) AS toks
+             FROM documents),
+            nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+            st AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS s FROM nz)
+         SELECT doc_id,
+                CAST(s // 24 AS BIGINT) AS chunk_idx,
+                array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
+                CAST(least(32, n - s) AS BIGINT) AS n_toks
+         FROM st ORDER BY doc_id, chunk_idx""",
+
     "p07_dsir" -> p07Oracle,
 
     "p08_temperature" ->
@@ -2950,6 +2996,42 @@ object SparkEntry {
                 CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
          FROM kept k JOIN tot t ON k.doc_id = t.doc_id
          GROUP BY k.doc_id ORDER BY k.doc_id""",
+
+    "t27_c4_line_filter" ->
+      """WITH framed AS (SELECT doc_id,
+               'home | about | contact' || chr(10) ||
+               'this page is archived for reference.' || chr(10) ||
+               text || '.' || chr(10) ||
+               'comments are closed on this article.' || chr(10) ||
+               'please enable javascript to continue.' || chr(10) ||
+               'read our privacy policy.' ||
+               CASE WHEN doc_id % 97 = 0
+                    THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+               CASE WHEN doc_id % 89 = 0
+                    THEN chr(10) || 'function() { return; }' ELSE '' END AS text
+             FROM documents),
+            pages AS (SELECT doc_id, text FROM framed
+                      WHERE NOT contains(lower(text), 'lorem ipsum')
+                        AND NOT contains(text, '{')),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM pages),
+            lines AS (SELECT doc_id, a[i] AS line, i
+                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
+                            FROM ls)),
+            kept AS (SELECT doc_id, line, i FROM lines
+                     WHERE regexp_matches(trim(line), '[.!?"]$')
+                       AND len(string_split_regex(trim(line), '\s+')) >= 3
+                       AND NOT contains(lower(trim(line)), 'javascript')
+                       AND NOT contains(lower(trim(line)), 'privacy policy')
+                       AND NOT contains(lower(trim(line)), 'terms of use')
+                       AND NOT contains(lower(trim(line)), 'cookie policy')
+                       AND NOT contains(lower(trim(line)), 'uses cookies')),
+            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1)
+         SELECT k.doc_id,
+                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
+         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+         GROUP BY k.doc_id HAVING count(*) >= 3 ORDER BY k.doc_id""",
 
     "t17_bm25" -> t17Oracle,
 

@@ -81,6 +81,50 @@ object TextStats {
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning", §2.2 — the heuristics that built
+    * the C4 corpus). Per LINE, keep only lines that end in a terminal
+    * punctuation mark (`.` `!` `?` `"`), carry at least 3 whitespace
+    * words, and mention neither "javascript" nor a boilerplate policy
+    * phrase ("privacy policy" / "terms of use" / "cookie policy" /
+    * "uses cookies"). Per PAGE, drop the whole document if it
+    * contains "lorem ipsum" or a curly brace (template/code debris),
+    * or if fewer than `minKeptLines` lines survive (the paper's
+    * "fewer than 5 sentences" page floor, expressed in kept lines).
+    * Survivors are reassembled from their kept lines in order.
+    *
+    * The cross-document complement is [[stripRepeatedLines]] (t12):
+    * C4's rules are all WITHIN one row, so unlike t12 this needs no
+    * corpus-wide line frequency — the whole operator is one narrow
+    * row-local filter + projection, ZERO shuffles, embarrassingly
+    * parallel at any corpus size. (The line predicates run in an
+    * interpreted higher-order filter; regex CPU dominates that
+    * overhead and nothing here ever leaves its input partition.)
+    * Output: (id, text_clean, n_kept, n_dropped).
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minKeptLines: Int = 3): DataFrame = {
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      val lt = lower(t)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= 3 &&
+        !lt.contains("javascript") &&
+        !lt.contains("privacy policy") && !lt.contains("terms of use") &&
+        !lt.contains("cookie policy") && !lt.contains("uses cookies")
+    }
+    df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .filter(!lower(col("_text")).contains("lorem ipsum") &&
+        !col("_text").contains("{"))
+      .select(col("id"), split(col("_text"), "\n").as("_ls"))
+      .withColumn("_kept", filter(col("_ls"), keepLine _))
+      .filter(size(col("_kept")) >= minKeptLines)
+      .select(col("id"),
+        array_join(col("_kept"), "\n").as("text_clean"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_ls")) - size(col("_kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Collapse RUNS of consecutive identical lines within a document
     * to a single occurrence — terminal spam ("loading..." floods,
     * progress bars), copy-paste stutters, repeated paragraphs. The

@@ -440,6 +440,46 @@ object Training {
     * deterministic global shuffle of training order, reproducible
     * across runs.
     */
+  /** Context-window chunking with stride: split each document's token
+    * stream into windows of at most `maxLen` tokens starting every
+    * `stride` tokens (overlap = maxLen - stride) — the
+    * long-document-to-context-window step used when documents must
+    * NOT cross sequence boundaries (retrieval passages, BERT-style
+    * pretraining, eval harnesses), the per-document complement of
+    * [[packSequences]]' cross-document concat-and-cut.
+    *
+    * Windows start at offsets 0, stride, 2·stride, … while the offset
+    * is inside the document, so every token lands in at least one
+    * chunk and the tail chunk may run short; documents with no tokens
+    * drop out. Tokens are whitespace runs (the t-family tokenizer,
+    * case preserved — chunking must not alter content).
+    *
+    * Shape at scale: one narrow row-local pass — per row, a
+    * `sequence` of start offsets posexplodes against a `slice` of the
+    * doc's own token array. ZERO shuffles at any corpus size; output
+    * volume is bounded by n_toks/stride chunks per doc (ceil'd), each
+    * carrying ~maxLen/stride × the input bytes, which is the
+    * overlap's intrinsic cost, not a plan artifact.
+    * Output: (id, chunk_idx, chunk_text, n_toks).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   maxLen: Int, stride: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen=$maxLen must be >= 1")
+    require(stride >= 1 && stride <= maxLen,
+      s"stride=$stride must be in [1, maxLen=$maxLen]")
+    df.select(col(idCol).as("id"),
+        filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("id"), col("_toks"),
+        posexplode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(maxLen)), " ")
+          .as("chunk_text"),
+        least(lit(maxLen), size(col("_toks")) - col("_start"))
+          .cast("long").as("n_toks"))
+  }
+
   def shardAssign(df: DataFrame, idCol: String): DataFrame = {
     val h = md5(col(idCol).cast("string"))
     val shard = (expr(s"position(substring(md5(cast($idCol as string)), 1, 1), " +

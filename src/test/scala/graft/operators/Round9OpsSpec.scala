@@ -904,3 +904,55 @@ class LexicalDiversitySpec extends SparkSpec {
     assert(d4.getLong(1) == 1L && d4.getDouble(3) == 1.0 && d4.isNullAt(5))
   }
 }
+
+class C4LineFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good1 = "this sentence is perfectly fine."
+  private val good2 = "is this a keeper too?"
+
+  test("each line rule fires: punctuation, word floor, javascript, policy phrases") {
+    val doc = Seq(
+      good1,
+      "no terminal punctuation here",     // punct rule
+      "too short.",                       // < 3 words
+      "please enable JavaScript now.",    // javascript (case-folded)
+      "see our Privacy Policy today.",    // policy phrase
+      "this site uses cookies heavily.",  // policy phrase
+      good2).mkString("\n")
+    val out = TextStats.c4LineFilter(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+        minKeptLines = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == s"$good1\n$good2")
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 5L)
+  }
+
+  test("page rules: lorem ipsum and curly braces kill the document") {
+    val docs = Seq(
+      (1L, s"$good1\nlorem ipsum dolor sit amet."),
+      (2L, s"$good1\nvar f = function() { return; }"),
+      (3L, good1)).toDF("doc_id", "text")
+    val out = TextStats.c4LineFilter(docs, "doc_id", "text", minKeptLines = 1)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("the kept-line page floor drops thin pages") {
+    val docs = Seq(
+      (1L, s"$good1\n$good2\nand a third good sentence."),
+      (2L, s"$good1\nnav menu")).toDF("doc_id", "text")
+    val out = TextStats.c4LineFilter(docs, "doc_id", "text", minKeptLines = 3)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 0L)
+  }
+
+  test("zero shuffles: the filter is one narrow row-local pass") {
+    val docs = Seq((1L, good1)).toDF("id", "text")
+    val p = TextStats.c4LineFilter(docs, "id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+  }
+}

@@ -250,4 +250,36 @@ class TrainingSpec extends SparkSpec {
       assert(byStage(s)._1 >= byStage(s + 1)._2,
         s"stage $s scores ${byStage(s)} overlap stage ${s + 1} ${byStage(s + 1)}")
   }
+  test("chunkWindows: offsets, overlap, short tail, empty-doc drop") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // 8 toks: starts 0,3,6 at stride 3
+      (2L, "x y"),               // shorter than maxLen: one chunk
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Training.chunkWindows(docs, "doc_id", "text",
+        maxLen = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (0L, "a b c d", 4L), (1L, "d e f g", 4L), (2L, "g h", 2L)))
+    assert(out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, "x y", 2L)))
+  }
+
+  test("chunkWindows: stride == maxLen tiles without overlap and covers every token") {
+    val docs = Seq((1L, (1 to 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Training.chunkWindows(docs, "doc_id", "text", maxLen = 4, stride = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._4).sum == 10L)
+    assert(out.flatMap(_._3.split(" ")).toSeq == (1 to 10).map("t" + _))
+  }
+
+  test("chunkWindows: zero shuffles (row-local explode)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Training.chunkWindows(docs, "doc_id", "text", 4, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+  }
 }
+
