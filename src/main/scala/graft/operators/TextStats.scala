@@ -102,28 +102,34 @@ object TextStats {
     * overhead and nothing here ever leaves its input partition.)
     * Output: (id, text_clean, n_kept, n_dropped).
     */
+  /** The C4 per-line keep predicate and page rule as bare Column
+    * expressions, so the batch operator ([[c4LineFilter]]) and the
+    * streaming gate ([[graft.streaming.CurateStream.c4Gate]]) share
+    * ONE tree and agree line-for-line by construction. */
+  def c4KeepLine(l: Column): Column = {
+    val t = trim(l)
+    val lt = lower(t)
+    t.rlike("[.!?\"]$") &&
+      size(split(t, "\\s+")) >= 3 &&
+      !lt.contains("javascript") &&
+      !lt.contains("privacy policy") && !lt.contains("terms of use") &&
+      !lt.contains("cookie policy") && !lt.contains("uses cookies")
+  }
+
+  def c4PageOk(text: Column): Column =
+    !lower(text).contains("lorem ipsum") && !text.contains("{")
+
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
-                   minKeptLines: Int = 3): DataFrame = {
-    def keepLine(l: Column): Column = {
-      val t = trim(l)
-      val lt = lower(t)
-      t.rlike("[.!?\"]$") &&
-        size(split(t, "\\s+")) >= 3 &&
-        !lt.contains("javascript") &&
-        !lt.contains("privacy policy") && !lt.contains("terms of use") &&
-        !lt.contains("cookie policy") && !lt.contains("uses cookies")
-    }
+                   minKeptLines: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), col(textCol).as("_text"))
-      .filter(!lower(col("_text")).contains("lorem ipsum") &&
-        !col("_text").contains("{"))
+      .filter(c4PageOk(col("_text")))
       .select(col("id"), split(col("_text"), "\n").as("_ls"))
-      .withColumn("_kept", filter(col("_ls"), keepLine _))
+      .withColumn("_kept", filter(col("_ls"), c4KeepLine _))
       .filter(size(col("_kept")) >= minKeptLines)
       .select(col("id"),
         array_join(col("_kept"), "\n").as("text_clean"),
         size(col("_kept")).cast("long").as("n_kept"),
         (size(col("_ls")) - size(col("_kept"))).cast("long").as("n_dropped"))
-  }
 
   /** Collapse RUNS of consecutive identical lines within a document
     * to a single occurrence — terminal spam ("loading..." floods,

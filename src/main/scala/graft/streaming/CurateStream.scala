@@ -82,6 +82,29 @@ object CurateStream {
   def gopherGate(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(graft.operators.TextStats.gopherPass(col(textCol)))
 
+  /** Streaming C4 line-cleaning gate: scrub each arriving document
+    * with the Raffel et al. 2020 line rules and drop pages failing
+    * the page rules, live — the SAME
+    * [[graft.operators.TextStats.c4KeepLine]]/
+    * [[graft.operators.TextStats.c4PageOk]] expression trees as the
+    * batch t27 operator, so stream and batch keep identical lines by
+    * construction. Stateless, row-local, no shuffle: the gate
+    * rewrites `textCol` to the kept lines in place and keeps every
+    * other column (the batch operator reshapes instead; parity is on
+    * the kept-line content, spec-pinned).
+    */
+  def c4Gate(docs: DataFrame, textCol: String,
+             minKeptLines: Int = 3): DataFrame = {
+    import graft.operators.TextStats
+    docs
+      .withColumn("_kept",
+        filter(split(col(textCol), "\n"), TextStats.c4KeepLine _))
+      .filter(TextStats.c4PageOk(col(textCol)) &&
+        size(col("_kept")) >= minKeptLines)
+      .withColumn(textCol, array_join(col("_kept"), "\n"))
+      .drop("_kept")
+  }
+
   /** Streaming Gopher A2 gate: drop repetitive documents live, with
     * the SAME rounded fractions and thresholds as the batch
     * [[graft.operators.TextStats.gopherRepetition]] report

@@ -243,4 +243,33 @@ class CurateStreamSpec extends SparkSpec {
       assert(kept == expected && kept == Set(1L), s"kept=$kept expected=$expected")
     } finally q.stop()
   }
+  test("c4Gate scrubs a live stream to the batch operator's exact kept lines") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Seq(
+      (1L, "this first sentence is kept.\nnav menu\nand this one survives too!\na third keeper rounds it out."),
+      (2L, "this page looks fine at first.\nlorem ipsum dolor sit amet.\nbut the page rule kills it."),
+      (3L, "only one decent sentence here.\nnav\nmenu"))   // below the floor
+    val input = MemoryStream[(Long, String)]
+    val gated = CurateStream.c4Gate(input.toDF().toDF("id", "text"), "text",
+      minKeptLines = 2)
+    val q = gated.writeStream.format("memory")
+      .queryName("c4_gate").outputMode("append").start()
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4_gate").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.TextStats
+        .c4LineFilter(rows.toDF("id", "text"), "id", "text", minKeptLines = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.keySet == Set(1L))
+      assert(streamed(1L).linesIterator.size == 3)
+    } finally q.stop()
+  }
 }
+
