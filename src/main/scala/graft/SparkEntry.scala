@@ -1398,6 +1398,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d23_span_dedup" -> ((s, dir) => {
+      // C4's three-sentence-span dedup (Raffel et al. 2020 §2.2). The
+      // fixture frames each single-sentence doc as a page: a
+      // 3-sentence intro every page shares (one corpus-duplicated
+      // span — only the corpus-first doc keeps it), the body as its
+      // own sentence, and a closer shared by even docs (a second
+      // duplicated span) or unique per odd doc.
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("welcome to the archive. this copy is mirrored nightly. " +
+          "enjoy your stay. "),
+        col("text"), lit("."),
+        when(col("doc_id") % 2 === 0,
+          lit(" thanks for visiting. see you next time. goodbye."))
+          .otherwise(concat(lit(" closing note "), col("doc_id"), lit("."))))
+        .as("text"))
+      Dedup.spanDedup(framed, "doc_id", "text", spanLen = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t19_gopher_rules" -> ((s, dir) =>
       // the Gopher hard-filter bundle (Rae et al. 2021 A1): every
       // signal surfaced next to the composite pass flag; zero shuffles
@@ -3359,6 +3379,47 @@ object SparkEntry {
          FROM s""",
 
     "d19_bloom_decontaminate" -> d19Oracle,
+
+    "d23_span_dedup" ->
+      """WITH framed AS (SELECT doc_id,
+               'welcome to the archive. this copy is mirrored nightly. enjoy your stay. ' ||
+               text || '.' ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ' thanks for visiting. see you next time. goodbye.'
+                    ELSE ' closing note ' || CAST(doc_id AS VARCHAR) || '.' END AS text
+             FROM documents),
+            s0 AS (SELECT doc_id, list_filter(list_transform(
+                     regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'),
+                     x -> trim(x)), x -> len(x) > 0) AS sents FROM framed),
+            base AS (SELECT doc_id, sents, len(sents) AS n FROM s0),
+            spans AS (SELECT doc_id, s AS start,
+                        md5(array_to_string(list_slice(sents, s + 1, s + 3), chr(1))) AS h
+                      FROM (SELECT doc_id, sents, n, unnest(range(0, n - 2)) AS s
+                            FROM base WHERE n >= 3)),
+            winners AS (SELECT h, doc_id, start FROM (
+                          SELECT h, doc_id, start,
+                            row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, start) AS rn
+                          FROM spans) WHERE rn = 1),
+            removals AS (SELECT DISTINCT sp.doc_id, sp.start + d.d AS pos
+                         FROM spans sp
+                         LEFT JOIN winners w ON sp.h = w.h
+                           AND sp.doc_id = w.doc_id AND sp.start = w.start
+                         CROSS JOIN (SELECT unnest(range(0, 3)) AS d) d
+                         WHERE w.h IS NULL),
+            sent AS (SELECT doc_id, i - 1 AS pos, sents[i] AS sent
+                     FROM (SELECT doc_id, sents, unnest(range(1, n + 1)) AS i
+                           FROM base)),
+            kept AS (SELECT s.doc_id, s.pos, s.sent FROM sent s
+                     LEFT JOIN removals r ON s.doc_id = r.doc_id AND s.pos = r.pos
+                     WHERE r.doc_id IS NULL),
+            agg AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_clean,
+                      count(*) AS n_kept FROM kept GROUP BY 1)
+         SELECT b.doc_id,
+                coalesce(a.text_clean, '') AS text_clean,
+                CAST(b.n AS BIGINT) AS n_sents,
+                CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
 
     "d18_dup_substring_cut" ->
       """WITH framed AS (SELECT doc_id,

@@ -820,6 +820,82 @@ object Dedup {
         (col("_n_tot") - col("_n_kept")).cast("long").as("n_dropped"))
   }
 
+  /** C4's dedup unit — "we discarded all but one of any
+    * three-sentence span occurring more than once in the data set"
+    * (Raffel et al. 2020 §2.2): every `spanLen`-sentence sliding
+    * window is hashed; the corpus-first occurrence (min (id, start))
+    * of each span is canonical and every OTHER occurrence marks its
+    * sentences for removal; documents are reassembled from surviving
+    * sentences in order. The sentence-granularity sibling of
+    * [[paraDedup]] (whole paragraphs) and [[cutDupSubstrings]]
+    * (k-token grams).
+    *
+    * Sentences split on terminal punctuation via regexp_extract_all
+    * with an alternation ('sentence with terminator' | 'trailing
+    * fragment') that needs NO lookbehind — RE2-safe, so an oracle
+    * replays the exact same segmentation. Reassembly single-space
+    * joins surviving sentences (defined on the sentence stream, the
+    * cutDupSubstrings convention). Docs with fewer than `spanLen`
+    * sentences form no spans and survive whole; a fully-duplicated
+    * doc keeps an empty text_clean rather than vanishing.
+    *
+    * Shape at scale: span hashing is row-LOCAL (a sequence+slice+md5
+    * transform over the doc's own sentence array — spans never
+    * explode as text); 16-byte span digests shuffle once for the
+    * winner aggregate (map-side min-struct partials absorb
+    * boilerplate spans, no hot window); only NON-winner occurrences
+    * explode to their spanLen covered positions — proportional to
+    * DUPLICATED volume, like the d18 cut — and one id shuffle
+    * reassembles. Output: (id, text_clean, n_sents, n_dropped).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, s"spanLen=$spanLen must be >= 1")
+    val sents = filter(
+      transform(
+        regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    val base = df.select(col(idCol).as("id"), sents.as("_sents"))
+      .withColumn("_n", size(col("_sents")))
+    // (id, start, spanHash) — hashes computed inside the row, then
+    // exploded narrow; docs too short for a span contribute nothing
+    val spans = base.filter(col("_n") >= spanLen)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("_n") - spanLen),
+        // control-char-joined: an empty separator would alias spans
+        // whose sentence boundaries differ ("ab","c" vs "a","bc")
+        i => unhex(md5(concat_ws("\u0001",
+          slice(col("_sents"), i + 1, lit(spanLen)))))))
+        .as(Seq("start", "_h")))
+    val winners = spans.groupBy(col("_h"))
+      .agg(min(struct(col("id"), col("start"))).as("_w"))
+      .select(col("_h"), col("_w.id").as("id"),
+        col("_w.start").as("start"))
+    // sentences covered by any non-canonical duplicated span
+    val removals = spans.join(winners, Seq("_h", "id", "start"), "left_anti")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (spanLen - 1))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("_sents")).as(Seq("pos", "sent")))
+      .join(removals, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sent")))),
+          s => s("sent")), " ").as("_clean"),
+        count(lit(1)).as("_kept"))
+    Caching.sealOver(
+      base.select(col("id"), col("_n"))
+        .join(kept, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_clean"), lit("")).as("text_clean"),
+          col("_n").cast("long").as("n_sents"),
+          (col("_n") - coalesce(col("_kept"), lit(0L)))
+            .cast("long").as("n_dropped")))
+  }
+
   /** The CUT step of exact duplicated-substring dedup —
     * [[dupSubstringSpans]] reports how much of each document sits in
     * corpus-duplicated substrings; this operator actually removes

@@ -956,3 +956,60 @@ class C4LineFilterSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 }
+
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the corpus-first occurrence of a duplicated span survives; later copies lose those sentences") {
+    val intro = "one two. three four! five six?"
+    val docs = Seq(
+      (1L, s"$intro unique seven."),
+      (2L, s"$intro another ending."),
+      (3L, "totally unrelated. content lives. here today. forever more."))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // doc 1 keeps everything (it is the winner of the intro span)
+    assert(out(0) == ((1L, "one two. three four! five six? unique seven.", 4L, 0L)))
+    // doc 2 loses the three intro sentences, keeps its own ending
+    assert(out(1) == ((2L, "another ending.", 4L, 3L)))
+    // doc 3 shares nothing and survives whole
+    assert(out(2)._4 == 0L && out(2)._3 == 4L)
+  }
+
+  test("a repeated span INSIDE one document collapses to its first occurrence") {
+    val docs = Seq(
+      (1L, "alpha beta. gamma delta. epsilon zeta. alpha beta. gamma delta. epsilon zeta."))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 1)
+    // sentences 3..5 form the same span as 0..2 and are removed
+    assert(out(0)._2 == "alpha beta. gamma delta. epsilon zeta.")
+    assert(out(0)._3 == 6L && out(0)._4 == 3L)
+  }
+
+  test("docs with fewer sentences than the span length survive whole; a fully-duplicated doc keeps empty text") {
+    val span = "cloned first. cloned second. cloned third."
+    val docs = Seq(
+      (1L, span),
+      (2L, span),            // all three sentences are one duplicated span
+      (3L, "short one. two.")) // only 2 sentences: no spans
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanLen = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0)._4 == 0L)
+    assert(out(1) == ((2L, "", 3L, 3L)))
+    assert(out(2) == ((3L, "short one. two.", 2L, 0L)))
+  }
+
+  test("span hashing is row-local: no explode of span text, winners shuffle digests") {
+    val docs = Seq((1L, "a b. c d. e f. g h.")).toDF("doc_id", "text")
+    val p = Dedup.spanDedup(docs, "doc_id", "text")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the only generate nodes are the narrow span-hash/sentence
+    // explodes; no join on raw sentence strings anywhere
+    assert(!p.contains("SortMergeJoin") || p.contains("_h"), p)
+  }
+}
