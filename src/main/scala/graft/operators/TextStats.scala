@@ -482,16 +482,20 @@ object TextStats {
                     headVocab: Int = 65536): DataFrame = {
     val toksArr = filter(split(lower(col(textCol)), "\\s+"),
       t => length(t) > 0)
-    // persisted: the pair build (an interpreted higher-order transform
-    // — HOFs don't codegen) feeds THREE consumers (bigram counts,
-    // prefix counts, scoring); the small per-doc result seals over it
+    // persisted: the pair build feeds THREE consumers (bigram counts,
+    // prefix counts, scoring); the small per-doc result seals over it.
+    // Pairs come from the COMPILED shingle_strings pass at n=2 (the
+    // transform+struct+element_at combinator runs interpreted — HOFs
+    // don't codegen) split on the single gram space: tokens are
+    // whitespace runs, so they contain no space and the split is
+    // byte-exact (pinned by the unchanged t16 oracle hash).
     val pairs = df.select(col(idCol).as("id"), toksArr.as("_t"))
       .filter(size(col("_t")) >= 2)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("_t")) - 2),
-        i => struct(element_at(col("_t"), i + 1).as("w1"),
-          element_at(col("_t"), i + 2).as("w2")))).as("_p"))
-      .select(col("id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .select(col("id"),
+        explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_g"))
+      .select(col("id"),
+        substring_index(col("_g"), " ", 1).as("w1"),
+        substring_index(col("_g"), " ", -1).as("w2"))
       .persist()
     val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("_nb"))
