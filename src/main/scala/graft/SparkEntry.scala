@@ -1244,6 +1244,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t28_readability" -> ((s, dir) => {
+      // Flesch-Kincaid grade level; the fixture frames each one-line
+      // doc with an opening and closing sentence so the words-per-
+      // sentence term varies with body length
+      val framed = T(s, dir, "documents").select(col("doc_id"), concat(
+        lit("a short opening line. "), col("text"),
+        lit(". the closing line ends here.")).as("text"))
+      TextStats.readability(framed, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t13_unigram_logprob" -> ((s, dir) =>
       // unigram-LM quality score (KenLM-perplexity stand-in): mean
       // log-prob of each doc's tokens under the corpus's own unigram
@@ -3052,6 +3064,30 @@ object SparkEntry {
                 CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
          FROM kept k JOIN tot t ON k.doc_id = t.doc_id
          GROUP BY k.doc_id HAVING count(*) >= 3 ORDER BY k.doc_id""",
+
+    "t28_readability" ->
+      """WITH framed AS (SELECT doc_id,
+               'a short opening line. ' || text || '. the closing line ends here.' AS text
+             FROM documents),
+            s0 AS (SELECT doc_id,
+                     len(list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'),
+                       x -> trim(x)), x -> len(x) > 0)) AS n_sents,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> len(t) > 0) AS ws
+                   FROM framed),
+            s1 AS (SELECT doc_id, n_sents, len(ws) AS n_words,
+                     list_sum(list_transform(ws,
+                       w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS n_syllables
+                   FROM s0)
+         SELECT doc_id,
+                CAST(n_sents AS BIGINT) AS n_sents,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_syllables AS BIGINT) AS n_syllables,
+                round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) +
+                      11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+                      15.59, 6) AS fk_grade
+         FROM s1 WHERE n_words > 0 ORDER BY doc_id""",
 
     "t17_bm25" -> t17Oracle,
 

@@ -131,6 +131,49 @@ object TextStats {
         size(col("_kept")).cast("long").as("n_kept"),
         (size(col("_ls")) - size(col("_kept"))).cast("long").as("n_dropped"))
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975), the classic
+    * readability score quality filters threshold on:
+    * 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59.
+    * Sentences use the same lookbehind-free RE2-safe segmentation as
+    * [[graft.operators.Dedup.spanDedup]] (an oracle replays it
+    * exactly); syllables are the standard vowel-group approximation
+    * ([aeiouy]+ runs, floor 1 per word — consonant-only tokens count
+    * one syllable, as every FK implementation does).
+    *
+    * Shape at scale: ONE narrow row-local projection, zero shuffles —
+    * every signal is a within-document count (the per-word syllable
+    * pass is an interpreted higher-order transform; regex CPU
+    * dominates that overhead and nothing leaves its partition). Docs
+    * with no words carry no evidence and drop out (the t-family
+    * convention). The grade is computed in one fixed double
+    * expression over exact integer counts, rounded to 6 — identical
+    * in any engine. Output: (id, n_sents, n_words, n_syllables,
+    * fk_grade).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      transform(
+        regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    val words = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val syllables = aggregate(
+      transform(words, w => greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))),
+      lit(0L), (acc, s) => acc + s)
+    df.select(col(idCol).as("id"),
+        size(sents).cast("long").as("n_sents"),
+        size(words).cast("long").as("n_words"),
+        syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("n_words").cast("double") / col("n_sents").cast("double")) +
+        lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+        lit(15.59), 6))
+  }
+
   /** Collapse RUNS of consecutive identical lines within a document
     * to a single occurrence — terminal spam ("loading..." floods,
     * progress bars), copy-paste stutters, repeated paragraphs. The

@@ -1013,3 +1013,51 @@ class SpanDedupSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") || p.contains("_h"), p)
   }
 }
+
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts and grade match hand computation") {
+    // 2 sentences, 6 words, syllables: the(1) cat(1) sat(1) down(1)
+    // it(1) slept(1) = 6
+    val docs = Seq((1L, "the cat sat down. it slept.")).toDF("doc_id", "text")
+    val out = TextStats.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (_, ns, nw, sy, fk) = out(0)
+    assert(ns == 2L && nw == 6L && sy == 6L)
+    val expected = BigDecimal(0.39 * 3.0 + 11.8 * 1.0 - 15.59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fk == expected, s"$fk vs $expected")
+  }
+
+  test("vowel-group syllables: polysyllabic words raise the grade; consonant-only words floor at 1") {
+    val docs = Seq(
+      (1L, "incomprehensibilities of extraordinary organizations."),
+      (2L, "tsk tsk hmm.")).toDF("doc_id", "text")
+    val out = TextStats.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // incomprehensibilities: i-o-e-e-i-i-i-ie = 8 groups; of: 1;
+    // extraordinary: e-ao-i-a-y = 5; organizations: o-a-i-a-io = 5
+    assert(out(0)._4 == 19L)
+    assert(out(1)._4 == 3L)         // three consonant-only words
+    assert(out(0)._5 > out(1)._5)
+  }
+
+  test("a doc with no words drops out; an unterminated fragment counts one sentence") {
+    val docs = Seq(
+      (1L, "   "),
+      (2L, "no terminal punctuation at all")).toDF("doc_id", "text")
+    val out = TextStats.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(2L))
+    assert(out(0)._2 == 1L && out(0)._3 == 5L)
+  }
+
+  test("zero shuffles: one narrow row-local projection") {
+    val docs = Seq((1L, "a b.")).toDF("id", "text")
+    val p = TextStats.readability(docs, "id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Exchange"), p)
+  }
+}
