@@ -2712,7 +2712,9 @@ object SparkEntry {
                            t -> len(t) > 0) AS toks
              FROM documents),
             nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
-            st AS (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS s FROM nz)
+            st AS (SELECT doc_id, toks, n, s FROM
+                     (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS s FROM nz)
+                   WHERE s = 0 OR s - 24 + 32 < n)
          SELECT doc_id,
                 CAST(s // 24 AS BIGINT) AS chunk_idx,
                 array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
@@ -3045,7 +3047,7 @@ object SparkEntry {
             pages AS (SELECT doc_id, text FROM framed
                       WHERE NOT contains(lower(text), 'lorem ipsum')
                         AND NOT contains(text, '{')),
-            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM pages),
+            ls AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS a FROM pages),
             lines AS (SELECT doc_id, a[i] AS line, i
                       FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
                             FROM ls)),
@@ -3087,7 +3089,7 @@ object SparkEntry {
                 round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) +
                       11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
                       15.59, 6) AS fk_grade
-         FROM s1 WHERE n_words > 0 ORDER BY doc_id""",
+         FROM s1 WHERE n_words > 0 AND n_sents > 0 ORDER BY doc_id""",
 
     "t17_bm25" -> t17Oracle,
 

@@ -850,6 +850,17 @@ object Dedup {
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
                 spanLen: Int = 3): DataFrame = {
+    val (res, spans) = spanDedupRaw(df, idCol, textCol, spanLen)
+    Caching.sealOver(res, spans)
+  }
+
+  /** Unsealed internals: (result, persisted spans frame). Plan specs
+    * assert the shape BEFORE sealOver hides it behind a checkpoint
+    * scan (the corpusDivergenceRaw device); callers use [[spanDedup]].
+    */
+  private[graft] def spanDedupRaw(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  spanLen: Int): (DataFrame, DataFrame) = {
     require(spanLen >= 1, s"spanLen=$spanLen must be >= 1")
     val sents = filter(
       transform(
@@ -886,14 +897,14 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("sent")))),
           s => s("sent")), " ").as("_clean"),
         count(lit(1)).as("_kept"))
-    Caching.sealOver(
-      base.select(col("id"), col("_n"))
-        .join(kept, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("_clean"), lit("")).as("text_clean"),
-          col("_n").cast("long").as("n_sents"),
-          (col("_n") - coalesce(col("_kept"), lit(0L)))
-            .cast("long").as("n_dropped")))
+    (base.select(col("id"), col("_n"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_clean"), lit("")).as("text_clean"),
+        col("_n").cast("long").as("n_sents"),
+        (col("_n") - coalesce(col("_kept"), lit(0L)))
+          .cast("long").as("n_dropped")),
+     spans)
   }
 
   /** The CUT step of exact duplicated-substring dedup —

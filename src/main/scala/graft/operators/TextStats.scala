@@ -119,11 +119,18 @@ object TextStats {
   def c4PageOk(text: Column): Column =
     !lower(text).contains("lorem ipsum") && !text.contains("{")
 
+  /** Line split shared by the batch operator and the streaming gate:
+    * `\r?\n` so CRLF crawl pages neither smuggle a trailing \r into
+    * kept lines nor diverge from the RE2 oracle (Java's `$` matches
+    * before a final \r, RE2's does not — splitting the \r away makes
+    * the question moot on both engines). */
+  def c4Lines(text: Column): Column = split(text, "\r?\n")
+
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
                    minKeptLines: Int = 3): DataFrame =
     df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .filter(c4PageOk(col("_text")))
-      .select(col("id"), split(col("_text"), "\n").as("_ls"))
+      .select(col("id"), c4Lines(col("_text")).as("_ls"))
       .withColumn("_kept", filter(col("_ls"), c4KeepLine _))
       .filter(size(col("_kept")) >= minKeptLines)
       .select(col("id"),
@@ -167,7 +174,11 @@ object TextStats {
         size(sents).cast("long").as("n_sents"),
         size(words).cast("long").as("n_words"),
         syllables.as("n_syllables"))
-      .filter(col("n_words") > 0)
+      // both counts must be positive: a punctuation-only doc ("...")
+      // splits to one "word" but ZERO sentences (no non-terminator
+      // char for the segmentation to anchor on) and would divide by
+      // zero — no-evidence docs drop, never score
+      .filter(col("n_words") > 0 && col("n_sents") > 0)
       .withColumn("fk_grade", round(
         lit(0.39) * (col("n_words").cast("double") / col("n_sents").cast("double")) +
         lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -

@@ -448,11 +448,15 @@ object Training {
     * pretraining, eval harnesses), the per-document complement of
     * [[packSequences]]' cross-document concat-and-cut.
     *
-    * Windows start at offsets 0, stride, 2·stride, … while the offset
-    * is inside the document, so every token lands in at least one
-    * chunk and the tail chunk may run short; documents with no tokens
-    * drop out. Tokens are whitespace runs (the t-family tokenizer,
-    * case preserved — chunking must not alter content).
+    * Windows start at offsets 0, stride, 2·stride, … and STOP once a
+    * window has reached the document end (a start whose PREVIOUS
+    * window already covered the last token would emit a chunk wholly
+    * contained in its predecessor — pure duplicated training mass;
+    * the standard sliding-window rule, e.g. HF overflow chunking,
+    * stops there). Every token lands in at least one chunk, the tail
+    * chunk may run short, and documents with no tokens drop out.
+    * Tokens are whitespace runs (the t-family tokenizer, case
+    * preserved — chunking must not alter content).
     *
     * Shape at scale: one narrow row-local pass — per row, a
     * `sequence` of start offsets posexplodes against a `slice` of the
@@ -471,7 +475,13 @@ object Training {
         filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("_toks"))
       .filter(size(col("_toks")) > 0)
       .select(col("id"), col("_toks"),
-        posexplode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+        // keep start s iff no earlier window reached the end:
+        // s == 0 or (s - stride) + maxLen < n. The kept set is a
+        // PREFIX of the start sequence (the predicate is monotone in
+        // s), so posexplode positions still equal s / stride
+        posexplode(filter(
+          sequence(lit(0), size(col("_toks")) - 1, lit(stride)),
+          s => s === 0 || s - stride + maxLen < size(col("_toks"))))
           .as(Seq("chunk_idx", "_start")))
       .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
         array_join(slice(col("_toks"), col("_start") + 1, lit(maxLen)), " ")

@@ -96,13 +96,16 @@ object CurateStream {
   def c4Gate(docs: DataFrame, textCol: String,
              minKeptLines: Int = 3): DataFrame = {
     import graft.operators.TextStats
+    // the kept-lines tree is referenced twice as a bare EXPRESSION
+    // (filter + rewrite) rather than staged in a temp column — a
+    // user's stream may already carry any column name, and a helper
+    // column would silently clobber it
+    val kept = filter(TextStats.c4Lines(col(textCol)),
+      TextStats.c4KeepLine _)
     docs
-      .withColumn("_kept",
-        filter(split(col(textCol), "\n"), TextStats.c4KeepLine _))
       .filter(TextStats.c4PageOk(col(textCol)) &&
-        size(col("_kept")) >= minKeptLines)
-      .withColumn(textCol, array_join(col("_kept"), "\n"))
-      .drop("_kept")
+        size(kept) >= minKeptLines)
+      .withColumn(textCol, array_join(kept, "\n"))
   }
 
   /** Streaming Gopher A2 gate: drop repetitive documents live, with

@@ -1003,14 +1003,26 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(2) == ((3L, "short one. two.", 2L, 0L)))
   }
 
-  test("span hashing is row-local: no explode of span text, winners shuffle digests") {
+  test("span hashing is row-local and the shuffle budget holds") {
     val docs = Seq((1L, "a b. c d. e f. g h.")).toDF("doc_id", "text")
-    val p = Dedup.spanDedup(docs, "doc_id", "text")
-      .queryExecution.explainString(
+    // explain the UNSEALED plan shape: sealing materializes eagerly
+    // and leaves only a checkpoint scan
+    val (raw, spansFrame) = Dedup.spanDedupRaw(docs, "doc_id", "text", 3)
+    val plan = raw.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the only generate nodes are the narrow span-hash/sentence
-    // explodes; no join on raw sentence strings anywhere
-    assert(!p.contains("SortMergeJoin") || p.contains("_h"), p)
+    // span text never explodes: every Generate emits either the
+    // 16-byte span digests or the (pos, sent) reassembly rows — a
+    // raw-sentence self-join would need a sentence-keyed Exchange.
+    // Pin the budget: winner agg, removals distinct, kept groupBy,
+    // and the final joins — bounded, not corpus-shaped
+    // count SHUFFLE exchange nodes via their detail headers —
+    // "(n) Exchange" — so broadcast exchanges and the duplicate
+    // tree-line mentions don't inflate the tally
+    val exchanges = """\(\d+\) Exchange\b""".r.findAllMatchIn(plan).size
+    assert(exchanges <= 5, s"$exchanges shuffle exchanges:\n$plan")
+    // and the span digests (not span strings) are a join key
+    assert(plan.contains("_h"), plan)
+    spansFrame.unpersist()
   }
 }
 
@@ -1059,5 +1071,56 @@ class ReadabilitySpec extends SparkSpec {
     val p = TextStats.readability(docs, "id", "text")
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     assert(!p.contains("Exchange"), p)
+  }
+}
+
+class ReviewFixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readability: a punctuation-only doc has words but no sentences and drops (no divide-by-zero)") {
+    val docs = Seq((1L, "..."), (2L, "real words here.")).toDF("doc_id", "text")
+    val out = TextStats.readability(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("chunkWindows: no fully-redundant tail chunk once a window reaches the end") {
+    // 7 toks, maxLen=4, stride=3: window at 3 covers tokens 3..6 (the
+    // end) — the start at 6 must NOT emit a chunk contained in it
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Training.chunkWindows(docs, "doc_id", "text", maxLen = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3)).toSeq ==
+      Seq((0L, "a b c d"), (1L, "d e f g")))
+    // every token still covered
+    assert(out.flatMap(_._3.split(" ")).distinct.length == 7)
+  }
+
+  test("c4 line rules: CRLF pages are cleaned, kept lines carry no \\r") {
+    val doc = "a perfectly good sentence.\r\nnav menu\r\nanother good one here!"
+    val out = TextStats.c4LineFilter(
+        Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+        minKeptLines = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) ==
+      "a perfectly good sentence.\nanother good one here!")
+    assert(!out(0).getString(1).contains("\r"))
+  }
+
+  test("c4Gate leaves a user column named _kept untouched") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Boolean)]
+    val gated = graft.streaming.CurateStream.c4Gate(
+      input.toDF().toDF("id", "text", "_kept"), "text", minKeptLines = 1)
+    val q = gated.writeStream.format("memory")
+      .queryName("c4_cols").outputMode("append").start()
+    try {
+      input.addData((1L, "a good enough sentence survives.", true))
+      q.processAllAvailable()
+      val rows = spark.table("c4_cols").collect()
+      assert(rows.length == 1 && rows(0).getBoolean(2))
+    } finally q.stop()
   }
 }
