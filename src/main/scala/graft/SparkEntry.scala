@@ -1507,22 +1507,31 @@ object SparkEntry {
       // Count-Min sketch frequency estimates: the mergeable d=4×w=1024
       // grid aggregates map-side; probes (incl. an absent term) read
       // the broadcast sketch via the SAME portable md5 buckets; the
-      // exact counts ride along to exhibit the one-sided error
+      // exact counts ride along to exhibit the one-sided error.
+      // The sketch builds from the (tok, count) HISTOGRAM via the
+      // weighted update (bit-identical grid, |vocab| md5 calls instead
+      // of |tokens|), and the histogram serves the exact side too —
+      // filtered to the 5 probe terms, not a full-vocab left join.
       import s.implicits._
-      val probes = Seq("hash", "join", "batch", "the", "nosuchtoken").toDF("term")
-      val toks = T(s, dir, "documents")
+      val probeTerms = Seq("hash", "join", "batch", "the", "nosuchtoken")
+      val probes = probeTerms.toDF("term")
+      val tokCounts = T(s, dir, "documents")
         .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
         .filter(length(col("tok")) > 0)
-      val sk = toks.agg(
-        graft.functions.CountMinAgg.sketch(col("tok"), 1024, 4).as("sk"))
-      val exact = toks.groupBy(col("tok").as("term")).agg(cnt.as("_ex"))
-      probes.crossJoin(broadcast(sk))
+        .groupBy("tok").agg(cnt.as("c"))
+        .persist() // two consumers: sketch build + probe-filtered exact
+      val sk = tokCounts.agg(graft.functions.CountMinAgg.sketchWeighted(
+        col("tok"), col("c"), 1024, 4).as("sk"))
+      val exact = tokCounts.filter(col("tok").isin(probeTerms: _*))
+        .select(col("tok").as("term"), col("c").as("_ex"))
+      val res = probes.crossJoin(broadcast(sk))
         .withColumn("est", graft.functions.CountMinAgg.estimate(
           col("sk"), col("term"), 1024, 4))
         .join(exact, Seq("term"), "left")
         .select(col("term"), col("est").cast("long").as("est"),
           coalesce(col("_ex"), lit(0L)).cast("long").as("exact"))
         .orderBy("term")
+      graft.operators.Caching.sealOver(res, tokCounts)
     })
   )
 

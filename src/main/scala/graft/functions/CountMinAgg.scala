@@ -29,6 +29,7 @@ import org.apache.spark.sql.graft.ColumnShim
   */
 case class CountMinAgg(
     child: Expression,
+    weight: Expression,
     width: Int,
     depth: Int,
     mutableAggBufferOffset: Int = 0,
@@ -38,7 +39,7 @@ case class CountMinAgg(
   require(width > 0 && depth > 0 && width <= 65536,
     s"count_min: width=$width (<= 65536, the 4-hex-digit hash range), depth=$depth")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "count_min"
@@ -46,19 +47,34 @@ case class CountMinAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
-  private def bucket(r: Int, item: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$r:$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 4 hex digits = first two bytes, big-endian
-    (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % width
-  }
+  // One digest instance per deserialized aggregate (= per task, which
+  // is single-threaded); digest() resets it for the next item. The
+  // original per-(row, depth) MessageDigest.getInstance dominated the
+  // t20 profile — provider lookup is far costlier than the md5 itself.
+  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  @transient private lazy val rowPrefix: Array[Array[Byte]] =
+    Array.tabulate(depth)(r =>
+      s"$r:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val item = v.toString
-      var r = 0
-      while (r < depth) { buf(r * width + bucket(r, item)) += 1L; r += 1 }
+      val wv = weight.eval(input)
+      val w = wv match {
+        case null => 0L
+        case n: java.lang.Number => n.longValue()
+      }
+      if (w != 0L) {
+        val item = v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var r = 0
+        while (r < depth) {
+          md.update(rowPrefix(r)); md.update(item)
+          val h = md.digest()
+          // first 4 hex digits = first two bytes, big-endian
+          buf(r * width + (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % width) += w
+          r += 1
+        }
+      }
     }
     buf
   }
@@ -87,14 +103,29 @@ case class CountMinAgg(
   override def withNewInputAggBufferOffset(o: Int): CountMinAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMinAgg =
-    copy(child = c.head)
+    copy(child = c(0), weight = c(1))
 }
 
 object CountMinAgg {
+  import org.apache.spark.sql.functions.lit
+
   /** Column form: the d×w counter grid as array<long>, row-major. */
   def sketch(item: Column, width: Int, depth: Int): Column =
+    sketchWeighted(item, lit(1L), width, depth)
+
+  /** Weighted form: each row adds `weight` to its buckets instead of 1.
+    * Feeding the (item, count) HISTOGRAM with weight = count yields the
+    * grid bit-identical to streaming every occurrence — counter update
+    * is addition, so occurrences of one item fold associatively — while
+    * hashing each distinct item once. Under a Zipfian corpus
+    * |vocab| ≪ |tokens|, so this is the sketch-build shape for the
+    * 100 TB token stream (the histogram groupBy map-side combines).
+    */
+  def sketchWeighted(item: Column, weight: Column, width: Int, depth: Int): Column =
     ColumnShim.column(
-      CountMinAgg(ColumnShim.expression(item), width, depth).toAggregateExpression())
+      CountMinAgg(ColumnShim.expression(item),
+        ColumnShim.expression(weight.cast("long")), width, depth)
+        .toAggregateExpression())
 
   /** Point-query estimate against a sketch column: min over rows of
     * the counter at the item's portable md5 bucket — the SAME hash

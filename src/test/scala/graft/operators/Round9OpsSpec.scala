@@ -258,6 +258,20 @@ class CountMinSpec extends SparkSpec {
       .collect()(0).getLong(2)
     assert(est >= 1L) // true count 1; collisions only push it up
   }
+
+  test("weighted histogram build is bit-identical to the per-occurrence grid") {
+    // the t20 sketch-build contract: feeding (tok, count) with weight =
+    // count must reproduce the per-occurrence grid exactly, or the
+    // DuckDB oracle (which models one update per occurrence) drifts
+    val toks = (1 to 400).map(i => s"tok${i % 23}")
+    val raw = toks.toDF("tok")
+    val perRow = raw.agg(CountMinAgg.sketch(col("tok"), 256, 4))
+      .collect()(0).getSeq[Long](0)
+    val weighted = raw.groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(CountMinAgg.sketchWeighted(col("tok"), col("c"), 256, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(perRow == weighted)
+  }
 }
 
 class GopherRepetitionSpec extends SparkSpec {
