@@ -311,18 +311,20 @@ object Dedup {
     * coverage (the copies' small diffs) survives. Rows in no pair are
     * singletons at weight 1.
     *
-    * Shape at scale: [[components]] plus one component-keyed size
-    * aggregate joined back. Both the aggregate and the join key on
-    * component ids — near-dup clusters, orders of magnitude smaller
-    * and flatter than the corpus — and the weight is a round-6 of an
-    * exact small-integer ratio, so the op stays oracle-exact.
+    * Shape at scale: [[components]] plus ONE count window partitioned
+    * by component — a single shuffle on component ids, no size join
+    * and no second consumer of the components frame (the earlier
+    * groupBy-sizes + join-back evaluated `components` twice per the
+    * two-consumer rule). Component partitions are near-dup clusters,
+    * orders of magnitude smaller and flatter than the corpus, so the
+    * window never concentrates; the weight is a round-6 of an exact
+    * small-integer ratio, so the op stays oracle-exact.
     * Output: input id + (component, cluster_size, weight).
     */
   def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val c = components(df, idCol, pairs)
-    val sizes = c.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    c.join(sizes, Seq("component"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    components(df, idCol, pairs)
+      .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("weight",
         round(lit(1.0) / col("cluster_size").cast("double"), 6))
   }

@@ -453,8 +453,9 @@ class KeepBestSpec extends SparkSpec {
     // {1,2,3} via chain, {7,8} direct, {9} singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
     val out = graft.operators.Dedup.softDedupWeights(docs, "doc_id", pairs)
-      .collect().map(r => r.getLong(1) ->
-        ((r.getLong(0), r.getLong(2), r.getDouble(3)))).toMap
+      .select("doc_id", "component", "cluster_size", "weight")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == docs.as[Long].collect().toSet)
     assert(out(1L) == ((1L, 3L, 0.333333)) && out(2L)._1 == 1L && out(3L)._1 == 1L)
     assert(out(7L) == ((7L, 2L, 0.5)) && out(8L)._1 == 7L)
