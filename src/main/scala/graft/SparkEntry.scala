@@ -3067,7 +3067,9 @@ object SparkEntry {
                        AND NOT contains(lower(trim(line)), 'privacy policy')
                        AND NOT contains(lower(trim(line)), 'terms of use')
                        AND NOT contains(lower(trim(line)), 'cookie policy')
-                       AND NOT contains(lower(trim(line)), 'uses cookies')),
+                       AND NOT contains(lower(trim(line)), 'uses cookies')
+                       AND NOT contains(lower(trim(line)), 'use of cookies')
+                       AND NOT contains(lower(trim(line)), 'use cookies')),
             tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1)
          SELECT k.doc_id,
                 string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,

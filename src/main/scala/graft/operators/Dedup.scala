@@ -882,6 +882,10 @@ object Dedup {
         i => unhex(md5(concat_ws("\u0001",
           slice(col("_sents"), i + 1, lit(spanLen)))))))
         .as(Seq("start", "_h")))
+      // two consumers (winner aggregate + removals anti-join): persist
+      // the narrow digest stream, as dupGrams does for `grams`;
+      // spanDedup's sealOver releases it
+      .persist()
     val winners = spans.groupBy(col("_h"))
       .agg(min(struct(col("id"), col("start"))).as("_w"))
       .select(col("_h"), col("_w.id").as("id"),

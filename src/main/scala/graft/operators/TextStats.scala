@@ -87,7 +87,9 @@ object TextStats {
     * punctuation mark (`.` `!` `?` `"`), carry at least 3 whitespace
     * words, and mention neither "javascript" nor a boilerplate policy
     * phrase ("privacy policy" / "terms of use" / "cookie policy" /
-    * "uses cookies"). Per PAGE, drop the whole document if it
+    * "uses cookies" / "use of cookies" / "use cookies" — the full
+    * cookie-variant set C4's published implementation matches).
+    * Per PAGE, drop the whole document if it
     * contains "lorem ipsum" or a curly brace (template/code debris),
     * or if fewer than `minKeptLines` lines survive (the paper's
     * "fewer than 5 sentences" page floor, expressed in kept lines).
@@ -113,7 +115,8 @@ object TextStats {
       size(split(t, "\\s+")) >= 3 &&
       !lt.contains("javascript") &&
       !lt.contains("privacy policy") && !lt.contains("terms of use") &&
-      !lt.contains("cookie policy") && !lt.contains("uses cookies")
+      !lt.contains("cookie policy") && !lt.contains("uses cookies") &&
+      !lt.contains("use of cookies") && !lt.contains("use cookies")
   }
 
   def c4PageOk(text: Column): Column =
