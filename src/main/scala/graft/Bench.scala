@@ -25,6 +25,15 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
+      // the status stores otherwise retain metrics for every execution
+      // of the 130-query × 4-run sweep on the driver heap; that growth
+      // (plus never-GC'd broadcast/shuffle refs, below) is the
+      // "neighbor pressure" that inflated late-alphabet queries 2-5×
+      // in full-bench runs while isolated re-measures looked fine
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the inter-query cleanup below unpersists localCheckpointed RDDs;
@@ -81,6 +90,16 @@ object Bench {
     val results = names.map { n =>
       runOnce(n)
       val ts = Seq.fill(3)(runOnce(n)).sorted
+      // Broadcast blocks and shuffle files are reclaimed by
+      // ContextCleaner only after their references are GARBAGE
+      // COLLECTED — and a 128 GiB heap can run the whole sweep without
+      // a single full GC, so hundreds of dead broadcasts and shuffle
+      // files pile onto the block manager and disk, taxing whoever
+      // runs later. One explicit GC per query transition (outside the
+      // timed window) plus a short settle for the async cleaner keeps
+      // query N's measurement independent of queries 1..N-1.
+      System.gc()
+      Thread.sleep(200)
       n -> ts(1)
     }
     val total = results.map(_._2).sum

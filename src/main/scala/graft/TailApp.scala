@@ -14,8 +14,19 @@ import graft.streaming.TailStream
   *   --window 60 [--slide 30] [--ts-field ts] [--filter "level='ERROR'"] \
   *   [--sql "SELECT ... FROM t0 ..."] [--format table|raw|rawv] \
   *   [--max-files-per-trigger 10] [--checkpoint /tmp/ckpt] [--once] \
-  *   [--snapshot] [--seek-end] [--log-level WARN]
+  *   [--snapshot] [--seek-end] [--log-level WARN] \
+  *   [--throttlers MAX_ELE:PERIOD_SEC[:BUFF_SIZE]]
   * }}}
+  *
+  * `--throttlers MAX:PERIOD[:BUFF]` is the reference's `-t` slice flag
+  * (cmd/query.go:42–45): admit at most MAX lines per PERIOD seconds
+  * per source, repeatable 1:1 with `--dir`, an empty value ('') or
+  * `0` in either field leaving that source unthrottled — exactly the
+  * one-liner `tailsql query -f a.log -t 100:10:0` surface. BUFF_SIZE
+  * is parsed (malformed input fails loudly) and IGNORED: it sizes the
+  * Go implementation's buffered channel between reader and engine,
+  * and the Spark throttle is admission-count-exact per period with no
+  * hand-tuned buffer to size.
   *
   * `--seek-end` = the reference's default tail behavior: skip files
   * already in the directory, read only ones modified after start.
@@ -24,9 +35,10 @@ import graft.streaming.TailStream
   * flags, cmd/query.go:25–36): give `--dir` N times and the sources
   * become per-window views t0..tN for the SQL, exactly like the
   * config-file form. `--pattern` must repeat 1:1 with `--dir`
-  * (reference: "regex num must match with files"); `--filter` is
-  * absent or 1:1 ("filters num must match with files"). Window,
-  * format, and watermark settings are shared:
+  * (reference: "regex num must match with files"); `--filter` and
+  * `--throttlers` are absent or 1:1 ("filters num must match with
+  * files" / "throttlers num must match with files"). Window, format,
+  * and watermark settings are shared:
   * {{{
   * runMain graft.TailApp --dir /log/app --pattern '...' \
   *   --dir /log/gw --pattern '...' --window 60 --ts-field ts \
@@ -70,6 +82,9 @@ import graft.streaming.TailStream
   * # source.0.max_bytes_per_trigger=1048576
   * # source.0.throttle.max_elements_in_period=100
   * # source.0.throttle.period_seconds=10  (0/absent = unthrottled)
+  * # source.0.throttle.buffer_size=0      (validated, then ignored —
+  * #   the Go channel-depth knob has no Spark equivalent; see the
+  * #   --throttlers note above)
   * # source.1.dir=...     source.1.pattern=...
   * }}}
   * Explicit CLI flags (checkpoint, format, sql, trigger-sec, log-level,
@@ -94,14 +109,38 @@ object TailApp {
   /** Flags that may repeat (one value per source, reference slice
     * flags); every other flag given twice is an operator error.
     */
-  private val Repeatable = Set("dir", "pattern", "filter")
+  private val Repeatable = Set("dir", "pattern", "filter", "throttlers")
 
   private def one(a: Map[String, Seq[String]], k: String): Option[String] =
     a.get(k).map { vs =>
       require(vs.size == 1 || Repeatable(k),
-        s"--$k given ${vs.size} times; only --dir/--pattern/--filter repeat")
+        s"--$k given ${vs.size} times; only --dir/--pattern/--filter/--throttlers repeat")
       vs.head
     }
+
+  /** The reference's throttler slice value (config/config.go
+    * parseThrottleOpt): `MAX_ELE:PERIOD_SEC[:BUFF_SIZE]`, empty string
+    * = an explicit unthrottled slot. Every field must be a decimal
+    * integer or the whole invocation fails (the reference's "failed to
+    * parse ..." errors); BUFF_SIZE is validated then dropped, and a
+    * MAX or PERIOD of 0 means unthrottled (the reference's own example
+    * passes `100:10:0`). Returns (maxElements, periodSeconds).
+    */
+  private[graft] def parseThrottleOpt(s: String): Option[(Int, Long)] = {
+    if (s.trim.isEmpty) return None
+    val parts = s.split(":", -1)
+    require(parts.length == 2 || parts.length == 3,
+      s"failed to parse '$s' as a throttler; need MAX_ELE:PERIOD_SEC[:BUFF_SIZE]")
+    def num(v: String, what: String): Long = {
+      require(v.nonEmpty && v.forall(_.isDigit) && v.length <= 10,
+        s"failed to parse $what: '$v'")
+      v.toLong
+    }
+    val max = num(parts(0), "max eles")
+    val period = num(parts(1), "throttle interval as seconds")
+    if (parts.length == 3) num(parts(2), "buffsize") // validated, ignored
+    if (max > 0 && period > 0) Some((max.toInt, period)) else None
+  }
 
   private val Flags = Set("--once", "--snapshot", "--seek-end", "--stdin")
 
@@ -117,6 +156,14 @@ object TailApp {
       }.distinct.sorted
     require(sourceIdxs.nonEmpty, "config needs at least source.0.dir / source.0.pattern")
     sourceIdxs.toSeq.map { i =>
+      // the reference's throttle block also carries buffer_size (the
+      // Go channel depth); Spark's throttle is admission-count-exact
+      // with no buffer to size, so the key is validated as an int —
+      // a typo'd value fails loudly instead of vanishing — then
+      // deliberately IGNORED (documented in the object doc above)
+      opt(s"source.$i.throttle.buffer_size").foreach(v => require(
+        v.toIntOption.isDefined,
+        s"source.$i.throttle.buffer_size must be an int, got '$v'"))
       TailStream.Config(
         dir = opt(s"source.$i.dir").getOrElse(sys.error(s"source.$i.dir is required")),
         pattern = opt(s"source.$i.pattern").getOrElse(sys.error(s"source.$i.pattern is required")),
@@ -152,6 +199,7 @@ object TailApp {
     val dirs = a.getOrElse("dir", Seq.empty)
     val patterns = a.getOrElse("pattern", Seq.empty)
     val filters = a.getOrElse("filter", Seq.empty)
+    val throttlers = a.getOrElse("throttlers", Seq.empty)
     require(patterns.size == dirs.size,
       s"--pattern must repeat 1:1 with --dir (reference: 'regex num must " +
         s"match with files'); got ${dirs.size} dirs, ${patterns.size} patterns")
@@ -159,11 +207,18 @@ object TailApp {
       s"--filter must be absent or repeat 1:1 with --dir (reference: " +
         s"'filters num must match with files'); got ${dirs.size} dirs, " +
         s"${filters.size} filters")
+    require(throttlers.isEmpty || throttlers.size == dirs.size,
+      s"--throttlers must be absent or repeat 1:1 with --dir (reference: " +
+        s"'throttlers num must match with files'); got ${dirs.size} dirs, " +
+        s"${throttlers.size} throttlers")
     dirs.indices.map { i =>
+      val th = throttlers.lift(i).flatMap(parseThrottleOpt)
       TailStream.Config(
         dir = dirs(i),
         pattern = patterns(i),
         filter = filters.lift(i).map(_.trim).filter(_.nonEmpty),
+        throttleMax = th.map(_._1),
+        throttlePeriodSec = th.map(_._2),
         maxFilesPerTrigger = one(a, "max-files-per-trigger").map(_.toInt),
         windowSizeSec = one(a, "window").map(_.toLong).getOrElse(60L),
         slideSec = one(a, "slide").map(_.toLong),
@@ -246,7 +301,7 @@ object TailApp {
     // silently truncate to p1 (the reference rejects it: "regex num
     // must match with files")
     val nDirs = a.getOrElse("dir", Seq.empty).size
-    for (k <- Seq("pattern", "filter"))
+    for (k <- Seq("pattern", "filter", "throttlers"))
       require(a.getOrElse(k, Seq.empty).size <= math.max(nDirs, 1),
         s"--$k given ${a(k).size} times for $nDirs --dir value(s); " +
           "slice flags pair 1:1 with --dir")
@@ -300,12 +355,15 @@ object TailApp {
         sys.error("--dir, --follow-file, --stdin or --pipe is required")))
     val pattern = one(a, "pattern").getOrElse(sys.error("--pattern is required"))
 
+    val throttle = one(a, "throttlers").flatMap(parseThrottleOpt)
     val cfg = TailStream.Config(
       dir = dir,
       pattern = pattern,
       follow = spooledDir.isEmpty && followFile.isDefined,
       followMaxBytes = one(a, "max-bytes-per-trigger").map(_.toLong),
       filter = one(a, "filter"),
+      throttleMax = throttle.map(_._1),
+      throttlePeriodSec = throttle.map(_._2),
       maxFilesPerTrigger = one(a, "max-files-per-trigger").map(_.toInt),
       windowSizeSec = one(a, "window").getOrElse("60").toLong,
       slideSec = one(a, "slide").map(_.toLong),

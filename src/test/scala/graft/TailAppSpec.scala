@@ -78,6 +78,53 @@ class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e2.getMessage.contains("filters num"), e2.getMessage)
   }
 
+  test("--throttlers values parse like the reference's parseThrottleOpt") {
+    assert(TailApp.parseThrottleOpt("100:10:0").contains((100, 10L)))
+    assert(TailApp.parseThrottleOpt("5:60").contains((5, 60L))) // BUFF optional here
+    assert(TailApp.parseThrottleOpt("").isEmpty)       // explicit unthrottled slot
+    assert(TailApp.parseThrottleOpt("0:10:0").isEmpty) // 0 max = off
+    assert(TailApp.parseThrottleOpt("100:0:0").isEmpty) // 0 period = off
+    val e1 = intercept[IllegalArgumentException](TailApp.parseThrottleOpt("100"))
+    assert(e1.getMessage.contains("MAX_ELE:PERIOD_SEC"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](TailApp.parseThrottleOpt("a:10:0"))
+    assert(e2.getMessage.contains("max eles"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](TailApp.parseThrottleOpt("1:2:x"))
+    assert(e3.getMessage.contains("buffsize"), e3.getMessage)
+  }
+
+  test("repeated --throttlers pair 1:1 with --dir and match the config-file form") {
+    val a = Map(
+      "dir" -> Seq("/logs/a", "/logs/b"),
+      "pattern" -> Seq("(?P<ts__date>\\S+) a", "(?P<ts__date>\\S+) b"),
+      "throttlers" -> Seq("100:10:0", ""),
+      "window" -> Seq("30"), "ts-field" -> Seq("ts"))
+    val cfgs = TailApp.fromRepeatedFlags(a, seekEnd = false)
+    assert(cfgs(0).throttleMax.contains(100)
+      && cfgs(0).throttlePeriodSec.contains(10L))
+    assert(cfgs(1).throttleMax.isEmpty && cfgs(1).throttlePeriodSec.isEmpty)
+    // parity: the same throttle through the properties form lands in
+    // the identical Config fields
+    val p = new java.util.Properties()
+    p.setProperty("window.size_seconds", "30")
+    p.setProperty("window.ts_field", "ts")
+    p.setProperty("source.0.dir", "/logs/a")
+    p.setProperty("source.0.pattern", "(?P<ts__date>\\S+) a")
+    p.setProperty("source.0.throttle.max_elements_in_period", "100")
+    p.setProperty("source.0.throttle.period_seconds", "10")
+    p.setProperty("source.0.throttle.buffer_size", "0") // validated, ignored
+    val pc = TailApp.fromProperties(p).head
+    assert(pc.throttleMax == cfgs(0).throttleMax
+      && pc.throttlePeriodSec == cfgs(0).throttlePeriodSec)
+    // slice-count mismatch rejected loudly, like the reference's NewCfg
+    val e = intercept[IllegalArgumentException](TailApp.fromRepeatedFlags(
+      a + ("throttlers" -> Seq("1:2:3")), seekEnd = false))
+    assert(e.getMessage.contains("throttlers num"), e.getMessage)
+    // malformed buffer_size fails loudly instead of silently dropping
+    p.setProperty("source.0.throttle.buffer_size", "big")
+    val e2 = intercept[IllegalArgumentException](TailApp.fromProperties(p))
+    assert(e2.getMessage.contains("buffer_size"), e2.getMessage)
+  }
+
   test("a non-repeatable flag given twice is rejected, not last-wins") {
     val e = intercept[IllegalArgumentException](TailApp.main(Array(
       "--dir", "/a", "--pattern", "p", "--window", "5", "--window", "6")))
@@ -119,6 +166,27 @@ class TailAppCliSpec extends SparkSpec {
     val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
     // one 00:00 window: 2 rows from source 0 joined to 1 row from source 1
     assert(out.exists(_.endsWith(",2,1")), out.toString)
+  }
+
+  test("--throttlers caps admissions per period through the CLI (reference -t)") {
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft-cli-thr").toFile
+    val ckpt = Files.createTempDirectory("graft-cli-thr-ckpt").toFile
+    Files.write(new java.io.File(dir, "a.log").toPath,
+      Seq(
+        "2024-01-01 00:00:10 INFO 5",
+        "2024-01-01 00:00:20 WARN 9",
+        "2024-01-01 00:00:30 WARN 4").mkString("", "\n", "\n").getBytes("UTF-8"))
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    TailApp.runCli(Array(
+      "--dir", dir.getAbsolutePath, "--pattern", pattern,
+      "--window", "60", "--ts-field", "ts", "--format", "raw",
+      "--throttlers", "2:3600:0",
+      "--checkpoint", ckpt.getAbsolutePath, "--once"),
+      sink = s => captured.add(s), stopSparkOnExit = false)
+    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    // one 00:00 window; 3 lines arrived, the throttler admitted 2
+    assert(out.exists(_.endsWith(",2")), out.toString)
   }
 
   test("--log-level flag reaches the Spark context (reference -l/--log-level)") {
