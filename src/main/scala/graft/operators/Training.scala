@@ -335,11 +335,18 @@ object Training {
     * stream to `buckets` rows per task, and target + raw counts ride
     * ONE pass as a conditional count — and (b) the scoring join
     * against the broadcast 4096-row log-ratio table, followed by one
-    * id-keyed sum. The corpus is scanned twice (mixtureSample-style:
-    * counts pass + scoring pass — a narrow recompute, cheaper at
-    * scale than persisting a corpus-sized exploded stream) but the
-    * only corpus-sized shuffle is the per-doc sum keyed on id. Top-N
-    * is a TakeOrdered, not a global sort.
+    * id-keyed sum. The bucketed stream is PERSISTED between the two
+    * consumers as three narrow columns (id, tgt, bucket) — profiled
+    * at 10× sf0.1: re-tokenizing + re-hashing the corpus for the
+    * scoring pass cost 3.2s vs 2.1s persisted (flat at sf0.1, where
+    * overhead dominates), so the round-9 "recompute is cheaper" note
+    * was wrong once the corpus outgrows the fixed costs. On a cluster
+    * the persisted stream spills MEMORY_AND_DISK — a sequential
+    * local-disk round-trip against re-reading and re-md5'ing the full
+    * corpus. The only corpus-sized shuffle remains the per-doc sum
+    * keyed on id; top-N is a TakeOrdered, not a global sort. The
+    * top-N result seals over the persisted stream (Caching.sealOver),
+    * so no cache blocks outlive the call.
     *
     * Output: (id, n_feats, log_weight) for the selected top-N docs.
     * Docs with no tokens have no feature evidence and drop out.
@@ -355,8 +362,10 @@ object Training {
     val bi = base.filter(size(col("_t")) >= 2)
       .select(col("id"), col("_tgt"),
         explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_f"))
-    def feats = uni.unionByName(bi)
+    val feats = uni.unionByName(bi)
       .withColumn("_b", conv(substring(md5(col("_f")), 1, 3), 16, 10).cast("long"))
+      .select(col("id"), col("_tgt"), col("_b"))
+      .persist()
     val counts = feats.groupBy(col("_b"))
       .agg(count(lit(1)).as("_cr"),
         count(when(col("_tgt"), lit(1))).as("_ct"))
@@ -367,12 +376,13 @@ object Training {
           ((col("_cr") + 1L).cast("double") / (col("_nr") + buckets).cast("double"))), 6)
         .cast("decimal(24,8)"))
       .select(col("_b"), col("_lr"))
-    feats.join(broadcast(lr), Seq("_b"))
+    val res = feats.join(broadcast(lr), Seq("_b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_feats"),
         round(sum(col("_lr")).cast("double"), 6).as("log_weight"))
       .orderBy(col("log_weight").desc, col("id"))
       .limit(topN)
+    graft.operators.Caching.sealOver(res, feats)
   }
 
   /** GPT-3-style quality classifier, trained and applied in-engine:
