@@ -416,8 +416,14 @@ object Training {
     val bi = base.filter(size(col("_t")) >= 2)
       .select(col("id"), col("_pos"),
         explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_f"))
-    def feats = uni.unionByName(bi)
+    // persisted between the train pass (bucket counts) and the apply
+    // pass (per-doc scoring join) as three narrow columns — the same
+    // profiled tradeoff as dsirWeights (10×: 5.74s two-scan vs 2.30s
+    // persisted, flat at sf0.1); the scored result seals over it
+    val feats = uni.unionByName(bi)
       .withColumn("_b", conv(substring(md5(col("_f")), 1, 3), 16, 10).cast("long"))
+      .select(col("id"), col("_pos"), col("_b"))
+      .persist()
     val counts = feats.groupBy(col("_b"))
       .agg(count(when(col("_pos"), lit(1))).as("_cp"),
         count(when(!col("_pos"), lit(1))).as("_cn"))
@@ -434,13 +440,17 @@ object Training {
         (count(when(col("_pos"), lit(1))) + 1L).cast("double") /
           (count(when(!col("_pos"), lit(1))) + 1L).cast("double")), 6)
       .cast("decimal(24,8)").as("_pw"))
-    feats.join(broadcast(w), Seq("_b"))
+    val res = feats.join(broadcast(w), Seq("_b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).cast("long").as("n_feats"), sum(col("_w")).as("_sw"))
       .crossJoin(broadcast(prior))
       .withColumn("score", round((col("_sw") + col("_pw")).cast("double"), 6))
       .select(col("id"), col("n_feats"), col("score"),
         (col("score") > 0.0).as("keep"))
+    // the sealed result is one NARROW row per doc (the operator's own
+    // output) — materializing it costs one write of the output, far
+    // below re-deriving the token stream, and releases the cache
+    graft.operators.Caching.sealOver(res, feats)
   }
 
   /** Shard assignment + within-shard pseudo-random order: shard by
