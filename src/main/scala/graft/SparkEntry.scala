@@ -83,16 +83,35 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  private def q03(s: SparkSession, dir: String): DataFrame =
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    // EAGER AGGREGATION below the join (the classic partial-agg
+    // pushdown a CBO would derive): revenue and line counts fold to
+    // one row per l_orderkey BEFORE lineitem meets the dim chain —
+    // decimal sums re-sum associatively, so (r_name, n_name) totals
+    // are bit-identical. The shuffle carries (orderkey, decimal,
+    // long) with map-side combine instead of the full line stream,
+    // and the join input shrinks by the lines-per-order factor at ANY
+    // scale. Without this, the planner's stats-free size estimate
+    // picked LINEITEM's 3-column scan as the broadcast build side —
+    // the biggest table shipped whole to every task (the known-limit
+    // q03 note; ANALYZE-grade stats are the other fix). The join
+    // itself stays declarative: broadcast at bench SFs, free to be a
+    // sort-merge on orderkey at cluster scale.
+    val lagg = T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("_rev"),
+        cnt.as("_nl"))
     T(s, dir, "region")
       .join(T(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
       .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
       .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-      .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(lagg, col("l_orderkey") === col("o_orderkey"))
       .groupBy("r_name", "n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
-        cnt.as("n"))
+      .agg(sum(col("_rev")).cast("double").as("revenue"),
+        sum(col("_nl")).as("n"))
       .orderBy("r_name", "n_name")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- reference surface (tailsql core) ----------------

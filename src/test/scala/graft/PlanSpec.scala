@@ -29,6 +29,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dims must broadcast, not shuffle")
   }
 
+  test("q03: revenue pre-aggregates per orderkey BELOW the join (eager agg)") {
+    // the 10× lesson: stats-free size estimates once picked LINEITEM's
+    // pruned scan as the broadcast build side — the biggest table
+    // shipped whole to every task. The eager per-orderkey partial agg
+    // shrinks the join input by the lines-per-order factor at any
+    // scale; this gate pins (a) an aggregate keyed on l_orderkey
+    // exists, and (b) no broadcast ever BUILDS from the raw lineitem
+    // line stream (l_extendedprice below a BroadcastExchange).
+    val p = plan("q03_multijoin")
+    assert("Keys \\[1\\]: \\[l_orderkey".r.findFirstIn(p).isDefined
+      && p.contains("partial_sum"),
+      "per-orderkey partial agg must exist: " + p)
+    val broadcastSections = p.split("BroadcastExchange").drop(1)
+    assert(!broadcastSections.exists(_.take(400).contains("l_extendedprice")),
+      "the raw lineitem line stream must never be a broadcast build side")
+  }
+
   test("q06: anti join broadcasts the orders side") {
     val p = plan("q06_anti_join")
     assert(p.contains("BroadcastHashJoin LeftAnti"), p)
