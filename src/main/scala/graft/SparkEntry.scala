@@ -692,6 +692,36 @@ object SparkEntry {
           col("stage"))
         .orderBy("doc_id")),
 
+    "p11_diverse_sample" -> ((s, dir) => {
+      // cluster-balanced coreset sampling: nearest of 8 fixed
+      // centroids (lowest-id embeddings — the s09 oracle-replayable
+      // k-means stand-in), then at most 50 md5-ordered picks per
+      // cluster: dense modes clip at the quota, rare modes keep all
+      val emb = T(s, dir, "embeddings")
+      Similarity.diverseSample(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", quota = 50)
+        .orderBy("vec_id")
+    }),
+
+    "p12_pack_greedy" -> ((s, dir) =>
+      // no-split greedy (next-fit) packing: 512-token packs that never
+      // cross a 128-doc id shard — the bounded sequential unit that
+      // makes greedy packing distribute
+      Training.packGreedy(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")),
+          "doc_id", "n_toks", seqLen = 512L, shardSize = 128L)
+        .orderBy("doc_id")),
+
+    "p13_epoch_repeat" -> ((s, dir) =>
+      // fractional epoch mixing (GPT-3 Table 2.2 style): the head
+      // sources train 2.45 epochs, the tail 0.7 — every doc repeats
+      // floor(ep) times plus an md5-drawn extra for the fraction
+      Training.epochRepeat(T(s, dir, "documents"), "doc_id",
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            lit(2.45)).otherwise(lit(0.7)))
+        .orderBy("doc_id", "epoch")),
+
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
       // the IVF-PQ storage layout; codebook = the 16 lowest-id
@@ -2782,6 +2812,63 @@ object SparkEntry {
                       CAST((bef * 4) // n + 1 AS BIGINT) AS stage FROM b)
          SELECT q.doc_id, q.quality, st.stage
          FROM q JOIN st USING (quality) ORDER BY q.doc_id"""),
+
+    "p11_diverse_sample" ->
+      // assignment = the s09 CTE (rounded cosine, lowest-cid tie);
+      // selection = md5-order row_number per cluster, quota 50
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              u AS (SELECT vec_id, cid, sum(x*y) AS dot,
+                           sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nc
+                    FROM (SELECT vec_id, cid, CAST(unnest(ev) AS DOUBLE) AS x,
+                                 CAST(unnest(ce) AS DOUBLE) AS y FROM e, c)
+                    GROUP BY 1, 2),
+              a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY round(dot/(ne*nc), 6) DESC, cid) AS rn FROM u),
+              asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+              r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick FROM asg)
+         SELECT vec_id, cluster, CAST(pick AS BIGINT) AS pick
+         FROM r WHERE pick <= 50 ORDER BY vec_id""",
+
+    "p12_pack_greedy" ->
+      // the sequential next-fit fold replayed as a per-shard recursive
+      // CTE (depth <= shardSize=128); same first-doc/overflow rules
+      """WITH RECURSIVE n AS (SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+             FROM documents),
+           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
+                   row_number() OVER (PARTITION BY doc_id // 128
+                     ORDER BY doc_id) AS rn
+                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
+           g AS (
+             SELECT shard, rn, doc_id, n_toks,
+                    CAST(0 AS BIGINT) AS pack, n_toks AS fill
+             FROM r WHERE rn = 1
+             UNION ALL
+             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
+               CASE WHEN g.fill + r.n_toks > 512 THEN g.pack + 1 ELSE g.pack END,
+               CASE WHEN g.fill + r.n_toks > 512 THEN r.n_toks
+                    ELSE g.fill + r.n_toks END
+             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+         SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
+
+    "p13_epoch_repeat" ->
+      // identical IEEE64 fraction math on both sides; the extra-copy
+      // draw is the mixtureSample 5-hex-digit md5 prefix compare
+      """WITH w AS (SELECT doc_id,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN CAST(2.45 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END AS ep
+             FROM documents),
+           c AS (SELECT doc_id, CAST(floor(ep) AS BIGINT)
+                   + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) <
+                       printf('%05x', CAST(least(floor((ep - floor(ep)) * 1048576.0),
+                                                 1048575.0) AS BIGINT))
+                     THEN 1 ELSE 0 END AS copies
+                 FROM w)
+         SELECT doc_id, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+         FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

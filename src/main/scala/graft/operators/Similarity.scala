@@ -675,6 +675,56 @@ object Similarity {
     if (literalPath) kept else Caching.sealOver(kept, assigned)
   }
 
+  /** Cluster-balanced diversity sampling: the coreset-selection move
+    * of embedding-space curation (the per-cluster-quota step of
+    * SemDeDup-style pipelines, arXiv:2303.09540 §4, and of
+    * cluster-balanced data selection generally) — assign every row to
+    * its nearest centroid, then keep at most `quota` rows per cluster
+    * in deterministic md5 order. A corpus dominated by one dense mode
+    * (e.g. boilerplate-heavy web text) keeps at most `quota` examples
+    * of that mode; rare modes keep everything — balanced coverage of
+    * the embedding space instead of a density-proportional sample.
+    *
+    * Assignment rides [[assignNearestCentroid]]: K literal centroids,
+    * one zero-shuffle narrow codegen pass over the corpus (rounded
+    * cosine, lowest-centroid-id tie — the s09 rule any engine
+    * replays). Selection keys on md5(id) — pseudo-random,
+    * reproducible, oracle-portable (not rand(), not arrival order) —
+    * via the [[Training.sourceQuota]] two-phase salted top-K: there
+    * are only K cluster keys, so a single per-cluster window is a
+    * K-task hot spot at corpus scale. Phase 1 ranks within (cluster,
+    * salt) and keeps each bucket's local top-quota — a giant cluster
+    * spreads over saltBuckets tasks; phase 2 ranks the ≤
+    * saltBuckets×quota survivors per cluster, which is EXACTLY the
+    * single-window answer (any row in a cluster's global md5-top-quota
+    * is also in its own salt bucket's top-quota), so the oracle stays
+    * one plain window.
+    *
+    * Dirty-input rule: rows with NULL vectors get NULL cluster
+    * (visibly unassigned, per assignNearestCentroid) and compete in
+    * the NULL-cluster quota rather than vanishing — no-evidence-keeps.
+    *
+    * Output: (id, cluster, pick) for the kept rows, pick = 1-based
+    * md5 rank within the cluster.
+    */
+  def diverseSample(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, centIdCol: String, centVecCol: String,
+                    quota: Int, saltBuckets: Int = 64): DataFrame = {
+    require(quota >= 1, s"diverseSample: quota=$quota must be >= 1")
+    val h = md5(col(idCol).cast("string"))
+    val salt = pmod(xxhash64(col(idCol)), lit(saltBuckets))
+    assignNearestCentroid(df.select(col(idCol), col(vecCol)), vecCol,
+        cents, centIdCol, centVecCol)
+      .withColumn("_r1", row_number().over(
+        Window.partitionBy(col("cluster"), salt).orderBy(h, col(idCol))))
+      .filter(col("_r1") <= quota)
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(h, col(idCol)))
+        .cast("long"))
+      .filter(col("pick") <= quota)
+      .select(col(idCol), col("cluster"), col("pick"))
+  }
+
   /** Product quantization (Jégou, Douze, Schmid 2011): split each
     * vector into `m` equal subvectors and code each against its
     * subspace codebook by nearest L2 (argmin). PQ is the storage

@@ -555,4 +555,98 @@ object Training {
         (expr(s"(_before * $nStages) div _n") + 1L).as("stage"))
     scored.join(cut, Seq("score")).select(col("id"), col("score"), col("stage"))
   }
+
+  /** No-split greedy (next-fit) sequence packing: the complement of
+    * [[packSequences]] for recipes that forbid documents crossing a
+    * sequence boundary (Krell et al. 2021, "Efficient Sequence Packing
+    * without Cross-contamination" — next-fit is its baseline packer).
+    * Docs are laid out in id order and greedily appended to the
+    * current pack; a doc that would overflow `seqLen` opens a new
+    * pack, and an oversized doc (> seqLen) sits alone in its own pack
+    * (truncation is the caller's policy, not the packer's).
+    *
+    * Greedy packing is inherently sequential, so the GLOBAL problem
+    * doesn't distribute — the scale move is to make the sequential
+    * unit bounded: packs never cross `shardSize`-wide id-range shards.
+    * One shuffle on the shard key collects each shard's ≤ shardSize
+    * (id, n_toks) PAIRS (16 bytes a row — never text) into a sorted
+    * array, and the fold runs row-local as one `aggregate` lambda
+    * over that bounded array. Shards are value-derived (id div
+    * shardSize) — deterministic under any partitioning, no sampling,
+    * trivially balanced at any corpus size. Padding waste vs the
+    * global greedy answer is at most one underfull pack per shard
+    * boundary.
+    *
+    * Zero-token docs occupy no space and are dropped (the
+    * packSequences rule); null ids have no deterministic shard and
+    * are dropped likewise. Output: (id, shard, pack) with pack
+    * numbered 0.. within its shard.
+    */
+  def packGreedy(df: DataFrame, idCol: String, nTokCol: String,
+                 seqLen: Long, shardSize: Long = 128L): DataFrame = {
+    require(seqLen >= 1, s"packGreedy: seqLen=$seqLen must be >= 1")
+    require(shardSize >= 1, s"packGreedy: shardSize=$shardSize must be >= 1")
+    val docs = df
+      .filter(col(idCol).isNotNull && col(nTokCol) > 0)
+      .select(col(idCol).cast("long").as("_id"),
+        col(nTokCol).cast("long").as("_n"))
+      .groupBy(expr(s"_id div $shardSize").as("shard"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_n")))).as("_docs"))
+    // one sequential next-fit fold per shard, row-local over the
+    // bounded array; the CASE repeats in all three accumulator slots
+    // because SQL lambdas have no lets — constant-folded by codegen
+    val fold = expr(
+      s"""aggregate(_docs,
+            named_struct(
+              'out', CAST(array() AS ARRAY<STRUCT<id: BIGINT, pack: BIGINT>>),
+              'pack', 0L, 'fill', 0L),
+            (acc, d) -> named_struct(
+              'out', array_append(acc.out, named_struct(
+                'id', d._id,
+                'pack', CASE WHEN acc.fill > 0 AND acc.fill + d._n > $seqLen
+                             THEN acc.pack + 1L ELSE acc.pack END)),
+              'pack', CASE WHEN acc.fill > 0 AND acc.fill + d._n > $seqLen
+                           THEN acc.pack + 1L ELSE acc.pack END,
+              'fill', CASE WHEN acc.fill > 0 AND acc.fill + d._n > $seqLen
+                           THEN d._n ELSE acc.fill + d._n END),
+            acc -> acc.out)""")
+    docs.select(col("shard"), explode(fold).as("_d"))
+      .select(col("_d.id").as(idCol), col("shard"), col("_d.pack").as("pack"))
+  }
+
+  /** Deterministic fractional epoch repetition: materialize a mixture
+    * recipe that assigns sources non-integer epoch counts (GPT-3's
+    * 3.4 epochs of Wikipedia, LLaMA's 2.45 — Brown et al. 2020
+    * Table 2.2) as explicit training rows. Every doc appears
+    * floor(epochs) times; one extra copy goes to the docs whose md5
+    * fraction falls below frac(epochs) — so a source at 2.45 epochs
+    * repeats every doc twice and a reproducible, unbiased 45% of them
+    * a third time. The md5 draw replaces rand(): the same doc gets
+    * the extra copy in every run and in the oracle.
+    *
+    * `epochsExpr` is a per-row Column of the desired epoch count
+    * (typically a CASE over the source column); epochs = 0 drops the
+    * doc, fractions compare against the 5-hex-digit md5 prefix
+    * exactly as [[mixtureSample]] (floor once to an integer bound,
+    * clamped to 'fffff', so both engines compare identical strings).
+    *
+    * Shape at scale: zero shuffles — one narrow pass computes the
+    * copy count, one explode(sequence) emits it. Output volume is the
+    * training mass itself (Σ copies), which is the point; no
+    * intermediate exceeds it. Output: (id, epoch) with epoch
+    * 0-based.
+    */
+  def epochRepeat(df: DataFrame, idCol: String, epochsExpr: Column): DataFrame = {
+    val whole = floor(epochsExpr).cast("long")
+    val thr = format_string("%05x",
+      least(floor((epochsExpr - floor(epochsExpr)) * 1048576.0),
+        lit(1048575.0)).cast("long"))
+    val copies = whole +
+      when(substring(md5(col(idCol).cast("string")), 1, 5) < thr, 1L)
+        .otherwise(0L)
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_copies") - 1L)).as("epoch"))
+  }
 }

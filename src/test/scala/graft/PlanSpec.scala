@@ -322,4 +322,37 @@ class PlanSpec extends SparkSpec {
     // exactly one Window — over the score histogram, never the corpus
     assert(p.split("\\bWindow\\b").length - 1 == 1, p)
   }
+
+  test("p12: greedy packing shuffles once, on the shard key, pairs only") {
+    val p = SparkEntry.queries("p12_pack_greedy")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // one exchange pair for the shard groupBy (+ the orderBy's range
+    // exchange from the query wrapper); never a join or window
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected <=2 exchanges (shard hash + output range): $p")
+    // only id and text reach the scan — the fold sees (id, n) pairs
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("p13: epoch repetition is one narrow zero-shuffle explode") {
+    val p = SparkEntry.queries("p13_epoch_repeat")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the only exchange is the output orderBy's range partition
+    assert(p.split("Exchange").length - 1 <= 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
+  test("p11: diversity sampling assigns in-row (no join); two-phase salted windows") {
+    val p = SparkEntry.queries("p11_diverse_sample")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // literal-centroid assignment: no join anywhere in the plan
+    assert(!p.contains("Join"), p)
+    // phase 1 on (cluster, salt), phase 2 on cluster — never one
+    // K-task hot window over the whole corpus
+    assert(p.split("\\bWindow\\b").length - 1 == 2, p)
+  }
 }

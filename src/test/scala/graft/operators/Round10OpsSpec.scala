@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-10 additions: no-split greedy packing, fractional epoch
+  * repetition, cluster-balanced diversity sampling.
+  */
+class PackGreedySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference: the sequential next-fit fold per shard. */
+  private def reference(docs: Seq[(Long, Long)], seqLen: Long,
+                        shardSize: Long): Map[Long, (Long, Long)] = {
+    docs.filter(_._2 > 0).groupBy(_._1 / shardSize).flatMap {
+      case (shard, ds) =>
+        var pack = 0L; var fill = 0L
+        ds.sortBy(_._1).map { case (id, n) =>
+          if (fill > 0 && fill + n > seqLen) { pack += 1; fill = 0 }
+          fill += n
+          id -> (shard, pack)
+        }
+    }
+  }
+
+  test("packGreedy matches the sequential next-fit fold and never overfills") {
+    val docs = (0L until 400L).map(i => (i, (i * 37 % 90) + 10))
+    val out = Training.packGreedy(docs.toDF("doc_id", "n"), "doc_id", "n",
+        seqLen = 256L, shardSize = 64L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == reference(docs, 256L, 64L))
+    // no (shard, pack) bin exceeds seqLen (no doc here is oversized)
+    val fills = docs.toMap
+    out.groupBy(_._2).foreach { case (bin, members) =>
+      val tot = members.keys.map(fills).sum
+      assert(tot <= 256L, s"bin $bin holds $tot tokens")
+    }
+  }
+
+  test("packGreedy: oversized docs sit alone in their own pack") {
+    val docs = Seq((1L, 50L), (2L, 999L), (3L, 60L)).toDF("doc_id", "n")
+    val out = Training.packGreedy(docs, "doc_id", "n", seqLen = 100L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // doc 2 overflows pack 0 -> opens pack 1 alone; doc 3 overflows
+    // pack 1 -> pack 2
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("packGreedy: zero-token and null-id docs drop; layout is partition-independent") {
+    val docs = Seq((Some(1L), 5L), (None, 7L), (Some(2L), 0L), (Some(3L), 6L))
+      .toDF("doc_id", "n")
+    val out = Training.packGreedy(docs, "doc_id", "n", seqLen = 10L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L), (3L, 1L)))
+    val big = (0L until 500L).map(i => (i, i % 13 + 1)).toDF("doc_id", "n")
+    val a = Training.packGreedy(big, "doc_id", "n", 64L).orderBy("doc_id").collect()
+    val b = Training.packGreedy(big.repartition(7), "doc_id", "n", 64L)
+      .orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}
+
+class EpochRepeatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("epochRepeat: integer epoch counts copy every doc exactly") {
+    val docs = (1L to 50L).toDF("doc_id")
+    val out = Training.epochRepeat(docs, "doc_id", lit(3.0))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .collect()
+    assert(out.length == 50)
+    out.foreach(r => assert(r.getLong(1) == 3L && r.getLong(2) == 2L))
+  }
+
+  test("epochRepeat: the fractional extra copy is exactly the md5-prefix draw") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val got = Training.epochRepeat(docs, "doc_id", lit(1.45))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay of the draw: frac(1.45) in IEEE64
+    val thr = f"${math.min(math.floor((1.45 - 1.0) * 1048576.0), 1048575.0).toLong}%05x"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 2000L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 5)
+      val want = if (hex < thr) 2L else 1L
+      assert(got(id) == want, s"doc $id")
+      md.reset()
+    }
+    // and the draw is unbiased-ish: ~45% extras
+    val extras = got.values.count(_ == 2L)
+    assert(extras > 2000 * 0.35 && extras < 2000 * 0.55, s"$extras extras")
+  }
+
+  test("epochRepeat: zero epochs drops the doc; epochs are 0-based and dense") {
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("source", "doc_id")
+    val out = Training.epochRepeat(docs, "doc_id",
+        when(col("source") === "a", lit(0.0)).otherwise(lit(2.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((2L, 0L), (2L, 1L)))
+  }
+}
+
+class DiverseSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated centroids on the axes; members lean toward one
+  private def corpus(n: Int): Seq[(Long, Array[Float])] =
+    (0L until n.toLong).map { i =>
+      val toward0 = i % 3 != 0 // cluster 0 gets ~2/3 of the mass
+      val eps = (i % 7).toFloat / 20f
+      if (toward0) (i, Array(1f, eps)) else (i, Array(eps, 1f))
+    }
+
+  test("diverseSample: quota clips dense clusters, spares small ones, md5 order") {
+    val rows = corpus(90)
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.diverseSample(df, "vec_id", "embedding",
+        cents, "vec_id", "embedding", quota = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._2)
+    // cluster 100 holds 60 members -> clipped at 40; cluster 101 holds
+    // 30 -> kept whole
+    assert(byCluster(100L).length == 40 && byCluster(101L).length == 30)
+    // picks are exactly the md5-lowest ids of the cluster
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val dense = rows.collect { case (i, v) if v(0) == 1f => i }
+    val expect = dense.sortBy(i => (h(i), i)).take(40).toSet
+    assert(byCluster(100L).map(_._1).toSet == expect)
+    // pick ranks are 1-based and dense per cluster
+    assert(byCluster(101L).map(_._3).sorted.toSeq == (1L to 30L))
+  }
+
+  test("diverseSample: null vectors stay, visibly unassigned, under their own quota") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, null.asInstanceOf[Array[Float]]),
+        (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.diverseSample(df, "vec_id", "embedding",
+        cents, "vec_id", "embedding", quota = 1)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // doc 1 assigned; exactly ONE of the null rows survives the
+    // null-cluster quota (no-evidence-keeps, still quota-bounded)
+    assert(out.count(_._2 == 100L) == 1)
+    assert(out.count(_._2 == -1L) == 1)
+  }
+}
