@@ -579,16 +579,27 @@ object Training {
     *
     * Zero-token docs occupy no space and are dropped (the
     * packSequences rule); null ids have no deterministic shard and
-    * are dropped likewise. Output: (id, shard, pack) with pack
-    * numbered 0.. within its shard.
+    * are dropped likewise. Negative ids are REJECTED loudly: Spark's
+    * integer `div` truncates toward zero where SQL floor-division
+    * floors, so a negative id's shard would silently differ between
+    * engines — refusing is the only cross-engine-deterministic
+    * answer. Output: (id, shard, pack) with pack numbered 0.. within
+    * its shard.
     */
   def packGreedy(df: DataFrame, idCol: String, nTokCol: String,
                  seqLen: Long, shardSize: Long = 128L): DataFrame = {
     require(seqLen >= 1, s"packGreedy: seqLen=$seqLen must be >= 1")
     require(shardSize >= 1, s"packGreedy: shardSize=$shardSize must be >= 1")
+    // the guard rides the id projection (no extra pass) and fires at
+    // first action, the packSequences dupGuard device
+    val guardedId = when(col(idCol).cast("long") < 0, raise_error(concat(
+        lit("packGreedy: negative id "), col(idCol).cast("string"),
+        lit(" — id div shardSize truncates toward zero in Spark but floors " +
+          "in SQL, so negative ids shard non-portably"))))
+      .otherwise(col(idCol).cast("long"))
     val docs = df
       .filter(col(idCol).isNotNull && col(nTokCol) > 0)
-      .select(col(idCol).cast("long").as("_id"),
+      .select(guardedId.as("_id"),
         col(nTokCol).cast("long").as("_n"))
       .groupBy(expr(s"_id div $shardSize").as("shard"))
       .agg(sort_array(collect_list(struct(col("_id"), col("_n")))).as("_docs"))
@@ -629,6 +640,10 @@ object Training {
     * doc, fractions compare against the 5-hex-digit md5 prefix
     * exactly as [[mixtureSample]] (floor once to an integer bound,
     * clamped to 'fffff', so both engines compare identical strings).
+    * A NULL epoch count fails LOUDLY (the mixtureSample weight
+    * contract) — silently dropping those docs would corrupt the mix;
+    * null-id docs have no reproducible draw and are dropped (the
+    * tokenBudget/packGreedy rule).
     *
     * Shape at scale: zero shuffles — one narrow pass computes the
     * copy count, one explode(sequence) emits it. Output volume is the
@@ -637,14 +652,19 @@ object Training {
     * 0-based.
     */
   def epochRepeat(df: DataFrame, idCol: String, epochsExpr: Column): DataFrame = {
-    val whole = floor(epochsExpr).cast("long")
+    val ep = when(epochsExpr.isNull, raise_error(concat(
+        lit("epochRepeat: epochsExpr is NULL for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(epochsExpr)
+    val whole = floor(ep).cast("long")
     val thr = format_string("%05x",
-      least(floor((epochsExpr - floor(epochsExpr)) * 1048576.0),
+      least(floor((ep - floor(ep)) * 1048576.0),
         lit(1048575.0)).cast("long"))
     val copies = whole +
       when(substring(md5(col(idCol).cast("string")), 1, 5) < thr, 1L)
         .otherwise(0L)
-    df.withColumn("_copies", copies)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_copies", copies)
       .filter(col("_copies") > 0)
       .select(col(idCol),
         explode(sequence(lit(0L), col("_copies") - 1L)).as("epoch"))

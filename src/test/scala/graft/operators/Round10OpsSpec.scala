@@ -46,6 +46,18 @@ class PackGreedySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
 
+  test("packGreedy: negative ids are rejected, not sharded non-portably") {
+    // Spark's integer div truncates toward zero; SQL floor-division
+    // floors — a negative id would land in different shards on the
+    // two engines, so the operator refuses loudly
+    val docs = Seq((-1L, 5L), (2L, 6L)).toDF("doc_id", "n")
+    val ex = intercept[Exception](
+      Training.packGreedy(docs, "doc_id", "n", seqLen = 10L).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative id")), ex.toString)
+  }
+
   test("packGreedy: zero-token and null-id docs drop; layout is partition-independent") {
     val docs = Seq((Some(1L), 5L), (None, 7L), (Some(2L), 0L), (Some(3L), 6L))
       .toDF("doc_id", "n")
@@ -98,6 +110,23 @@ class EpochRepeatSpec extends SparkSpec {
         when(col("source") === "a", lit(0.0)).otherwise(lit(2.0)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(out.toSeq == Seq((2L, 0L), (2L, 1L)))
+  }
+
+  test("epochRepeat: a NULL epoch count fails loudly; null ids drop silently") {
+    // silently dropping NULL-weight docs would corrupt the mixture —
+    // the mixtureSample weight contract applies
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("source", "doc_id")
+    val ex = intercept[Exception](
+      Training.epochRepeat(docs, "doc_id",
+        when(col("source") === "a", lit(1.0))).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("epochsExpr is NULL")), ex.toString)
+    // null ids have no reproducible md5 draw -> dropped, not emitted
+    val withNull = Seq((Some(1L), "x"), (None, "y")).toDF("doc_id", "tag")
+    val out = Training.epochRepeat(withNull, "doc_id", lit(2.0))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq.sorted == Seq(1L, 1L))
   }
 }
 
