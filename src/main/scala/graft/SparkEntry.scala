@@ -1029,6 +1029,14 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r20_ewma_forecast" -> ((s, dir) =>
+      // recency-weighted upgrade of r16: trailing EWMA forecast with
+      // dyadic (α=1/2) weights — exact integer sums, one IEEE
+      // division — and 3× spike/drop flags against the forecast
+      Windows.ewmaForecast(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hr_start")),
+
     "r17_parse_rate" -> ((s, dir) => {
       // monitor the reference parser's silent failure mode: lines the
       // regex rejects just vanish (lparser.go drops non-matching
@@ -2123,6 +2131,30 @@ object SparkEntry {
                 round(zs, 6) AS z_score,
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY event_type, hr_start""",
+
+    "r20_ewma_forecast" ->
+      // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as
+      // exact integers, then perform the SAME single IEEE division
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              j AS (SELECT a.key, a.hr, a.c,
+                      CAST(sum(b.c * (CAST(1 AS BIGINT)
+                        << CAST(24 - (a.hr - b.hr) AS INTEGER))) AS BIGINT) AS num,
+                      CAST(sum(CAST(1 AS BIGINT)
+                        << CAST(24 - (a.hr - b.hr) AS INTEGER)) AS BIGINT) AS den,
+                      count(*) AS tn
+                    FROM h a JOIN h b
+                      ON b.key = a.key AND b.hr BETWEEN a.hr - 24 AND a.hr - 1
+                    GROUP BY 1, 2, 3),
+              f AS (SELECT key, hr, c, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS fc
+                    FROM j WHERE tn >= 12)
+         SELECT key AS event_type, hr * 3600 AS hr_start,
+                CAST(c AS BIGINT) AS n_events,
+                round(fc, 6) AS ewma_forecast,
+                (CAST(c AS DOUBLE) >= 3.0 * fc) AS is_spike,
+                (CAST(c AS DOUBLE) <= fc / 3.0) AS is_drop
+         FROM f ORDER BY event_type, hr_start""",
 
     "r17_parse_rate" ->
       """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,

@@ -103,4 +103,68 @@ object Windows {
         (coalesce(abs(col("_z")) >= zThreshold, lit(false)) ||
           col("_z").isNull).as("is_anomaly"))
   }
+
+  /** Trailing EWMA rate forecast (the exponentially-weighted moving
+    * average of Roberts 1959's EWMA control chart, as monitoring
+    * pipelines deploy it): forecast hour t's count from the trailing
+    * `trailingHours` hourly counts with weight (1/2)^(d-1) for the
+    * count d hours back — recent behavior dominates, where
+    * [[rateAnomaly]] weights its window uniformly — then flag hours
+    * `spikeFactor`× above the forecast (spike) or below 1/spikeFactor
+    * of it (drop).
+    *
+    * Cross-engine exactness with NO smoothing recurrence: α=1/2 makes
+    * every weight an exact power of two, so forecast numerator
+    * Σ c_d·2^(W−d) and denominator Σ 2^(W−d) are plain BIGINT sums
+    * (max weight 2^(W−1); overflow needs ~5.5e11 events/hour at W=24
+    * — documented bound, far past the r16 decimal guard's own
+    * ~3e9²·24 regime) and the forecast is ONE IEEE division of the
+    * same two longs in both engines — no pow(), no float accumulation
+    * order, no sequential state. Missing trailing hours renormalize
+    * away: the denominator sums only PRESENT hours' weights, so a gap
+    * concentrates weight on the hours that exist instead of dragging
+    * the forecast toward zero.
+    *
+    * Shape at scale: the event stream aggregates ONCE to the hourly
+    * histogram (keys × hours rows — orders of magnitude below the
+    * corpus, the r16 rule); the trailing window is then a self-join
+    * of that histogram bounded at `trailingHours` rows per scored
+    * hour. The histogram persists across its two join sides and the
+    * (histogram-sized) result seals over it.
+    */
+  def ewmaForecast(df: DataFrame, ts: String, keyCol: String,
+                   trailingHours: Int = 24, minHistory: Int = 12,
+                   spikeFactor: Double = 3.0): DataFrame = {
+    require(trailingHours >= 1 && trailingHours <= 62,
+      s"ewmaForecast: trailingHours=$trailingHours must be in [1, 62] " +
+        "(weights are 2^(trailingHours-d) longs)")
+    require(minHistory >= 1 && spikeFactor > 1.0,
+      s"ewmaForecast: minHistory=$minHistory must be >= 1, " +
+        s"spikeFactor=$spikeFactor > 1")
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val b = hourly.select(col("key").as("_bkey"), col("_hr").as("_bhr"),
+      col("_c").as("_bc"))
+    val w = expr(
+      s"shiftleft(CAST(1 AS BIGINT), CAST($trailingHours - (_hr - _bhr) AS INT))")
+    val fc = col("_num").cast("double") / col("_den").cast("double")
+    val out = hourly.join(b,
+        col("_bkey") === col("key") &&
+          col("_bhr") >= col("_hr") - trailingHours &&
+          col("_bhr") <= col("_hr") - 1)
+      .groupBy(col("key"), col("_hr"), col("_c"))
+      .agg(sum(col("_bc") * w).as("_num"), sum(w).as("_den"),
+        count(lit(1)).as("_tn"))
+      .filter(col("_tn") >= minHistory)
+      .select(col("key"),
+        (col("_hr") * 3600L).as("hr_start"),
+        col("_c").cast("long").as("n_events"),
+        round(fc, 6).as("ewma_forecast"),
+        (col("_c").cast("double") >= lit(spikeFactor) * fc).as("is_spike"),
+        (col("_c").cast("double") <= fc / lit(spikeFactor)).as("is_drop"))
+    Caching.sealOver(out, hourly)
+  }
 }

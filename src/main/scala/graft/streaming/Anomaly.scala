@@ -79,7 +79,24 @@ object Anomaly {
   /** Transition function, exposed for unit tests. */
   def update(trailingHours: Int, minHistory: Int, zThreshold: Double)(
       key: String, events: Iterator[Event],
-      state: GroupState[AnomState]): Iterator[Alert] = {
+      state: GroupState[AnomState]): Iterator[Alert] =
+    hourlyUpdate[Alert](trailingHours,
+      (k, h, counts) => score(k, h, counts, trailingHours, minHistory,
+        zThreshold))(key, events, state)
+
+  /** The hourly-histogram transition skeleton, shared with the
+    * streaming EWMA forecast ([[Ewma]]): fold the batch's events into
+    * per-hour counts, score every hour the watermark has closed
+    * exactly once (via `scoreFn` — the only scorer-specific part),
+    * evict history that can never appear in a future scored hour's
+    * trailing frame, and self-destruct idle keys. Extracted rather
+    * than duplicated so the exactly-once / eviction / timeout
+    * reasoning lives in ONE place (the dupGrams copy-drift rule).
+    */
+  private[streaming] def hourlyUpdate[A](trailingHours: Int,
+      scoreFn: (String, Long, Map[Long, Long]) => Option[A])(
+      key: String, events: Iterator[Event],
+      state: GroupState[AnomState]): Iterator[A] = {
     val st0 = state.getOption.getOrElse(AnomState(Map.empty, Long.MinValue))
     // fold this batch's events into their hours (no-op on timeout)
     val counts = events.foldLeft(st0.counts) { (m, e) =>
@@ -90,8 +107,7 @@ object Anomaly {
     val wmHr = state.getCurrentWatermarkMs() / 1000L / 3600L
     val ready = counts.keys.filter(h => h > st0.scoredUpTo && h < wmHr)
       .toSeq.sorted
-    val alerts = ready.flatMap(h =>
-      score(key, h, counts, trailingHours, minHistory, zThreshold))
+    val alerts = ready.flatMap(h => scoreFn(key, h, counts))
     val scoredUpTo = if (ready.nonEmpty) ready.max else st0.scoredUpTo
     // evict hours that can never appear in a future scored hour's
     // trailing frame: every unscored hour is >= wmHr, so history below

@@ -130,6 +130,50 @@ class EpochRepeatSpec extends SparkSpec {
   }
 }
 
+class EwmaForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsAt(counts: Seq[(Long, Int)], key: String = "click") = {
+    val rows = counts.flatMap { case (hr, n) =>
+      (1 to n).map(i => (key, hr * 3600L + i))
+    }
+    rows.toDF("event_type", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+  }
+
+  test("forecast is the exact dyadic-weighted mean; a recent jump dominates; 3x spikes flag") {
+    // hours 0..22 at 10, hour 23 at 100, scored hour 24 at 170
+    val df = eventsAt((0L until 23L).map(_ -> 10) ++ Seq(23L -> 100, 24L -> 170))
+    val out = Windows.ewmaForecast(df, "ts", "event_type")
+      .orderBy("hr_start").collect()
+    val scored = out.find(_.getLong(1) == 24L * 3600L).get
+    // weights for hour h (distance d=24-h) are 2^(24-d) = 2^h
+    val num = (0 until 23).map(h => 10L * (1L << h)).sum + 100L * (1L << 23)
+    val den = (1L << 24) - 1
+    val want = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored.getDouble(3) == want, s"got ${scored.getDouble(3)} want $want")
+    // recency: the EWMA (~55) tracks the jump; the uniform mean is 13.75
+    assert(scored.getDouble(3) > 50.0)
+    assert(scored.getBoolean(4), "170 >= 3x forecast must flag a spike")
+    assert(!scored.getBoolean(5))
+  }
+
+  test("missing trailing hours renormalize away; drops flag; thin history is unscored") {
+    // only 12 present trailing hours (0..11) at a constant 10; the
+    // scored hour 24 collapses to 2 events
+    val df = eventsAt((0L until 12L).map(_ -> 10) ++ Seq(24L -> 2))
+    val out = Windows.ewmaForecast(df, "ts", "event_type")
+      .collect().map(r => r.getLong(1) / 3600L -> r).toMap
+    // gap hours don't drag the forecast toward zero: exactly 10.0
+    assert(out(24L).getDouble(3) == 10.0)
+    assert(out(24L).getBoolean(5), "2 <= forecast/3 must flag a drop")
+    assert(!out(24L).getBoolean(4))
+    // hours 1..11 have < minHistory present trailing hours -> unscored
+    assert(!out.keySet.exists(_ < 24L))
+  }
+}
+
 class DiverseSampleSpec extends SparkSpec {
   import spark.implicits._
 
