@@ -413,6 +413,17 @@ object SparkEntry {
             "doc_id", "text", 3), 0.5)
         .orderBy("id1", "id2")),
 
+    "d24_allpairs_exact" -> ((s, dir) =>
+      // exact all-pairs Jaccard >= 0.5 on word-token sets via prefix
+      // filtering (SSJoin/AllPairs): recall-1.0 similarity join whose
+      // candidate keys are each doc's RAREST tokens — the oracle is a
+      // full quadratic brute force, so the hash-match proves the
+      // prefix filter dropped nothing
+      Dedup.allPairsJaccard(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", tau = 0.5)
+        .orderBy("id1", "id2")),
+
     "d12_simhash_portable" -> ((s, dir) =>
       // SimHash on the portable md5 family (Dedup.simHashPortablePairs)
       // so banding + popcount verify hash-match the DuckDB twin — the
@@ -721,6 +732,20 @@ object SparkEntry {
           when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
             lit(2.45)).otherwise(lit(0.7)))
         .orderBy("doc_id", "epoch")),
+
+    "p14_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis A-ES weighted sample: 100 docs drawn
+      // without replacement, inclusion odds ∝ token count; u from the
+      // doc's own md5 so the draw reproduces in any engine. Empty
+      // docs are excluded EXPLICITLY (weight 0 can never be drawn —
+      // passing one fails loudly by contract)
+      Training.weightedSample(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"))
+            .filter(col("n_toks") > 0),
+          "doc_id", col("n_toks"), k = 100)
+        .select(col("doc_id"), col("n_toks"), col("_wkey").as("wkey"))
+        .orderBy("doc_id")),
 
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
@@ -1728,6 +1753,30 @@ object SparkEntry {
          WHERE rk <= 100 ORDER BY doc_id"""
   }
 
+  /** A-ES weighted-sample oracle: identical 8-hex-digit md5 uniform
+    * (instr-based hex parse → the same integer h, u = (h+1)/2^32 one
+    * exact IEEE division), identical ln(u)/w key rounded to 6 before
+    * ranking, same top-100 with id tiebreak. Token count is the
+    * tokenCountWs twin (the p12 expression).
+    */
+  private lazy val p14Oracle: String = {
+    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
+    val hex8 = (1 to 8).map(dg).reduce((a, b) => s"($a * 16 + $b)")
+    s"""WITH n AS (SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+             FROM documents),
+          hx AS (SELECT doc_id, n_toks, md5(CAST(doc_id AS VARCHAR)) AS h
+                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
+          ky AS (SELECT doc_id, n_toks,
+                   round(ln((CAST($hex8 AS DOUBLE) + 1) / 4294967296.0)
+                         / CAST(n_toks AS DOUBLE), 6) AS wkey
+                 FROM hx)
+       SELECT doc_id, n_toks, wkey FROM (
+         SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk FROM ky)
+       WHERE rk <= 100 ORDER BY doc_id"""
+  }
+
   /** CMS oracle: rebuilds the Count-Min grid in SQL with the same
     * portable row hashes ((first 4 md5 hex digits of "r:item") mod w)
     * and takes the same min-over-rows estimate — bit-for-bit against
@@ -2525,6 +2574,23 @@ object SparkEntry {
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
          ORDER BY id1, id2""",
 
+    "d24_allpairs_exact" ->
+      // brute-force quadratic oracle: every doc pair sharing >= 1
+      // word token, exact jaccard on distinct-token sets — the
+      // algorithm-free spec the prefix-filtered join must reproduce
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents WHERE doc_id < 500)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
+                      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT id1, id2,
+                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
+         ORDER BY id1, id2""",
+
     "d04_ngram_jaccard" -> (ngramShingleCte +
       """
          SELECT id1, id2,
@@ -2901,6 +2967,8 @@ object SparkEntry {
                  FROM w)
          SELECT doc_id, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
          FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
+
+    "p14_weighted_sample" -> p14Oracle,
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

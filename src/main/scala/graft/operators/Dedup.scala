@@ -528,6 +528,73 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("id1"), col("id2"), round(col("containment"), 6).as("containment")))
 
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering
+    * (Chaudhuri et al. 2006 SSJoin; Bayardo et al. 2007 AllPairs /
+    * PPJoin family): every pair of documents whose distinct-token
+    * sets have Jaccard >= tau, recall 1.0 by construction — the
+    * exact rung of the dedup ladder between d01 (identity) and the
+    * d02/d11 LSH approximations, for when a miss is not acceptable.
+    *
+    * Prefix-filter lemma: order every token set by ONE global total
+    * order — document frequency ascending (rarest first), token as
+    * tiebreak. J(x,y) >= tau implies |x∩y| >= ceil(tau·max(|x|,|y|))
+    * (union >= max, intersection is an integer), and two sets with
+    * overlap >= a must share an element within each one's first
+    * |·| − a + 1 tokens under the shared order. With
+    * a = ceil(tau·max) >= ceil(tau·|x|), the length
+    * p(x) = |x| − ceil(tau·|x|) + 1 prefix suffices for BOTH sides,
+    * so joining prefixes on a shared token yields a candidate
+    * SUPERSET; the exact-jaccard verify then touches candidates only.
+    * The size filter tau·|x| <= |y| <= |x|/tau (also implied by
+    * J >= tau) prunes cross-size candidates before the verify join.
+    *
+    * At 100 TB: the join keys are each document's RAREST tokens —
+    * high-df tokens are pushed out of prefixes by the global order
+    * itself, so bucket sizes shrink exactly where a naive token join
+    * explodes; that inversion is the whole algorithm. Shuffles: one
+    * token distinct, one df aggregate + df-attach join, one id
+    * window (rank + size in the same window pass), the prefix
+    * self-join, and the candidate-only verify — each carrying narrow
+    * (id, digest)-class rows. No cap, no sampling, no recall knob.
+    */
+  def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
+                      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"allPairsJaccard: tau $tau not in (0,1]")
+    // distinct word-token sets; the 16-byte digest stands in for the
+    // token everywhere (the pairOverlaps rule: counts and equality
+    // agree with the string form absent an md5 collision)
+    val toks = shingles(df, idCol, textCol, 1)
+      .select(col("id"), unhex(md5(col("shingle"))).as("tok"))
+      .persist() // df aggregate + ranked build + both verify sides
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    val wId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("_rn", row_number().over(wId.orderBy(col("_df"), col("tok"))))
+      .withColumn("_sz", count(lit(1)).over(wId))
+      .persist() // both sides of the prefix self-join
+    val prefix = ranked
+      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * tau) + lit(1))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("b._sz") >= col("a._sz") * tau && col("a._sz") >= col("b._sz") * tau)
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val sizes = ranked.select(col("id"), col("_sz").as("sz")).distinct()
+    val inter = cand
+      .join(toks.select(col("id").as("id1"), col("tok").as("t1")), "id1")
+      .join(toks.select(col("id").as("id2"), col("tok").as("t2")), "id2")
+      .filter(col("t1") === col("t2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n"))
+    Caching.sealOver(
+      inter
+        .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+        .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+        .withColumn("jaccard",
+          col("n").cast("double") / (col("sz1") + col("sz2") - col("n")).cast("double"))
+        .filter(col("jaccard") >= tau)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")),
+      toks, ranked)
+  }
+
   /** Full MinHash+LSH near-dedup: returns verified pairs with exact
     * Jaccard >= threshold among LSH candidates.
     *

@@ -651,6 +651,49 @@ object Training {
     * intermediate exceeds it. Output: (id, epoch) with epoch
     * 0-based.
     */
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006, algorithm A-ES): keep the k items with the largest
+    * u^(1/w) — equivalently, the largest ln(u)/w — where u is a
+    * uniform draw in (0,1]. The standard curation use is
+    * length- or quality-weighted subcorpus selection where heavier
+    * documents must be proportionally more likely to survive (the
+    * k=1 inclusion probability is exactly w_i/Σw).
+    *
+    * Determinism across engines (reference randfilter/rand() would
+    * reproduce nowhere): u derives from the row's own identity — the
+    * first 8 md5 hex digits of the id parse to an integer h
+    * (bit-identical in any engine), and u = (h+1)/2^32 ∈ (0,1] is one
+    * exact IEEE division. The rank key ln(u)/w is rounded to 6
+    * decimals before comparison (the rounded-cosine rule: libm ln is
+    * not pinned to the last ulp across engines; ties break by id).
+    *
+    * Weights must be strictly positive: NULL or w ≤ 0 fails LOUDLY
+    * (the mixtureSample weight contract — a non-positive weight can
+    * never be drawn under A-ES, and silently dropping the row would
+    * hide a data bug; filter such rows explicitly first). Null-id
+    * rows have no reproducible draw and drop (the tokenBudget rule).
+    *
+    * Shape at scale: zero shuffles — one narrow pass computes the
+    * key and the global top-k plans as TakeOrderedAndProject
+    * (map-side partial top-k, k rows to the driver), the t09 rule.
+    * Output: the input rows + their `_wkey` rank key.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightExpr: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val w = when(weightExpr.isNull || weightExpr <= lit(0), raise_error(concat(
+        lit("weightedSample: weight must be > 0 for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(weightExpr.cast("double"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val key = round(log((h.cast("double") + lit(1.0d)) / lit(4294967296.0d)) / w, 6)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_wkey", key)
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(k)
+  }
+
   def epochRepeat(df: DataFrame, idCol: String, epochsExpr: Column): DataFrame = {
     val ep = when(epochsExpr.isNull, raise_error(concat(
         lit("epochRepeat: epochsExpr is NULL for id "),

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Prefix-filtered exact all-pairs similarity join (d24). */
+class AllPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("allPairsJaccard equals the exhaustive quadratic join on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val brute = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 1), 0.5)
+      .collect().map(key).toSet
+    val pf = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .collect().map(key).toSet
+    assert(brute.nonEmpty, "corpus has no near-dup pairs — test is vacuous")
+    assert(pf == brute,
+      s"missed=${(brute -- pf).take(5)} spurious=${(pf -- brute).take(5)}")
+  }
+
+  test("prefix filter finds pairs whose ONLY shared tokens are common words") {
+    // both docs' rarest tokens differ, but J = 3/5 >= 0.5: the prefix
+    // (length |x| - ceil(tau|x|) + 1 = 4-2+1 = 3 of 4 tokens) must
+    // reach deep enough to catch them — a 1-token "rarest only" prefix
+    // heuristic would miss this pair
+    val docs = Seq(
+      (0L, "alpha beta gamma uniquea"),
+      (1L, "alpha beta gamma uniqueb"),
+      (2L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("size filter never drops a qualifying cross-size pair") {
+    // |x|=2, |y|=4, intersection 2 => J = 2/4 = 0.5 exactly: sits ON
+    // the tau*|y| <= |x| boundary the size filter must keep closed
+    val docs = Seq(
+      (0L, "tok1 tok2"),
+      (1L, "tok1 tok2 tok3 tok4")).toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 0.5)))
+  }
+
+  test("tau outside (0,1] is rejected") {
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccard(docs, "doc_id", "text", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccard(docs, "doc_id", "text", 1.5)
+    }
+  }
+}
+
+/** Efraimidis–Spirakis deterministic weighted sampling (p14). */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refKey(id: Long, w: Double): Double = {
+    val h = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+    val u = (h.toDouble + 1.0) / 4294967296.0
+    BigDecimal(math.log(u) / w)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("weightedSample reproduces the local A-ES reference fold exactly") {
+    val rows = (0L until 300L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    val expect = rows.map { case (id, w) => (id, refKey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(25)
+    val got = Training.weightedSample(df, "id", col("w"), 25)
+      .select("id", "_wkey").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, k) => (-k, id) }
+    assert(got.toSeq == expect)
+  }
+
+  test("result is partition-independent and deterministic across runs") {
+    val df = (0L until 500L).map(i => (i, (i % 13 + 1).toDouble)).toDF("id", "w")
+    val a = Training.weightedSample(df, "id", col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Training.weightedSample(df.repartition(7), "id", col("w"), 40)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("a heavier weight can only raise an item's rank key") {
+    // same id => same uniform u; ln(u) < 0, so key = ln(u)/w grows
+    // with w — the A-ES monotonicity the sampler's bias rests on
+    val id = 42L
+    assert(refKey(id, 10.0) > refKey(id, 1.0))
+  }
+
+  test("NULL or non-positive weights fail loudly; null ids drop") {
+    val bad = Seq((0L, 2.0), (1L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Training.weightedSample(bad, "id", col("w"), 2).collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0")
+      || e.getCause != null && e.getCause.getMessage.contains("weight must be > 0"))
+    val nid = Seq((Some(0L), 2.0), (None, 3.0)).toDF("id", "w")
+    val got = Training.weightedSample(nid, "id", col("w"), 5)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L))
+  }
+}
