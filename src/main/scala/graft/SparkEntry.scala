@@ -1117,6 +1117,19 @@ object SparkEntry {
           "value", "_lat")
         .orderBy("template")),
 
+    "r21_session_paths" -> ((s, dir) =>
+      // top-20 session paths: r12's gap-split sessions, each session's
+      // first-8 event types joined into one "a>b>c" string, counted —
+      // the discovery complement of q29's fixed funnel. One user-key
+      // shuffle end-to-end until the bounded path histogram
+      operators.LogMining.sessionPaths(
+          T(s, dir, "events")
+            .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_id", "event_type",
+          gapUs = 1800000000L, maxLen = 8, k = 20)
+        .orderBy(col("n_sessions").desc, col("path"))),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -1336,6 +1349,29 @@ object SparkEntry {
       TextStats.readability(framed, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "t29_corpus_card" -> ((s, dir) => {
+      // the corpus report card: docs, token mass, empty share, mean
+      // quality per (source, lang) with ROLLUP subtotals — the
+      // one-page drift view a curation run gates between stages. One
+      // narrow pass + one rollup aggregate; per-doc metrics are the
+      // t02/t03 expressions verbatim so the card cannot drift from
+      // the operators it summarizes
+      val d = T(s, dir, "documents")
+        .withColumn("_nt",
+          graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"))
+        .withColumn("_q", graft.functions.TextFunctions.qualityScore(col("text")))
+      d.rollup("source", "lang")
+        .agg(cnt.as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          sum(when(col("_nt") === 0L, 1L).otherwise(0L)).as("n_empty"),
+          round(sum(col("_q").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_quality"))
+        .select(coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("n_tokens"), col("n_empty"), col("mean_quality"))
+        .orderBy("source", "lang")
     }),
 
     "t13_unigram_logprob" -> ((s, dir) =>
@@ -2133,6 +2169,31 @@ object SparkEntry {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "r21_session_paths" ->
+      // r12's session CTE + ordered string_agg of each session's
+      // first-8 event types; same (count desc, path) top-20
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+                    FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+                  FROM g),
+            x AS (SELECT *, row_number() OVER (PARTITION BY user_id, session
+                    ORDER BY ts_us, event_id) AS rn FROM s),
+            p AS (SELECT user_id, session,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM x WHERE rn <= 8 GROUP BY 1, 2),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                  FROM p GROUP BY 1)
+         SELECT path, n_sessions FROM (
+           SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+           FROM c)
+         WHERE rk <= 20 ORDER BY n_sessions DESC, path""",
+
     "d09_blocklist" ->
       """SELECT doc_id, source FROM documents
          WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
@@ -2896,6 +2957,25 @@ object SparkEntry {
                          FROM documents)
          SELECT doc_id, source FROM ranked JOIN k USING (source)
          WHERE rn <= cap ORDER BY doc_id""",
+
+    "t29_corpus_card" -> (
+      // per-doc metrics = the t02 quality twin + the p12 token-count
+      // twin, joined on doc_id; same decimal-sum mean, same ROLLUP
+      s"""WITH q AS ($qualitySubSql),
+             d AS (SELECT doc_id, source, lang,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+                   FROM documents),
+             j AS (SELECT d.source, d.lang, d.nt, q.quality
+                   FROM d JOIN q USING (doc_id))
+         SELECT coalesce(source, 'ALL') AS source,
+                coalesce(lang, 'ALL') AS lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS mean_quality
+         FROM j GROUP BY ROLLUP(source, lang) ORDER BY 1, 2"""),
 
     "p09_curriculum" -> (
       s"""WITH q AS ($qualitySubSql),

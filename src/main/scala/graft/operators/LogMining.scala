@@ -79,6 +79,55 @@ object LogMining {
         round(expr("percentile(_v, 0.95)"), 6).as("p95"),
         round(max(col("_v")), 6).as("max_v"))
 
+  /** Top-k session paths: the ordered head (first `maxLen` events)
+    * of every gap-split session as one "a>b>c" path string, counted
+    * over the corpus — the DISCOVERY complement of the q29 fixed
+    * funnel ("which sequences do users actually take" vs "how many
+    * took this given one"), and the behavioral twin of template
+    * mining: templates collapse a log corpus to what it says, paths
+    * collapse a clickstream to what users do.
+    *
+    * Truncating to the session head is what bounds the path-string
+    * domain (≤ |event types|^maxLen, in practice a few hundred) —
+    * an unbounded concat over a 100 TB clickstream would grow rows
+    * without limit.
+    *
+    * Shape at scale: sessionization (the r12 lag + running-sum
+    * rule), the in-session row_number AND the per-session path fold
+    * all ride ONE shuffle on the user key — HashPartitioning(user)
+    * satisfies every (user, session)-clustered step, so no second
+    * exchange until the path histogram, whose key count is the
+    * bounded path domain; the final top-k is TakeOrderedAndProject.
+    * In-session order is pinned by (ts, id): a bare collect_list
+    * would be partitioning-dependent, so the fold sorts (rn, type)
+    * structs before joining.
+    */
+  def sessionPaths(df: DataFrame, userCol: String, tsUsCol: String,
+                   idCol: String, typeCol: String, gapUs: Long,
+                   maxLen: Int, k: Int): DataFrame = {
+    require(maxLen > 0 && k > 0,
+      s"sessionPaths: maxLen $maxLen and k $k must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val byUser = W.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
+    val inSess = W.partitionBy(col(userCol), col("_session"))
+      .orderBy(col(tsUsCol), col(idCol))
+    val head = df
+      .withColumn("_brk",
+        when(col(tsUsCol) - lag(col(tsUsCol), 1).over(byUser) > gapUs
+          || lag(col(tsUsCol), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("_session", sum(col("_brk")).over(
+        byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_rn", row_number().over(inSess))
+      .filter(col("_rn") <= maxLen)
+    head.groupBy(col(userCol), col("_session"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("_rn").as("rn"),
+          col(typeCol).as("t")))), x => x("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   def templates(df: DataFrame, lineCol: String): DataFrame = {
     val counts = df
       .select(template(col(lineCol)).as("template"),

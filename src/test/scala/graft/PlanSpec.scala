@@ -92,6 +92,23 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
   }
 
+  test("r21: session paths ride one user shuffle + the bounded path histogram") {
+    val p = SparkEntry.queries("r21_session_paths")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // hashpartitioning(user_id) serves both windows AND the
+    // per-session fold (user ⊆ (user, session) clustering); the only
+    // other hash exchange is the path-key histogram, whose key domain
+    // is bounded by |event types|^maxLen, not the corpus
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
+  }
+
+  test("d24: prefix-filtered join plans no cartesian and keeps the verify candidate-only") {
+    val p = SparkEntry.queries("d24_allpairs_exact")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d08: the benchmark shingle side broadcasts; filters reach the scan") {
     val p = plan("d08_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "bench shingles must broadcast: " + p)

@@ -58,6 +58,56 @@ class AllPairsSpec extends SparkSpec {
   }
 }
 
+/** Session path mining (r21). */
+class SessionPathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = 60000000L // one minute in µs
+
+  test("paths split on the gap, order by (ts,id), and truncate at maxLen") {
+    val ev = Seq(
+      // user 1, session 0: view -> click -> buy (in ts order, ids shuffled)
+      (3L, 1L, 2 * M, "buy"), (1L, 1L, 0L, "view"), (2L, 1L, M, "click"),
+      // >30min gap -> session 1: a single view
+      (4L, 1L, 45 * M, "view"),
+      // user 2: view -> click
+      (5L, 2L, 0L, "view"), (6L, 2L, M, "click"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = LogMining.sessionPaths(ev, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 1800000000L, maxLen = 8, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("view>click>buy", 1L), ("view", 1L), ("view>click", 1L)))
+    // maxLen = 2 truncates the 3-step session to its head
+    val short = LogMining.sessionPaths(ev, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 1800000000L, maxLen = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(short == Set(("view>click", 2L), ("view", 1L)))
+  }
+
+  test("same-timestamp events order by id; result is partition-independent") {
+    val ev = Seq(
+      (2L, 1L, 0L, "b"), (1L, 1L, 0L, "a"), (3L, 1L, 0L, "c"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LogMining.sessionPaths(df, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 1800000000L, maxLen = 8, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(ev) == Seq(("a>b>c", 1L)))
+    assert(run(ev.repartition(5)) == Seq(("a>b>c", 1L)))
+  }
+
+  test("top-k keeps the most frequent paths, count-desc then path order") {
+    val ev = (0L until 30L).flatMap { u =>
+      val t = if (u < 20) Seq("x") else Seq("x", "y")
+      t.zipWithIndex.map { case (e, i) => (u * 10 + i, u, i * M, e) }
+    }.toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = LogMining.sessionPaths(ev, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 1800000000L, maxLen = 8, k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x", 20L)))
+  }
+}
+
 /** Efraimidis–Spirakis deterministic weighted sampling (p14). */
 class WeightedSampleSpec extends SparkSpec {
   import spark.implicits._
