@@ -129,18 +129,47 @@ object LogMining {
   }
 
   def templates(df: DataFrame, lineCol: String): DataFrame = {
+    val (result, counts) = templatesRaw(df, lineCol)
+    Caching.sealOver(result, counts)
+  }
+
+  /** Unsealed internals of [[templates]] (the spanDedupRaw rule: the
+    * seal cuts lineage, so shape gates must read the plan BEFORE it).
+    * Returns (result, persisted counts frame); callers other than the
+    * plan spec go through [[templates]], which seals and unpersists.
+    */
+  private[graft] def templatesRaw(df: DataFrame,
+                                  lineCol: String): (DataFrame, DataFrame) = {
+    // persisted: the template frame is consumed twice (anchors
+    // broadcast + final join), and each consumer would otherwise
+    // re-run the whole-corpus masking pass — the frame itself is the
+    // template population, tiny by premise (the dupGrams rule:
+    // persist the small derived stream, never the corpus)
     val counts = df
       .select(template(col(lineCol)).as("template"),
         xxhash64(col(lineCol)).as("_h"))
       .groupBy(col("template"))
       .agg(count(lit(1)).as("n"), min(col("_h")).as("_hmin"))
+      .persist()
+    // The example fetch used to re-run the 4-regex masking over the
+    // WHOLE corpus a second time just to find each template's anchor
+    // line — the bench's single largest regex-CPU sink. The second
+    // pass now computes only xxhash64: lines whose hash equals ANY
+    // template's anchor survive a broadcast semi-join (one line per
+    // template plus rare cross-template hash collisions), and the
+    // masking re-runs on that remnant only. The template-keyed join +
+    // h == hmin filter after it is unchanged, so a collision line
+    // that sneaked through the semi-join still drops unless it IS its
+    // own template's anchor — semantics identical, regex work halved.
+    val anchors = counts.select(col("template"), col("_hmin"))
     val ex = df.select(col(lineCol).as("_l"))
+      .join(broadcast(anchors.select(col("_hmin"))),
+        xxhash64(col("_l")) === col("_hmin"), "leftsemi")
       .withColumn("template", template(col("_l")))
-      .join(broadcast(counts.select(col("template"), col("_hmin"))),
-        Seq("template"))
+      .join(broadcast(anchors), Seq("template"))
       .filter(xxhash64(col("_l")) === col("_hmin"))
       .groupBy(col("template"))
       .agg(min(col("_l")).as("example"))
-    counts.drop("_hmin").join(ex, Seq("template"))
+    (counts.drop("_hmin").join(ex, Seq("template")), counts)
   }
 }

@@ -304,11 +304,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("r18: template mining counts in a hash aggregate over the corpus pass") {
-    val p = SparkEntry.queries("r18_log_templates")(spark, dir).queryExecution
-      .explainString(ExplainMode.fromString("simple"))
-    assert(p.contains("HashAggregate"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // the query result now seals (lineage cut), so the shape gate
+    // reads the UNSEALED internals — the spanDedupRaw rule
+    import spark.implicits._
+    val lines = Seq("a 1", "a 2", "b 9").toDF("value")
+    val (raw, counts) = operators.LogMining.templatesRaw(lines, "value")
+    try {
+      val p = raw.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(p.contains("HashAggregate"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      // the example fetch's second corpus pass must be hash-only: the
+      // 4-regex masking may appear on the tiny post-semi-join remnant,
+      // never under the semi join itself
+      val semiSide = p.split("LeftSemi").last
+      assert(!semiSide.contains("regexp_replace"),
+        "masking ran under the semi join (full-corpus second regex pass): " + p)
+    } finally { counts.unpersist(); () }
   }
 
   test("d22: KMV sketches fold map-side; the corpus pass runs once (sealed)") {
