@@ -1233,6 +1233,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m05_phash_pairs" -> ((s, dir) => {
+      // image near-dup detection: 64-bit perceptual hash from the
+      // partition-batched decode stub, pairs at hamming <= 3 via the
+      // d12 pigeonhole machinery; the oracle brute-forces ALL pairs,
+      // so the hash-match also proves banding completeness on images
+      val blobs = Multimodal.withBlob(
+        T(s, dir, "documents").filter(col("doc_id") < 500), "text")
+      Dedup.chunkedHammingPairs(
+          Multimodal.imagePhash(blobs, "doc_id", "blob"))
+        .orderBy("id1", "id2")
+    }),
+
     "p01_pack" -> ((s, dir) =>
       // sequence packing for training: docs in doc_id order become one
       // virtual token stream cut into 2048-token sequences; each doc
@@ -3179,6 +3191,41 @@ object SparkEntry {
                            / CAST(n AS DOUBLE) END, 6) AS byte_mean,
                 CAST(8 AS BIGINT) AS feat_dim
          FROM b ORDER BY doc_id""",
+
+    "m05_phash_pairs" ->
+      // byte-level dHash replay (the m01 hex-parse rule): cell[j] =
+      // sum of bytes at positions ≡ j (mod 64), bit j compares
+      // neighbor cells, chunks pack 16 bits each; pairs are the FULL
+      // quadratic cross join at hamming <= 3 — banding completeness
+      // is part of what the hash-match proves
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents WHERE doc_id < 500),
+            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
+            byt AS (SELECT doc_id, (i - 1) % 64 AS j,
+                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
+                    FROM pos),
+            cellv AS (SELECT doc_id, j, sum(v) AS cv FROM byt GROUP BY 1, 2),
+            grid AS (SELECT doc_id, unnest(range(0, 64)) AS j FROM h),
+            cells AS (SELECT g.doc_id, g.j, coalesce(c.cv, 0) AS cv
+                      FROM grid g LEFT JOIN cellv c
+                        ON c.doc_id = g.doc_id AND c.j = g.j),
+            bits AS (SELECT a.doc_id, a.j,
+                       CASE WHEN a.cv > b.cv THEN 1 ELSE 0 END AS bit
+                     FROM cells a JOIN cells b
+                       ON b.doc_id = a.doc_id AND b.j = (a.j + 1) % 64),
+            chunks AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f0,
+                         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f1,
+                         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f2,
+                         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f3
+                       FROM bits GROUP BY 1)
+         SELECT id1, id2, hamming FROM (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+                  CAST(bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
+                     + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) AS BIGINT) AS hamming
+           FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3 ORDER BY id1, id2""",
 
     "m04_audio_chunks" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n

@@ -732,7 +732,22 @@ object Dedup {
       (0 to 15).map(j =>
         when(col(s"s${k}_$j") > 0, lit(1 << (15 - j))).otherwise(lit(0)))
         .reduce(_ + _).as(s"f$k")
-    }: _*).persist() // self-joined below; don't recompute the 64-agg DAG twice
+    }: _*)
+    chunkedHammingPairs(fps)
+  }
+
+  /** Pigeonhole pairs over a 64-bit fingerprint carried as four
+    * 16-bit chunks (id, f0..f3): hamming <= 3 means at least one
+    * chunk agrees exactly, so chunk-equality buckets are a complete
+    * candidate set and an exact popcount verifies. The shared back
+    * half of [[simHashPortablePairs]] (text fingerprints) and the
+    * multimodal perceptual-hash dedup (image fingerprints) — one
+    * implementation so the two cannot drift. Persists the input
+    * fingerprint frame for its two self-join sides (sealed over on
+    * return). Output: (id1, id2, hamming).
+    */
+  def chunkedHammingPairs(fpsIn: DataFrame): DataFrame = {
+    val fps = fpsIn.persist() // self-joined below; don't recompute the fingerprint DAG twice
     def banded(idAs: String, pre: String) = fps.select(
       (col("id").as(idAs) +: (0 to 3).map(k => col(s"f$k").as(s"$pre$k"))) :+
         explode(array((0 to 3).map(k =>

@@ -150,6 +150,50 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Perceptual-hash contract for image-shaped blobs: a 64-bit
+    * dHash-style fingerprint per image, carried as four 16-bit chunks
+    * (f0..f3) so the pair stage and the SQL oracle share the d12
+    * pigeonhole arithmetic ([[Dedup.chunkedHammingPairs]]) — a
+    * 64-bit value itself would overflow BIGINT construction in an
+    * external engine when bit 63 is set.
+    *
+    * The decode is the deterministic byte-fold STUB (this container
+    * has no image libs): cell[j] = Σ bytes at positions ≡ j (mod
+    * 64) — the stand-in for an 8x8 grayscale resize — and bit j
+    * compares cell[j] > cell[(j+1) mod 64], the neighbor-gradient
+    * comparison a real dHash makes. Swap the fold for
+    * decode+resize+gradient (or DCT for pHash) at deployment; the
+    * (blob -> 4 chunk) signature and partition-batched execution are
+    * the contract. Null blobs drop (no fingerprint, no pairs — the
+    * no-evidence rule for dirty input).
+    */
+  def imagePhash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +:
+        (0 to 3).map(k => StructField(s"f$k", IntegerType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+      // real image decoder + resizer would be constructed HERE
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null) Iterator.empty
+        else {
+          val cells = new Array[Long](64)
+          var i = 0
+          while (i < bytes.length) { cells(i % 64) += (bytes(i) & 0xff); i += 1 }
+          val chunks = new Array[Int](4)
+          var j = 0
+          while (j < 64) {
+            if (cells(j) > cells((j + 1) % 64)) chunks(j / 16) |= 1 << (15 - (j % 16))
+            j += 1
+          }
+          Iterator.single(Row(r.getLong(0), chunks(0), chunks(1), chunks(2), chunks(3)))
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder inits
     * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
     * feature[dim]).

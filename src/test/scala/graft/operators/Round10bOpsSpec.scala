@@ -108,6 +108,46 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** Perceptual-hash image near-dup plumbing (m05). */
+class ImagePhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = ("the quick brown fox jumps over the lazy dog " * 5).trim
+
+  test("near-identical images pair within hamming 3; unrelated do not") {
+    // one byte changed touches one fold cell => at most 2 of the 64
+    // neighbor comparisons can flip
+    val docs = Seq(
+      (0L, base), (1L, base.replace("quick", "quack")),
+      (2L, "completely different content with other words entirely " * 4))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.withBlob(docs, "text")
+    val pairs = Dedup.chunkedHammingPairs(
+        Multimodal.imagePhash(blobs, "doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("identical blobs hash identically (hamming 0) regardless of partitioning") {
+    val docs = Seq((0L, base), (1L, base)).toDF("doc_id", "text").repartition(5)
+    val out = Dedup.chunkedHammingPairs(
+        Multimodal.imagePhash(Multimodal.withBlob(docs, "text"), "doc_id", "blob"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0L)))
+  }
+
+  test("null blobs drop: no fingerprint, no pairs, no NPE") {
+    val docs = Seq((0L, Some(base)), (1L, None), (2L, Some(base)))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.withBlob(docs, "text")
+    val fps = Multimodal.imagePhash(blobs, "doc_id", "blob")
+    assert(fps.count() == 2)
+    val pairs = Dedup.chunkedHammingPairs(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L)))
+  }
+}
+
 /** Efraimidis–Spirakis deterministic weighted sampling (p14). */
 class WeightedSampleSpec extends SparkSpec {
   import spark.implicits._
