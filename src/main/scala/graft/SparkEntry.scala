@@ -1117,6 +1117,24 @@ object SparkEntry {
           "value", "_lat")
         .orderBy("template")),
 
+    "q31_retention" -> ((s, dir) => {
+      // weekly cohort retention: users grouped by first-seen week,
+      // n distinct users active at each week offset — the classic
+      // product-analytics matrix. Three bounded shuffles: the
+      // (user, week) distinct, the per-user min, the tiny
+      // (cohort, offset) histogram. Week = floor-div of epoch µs
+      // (ts >= epoch here; Spark div truncates toward zero, SQL //
+      // floors — equal on non-negatives, the packGreedy rule)
+      val wk = expr("unix_micros(ts) div 604800000000").as("wk")
+      val uw = T(s, dir, "events").select(col("user_id"), wk).distinct()
+      val fw = uw.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      uw.join(fw, "user_id")
+        .groupBy(col("cohort").as("cohort_week"),
+          (col("wk") - col("cohort")).as("week_offset"))
+        .agg(cnt.as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "r21_session_paths" -> ((s, dir) =>
       // top-20 session paths: r12's gap-split sessions, each session's
       // first-8 event types joined into one "a>b>c" string, counted —
@@ -1400,6 +1418,16 @@ object SparkEntry {
       // doc's adjacent token pairs — one Markov order up from t13,
       // catches fluent-token word salad unigram scores miss
       TextStats.bigramLogProb(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "t30_stupid_backoff" -> ((s, dir) =>
+      // Stupid Backoff cross-slice fluency score: the en-language
+      // slice trains the bigram model (the DSIR-style target), every
+      // doc scores under it — out-of-slice docs fall to the α=0.4
+      // backed-off add-1 unigram floor
+      TextStats.stupidBackoff(T(s, dir, "documents"), "doc_id", "text",
+          lmPred = col("lang") === "en")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
@@ -1825,6 +1853,40 @@ object SparkEntry {
        WHERE rk <= 100 ORDER BY doc_id"""
   }
 
+  /** Stupid Backoff oracle: identical pair/token streams, identical
+    * branch arithmetic — seen bigrams score ln(nb/np), unseen ones
+    * ln(0.4 · (nu+1)/(N+V)) with the same multiplication association —
+    * each rounded to 6 then DECIMAL-summed per doc.
+    */
+  private lazy val t30Oracle: String =
+    """WITH tk AS (SELECT doc_id, lang = 'en' AS lm,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                 t -> len(t) > 0) AS toks FROM documents),
+          pr AS (SELECT doc_id, lm, toks[i] AS w1, toks[i+1] AS w2
+                 FROM (SELECT doc_id, lm, toks,
+                         unnest(range(1, len(toks))) AS i FROM tk)
+                 WHERE len(toks) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS nb FROM pr WHERE lm GROUP BY 1, 2),
+          pc AS (SELECT w1, count(*) AS np FROM pr WHERE lm GROUP BY 1),
+          un AS (SELECT w2, count(*) AS nu FROM (
+                   SELECT unnest(toks) AS w2 FROM tk WHERE lm) GROUP BY 1),
+          tot AS (SELECT sum(nu) AS n, count(*) AS v FROM un),
+          sc AS (SELECT p.doc_id,
+                   CASE WHEN b.nb IS NOT NULL
+                     THEN round(ln(CAST(b.nb AS DOUBLE) / CAST(c.np AS DOUBLE)), 6)
+                     ELSE round(ln(0.4 *
+                       (CAST(coalesce(u.nu, 0) + 1 AS DOUBLE)
+                        / CAST(t.n + t.v AS DOUBLE))), 6) END AS lp
+                 FROM pr p
+                 LEFT JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
+                 LEFT JOIN pc c ON c.w1 = p.w1
+                 LEFT JOIN un u ON u.w2 = p.w2
+                 CROSS JOIN tot t)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
+                AS mean_logprob
+       FROM sc GROUP BY 1 ORDER BY 1"""
+
   /** CMS oracle: rebuilds the Count-Min grid in SQL with the same
     * portable row hashes ((first 4 md5 hex digits of "r:item") mod w)
     * and takes the same min-over-rows estimate — bit-for-bit against
@@ -2180,6 +2242,16 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q31_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS wk FROM events),
+            fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+         SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+                CAST(u.wk - f.cohort AS BIGINT) AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM uw u JOIN fw f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "r21_session_paths" ->
       // r12's session CTE + ordered string_agg of each session's
@@ -3061,6 +3133,8 @@ object SparkEntry {
          FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
 
     "p14_weighted_sample" -> p14Oracle,
+
+    "t30_stupid_backoff" -> t30Oracle,
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

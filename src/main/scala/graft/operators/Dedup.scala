@@ -556,14 +556,31 @@ object Dedup {
     * window (rank + size in the same window pass), the prefix
     * self-join, and the candidate-only verify — each carrying narrow
     * (id, digest)-class rows. No cap, no sampling, no recall knob.
+    *
+    * Cost tracks the PREFIX LENGTH (1−tau)·|doc| and the output
+    * mass, not the corpus — measured on the 10× Gen10x corpus
+    * (50k docs, 250,600 true 3-gram pairs, every doc 10×-duplicated,
+    * the candidate-heavy worst case): tau=0.5 → 216s, tau=0.8 → 39s,
+    * tau=0.9 → 10s for the same ~250k pairs, vs 6.8s for the d02 LSH
+    * chain that finds them approximately. At dedup-grade tau the
+    * exact join is LSH-competitive WITH the recall-1.0 guarantee; at
+    * low tau prefer LSH and spend the savings on its verify.
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
-                      tau: Double): DataFrame = {
+                      tau: Double, shingleN: Int = 1): DataFrame = {
     require(tau > 0 && tau <= 1, s"allPairsJaccard: tau $tau not in (0,1]")
-    // distinct word-token sets; the 16-byte digest stands in for the
-    // token everywhere (the pairOverlaps rule: counts and equality
-    // agree with the string form absent an md5 collision)
-    val toks = shingles(df, idCol, textCol, 1)
+    // distinct token/shingle sets; the 16-byte digest stands in for
+    // the token everywhere (the pairOverlaps rule: counts and
+    // equality agree with the string form absent an md5 collision).
+    // shingleN chooses the set element: 1 = word sets (cheap, but on
+    // vocabulary-sharing corpora word-set jaccard is weakly
+    // discriminative and the OUTPUT itself can go quadratic — no
+    // algorithm beats its own output size); 3 = the d02/d04 shingle
+    // unit, whose rare-gram prefixes keep candidates near the true
+    // pair count. Measured, sf0.1 full corpus at tau=0.5: unigrams
+    // emit 8.9M of 12.5M possible pairs (degenerate by construction);
+    // 3-gram shingles emit the true ~256 near-dup pairs.
+    val toks = shingles(df, idCol, textCol, shingleN)
       .select(col("id"), unhex(md5(col("shingle"))).as("tok"))
       .persist() // df aggregate + ranked build + both verify sides
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("_df"))

@@ -514,6 +514,106 @@ object TextStats {
     headHits.unionByName(residual)
   }
 
+  /** LEFT-join variant of [[joinHeadResidual]]: rows whose key the
+    * counts frame never saw come back with `countCol` NULL instead of
+    * dropping — the backoff scorer needs to SEE unseen keys. Same
+    * skew split: the Zipf head broadcasts, the flat tail (plus the
+    * unseen keys, flat by construction) takes the shuffle join.
+    */
+  private def leftJoinHeadResidual(stream: DataFrame, counts: DataFrame,
+                                   key: String, countCol: String,
+                                   headVocab: Int): DataFrame = {
+    val head = counts.orderBy(col(countCol).desc, col(key)).limit(headVocab)
+    val tagged = stream.join(broadcast(head), Seq(key), "left")
+    val headHits = tagged.filter(col(countCol).isNotNull)
+    val residual = tagged.filter(col(countCol).isNull).drop(countCol)
+      .join(counts.join(broadcast(head.select(col(key))), Seq(key), "left_anti"),
+        Seq(key), "left")
+    headHits.unionByName(residual)
+  }
+
+  /** Stupid Backoff LM score (Brants et al. 2007 §3, "Large Language
+    * Models in Machine Translation"): score every document's adjacent
+    * token pairs under a REFERENCE SLICE's bigram model —
+    *
+    *   S(w2|w1) = c(w1,w2) / c(w1·)          if the slice saw the pair
+    *            = α · (c(w2)+1) / (N+V)      otherwise (α = 0.4)
+    *
+    * — the paper's non-normalized backoff with its published α; the
+    * unigram floor is add-1 smoothed (the t23/p07 smoothing rule) so
+    * tokens the slice never saw score finitely instead of −∞. Unlike
+    * t13/t16, where the corpus scores itself and every bigram is seen
+    * at least once by construction (backoff could never fire), the
+    * model here trains on `lmPred` rows ONLY and scores everything:
+    * the cross-slice fluency filter — in-domain text rides bigram
+    * mass, out-of-domain text falls to backed-off unigrams. Documents
+    * with fewer than two tokens drop (the t16 no-evidence rule).
+    *
+    * Shape at scale: ONE pair explode (tagged with the slice flag)
+    * feeds the bigram counts, the prefix counts, and the scoring
+    * stream; the slice's token stream feeds the unigram floor. The
+    * scoring left-join runs on the near-flat (w1,w2) key first, then
+    * splits on the hit flag: hits attach prefix counts via the t13
+    * broadcast-head/residual device (the Zipf skew lives on the
+    * prefix key), misses attach unigram counts via its LEFT variant
+    * (unseen tokens must score, not drop). Per-pair logs round then
+    * DECIMAL-sum — order-independent, oracle-exact.
+    * Output: (id, n_bigrams, mean_logprob).
+    */
+  def stupidBackoff(df: DataFrame, idCol: String, textCol: String,
+                    lmPred: Column, alpha: Double = 0.4,
+                    headVocab: Int = 65536): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"stupidBackoff: alpha $alpha not in (0,1]")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    // persisted: the pair stream feeds three consumers (bigram
+    // counts, prefix counts, scoring); sealed over by the per-doc
+    // result, the t16 rule
+    val pairs = df.select(col(idCol).as("id"), lmPred.as("_lm"), toksArr.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("id"), col("_lm"),
+        explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_g"))
+      .select(col("id"), col("_lm"),
+        substring_index(col("_g"), " ", 1).as("w1"),
+        substring_index(col("_g"), " ", -1).as("w2"))
+      .persist()
+    val bigramCounts = pairs.filter(col("_lm")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_nb"))
+    val prefixCounts = pairs.filter(col("_lm")).groupBy(col("w1"))
+      .agg(count(lit(1)).as("_np"))
+    val uniCounts = df.filter(lmPred)
+      .select(explode(toksArr).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("_nu"))
+    // an empty reference slice leaves the model undefined — fail
+    // loudly (the mixtureSample contract), not NULL-score everything
+    val uniTot = uniCounts.agg(sum(col("_nu")).as("_n"), count(lit(1)).as("_v"))
+      .withColumn("_n", when(col("_n").isNull,
+        raise_error(lit("stupidBackoff: lmPred selects no rows — no model to back off to")))
+        .otherwise(col("_n")))
+    val tagged = pairs.join(bigramCounts, Seq("w1", "w2"), "left")
+    val hits = joinHeadResidual(tagged.filter(col("_nb").isNotNull),
+        prefixCounts, "w1", "_np", headVocab)
+      .withColumn("_lp",
+        round(log(col("_nb").cast("double") / col("_np").cast("double")), 6)
+          .cast("decimal(24,8)"))
+      .select(col("id"), col("_lp"))
+    val misses = leftJoinHeadResidual(tagged.filter(col("_nb").isNull),
+        uniCounts, "w2", "_nu", headVocab)
+      .crossJoin(broadcast(uniTot))
+      .withColumn("_lp",
+        round(log(lit(alpha) *
+          ((coalesce(col("_nu"), lit(0L)) + lit(1L)).cast("double") /
+            (col("_n") + col("_v")).cast("double"))), 6)
+          .cast("decimal(24,8)"))
+      .select(col("id"), col("_lp"))
+    Caching.sealOver(
+      hits.unionByName(misses)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob")),
+      pairs)
+  }
+
   /** Bigram language-model quality score: mean CONDITIONAL
     * log-probability log(c(w1,w2) / c(w1·)) of a document's adjacent
     * token pairs under the corpus's own bigram counts — one Markov

@@ -108,6 +108,51 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** Stupid Backoff cross-slice LM scoring (t30). */
+class StupidBackoffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("seen bigrams score their conditional ratio; unseen fall to the alpha floor") {
+    // LM slice: 2 docs, pairs (the,cat)x2 (cat,sat) (cat,ran);
+    // N = 6 slice tokens, V = 4 distinct
+    val docs = Seq(
+      (0L, "en", "the cat sat"), (1L, "en", "the cat ran"),
+      (2L, "de", "the cat sat"), // in-vocab: rides bigram mass
+      (3L, "de", "zebra qux"))   // fully unseen: pure backoff floor
+      .toDF("doc_id", "lang", "text")
+    val got = TextStats.stupidBackoff(docs, "doc_id", "text",
+        lmPred = col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnHalf = r6(math.log(1.0 / 2.0))
+    // doc 0/2: (the,cat) ln(2/2)=0, (cat,sat) ln(1/2)
+    val expect02 = r6((0.0 + lnHalf) / 2)
+    assert(got(0L) == (2L, expect02))
+    assert(got(2L) == (2L, expect02))
+    // doc 3: one pair, qux unseen => ln(0.4 * (0+1)/(6+4))
+    val floor = r6(math.log(0.4 * (1.0 / 10.0)))
+    assert(got(3L) == (1L, floor))
+  }
+
+  test("an empty reference slice fails loudly; sub-2-token docs drop") {
+    val docs = Seq((0L, "de", "only one-pair doc here"), (1L, "de", "single"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[Exception] {
+      TextStats.stupidBackoff(docs, "doc_id", "text",
+        lmPred = col("lang") === "en").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lmPred selects no rows")), e.toString)
+    val ok = TextStats.stupidBackoff(docs, "doc_id", "text",
+        lmPred = col("lang") === "de")
+      .collect().map(_.getLong(0)).sorted
+    assert(ok.toSeq == Seq(0L)) // "single" has no bigram evidence
+  }
+}
+
 /** Perceptual-hash image near-dup plumbing (m05). */
 class ImagePhashSpec extends SparkSpec {
   import spark.implicits._
