@@ -1062,6 +1062,26 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r22_template_anomaly" -> ((s, dir) =>
+      // which MESSAGE TYPE misbehaves: r18's masking keys the raw
+      // line stream (no schema knowledge needed), r16's trailing
+      // z-score scores each template's hourly rate — the
+      // burst/new-template detector a monitoring pipeline deploys,
+      // composed from the two existing operators with zero new
+      // arithmetic; the corpus collapses to (template, hour) counts
+      // before any window
+      Windows.rateAnomaly(
+          T(s, dir, "events").select(col("ts"), concat(
+            lit("id="), col("event_id"),
+            lit(" ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit(" user="), col("user_id"),
+            lit(" type="), col("event_type"),
+            lit(" value="), col("value").cast("string")).as("value"))
+            .withColumn("_tmpl", operators.LogMining.template(col("value"))),
+          "ts", "_tmpl")
+        .withColumnRenamed("key", "template")
+        .orderBy("template", "hr_start")),
+
     "r17_parse_rate" -> ((s, dir) => {
       // monitor the reference parser's silent failure mode: lines the
       // regex rejects just vanish (lparser.go drops non-matching
@@ -2325,6 +2345,46 @@ object SparkEntry {
                 round(zs, 6) AS z_score,
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY event_type, hr_start""",
+
+    "r22_template_anomaly" ->
+      // the r18 masking CTE keys the r16 anomaly CTE — same regexes,
+      // same trailing-24 z-score arithmetic, template-keyed
+      """WITH lines AS (
+           SELECT ts, 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT ts, regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+              FROM lines),
+           h AS (SELECT template, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                 FROM t GROUP BY 1, 2),
+           r AS (SELECT template, hr, c,
+                   count(*) OVER w AS tn,
+                   sum(c) OVER w AS tsum,
+                   sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                 FROM h
+                 WINDOW w AS (PARTITION BY template ORDER BY hr
+                              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+           sc AS (SELECT template, hr * 3600 AS hr_start, c,
+                    CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                    CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                      - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                        * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                  FROM r WHERE tn >= 12),
+           z AS (SELECT template, hr_start, c, m,
+                   CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                        WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                 FROM sc)
+         SELECT template, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(m, 6) AS mean_trailing,
+                round(zs, 6) AS z_score,
+                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
+         FROM z ORDER BY template, hr_start""",
 
     "r20_ewma_forecast" ->
       // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as

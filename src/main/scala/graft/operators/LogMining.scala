@@ -105,13 +105,27 @@ object LogMining {
   def sessionPaths(df: DataFrame, userCol: String, tsUsCol: String,
                    idCol: String, typeCol: String, gapUs: Long,
                    maxLen: Int, k: Int): DataFrame = {
-    require(maxLen > 0 && k > 0,
-      s"sessionPaths: maxLen $maxLen and k $k must be positive")
+    require(k > 0, s"sessionPaths: k $k must be positive")
+    sessionPathStrings(df, userCol, tsUsCol, idCol, typeCol, gapUs, maxLen)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /** The per-session path frame under [[sessionPaths]]'s histogram:
+    * one row (user, session index, "a>b>c" path head) per gap-split
+    * session. Exposed so the STREAMING twin's parity spec can compare
+    * the path multiset session for session, not just the top-k.
+    */
+  def sessionPathStrings(df: DataFrame, userCol: String, tsUsCol: String,
+                         idCol: String, typeCol: String, gapUs: Long,
+                         maxLen: Int): DataFrame = {
+    require(maxLen > 0, s"sessionPaths: maxLen $maxLen must be positive")
     val W = org.apache.spark.sql.expressions.Window
     val byUser = W.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
     val inSess = W.partitionBy(col(userCol), col("_session"))
       .orderBy(col(tsUsCol), col(idCol))
-    val head = df
+    df
       .withColumn("_brk",
         when(col(tsUsCol) - lag(col(tsUsCol), 1).over(byUser) > gapUs
           || lag(col(tsUsCol), 1).over(byUser).isNull, 1).otherwise(0))
@@ -119,13 +133,10 @@ object LogMining {
         byUser.rowsBetween(W.unboundedPreceding, W.currentRow)))
       .withColumn("_rn", row_number().over(inSess))
       .filter(col("_rn") <= maxLen)
-    head.groupBy(col(userCol), col("_session"))
+      .groupBy(col(userCol), col("_session"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("_rn").as("rn"),
           col(typeCol).as("t")))), x => x("t")), ">").as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path"))
-      .limit(k)
   }
 
   def templates(df: DataFrame, lineCol: String): DataFrame = {

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the batch session-path miner
+  * (`operators.LogMining.sessionPathStrings`): emit each gap-split
+  * session's first-`maxLen` event types as one "a>b>c" path string
+  * when the watermark closes the session. Downstream counting (the
+  * r21 histogram) is an ordinary streaming aggregation over the
+  * emitted paths.
+  *
+  * Parity with the batch op is structural, not approximate: the
+  * state keeps the session's `maxLen` SMALLEST (tsUs, id) events —
+  * inserted in sorted order, trimmed to maxLen — so intra-batch and
+  * bounded cross-batch disorder produce the same head the batch
+  * op's global (ts, id) sort does; the gap rule is the identical
+  * strictly-greater comparison. Events later than the watermark
+  * allowance land in no session (the repo-wide watermark contract,
+  * as in streaming dedup/sessionize). State per key is O(maxLen) —
+  * a billion-user stream holds a billion tiny lists, never rows.
+  *
+  * Timestamps carry µs through `getTime` ms precision ×1000: the
+  * stream twin resolves ties at ms grain where batch resolves at µs;
+  * sub-ms co-timed events tie-break by id identically in both.
+  */
+object SessionPaths {
+
+  final case class Ev(key: String, ts: java.sql.Timestamp, id: Long,
+                      etype: String) {
+    def tsUs: Long = ts.getTime * 1000L
+  }
+
+  final case class HeadEv(tsUs: Long, id: Long, etype: String)
+
+  final case class PathState(lastUs: Long, head: List[HeadEv])
+
+  final case class SessionPath(key: String, path: String)
+
+  implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+  implicit val stEnc: Encoder[PathState] = Encoders.product[PathState]
+  implicit val outEnc: Encoder[SessionPath] = Encoders.product[SessionPath]
+  implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  private def pathOf(head: List[HeadEv]): String =
+    head.sortBy(e => (e.tsUs, e.id)).map(_.etype).mkString(">")
+
+  private def insert(head: List[HeadEv], e: HeadEv, maxLen: Int): List[HeadEv] =
+    ((e :: head).sortBy(x => (x.tsUs, x.id))).take(maxLen)
+
+  /** Core transition, exposed for unit tests. Gap rule mirrors the
+    * batch op: an event continues its session iff ts − last <= gap
+    * (the batch lag test breaks on STRICTLY greater).
+    */
+  def update(gapUs: Long, maxLen: Int)(
+      key: String, events: Iterator[Ev],
+      state: GroupState[PathState]): Iterator[SessionPath] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(SessionPath(key, pathOf(s.head)))
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.tsUs, e.id))
+      var closed = List.empty[SessionPath]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+            cur = Some(PathState(math.max(s.lastUs, e.tsUs),
+              insert(s.head, HeadEv(e.tsUs, e.id, e.etype), maxLen)))
+          case Some(s) => // gap exceeded inside the batch: close, start anew
+            closed ::= SessionPath(key, pathOf(s.head))
+            cur = Some(PathState(e.tsUs, List(HeadEv(e.tsUs, e.id, e.etype))))
+          case None =>
+            cur = Some(PathState(e.tsUs, List(HeadEv(e.tsUs, e.id, e.etype))))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when the watermark passes last + gap (ms grain, ceil)
+        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1L)
+      }
+      closed.reverseIterator
+    }
+  }
+
+  /** Streaming entry point: `events` must carry an event-time
+    * watermark on the timestamp column `ts` derives from.
+    */
+  def paths(events: Dataset[Ev], gapUs: Long, maxLen: Int): Dataset[SessionPath] = {
+    require(maxLen > 0, s"sessionPaths: maxLen $maxLen must be positive")
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PathState, SessionPath](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        update(gapUs, maxLen) _)
+  }
+}
