@@ -1271,6 +1271,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m06_alignment" -> ((s, dir) => {
+      // CLIP-score-style text-image alignment filtering plumbing:
+      // stub image tower (partition-batched byte-fold features) vs
+      // the doc's embedding through the portable s08 projection head;
+      // vec_id doubles as doc_id in the testdata pairing
+      val blobs = Multimodal.withBlob(
+        T(s, dir, "documents").filter(col("doc_id") < 500), "text")
+      Multimodal.textImageAlignment(blobs, "doc_id", "blob",
+          T(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.0, embDims = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "m05_phash_pairs" -> ((s, dir) => {
       // image near-dup detection: 64-bit perceptual hash from the
       // partition-batched decode stub, pairs at hamming <= 3 via the
@@ -3325,6 +3339,40 @@ object SparkEntry {
                            / CAST(n AS DOUBLE) END, 6) AS byte_mean,
                 CAST(8 AS BIGINT) AS feat_dim
          FROM b ORDER BY doc_id""",
+
+    "m06_alignment" ->
+      // image tower = the m01 byte-fold replay (8 cells); text tower
+      // = the s08 projection expr at 8 dims; same cosine + keep CASE
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents WHERE doc_id < 500),
+            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
+            byt AS (SELECT doc_id, (i - 1) % 8 AS k,
+                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
+                    FROM pos),
+            f0 AS (SELECT doc_id, k, sum(v) AS fv FROM byt GROUP BY 1, 2),
+            grid AS (SELECT doc_id, unnest(range(0, 8)) AS k FROM h),
+            feat AS (SELECT g.doc_id, g.k, CAST(coalesce(f0.fv, 0) AS DOUBLE) AS f
+                     FROM grid g LEFT JOIN f0
+                       ON f0.doc_id = g.doc_id AND f0.k = g.k),
+            tp AS (SELECT vec_id, j,
+                     round(list_aggregate(list_transform(range(len(embedding)),
+                       i -> CAST(embedding[i + 1] AS DOUBLE) *
+                            (CASE WHEN (strpos('0123456789abcdef',
+                                substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                              THEN 1 ELSE -1 END)), 'sum'), 6) AS p
+                   FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)),
+            d AS (SELECT f.doc_id,
+                    sum(f.f * t.p) AS dot,
+                    sqrt(sum(f.f * f.f)) AS nf,
+                    sqrt(sum(t.p * t.p)) AS nt
+                  FROM feat f JOIN tp t ON t.vec_id = f.doc_id AND t.j = f.k
+                  GROUP BY 1)
+         SELECT doc_id,
+                CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) END AS align_cos,
+                CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) >= 0.0 END AS keep
+         FROM d ORDER BY doc_id""",
 
     "m05_phash_pairs" ->
       // byte-level dHash replay (the m01 hex-parse rule): cell[j] =

@@ -194,6 +194,47 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Text–image alignment scoring (the plumbing of LAION/DataComp
+    * CLIP-score filtering — the step that drops image–caption pairs
+    * whose modalities don't agree): cosine between the image's
+    * decoded feature vector and the text embedding projected into
+    * the same feature space, plus the keep flag at `tau`.
+    *
+    * Both towers are STUBS with the real swap points documented: the
+    * image side is [[decodeFeatures]]' partition-batched byte fold
+    * (a real image tower replaces fakeDecode), the text side
+    * projects through the s08 md5-parity sign matrix (a learned
+    * projection head replaces the signs; the matrix is portable so
+    * the whole score is oracle-checkable). A zero-norm side (empty
+    * blob, zero text vector) yields a NULL score and a NULL keep —
+    * the no-evidence rule: the gate decision surfaces, it is not
+    * silently asserted either way.
+    *
+    * Shape at scale: decode is a narrow partition-batched pass; the
+    * projection is `dim` fused VecDot evaluations against literal
+    * sign vectors (zero shuffles, the s08 device); then ONE id-key
+    * equi-join and a row-local cosine. Output: (id, align_cos, keep).
+    */
+  def textImageAlignment(blobs: DataFrame, idCol: String, blobCol: String,
+                         emb: DataFrame, embIdCol: String, vecCol: String,
+                         tau: Double, embDims: Int, dim: Int = 8): DataFrame = {
+    val signVecs = Similarity.srpSigns(embDims, dim)
+    val img = decodeFeatures(blobs, idCol, blobCol, dim)
+      .select(col("id"), col("feature").as("_f"))
+    val txt = emb.select(col(embIdCol).cast("long").as("id"),
+      array((0 until dim).map(j =>
+        round(graft.functions.VecDot.dot(col(vecCol), lit(signVecs(j))), 6)): _*)
+        .as("_t"))
+    val dot = graft.functions.VecDot.dot(col("_f"), col("_t"))
+    val nf = sqrt(graft.functions.VecDot.dot(col("_f"), col("_f")))
+    val nt = sqrt(graft.functions.VecDot.dot(col("_t"), col("_t")))
+    img.join(txt, "id")
+      .withColumn("align_cos",
+        when(nf > 0.0 && nt > 0.0, round(dot / (nf * nt), 6)))
+      .withColumn("keep", col("align_cos") >= tau)
+      .select(col("id"), col("align_cos"), col("keep"))
+  }
+
   /** Partition-batched decode: mapPartitions so a real decoder inits
     * once per partition. Returns (id, n_bytes, head_byte, byte_mean,
     * feature[dim]).

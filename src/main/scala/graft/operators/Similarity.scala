@@ -330,7 +330,7 @@ object Similarity {
     * +1 iff the first md5 hex digit of "i:j" is even — reproducible
     * in any engine with an md5 (the s08 oracle recomputes it in SQL).
     */
-  private def srpSigns(dims: Int, outDims: Int): IndexedSeq[Array[Double]] = {
+  private[operators] def srpSigns(dims: Int, outDims: Int): IndexedSeq[Array[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     def sign(i: Int, j: Int): Double = {
       val h = digest.digest(s"$i:$j".getBytes("UTF-8"))

@@ -108,6 +108,54 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** Text-image alignment scoring (m06). */
+class AlignmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aligned pairs score; zero-norm sides surface NULL, not a verdict") {
+    val docs = Seq((0L, "some caption text here"), (1L, ""))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.0f))) // zero text vector
+      .toDF("vec_id", "embedding")
+    val blobs = Multimodal.withBlob(docs, "text")
+    val got = Multimodal.textImageAlignment(blobs, "doc_id", "blob",
+        emb, "vec_id", "embedding", tau = -1.0, embDims = 64)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    // doc 0: both norms positive => a score and (tau = -1) keep = true
+    assert(got(0L)._1.isDefined && got(0L)._2.contains(true))
+    // doc 1: empty blob => zero image feature => NULL score, NULL keep
+    assert(got(1L)._1.isEmpty && got(1L)._2.isEmpty)
+  }
+
+  test("the score is the cosine of the byte-fold feature and the projected embedding") {
+    val docs = Seq((0L, "abcdefgh")).toDF("doc_id", "text") // 8 bytes, one per cell
+    val emb = Seq((0L, Array.tabulate(64)(i => (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val blobs = Multimodal.withBlob(docs, "text")
+    val got = Multimodal.textImageAlignment(blobs, "doc_id", "blob",
+        emb, "vec_id", "embedding", tau = 0.0, embDims = 64)
+      .collect().head
+    // local reference: feature = the 8 byte values; projection via the
+    // same md5-parity signs
+    val f = "abcdefgh".getBytes("UTF-8").map(b => (b & 0xff).toDouble)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val v = Array.tabulate(64)(i => (i % 3).toDouble)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t = Array.tabulate(8)(j => r6((0 until 64).map(i => v(i) * sign(i, j)).sum))
+    val dot = (0 until 8).map(k => f(k) * t(k)).sum
+    val expect = r6(dot / (math.sqrt(f.map(x => x * x).sum) * math.sqrt(t.map(x => x * x).sum)))
+    assert(got.getDouble(1) == expect, s"got ${got.getDouble(1)} expect $expect")
+  }
+}
+
 /** Stupid Backoff cross-slice LM scoring (t30). */
 class StupidBackoffSpec extends SparkSpec {
   import spark.implicits._
