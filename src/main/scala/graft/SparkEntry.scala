@@ -1426,14 +1426,22 @@ object SparkEntry {
         .withColumn("_nt",
           graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"))
         .withColumn("_q", graft.functions.TextFunctions.qualityScore(col("text")))
+      // subtotal rows are labeled via grouping(), NOT a bare coalesce:
+      // a natural NULL source/lang group would otherwise collide with
+      // its own subtotal's 'ALL' and leave two identical keys in a
+      // nondeterministic relative order
       d.rollup("source", "lang")
         .agg(cnt.as("n_docs"),
           sum(col("_nt")).as("n_tokens"),
           sum(when(col("_nt") === 0L, 1L).otherwise(0L)).as("n_empty"),
           round(sum(col("_q").cast("decimal(18,4)")).cast("double")
-            / count(lit(1)).cast("double"), 6).as("mean_quality"))
-        .select(coalesce(col("source"), lit("ALL")).as("source"),
-          coalesce(col("lang"), lit("ALL")).as("lang"),
+            / count(lit(1)).cast("double"), 6).as("mean_quality"),
+          grouping(col("source")).as("_gs"), grouping(col("lang")).as("_gl"))
+        .select(
+          when(col("_gs") === 1, lit("ALL"))
+            .otherwise(coalesce(col("source"), lit("(null)"))).as("source"),
+          when(col("_gl") === 1, lit("ALL"))
+            .otherwise(coalesce(col("lang"), lit("(null)"))).as("lang"),
           col("n_docs"), col("n_tokens"), col("n_empty"), col("mean_quality"))
         .orderBy("source", "lang")
     }),
@@ -3126,8 +3134,10 @@ object SparkEntry {
                    FROM documents),
              j AS (SELECT d.source, d.lang, d.nt, q.quality
                    FROM d JOIN q USING (doc_id))
-         SELECT coalesce(source, 'ALL') AS source,
-                coalesce(lang, 'ALL') AS lang,
+         SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+                     ELSE coalesce(source, '(null)') END AS source,
+                CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
+                     ELSE coalesce(lang, '(null)') END AS lang,
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(nt) AS BIGINT) AS n_tokens,
                 CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,

@@ -164,15 +164,17 @@ object Multimodal {
     * comparison a real dHash makes. Swap the fold for
     * decode+resize+gradient (or DCT for pHash) at deployment; the
     * (blob -> 4 chunk) signature and partition-batched execution are
-    * the contract. Null blobs drop (no fingerprint, no pairs — the
-    * no-evidence rule for dirty input).
+    * the contract. Null blobs AND null ids drop (no fingerprint, no
+    * pairs — the no-evidence rule for dirty input; a null id would
+    * otherwise NPE in the row extraction).
     */
   def imagePhash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
       StructField("id", LongType, nullable = false) +:
         (0 to 3).map(k => StructField(s"f$k", IntegerType, nullable = false)))
-    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol))
+      .filter(col(idCol).isNotNull).rdd.mapPartitions { it =>
       // real image decoder + resizer would be constructed HERE
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)

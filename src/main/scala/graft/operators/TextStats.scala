@@ -504,33 +504,27 @@ object TextStats {
     */
   private def joinHeadResidual(stream: DataFrame, counts: DataFrame,
                                key: String, countCol: String,
-                               headVocab: Int): DataFrame = {
+                               headVocab: Int,
+                               residualJoin: String = "inner"): DataFrame = {
     val head = counts.orderBy(col(countCol).desc, col(key)).limit(headVocab)
     val tagged = stream.join(broadcast(head), Seq(key), "left")
     val headHits = tagged.filter(col(countCol).isNotNull)
     val residual = tagged.filter(col(countCol).isNull).drop(countCol)
       .join(counts.join(broadcast(head.select(col(key))), Seq(key), "left_anti"),
-        Seq(key))
+        Seq(key), residualJoin)
     headHits.unionByName(residual)
   }
 
-  /** LEFT-join variant of [[joinHeadResidual]]: rows whose key the
-    * counts frame never saw come back with `countCol` NULL instead of
-    * dropping — the backoff scorer needs to SEE unseen keys. Same
-    * skew split: the Zipf head broadcasts, the flat tail (plus the
-    * unseen keys, flat by construction) takes the shuffle join.
+  /** LEFT-residual variant of [[joinHeadResidual]]: rows whose key
+    * the counts frame never saw come back with `countCol` NULL
+    * instead of dropping — the backoff scorer needs to SEE unseen
+    * keys. Same skew split, one implementation (the residual join
+    * type is the only difference).
     */
   private def leftJoinHeadResidual(stream: DataFrame, counts: DataFrame,
                                    key: String, countCol: String,
-                                   headVocab: Int): DataFrame = {
-    val head = counts.orderBy(col(countCol).desc, col(key)).limit(headVocab)
-    val tagged = stream.join(broadcast(head), Seq(key), "left")
-    val headHits = tagged.filter(col(countCol).isNotNull)
-    val residual = tagged.filter(col(countCol).isNull).drop(countCol)
-      .join(counts.join(broadcast(head.select(col(key))), Seq(key), "left_anti"),
-        Seq(key), "left")
-    headHits.unionByName(residual)
-  }
+                                   headVocab: Int): DataFrame =
+    joinHeadResidual(stream, counts, key, countCol, headVocab, "left")
 
   /** Stupid Backoff LM score (Brants et al. 2007 §3, "Large Language
     * Models in Machine Translation"): score every document's adjacent
@@ -581,9 +575,14 @@ object TextStats {
       .agg(count(lit(1)).as("_nb"))
     val prefixCounts = pairs.filter(col("_lm")).groupBy(col("w1"))
       .agg(count(lit(1)).as("_np"))
+    // persisted: the vocab-sized unigram frame feeds FOUR consumers
+    // (head limit twice via broadcast, the anti-joined residual side,
+    // and the totals aggregate) — unpersisted, each would re-run the
+    // slice's full tokenize+explode+groupBy
     val uniCounts = df.filter(lmPred)
       .select(explode(toksArr).as("w2"))
       .groupBy(col("w2")).agg(count(lit(1)).as("_nu"))
+      .persist()
     // an empty reference slice leaves the model undefined — fail
     // loudly (the mixtureSample contract), not NULL-score everything
     val uniTot = uniCounts.agg(sum(col("_nu")).as("_n"), count(lit(1)).as("_v"))
@@ -611,7 +610,7 @@ object TextStats {
         .groupBy(col("id"))
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob")),
-      pairs)
+      pairs, uniCounts)
   }
 
   /** Bigram language-model quality score: mean CONDITIONAL

@@ -10,14 +10,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * r21 histogram) is an ordinary streaming aggregation over the
   * emitted paths.
   *
-  * Parity with the batch op is structural, not approximate: the
-  * state keeps the session's `maxLen` SMALLEST (tsUs, id) events —
-  * inserted in sorted order, trimmed to maxLen — so intra-batch and
-  * bounded cross-batch disorder produce the same head the batch
-  * op's global (ts, id) sort does; the gap rule is the identical
-  * strictly-greater comparison. Events later than the watermark
-  * allowance land in no session (the repo-wide watermark contract,
-  * as in streaming dedup/sessionize). State per key is O(maxLen) —
+  * Parity with the batch op: the state keeps the session's `maxLen`
+  * SMALLEST (tsUs, id) events — inserted in sorted order, trimmed to
+  * maxLen, so the session MINIMUM is never evicted — and the gap
+  * decision replays the batch op's sorted-adjacency rule even for
+  * out-of-order arrivals: an event after last continues iff
+  * ts − last <= gap (the identical strictly-greater break test); an
+  * event INSIDE the open session's [start, last] span always joins
+  * (inserting within a span never changes sorted-adjacency
+  * membership); an event before the start joins iff start − ts <=
+  * gap. Two divergences from the batch global sort remain and are
+  * inherent to incremental state (shared with streaming Sessionize):
+  * a within-allowance straggler that would bridge an ALREADY-CLOSED
+  * earlier session into this one cannot re-merge it, and a
+  * pre-start straggler beyond the gap closes immediately as a
+  * singleton even if a later straggler would have joined it. Events
+  * later than the watermark allowance land in no session at all
+  * (the repo-wide watermark contract). State per key is O(maxLen) —
   * a billion-user stream holds a billion tiny lists, never rows.
   *
   * Timestamps carry µs through `getTime` ms precision ×1000: the
@@ -48,9 +57,13 @@ object SessionPaths {
   private def insert(head: List[HeadEv], e: HeadEv, maxLen: Int): List[HeadEv] =
     ((e :: head).sortBy(x => (x.tsUs, x.id))).take(maxLen)
 
-  /** Core transition, exposed for unit tests. Gap rule mirrors the
-    * batch op: an event continues its session iff ts − last <= gap
-    * (the batch lag test breaks on STRICTLY greater).
+  /** Core transition, exposed for unit tests. The gap decision
+    * replays the batch sorted-adjacency rule (see the object doc):
+    * after last → the strictly-greater break test; inside the open
+    * span → always joins; before the start → joins iff within gap
+    * of the start (the head's minimum, which sorted-insert never
+    * evicts), else it closes immediately as the pre-start singleton
+    * the batch sort would have made of it.
     */
   def update(gapUs: Long, maxLen: Int)(
       key: String, events: Iterator[Ev],
@@ -65,12 +78,26 @@ object SessionPaths {
       var cur = state.getOption
       sorted.foreach { e =>
         cur match {
-          case Some(s) if e.tsUs - s.lastUs <= gapUs =>
-            cur = Some(PathState(math.max(s.lastUs, e.tsUs),
-              insert(s.head, HeadEv(e.tsUs, e.id, e.etype), maxLen)))
-          case Some(s) => // gap exceeded inside the batch: close, start anew
-            closed ::= SessionPath(key, pathOf(s.head))
-            cur = Some(PathState(e.tsUs, List(HeadEv(e.tsUs, e.id, e.etype))))
+          case Some(s) =>
+            val start = s.head.head.tsUs
+            if (e.tsUs >= s.lastUs) {
+              if (e.tsUs - s.lastUs <= gapUs)
+                cur = Some(PathState(e.tsUs,
+                  insert(s.head, HeadEv(e.tsUs, e.id, e.etype), maxLen)))
+              else { // gap exceeded: close, start anew
+                closed ::= SessionPath(key, pathOf(s.head))
+                cur = Some(PathState(e.tsUs, List(HeadEv(e.tsUs, e.id, e.etype))))
+              }
+            } else if (e.tsUs >= start || start - e.tsUs <= gapUs) {
+              // out-of-order but inside the span (or within gap of the
+              // start): in global sort order it belongs to this session
+              cur = Some(PathState(s.lastUs,
+                insert(s.head, HeadEv(e.tsUs, e.id, e.etype), maxLen)))
+            } else {
+              // a pre-start straggler beyond the gap: its own session,
+              // emitted in place (the documented singleton caveat)
+              closed ::= SessionPath(key, e.etype)
+            }
           case None =>
             cur = Some(PathState(e.tsUs, List(HeadEv(e.tsUs, e.id, e.etype))))
         }

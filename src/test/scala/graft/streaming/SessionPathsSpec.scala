@@ -71,6 +71,31 @@ class SessionPathsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order arrivals replay the batch sorted-adjacency rule") {
+    def ev(sec: Long, id: Long, t: String) =
+      Ev("u", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)), id, t)
+    val gap = 30000000L // 30s
+    // open session spans [100, 200] (events 100, 125, 155, 180, 200 —
+    // each adjacent pair within the gap)
+    val st = new TestGroupState[SessionPaths.PathState]
+    SessionPaths.update(gap, 8)("u",
+      Iterator(ev(100, 1, "a"), ev(125, 2, "b"), ev(155, 3, "c"),
+        ev(180, 4, "d"), ev(200, 5, "e")), st)
+    // an in-span straggler 60s from `last` (beyond the gap) still
+    // joins — in global sort order it sits inside the session
+    val out1 = SessionPaths.update(gap, 8)("u", Iterator(ev(140, 6, "X")), st).toList
+    assert(out1.isEmpty)
+    assert(st.updated.exists(_.head.map(_.etype) ==
+      List("a", "b", "X", "c", "d", "e")))
+    // a pre-start straggler within the gap of the start joins too
+    SessionPaths.update(gap, 8)("u", Iterator(ev(75, 7, "Y")), st)
+    assert(st.updated.exists(_.head.head.etype == "Y"))
+    // one beyond the gap of the start closes as its own singleton
+    val out2 = SessionPaths.update(gap, 8)("u", Iterator(ev(10, 8, "Z")), st).toList
+    assert(out2.map(_.path) == List("Z"))
+    assert(st.updated.exists(_.head.head.etype == "Y")) // state untouched
+  }
+
   test("maxLen truncates the head; a gap inside one batch closes in place") {
     val out = collection.mutable.ListBuffer.empty[SessionPath]
     val state = new TestGroupState[SessionPaths.PathState]
