@@ -724,6 +724,16 @@ object SparkEntry {
           "doc_id", "n_toks", seqLen = 512L, shardSize = 128L)
         .orderBy("doc_id")),
 
+    "p15_pack_bestfit" -> ((s, dir) =>
+      // best-fit-decreasing packing (Krell et al.'s main algorithm;
+      // p12 is its next-fit baseline): longest-first placement into
+      // the fullest open pack that fits, per 128-doc shard
+      Training.packBestFit(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")),
+          "doc_id", "n_toks", seqLen = 512L, shardSize = 128L)
+        .orderBy("doc_id")),
+
     "p13_epoch_repeat" -> ((s, dir) =>
       // fractional epoch mixing (GPT-3 Table 2.2 style): the head
       // sources train 2.45 epochs, the tail 0.7 — every doc repeats
@@ -3217,6 +3227,38 @@ object SparkEntry {
          FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
 
     "p14_weighted_sample" -> p14Oracle,
+
+    "p15_pack_bestfit" ->
+      // the BFD fold replayed per shard: LIST-of-fills state in the
+      // recursive CTE, best fit = first position of the max feasible
+      // fill (equal fills are interchangeable, so this IS the
+      // lowest-index best fit — the operator's identical rule)
+      """WITH RECURSIVE n AS (SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+             FROM documents),
+           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
+                   row_number() OVER (PARTITION BY doc_id // 128
+                     ORDER BY n_toks DESC, doc_id) AS rn
+                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
+           g AS (
+             SELECT shard, rn, doc_id, n_toks,
+                    CAST(0 AS BIGINT) AS pack, [n_toks] AS fills
+             FROM r WHERE rn = 1
+             UNION ALL
+             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
+               CAST(CASE WHEN list_max(list_filter(g.fills, f -> f + r.n_toks <= 512)) IS NULL
+                    THEN len(g.fills)
+                    ELSE list_position(g.fills, list_max(list_filter(g.fills,
+                           f -> f + r.n_toks <= 512))) - 1 END AS BIGINT),
+               CASE WHEN list_max(list_filter(g.fills, f -> f + r.n_toks <= 512)) IS NULL
+                    THEN list_append(g.fills, r.n_toks)
+                    ELSE list_transform(range(1, len(g.fills) + 1), i ->
+                      CASE WHEN i = list_position(g.fills, list_max(list_filter(g.fills,
+                             f -> f + r.n_toks <= 512)))
+                           THEN g.fills[i] + r.n_toks ELSE g.fills[i] END) END
+             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
+         SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
 
     "t30_stupid_backoff" -> t30Oracle,
 

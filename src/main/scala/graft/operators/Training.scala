@@ -625,6 +625,69 @@ object Training {
       .select(col("_d.id").as(idCol), col("shard"), col("_d.pack").as("pack"))
   }
 
+  /** Best-fit-decreasing no-split packing (the MAIN packer of Krell
+    * et al. 2021 "Efficient Sequence Packing" — [[packGreedy]] is its
+    * next-fit baseline): within each shard, docs place LONGEST FIRST
+    * and each goes into the fullest already-open pack that still fits
+    * (ties to the lowest pack index), opening a new pack only when
+    * none fits. BFD's waste bound (≤ 11/9·OPT + 4 packs) is why
+    * packing papers default to it; next-fit's single-open-pack rule
+    * can waste a near-full pack per boundary.
+    *
+    * Distribution contract = [[packGreedy]]'s: the inherently
+    * sequential fold runs row-local over bounded `shardSize`-doc
+    * id-range shards (packs never cross shards, ONE shuffle of
+    * (id, n) pairs on the shard key), negative ids fail loudly
+    * (div/floor portability), null-id and zero-token docs drop.
+    * Oversized docs open their own pack and — being larger than the
+    * cap — never admit a neighbor.
+    *
+    * The best-fit choice is expressed as
+    * array_max(filter(fills, f -> f + n <= cap)) + first-position —
+    * equal fills are interchangeable, so "first index holding the
+    * max feasible fill" IS the lowest-index best fit; the identical
+    * expression replays in the oracle's recursive CTE. Output:
+    * (id, shard, pack) with pack 0-based per shard.
+    */
+  def packBestFit(df: DataFrame, idCol: String, nTokCol: String,
+                  seqLen: Long, shardSize: Long = 128L): DataFrame = {
+    require(seqLen >= 1, s"packBestFit: seqLen=$seqLen must be >= 1")
+    require(shardSize >= 1, s"packBestFit: shardSize=$shardSize must be >= 1")
+    val guardedId = when(col(idCol).cast("long") < 0, raise_error(concat(
+        lit("packBestFit: negative id "), col(idCol).cast("string"),
+        lit(" — id div shardSize truncates toward zero in Spark but floors " +
+          "in SQL, so negative ids shard non-portably"))))
+      .otherwise(col(idCol).cast("long"))
+    // sort_array ascending on (-n, id) = the decreasing order with
+    // the id tiebreak
+    val docs = df
+      .filter(col(idCol).isNotNull && col(nTokCol) > 0)
+      .select(guardedId.as("_id"), col(nTokCol).cast("long").as("_n"))
+      .groupBy(expr(s"_id div $shardSize").as("shard"))
+      .agg(sort_array(collect_list(
+        struct((-col("_n")).as("_negn"), col("_id"), col("_n")))).as("_docs"))
+    // M = the fullest feasible fill; SQL lambdas have no lets, so the
+    // expression repeats per accumulator slot (the packGreedy rule)
+    val M = s"array_max(filter(acc.fills, f -> f + d._n <= $seqLen))"
+    val fold = expr(
+      s"""aggregate(_docs,
+            named_struct(
+              'out', CAST(array() AS ARRAY<STRUCT<id: BIGINT, pack: BIGINT>>),
+              'fills', CAST(array() AS ARRAY<BIGINT>)),
+            (acc, d) -> named_struct(
+              'out', array_append(acc.out, named_struct(
+                'id', d._id,
+                'pack', CAST(CASE WHEN $M IS NULL THEN size(acc.fills)
+                             ELSE array_position(acc.fills, $M) - 1 END AS BIGINT))),
+              'fills', CASE WHEN $M IS NULL THEN array_append(acc.fills, d._n)
+                       ELSE transform(acc.fills, (f, i) ->
+                         CASE WHEN i = array_position(acc.fills, $M) - 1
+                              THEN f + d._n ELSE f END) END),
+            acc -> acc.out)""")
+    docs.select(col("shard"), explode(fold).as("_d"))
+      .select(col("_d.id").as(idCol), col("shard"), col("_d.pack").as("pack"))
+  }
+
   /** Deterministic fractional epoch repetition: materialize a mixture
     * recipe that assigns sources non-integer epoch counts (GPT-3's
     * 3.4 epochs of Wikipedia, LLaMA's 2.45 — Brown et al. 2020

@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
   }
 
+  test("p15: BFD packing shuffles once, on the shard key, pairs only") {
+    val p = SparkEntry.queries("p15_pack_bestfit")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // same contract as p12: the corpus collapses to (id, n) pairs
+    // before the one shard-key exchange; the fold is row-local
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
   test("d24: prefix-filtered join plans no cartesian and keeps the verify candidate-only") {
     val p = SparkEntry.queries("d24_allpairs_exact")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))

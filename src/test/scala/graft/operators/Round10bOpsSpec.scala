@@ -108,6 +108,60 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** Best-fit-decreasing packing (p15). */
+class PackBestFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def localBfd(docs: Seq[(Long, Long)], cap: Long): Map[Long, Long] = {
+    val fills = collection.mutable.ArrayBuffer.empty[Long]
+    val out = collection.mutable.Map.empty[Long, Long]
+    docs.sortBy { case (id, n) => (-n, id) }.foreach { case (id, n) =>
+      val feasible = fills.zipWithIndex.filter(_._1 + n <= cap)
+      if (feasible.isEmpty) { fills += n; out(id) = fills.length - 1L }
+      else {
+        val (_, i) = feasible.maxBy { case (f, idx) => (f, -idx) }
+        fills(i) += n; out(id) = i.toLong
+      }
+    }
+    out.toMap
+  }
+
+  test("packBestFit matches the local BFD fold exactly") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i => (i, 1L + rnd.nextInt(200).toLong))
+    val got = Training.packBestFit(docs.toDF("id", "n"), "id", "n",
+        seqLen = 512L, shardSize = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // shards are id ranges: replay the fold per shard
+    val expect = docs.groupBy(_._1 / 128)
+      .flatMap { case (_, ds) => localBfd(ds, 512L) }
+    assert(got == expect)
+  }
+
+  test("BFD packs tighter than next-fit on its textbook adversary") {
+    // id order 6,5,6,5,4,4 / cap 10: next-fit opens 5 packs, BFD 3
+    val docs = Seq((0L, 6L), (1L, 5L), (2L, 6L), (3L, 5L), (4L, 4L), (5L, 4L))
+      .toDF("id", "n")
+    val bfd = Training.packBestFit(docs, "id", "n", seqLen = 10L)
+      .select("pack").collect().map(_.getLong(0)).distinct.length
+    val nf = Training.packGreedy(docs, "id", "n", seqLen = 10L)
+      .select("pack").collect().map(_.getLong(0)).distinct.length
+    assert(bfd == 3 && nf == 5, s"bfd=$bfd nf=$nf")
+  }
+
+  test("oversized docs sit alone; result is partition-independent") {
+    val docs = Seq((0L, 600L), (1L, 300L), (2L, 200L)).toDF("id", "n")
+    val got = Training.packBestFit(docs, "id", "n", seqLen = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // decreasing order: 600 opens pack 0 (never admits anyone),
+    // 300+200 = 500 <= 512 share pack 1
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    val rep = Training.packBestFit(docs.repartition(5), "id", "n", seqLen = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rep == got)
+  }
+}
+
 /** Text-image alignment scoring (m06). */
 class AlignmentSpec extends SparkSpec {
   import spark.implicits._
