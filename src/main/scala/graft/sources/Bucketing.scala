@@ -51,4 +51,51 @@ object Bucketing {
       .sortWithinPartitions(key)
       .write.format("parquet").mode("overwrite").save(path)
   }
+
+  /** Z-ORDER clustered writes: range clustering gives footer-stat
+    * skipping on ONE column; interleaving the bit patterns of TWO
+    * columns' rank indices (the Morton / Z-order curve) gives
+    * partial locality on BOTH, so parquet min/max pruning helps
+    * filters on either column — the standard lakehouse layout for
+    * two-dimensional selective scans (user × time, key × metric).
+    *
+    * Both columns map to `2^bits` quantile buckets via cut points
+    * from ONE mergeable-sketch aggregate (approx_percentile, the q25
+    * device — an exact rank window would be a SinglePartition
+    * bottleneck at precisely the scale this layout targets); each
+    * row then buckets by counting cut points below it in a compact
+    * fold over the literal cut array. The z-value interleaves the
+    * two bucket indices' bits and the frame range-partitions + sorts
+    * on it. Numeric columns only; `bits` ≤ 16 keeps the z-value in a
+    * long. Write-time cost: one sketch aggregate + one narrow pass +
+    * one range exchange — paid once, amortized over every pruned
+    * read. Quantile approximation only skews bucket POPULATIONS, not
+    * correctness: pruning reads real footer min/max either way.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 16, s"writeZOrdered: bits $bits not in [1,16]")
+    val n = 1L << bits
+    val qs = (1L until n).map(i => i.toDouble / n)
+    val cutsRow = df.agg(
+      expr(s"approx_percentile(CAST($colA AS DOUBLE), array(${qs.mkString(",")}), 10000)"),
+      expr(s"approx_percentile(CAST($colB AS DOUBLE), array(${qs.mkString(",")}), 10000)"))
+      .head()
+    def bucket(c: String, cuts: Seq[Double]) = expr(
+      s"""aggregate(array(${cuts.mkString(",")}), 0L,
+            (acc, x) -> acc + CASE WHEN CAST($c AS DOUBLE) >= x THEN 1L ELSE 0L END)""")
+    val withB = df
+      .withColumn("_ba", bucket(colA, cutsRow.getSeq[Double](0)))
+      .withColumn("_bb", bucket(colB, cutsRow.getSeq[Double](1)))
+    val z = (0 until bits).map { i =>
+      (shiftright(col("_ba"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))) +
+        (shiftright(col("_bb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+    withB.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_ba", "_bb", "_z")
+      .write.format("parquet").mode("overwrite").save(path)
+  }
 }

@@ -143,6 +143,37 @@ class BucketingSpec extends SparkSpec {
     // and the whole corpus survives the rewrite
     assert(s.read.parquet(dir.getAbsolutePath).count() == 10000L)
   }
+
+  test("z-ordered files bound BOTH columns' spans (two-dimensional skipping)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zo").toFile
+    // two independent uniform columns: a linear sort on either would
+    // leave the OTHER column's per-file span at ~the global span
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 20000).map(_ => (rnd.nextInt(10000).toLong,
+      rnd.nextInt(10000).toLong)).toDF("a", "b")
+    graft.sources.Bucketing.writeZOrdered(df, dir.getAbsolutePath, "a", "b",
+      numFiles = 16, bits = 8)
+    val parts = Option(dir.listFiles()).get
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length >= 8, s"expected multiple files, got ${parts.length}")
+    def meanSpan(c: String): Double = {
+      val spans = parts.map { f =>
+        val r = s.read.parquet(f.getAbsolutePath)
+          .agg(org.apache.spark.sql.functions.min(c),
+            org.apache.spark.sql.functions.max(c)).head()
+        (r.getLong(1) - r.getLong(0)).toDouble
+      }
+      spans.sum / spans.length
+    }
+    // the z-curve trades the single-column guarantee for a bound on
+    // BOTH: each file's span on each column must sit well under the
+    // ~10000 global span (a linear layout pins one near 10000)
+    assert(meanSpan("a") < 6500.0, s"a span ${meanSpan("a")}")
+    assert(meanSpan("b") < 6500.0, s"b span ${meanSpan("b")}")
+    assert(s.read.parquet(dir.getAbsolutePath).count() == 20000L)
+  }
 }
 
 /** ANN quality gate: approximate methods must recover a meaningful
