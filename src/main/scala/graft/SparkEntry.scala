@@ -1473,6 +1473,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t31_novelty" -> ((s, dir) =>
+      // n-gram novelty: the fraction of each doc's distinct 3-grams
+      // appearing nowhere else in the corpus — the per-document
+      // memorization/templating score over the d16 gram machinery
+      TextStats.ngramNovelty(T(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t30_stupid_backoff" -> ((s, dir) =>
       // Stupid Backoff cross-slice fluency score: the en-language
       // slice trains the bigram model (the DSIR-style target), every
@@ -3261,6 +3269,22 @@ object SparkEntry {
          SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
 
     "t30_stupid_backoff" -> t30Oracle,
+
+    "t31_novelty" ->
+      // identical tokenization/shingle unit as the d04 CTE, full
+      // corpus (the df join is linear, unlike the pair joins)
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            dfq AS (SELECT g, count(*) AS dfc FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS novelty
+         FROM sh JOIN dfq USING (g) GROUP BY 1 ORDER BY doc_id""",
 
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),

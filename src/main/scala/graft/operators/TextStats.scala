@@ -526,6 +526,41 @@ object TextStats {
                                    headVocab: Int): DataFrame =
     joinHeadResidual(stream, counts, key, countCol, headVocab, "left")
 
+  /** N-gram novelty score (the copying/memorization diagnostic of
+    * McCoy et al. 2023 "How much do language models copy" / the Lee
+    * et al. 2021 duplication family, pointed at DOCUMENTS: what
+    * fraction of a doc's distinct k-grams appears nowhere else in
+    * the corpus). Templated and boilerplate-heavy docs score low —
+    * most of their grams recur elsewhere — while original text
+    * scores near 1; the d16/d18 substring family REPORTS and CUTS
+    * duplicated spans, this scores each document by them.
+    *
+    * Shape at scale: the distinct (doc, gram-digest) stream feeds
+    * the gram document-frequency aggregate and the scoring join
+    * (persisted, two consumers, sealed over by the per-doc result —
+    * the dupGrams rule); the join key is the gram digest, whose
+    * heaviest keys are exactly the boilerplate a pipeline strips
+    * with t12/d23 first (AQE skew-join handles what remains, the
+    * d16 contract). Docs with fewer than k tokens have no grams and
+    * drop (the t16 no-evidence rule).
+    * Output: (id, n_grams, n_novel, novelty).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val grams = Dedup.shingles(df, idCol, textCol, k)
+      .select(col("id"), unhex(md5(col("shingle"))).as("_h"))
+      .persist()
+    val dfreq = grams.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    Caching.sealOver(
+      grams.join(dfreq, "_h")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("_df") === 1L, 1L).otherwise(0L)).cast("long").as("n_novel"))
+        .withColumn("novelty", round(
+          col("n_novel").cast("double") / col("n_grams").cast("double"), 6)),
+      grams)
+  }
+
   /** Stupid Backoff LM score (Brants et al. 2007 §3, "Large Language
     * Models in Machine Translation"): score every document's adjacent
     * token pairs under a REFERENCE SLICE's bigram model —

@@ -108,6 +108,30 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** N-gram novelty scoring (t31). */
+class NoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicated docs score 0, unique docs 1, partial overlap in between") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // twin of 1
+      (1L, "alpha beta gamma delta"),
+      (2L, "wholly original content right here"), // unique
+      (3L, "alpha beta gamma epsilon"),        // shares 1 of 2 grams' worth
+      (4L, "too short"))                       // < k tokens: drops
+      .toDF("doc_id", "text")
+    val got = TextStats.ngramNovelty(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(got(0)._4 == 0.0 && got(1)._4 == 0.0) // every gram shared with the twin
+    assert(got(2)._4 == 1.0)
+    // doc 3: grams {alpha beta gamma, beta gamma epsilon} — first is
+    // shared with docs 0/1, second unique => novelty 0.5
+    assert(got(3) == (3L, 2L, 1L, 0.5))
+  }
+}
+
 /** Best-fit-decreasing packing (p15). */
 class PackBestFitSpec extends SparkSpec {
   import spark.implicits._
