@@ -1107,21 +1107,22 @@ object SparkEntry {
         lit(" user="), col("user_id"),
         lit(" type="), col("event_type"),
         lit(" value="), col("value").cast("string")).as("value"))
-      // the hour of EVERY line, parsed or not, comes from the still-
-      // intact ts= field — the denominator a real monitor needs
-      val total = lines
-        .withColumn("_ts_raw", to_timestamp(
-          regexp_extract(col("value"), " ts=([0-9: -]+) user", 1)))
+      // ONE corpus scan: the hour of EVERY line comes from the still-
+      // intact ts= field (the denominator a real monitor needs), and
+      // the numerator is the parse path's own survival predicate
+      // (LogSource.parses = the same compiled RegexGroups pass that
+      // parse() drops on) evaluated in the same projection — the old
+      // two-sided join read and regexed every line twice
+      lines
+        .select(to_timestamp(
+            regexp_extract(col("value"), " ts=([0-9: -]+) user", 1)).as("_ts_raw"),
+          LogSource.parses(col("value"), EventPattern).as("_ok"))
         .groupBy(expr("unix_timestamp(_ts_raw) div 3600").as("_hr"))
-        .agg(cnt.as("n_lines"))
-      val parsed = LogSource.parse(lines, EventPattern)
-        .groupBy(expr("unix_timestamp(ts) div 3600").as("_hr"))
-        .agg(cnt.as("n_parsed"))
-      total.join(parsed, Seq("_hr"), "left")
+        .agg(cnt.as("n_lines"),
+          sum(when(col("_ok"), 1L).otherwise(0L)).as("n_parsed"))
         .select((col("_hr") * 3600L).as("hr_start"),
-          col("n_lines"),
-          coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
-          (coalesce(col("n_parsed"), lit(0L)).cast("double")
+          col("n_lines"), col("n_parsed"),
+          (col("n_parsed").cast("double")
             / col("n_lines").cast("double")).as("parse_rate"))
         .withColumn("alert", col("parse_rate") < 0.95)
         .orderBy("hr_start")

@@ -157,6 +157,20 @@ object LogSource {
     case _ => raw.cast(f.dataType).as(f.name)
   }
 
+  /** The parse path's survival predicate as a bare Column: TRUE iff
+    * the line would come through [[parse]] — the SAME compiled
+    * pattern and the same single [[graft.functions.RegexGroups]]
+    * pass, just surfaced as a boolean instead of a dropped row. For
+    * monitors that need parsed/total in ONE corpus scan (a separate
+    * parse() pass plus a raw-line pass reads and regexes every line
+    * twice).
+    */
+  def parses(lineCol: Column, pattern: String): Column = {
+    val lp = compilePattern(pattern)
+    val maxGroup = lp.fields.map(_.groupIndex).maxOption.getOrElse(0)
+    graft.functions.RegexGroups(lineCol, lp.javaRegex, maxGroup).isNotNull
+  }
+
   /** Parse a DataFrame of raw lines into the typed table the pattern
     * declares. Non-matching lines are dropped (lparser.go:96-104).
     *
