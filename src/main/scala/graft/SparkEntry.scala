@@ -1474,6 +1474,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t32_pmi" -> ((s, dir) =>
+      // PMI collocation mining: top-30 adjacent token pairs by
+      // pointwise mutual information with the >= 20 count floor
+      // (PMI's hapax bias remedy)
+      TextStats.pmiTopK(T(s, dir, "documents"), "text", minCount = 20L, k = 30)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))),
+
     "t31_novelty" -> ((s, dir) =>
       // n-gram novelty: the fraction of each doc's distinct 3-grams
       // appearing nowhere else in the corpus — the per-document
@@ -3270,6 +3277,31 @@ object SparkEntry {
          SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
 
     "t30_stupid_backoff" -> t30Oracle,
+
+    "t32_pmi" ->
+      // identical pair/token streams and the identical
+      // division-association in the PMI expression, rounded to 6
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> len(t) > 0) AS toks FROM documents),
+            pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)
+                   WHERE len(toks) >= 2),
+            bc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2),
+            m AS (SELECT sum(n_pair) AS m FROM bc),
+            un AS (SELECT w, count(*) AS c FROM (
+                     SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+            n AS (SELECT sum(c) AS n FROM un),
+            sc AS (SELECT b.w1, b.w2, b.n_pair,
+                     round(ln((CAST(b.n_pair AS DOUBLE) / CAST(m.m AS DOUBLE)) /
+                       ((CAST(ua.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                        (CAST(ub.c AS DOUBLE) / CAST(n.n AS DOUBLE)))), 6) AS pmi
+                   FROM bc b JOIN un ua ON ua.w = b.w1
+                             JOIN un ub ON ub.w = b.w2
+                   CROSS JOIN m CROSS JOIN n
+                   WHERE b.n_pair >= 20)
+         SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi FROM (
+           SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
+         WHERE rk <= 30 ORDER BY pmi DESC, w1, w2""",
 
     "t31_novelty" ->
       // identical tokenization/shingle unit as the d04 CTE, full

@@ -526,6 +526,59 @@ object TextStats {
                                    headVocab: Int): DataFrame =
     joinHeadResidual(stream, counts, key, countCol, headVocab, "left")
 
+  /** PMI collocation mining (Church & Hanks 1990, the standard
+    * association measure): the top-k adjacent token pairs by
+    * pointwise mutual information ln(p(a,b) / (p(a)·p(b))) — the
+    * pairs that co-occur far above chance ("new york", "machine
+    * learning"), with a minimum pair-count floor (PMI's known bias
+    * toward hapax pairs — a pair seen once between two rare tokens
+    * maxes the score on no evidence; the floor is the published
+    * remedy).
+    *
+    * Shape at scale: one corpus pair aggregate (map-side partials)
+    * collapses the stream to the pair histogram; the count floor
+    * then shrinks it to the collocation candidates, which join the
+    * vocab counts BROADCAST (candidates are the small side by
+    * construction); the final top-k is TakeOrderedAndProject. The
+    * per-pair double arithmetic is a fixed expression over exact
+    * integer counts, rounded to 6 — oracle-exact.
+    * Output: (w1, w2, n_pair, pmi).
+    */
+  def pmiTopK(df: DataFrame, textCol: String, minCount: Long,
+              k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1,
+      s"pmiTopK: minCount $minCount and k $k must be positive")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    // persisted: the pair stream feeds the pair histogram AND the
+    // bigram total; the token stream is a separate cheap pass
+    val pairs = df.select(toksArr.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_g"))
+      .select(substring_index(col("_g"), " ", 1).as("w1"),
+        substring_index(col("_g"), " ", -1).as("w2"))
+      .persist()
+    val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val m = bc.agg(sum(col("n_pair")).as("_m"))
+    val uni = df.select(explode(toksArr).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+    val n = uni.agg(sum(col("_c")).as("_n"))
+    val cand = bc.filter(col("n_pair") >= minCount)
+    Caching.sealOver(
+      cand
+        .join(uni.select(col("w").as("w1"), col("_c").as("_ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("_c").as("_cb")), "w2")
+        .crossJoin(broadcast(m)).crossJoin(broadcast(n))
+        .withColumn("pmi", round(log(
+          (col("n_pair").cast("double") / col("_m").cast("double")) /
+            ((col("_ca").cast("double") / col("_n").cast("double")) *
+              (col("_cb").cast("double") / col("_n").cast("double")))), 6))
+        .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(k),
+      pairs)
+  }
+
   /** N-gram novelty score (the copying/memorization diagnostic of
     * McCoy et al. 2023 "How much do language models copy" / the Lee
     * et al. 2021 duplication family, pointed at DOCUMENTS: what

@@ -108,6 +108,34 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** PMI collocation mining (t32). */
+class PmiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exclusive pairs out-score frequent-but-independent ones; the floor kills hapax") {
+    // "san francisco": 5 exclusive co-occurrences of two tokens that
+    // appear nowhere else — max PMI. "the cat": both sides frequent
+    // and promiscuous — low PMI. "rare gem" appears once: hapax PMI
+    // would top the list, the floor drops it.
+    val docs = (
+      Seq.fill(5)("san francisco is the place the cat likes") ++
+      Seq.fill(5)("the dog and the cat and the bird") ++
+      Seq("rare gem")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextStats.pmiTopK(docs, "text", minCount = 2L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    // "francisco is" is equally exclusive (francisco is always
+    // followed by is) and ties; both must head the list
+    assert(got.take(2).map(p => (p._1, p._2)).toSet ==
+      Set(("san", "francisco"), ("francisco", "is")), got.toSeq.toString)
+    assert(!got.exists(p => p._1 == "rare"), "hapax pair must fall to the floor")
+    // PMI ordering: exclusive pair strictly above any pair involving
+    // the promiscuous "the"
+    val theScores = got.filter(p => p._1 == "the" || p._2 == "the").map(_._3)
+    assert(theScores.forall(_ < got.head._3))
+  }
+}
+
 /** N-gram novelty scoring (t31). */
 class NoveltySpec extends SparkSpec {
   import spark.implicits._
