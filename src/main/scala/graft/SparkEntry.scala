@@ -1072,6 +1072,23 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r23_alert_edges" -> ((s, dir) =>
+      // alert-flap suppression (the PagerDuty/Alertmanager rule: page
+      // on STATE CHANGES, not on every anomalous hour): r16's hourly
+      // anomaly verdicts collapse to rising/falling edges via one lag
+      // over the per-key hourly frame — a 6-hour incident pages once,
+      // not six times. The scored-hours-only caveat is inherited:
+      // unscored cold-start hours are absent, so the first SCORED
+      // anomalous hour is a rising edge by definition
+      Windows.rateAnomaly(T(s, dir, "events"), "ts", "event_type")
+        .withColumn("_prev", lag(col("is_anomaly"), 1).over(
+          Window.partitionBy("key").orderBy("hr_start")))
+        .filter(col("is_anomaly") =!= coalesce(col("_prev"), lit(false)))
+        .select(col("key").as("event_type"), col("hr_start"),
+          col("n_events"), col("z_score"),
+          when(col("is_anomaly"), lit("fire")).otherwise(lit("resolve")).as("edge"))
+        .orderBy("event_type", "hr_start")),
+
     "r22_template_anomaly" -> ((s, dir) =>
       // which MESSAGE TYPE misbehaves: r18's masking keys the raw
       // line stream (no schema knowledge needed), r16's trailing
@@ -2393,6 +2410,39 @@ object SparkEntry {
                 round(zs, 6) AS z_score,
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY event_type, hr_start""",
+
+    "r23_alert_edges" ->
+      // the r16 CTE + one lag over the scored hourly frame; same
+      // rising/falling edge rule
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start, c, zs,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a)
+         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(zs, 6) AS z_score,
+                CASE WHEN an THEN 'fire' ELSE 'resolve' END AS edge
+         FROM e WHERE an <> coalesce(prev, false)
+         ORDER BY event_type, hr_start""",
 
     "r22_template_anomaly" ->
       // the r18 masking CTE keys the r16 anomaly CTE — same regexes,
