@@ -1491,6 +1491,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t33_heaps" -> ((s, dir) =>
+      // Heaps'-law vocabulary-growth fit over 8 doc-id-ordered
+      // corpus prefixes — the t24 Zipf fit's companion corpus law
+      TextStats.heapsFit(T(s, dir, "documents"), "doc_id", "text",
+        points = 8)),
+
     "t32_pmi" -> ((s, dir) =>
       // PMI collocation mining: top-30 adjacent token pairs by
       // pointwise mutual information with the >= 20 count floor
@@ -3327,6 +3333,56 @@ object SparkEntry {
          SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
 
     "t30_stupid_backoff" -> t30Oracle,
+
+    "t33_heaps" ->
+      // same prefix construction (first-doc vocab trick), same moment
+      // discipline as the t24 oracle, beta un-negated
+      """WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
+            tk AS (SELECT doc_id, tok FROM (
+                     SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                     FROM documents WHERE doc_id IS NOT NULL)
+                   WHERE len(tok) > 0),
+            fi AS (SELECT tok, min(doc_id) AS mid FROM tk GROUP BY 1),
+            ks AS (SELECT unnest(range(1, 9)) AS k),
+            np AS (SELECT k, count(*) AS nn FROM ks, tk, mx
+                   WHERE doc_id < (span * k) // 8 GROUP BY k),
+            vp AS (SELECT k, count(*) AS vv FROM ks, fi, mx
+                   WHERE mid < (span * k) // 8 GROUP BY k),
+            pts AS (SELECT nn, vv FROM np JOIN vp USING (k)
+                    WHERE nn > 0 AND vv > 0),
+            t AS (SELECT
+                CAST(round(ln(CAST(nn AS DOUBLE)), 6) AS DECIMAL(24,8)) AS x,
+                CAST(round(ln(CAST(vv AS DOUBLE)), 6) AS DECIMAL(24,8)) AS y,
+                CAST(round(ln(CAST(nn AS DOUBLE)) * ln(CAST(vv AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS xy,
+                CAST(round(ln(CAST(nn AS DOUBLE)) * ln(CAST(nn AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS xx,
+                CAST(round(ln(CAST(vv AS DOUBLE)) * ln(CAST(vv AS DOUBLE)), 6)
+                  AS DECIMAL(24,8)) AS yy
+              FROM pts),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                         sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx,
+                         sum(yy) AS syy FROM t)
+         SELECT n AS n_points,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+                round((CAST(sy AS DOUBLE)
+                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS ln_k,
+                round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+         FROM s""",
 
     "t32_pmi" ->
       // identical pair/token streams and the identical

@@ -914,6 +914,70 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Heaps'-law fit (Heaps 1978 / Herdan's law): V(N) ≈ K·N^β — the
+    * vocabulary-growth companion of [[zipfFit]], the second of the
+    * two classic corpus laws and the other one-number drift check:
+    * natural English sits near β ≈ 0.4–0.6, templated/machine text
+    * drifts LOW (vocabulary saturates), OCR-noise/spam drifts HIGH
+    * (every page mints new "words").
+    *
+    * Growth points are doc-id-ordered corpus prefixes at `points`
+    * equal cutoffs of the id range — computed WITHOUT a scan per
+    * point: prefix token totals are conditional sums over the token
+    * stream, and prefix vocabularies fall out of each token's FIRST
+    * document (one vocab-sized min aggregate; a token is in prefix c
+    * iff its first doc is). The ln V on ln N least-squares fit then
+    * runs the t24 moment discipline (rounded-6 decimals) over the
+    * `points` rows. Cutoffs are exact integer arithmetic on
+    * max(id)+1, collected driver-side (one bounded scalar, the
+    * trainCoarse rule). Degenerate corpora (all docs in one band)
+    * give zero x-variance and surface NULL fit fields rather than a
+    * made-up slope. Output: (n_points, beta, ln_k, r2).
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+               points: Int = 8): DataFrame = {
+    require(points >= 2, s"heapsFit: points $points must be >= 2")
+    val maxRow = df.agg(max(col(idCol).cast("long"))).head()
+    require(!maxRow.isNullAt(0), "heapsFit: corpus has no non-null ids")
+    val span = maxRow.getLong(0) + 1L
+    val cuts = (1 to points).map(k => span * k / points)
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0 && col("id").isNotNull)
+      .persist() // two consumers: prefix totals + first-doc vocab
+    val nCols = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("id") < c, 1L).otherwise(0L)).as(s"_n$i") }
+    val nAgg = toks.agg(nCols.head, nCols.tail: _*)
+    val vCols = cuts.zipWithIndex.map { case (c, i) =>
+      sum(when(col("_mid") < c, 1L).otherwise(0L)).as(s"_v$i") }
+    val vAgg = toks.groupBy(col("tok")).agg(min(col("id")).as("_mid"))
+      .agg(vCols.head, vCols.tail: _*)
+    val pts = nAgg.crossJoin(vAgg)
+      .select(explode(array(cuts.indices.map(i =>
+        struct(col(s"_n$i").as("nn"), col(s"_v$i").as("vv"))): _*)).as("_p"))
+      .select(col("_p.nn").as("_nn"), col("_p.vv").as("_vv"))
+      .filter(col("_nn") > 0 && col("_vv") > 0)
+    val x = log(col("_nn").cast("double"))
+    val y = log(col("_vv").cast("double"))
+    def dec(c: Column) = round(c, 6).cast("decimal(24,8)")
+    val sums = pts.select(dec(x).as("_x"), dec(y).as("_y"),
+        dec(x * y).as("_xy"), dec(x * x).as("_xx"), dec(y * y).as("_yy"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"), sum(col("_xy")).as("_sxy"),
+        sum(col("_xx")).as("_sxx"), sum(col("_yy")).as("_syy"))
+    val n = col("_n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val covN = n * d("_sxy") - d("_sx") * d("_sy")
+    val varN = n * d("_sxx") - d("_sx") * d("_sx")
+    val varYN = n * d("_syy") - d("_sy") * d("_sy")
+    Caching.sealOver(
+      sums.select(col("_n").cast("long").as("n_points"),
+        round(covN / varN, 6).as("beta"),
+        round((d("_sy") - (covN / varN) * d("_sx")) / n, 6).as("ln_k"),
+        round((covN * covN) / (varN * varYN), 6).as("r2")),
+      toks)
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topR: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = df.select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))

@@ -108,6 +108,42 @@ class SessionPathsSpec extends SparkSpec {
   }
 }
 
+/** Heaps'-law vocabulary-growth fit (t33). */
+class HeapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all-new-vocab corpora fit beta ~ 1; fixed-vocab corpora fit beta ~ 0") {
+    // every doc mints 10 fresh tokens: V = N exactly => slope 1
+    val fresh = (0L until 64L).map(i =>
+      (i, (0 until 10).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val bFresh = TextStats.heapsFit(fresh, "doc_id", "text", points = 8)
+      .collect().head.getDouble(1)
+    assert(math.abs(bFresh - 1.0) < 1e-6, s"beta $bFresh")
+    // every doc repeats the same 10 tokens: V constant => slope 0
+    val fixed = (0L until 64L).map(i =>
+      (i, (0 until 10).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val bFixed = TextStats.heapsFit(fixed, "doc_id", "text", points = 8)
+      .collect().head.getDouble(1)
+    assert(math.abs(bFixed) < 1e-6, s"beta $bFixed")
+  }
+
+  test("the synthetic corpus flags as templated text; empty-id corpora fail loudly") {
+    // the testdata generator draws from a FIXED word list, so its
+    // vocabulary saturates in the first prefix — Heaps' beta ~ 0 is
+    // the drift check WORKING (this corpus is machine text), not a
+    // bug; natural corpora land near 0.4-0.6
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = TextStats.heapsFit(docs, "doc_id", "text").collect().head
+    val beta = r.getDouble(1)
+    assert(beta >= 0.0 && beta < 0.05, s"beta $beta")
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      TextStats.heapsFit(Seq.empty[(Option[Long], String)]
+        .toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+}
+
 /** PMI collocation mining (t32). */
 class PmiSpec extends SparkSpec {
   import spark.implicits._
