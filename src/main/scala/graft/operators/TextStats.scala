@@ -550,18 +550,21 @@ object TextStats {
       s"pmiTopK: minCount $minCount and k $k must be positive")
     val toksArr = filter(split(lower(col(textCol)), "\\s+"),
       t => length(t) > 0)
-    // persisted: the pair stream feeds the pair histogram AND the
-    // bigram total; the token stream is a separate cheap pass
     val pairs = df.select(toksArr.as("_t"))
       .filter(size(col("_t")) >= 2)
       .select(explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_g"))
       .select(substring_index(col("_g"), " ", 1).as("w1"),
         substring_index(col("_g"), " ", -1).as("w2"))
-      .persist()
+    // the caches sit on the VOCAB side of the aggregates, not on the
+    // corpus-scale pair stream: bc feeds the bigram total + the
+    // candidates, uni feeds both join sides + the token total — each
+    // a bounded histogram, orders of magnitude under the raw pairs
     val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .persist()
     val m = bc.agg(sum(col("n_pair")).as("_m"))
     val uni = df.select(explode(toksArr).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("_c"))
+      .persist()
     val n = uni.agg(sum(col("_c")).as("_n"))
     val cand = bc.filter(col("n_pair") >= minCount)
     Caching.sealOver(
@@ -576,7 +579,7 @@ object TextStats {
         .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(k),
-      pairs)
+      bc, uni)
   }
 
   /** N-gram novelty score (the copying/memorization diagnostic of
@@ -600,6 +603,7 @@ object TextStats {
     */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"ngramNovelty: k $k must be >= 1")
     val grams = Dedup.shingles(df, idCol, textCol, k)
       .select(col("id"), unhex(md5(col("shingle"))).as("_h"))
       .persist()
@@ -937,9 +941,17 @@ object TextStats {
   def heapsFit(df: DataFrame, idCol: String, textCol: String,
                points: Int = 8): DataFrame = {
     require(points >= 2, s"heapsFit: points $points must be >= 2")
-    val maxRow = df.agg(max(col(idCol).cast("long"))).head()
-    require(!maxRow.isNullAt(0), "heapsFit: corpus has no non-null ids")
-    val span = maxRow.getLong(0) + 1L
+    val mm = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    require(!mm.isNullAt(1), "heapsFit: corpus has no non-null ids")
+    // negative ids would make the cutoff arithmetic diverge between
+    // Scala's truncating and SQL's flooring division (the packGreedy
+    // rule — there it raises per row; here the bounded min/max scan
+    // already exists, so the guard rides it)
+    require(mm.getLong(0) >= 0,
+      s"heapsFit: negative id ${mm.getLong(0)} — prefix cutoffs shard non-portably")
+    val span = mm.getLong(1) + 1L
+    require(span <= Long.MaxValue / points,
+      s"heapsFit: id range $span overflows the cutoff arithmetic")
     val cuts = (1 to points).map(k => span * k / points)
     val toks = df.select(col(idCol).cast("long").as("id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))

@@ -76,12 +76,22 @@ object Bucketing {
                     numFiles: Int, bits: Int = 8): Unit = {
     import org.apache.spark.sql.functions._
     require(bits >= 1 && bits <= 16, s"writeZOrdered: bits $bits not in [1,16]")
+    // the temp columns would silently clobber (and then drop) any
+    // user column sharing their name — refuse loudly instead
+    Seq("_ba", "_bb", "_z").foreach(c => require(!df.columns.contains(c),
+      s"writeZOrdered: input already has a column named $c"))
     val n = 1L << bits
     val qs = (1L until n).map(i => i.toDouble / n)
     val cutsRow = df.agg(
       expr(s"approx_percentile(CAST($colA AS DOUBLE), array(${qs.mkString(",")}), 10000)"),
       expr(s"approx_percentile(CAST($colB AS DOUBLE), array(${qs.mkString(",")}), 10000)"))
       .head()
+    // an empty frame or an all-NULL column has no quantiles — a bare
+    // NPE from the cut literals would name neither the column nor the
+    // cause
+    require(!cutsRow.isNullAt(0) && !cutsRow.isNullAt(1),
+      s"writeZOrdered: no non-NULL values to quantile in " +
+        s"${if (cutsRow.isNullAt(0)) colA else colB} (empty input?)")
     def bucket(c: String, cuts: Seq[Double]) = expr(
       s"""aggregate(array(${cuts.mkString(",")}), 0L,
             (acc, x) -> acc + CASE WHEN CAST($c AS DOUBLE) >= x THEN 1L ELSE 0L END)""")
