@@ -102,6 +102,29 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
   }
 
+  test("p14: the weighted sample's global top-k is a TakeOrdered, not a sort") {
+    val p = SparkEntry.queries("p14_weighted_sample")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // zero hash exchanges before it: the key is a narrow projection
+    assert(p.split("Exchange hashpartitioning").length - 1 == 0, p)
+  }
+
+  test("t29: the corpus card is one narrow pass into one rollup aggregate") {
+    val p = SparkEntry.queries("t29_corpus_card")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the rollup's single partial/final aggregate pair = one exchange
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q31: retention is three bounded exchanges, no window over the corpus") {
+    val p = SparkEntry.queries("q31_retention")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 3, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("p15: BFD packing shuffles once, on the shard key, pairs only") {
     val p = SparkEntry.queries("p15_pack_bestfit")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
