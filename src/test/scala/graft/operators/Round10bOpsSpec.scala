@@ -47,6 +47,18 @@ class AllPairsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 0.5)))
   }
 
+  test("dirty input: null texts and null ids produce no pairs and no crash") {
+    val docs = Seq(
+      (Some(0L), Some("alpha beta gamma delta")),
+      (Some(1L), Some("alpha beta gamma delta")),
+      (Some(2L), None),                       // null text: no tokens
+      (None, Some("alpha beta gamma delta"))) // null id: no valid pair side
+      .toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
   test("tau outside (0,1] is rejected") {
     val docs = Seq((0L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
