@@ -744,6 +744,10 @@ object Training {
   def weightedSample(df: DataFrame, idCol: String, weightExpr: Column,
                      k: Int): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")
+    // _wkey is the operator's output rank key — refuse to clobber a
+    // pre-existing column of that name (same contract as writeZOrdered)
+    require(!df.columns.contains("_wkey"),
+      "weightedSample: input already has a column named _wkey")
     val w = when(weightExpr.isNull || weightExpr <= lit(0), raise_error(concat(
         lit("weightedSample: weight must be > 0 for id "),
         coalesce(col(idCol).cast("string"), lit("NULL")))))

@@ -82,9 +82,13 @@ object Bucketing {
       s"writeZOrdered: input already has a column named $c"))
     val n = 1L << bits
     val qs = (1L until n).map(i => i.toDouble / n)
+    // interpolated names are backtick-quoted so spaces, dots, hyphens
+    // and reserved words survive the SQL round-trip (writeClustered
+    // gets this for free from the Column API)
+    def bq(c: String) = "`" + c.replace("`", "``") + "`"
     val cutsRow = df.agg(
-      expr(s"approx_percentile(CAST($colA AS DOUBLE), array(${qs.mkString(",")}), 10000)"),
-      expr(s"approx_percentile(CAST($colB AS DOUBLE), array(${qs.mkString(",")}), 10000)"))
+      expr(s"approx_percentile(CAST(${bq(colA)} AS DOUBLE), array(${qs.mkString(",")}), 10000)"),
+      expr(s"approx_percentile(CAST(${bq(colB)} AS DOUBLE), array(${qs.mkString(",")}), 10000)"))
       .head()
     // an empty frame or an all-NULL column has no quantiles — a bare
     // NPE from the cut literals would name neither the column nor the
@@ -94,7 +98,7 @@ object Bucketing {
         s"${if (cutsRow.isNullAt(0)) colA else colB} (empty input?)")
     def bucket(c: String, cuts: Seq[Double]) = expr(
       s"""aggregate(array(${cuts.mkString(",")}), 0L,
-            (acc, x) -> acc + CASE WHEN CAST($c AS DOUBLE) >= x THEN 1L ELSE 0L END)""")
+            (acc, x) -> acc + CASE WHEN CAST(${bq(c)} AS DOUBLE) >= x THEN 1L ELSE 0L END)""")
     val withB = df
       .withColumn("_ba", bucket(colA, cutsRow.getSeq[Double](0)))
       .withColumn("_bb", bucket(colB, cutsRow.getSeq[Double](1)))

@@ -29,15 +29,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (the repo-wide watermark contract). State per key is O(maxLen) —
   * a billion-user stream holds a billion tiny lists, never rows.
   *
-  * Timestamps carry µs through `getTime` ms precision ×1000: the
-  * stream twin resolves ties at ms grain where batch resolves at µs;
-  * sub-ms co-timed events tie-break by id identically in both.
+  * Timestamps carry full µs precision (via `toInstant`, whose nanos
+  * survive Spark's µs-grain TimestampType round-trip), so batch and
+  * stream resolve sub-ms co-timed events by the SAME (tsUs, id)
+  * order — no ms-truncation divergence.
   */
 object SessionPaths {
 
   final case class Ev(key: String, ts: java.sql.Timestamp, id: Long,
                       etype: String) {
-    def tsUs: Long = ts.getTime * 1000L
+    def tsUs: Long = {
+      val i = ts.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
   }
 
   final case class HeadEv(tsUs: Long, id: Long, etype: String)

@@ -144,6 +144,21 @@ class BucketingSpec extends SparkSpec {
     assert(s.read.parquet(dir.getAbsolutePath).count() == 10000L)
   }
 
+  test("z-order accepts reserved-word and spaced column names") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zoq").toFile
+    // `order` is a SQL reserved word; `a b` has a space — both die in
+    // unquoted SQL interpolation and must survive via backtick quoting
+    val df = (0 until 200).map(i => (i.toLong, (i * 7 % 200).toLong))
+      .toDF("order", "a b")
+    graft.sources.Bucketing.writeZOrdered(df, dir.getAbsolutePath,
+      "order", "a b", numFiles = 2, bits = 4)
+    val back = s.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == 200L)
+    assert(back.columns.sorted.toSeq == Seq("a b", "order"))
+  }
+
   test("z-ordered files bound BOTH columns' spans (two-dimensional skipping)") {
     val s = spark
     import s.implicits._
@@ -198,13 +213,16 @@ class AnnRecallSpec extends graft.SparkSpec {
     }
     val lsh = recall(neighbors("s02_ann_lsh"))
     val ivf = recall(neighbors("s03_ann_ivf"))
-    // multi-probe LSH measures 0.94 here (0.88-1.00 across scales);
+    info(f"LSH recall = $lsh%.3f, IVF recall = $ivf%.3f")
+    // multi-probe LSH measures 0.940 here (0.88-1.00 across scales);
     // IVF with 4 Lloyd passes + spill=2 assignment replication
-    // measures 0.96 at sf0.01/sf0.1. The gates leave headroom for
-    // hash-family tweaks, not for losing the multi-probe expansion,
-    // the Lloyd refinement, or the spill
-    assert(lsh >= 0.70, s"LSH recall regressed: $lsh")
-    assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
+    // measures 1.000 here, 0.96 at sf0.01/sf0.1. Both runs are
+    // deterministic (seeded hash families, no RNG), so the gates sit
+    // within 0.05 of measured: any real regression — losing the
+    // multi-probe expansion, the Lloyd refinement, or the spill —
+    // trips them
+    assert(lsh >= 0.89, s"LSH recall regressed: $lsh (measured 0.940)")
+    assert(ivf >= 0.95, s"IVF recall regressed: $ivf (measured 1.000)")
   }
 
   test("IVF-PQ recall@10 vs brute force clears the gate") {
@@ -221,7 +239,7 @@ class AnnRecallSpec extends graft.SparkSpec {
     // pins the refined level with headroom for codebook tweaks, not
     // for losing the refine step or the trained codebooks.
     info(f"IVF-PQ recall@10 = $recall%.2f")
-    assert(recall >= 0.90, s"IVF-PQ recall@10 regressed: $recall")
+    assert(recall >= 0.93, s"IVF-PQ recall@10 regressed: $recall (measured 0.98)")
   }
 
   test("residual IVF-PQ compressed-domain recall@10 clears the gate") {
@@ -240,7 +258,7 @@ class AnnRecallSpec extends graft.SparkSpec {
     // regression (e.g. reintroducing the dropped-|q−c|² cross-list
     // bias this spec's history caught) fails loudly.
     info(f"residual IVF-PQ compressed recall@10 = $recall%.2f")
-    assert(recall >= 0.60, s"residual IVF-PQ recall@10 regressed: $recall")
+    assert(recall >= 0.63, s"residual IVF-PQ recall@10 regressed: $recall (measured 0.68)")
   }
 }
 

@@ -96,6 +96,35 @@ class SessionPathsSpec extends SparkSpec {
     assert(st.updated.exists(_.head.head.etype == "Y")) // state untouched
   }
 
+  test("sub-ms co-timed events order by microseconds, matching batch") {
+    // two events in the SAME millisecond, 250µs apart, with ids in the
+    // OPPOSITE order of their µs timestamps: an ms-truncating tsUs
+    // would tie-break by id and reverse them; the µs-accurate tsUs
+    // (via toInstant) keeps event-time order
+    def evUs(us: Long, id: Long, t: String) = {
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+      Ev("u", ts, id, t)
+    }
+    val e1 = evUs(100000250L, 9L, "first")  // 100.000250s, larger id
+    val e2 = evUs(100000500L, 1L, "second") // 100.000500s, smaller id
+    assert(e1.tsUs == 100000250L && e2.tsUs == 100000500L)
+    val state = new TestGroupState[SessionPaths.PathState]
+    SessionPaths.update(30000000L, 8)("u", Iterator(e2, e1), state)
+    val closed = SessionPaths.update(30000000L, 8)("u",
+      Iterator(evUs(500000000L, 2L, "z")), state).toList
+    assert(closed.map(_.path) == List("first>second"))
+    // batch twin on the identical µs values agrees
+    val s = spark; import s.implicits._
+    val batch = graft.operators.LogMining.sessionPathStrings(
+        Seq(("u", 100000500L, 1L, "second"), ("u", 100000250L, 9L, "first"))
+          .toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 30000000L, maxLen = 8)
+      .collect().map(_.getString(2)).toList
+    assert(batch == List("first>second"))
+  }
+
   test("maxLen truncates the head; a gap inside one batch closes in place") {
     val out = collection.mutable.ListBuffer.empty[SessionPath]
     val state = new TestGroupState[SessionPaths.PathState]
