@@ -424,6 +424,20 @@ object SparkEntry {
           "doc_id", "text", tau = 0.5)
         .orderBy("id1", "id2")),
 
+    "d24b_allpairs_3gram" -> ((s, dir) =>
+      // the discriminative production configuration of d24: 3-gram
+      // shingle sets at dedup-grade tau=0.8, where the rare-gram
+      // prefixes keep candidates near the true pair count (vs the
+      // word-set form whose output mass is the cost). Guarded: fail
+      // loudly if candidates exceed 64x docs rather than letting a
+      // degenerate corpus go quadratic in the verify join. Same
+      // brute-force quadratic oracle shape as d24 proves recall 1.0.
+      Dedup.allPairsJaccard(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", tau = 0.8, shingleN = 3,
+          maxCandidateFactor = Some(64.0))
+        .orderBy("id1", "id2")),
+
     "d12_simhash_portable" -> ((s, dir) =>
       // SimHash on the portable md5 family (Dedup.simHashPortablePairs)
       // so banding + popcount verify hash-match the DuckDB twin — the
@@ -2906,6 +2920,17 @@ object SparkEntry {
                 round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
          FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
+         ORDER BY id1, id2"""),
+
+    "d24b_allpairs_3gram" -> (ngramShingleCte +
+      // brute-force quadratic 3-gram oracle at tau=0.8: every shared-
+      // shingle pair, exact jaccard — algorithm-free, so the prefix
+      // filter's hash-match proves it dropped nothing at this tau
+      """
+         SELECT id1, id2,
+                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
+         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.8
          ORDER BY id1, id2"""),
 
     "d06_dedup_resolve" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +

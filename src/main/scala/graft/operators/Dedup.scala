@@ -567,8 +567,11 @@ object Dedup {
     * low tau prefer LSH and spend the savings on its verify.
     */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
-                      tau: Double, shingleN: Int = 1): DataFrame = {
+                      tau: Double, shingleN: Int = 1,
+                      maxCandidateFactor: Option[Double] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"allPairsJaccard: tau $tau not in (0,1]")
+    maxCandidateFactor.foreach(f =>
+      require(f > 0, s"allPairsJaccard: maxCandidateFactor $f must be > 0"))
     // distinct token/shingle sets; the 16-byte digest stands in for
     // the token everywhere (the pairOverlaps rule: counts and
     // equality agree with the string form absent an md5 collision).
@@ -591,11 +594,33 @@ object Dedup {
       .persist() // both sides of the prefix self-join
     val prefix = ranked
       .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * tau) + lit(1))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val rawCand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
         col("b._sz") >= col("a._sz") * tau && col("a._sz") >= col("b._sz") * tau)
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
     val sizes = ranked.select(col("id"), col("_sz").as("sz")).distinct()
+    // candidate-explosion guard (the lshCandidates maxBucket
+    // discipline, adapted to an EXACT join where pruning would break
+    // recall): on a degenerate corpus — unigram sets over a shared
+    // vocabulary, tau too low — the candidate set itself goes
+    // quadratic and no verify can claw that back. When set, fail
+    // BEFORE the verify join with both counts, instead of letting a
+    // 100 TB run discover it in stage 40. The count pays one extra
+    // job over the persisted candidate frame, which the verify join
+    // then reuses.
+    val cand = maxCandidateFactor match {
+      case Some(f) =>
+        val c = rawCand.persist()
+        val nCand = c.count()
+        val nDocs = sizes.count()
+        require(nCand <= f * nDocs,
+          s"allPairsJaccard: $nCand candidate pairs exceed " +
+            s"$f x $nDocs docs — the corpus is degenerate for this " +
+            s"(tau=$tau, shingleN=$shingleN) configuration; raise tau, " +
+            s"use shingleN=3, or switch to minHashLsh with maxBucket")
+        c
+      case None => rawCand
+    }
     val inter = cand
       .join(toks.select(col("id").as("id1"), col("tok").as("t1")), "id1")
       .join(toks.select(col("id").as("id2"), col("tok").as("t2")), "id2")
@@ -609,7 +634,7 @@ object Dedup {
           col("n").cast("double") / (col("sz1") + col("sz2") - col("n")).cast("double"))
         .filter(col("jaccard") >= tau)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")),
-      toks, ranked)
+      toks, ranked, cand) // cand unpersist is a no-op when the guard is off
   }
 
   /** Full MinHash+LSH near-dedup: returns verified pairs with exact

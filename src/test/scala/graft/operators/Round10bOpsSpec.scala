@@ -68,6 +68,26 @@ class AllPairsSpec extends SparkSpec {
       Dedup.allPairsJaccard(docs, "doc_id", "text", 1.5)
     }
   }
+
+  test("candidate-explosion guard trips on a degenerate unigram corpus") {
+    // 80 docs over a 4-word shared vocabulary: every doc's word SET is
+    // near-identical, so at tau=0.25 the prefix self-join emits close
+    // to the full 80*79/2 quadratic candidate set — exactly the shape
+    // the guard exists to catch before the verify join pays for it
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"alpha beta gamma ${if (i % 2 == 0) "delta" else "epsilon"}"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccard(docs, "doc_id", "text", tau = 0.25,
+        maxCandidateFactor = Some(4.0)).collect()
+    }
+    assert(e.getMessage.contains("candidate pairs exceed"), e.getMessage)
+    // the same guard passes on a healthy 3-gram configuration where
+    // candidates track the true pair count
+    val ok = Dedup.allPairsJaccard(docs, "doc_id", "text", tau = 0.8,
+      shingleN = 3, maxCandidateFactor = Some(64.0)).collect()
+    assert(ok.nonEmpty) // the even/odd twins are exact 3-gram dups
+  }
 }
 
 /** Session path mining (r21). */
