@@ -103,6 +103,30 @@ object Bench {
       n -> ts(1)
     }
     val total = results.map(_._2).sum
+    // The composed CurateApp pipeline (annotate→gate→scrub→dedup→
+    // decontaminate→sample→write) as ONE bench entry: the end-to-end
+    // product, not just the operators. Counts off = the pure composed
+    // single-pass cost; the meter records total shuffle bytes and the
+    // largest single-task execution-memory peak — the two numbers that
+    // decide whether the composition survives a 100× scale-up.
+    // SPARK_GRAFT_ONLY without "pipeline" skips it (dev loop).
+    val runPipeline = sys.env.get("SPARK_GRAFT_ONLY")
+      .forall(_.split(",").map(_.trim).contains("pipeline"))
+    val pipeline = if (runPipeline) {
+      val meter = Metrics.start(spark.sparkContext)
+      val t0 = System.nanoTime()
+      try CurateApp.run(spark, sfDir, "/tmp/graft_bench_curated",
+        benchMod = 97, doCounts = false)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m = meter.stop()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      f""","pipeline":{"sec":$sec%.1f,"shuffle_mb":${m.shuffleWriteBytes / 1e6}%.0f,""" +
+        f""""shuffle_stages":${m.shuffleStages},"peak_task_mb":${m.maxTaskPeakExecMem / 1e6}%.0f}"""
+    } else ""
     // The driver keeps only the last ~2000 chars of output and parses
     // the JSON line found inside that window, so (a) the line must be
     // the very last thing printed — after spark.stop(), which may log —
@@ -124,7 +148,7 @@ object Bench {
         val key = if (short && !dupPrefixes(prefix)) prefix else k
         "\"" + key + "\":" + num(dec, v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfDir"}"""
     }
     val out = Seq((3, false), (2, false), (3, true), (2, true), (1, true))
       .map { case (d, s) => line(d, s) }.find(_.length <= 1900)
@@ -133,7 +157,7 @@ object Bench {
         // breakdown; stderr is outside its parsed stdout window
         System.err.println(
           s"[bench] breakdown too long for stdout window: ${line(1, short = false)}")
-        s"""{"metric":"total","value":${num(3, total)},"unit":"sec","sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${num(3, total)},"unit":"sec"$pipeline,"sf":"$sfDir"}"""
       }
     spark.stop()
     println(out)

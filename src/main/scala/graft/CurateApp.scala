@@ -39,8 +39,26 @@ object CurateApp {
     val benchMod = args.lift(2).map(_.toInt).getOrElse(97)
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val doCounts = sys.env.getOrElse("GRAFT_CURATE_COUNTS", "1") != "0"
-    def cnt(df: org.apache.spark.sql.DataFrame): Long = if (doCounts) df.count() else -1L
     val t0 = System.nanoTime()
+    val counts = run(spark, docsDir, outDir, benchMod, doCounts)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val cjson = Seq("input", "boilerplate", "para_dedup", "quality_gate",
+        "blocklist", "exact_dedup", "near_dup", "decontaminated", "sampled",
+        "quota")
+      .map(k => s""""$k":${counts(k)}""").mkString("{", ",", "}")
+    println(s"""{"stage_counts":$cjson,""" +
+      f""""seconds":$dt%.1f,"out":"$outDir"}""")
+    spark.stop()
+  }
+
+  /** The composed pipeline, callable from Bench and the specs. Returns
+    * the per-stage survivor counts (all -1 when `doCounts` is off — the
+    * pure single-pass cost of the composed job, the bench mode).
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, docsDir: String,
+          outDir: String, benchMod: Int = 97,
+          doCounts: Boolean = true): Map[String, Long] = {
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = if (doCounts) df.count() else -1L
 
     val raw = GraftSession.table(spark, docsDir, "documents")
     val n0 = cnt(raw)
@@ -149,12 +167,11 @@ object CurateApp {
     capped.select("doc_id", "text", "lang_pred", "source", "quality")
       .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
 
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""{"stage_counts":{"input":$n0,"boilerplate":$n0b,"para_dedup":$n0c,""" +
-      s""""quality_gate":$n1,"blocklist":$n2,""" +
-      s""""exact_dedup":$n3,"near_dup":$n4,"decontaminated":$n5,""" +
-      s""""sampled":$n6,"quota":$n7},""" +
-      f""""seconds":$dt%.1f,"out":"$outDir"}""")
-    spark.stop()
+    exactKept.unpersist()
+    resolved.unpersist()
+    Map("input" -> n0, "boilerplate" -> n0b, "para_dedup" -> n0c,
+      "quality_gate" -> n1, "blocklist" -> n2, "exact_dedup" -> n3,
+      "near_dup" -> n4, "decontaminated" -> n5, "sampled" -> n6,
+      "quota" -> n7)
   }
 }

@@ -10,12 +10,148 @@ import org.apache.spark.sql.types._
   * decoder (libjpeg, ffmpeg, ...) amortizes init cost per-partition,
   * not per-row.
   *
-  * The decode step itself is a STUB (this container has no media
-  * libs): `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. The Spark-side contract — schema, partition-batched
-  * execution, feature shape — is real and tested.
+  * The decode step is pluggable ([[MediaDecoder]]): the default is
+  * the deterministic byte-fold STUB (oracle-checkable, depends only
+  * on the blob bytes); [[ImageIoDecoder]] swaps in a real image
+  * decode on the JDK's own `javax.imageio` for m01/m03/m05-shaped
+  * work on actual PNG/JPEG/BMP payloads. The Spark-side contract —
+  * schema, partition-batched execution, feature shape — is identical
+  * either way and tested on both paths.
   */
 object Multimodal {
+
+  /** The decode swap point, made explicit: every media operator takes
+    * a `MediaDecoder` and defaults to the deterministic byte-fold
+    * stub (the oracle-checkable test path). [[ImageIoDecoder]] is the
+    * real-image implementation on `javax.imageio` — zero new
+    * dependencies, ships with the JDK. A `None` from any primitive
+    * means "not decodable as media": the operator drops the row (the
+    * repo-wide no-evidence rule), it never silently falls back to
+    * byte stats that would look like a valid fingerprint.
+    *
+    * Decoders are singleton objects, so the closure serializes a
+    * module reference and each executor constructs any heavy decoder
+    * state once per JVM — the same per-partition amortization the
+    * mapPartitions loops document.
+    */
+  trait MediaDecoder extends Serializable {
+    /** `n` grayscale cells for perceptual hashing (spatial pooling
+      * for real images; positional byte fold for the stub). */
+    def cells(bytes: Array[Byte], n: Int): Option[Array[Long]]
+    /** Resized payload at w x h. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]]
+    /** Feature fold: (n_bytes, head_byte, byte_mean, feature[dim]). */
+    def features(bytes: Array[Byte], dim: Int): Option[(Long, Int, Double, Array[Double])]
+  }
+
+  /** Deterministic byte-fold stub — the default and the oracle path.
+    * Operates on the RAW bytes, so results depend only on the blob. */
+  object ByteFoldDecoder extends MediaDecoder {
+    def cells(bytes: Array[Byte], n: Int): Option[Array[Long]] = {
+      if (bytes == null) return None
+      val cs = new Array[Long](n)
+      var i = 0
+      while (i < bytes.length) { cs(i % n) += (bytes(i) & 0xff); i += 1 }
+      Some(cs)
+    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      if (bytes == null) None
+      else Some(java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h)))
+    def features(bytes: Array[Byte], dim: Int): Option[(Long, Int, Double, Array[Double])] =
+      if (bytes == null) None else Some(fakeDecode(bytes, dim))
+  }
+
+  /** Real image decode on `javax.imageio` (PNG/JPEG/BMP/GIF — the JDK
+    * service registry decides). Primitives operate on decoded PIXELS:
+    * two encodings of the same image (a PNG and a BMP of identical
+    * pixels) produce the SAME cells/features, which is the property
+    * that makes the perceptual hash perceptual. Undecodable bytes ->
+    * None -> the operator drops the row.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    /** Decoded luminance plane (ITU-R 601 weights), row-major. */
+    private def gray(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lum = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              lum(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some((lum, w, h))
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+    /** Average-pool the luminance plane into a sqrt(n) x sqrt(n) grid
+      * — the real dHash reduction (spatial, not positional). */
+    def cells(bytes: Array[Byte], n: Int): Option[Array[Long]] = gray(bytes).map {
+      case (lum, w, h) =>
+        val side = math.max(1, math.sqrt(n.toDouble).toInt)
+        val sums = new Array[Long](n)
+        val counts = new Array[Long](n)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(side - 1, y * side / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(side - 1, x * side / w)
+            val c = gy * side + gx
+            sums(c) += lum(y * w + x); counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var c = 0
+        while (c < n) { if (counts(c) > 0) sums(c) /= counts(c); c += 1 }
+        sums
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null); ()
+          } finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+    /** The stub's byte-stat fold, over decoded LUMINANCES instead of
+      * raw file bytes — same contract fields, encoding-invariant. */
+    def features(bytes: Array[Byte], dim: Int): Option[(Long, Int, Double, Array[Double])] =
+      gray(bytes).map { case (lum, _, _) =>
+        val n = lum.length.toLong
+        val head = if (lum.nonEmpty) lum(0) else 0
+        var sum = 0L
+        val feat = new Array[Double](dim)
+        var i = 0
+        while (i < lum.length) { sum += lum(i); feat(i % dim) += lum(i); i += 1 }
+        (n, head, if (n > 0) sum.toDouble / n else 0.0, feat)
+      }
+  }
 
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
@@ -89,7 +225,8 @@ object Multimodal {
     * once per partition.
     */
   def resizeStub(df: DataFrame, idCol: String, blobCol: String,
-                 w: Int, h: Int): DataFrame = {
+                 w: Int, h: Int,
+                 decoder: MediaDecoder = ByteFoldDecoder): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -99,12 +236,11 @@ object Multimodal {
       StructField("out_bytes", LongType, nullable = false),
       StructField("resized", BinaryType, nullable = false)))
     val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
-      // real scaler (libvips etc.) would be constructed HERE
-      it.map { r =>
+      it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val out = java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h))
-        Row(r.getLong(0), w.toLong, h.toLong, bytes.length.toLong,
-          out.length.toLong, out)
+        decoder.resize(bytes, w, h).map(out =>
+          Row(r.getLong(0), w.toLong, h.toLong, bytes.length.toLong,
+            out.length.toLong, out)).iterator
       }
     }
     spark.createDataFrame(rowRdd, outSchema)
@@ -168,28 +304,26 @@ object Multimodal {
     * pairs — the no-evidence rule for dirty input; a null id would
     * otherwise NPE in the row extraction).
     */
-  def imagePhash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+  def imagePhash(df: DataFrame, idCol: String, blobCol: String,
+                 decoder: MediaDecoder = ByteFoldDecoder): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
       StructField("id", LongType, nullable = false) +:
         (0 to 3).map(k => StructField(s"f$k", IntegerType, nullable = false)))
     val rowRdd = df.select(col(idCol).cast("long"), col(blobCol))
       .filter(col(idCol).isNotNull).rdd.mapPartitions { it =>
-      // real image decoder + resizer would be constructed HERE
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        if (bytes == null) Iterator.empty
-        else {
-          val cells = new Array[Long](64)
-          var i = 0
-          while (i < bytes.length) { cells(i % 64) += (bytes(i) & 0xff); i += 1 }
-          val chunks = new Array[Int](4)
-          var j = 0
-          while (j < 64) {
-            if (cells(j) > cells((j + 1) % 64)) chunks(j / 16) |= 1 << (15 - (j % 16))
-            j += 1
-          }
-          Iterator.single(Row(r.getLong(0), chunks(0), chunks(1), chunks(2), chunks(3)))
+        decoder.cells(bytes, 64) match {
+          case None => Iterator.empty // null/undecodable: no fingerprint
+          case Some(cells) =>
+            val chunks = new Array[Int](4)
+            var j = 0
+            while (j < 64) {
+              if (cells(j) > cells((j + 1) % 64)) chunks(j / 16) |= 1 << (15 - (j % 16))
+              j += 1
+            }
+            Iterator.single(Row(r.getLong(0), chunks(0), chunks(1), chunks(2), chunks(3)))
         }
       }
     }
@@ -242,15 +376,16 @@ object Multimodal {
     * feature[dim]).
     */
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String,
-                     dim: Int = 8): DataFrame = {
+                     dim: Int = 8,
+                     decoder: MediaDecoder = ByteFoldDecoder): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
       StructField("id", LongType, nullable = false) +: featureSchema.fields.toSeq)
     val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
-      // real decoder would be constructed HERE, once per partition
-      it.map { r =>
-        val (n, head, mean, feat) = fakeDecode(r.getAs[Array[Byte]](1), dim)
-        Row(r.getLong(0), n, head, mean, feat.toSeq)
+      it.flatMap { r =>
+        decoder.features(r.getAs[Array[Byte]](1), dim).map { case (n, head, mean, feat) =>
+          Row(r.getLong(0), n, head, mean, feat.toSeq)
+        }.iterator
       }
     }
     spark.createDataFrame(rowRdd, outSchema)
