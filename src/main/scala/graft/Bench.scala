@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      // same CBO default as GraftSession: q03b plans from ANALYZE'd
+      // stats; everything else is unaffected (path reads carry no
+      // stats) but runs under one uniform regime
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.ui.enabled", "false")
       // the status stores otherwise retain metrics for every execution
       // of the 130-query × 4-run sweep on the driver heap; that growth

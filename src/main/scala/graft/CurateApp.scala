@@ -40,28 +40,43 @@ object CurateApp {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val doCounts = sys.env.getOrElse("GRAFT_CURATE_COUNTS", "1") != "0"
     val t0 = System.nanoTime()
-    val counts = run(spark, docsDir, outDir, benchMod, doCounts)
+    val report = run(spark, docsDir, outDir, benchMod, doCounts)
     val dt = (System.nanoTime() - t0) / 1e9
     val cjson = Seq("input", "boilerplate", "para_dedup", "quality_gate",
         "blocklist", "exact_dedup", "near_dup", "decontaminated", "sampled",
         "quota")
-      .map(k => s""""$k":${counts(k)}""").mkString("{", ",", "}")
-    println(s"""{"stage_counts":$cjson,""" +
+      .map(k => s""""$k":${report.counts(k)}""").mkString("{", ",", "}")
+    val sjson = report.stageSeconds
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    println(s"""{"stage_counts":$cjson,"stage_seconds":$sjson,""" +
       f""""seconds":$dt%.1f,"out":"$outDir"}""")
     spark.stop()
   }
 
-  /** The composed pipeline, callable from Bench and the specs. Returns
-    * the per-stage survivor counts (all -1 when `doCounts` is off — the
-    * pure single-pass cost of the composed job, the bench mode).
+  /** Per-stage survivor counts and (when counting) the seconds each
+    * stage's materializing action took — the drift + cost view a real
+    * pipeline run keeps per stage. Counts are all -1 and seconds
+    * empty when `doCounts` is off (the pure single-pass bench mode).
     */
+  final case class CurateReport(counts: Map[String, Long],
+                                stageSeconds: Map[String, Double])
+
+  /** The composed pipeline, callable from Bench and the specs. */
   def run(spark: org.apache.spark.sql.SparkSession, docsDir: String,
           outDir: String, benchMod: Int = 97,
-          doCounts: Boolean = true): Map[String, Long] = {
-    def cnt(df: org.apache.spark.sql.DataFrame): Long = if (doCounts) df.count() else -1L
+          doCounts: Boolean = true): CurateReport = {
+    val stageSecs = collection.mutable.LinkedHashMap.empty[String, Double]
+    def cnt(stage: String, df: org.apache.spark.sql.DataFrame): Long =
+      if (!doCounts) -1L
+      else {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        stageSecs(stage) = (System.nanoTime() - t0) / 1e9
+        n
+      }
 
     val raw = GraftSession.table(spark, docsDir, "documents")
-    val n0 = cnt(raw)
+    val n0 = cnt("input", raw)
 
     // 0: strip lines that repeat across >= 100 docs (nav menus,
     // cookie banners); the frequent-line set broadcasts, the corpus
@@ -69,7 +84,7 @@ object CurateApp {
     val lineStripped = TextStats.stripRepeatedLines(raw, "doc_id", "text", minDocs = 100L)
       .select(col("id").as("doc_id"), col("text_clean").as("text"))
       .join(raw.drop("text"), "doc_id")
-    val n0b = cnt(lineStripped)
+    val n0b = cnt("boilerplate", lineStripped)
 
     // 0b: paragraph-level exact dedup (RefinedWeb/CCNet step): each
     // distinct paragraph survives once corpus-wide, in its
@@ -78,7 +93,7 @@ object CurateApp {
     val docs = Dedup.paraDedup(lineStripped, "doc_id", "text")
       .select(col("id").as("doc_id"), col("text_clean").as("text"))
       .join(raw.drop("text"), "doc_id")
-    val n0c = cnt(docs)
+    val n0c = cnt("para_dedup", docs)
 
     // 1-2: annotate + gate + PII redaction (single narrow pass; all
     // expression trees — identical to CurateStream, so batch and
@@ -90,6 +105,17 @@ object CurateApp {
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("top_tok_frac", TextFunctions.topTokenFraction(col("text")))
       .withColumn("text", TextFunctions.redact(col("text")))
+      // persisted: scored sits above EVERY later stage (gate joins,
+      // blocklist, bench slice, dedup chain), and its lineage carries
+      // the two reassembly shuffles (line strip + para dedup) plus
+      // the annotate codegen. Uncached, separate downstream ACTIONS
+      // re-executed that chain ~6x; caching it cut the composed
+      // pipeline's executed shuffle stages 44->33, shuffle write
+      // 27->10 MB, and max task memory 132->60 MB at sf0.1
+      // (round 11, Metrics-measured). The cache holds roughly the
+      // documents table + three small columns — corpus-sized, which
+      // a cluster run sizes via StorageLevel MEMORY_AND_DISK default.
+      .persist()
     // unigram-LM floor: mean token log-prob under the corpus's own
     // distribution; a loose bound (-12 nats) drops only rare-token
     // gibberish, not ordinary text
@@ -112,19 +138,22 @@ object CurateApp {
       .join(dupFrac, Seq("doc_id"), "left")
       .filter(coalesce(col("dup_frac"), lit(0.0)) <= 0.6)
       .drop("dup_frac")
-    val n1 = cnt(gated)
+    val n1 = cnt("quality_gate", gated)
 
     // 3: scrub a blocklist (here: a synthetic takedown list, taken from
     // the same redacted text the match runs against)
     val blocked = scored.filter(col("doc_id") % 331 === 0)
       .select(col("text").as("blocked_text"))
     // gated feeds both bloom branches of the scrub and the dedup below.
-    // It recomputes per consumer ON PURPOSE: each consumer prunes to the
-    // few columns it reads, and re-running the pruned codegen prefix
-    // measures ~1.7x FASTER end-to-end than caching the wide frame
-    // (39s vs 68s at sf0.1), which would materialize every column.
+    // gated itself stays UNCACHED on purpose: with scored persisted,
+    // re-deriving gated is a filter plus the two narrow agg joins
+    // over cached rows, and round-11 measurement found caching gated
+    // as well adds nothing (same shuffle-stage count, wall time
+    // within run-to-run noise) while doubling cache footprint. The
+    // earlier wide-frame-caching regression this comment once cited
+    // (39s vs 68s) was the PRE-scored-persist layout.
     val scrubbed = Blocklist.filterOut(gated, blocked, "text", "blocked_text")
-    val n2 = cnt(scrubbed)
+    val n2 = cnt("blocklist", scrubbed)
 
     // 4: exact dedup — keep the lowest id of identical texts.
     // exactKept DOES persist: its three consumers (signature build,
@@ -133,14 +162,14 @@ object CurateApp {
     val keepIds = Dedup.exact(scrubbed, "doc_id", "text").select("keep_id")
     val exactKept = scrubbed.join(keepIds,
       scrubbed("doc_id") === keepIds("keep_id")).drop("keep_id").persist()
-    val n3 = cnt(exactKept)
+    val n3 = cnt("exact_dedup", exactKept)
 
     // 5: near-dup clusters -> keep the highest-quality member
     val pairs = Dedup.minHashLsh(exactKept, "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
     val resolved = Dedup.resolveKeepBest(exactKept, "doc_id", "quality", pairs)
       .persist()
-    val n4 = cnt(resolved)
+    val n4 = cnt("near_dup", resolved)
 
     // 6: decontaminate against the held-out eval slice — drawn from the
     // same REDACTED text as the corpus side, so shingles straddling a
@@ -151,27 +180,32 @@ object CurateApp {
       .select(col("id").as("bad_id"))
     val cleanDocs = resolved.join(contaminated,
       resolved("doc_id") === contaminated("bad_id"), "left_anti")
-    val n5 = cnt(cleanDocs)
+    val n5 = cnt("decontaminated", cleanDocs)
 
     // 7: stratified sample (reproducible md5 buckets; src0 kept denser),
     // then an absolute per-source cap so no domain dominates
     val sampled = cleanDocs.filter(
       substring(md5(col("doc_id").cast("string")), 1, 2) <
         when(col("source") === "src0", "80").otherwise("40"))
-    val n6 = cnt(sampled)
+    val n6 = cnt("sampled", sampled)
     val capped = Training.sourceQuota(sampled, "source", "doc_id",
       maxPerSource = 2000L)
-    val n7 = cnt(capped)
+    val n7 = cnt("quota", capped)
 
     // 8: curated corpus, partitioned for downstream partition pruning
+    val tw = System.nanoTime()
     capped.select("doc_id", "text", "lang_pred", "source", "quality")
       .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
+    if (doCounts) stageSecs("write") = (System.nanoTime() - tw) / 1e9
 
+    scored.unpersist()
     exactKept.unpersist()
     resolved.unpersist()
-    Map("input" -> n0, "boilerplate" -> n0b, "para_dedup" -> n0c,
-      "quality_gate" -> n1, "blocklist" -> n2, "exact_dedup" -> n3,
-      "near_dup" -> n4, "decontaminated" -> n5, "sampled" -> n6,
-      "quota" -> n7)
+    CurateReport(
+      Map("input" -> n0, "boilerplate" -> n0b, "para_dedup" -> n0c,
+        "quality_gate" -> n1, "blocklist" -> n2, "exact_dedup" -> n3,
+        "near_dup" -> n4, "decontaminated" -> n5, "sampled" -> n6,
+        "quota" -> n7),
+      stageSecs.toMap)
   }
 }

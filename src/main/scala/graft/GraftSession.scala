@@ -30,6 +30,13 @@ object GraftSession {
       // writer flagged the column
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // CBO on as the engine default: path-based reads keep their
+      // size-only estimates (no stats to consume), but any table
+      // registered through sources/CatalogStats plans from row
+      // counts + NDVs — and the regime is uniform across a session
+      // rather than flipping when a stats-backed query runs first
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       // reclaim reliable-checkpoint files (Caching.sealOver) when the
       // sealed result is GC'd; default false leaks one rdd-* dir per seal

@@ -83,7 +83,16 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  private def q03(s: SparkSession, dir: String): DataFrame = {
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    q03Over(t => T(s, dir, t))
+
+  /** q03 with the table source abstracted: `q03_multijoin` feeds it
+    * path-based parquet reads; `q03b_multijoin_cbo` feeds it the
+    * ANALYZE'd catalog tables (sources/CatalogStats), so the same
+    * logical query is driver-verified under BOTH planning regimes —
+    * file-size estimates + AQE, and row-count/NDV statistics + CBO.
+    */
+  private def q03Over(tbl: String => DataFrame): DataFrame = {
     // EAGER AGGREGATION below the join (the classic partial-agg
     // pushdown a CBO would derive): revenue and line counts fold to
     // one row per l_orderkey BEFORE lineitem meets the dim chain —
@@ -97,15 +106,15 @@ object SparkEntry {
     // q03 note; ANALYZE-grade stats are the other fix). The join
     // itself stays declarative: broadcast at bench SFs, free to be a
     // sort-merge on orderkey at cluster scale.
-    val lagg = T(s, dir, "lineitem")
+    val lagg = tbl("lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).as("_rev"),
         cnt.as("_nl"))
-    T(s, dir, "region")
-      .join(T(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
-      .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
-      .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+    tbl("region")
+      .join(tbl("nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(tbl("customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(tbl("orders"), col("o_custkey") === col("c_custkey"))
       .join(lagg, col("l_orderkey") === col("o_orderkey"))
       .groupBy("r_name", "n_name")
       .agg(sum(col("_rev")).cast("double").as("revenue"),
@@ -226,6 +235,19 @@ object SparkEntry {
         .orderBy("c_mktsegment")),
 
     "q03_multijoin" -> ((s, dir) => q03(s, dir)),
+
+    "q03b_multijoin_cbo" -> ((s, dir) => {
+      // the same star join planned from ANALYZE'd statistics: register
+      // the five tables (idempotent per session/dir), enable CBO, and
+      // read through the catalog so broadcast selection and join
+      // reordering see row counts + NDVs instead of file sizes. Same
+      // oracle as q03 — the planning regime must not change a bit of
+      // the answer.
+      graft.sources.CatalogStats.register(s, dir,
+        Seq("region", "nation", "customer", "orders", "lineitem"))
+      graft.sources.CatalogStats.enableCbo(s)
+      q03Over(t => s.table(graft.sources.CatalogStats.name(t)))
+    }),
 
     "q04_topk_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
@@ -2707,6 +2729,19 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
 
     "q03_multijoin" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q03b_multijoin_cbo" ->
+      // identical spec to q03: the CBO/statistics planning regime is a
+      // performance choice and must be answer-invariant
       """SELECT r_name, n_name,
                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                 CAST(count(*) AS BIGINT) AS n
