@@ -770,6 +770,35 @@ object SparkEntry {
           "doc_id", "n_toks", seqLen = 512L, shardSize = 128L)
         .orderBy("doc_id")),
 
+    "p16_token_waterfill" -> ((s, dir) =>
+      // max-min fair token allocation across sources: one water level
+      // L with sum_s min(T_s, L) <= budget maximal; under-cap sources
+      // keep everything, over-cap sources keep md5-first docs to L
+      // tokens. BIGINT-exact level solve over the |sources|-row
+      // totals frame; oracle replays the identical windows
+      Training.tokenWaterfill(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")),
+          "doc_id", "source", "n_toks", budget = 26000L)
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy("doc_id")),
+
+    "d25_sig_store_dedup" -> ((s, dir) => {
+      // signature-store dedup: the old half's text never enters the
+      // plan after its one-time signature build — candidates from
+      // band buckets, similarity ESTIMATED as matching components/8
+      // (the MinHash unbiased estimator), the realistic corpus-append
+      // shape where yesterday's petabytes are cold
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val store = Dedup.portableSignatureStore(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.sigStoreDedup(store, docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", minMatches = 4)
+        .select(col("doc_id"), col("matched_id"), col("matches"),
+          col("est_jaccard"))
+        .orderBy("doc_id", "matched_id")
+    }),
+
     "p13_epoch_repeat" -> ((s, dir) =>
       // fractional epoch mixing (GPT-3 Table 2.2 style): the head
       // sources train 2.45 epochs, the tail 0.7 — every doc repeats
@@ -2956,6 +2985,65 @@ object SparkEntry {
          FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
          ORDER BY id1, id2"""),
+
+    "p16_token_waterfill" ->
+      // the identical integer waterfill: totals -> boundary row
+      // T_{i-1} <= lvl < T_i with lvl = (B - P_{i-1}) // (n-i+1) ->
+      // per-source md5-ordered cumsum <= lvl. All BIGINT arithmetic.
+      """WITH n AS (SELECT doc_id, source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+             FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+            tot AS (SELECT source, sum(n_toks) AS t FROM n GROUP BY 1),
+            lvc AS (SELECT * FROM (
+                      SELECT source, t,
+                             (26000 - (p - t)) // (ns - i + 1) AS lvl,
+                             coalesce(lag(t) OVER (ORDER BY t, source), 0) AS prevt
+                      FROM (SELECT source, t,
+                              row_number() OVER (ORDER BY t, source) AS i,
+                              sum(t) OVER (ORDER BY t, source) AS p,
+                              count(*) OVER () AS ns
+                            FROM tot))
+                    WHERE prevt <= lvl AND lvl < t),
+            lv AS (SELECT coalesce(min(lvl), 9223372036854775807) AS lvl FROM lvc),
+            c AS (SELECT doc_id, source, n_toks,
+                    sum(n_toks) OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+                  FROM n)
+         SELECT doc_id, source, n_toks FROM c, lv WHERE cum <= lvl
+         ORDER BY doc_id""",
+
+    "d25_sig_store_dedup" ->
+      // the d11 portable chain split at doc_id 250: signatures + bands
+      // for both halves, candidates only where a bucket holds one NEW
+      // and one STORED doc, then component-match counting — no old
+      // text below the sig CTE, mirroring the store contract
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            sigs AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+            bands AS (SELECT doc_id, i // 2 AS band,
+                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
+                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
+                      FROM sigs GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS matched_id
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                     WHERE a.doc_id >= 250 AND b.doc_id < 250),
+            m AS (SELECT c.doc_id, c.matched_id,
+                         sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS matches
+                  FROM cand c
+                  JOIN sigs sa ON sa.doc_id = c.doc_id
+                  JOIN sigs sb ON sb.doc_id = c.matched_id AND sb.i = sa.i
+                  GROUP BY 1, 2)
+         SELECT doc_id, matched_id, CAST(matches AS BIGINT) AS matches,
+                round(CAST(matches AS DOUBLE) / 8.0, 6) AS est_jaccard
+         FROM m WHERE matches >= 4 ORDER BY doc_id, matched_id""",
 
     "d24b_allpairs_3gram" -> (ngramShingleCte +
       // brute-force quadratic 3-gram oracle at tau=0.8: every shared-

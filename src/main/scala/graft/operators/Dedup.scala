@@ -419,6 +419,74 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The "write" half of signature-store dedup: k=8 portable md5
+    * MinHash signatures, one (id, i, sig) row per component — the
+    * ~130-bytes-per-doc artifact a corpus append workflow PERSISTS so
+    * later batches dedup against it without ever re-reading (or even
+    * retaining) the old text. Same family as d11/d14, so the store is
+    * oracle-expressible and any consumer built on those chains can
+    * share it. Internal representation is the 16-byte unhex'd digest
+    * (binary min is order-isomorphic to lowercase hex — the d11
+    * rule); write it out as-is, parquet binary.
+    */
+  def portableSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3): DataFrame =
+    shingles(df, idCol, textCol, shingleN)
+      .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
+      .groupBy("id", "i")
+      .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle"))))).as("sig"))
+
+  /** The "read" half: near-dedup INCOMING documents against a
+    * [[portableSignatureStore]] with NO access to the stored corpus's
+    * text — the realistic 100 TB append shape, where yesterday's
+    * petabytes are cold and only their signatures stay hot.
+    *
+    * Candidates form where a band bucket (4 bands of r=2 over the k=8
+    * components, the d11/d14 banding) holds an incoming doc and a
+    * stored doc; similarity is then ESTIMATED as the fraction of
+    * matching signature components — the standard MinHash unbiased
+    * estimator E[matches/k] = J — because exact verification would
+    * need the cold text. `minMatches` of k=8 gates the output
+    * (default 4 ≈ J 0.5); banding guarantees any pair with 2 adjacent
+    * matching components in one band surfaces, and the estimate is
+    * exact arithmetic on the stored digests, so the whole chain is
+    * oracle-expressible. Output: (doc_id, matched_id, matches,
+    * est_jaccard).
+    *
+    * At scale: incoming side pays one shingle explode + one (id, i)
+    * aggregate; the store contributes 9 rows per stored doc (8 sigs
+    * + derived bands) with NO text column anywhere in the plan; the
+    * band join keys on 16-byte digests; the component-match join
+    * touches candidate pairs only, 8 rows each.
+    */
+  def sigStoreDedup(store: DataFrame, incoming: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, minMatches: Int = 4): DataFrame = {
+    require(minMatches >= 1 && minMatches <= 8,
+      s"sigStoreDedup: minMatches $minMatches not in [1,8]")
+    def bandsOf(sigs: DataFrame): DataFrame = sigs
+      .groupBy(col("id"), expr("i div 2").as("band"))
+      .agg(unhex(md5(concat(
+        min(when(col("i") % 2 === 0, col("sig"))),
+        min(when(col("i") % 2 === 1, col("sig")))))).as("bkey"))
+    val sigIn = portableSignatureStore(incoming, idCol, textCol, shingleN)
+      .persist() // band derivation + component-match verify
+    val cand = bandsOf(sigIn).as("a").join(bandsOf(store).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.id").as("doc_id"), col("b.id").as("matched_id")).distinct()
+    Caching.sealOver(
+      cand
+        .join(sigIn.select(col("id").as("doc_id"), col("i"), col("sig").as("_s1")),
+          "doc_id")
+        .join(store.select(col("id").as("matched_id"), col("i"), col("sig").as("_s2")),
+          Seq("matched_id", "i"))
+        .groupBy("doc_id", "matched_id")
+        .agg(sum(when(col("_s1") === col("_s2"), 1L).otherwise(0L)).as("matches"))
+        .filter(col("matches") >= minMatches)
+        .withColumn("est_jaccard", round(col("matches") / lit(8.0d), 6)),
+      sigIn)
+  }
+
   /** MinHash signatures: the variable-length shingle string is hashed
     * ONCE (xxhash64), then [[graft.functions.MinHashAgg]] — a custom
     * mergeable TypedImperativeAggregate — folds the base hash through

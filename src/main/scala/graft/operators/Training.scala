@@ -779,4 +779,72 @@ object Training {
       .select(col(idCol),
         explode(sequence(lit(0L), col("_copies") - 1L)).as("epoch"))
   }
+
+  /** Token-budget waterfill: allocate a global token budget across
+    * sources max-min fairly (the Dolma/Pile-style "no domain may
+    * drown the mixture" allocation, in TOKENS rather than documents).
+    * Find the unique water level L with Σ_s min(T_s, L) <= budget
+    * maximal: sources whose total T_s fits under L keep every
+    * document; larger sources keep their md5-first documents while
+    * the per-source running token sum stays within L. Returns the
+    * kept rows (id, source, n_tokens).
+    *
+    * Exactly-integer solve, oracle-exact: sources sorted by total
+    * ascending, with prefix sums; the boundary row i satisfies
+    * T_{i-1} <= L_i < T_i for L_i = (budget - P_{i-1}) div (n-i+1) —
+    * BIGINT floor division end to end, no floats whose rounding could
+    * differ across engines. No valid boundary means Σ T_s <= budget:
+    * everything survives. Docs are atomic (a doc whose inclusive
+    * cumsum crosses L drops), so a capped source may under-fill by at
+    * most one document's tokens.
+    *
+    * Shape at scale: ONE count/sum aggregate collapses the corpus to
+    * |sources| rows; the level solve is windows over that tiny frame
+    * (its single-partition window scans |sources| rows, never the
+    * corpus — the q25/writeZOrdered rule); the level then
+    * cross-broadcasts back as one row and the keep rule is one
+    * cumulative-sum window partitioned BY SOURCE — the same shuffle
+    * p04/p08 already pay. A pathologically giant single source can
+    * route through [[tokenBudget]]'s 4096-bucket prefix device with
+    * `source` prepended to the keys; at the benchmark scales the
+    * direct per-source window is the honest plan.
+    *
+    * Null id or source: no hash position / no allocation lane — the
+    * repo-wide no-evidence rule — excluded up front, charged nothing.
+    */
+  def tokenWaterfill(df: DataFrame, idCol: String, sourceCol: String,
+                     nTokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"tokenWaterfill: budget must be positive, got $budget")
+    val base = df.filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(idCol), col(sourceCol), col(nTokCol).cast("long").as(nTokCol))
+    val totals = base.groupBy(col(sourceCol)).agg(sum(col(nTokCol)).as("_t"))
+    // tiny frame: |sources| rows. The un-partitioned windows below
+    // scan that frame, not the corpus.
+    val wAsc = Window.orderBy(col("_t"), col(sourceCol))
+    val solved = totals
+      .withColumn("_i", row_number().over(wAsc))
+      .withColumn("_p", sum(col("_t")).over(wAsc)) // inclusive prefix
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("_prevT", coalesce(lag(col("_t"), 1).over(wAsc), lit(0L)))
+      // level if sources i..n all cap: (budget - P_{i-1}) div (n-i+1).
+      // BIGINT `div`, not floor(double /): exact past 2^53. A negative
+      // numerator (P_{i-1} > budget) truncates differently than a
+      // floor would, but such rows can never pass the boundary filter
+      // (it would force _prevT = 0 hence P_{i-1} = 0 <= budget).
+      .withColumn("_lvl",
+        expr(s"(${budget}L - (_p - _t)) div (_n - _i + 1)"))
+      .filter(col("_prevT") <= col("_lvl") && col("_lvl") < col("_t"))
+      .select(min(col("_lvl")).as("_lvl")) // unique row; min() = scalar shape
+    // no boundary row -> sum fits -> unbounded level
+    val level = solved.select(coalesce(col("_lvl"), lit(Long.MaxValue)).as("_lvl"))
+    val wSrc = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    base
+      .withColumn("_cum", sum(col(nTokCol)).over(wSrc))
+      .crossJoin(broadcast(level))
+      .filter(col("_cum") <= col("_lvl"))
+      .drop("_cum", "_lvl")
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Token-budget waterfill (p16): max-min fair allocation across
+  * sources in tokens, integer-exact level solve.
+  */
+class TokenWaterfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Long)*) =
+    rows.toDF("doc_id", "source", "n_toks")
+
+  test("budget above the corpus keeps every document") {
+    val df = docs((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 5L))
+    val kept = Training.tokenWaterfill(df, "doc_id", "source", "n_toks", 1000L)
+    assert(kept.count() == 3)
+  }
+
+  test("level solve matches the hand waterfill; caps are respected") {
+    // totals a=10, b=30, c=60; budget 50 -> after a fits fully,
+    // level = (50-10)/2 = 20: b and c each keep <= 20 tokens
+    val df = docs(
+      (1L, "a", 10L),
+      (2L, "b", 12L), (3L, "b", 11L), (4L, "b", 7L),
+      (5L, "c", 20L), (6L, "c", 20L), (7L, "c", 20L))
+    val kept = Training.tokenWaterfill(df, "doc_id", "source", "n_toks", 50L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc("a") == 10L, s"under-cap source must keep all: $bySrc")
+    assert(bySrc.getOrElse("b", 0L) <= 20L && bySrc.getOrElse("c", 0L) <= 20L, s"$bySrc")
+    assert(kept.map(_._3).sum <= 50L)
+    // docs are atomic: c's 20-token docs fit exactly once under L=20
+    assert(bySrc("c") == 20L, s"$bySrc")
+  }
+
+  test("a doc larger than the level drops whole (atomicity)") {
+    // totals a=10, big=100; budget 40 -> level = (40-10)/1 = 30 < 100:
+    // big's single 100-token doc cannot fit and the source empties
+    val df = docs((1L, "a", 10L), (2L, "big", 100L))
+    val kept = Training.tokenWaterfill(df, "doc_id", "source", "n_toks", 40L)
+      .collect().map(r => (r.getLong(0)))
+    assert(kept.toSet == Set(1L))
+  }
+
+  test("null id or source is excluded and charges nothing") {
+    val df = Seq(
+      (Some(1L), Some("a"), 10L),
+      (None, Some("a"), 999L),
+      (Some(3L), None, 999L)).toDF("doc_id", "source", "n_toks")
+    val kept = Training.tokenWaterfill(df, "doc_id", "source", "n_toks", 15L)
+      .collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L))
+  }
+}
+
+/** Signature-store dedup (d25): near-dedup new docs against a
+  * persisted k=8 portable MinHash store, no old text in the plan.
+  */
+class SigStoreDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "completely different content about distributed query engines at scale"))
+    .toDF("doc_id", "text")
+
+  test("an identical new doc matches its stored twin at 8/8; unrelated docs stay silent") {
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "nothing in common with anything stored before this moment arrived"))
+      .toDF("doc_id", "text")
+    val store = Dedup.portableSignatureStore(oldDocs, "doc_id", "text")
+    val got = Dedup.sigStoreDedup(store, newDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((10L, 1L, 8L, 1.0)))
+  }
+
+  test("the store survives a parquet round-trip (the artifact is the contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore").toFile
+    Dedup.portableSignatureStore(oldDocs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val reloaded = spark.read.parquet(dir.getAbsolutePath)
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sigStoreDedup(reloaded, newDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L, 8L)))
+    // and the store really is text-free: ~3 narrow columns
+    assert(reloaded.columns.sorted.toSeq == Seq("i", "id", "sig"))
+  }
+
+  test("stored-vs-stored pairs never surface") {
+    // two identical OLD docs: a self-dedup would pair them; the store
+    // contract only reports incoming-vs-stored
+    val dupOld = Seq(
+      (1L, "same text here for both of the stored documents in this case"),
+      (2L, "same text here for both of the stored documents in this case"))
+      .toDF("doc_id", "text")
+    val store = Dedup.portableSignatureStore(dupOld, "doc_id", "text")
+    val newDocs = Seq((10L, "fresh unrelated arrival with its own words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sigStoreDedup(store, newDocs, "doc_id", "text").collect()
+    assert(got.isEmpty)
+  }
+}
