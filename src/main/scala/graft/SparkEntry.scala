@@ -1562,6 +1562,26 @@ object SparkEntry {
       TextStats.heapsFit(T(s, dir, "documents"), "doc_id", "text",
         points = 8)),
 
+    "t34_bpe_train" -> ((s, dir) =>
+      // BPE tokenizer training (Sennrich 2016): 8 merge rounds over
+      // the corpus VOCABULARY (one corpus agg collapses to (word,
+      // count); merges never touch the corpus again); ties to the
+      // smallest pair make the table engine-deterministic
+      TextStats.bpeTrain(T(s, dir, "documents"), "text", merges = 8)
+        .orderBy("rank")),
+
+    "t35_bpe_tokens" -> ((s, dir) => {
+      // the trained tokenizer applied back to the corpus: per-doc BPE
+      // token counts — the honest upgrade over whitespace counts for
+      // budget math. The 8-row merge-table collect is the bounded
+      // driver step; application is a row-local replace chain.
+      val merges = TextStats.bpeTrain(T(s, dir, "documents"), "text", 8)
+        .orderBy("rank").collect().map(_.getString(1)).toSeq
+      TextStats.bpeTokenCounts(T(s, dir, "documents"), "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "t32_pmi" -> ((s, dir) =>
       // PMI collocation mining: top-30 adjacent token pairs by
       // pointwise mutual information with the >= 20 count floor
@@ -1875,6 +1895,34 @@ object SparkEntry {
                      string_split_regex(lower(text), '\\s+') AS toks
               FROM documents)))
         ORDER BY doc_id"""
+  }
+
+  /** Chained-CTE replay of [[graft.operators.TextStats.bpeTrain]]'s 8
+    * merge rounds: v0 = the space-joined char symbolization of the
+    * vocabulary; round k picks argmax pair (freq desc, pair asc) from
+    * v(k-1) and rewrites v(k-1) with the same padded replace. Built
+    * programmatically — the rounds are mechanical.
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val head =
+      """WITH words AS (SELECT w, count(*) AS cnt FROM (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents) WHERE w <> '' GROUP BY 1),
+            v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS syms, cnt
+                   FROM words)"""
+    val rounds = (1 to nMerges).map { k =>
+      s""",
+            p$k AS (SELECT l[i] || ' ' || l[i+1] AS pair, sum(cnt) AS f
+                    FROM (SELECT l, cnt, unnest(range(1, len(l))) AS i
+                          FROM (SELECT string_split(trim(syms), ' ') AS l, cnt
+                                FROM v${k - 1}))
+                    GROUP BY 1),
+            m$k AS (SELECT pair, f FROM p$k ORDER BY f DESC, pair LIMIT 1),
+            v$k AS (SELECT replace(syms, ' ' || pair || ' ',
+                             ' ' || replace(pair, ' ', '') || ' ') AS syms, cnt
+                    FROM v${k - 1}, m$k)"""
+    }.mkString
+    head + rounds
   }
 
   private val ngramShingleCte =
@@ -3531,6 +3579,34 @@ object SparkEntry {
                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
          FROM s""",
+
+    "t34_bpe_train" -> (bpeCtes(8) + "\n" +
+      (1 to 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS rank, pair, CAST(f AS BIGINT) AS freq FROM m$k")
+        .mkString("", "\nUNION ALL ", "\nORDER BY rank")),
+
+    "t35_bpe_tokens" -> (bpeCtes(8) +
+      // apply the learned table in rank order: the same padded
+      // replaces, chained m1..m8 (cross joins of the 1-row argmax
+      // CTEs; 8 merges always exist on these corpora — a vocabulary
+      // too small to yield them would empty the chain in BOTH engines
+      // asymmetrically, so keep merges <= the guaranteed supply)
+      s""",
+            tk AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w
+                   FROM documents WHERE doc_id IS NOT NULL),
+            seg AS (SELECT doc_id,
+                      ${(1 to 8).foldLeft("s0")((e, k) =>
+                        s"replace($e, ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ')")} AS s
+                    FROM (SELECT doc_id,
+                            ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
+                          FROM tk WHERE w <> '') ${(1 to 8).map(k => s", m$k").mkString}),
+            perdoc AS (SELECT doc_id, sum(len(string_split(trim(s), ' '))) AS n
+                       FROM seg GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe
+         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+         LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+         ORDER BY d.doc_id"""),
 
     "t32_pmi" ->
       // identical pair/token streams and the identical

@@ -1017,4 +1017,95 @@ object TextStats {
       round((d("_sy") - (covN / varN) * d("_sx")) / n, 6).as("intercept"),
       round((covN * covN) / (varN * varYN), 6).as("r2"))
   }
+
+  /** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016
+    * §3.2, the word-internal variant without the end-of-word marker):
+    * learn `merges` merge rules over the corpus vocabulary — each
+    * round merges the most frequent adjacent symbol pair (ties to the
+    * lexicographically smallest pair, so the table is deterministic
+    * across engines) in every vocabulary word at once.
+    *
+    * Shape at scale: ONE corpus aggregate collapses the token stream
+    * to the (word, count) VOCABULARY — the classic BPE trick: merges
+    * iterate over distinct words weighted by count, never the corpus.
+    * The vocab frame persists; each round is a pair-explode aggregate
+    * over it plus a one-ROW collect (the argmax — bounded by
+    * contract) whose winning pair applies as a left-to-right
+    * non-overlapping padded string replace (replace()'s documented
+    * scan order IS the BPE merge order). Symbols live space-joined
+    * with sentinel padding, so a pair can never match across symbol
+    * boundaries; pairs flow through lit()/columns, never interpolated
+    * SQL, so quote-bearing symbols are safe.
+    *
+    * Returns (rank, pair, freq) — the merge table, `rank` ascending
+    * in learn order; fewer than `merges` rows when the vocabulary
+    * runs out of adjacent pairs.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"bpeTrain: merges $merges not in [1,64]")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")))
+      .select(col("syms"), col("cnt"))
+      .persist()
+    var vocab = words
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var exhausted = false
+    for (r <- 1 to merges if !exhausted) {
+      val top = vocab
+        .select(col("cnt"), split(trim(col("syms")), " ").as("_l"))
+        // single-symbol words have no adjacent pair; without the
+        // guard, sequence(1, 0) DESCENDS ([1,0]) and element_at
+        // faults instead of yielding nothing
+        .filter(size(col("_l")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(_l) - 1), i -> concat(element_at(_l, i), ' ', element_at(_l, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        learned += ((r.toLong, pair, top(0).getLong(1)))
+        vocab = vocab.withColumn("syms", call_function("replace", col("syms"),
+          lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " ")))
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "pair", "freq")
+  }
+
+  /** Apply a learned BPE merge table to the corpus and count each
+    * document's BPE tokens — [[bpeTrain]]'s consumer, and the honest
+    * upgrade over whitespace token counts for budget math (p06/p16).
+    * Merges apply in rank order as the same padded replaces the
+    * trainer used, so segmentation is bit-faithful to training.
+    *
+    * Shape: one word explode, a row-local replace chain (broadcast
+    * literals, no shuffle), one per-doc sum — no vocabulary join.
+    * Empty docs keep a 0 row (LEFT join back to ids).
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     mergePairs: Seq[String]): DataFrame = {
+    val ids = df.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
+    val segmented = mergePairs.foldLeft(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")): Column) {
+      (c, p) => call_function("replace", c, lit(" " + p + " "),
+        lit(" " + p.replace(" ", "") + " "))
+    }
+    val perDoc = df
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("id").isNotNull && length(col("w")) > 0)
+      .select(col("id"), size(split(trim(segmented), " ")).as("_n"))
+      .groupBy(col("id")).agg(sum(col("_n")).as("n_bpe"))
+    ids.join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
 }

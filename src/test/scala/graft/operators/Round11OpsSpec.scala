@@ -56,6 +56,46 @@ class TokenWaterfillSpec extends SparkSpec {
   }
 }
 
+/** BPE tokenizer training + application (t34/t35, Sennrich 2016). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge table replays the textbook hand trace") {
+    // words: aaab x3, ab x1
+    //   round 1: (a,a) freq 6 -> "aa"     [aaab contributes 2 per copy]
+    //   round 2: (a,b) freq 4 -> "ab"     [3 from "aa a b", 1 from "a b"]
+    //   round 3: (aa,ab) freq 3
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val mt = TextStats.bpeTrain(docs, "text", merges = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mt.toSeq == Seq((1L, "a a", 6L), (2L, "a b", 4L), (3L, "aa ab", 3L)))
+  }
+
+  test("merge application is greedy left-to-right, never overlapping") {
+    // "aaa": after merging (a,a) the word must segment as [aa, a]
+    // (left-to-right non-overlap), i.e. 2 BPE tokens, not 1 or 3
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val counts = TextStats.bpeTokenCounts(docs, "doc_id", "text", Seq("a a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.toSeq == Seq((1L, 2L)))
+  }
+
+  test("training stops early when the vocabulary runs dry") {
+    // single 2-char word: exactly one mergeable pair exists
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val mt = TextStats.bpeTrain(docs, "text", merges = 8).collect()
+    assert(mt.length == 1 && mt(0).getString(1) == "a b")
+  }
+
+  test("empty and single-char docs count correctly") {
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "ab ab")).toDF("doc_id", "text")
+    val counts = TextStats.bpeTokenCounts(docs, "doc_id", "text", Seq("a b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
+
 /** Signature-store dedup (d25): near-dedup new docs against a
   * persisted k=8 portable MinHash store, no old text in the plan.
   */
