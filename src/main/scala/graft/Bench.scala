@@ -47,6 +47,16 @@ object Bench {
     // ~4 lines × 92 queries would flood the driver's captured tail
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // "WindowExec: No Partition Defined" fires on the repo's global
+    // windows, every one of which is bounded by contract (audited:
+    // per-partition prefix rows, <=4096 md5 buckets, score/path
+    // histograms, top-R vocab, |sources| totals — the bound is stated
+    // in a comment at each site, and PlanSpec pins the shapes). On a
+    // 100x-scale log the warning would cry wolf for frames of a few
+    // thousand rows; corpus-sized windows are designed out, not
+    // silenced — new operators must keep stating their bound.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

@@ -487,6 +487,75 @@ object Dedup {
       sigIn)
   }
 
+  /** STREAMING twin of [[sigStoreDedup]]: dedup a live document
+    * stream against a static [[portableSignatureStore]] with ZERO
+    * streaming state — no watermark, no aggregation, no dropDuplicates.
+    *
+    * The trick is that a doc's whole signature is ROW-LOCAL: sig_i =
+    * array_min over its shingle array of md5(i:shingle) — the same
+    * values the batch store aggregates, computed inside one
+    * projection. Bands derive row-locally too, posexplode to 4
+    * (band, bkey) rows, and the ONLY wide op is a stream-static
+    * equi-join against the store's band table. A pair that collides
+    * in several bands would surface once per band; instead of a
+    * stateful distinct, each joined row carries BOTH band arrays and
+    * keeps itself only if its band index is the FIRST index where
+    * the two arrays agree — a row-local tie-break that emits each
+    * pair exactly once. Match counting is a zip_with over the two
+    * sig arrays. Works identically on a batch frame (it is the same
+    * plan minus the micro-batch driver), which is what the parity
+    * spec pins.
+    *
+    * State at 100 TB: none on the stream; the static side is the
+    * ~130-bytes/doc store, shuffled once per micro-batch by the join
+    * (broadcast it if it fits; Spark replans the static side per
+    * batch). Output: (doc_id, matched_id, matches, est_jaccard),
+    * append-mode safe.
+    */
+  def sigStoreDedupStream(store: DataFrame, stream: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, minMatches: Int = 4): DataFrame = {
+    require(minMatches >= 1 && minMatches <= 8,
+      s"sigStoreDedupStream: minMatches $minMatches not in [1,8]")
+    // static side: one row per stored doc with its sig + band arrays
+    val storeDocs = store.groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)")
+        .as("_ssigs"))
+      .withColumn("_sbands", expr(
+        """transform(sequence(0, 3),
+             b -> md5(concat(element_at(_ssigs, 2*b + 1), element_at(_ssigs, 2*b + 2))))"""))
+    val storeBands = storeDocs.select(col("id").as("matched_id"),
+      col("_ssigs"), col("_sbands"),
+      posexplode(col("_sbands")).as(Seq("_b", "_bkey")))
+    // stream side: fully row-local signature + bands
+    val toks = split(lower(col(textCol)), "\\s+")
+    val shArr = if (shingleN == 1) filter(toks, t => length(t) > 0)
+      else graft.functions.ShingleStrings.of(toks, shingleN)
+    val sigExprs = (0 until 8).map(i =>
+      array_min(transform(col("_sh"), s => unhex(md5(concat(lit(i + ":"), s))))))
+    val streamed = stream
+      .filter(col(idCol).isNotNull)
+      .withColumn("_sh", array_distinct(shArr))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sigs", array(sigExprs: _*))
+      .withColumn("_bands", expr(
+        """transform(sequence(0, 3),
+             b -> md5(concat(element_at(_sigs, 2*b + 1), element_at(_sigs, 2*b + 2))))"""))
+      .select(col(idCol).as("doc_id"), col("_sigs"), col("_bands"),
+        posexplode(col("_bands")).as(Seq("_qb", "_qkey")))
+    streamed.join(storeBands,
+        col("_qb") === col("_b") && col("_qkey") === col("_bkey"))
+      // emit each pair once: only the FIRST band index where the two
+      // band arrays agree owns the pair (row-local, no distinct state)
+      .filter(col("_qb") === expr(
+        "element_at(filter(sequence(0, 3), b -> element_at(_bands, b + 1) = element_at(_sbands, b + 1)), 1)"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(_sigs, _ssigs, (a, b) -> IF(a = b, 1L, 0L)), 0L, (acc, x) -> acc + x)"))
+      .filter(col("matches") >= minMatches)
+      .select(col("doc_id"), col("matched_id"), col("matches"),
+        round(col("matches") / lit(8.0d), 6).as("est_jaccard"))
+  }
+
   /** MinHash signatures: the variable-length shingle string is hashed
     * ONCE (xxhash64), then [[graft.functions.MinHashAgg]] — a custom
     * mergeable TypedImperativeAggregate — folds the base hash through
