@@ -815,8 +815,15 @@ object Training {
   def tokenWaterfill(df: DataFrame, idCol: String, sourceCol: String,
                      nTokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"tokenWaterfill: budget must be positive, got $budget")
+    // a negative token count is a data bug, not an allocation choice:
+    // it would silently DEFLATE its source's cumsum and smuggle later
+    // docs under the level — fail loudly (the weightedSample rule)
+    val guarded = when(col(nTokCol).isNull || col(nTokCol) < 0, raise_error(concat(
+        lit("tokenWaterfill: n_tokens must be >= 0 for id "),
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
+      .otherwise(col(nTokCol).cast("long"))
     val base = df.filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
-      .select(col(idCol), col(sourceCol), col(nTokCol).cast("long").as(nTokCol))
+      .select(col(idCol), col(sourceCol), guarded.as(nTokCol))
     val totals = base.groupBy(col(sourceCol)).agg(sum(col(nTokCol)).as("_t"))
     // tiny frame: |sources| rows. The un-partitioned windows below
     // scan that frame, not the corpus.

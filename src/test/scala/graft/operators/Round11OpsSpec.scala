@@ -45,6 +45,14 @@ class TokenWaterfillSpec extends SparkSpec {
     assert(kept.toSet == Set(1L))
   }
 
+  test("a negative token count fails loudly instead of deflating its source") {
+    val df = docs((1L, "a", 10L), (2L, "a", -5L))
+    val e = intercept[Exception] {
+      Training.tokenWaterfill(df, "doc_id", "source", "n_toks", 100L).collect()
+    }
+    assert(e.getMessage.contains("n_tokens must be >= 0"), e.getMessage)
+  }
+
   test("null id or source is excluded and charges nothing") {
     val df = Seq(
       (Some(1L), Some("a"), 10L),
@@ -131,6 +139,39 @@ class SigStoreDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 8L)))
     // and the store really is text-free: ~3 narrow columns
     assert(reloaded.columns.sorted.toSeq == Seq("i", "id", "sig"))
+  }
+
+  test("estimated jaccard tracks the true jaccard on real docs") {
+    // the k=8 estimator is unbiased (E[matches/k] = J) but coarse;
+    // this gate pins its realized quality on the sf0.01 corpus so a
+    // hash-family or banding regression that decorrelates the
+    // estimate fails loudly. Deterministic — exact regression values.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("doc_id") < 500)
+    val store = Dedup.portableSignatureStore(
+      docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val est = Dedup.sigStoreDedup(store, docs.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+      .select(col("doc_id"), col("matched_id"), col("est_jaccard"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty, "no pairs — gate is vacuous")
+    // true jaccard over the same 3-gram shingle sets, text-side
+    val ids = est.keySet.flatMap(p => Seq(p._1, p._2))
+    val sh = Dedup.shingles(docs.filter(col("doc_id").isin(ids.toSeq: _*)),
+        "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val errs = est.map { case ((a, b), e) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val j = (sa intersect sb).size.toDouble / (sa union sb).size
+      math.abs(e - j)
+    }
+    val mae = errs.sum / errs.size
+    info(f"pairs=${est.size} MAE=$mae%.3f max=${errs.max}%.3f")
+    // measured 0.040 / 0.114 (deterministic) — gates within a small
+    // slack of measured, the round-11 gate discipline
+    assert(mae <= 0.06, f"estimator MAE regressed: $mae%.3f (measured 0.040)")
+    assert(errs.max <= 0.16, f"estimator worst error regressed: ${errs.max}%.3f (measured 0.114)")
   }
 
   test("stored-vs-stored pairs never surface") {
