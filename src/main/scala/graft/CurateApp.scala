@@ -25,6 +25,10 @@ import graft.operators.{Blocklist, Decontaminate, Dedup, TextStats, Training}
   *  7. deterministic stratified sample per source, then a per-source
   *     quota cap (no domain dominates the output)
   *  8. write the curated corpus, hive-partitioned by language
+  *  9. write the corpus's MinHash SIGNATURE STORE next to it
+  *     (<outDir>_sigstore) — the ~130-bytes/doc artifact the next
+  *     run's incoming batch dedups against (sigStoreDedup /
+  *     sigStoreDedupStream) without re-reading this run's text
   *
   * Usage: runMain graft.CurateApp <docsDir> <outDir> [benchModulo]
   * Prints one JSON line with stage survivor counts. Counting each
@@ -188,8 +192,11 @@ object CurateApp {
       substring(md5(col("doc_id").cast("string")), 1, 2) <
         when(col("source") === "src0", "80").otherwise("40"))
     val n6 = cnt("sampled", sampled)
+    // persisted: two writes (corpus + signature store) and the count
+    // all consume capped; uncached, each would re-run the
+    // decontaminate chain and quota window above it
     val capped = Training.sourceQuota(sampled, "source", "doc_id",
-      maxPerSource = 2000L)
+      maxPerSource = 2000L).persist()
     val n7 = cnt("quota", capped)
 
     // 8: curated corpus, partitioned for downstream partition pruning
@@ -198,9 +205,22 @@ object CurateApp {
       .write.mode("overwrite").partitionBy("lang_pred").parquet(outDir)
     if (doCounts) stageSecs("write") = (System.nanoTime() - tw) / 1e9
 
+    // 9: the corpus-append handoff — persist the curated corpus's
+    // MinHash signature store (~130 bytes/doc) next to it, so the
+    // NEXT pipeline run dedups its incoming batch against THIS run's
+    // output via Dedup.sigStoreDedup / sigStoreDedupStream with the
+    // curated text cold. The store derives from the same portable
+    // family the near-dup stage used, so estimates line up with the
+    // batch decisions.
+    val ts = System.nanoTime()
+    Dedup.portableSignatureStore(capped, "doc_id", "text")
+      .write.mode("overwrite").parquet(outDir + "_sigstore")
+    if (doCounts) stageSecs("sig_store") = (System.nanoTime() - ts) / 1e9
+
     scored.unpersist()
     exactKept.unpersist()
     resolved.unpersist()
+    capped.unpersist()
     CurateReport(
       Map("input" -> n0, "boilerplate" -> n0b, "para_dedup" -> n0c,
         "quality_gate" -> n1, "blocklist" -> n2, "exact_dedup" -> n3,

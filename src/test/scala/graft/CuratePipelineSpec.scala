@@ -22,9 +22,11 @@ package graft
   * into fresh RDDs, so an upstream shuffle consumed by two actions
   * would execute twice. CurateApp persists `scored` precisely to cap
   * that: the two reassembly shuffles above it run ONCE, and the
-  * composed total measures 33 executed shuffle stages at sf0.001
-  * (and sf0.1), counts off — down from 45 before the persist. The
-  * pinned bound (36) leaves AQE jitter room only. Glue regressions
+  * composed total measures 35 executed shuffle stages at sf0.001,
+  * counts off — down from 45 before the persist (33) plus the
+  * stage-9 signature-store write (+2: the sig aggregate over the
+  * persisted capped frame). The pinned bound (38) leaves AQE jitter
+  * room only. Glue regressions
   * that re-shuffle the corpus — a lost broadcast, a join that
   * stopped pruning, a DROPPED persist that silently returns every
   * consumer to recompute-with-exchange — show up as +2 or more.
@@ -46,8 +48,14 @@ class CuratePipelineSpec extends SparkSpec {
     val curated = spark.read.parquet(out.getAbsolutePath)
     assert(curated.count() > 0, "pipeline produced an empty corpus")
     assert(curated.columns.contains("lang_pred"), "missing partition column")
+    // the corpus-append handoff: a text-free signature store covering
+    // every curated doc, ready for the next batch's sigStoreDedup
+    val sigs = spark.read.parquet(out.getAbsolutePath + "_sigstore")
+    assert(sigs.columns.sorted.toSeq == Seq("i", "id", "sig"))
+    assert(sigs.select("id").distinct().count() == curated.count(),
+      "signature store must cover exactly the curated corpus")
     assert(m.shuffleStages > 0, "meter saw no stages — not attached?")
-    assert(m.shuffleStages <= 36,
+    assert(m.shuffleStages <= 38,
       s"composed pipeline now executes ${m.shuffleStages} shuffle stages " +
         "— the composition grew a corpus shuffle beyond its operators' own")
   }
