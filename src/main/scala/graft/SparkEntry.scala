@@ -633,6 +633,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s17_filtered_ann" -> ((s, dir) => {
+      // metadata-filtered vector search (pre-filter strategy): top-10
+      // cosine among label=1 vectors only; the predicate reaches the
+      // parquet scan, the ranking is exact within survivors
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.filteredTopK(emb, "vec_id", "embedding",
+          col("label") === 1, q, "qid", "qvec", k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s02_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -3170,6 +3183,23 @@ object SparkEntry {
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s17_filtered_ann" ->
+      // s01's brute spec restricted to the label=1 survivors — the
+      // pre-filter strategy's exact answer
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE label = 1),
               u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
                            CAST(unnest(qe) AS DOUBLE) AS y
                     FROM (SELECT qid, cid, qe, ce FROM q, c)),

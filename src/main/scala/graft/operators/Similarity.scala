@@ -1229,4 +1229,30 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
+
+  /** FILTERED vector search: top-k cosine neighbors among the corpus
+    * rows satisfying `predicate` — the metadata-constrained query
+    * every production vector store fields ("nearest en-language docs
+    * from source X"). This is the PRE-FILTER strategy: push the
+    * predicate into the corpus scan (parquet footer stats + column
+    * pruning apply — `.explain` shows it as PushedFilters), then rank
+    * exactly within the survivors. Exact by construction at any
+    * selectivity, and the right strategy whenever the predicate is
+    * selective enough that the filtered corpus is the cheap side.
+    *
+    * The other regime — a BROAD predicate over a huge corpus — wants
+    * post-filtered ANN instead: over-fetch k' = k/selectivity from an
+    * unfiltered index ([[ivfTopK]]/[[lshTopK]]) and filter the
+    * result, accepting recall loss when a query's neighborhood is
+    * predicate-sparse. That composition is
+    * `ivfTopK(...).join(meta).filter(pred)` on the existing
+    * operators; the crossover is a selectivity estimate away (the
+    * CatalogStats NDV machinery). This entry pins the exact side.
+    */
+  def filteredTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   predicate: org.apache.spark.sql.Column,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int): DataFrame =
+    bruteTopK(corpus.filter(predicate), corpusId, corpusVec,
+      queries, queryId, queryVec, k)
 }

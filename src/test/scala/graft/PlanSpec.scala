@@ -21,6 +21,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns must not be read")
   }
 
+  test("s17: the metadata predicate reaches the embeddings scan") {
+    // pre-filter strategy: label=1 must prune at the parquet footer,
+    // not post-rank — the property that makes filtered search exact
+    // AND cheap when the predicate is selective
+    val p = plan("s17_filtered_ann")
+    assert(p.contains("EqualTo(label,1)"), p.take(2000))
+  }
+
   test("q03: star join is a broadcast chain, no shuffle before partial agg") {
     // simple mode: one tree, no repeated node-detail section
     val p = SparkEntry.queries("q03_multijoin")(spark, dir).queryExecution
