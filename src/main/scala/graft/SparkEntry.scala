@@ -1150,6 +1150,23 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r24_rare_transitions" -> ((s, dir) =>
+      // rare template-transition mining: per-user event lines mask to
+      // r18 skeletons, adjacent skeletons form transitions, and a
+      // transition flags when absolutely infrequent (n <= 2) or an
+      // out-of-character exit (< 5% of its source's outgoing edges) —
+      // the "service never used to go login -> crash" detector
+      operators.LogMining.rareTransitions(
+          T(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+            concat(
+              lit("id="), col("event_id"),
+              lit(" ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+              lit(" user="), col("user_id"),
+              lit(" type="), col("event_type"),
+              lit(" value="), col("value").cast("string")).as("line")),
+          "user_id", "ts", "event_id", "line")
+        .orderBy("src_template", "dst_template")),
+
     "r23_alert_edges" -> ((s, dir) =>
       // alert-flap suppression (the PagerDuty/Alertmanager rule: page
       // on STATE CHANGES, not on every anomalous hour): r16's hourly
@@ -2542,6 +2559,37 @@ object SparkEntry {
                 round(zs, 6) AS z_score,
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY event_type, hr_start""",
+
+    "r24_rare_transitions" ->
+      // per-user lag over the identically-masked lines, transition
+      // counts, share of the source's outgoing edges, the same flag
+      """WITH lines AS (
+           SELECT user_id, ts, event_id,
+                  'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT user_id, ts, event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                     '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                     '<UUID>', 'g'),
+                     '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                     '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS tpl
+                 FROM lines),
+           tr AS (SELECT prev AS src_template, tpl AS dst_template,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT tpl, lag(tpl) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                        FROM t)
+                  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           sh AS (SELECT src_template, dst_template, n,
+                         round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                           PARTITION BY src_template) AS DOUBLE), 6) AS share
+                  FROM tr)
+         SELECT src_template, dst_template, n, share,
+                (n <= 2 OR share < 0.05) AS rare
+         FROM sh ORDER BY src_template, dst_template""",
 
     "r23_alert_edges" ->
       // the r16 CTE + one lag over the scored hourly frame; same

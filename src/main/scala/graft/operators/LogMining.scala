@@ -183,4 +183,39 @@ object LogMining {
       .agg(min(col("_l")).as("example"))
     (counts.drop("_hmin").join(ex, Seq("template")), counts)
   }
+
+  /** Rare template TRANSITIONS: the "new failure path" detector over
+    * a pattern-unknown stream. Each key's lines mask to their r18
+    * skeleton, adjacent (by time, id tie-break) templates form a
+    * transition, and a transition is flagged when it is absolutely
+    * infrequent (n <= maxN) or an out-of-character exit from its
+    * source (share of the source's outgoing transitions < minShare).
+    * A service that always goes login -> query -> logout shows a
+    * flagged row the first times it goes login -> crash.
+    *
+    * Shape at scale: ONE key shuffle (the lag window, the r12/r15
+    * device), then a (src, dst) count aggregate whose cardinality is
+    * templates² at most — tiny, that's the premise of template
+    * mining — so the share window partitions on a bounded key.
+    * Output: (src_template, dst_template, n, share, rare).
+    */
+  def rareTransitions(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, lineCol: String,
+                      minShare: Double = 0.05, maxN: Long = 2L): DataFrame = {
+    val Window = org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val trans = df
+      .select(col(keyCol), col(tsCol), col(idCol),
+        template(col(lineCol)).as("_tpl"))
+      .withColumn("_prev", lag(col("_tpl"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("src_template"), col("_tpl").as("dst_template"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("src_template"))
+    trans
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(wSrc).cast("double"), 6))
+      .withColumn("rare", col("n") <= maxN || col("share") < minShare)
+  }
 }

@@ -64,6 +64,27 @@ class TokenWaterfillSpec extends SparkSpec {
   }
 }
 
+/** Rare template transitions (r24): the new-failure-path detector. */
+class RareTransitionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("an out-of-character exit flags; the dominant path does not") {
+    // user streams: login -> query (x30 across users), one login -> crash
+    val rows = (0 until 30).flatMap { u =>
+      Seq((u.toLong, 1L, u * 10L + 1, s"login user=$u"),
+        (u.toLong, 2L, u * 10L + 2, s"query user=$u rows=42"))
+    } :+ ((99L, 1L, 991L, "login user=99")) :+ ((99L, 2L, 992L, "crash user=99"))
+    val df = rows.toDF("user_id", "ts", "event_id", "line")
+    val got = LogMining.rareTransitions(df, "user_id", "ts", "event_id", "line",
+        minShare = 0.05, maxN = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getBoolean(4)))).toMap
+    val loginT = "login user=<N>"
+    assert(got((loginT, "query user=<N> rows=<N>")) == ((30L, false)), got)
+    assert(got((loginT, "crash user=<N>")) == ((1L, true)), got)
+  }
+}
+
 /** BPE tokenizer training + application (t34/t35, Sennrich 2016). */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
