@@ -52,6 +52,39 @@ class ImageIoSpec extends SparkSpec {
     assert(stub(1L) != stub(2L), "stub hashing bytes should differ across encodings")
   }
 
+  test("the hash is robust: a brightness-shifted copy stays near, noise stays far") {
+    // dHash compares neighboring cell means, so a global +25 brightness
+    // shift preserves most gradient signs (near-dup at small hamming),
+    // while an unrelated checkerboard lands far — the property that
+    // makes phash-bucketed image dedup (m05) work on re-encodes and
+    // mild edits, not just byte-identical files
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val b = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        b.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val base = img((x, _) => x * 255 / 63)
+    val brighter = img((x, _) => x * 255 / 63 + 25)
+    val unrelated = img((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0 else 255)
+    val df = Seq((1L, base), (2L, brighter), (3L, unrelated)).toDF("id", "blob")
+    val h = Multimodal.imagePhash(df, "id", "blob",
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val near = ham(h(1L), h(2L))
+    val far = ham(h(1L), h(3L))
+    info(s"near=$near far=$far (of 64)")
+    assert(near <= 8, s"brightness shift moved the hash too much: $near")
+    assert(far >= 16, s"unrelated image landed too close: $far")
+  }
+
   test("resize decodes, scales, and re-encodes a real PNG to the target dims") {
     val df = Seq((1L, encode("png")), (2L, Array[Byte](1, 2, 3)))
       .toDF("id", "blob")
