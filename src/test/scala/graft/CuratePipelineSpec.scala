@@ -58,5 +58,19 @@ class CuratePipelineSpec extends SparkSpec {
     assert(m.shuffleStages <= 38,
       s"composed pipeline now executes ${m.shuffleStages} shuffle stages " +
         "— the composition grew a corpus shuffle beyond its operators' own")
+
+    // the append workflow, end to end: a re-sent batch of the curated
+    // docs (new ids, same text) must be caught — every doc, at 8/8
+    // components — by dedup against the store THIS run just wrote,
+    // with the curated text nowhere in the incoming-side plan
+    val resent = curated.select(
+      (org.apache.spark.sql.functions.col("doc_id") + 1000000L).as("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+    val caught = graft.operators.Dedup.sigStoreDedup(
+        spark.read.parquet(out.getAbsolutePath + "_sigstore"), resent,
+        "doc_id", "text", minMatches = 8)
+      .select("doc_id").distinct().count()
+    assert(caught == curated.count(),
+      s"store caught $caught of ${curated.count()} re-sent docs")
   }
 }
