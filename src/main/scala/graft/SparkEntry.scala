@@ -646,6 +646,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s18_postfiltered_ann" -> ((s, dir) => {
+      // the POST-FILTER strategy on the same task as s17: top-20 on
+      // the unfiltered corpus, then label=1 + re-rank to 10. Short
+      // result lists (a predicate-sparse neighborhood survives with
+      // < 10 rows) are the measurable recall loss the over-fetch
+      // factor trades against; exact arithmetic end to end
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.filteredTopKPost(emb, "vec_id", "embedding",
+          col("label") === 1, q, "qid", "qvec", k = 10, overFetch = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s02_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -3242,6 +3257,30 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s18_postfiltered_ann" ->
+      // unfiltered top-20, label=1 survivors re-ranked to 10 — the
+      // post-filter strategy's exact answer, short lists included
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+                    FROM s),
+              f AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY rnk) AS BIGINT) AS rnk2
+                    FROM r
+                    JOIN (SELECT vec_id FROM embeddings WHERE label = 1) lf
+                      ON lf.vec_id = r.cid
+                    WHERE rnk <= 20)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos,
+                rnk2 AS rank
+         FROM f WHERE rnk2 <= 10 ORDER BY query_id, rank""",
 
     "s17_filtered_ann" ->
       // s01's brute spec restricted to the label=1 survivors — the

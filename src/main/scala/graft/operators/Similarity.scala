@@ -1255,4 +1255,34 @@ object Similarity {
                    k: Int): DataFrame =
     bruteTopK(corpus.filter(predicate), corpusId, corpusVec,
       queries, queryId, queryVec, k)
+
+  /** The POST-FILTER half of the pair: rank top-k' on the UNFILTERED
+    * corpus, then apply the predicate and keep the first k survivors
+    * (re-ranked 1..k). This is the broad-predicate regime's shape —
+    * the index is built once, predicate-agnostic, and each query
+    * over-fetches k' = k x overFetch to survive the filter — with its
+    * characteristic failure mode made measurable: a query whose true
+    * neighborhood is predicate-sparse returns FEWER than k rows
+    * (possibly zero), the recall loss the over-fetch factor trades
+    * against. Exact arithmetic on the brute base, so the whole
+    * strategy — over-fetch, filter, re-rank, and the short result
+    * lists themselves — is oracle-checkable; swap [[ivfTopK]] /
+    * [[lshTopK]] in as the base at index scale, where the same
+    * over-fetch logic rides their candidate generation.
+    */
+  def filteredTopKPost(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       predicate: org.apache.spark.sql.Column,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, overFetch: Int = 4): DataFrame = {
+    require(overFetch >= 1, s"filteredTopKPost: overFetch $overFetch must be >= 1")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank"))
+    bruteTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+        k * overFetch)
+      .join(corpus.filter(predicate)
+        .select(col(corpusId).as("neighbor_id")), Seq("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
 }

@@ -64,6 +64,44 @@ class TokenWaterfillSpec extends SparkSpec {
   }
 }
 
+/** Filtered vector search strategy pair (s17/s18): pre-filter is
+  * exact at any selectivity; post-filter trades recall for a
+  * predicate-agnostic index, recovered by over-fetch.
+  */
+class FilteredAnnSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def results(q: String): Map[Long, Seq[Long]] =
+    graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("post-filter returns a strict subset; over-fetch recovers recall") {
+    val pre = results("s17_filtered_ann")
+    val post = results("s18_postfiltered_ann")
+    // everything post-filter returns is correct (a prefix of truth)...
+    post.foreach { case (q, ids) =>
+      assert(ids.toSet.subsetOf(pre(q).toSet), s"query $q: $ids not in truth") }
+    // ...but at overFetch=2 over a ~10%-selective label the recall
+    // loss is drastic — the regime the operator doc warns about
+    val truth = pre.values.map(_.size).sum
+    val got = post.values.map(_.size).sum
+    info(s"post-filter recall at overFetch=2: $got/$truth")
+    assert(got < truth / 2, s"expected drastic loss, got $got/$truth")
+    // raising the over-fetch factor recovers it
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val emb = graft.GraftSession.table(s, dir, "embeddings")
+    val q5 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val wide = Similarity.filteredTopKPost(emb, "vec_id", "embedding",
+        col("label") === 1, q5, "qid", "qvec", k = 10, overFetch = 40)
+      .count()
+    assert(wide >= truth * 0.9, s"overFetch=40 recovered only $wide/$truth")
+  }
+}
+
 /** Rare template transitions (r24): the new-failure-path detector. */
 class RareTransitionsSpec extends SparkSpec {
   import spark.implicits._
