@@ -86,6 +86,7 @@ class SessionizeSpec extends SparkSpec {
 /** Minimal GroupState stub for transition-function tests. */
 class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   var updated: Option[S] = None
+  var watermarkMs: Long = 0L
   private var timeout: Long = -1L
   override def exists: Boolean = updated.isDefined
   override def get: S = updated.get
@@ -99,7 +100,7 @@ class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
   override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
   override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
-  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentWatermarkMs(): Long = watermarkMs
   override def getCurrentProcessingTimeMs(): Long = 0L
 }
 
