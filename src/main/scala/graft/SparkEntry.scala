@@ -661,6 +661,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s19_mmr_rerank" -> ((s, dir) => {
+      // MMR diverse re-ranking (Carbonell & Goldstein 1998): 5 greedy
+      // rounds of argmax(0.7*rel - 0.3*maxSimToSelected) over the
+      // exact top-20 prefetch — declarative round unrolling, no UDF;
+      // the oracle replays the identical rounds as chained CTEs
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          k = 5, prefetch = 20, lam = 0.7)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     "s02_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
@@ -1970,6 +1983,70 @@ object SparkEntry {
     head + rounds
   }
 
+  /** Chained-CTE replay of [[graft.operators.Similarity.mmrTopK]]'s
+    * greedy rounds: round i scores every unselected candidate as
+    * λ·rel − (1−λ)·max(sim to a1..a(i−1)) and takes the window-rank-1
+    * row. λ and 1−λ interpolate as the Scala-computed doubles so both
+    * engines fold the SAME IEEE constants over the SAME rounded-6
+    * rel/sim inputs.
+    */
+  private def mmrOracle(k: Int, prefetch: Int, lam: Double): String = {
+    val l = lam.toString
+    val oml = (1.0 - lam).toString
+    val head =
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+                    FROM s),
+              cand AS (SELECT qid, cid, round(cos, 6) AS rel FROM r WHERE rnk <= $prefetch),
+              su AS (SELECT a.qid, a.cid AS c1, b.cid AS c2,
+                            CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+                            CAST(unnest(eb.embedding) AS DOUBLE) AS y
+                     FROM cand a JOIN cand b ON a.qid = b.qid
+                     JOIN embeddings ea ON ea.vec_id = a.cid
+                     JOIN embeddings eb ON eb.vec_id = b.cid),
+              sims AS (SELECT qid, c1, c2,
+                              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
+                       FROM su GROUP BY 1, 2, 3),
+              a1 AS (SELECT qid, cid, 1 AS mmr_rank FROM (
+                       SELECT qid, cid, row_number() OVER (
+                         PARTITION BY qid ORDER BY rel DESC, cid) AS rk FROM cand)
+                     WHERE rk = 1)"""
+    val rounds = (2 to k).map { i =>
+      s""",
+              a$i AS (SELECT qid, cid, $i AS mmr_rank FROM (
+                        SELECT c.qid, c.cid, row_number() OVER (
+                          PARTITION BY c.qid
+                          ORDER BY $l * c.rel - $oml * ms.m DESC, c.cid) AS rk
+                        FROM cand c
+                        JOIN (SELECT s2.qid, s2.c1 AS cid, max(s2.sim) AS m
+                              FROM sims s2
+                              JOIN (${(1 until i).map(j => s"SELECT qid, cid FROM a$j").mkString(" UNION ALL ")}) p
+                                ON p.qid = s2.qid AND p.cid = s2.c2
+                              GROUP BY 1, 2) ms
+                          ON ms.qid = c.qid AND ms.cid = c.cid
+                        WHERE NOT EXISTS (
+                          SELECT 1 FROM (${(1 until i).map(j => s"SELECT qid, cid FROM a$j").mkString(" UNION ALL ")}) p2
+                          WHERE p2.qid = c.qid AND p2.cid = c.cid))
+                      WHERE rk = 1)"""
+    }.mkString
+    val all = (1 to k).map(j => s"SELECT qid, cid, mmr_rank FROM a$j")
+      .mkString(" UNION ALL ")
+    head + rounds +
+      s"""
+         SELECT f.qid AS query_id, f.cid AS neighbor_id, cand.rel AS rel,
+                CAST(f.mmr_rank AS BIGINT) AS mmr_rank
+         FROM ($all) f JOIN cand ON cand.qid = f.qid AND cand.cid = f.cid
+         ORDER BY query_id, mmr_rank"""
+  }
+
   private val ngramShingleCte =
     // shingle start positions unnest per row from range(1, len(toks)-1)
     // (1-based, stop-exclusive => i+2 <= len), so the bound derives
@@ -3257,6 +3334,8 @@ object SparkEntry {
                     FROM s)
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s19_mmr_rerank" -> mmrOracle(k = 5, prefetch = 20, lam = 0.7),
 
     "s18_postfiltered_ann" ->
       // unfiltered top-20, label=1 survivors re-ranked to 10 — the

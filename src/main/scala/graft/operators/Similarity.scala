@@ -1256,6 +1256,74 @@ object Similarity {
     bruteTopK(corpus.filter(predicate), corpusId, corpusVec,
       queries, queryId, queryVec, k)
 
+  /** MMR diverse re-ranking (Carbonell & Goldstein 1998): greedily
+    * select k results maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-selected over a `prefetch`-sized exact top-k'
+    * candidate list — the re-rank that stops a near-dup cluster from
+    * filling the whole result page.
+    *
+    * Fully DECLARATIVE: the k greedy rounds unroll into k
+    * window-rank-1 picks over the (queries × prefetch)-row candidate
+    * frame — no UDF, no mapGroups, no driver loop over data; every
+    * frame the rounds touch is candidate-sized, bounded by contract.
+    * Relevance and the candidate-pairwise similarities are rounded
+    * to 6 BEFORE the fold and λ/(1−λ) interpolate as the same IEEE
+    * doubles into the oracle text, so the greedy argmax (ties to the
+    * smallest id) is bit-reproducible across engines — the oracle
+    * replays the identical rounds as chained CTEs. Output:
+    * (query_id, neighbor_id, rel, mmr_rank 1..k).
+    */
+  def mmrTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, prefetch: Int = 20, lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= prefetch,
+      s"mmrTopK: k $k must be in [1, prefetch=$prefetch]")
+    require(lam >= 0.0 && lam <= 1.0, s"mmrTopK: lambda $lam not in [0,1]")
+    val cand = bruteTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, prefetch)
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("_v"), norm(col(corpusVec)).as("_n")), Seq("neighbor_id"))
+      .persist() // k rounds + the sims self-join read it
+    val sims = cand
+      .select(col("query_id"), col("neighbor_id").as("c1"),
+        col("_v").as("_v1"), col("_n").as("_n1"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("c2"),
+        col("_v").as("_v2"), col("_n").as("_n2")), Seq("query_id"))
+      .select(col("query_id"), col("c1"), col("c2"),
+        round(VecDot.dot(col("_v1"), col("_v2")) / (col("_n1") * col("_n2")), 6)
+          .as("sim"))
+      .persist() // read once per round
+    val wq = Window.partitionBy(col("query_id"))
+    def pick(scored: DataFrame, rankNo: Int): DataFrame = scored
+      .withColumn("_rk", row_number().over(
+        wq.orderBy(col("_score").desc, col("neighbor_id"))))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(rankNo).as("mmr_rank"))
+    var selected = pick(cand.withColumn("_score", col("rel")), 1)
+    for (i <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("neighbor_id").as("c2")),
+          Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1").as("neighbor_id"))
+        .agg(max(col("sim")).as("_ms"))
+      val scored = cand
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "neighbor_id"))
+        .withColumn("_score",
+          lit(lam) * col("rel") - lit(1.0 - lam) * col("_ms"))
+      selected = selected.unionByName(pick(scored, i))
+    }
+    Caching.sealOver(
+      selected
+        .join(cand.select(col("query_id"), col("neighbor_id"), col("rel")),
+          Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("mmr_rank").cast("long").as("mmr_rank")),
+      cand, sims)
+  }
+
   /** The POST-FILTER half of the pair: rank top-k' on the UNFILTERED
     * corpus, then apply the predicate and keep the first k survivors
     * (re-ranked 1..k). This is the broad-predicate regime's shape —
@@ -1270,6 +1338,7 @@ object Similarity {
     * [[lshTopK]] in as the base at index scale, where the same
     * over-fetch logic rides their candidate generation.
     */
+
   def filteredTopKPost(corpus: DataFrame, corpusId: String, corpusVec: String,
                        predicate: org.apache.spark.sql.Column,
                        queries: DataFrame, queryId: String, queryVec: String,

@@ -102,6 +102,42 @@ class FilteredAnnSpec extends SparkSpec {
   }
 }
 
+/** MMR diverse re-ranking (s19, Carbonell & Goldstein 1998). */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a near-dup of the top hit is demoted below a diverse result") {
+    // q=[1,0]; A=[.95,.31] rel .951, A'=[.94,.34] rel .940 but
+    // sim(A,A') ~ .9995, B=[.9,-.436] rel .900 but sim(A,B) ~ .720.
+    // Plain top-3 = A, A', B. MMR round 2 at lambda .7:
+    //   A' scores .7*.940 - .3*.9995 = .358
+    //   B  scores .7*.900 - .3*.720  = .414  -> B wins, A' demoted
+    val corpus = Seq(
+      (1L, Array(0.95f, 0.31f)),
+      (2L, Array(0.94f, 0.34f)),
+      (3L, Array(0.9f, -0.436f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val got = Similarity.mmrTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 3, prefetch = 3, lam = 0.7)
+      .orderBy("mmr_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)), got.toSeq)
+  }
+
+  test("lambda 1.0 degenerates to plain relevance order") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.045f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val got = Similarity.mmrTopK(corpus, "vec_id", "embedding",
+        q, "qid", "qvec", k = 3, prefetch = 3, lam = 1.0)
+      .orderBy("mmr_rank")
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L, 2L, 3L), got.toSeq)
+  }
+}
+
 /** Rare template transitions (r24): the new-failure-path detector. */
 class RareTransitionsSpec extends SparkSpec {
   import spark.implicits._
