@@ -824,6 +824,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_toks"))
         .orderBy("doc_id")),
 
+    "p17_effective_tokens" -> ((s, dir) =>
+      // Muennighoff 2023 data-constrained accounting: per-source
+      // effective tokens under a 2000-token/source allocation —
+      // repetition value decays as e^(-R/5.3), evaluated as an
+      // engine-exact Horner chain so the oracle hash-matches
+      Training.effectiveTokens(
+          T(s, dir, "documents").withColumn("n_toks",
+            graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long")),
+          "source", "n_toks", allocPerSource = 2000.0)
+        .orderBy("source")),
+
     "d25_sig_store_dedup" -> ((s, dir) => {
       // signature-store dedup: the old half's text never enters the
       // plan after its one-time signature build — candidates from
@@ -3213,6 +3224,25 @@ object SparkEntry {
                   FROM n)
          SELECT doc_id, source, n_toks FROM c, lv WHERE cum <= lvl
          ORDER BY doc_id""",
+
+    "p17_effective_tokens" -> {
+      // the identical arithmetic, Horner chain generated from the
+      // same coefficient table (operators.Training.expNegHornerSql)
+      val x = "greatest(0.0, (2000.0 / CAST(unique_tokens AS DOUBLE)) - 1.0) / 5.3"
+      val horner = graft.operators.Training.expNegHornerSql(x)
+      s"""WITH n AS (SELECT source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
+             FROM documents WHERE source IS NOT NULL),
+            tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS unique_tokens
+                    FROM n GROUP BY 1)
+         SELECT source, unique_tokens,
+                round(2000.0 / CAST(unique_tokens AS DOUBLE), 6) AS epochs,
+                round(CAST(unique_tokens AS DOUBLE)
+                      + (CAST(unique_tokens AS DOUBLE) * 5.3)
+                        * (1.0 - $horner), 6) AS effective_tokens
+         FROM tot ORDER BY source"""
+    },
 
     "d25_sig_store_dedup" ->
       // the d11 portable chain split at doc_id 250: signatures + bands

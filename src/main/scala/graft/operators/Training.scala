@@ -812,6 +812,61 @@ object Training {
     * Null id or source: no hash position / no allocation lane — the
     * repo-wide no-evidence rule — excluded up front, charged nothing.
     */
+  /** Data-constrained effective-token accounting (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models" — the repeated-
+    * epoch value decay): a source with U unique tokens trained for
+    * `alloc/U` epochs contributes effective tokens
+    *
+    *   D' = U + U · R* · (1 − e^(−R/R*)),  R = max(0, epochs − 1)
+    *
+    * with the paper's fitted R* ≈ 5.3: the first epoch counts in
+    * full, repetition value decays exponentially. The planning view a
+    * repeat schedule (p13) should be derived FROM.
+    *
+    * Engine-exactness: libm exp() rounding is NOT pinned across
+    * engines, so e^(−x) evaluates as a degree-[[ExpTerms]] Taylor
+    * HORNER chain whose coefficient literals and association order
+    * are generated from one place ([[expNegHornerSql]]) — both
+    * engines fold the identical IEEE doubles in the identical order,
+    * making the whole formula hash-exact. |error| < 1e-7 for x ≤ 4
+    * (epochs ≤ ~22); beyond that the decay is saturated anyway
+    * (1 − e^-x within 2% of 1).
+    *
+    * Shape at scale: ONE aggregate collapses the corpus to |sources|
+    * rows; everything after is row-local arithmetic on that frame.
+    */
+  def effectiveTokens(df: DataFrame, sourceCol: String, nTokCol: String,
+                      allocPerSource: Double, rstar: Double = 5.3): DataFrame = {
+    require(allocPerSource > 0, "effectiveTokens: allocPerSource must be > 0")
+    val totals = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(nTokCol)).as("unique_tokens"))
+    val u = col("unique_tokens").cast("double")
+    val epochs = lit(allocPerSource) / u
+    val x = greatest(lit(0.0), epochs - lit(1.0)) / lit(rstar)
+    val expNeg = ExpCoefs.foldRight(null: Column) { (c, acc) =>
+      if (acc == null) lit(c) else lit(c) + x * acc
+    }
+    totals.select(col(sourceCol), col("unique_tokens"),
+      round(epochs, 6).as("epochs"),
+      round(u + (u * lit(rstar)) * (lit(1.0) - expNeg), 6)
+        .as("effective_tokens"))
+  }
+
+  /** Taylor coefficients of e^(−x): (−1)^k / k!, k = 0..ExpTerms. */
+  val ExpTerms = 20
+  val ExpCoefs: Seq[Double] = (0 to ExpTerms).map { k =>
+    val fact = (1 to k).foldLeft(1.0)(_ * _)
+    (if (k % 2 == 0) 1.0 else -1.0) / fact
+  }
+
+  /** The identical Horner chain as SQL text, for the oracle: the
+    * coefficient literals are the SAME doubles [[effectiveTokens]]
+    * folds, rendered by the same toString. */
+  def expNegHornerSql(xExpr: String): String =
+    ExpCoefs.reverse.tail.foldLeft(ExpCoefs.last.toString) { (acc, c) =>
+      s"($c + ($xExpr) * ($acc))"
+    }
+
   def tokenWaterfill(df: DataFrame, idCol: String, sourceCol: String,
                      nTokCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"tokenWaterfill: budget must be positive, got $budget")

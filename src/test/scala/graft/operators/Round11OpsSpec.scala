@@ -102,6 +102,39 @@ class FilteredAnnSpec extends SparkSpec {
   }
 }
 
+/** Data-constrained effective-token accounting (p17, Muennighoff
+  * 2023): exponential repeat decay via the engine-exact Horner exp.
+  */
+class EffectiveTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the Horner e^-x matches libm within 1e-7 on the working range") {
+    for (x <- Seq(0.0, 0.1, 0.5, 1.0, 2.0, 3.0, 4.0)) {
+      val horner = Training.ExpCoefs.foldRight(0.0)((c, acc) => c + x * acc)
+      assert(math.abs(horner - math.exp(-x)) < 1e-7,
+        s"x=$x horner=$horner exp=${math.exp(-x)}")
+    }
+  }
+
+  test("one epoch counts in full; repetition value saturates at U*(1+R*)") {
+    val df = Seq(
+      (1L, "a", 1000L),   // alloc 1000 => exactly 1 epoch, R=0
+      (2L, "b", 50L))     // alloc 1000 => 20 epochs, deep saturation
+      .toDF("doc_id", "source", "n_toks")
+    val out = Training.effectiveTokens(df, "source", "n_toks",
+        allocPerSource = 1000.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (ep1, eff1) = out("a")
+    assert(ep1 == 1.0 && eff1 == 1000.0, out("a")) // R=0: e^0=1, D'=U
+    val (ep2, eff2) = out("b")
+    assert(ep2 == 20.0, out("b"))
+    // D' in (U, U*(1+R*)): repetition helps but saturates
+    assert(eff2 > 50.0 && eff2 < 50.0 * 6.3, out("b"))
+    // at R=19, R*=5.3: decay nearly complete — within 3% of the cap
+    assert(eff2 > 50.0 * 6.3 * 0.97, out("b"))
+  }
+}
+
 /** MMR diverse re-ranking (s19, Carbonell & Goldstein 1998). */
 class MmrSpec extends SparkSpec {
   import spark.implicits._
