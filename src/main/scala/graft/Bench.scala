@@ -130,16 +130,20 @@ object Bench {
     val pipeline = if (runPipeline) {
       val meter = Metrics.start(spark.sparkContext)
       val t0 = System.nanoTime()
-      try CurateApp.run(spark, sfDir, "/tmp/graft_bench_curated",
-        benchMod = 97, doCounts = false)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline failed: ${e.getMessage}") }
+      // a crashed pipeline must not masquerade as a suspiciously fast,
+      // cheap run — record success in the JSON itself
+      val ok =
+        try { CurateApp.run(spark, sfDir, "/tmp/graft_bench_curated",
+          benchMod = 97, doCounts = false); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+          false }
       val sec = (System.nanoTime() - t0) / 1e9
       val m = meter.stop()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      f""","pipeline":{"sec":$sec%.1f,"shuffle_mb":${m.shuffleWriteBytes / 1e6}%.0f,""" +
+      f""","pipeline":{"ok":$ok,"sec":$sec%.1f,"shuffle_mb":${m.shuffleWriteBytes / 1e6}%.0f,""" +
         f""""shuffle_stages":${m.shuffleStages},"peak_task_mb":${m.maxTaskPeakExecMem / 1e6}%.0f}"""
     } else ""
     // The driver keeps only the last ~2000 chars of output and parses

@@ -53,8 +53,15 @@ object Metrics {
       try {
         val m = sc.getClass.getMethod("listenerBus")
         val bus = m.invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
-        ()
+        // some Spark versions expose only waitUntilEmpty(timeoutMillis)
+        // — try both signatures before degrading to a fixed sleep that
+        // can under-count stages on a loaded driver
+        try { bus.getClass.getMethod("waitUntilEmpty").invoke(bus); () }
+        catch { case _: NoSuchMethodException =>
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(60000L))
+          ()
+        }
       } catch { case _: Throwable => Thread.sleep(500) }
       sc.removeSparkListener(listener)
       Snapshot(wBytes.get(), rBytes.get(), stages.get(), peak.get())

@@ -246,7 +246,7 @@ object SparkEntry {
       graft.sources.CatalogStats.register(s, dir,
         Seq("region", "nation", "customer", "orders", "lineitem"))
       graft.sources.CatalogStats.enableCbo(s)
-      q03Over(t => s.table(graft.sources.CatalogStats.name(t)))
+      q03Over(t => s.table(graft.sources.CatalogStats.name(dir, t)))
     }),
 
     "q04_topk_group" -> ((s, dir) => {

@@ -91,7 +91,11 @@ object Multimodal {
           }
           Some((lum, w, h))
         }
-      } catch { case _: java.io.IOException => None }
+      // malformed/crafted payloads can throw far more than IOException
+      // (IllegalArgumentException, CMMException, NegativeArraySizeException
+      // from bad headers) — all of them mean "undecodable bytes -> None ->
+      // drop the row", never a failed Spark task
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
     /** Average-pool the luminance plane into a sqrt(n) x sqrt(n) grid
@@ -136,7 +140,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(bos.toByteArray)
         }
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
     /** The stub's byte-stat fold, over decoded LUMINANCES instead of

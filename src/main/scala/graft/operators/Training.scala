@@ -829,8 +829,13 @@ object Training {
     * are generated from one place ([[expNegHornerSql]]) — both
     * engines fold the identical IEEE doubles in the identical order,
     * making the whole formula hash-exact. |error| < 1e-7 for x ≤ 4
-    * (epochs ≤ ~22); beyond that the decay is saturated anyway
-    * (1 − e^-x within 2% of 1).
+    * (epochs ≤ ~22). A truncated Taylor series DIVERGES beyond its
+    * accurate range (at x≈8 the absolute error is ~0.18, at x≥10 it
+    * is off by orders of magnitude), so x is CLAMPED to [[ExpClampX]]
+    * = 4 in both engines before the Horner chain: larger x is treated
+    * as fully decayed (e^-4 ≈ 0.018, and 1 − e^-x is within 2% of 1),
+    * which keeps tiny sources under a large allocation finite and
+    * monotone instead of hugely negative.
     *
     * Shape at scale: ONE aggregate collapses the corpus to |sources|
     * rows; everything after is row-local arithmetic on that frame.
@@ -842,7 +847,8 @@ object Training {
       .groupBy(col(sourceCol)).agg(sum(col(nTokCol)).as("unique_tokens"))
     val u = col("unique_tokens").cast("double")
     val epochs = lit(allocPerSource) / u
-    val x = greatest(lit(0.0), epochs - lit(1.0)) / lit(rstar)
+    val x = least(greatest(lit(0.0), epochs - lit(1.0)) / lit(rstar),
+      lit(ExpClampX))
     val expNeg = ExpCoefs.foldRight(null: Column) { (c, acc) =>
       if (acc == null) lit(c) else lit(c) + x * acc
     }
@@ -859,13 +865,22 @@ object Training {
     (if (k % 2 == 0) 1.0 else -1.0) / fact
   }
 
+  /** Clamp for the Taylor argument: beyond this the chain diverges,
+    * and the decay it models is saturated. Shared by the operator and
+    * the generated oracle SQL so both engines clamp identically. */
+  val ExpClampX = 4.0
+
   /** The identical Horner chain as SQL text, for the oracle: the
     * coefficient literals are the SAME doubles [[effectiveTokens]]
-    * folds, rendered by the same toString. */
-  def expNegHornerSql(xExpr: String): String =
+    * folds, rendered by the same toString; the argument is clamped to
+    * [[ExpClampX]] HERE so every oracle caller inherits the same
+    * divergence guard as the operator. */
+  def expNegHornerSql(xExpr: String): String = {
+    val xc = s"least(($xExpr), $ExpClampX)"
     ExpCoefs.reverse.tail.foldLeft(ExpCoefs.last.toString) { (acc, c) =>
-      s"($c + ($xExpr) * ($acc))"
+      s"($c + ($xc) * ($acc))"
     }
+  }
 
   def tokenWaterfill(df: DataFrame, idCol: String, sourceCol: String,
                      nTokCol: String, budget: Long): DataFrame = {

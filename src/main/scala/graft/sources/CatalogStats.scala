@@ -22,35 +22,52 @@ import org.apache.spark.sql.SparkSession
   * shuffle exists to un-wire. Join reordering
   * (`spark.sql.cbo.joinReorder.enabled`) rides the same stats.
   *
-  * Registration is idempotent per (session, dir): repeated bench
-  * runs pay ANALYZE once. Tables register as `graft_<name>` external
-  * tables pointing at `<dir>/<name>.parquet`; nothing is copied.
+  * Registration is idempotent per (session, dir, TABLE): a caller
+  * that registers a subset (e.g. a spec touching only
+  * customer+orders) never blocks a later caller from registering the
+  * rest, and repeated bench runs still pay ANALYZE once per table.
+  * Table names are DIR-SCOPED (`graft_<dirhash>_<name>` pointing at
+  * `<dir>/<name>.parquet`), so registering a second data directory in
+  * the same session cannot silently repoint the first directory's
+  * names at different data; nothing is copied.
   */
 object CatalogStats {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val done = TrieMap.empty[(Int, String), Boolean]
+  private val done = TrieMap.empty[(Int, String, String), Boolean]
 
-  /** Qualified name of a registered table. */
-  def name(table: String): String = s"graft_$table"
+  private def dirTag(dir: String): String = {
+    // stable, short, catalog-safe tag for the directory; identical
+    // dirs (same string) share tables, distinct dirs never collide
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    h.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
 
-  /** Register + ANALYZE every table under `dir` (once per session). */
+  /** Qualified name of a table registered for `dir`. */
+  def name(dir: String, table: String): String =
+    s"graft_${dirTag(dir)}_$table"
+
+  /** Register + ANALYZE every table under `dir` (once per
+    * session/dir/table). */
   def register(spark: SparkSession, dir: String,
                which: Seq[String] = tables): Unit = {
-    val key = (System.identityHashCode(spark), dir)
-    if (!done.contains(key)) synchronized {
-      if (!done.contains(key)) {
-        which.foreach { t =>
-          val n = name(t)
+    val sid = System.identityHashCode(spark)
+    val todo = which.filterNot(t => done.contains((sid, dir, t)))
+    if (todo.nonEmpty) synchronized {
+      which.foreach { t =>
+        val key = (sid, dir, t)
+        if (!done.contains(key)) {
+          val n = name(dir, t)
           spark.sql(s"DROP TABLE IF EXISTS $n")
           spark.sql(
             s"CREATE TABLE $n USING parquet LOCATION '$dir/$t.parquet'")
           spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
           spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS")
+          done.put(key, true)
+          ()
         }
-        done.put(key, true)
-        ()
       }
     }
   }

@@ -27,10 +27,10 @@ class CboPlanSpec extends SparkSpec {
 
   private def joinPlan(useStats: Boolean): String = {
     val cust =
-      if (useStats) spark.table(CatalogStats.name("customer"))
+      if (useStats) spark.table(CatalogStats.name(dir, "customer"))
       else spark.read.parquet(s"$dir/customer.parquet")
     val ord =
-      if (useStats) spark.table(CatalogStats.name("orders"))
+      if (useStats) spark.table(CatalogStats.name(dir, "orders"))
       else spark.read.parquet(s"$dir/orders.parquet")
     cust.filter(col("c_nationkey") === 1)
       .join(ord, col("o_custkey") === col("c_custkey"))

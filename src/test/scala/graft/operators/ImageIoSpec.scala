@@ -28,6 +28,26 @@ class ImageIoSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("malformed payloads yield None, never a thrown task failure") {
+    // crafted/corrupt image bytes can throw RuntimeExceptions from
+    // deep inside the decoder (bad headers -> IllegalArgumentException,
+    // CMMException, NegativeArraySizeException), not just IOException —
+    // the contract is "undecodable bytes -> None -> drop the row".
+    // A valid PNG signature followed by garbage forces the PNG reader
+    // to actually engage (unlike pure garbage, which returns null).
+    val pngSig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    val candidates = Seq(
+      pngSig ++ Array.fill[Byte](64)(0x41),
+      pngSig ++ encode("png").drop(8).take(40),           // truncated mid-chunk
+      Array.fill[Byte](128)(0x7f),                        // no signature at all
+      encode("bmp").take(20))                             // truncated BMP header
+    for (bad <- candidates) {
+      assert(Multimodal.ImageIoDecoder.cells(bad, 64).isEmpty)
+      assert(Multimodal.ImageIoDecoder.resize(bad, 8, 8).isEmpty)
+      assert(Multimodal.ImageIoDecoder.features(bad, 4).isEmpty)
+    }
+  }
+
   test("imagePhash on real images is perceptual: PNG and BMP of the same pixels agree") {
     val png = encode("png")
     val bmp = encode("bmp")

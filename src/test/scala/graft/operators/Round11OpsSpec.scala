@@ -133,6 +133,35 @@ class EffectiveTokensSpec extends SparkSpec {
     // at R=19, R*=5.3: decay nearly complete — within 3% of the cap
     assert(eff2 > 50.0 * 6.3 * 0.97, out("b"))
   }
+
+  test("tiny sources (x >> 4) clamp instead of diverging") {
+    // a 30-token source under a 2000-token allocation puts
+    // x = (2000/30 - 1)/5.3 ~ 12.4 — far past the Taylor chain's
+    // accurate range. Unclamped, the degree-20 polynomial is off by
+    // orders of magnitude (hugely negative effective tokens); clamped
+    // it saturates at the x=4 value.
+    val df = Seq(
+      (1L, "tiny", 30L),     // x ~ 12.4
+      (2L, "tinier", 5L),    // x ~ 75 — catastrophic unclamped
+      (3L, "ok", 2000L))     // x = 0 control
+      .toDF("doc_id", "source", "n_toks")
+    val out = Training.effectiveTokens(df, "source", "n_toks",
+        allocPerSource = 2000.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (s <- Seq("tiny", "tinier")) {
+      val u = if (s == "tiny") 30.0 else 5.0
+      val eff = out(s)
+      // finite, monotone, inside (U, U*(1+R*)]
+      assert(eff > u && eff <= u * 6.3 + 1e-6, s"$s -> $eff")
+      // saturated at the x=4 value (epsilon covers the Horner chain's
+      // ~1e-7 error at x=4 scaled by U*R*, plus the 6-decimal round)
+      assert(eff > u * (1.0 + 5.3 * (1.0 - math.exp(-4.0))) - u * 5.3 * 2e-7 - 1e-6,
+        s"$s -> $eff not saturated")
+    }
+    assert(out("ok") == 2000.0, out("ok"))
+    // the generated oracle SQL carries the same clamp
+    assert(Training.expNegHornerSql("x").contains("least((x), 4.0)"))
+  }
 }
 
 /** MMR diverse re-ranking (s19, Carbonell & Goldstein 1998). */
