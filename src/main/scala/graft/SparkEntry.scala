@@ -711,6 +711,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("pos"), col("code"), col("scale"))
         .orderBy("vec_id", "pos")),
 
+    "s20_int8_ann" -> ((s, dir) => {
+      // symmetric int8 quantized search (FAISS SQ8 shape): scales
+      // cancel out of the cosine, so ranking runs entirely on BIGINT
+      // code arithmetic — 8x less scan bandwidth than float64 and
+      // zero float-reassociation hazard; oracle-EXACT
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.int8TopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "s08_random_projection" -> ((s, dir) =>
       // deterministic SRP 64 -> 16 dims (md5-parity signs, decimal
       // sums): the dimensionality-reduction front of an embedding
@@ -3463,6 +3475,40 @@ object SparkEntry {
                                  AS DOUBLE), 4)
                 END AS distinct_est
          FROM sk ORDER BY l_returnflag""",
+
+    "s20_int8_ann" ->
+      // both sides re-quantized with s07's floor codes; the three
+      // sums are exact integer arithmetic (order-insensitive), so the
+      // quantized cosine reproduces Spark's bit-for-bit
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                    FROM embeddings),
+            cd AS (SELECT vec_id AS id,
+                     CASE WHEN scale = 0
+                          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT))
+                     END AS codes
+                   FROM e),
+            u AS (SELECT q.id AS qid, c.id AS cid,
+                         unnest(q.codes) AS qx, unnest(c.codes) AS cx
+                  FROM cd c, (SELECT * FROM cd WHERE id < 5) q),
+            s AS (SELECT qid, cid,
+                         CAST(sum(qx*cx) AS BIGINT) AS dot,
+                         CAST(sum(cx*cx) AS BIGINT) AS cn2,
+                         CAST(sum(qx*qx) AS BIGINT) AS qn2
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT qid, cid,
+                         round(CAST(dot AS DOUBLE) /
+                           (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6)
+                           AS qcos
+                  FROM s WHERE cn2 > 0 AND qn2 > 0),
+            k AS (SELECT qid, cid, qcos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY qcos DESC, cid) AS BIGINT) AS rnk
+                  FROM r)
+         SELECT qid AS query_id, cid AS neighbor_id, qcos, rnk AS rank
+         FROM k WHERE rnk <= 10 ORDER BY query_id, rank""",
 
     "s07_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding,
