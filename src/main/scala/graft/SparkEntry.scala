@@ -746,6 +746,20 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    "p18_leakage_split" -> ((s, dir) => {
+      // cluster-aware train/val/test split: near-dup components (the
+      // d06 machinery on the same 3-gram tau=0.5 pairs) draw ONE hash
+      // bucket per component, so a duplicate can never land in train
+      // while its twin lands in test
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      Training.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+          pairs, valFrac = 0.2, testFrac = 0.2)
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "p06_token_budget" -> ((s, dir) =>
       // reproducible ~N-token corpus cut: whole docs in md5 order
       // until the budget; distributed prefix sum, no global window
@@ -3313,6 +3327,27 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
+
+    "p18_leakage_split" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      // d06's component resolution, then the p05 hash-range CASE on
+      // the COMPONENT key: thr(0.2) = 0x33333, thr(0.4) = 0x66666
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                  LEFT JOIN comp c ON c.id = d.doc_id)
+         SELECT doc_id, component, CASE
+           WHEN substring(md5(CAST(component AS VARCHAR)), 1, 5) < '33333' THEN 'val'
+           WHEN substring(md5(CAST(component AS VARCHAR)), 1, 5) < '66666' THEN 'test'
+           ELSE 'train' END AS split
+         FROM allc ORDER BY doc_id"""),
 
     "d20_soft_dedup" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       """,

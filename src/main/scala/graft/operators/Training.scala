@@ -269,6 +269,33 @@ object Training {
       when(h < valThr, "val").when(h < bothThr, "test").otherwise("train"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — cluster-aware splitting, the
+    * contamination complement of [[assignSplit]]: a random split of a
+    * near-duplicated corpus puts one copy in train and its twin in
+    * test, silently inflating eval (the Lee et al. 2021 dedup
+    * motivation applied to SPLITTING). Here the hash range is drawn
+    * for each near-dup COMPONENT, not each doc — every member
+    * inherits its component representative's bucket, so a cluster can
+    * never straddle a split boundary. Docs in no pair are their own
+    * component, so on a fully-deduplicated corpus this degenerates to
+    * [[assignSplit]] exactly (spec-pinned).
+    *
+    * Shape at scale: `pairs` is the d02/d11 LSH candidate output
+    * (never all-pairs); components ride the d06 union-find /
+    * large-star machinery; the split itself is one md5 projection on
+    * the component key — no shuffle beyond what component resolution
+    * already paid. Growth-stability inherits from the component key:
+    * a component's split never changes unless new duplicates MERGE
+    * components (at which point moving is the point — the merged
+    * cluster must land on one side).
+    *
+    * Output: input columns + `component` + `split`.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       valFrac: Double, testFrac: Double): DataFrame =
+    assignSplit(Dedup.components(df, idCol, pairs), "component",
+      valFrac, testFrac)
+
   /** Token-budget cut: keep documents, in deterministic md5(id)
     * order, while the cumulative token count stays within `budget` —
     * "give me exactly ~N tokens of this corpus, reproducibly" (the
