@@ -877,6 +877,29 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    "d26_kmv_store_merge" -> ((s, dir) => {
+      // incremental corpus stats: two ingest runs each sketch their
+      // own half's per-source distinct tokens (KMV bottom-64 over
+      // portable md5); the stores merge with pure column arithmetic
+      // and the merged estimates HASH-MATCH the oracle's one-shot
+      // whole-corpus pass — the driver-verified mergeability proof
+      // behind never re-scanning cold history
+      val docs = T(s, dir, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val runA = graft.operators.SketchStore.kmvStore(
+        toks(docs.filter(col("doc_id") < 500)), "source", md5(col("tok")), 64)
+      val runB = graft.operators.SketchStore.kmvStore(
+        toks(docs.filter(col("doc_id") >= 500)), "source", md5(col("tok")), 64)
+      graft.operators.SketchStore.kmvStoreMerge(runA, runB, "source", 64)
+        .select(col("source"), size(col("kmv")).cast("long").as("n_sketch"),
+          graft.functions.KmvAgg.distinctEst(col("kmv"), 64)
+            .as("distinct_tokens_est"))
+        .orderBy("source")
+    }),
+
     "p13_epoch_repeat" -> ((s, dir) =>
       // fractional epoch mixing (GPT-3 Table 2.2 style): the head
       // sources train 2.45 epochs, the tail 0.7 — every doc repeats
@@ -3269,6 +3292,24 @@ object SparkEntry {
                         * (1.0 - $horner), 6) AS effective_tokens
          FROM tot ORDER BY source"""
     },
+
+    "d26_kmv_store_merge" ->
+      // the ONE-SHOT whole-corpus bottom-64 per source: matching the
+      // Spark side's two-run merge proves store mergeability exactly
+      """WITH tk AS (SELECT source, md5(tok) AS h FROM (
+                SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0 GROUP BY 1, 2),
+            rk AS (SELECT source, h, row_number() OVER (
+                     PARTITION BY source ORDER BY h) AS r FROM tk),
+            sk AS (SELECT source, count(*) AS n_sketch, max(h) AS hk
+                   FROM rk WHERE r <= 64 GROUP BY 1)
+         SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+                CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                     ELSE round(63.0 * 1152921504606846976.0 /
+                            CAST(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)
+                                 AS DOUBLE), 4)
+                END AS distinct_tokens_est
+         FROM sk ORDER BY source""",
 
     "d25_sig_store_dedup" ->
       // the d11 portable chain split at doc_id 250: signatures + bands
