@@ -1747,6 +1747,16 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t36_backoff_buckets" -> ((s, dir) =>
+      // the DEPLOYABLE CCNet composition: the en slice trains the
+      // backoff LM (t30), every doc scores under it, and each
+      // language buckets by tercile on ITS OWN score distribution —
+      // out-of-domain text falls to the unigram floor and the tail
+      TextStats.backoffPplBuckets(T(s, dir, "documents"), "doc_id", "text",
+          "lang", lmPred = col("lang") === "en")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t14_token_entropy" -> ((s, dir) =>
       // within-doc token entropy: the low-entropy detector that
       // catches even-cycling template text top-fraction metrics miss
@@ -2244,7 +2254,43 @@ object SparkEntry {
     * ln(0.4 · (nu+1)/(N+V)) with the same multiplication association —
     * each rounded to 6 then DECIMAL-summed per doc.
     */
-  private lazy val t30Oracle: String =
+  private lazy val t30Oracle: String = t30ScoreCte +
+    """
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
+                AS mean_logprob
+       FROM sc GROUP BY 1 ORDER BY 1"""
+
+  /** t36: t30's per-doc backoff scores fed through the t18 tercile
+    * cut — per-language head/middle/tail on the cross-slice LM. */
+  private lazy val t36Oracle: String = t30ScoreCte +
+    """,
+          pd AS (SELECT doc_id,
+                   round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE)
+                         / count(*), 6) AS mean_logprob
+                 FROM sc GROUP BY 1),
+          sl AS (SELECT d.doc_id, d.lang, p.mean_logprob
+                 FROM pd p JOIN documents d ON d.doc_id = p.doc_id),
+          hist AS (SELECT lang, mean_logprob, count(*) AS c
+                   FROM sl GROUP BY 1, 2),
+          cut AS (SELECT lang, mean_logprob,
+                    CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                             ORDER BY mean_logprob DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                           / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                           < (1.0 / 3.0) THEN 'head'
+                         WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                             ORDER BY mean_logprob DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                           / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                           < (2.0 / 3.0) THEN 'middle'
+                         ELSE 'tail' END AS bucket
+                  FROM hist)
+       SELECT doc_id, lang, mean_logprob, bucket
+       FROM sl JOIN cut USING (lang, mean_logprob)
+       ORDER BY doc_id"""
+
+  private lazy val t30ScoreCte: String =
     """WITH tk AS (SELECT doc_id, lang = 'en' AS lm,
                list_filter(string_split_regex(lower(text), '\s+'),
                  t -> len(t) > 0) AS toks FROM documents),
@@ -2267,11 +2313,7 @@ object SparkEntry {
                  LEFT JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
                  LEFT JOIN pc c ON c.w1 = p.w1
                  LEFT JOIN un u ON u.w2 = p.w2
-                 CROSS JOIN tot t)
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
-                AS mean_logprob
-       FROM sc GROUP BY 1 ORDER BY 1"""
+                 CROSS JOIN tot t)"""
 
   /** CMS oracle: rebuilds the Count-Min grid in SQL with the same
     * portable row hashes ((first 4 md5 hex digits of "r:item") mod w)
@@ -3877,6 +3919,8 @@ object SparkEntry {
          SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
 
     "t30_stupid_backoff" -> t30Oracle,
+
+    "t36_backoff_buckets" -> t36Oracle,
 
     "t33_heaps" ->
       // same prefix construction (first-doc vocab trick), same moment

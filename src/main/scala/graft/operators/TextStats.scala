@@ -466,15 +466,45 @@ object TextStats {
     * Output: (id, lang, mean_logprob, bucket).
     */
   def pplBuckets(df: DataFrame, idCol: String, textCol: String,
-                 langCol: String): DataFrame = {
+                 langCol: String): DataFrame =
+    bucketByLangTercile(
+      unigramLogProb(df, idCol, textCol)
+        .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+        .select(col("id"), col("lang"), col("mean_logprob")))
+
+  /** CCNet bucketing under the CROSS-SLICE backoff LM — the
+    * composition Wenzek et al. 2020 actually describe: the LM trains
+    * on a clean reference slice (their Wikipedia KenLM; here
+    * [[stupidBackoff]]'s `lmPred` rows) and the whole corpus buckets
+    * per language by its score under THAT model. t18 is the
+    * self-scored stand-in (the corpus trains on itself, so backoff
+    * never fires); this is the deployable form — out-of-domain text
+    * falls to the backed-off unigram floor, landing in the tail of
+    * its own language's distribution instead of borrowing in-domain
+    * bigram mass. Same histogram tercile cut, shared code
+    * ([[bucketByLangTercile]] — the two bucketers cannot drift).
+    * Docs with fewer than two tokens have no bigram evidence and
+    * drop (the t30 rule). Output: (id, lang, mean_logprob, bucket).
+    */
+  def backoffPplBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, lmPred: Column,
+                        alpha: Double = 0.4): DataFrame =
+    bucketByLangTercile(
+      stupidBackoff(df, idCol, textCol, lmPred, alpha)
+        .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+        .select(col("id"), col("lang"), col("mean_logprob")))
+
+  /** The shared CCNet tercile assignment over a scored (id, lang,
+    * mean_logprob) frame: cut each language's score distribution into
+    * head/middle/tail BY VALUE on the (lang, score) histogram — the
+    * corpus never windows; see [[pplBuckets]] for the full contract.
+    */
+  private def bucketByLangTercile(scored0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // persisted: the scored frame (the expensive full-corpus LM pass)
     // feeds BOTH the histogram and the final assignment join; the
     // narrow per-doc result seals over it below
-    val scored = unigramLogProb(df, idCol, textCol)
-      .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
-      .select(col("id"), col("lang"), col("mean_logprob"))
-      .persist()
+    val scored = scored0.persist()
     val hist = scored.groupBy(col("lang"), col("mean_logprob"))
       .agg(count(lit(1)).as("_c"))
     val wl = Window.partitionBy(col("lang")).orderBy(col("mean_logprob").desc)
