@@ -711,6 +711,14 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("pos"), col("code"), col("scale"))
         .orderBy("vec_id", "pos")),
 
+    "s21_top_pc" -> ((s, dir) =>
+      // top principal component by power iteration: the PCA-rotation
+      // prerequisite and the embedding anisotropy/drift diagnostic;
+      // one corpus moment pass + a driver-side iteration over the
+      // d x d matrix, hash-exact via the round6/decimal discipline
+      Similarity.topPcPower(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("pos")),
+
     "s20_int8_ann" -> ((s, dir) => {
       // symmetric int8 quantized search (FAISS SQ8 shape): scales
       // cancel out of the cosine, so ranking runs entirely on BIGINT
@@ -2254,6 +2262,42 @@ object SparkEntry {
     * ln(0.4 · (nu+1)/(N+V)) with the same multiplication association —
     * each rounded to 6 then DECIMAL-summed per doc.
     */
+  /** s21 oracle: the identical moment pass and the identical 12
+    * power-iteration rounds as chained CTEs — every sum a round-6 →
+    * DECIMAL(24,8) fold, every round's normalize re-rounded, so the
+    * loadings/eigenvalue/explained fraction replay Spark's driver
+    * loop bit-for-bit. */
+  private lazy val s21Oracle: String = {
+    val iterCtes = (1 to 12).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      // every iteration CTE MATERIALIZED: inlined, v_t references w_t
+      // twice (directly and via n_t), so the plan re-expands
+      // exponentially in the iteration count
+      s"""w$t AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(round(c.c * p.v, 6) AS DECIMAL(24,8))) AS DOUBLE) AS w
+                  FROM cov c JOIN $pv p ON p.i = c.j GROUP BY 1),
+          n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM w$t),
+          v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM w$t, n$t)"""
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (SELECT list_transform(embedding, t -> round(CAST(t AS DOUBLE), 6)) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+          nn AS (SELECT count(*) AS n FROM x),
+          e1 AS (SELECT unnest(v) AS xi, unnest(range(len(v))) AS i, v FROM x),
+          pp AS (SELECT i, xi, unnest(v) AS xj, unnest(range(len(v))) AS j FROM e1),
+          s AS (SELECT i, j, CAST(sum(CAST(round(xi * xj, 6) AS DECIMAL(24,8))) AS DOUBLE) AS s
+                FROM pp GROUP BY 1, 2),
+          mu AS (SELECT i, CAST(sum(CAST(xi AS DECIMAL(24,8))) AS DOUBLE) AS sm FROM e1 GROUP BY 1),
+          cov AS MATERIALIZED (SELECT s.i, s.j, (s.s / nn.n) - ((m1.sm / nn.n) * (m2.sm / nn.n)) AS c
+                  FROM s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j CROSS JOIN nn),
+          dd AS (SELECT count(*) AS d FROM mu),
+          v0 AS (SELECT i, round(1.0 / sqrt(CAST(d AS DOUBLE)), 6) AS v FROM mu, dd),
+          $iterCtes,
+          tr AS (SELECT CAST(sum(CAST(round(c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS tr
+                 FROM cov WHERE i = j)
+       SELECT i AS pos, v AS loading, round(nm, 6) AS eigenvalue,
+              round(round(nm, 6) / tr, 6) AS explained_frac
+       FROM v12, n12, tr ORDER BY pos"""
+  }
+
   private lazy val t30Oracle: String = t30ScoreCte +
     """
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -3593,6 +3637,8 @@ object SparkEntry {
                                  AS DOUBLE), 4)
                 END AS distinct_est
          FROM sk ORDER BY l_returnflag""",
+
+    "s21_top_pc" -> s21Oracle,
 
     "s20_int8_ann" ->
       // both sides re-quantized with s07's floor codes; the three

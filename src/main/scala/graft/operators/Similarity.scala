@@ -300,6 +300,87 @@ object Similarity {
         col("scale"))
   }
 
+  /** Top principal component of an embedding corpus by POWER
+    * ITERATION (von Mises–Pollaczek-Geiringer; the PCA step Jégou
+    * et al. 2011 §V.A apply before PQ, and the one-number drift/
+    * anisotropy diagnostic for an embedding column: a large
+    * explained-variance share means the corpus collapsed toward a
+    * line — an encoder or dedup regression).
+    *
+    * Shape at scale: ONE corpus pass builds the d×d second-moment
+    * matrix — the (i,j) product explode partial-aggregates map-side,
+    * so the shuffle carries d² keys per partition, never the corpus —
+    * plus the d-row mean; the covariance assembly and the iteration
+    * itself run on the DRIVER over d² ≤ 16384 doubles (require'd;
+    * the bounded-collect contract, same class as trainCoarse's
+    * trainCap). Iterations never touch the corpus again.
+    *
+    * Engine-exactness: coordinates round to 6; per-term products
+    * round-6 then DECIMAL(24,8)-sum (order-independent), and every
+    * iteration re-rounds (matvec terms, norm terms, the normalized
+    * vector) through the SAME round6/decimal discipline in the
+    * driver loop and the oracle's chained CTEs — the two replay
+    * identical IEEE arithmetic, so loadings, eigenvalue, and
+    * explained fraction are hash-EXACT. The eigenvector's sign is
+    * pinned by the deterministic start v0 = round6(1/√d)·1.
+    *
+    * Output: d rows (pos, loading, eigenvalue, explained_frac).
+    */
+  def topPcPower(df: DataFrame, idCol: String, vecCol: String,
+                 iters: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.filter(col(vecCol).isNotNull)
+    val xr = rows.select(
+      posexplode(transform(col(vecCol), x => round(x.cast("double"), 6)))
+        .as(Seq("i", "_xi")),
+      transform(col(vecCol), x => round(x.cast("double"), 6)).as("_v"))
+    val pp = xr.select(col("i"), col("_xi"),
+      posexplode(col("_v")).as(Seq("j", "_xj")))
+    val sRows = pp.groupBy("i", "j")
+      .agg(sum(round(col("_xi") * col("_xj"), 6).cast("decimal(24,8)")).as("s"))
+      .collect()
+    val mRows = xr.groupBy("i")
+      .agg(sum(col("_xi").cast("decimal(24,8)")).as("sm"))
+      .collect()
+    val n = rows.count()
+    require(n > 0, "topPcPower: empty corpus")
+    val d = mRows.length
+    require(d.toLong * d <= 16384,
+      s"topPcPower: d=$d exceeds the 128-dim driver-matrix contract")
+    val nD = n.toDouble
+    val sm = mRows.map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    // C_ij = S_ij/n - (sm_i/n)(sm_j/n), association mirrored by the oracle
+    val m = Array.tabulate(d)(i => sm(i) / nD)
+    val c = Array.ofDim[Double](d, d)
+    sRows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      c(i)(j) = r.getDecimal(2).doubleValue() / nD - m(i) * m(j)
+    }
+    import graft.functions.PqCodes.round6
+    // DECIMAL(24,8) fold of round6 terms — the engine-portable sum
+    def decSum(terms: Iterator[Double]): Double = {
+      var acc = java.math.BigDecimal.ZERO
+      terms.foreach { t =>
+        acc = acc.add(java.math.BigDecimal.valueOf(round6(t)).setScale(8))
+      }
+      acc.doubleValue()
+    }
+    var v = Array.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
+    var nm = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i => decSum((0 until d).iterator.map(j => c(i)(j) * v(j))))
+      nm = math.sqrt(decSum(w.iterator.map(x => x * x)))
+      require(nm > 0, "topPcPower: zero covariance — no variance to explain")
+      v = w.map(x => round6(x / nm))
+    }
+    val trace = decSum((0 until d).iterator.map(i => c(i)(i)))
+    val eig = round6(nm)
+    val expl = round6(eig / trace)
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, i) => (i.toLong, l, eig, expl) }.toSeq
+      .toDF("pos", "loading", "eigenvalue", "explained_frac")
+  }
+
   /** Symmetric int8-quantized ANN — the FAISS SQ8 SEARCH path on top
     * of [[quantizeInt8]]'s storage layout: BOTH sides quantize to
     * per-vector floor codes, and the ranking score is the quantized
