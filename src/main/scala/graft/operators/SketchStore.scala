@@ -54,6 +54,26 @@ object SketchStore {
           .as("kmv"))
   }
 
+  /** STREAMING twin of [[kmvStore]]: the same per-source KMV
+    * aggregate over an unbounded stream in Complete mode — the
+    * TypedImperativeAggregate's bottom-k state lives in the streaming
+    * state store between micro-batches (serialize/merge/deserialize
+    * is the SAME merge path the batch partial-aggregation uses), so
+    * after any batch the emitted store equals [[kmvStore]] over
+    * everything ingested so far, bit for bit (parity spec-pinned).
+    * ~k strings of state per source at any stream length. */
+  def kmvStoreStream(stream: DataFrame, sourceCol: String, item: Column,
+                     k: Int): DataFrame =
+    stream.groupBy(col(sourceCol)).agg(KmvAgg.sketch(item, k).as("kmv"))
+
+  /** STREAMING twin of [[cmsStore]]: the d×w grid as Complete-mode
+    * streaming state — 32 KB per source at any stream length, grid
+    * equal to the batch build over everything ingested (spec). */
+  def cmsStoreStream(stream: DataFrame, sourceCol: String, item: Column,
+                     weight: Column, width: Int, depth: Int): DataFrame =
+    stream.groupBy(col(sourceCol))
+      .agg(CountMinAgg.sketchWeighted(item, weight, width, depth).as("cms"))
+
   /** One run's CMS store: the per-source d×w grid over the (item,
     * count) histogram (the t20 weighted-update shape). Output:
     * (source, cms). */
