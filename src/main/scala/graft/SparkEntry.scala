@@ -719,6 +719,15 @@ object SparkEntry {
       Similarity.topPcPower(T(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("pos")),
 
+    "s22_pc_project" -> ((s, dir) =>
+      // the PCA APPLY step: every vector's signed coordinate along
+      // the corpus top PC (s21's training pass), centered by the same
+      // corpus mean; loadings+means embed as literals in one
+      // zero-shuffle narrow pass, engine-exact via round6/decimal
+      Similarity.pcProject(T(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("pc_score"))
+        .orderBy("vec_id")),
+
     "s20_int8_ann" -> ((s, dir) => {
       // symmetric int8 quantized search (FAISS SQ8 shape): scales
       // cancel out of the cosine, so ranking runs entirely on BIGINT
@@ -2267,7 +2276,7 @@ object SparkEntry {
     * DECIMAL(24,8) fold, every round's normalize re-rounded, so the
     * loadings/eigenvalue/explained fraction replay Spark's driver
     * loop bit-for-bit. */
-  private lazy val s21Oracle: String = {
+  private lazy val s21Cte: String = {
     val iterCtes = (1 to 12).map { t =>
       val pv = if (t == 1) "v0" else s"v${t - 1}"
       // every iteration CTE MATERIALIZED: inlined, v_t references w_t
@@ -2278,10 +2287,10 @@ object SparkEntry {
           n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM w$t),
           v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM w$t, n$t)"""
     }.mkString(",\n")
-    s"""WITH x AS MATERIALIZED (SELECT list_transform(embedding, t -> round(CAST(t AS DOUBLE), 6)) AS v
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, list_transform(embedding, t -> round(CAST(t AS DOUBLE), 6)) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
           nn AS (SELECT count(*) AS n FROM x),
-          e1 AS (SELECT unnest(v) AS xi, unnest(range(len(v))) AS i, v FROM x),
+          e1 AS (SELECT vec_id, unnest(v) AS xi, unnest(range(len(v))) AS i, v FROM x),
           pp AS (SELECT i, xi, unnest(v) AS xj, unnest(range(len(v))) AS j FROM e1),
           s AS (SELECT i, j, CAST(sum(CAST(round(xi * xj, 6) AS DECIMAL(24,8))) AS DOUBLE) AS s
                 FROM pp GROUP BY 1, 2),
@@ -2290,13 +2299,30 @@ object SparkEntry {
                   FROM s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j CROSS JOIN nn),
           dd AS (SELECT count(*) AS d FROM mu),
           v0 AS (SELECT i, round(1.0 / sqrt(CAST(d AS DOUBLE)), 6) AS v FROM mu, dd),
-          $iterCtes,
+          $iterCtes"""
+  }
+
+  private lazy val s21Oracle: String = s21Cte +
+    """,
           tr AS (SELECT CAST(sum(CAST(round(c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS tr
                  FROM cov WHERE i = j)
        SELECT i AS pos, v AS loading, round(nm, 6) AS eigenvalue,
               round(round(nm, 6) / tr, 6) AS explained_frac
        FROM v12, n12, tr ORDER BY pos"""
-  }
+
+  /** s22: the s21 chain's v12 loadings applied back to every vector —
+    * centered by the same mu/n mean, per-term round-6 products
+    * DECIMAL-summed per row, the identical arithmetic the Spark side
+    * embeds as literals. */
+  private lazy val s22Oracle: String = s21Cte +
+    """,
+          mm AS (SELECT mu.i, mu.sm / nn.n AS m FROM mu CROSS JOIN nn),
+          pt AS (SELECT e.vec_id,
+                   CAST(sum(CAST(round(round(e.xi - m.m, 6) * v.v, 6)
+                     AS DECIMAL(24,8))) AS DOUBLE) AS sc
+                 FROM e1 e JOIN mm m ON m.i = e.i JOIN v12 v ON v.i = e.i
+                 GROUP BY 1)
+       SELECT vec_id, round(sc, 6) AS pc_score FROM pt ORDER BY vec_id"""
 
   private lazy val t30Oracle: String = t30ScoreCte +
     """
@@ -3639,6 +3665,8 @@ object SparkEntry {
          FROM sk ORDER BY l_returnflag""",
 
     "s21_top_pc" -> s21Oracle,
+
+    "s22_pc_project" -> s22Oracle,
 
     "s20_int8_ann" ->
       // both sides re-quantized with s07's floor codes; the three

@@ -381,6 +381,48 @@ object Similarity {
       .toDF("pos", "loading", "eigenvalue", "explained_frac")
   }
 
+  /** Project every embedding onto the corpus top principal component
+    * (the APPLY step of [[topPcPower]]): score_r = Σ_i round6(x_ri)·v_i
+    * — centered by the same corpus mean the training pass measured,
+    * so the score is the signed distance along the dominant axis. The
+    * per-row drift/outlier coordinate: corpus-level anisotropy (s21's
+    * explained_frac) says "the corpus collapsed toward a line"; this
+    * says WHICH rows sit where on it (tail cleanup, stratified
+    * sampling along the axis, PCA whitening's first coordinate).
+    *
+    * Shape at scale: [[topPcPower]]'s bounded moment pass runs once;
+    * the projection itself embeds the d loadings and d means as
+    * LITERALS in one zero-shuffle narrow pass (the s08/d21 device) —
+    * per-term products round-6 then DECIMAL-fold row-locally, so the
+    * score is engine-exact and deterministic under any partitioning.
+    * Output: (id, pc_score).
+    */
+  def pcProject(df: DataFrame, idCol: String, vecCol: String,
+                iters: Int = 12): DataFrame = {
+    val pc = topPcPower(df, idCol, vecCol, iters)
+      .orderBy("pos").collect()
+    val loadings = pc.map(_.getDouble(1))
+    // the same corpus mean the moment pass measured, re-derived with
+    // the identical rounded-coordinate aggregate
+    val rows = df.filter(col(vecCol).isNotNull)
+    val n = rows.count().toDouble
+    val mRows = rows.select(
+        posexplode(transform(col(vecCol), x => round(x.cast("double"), 6)))
+          .as(Seq("i", "_xi")))
+      .groupBy("i").agg(sum(col("_xi").cast("decimal(24,8)")).as("sm"))
+      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val means = Array.tabulate(loadings.length)(i => mRows(i) / n)
+    val terms = (0 until loadings.length).map { i =>
+      round(round((element_at(col("_xr"), i + 1) - lit(means(i))) , 6) * lit(loadings(i)), 6)
+        .cast("decimal(24,8)")
+    }
+    rows.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("_xr"))
+      .withColumn("pc_score",
+        round(terms.reduce(_ + _).cast("double"), 6))
+      .select(col("id"), col("pc_score"))
+  }
+
   /** Symmetric int8-quantized ANN — the FAISS SQ8 SEARCH path on top
     * of [[quantizeInt8]]'s storage layout: BOTH sides quantize to
     * per-vector floor codes, and the ranking score is the quantized

@@ -36,6 +36,31 @@ class TopPcSpec extends SparkSpec {
     assert(expl > 0.95, s"explained_frac $expl")
   }
 
+  test("pcProject: scores are centered and track the planted axis") {
+    // same planted-direction corpus as above: the projection of row k
+    // must be monotone in its dominant coordinate t, and mean ~ 0
+    val u = Array(0.6, 0.8)
+    val o = Array(-0.8, 0.6)
+    val rows = (0 until 200).map { k =>
+      val t = (k - 100) / 10.0
+      val e = ((k * 37) % 11 - 5) / 50.0
+      (k.toLong, Array((t * u(0) + e * o(0)).toFloat,
+        (t * u(1) + e * o(1)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val sc = Similarity.pcProject(df, "vec_id", "embedding")
+      .orderBy("id").collect().map(_.getDouble(1))
+    val mean = sc.sum / sc.length
+    assert(math.abs(mean) < 1e-3, s"mean $mean not centered")
+    // |score| range ~ |t| range (10): the axis coordinate, not noise
+    assert(math.abs(sc(0)) > 9.0 && math.abs(sc(199)) > 9.0)
+    assert(sc(0) * sc(199) < 0, "endpoints must sit on opposite sides")
+    // monotone along k up to the small orthogonal noise
+    val dir = math.signum(sc(199) - sc(0))
+    val violations = (1 until 200).count(k => (sc(k) - sc(k - 1)) * dir < -0.2)
+    assert(violations == 0, s"$violations large monotonicity violations")
+  }
+
   test("deterministic: two runs produce identical rows") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.topPcPower(df, "vec_id", "embedding").collect().toSeq
