@@ -1483,6 +1483,16 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "m07_audio_overlap" -> ((s, dir) => {
+      // audio segment dedup: files pairing on shared 100-byte chunk
+      // contents at any block-aligned offset — the "same jingle in
+      // two recordings" screen; md5 keys keep audio off the shuffle
+      val blobs = Multimodal.withBlob(
+        T(s, dir, "documents").filter(col("doc_id") < 500), "text")
+      Multimodal.audioChunkOverlap(blobs, "doc_id", "blob", chunkBytes = 100)
+        .orderBy("id1", "id2")
+    }),
+
     "m04_audio_chunks" -> ((s, dir) => {
       val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
       Multimodal.chunkAudio(blobs, "doc_id", "blob", chunkBytes = 100)
@@ -4313,6 +4323,23 @@ object SparkEntry {
                      + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) AS BIGINT) AS hamming
            FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id)
          WHERE hamming <= 3 ORDER BY id1, id2""",
+
+    "m07_audio_overlap" ->
+      // chunk contents joined RAW (hex-slice equality) — md5 is only
+      // Spark's shuffle-key compression, so byte equality is the same
+      // relation and the pair counts hash-match
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents WHERE doc_id < 500 AND strlen(text) > 0),
+            c AS (SELECT doc_id, substr(hx, 2 * chunk_idx * 100 + 1, 200) AS ck
+                  FROM (SELECT doc_id, hx,
+                          unnest(range(0, (n + 99) // 100)) AS chunk_idx
+                        FROM h)),
+            d AS (SELECT DISTINCT doc_id, ck FROM c),
+            p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         CAST(count(*) AS BIGINT) AS n_shared
+                  FROM d a JOIN d b ON a.ck = b.ck AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+         SELECT id1, id2, n_shared FROM p ORDER BY id1, id2""",
 
     "m04_audio_chunks" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n

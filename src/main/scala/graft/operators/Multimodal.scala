@@ -250,6 +250,47 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Audio SEGMENT overlap — the audio-dedup crossover beside m05's
+    * image pairs: fixed-size chunks of each blob (m04's chunking
+    * grid) fingerprint by md5, and two files pair with the count of
+    * DISTINCT chunk contents they share — "this jingle/segment
+    * appears in both recordings", the d01-exact analogue at chunk
+    * granularity. Matching is content-keyed, not position-keyed, so
+    * a shared segment is found at ANY block-aligned offset; the
+    * distinct-per-file step keeps a repeated chunk (digital silence)
+    * from quadratically inflating a pair's count. Block alignment is
+    * the documented limit: a segment shifted by a non-multiple of
+    * `chunkBytes` needs the winnowing family (d17) on a byte-shingle
+    * stream instead — this operator is the cheap aligned screen.
+    *
+    * Shape at scale: one narrow chunk explode (output ∝ corpus
+    * bytes / chunkBytes), md5 collapses every join key to 16 bytes
+    * (the shuffle never carries audio), and the pair join runs on
+    * the fp key where only files sharing content collide. Empty
+    * blobs and null ids drop (no evidence). Output:
+    * (id1, id2, n_shared).
+    */
+  def audioChunkOverlap(df: DataFrame, idCol: String, blobCol: String,
+                        chunkBytes: Int, minShared: Long = 1L): DataFrame = {
+    require(chunkBytes > 0, s"audioChunkOverlap: chunkBytes $chunkBytes")
+    val n = octet_length(col(blobCol))
+    val fps = df
+      .filter(col(idCol).isNotNull && col(blobCol).isNotNull && n > 0)
+      .select(col(idCol).cast("long").as("id"), col(blobCol).as("_b"),
+        explode(sequence(lit(0),
+          ((n + lit(chunkBytes - 1)) / lit(chunkBytes)).cast("int") - 1))
+          .as("_c"))
+      .select(col("id"), md5(expr(
+        s"substring(_b, cast(_c as int) * $chunkBytes + 1, $chunkBytes)"))
+        .as("_fp"))
+      .distinct()
+    val a = fps.select(col("id").as("id1"), col("_fp"))
+    val b = fps.select(col("id").as("id2"), col("_fp"))
+    a.join(b, Seq("_fp")).filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Audio-shaped contract: split the byte stream into fixed-size
     * chunks (a real pipeline chunks by duration at a sample rate) and
     * emit per-chunk byte stats — the explode-shaped rows a feature
