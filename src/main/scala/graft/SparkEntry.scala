@@ -894,6 +894,29 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    "d27_incremental_cc" -> ((s, dir) => {
+      // append-mode component resolution: yesterday's store (old half
+      // + its own pairs) folds in today's batch via edge CONTRACTION
+      // — CC runs on a graph proportional to the NEW pairs, never
+      // history — and must equal one-shot CC over everything (the
+      // oracle computes exactly that)
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val oldDocs = docs.filter(col("doc_id") < 250)
+      val newDocs = docs.filter(col("doc_id") >= 250)
+      val store = Dedup.components(oldDocs.select(col("doc_id")), "doc_id",
+          Dedup.jaccardPairs(Dedup.shingles(oldDocs, "doc_id", "text", 3), 0.5))
+        .select(col("doc_id").as("id"), col("component"))
+      // in production these arrive from d25's sig-store matches; here
+      // the same tau=0.5 pairs touching at least one new doc
+      val newPairs = Dedup.jaccardPairs(
+          Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+        .filter(col("id1") >= 250 || col("id2") >= 250)
+      Dedup.incrementalComponents(store, newDocs.select(col("doc_id")),
+          "doc_id", newPairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     "d26_kmv_store_merge" -> ((s, dir) => {
       // incremental corpus stats: two ingest runs each sketch their
       // own half's per-source distinct tokens (KMV bottom-64 over
@@ -3414,6 +3437,23 @@ object SparkEntry {
                         * (1.0 - $horner), 6) AS effective_tokens
          FROM tot ORDER BY source"""
     },
+
+    "d27_incremental_cc" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      // the ONE-SHOT d06 components over ALL docs and ALL pairs: the
+      // hash match proves the contracted incremental fold exact
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+         LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""),
 
     "d26_kmv_store_merge" ->
       // the ONE-SHOT whole-corpus bottom-64 per source: matching the

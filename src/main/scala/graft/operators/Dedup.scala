@@ -278,6 +278,49 @@ object Dedup {
       .withColumn("component", coalesce(col("component"), col(idCol)))
   }
 
+  /** INCREMENTAL component resolution — the append-mode d06, closing
+    * the corpus-append trilogy (d25 signature store finds a new
+    * batch's candidate matches, d26 sketch stores fold its stats,
+    * this folds its EDGES into yesterday's component labeling without
+    * re-running CC over history): new pairs' endpoints CONTRACT
+    * through the store (an old id stands in as its component rep, a
+    * new id as itself), [[connectedComponents]] runs on that
+    * contracted graph — proportional to the NEW edges, not the
+    * corpus — and the store re-points only where components merged.
+    *
+    * Exactness: an old rep is the MIN of its cluster and new ids are
+    * themselves, so the contracted CC's min-label is the true min of
+    * every merged cluster — the result equals one-shot CC over all
+    * ids and all pairs ever seen (the d27 oracle computes exactly
+    * that; spec pins a chain bridging two old components through a
+    * new doc). Pairs may touch old ids (the d25 match output) or be
+    * new-new; untouched components and unpaired new ids keep their
+    * labels.
+    *
+    * Output: the UNIFIED (id, component) store over old ∪ new — the
+    * next run's input.
+    */
+  def incrementalComponents(store: DataFrame, newIds: DataFrame,
+                            idCol: String, pairs: DataFrame): DataFrame = {
+    val lab1 = store.select(col("id").as("id1"), col("component").as("_c1"))
+    val lab2 = store.select(col("id").as("id2"), col("component").as("_c2"))
+    val contracted = pairs
+      .join(lab1, Seq("id1"), "left")
+      .join(lab2, Seq("id2"), "left")
+      .select(coalesce(col("_c1"), col("id1")).as("id1"),
+        coalesce(col("_c2"), col("id2")).as("id2"))
+    val cc = connectedComponents(contracted).persist()
+    val merged = cc.select(col("id").as("_rep"), col("component").as("_mc"))
+    val oldResolved = store
+      .join(merged, store("component") === merged("_rep"), "left")
+      .select(col("id"), coalesce(col("_mc"), col("component")).as("component"))
+    val newResolved = newIds
+      .select(col(idCol).cast("long").as("id"))
+      .join(merged.withColumnRenamed("_rep", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_mc"), col("id")).as("component"))
+    Caching.sealOver(oldResolved.unionByName(newResolved), cc)
+  }
+
   /** Materialize the deduplicated corpus: keep exactly one row (the
     * minimum id) per near-dup component; rows in no pair keep
     * themselves.
