@@ -2320,15 +2320,18 @@ object SparkEntry {
           n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM w$t),
           v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM w$t, n$t)"""
     }.mkString(",\n")
-    s"""WITH x AS MATERIALIZED (SELECT vec_id, list_transform(embedding, t -> round(CAST(t AS DOUBLE), 6)) AS v
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+                 t -> CAST(round(round(CAST(t AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT)) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
           nn AS (SELECT count(*) AS n FROM x),
           e1 AS (SELECT vec_id, unnest(v) AS xi, unnest(range(len(v))) AS i, v FROM x),
           pp AS (SELECT i, xi, unnest(v) AS xj, unnest(range(len(v))) AS j FROM e1),
-          s AS (SELECT i, j, CAST(sum(CAST(round(xi * xj, 6) AS DECIMAL(24,8))) AS DOUBLE) AS s
-                FROM pp GROUP BY 1, 2),
-          mu AS (SELECT i, CAST(sum(CAST(xi AS DECIMAL(24,8))) AS DOUBLE) AS sm FROM e1 GROUP BY 1),
-          cov AS MATERIALIZED (SELECT s.i, s.j, (s.s / nn.n) - ((m1.sm / nn.n) * (m2.sm / nn.n)) AS c
+          s AS (SELECT i, j, sum(xi * xj) AS s6 FROM pp GROUP BY 1, 2),
+          mu AS (SELECT i, sum(xi) AS m6 FROM e1 GROUP BY 1),
+          cov AS MATERIALIZED (SELECT s.i, s.j,
+                  ((CAST(s.s6 AS DOUBLE) / 1.0e12) / nn.n)
+                  - (((CAST(m1.m6 AS DOUBLE) / 1000000.0) / nn.n)
+                     * ((CAST(m2.m6 AS DOUBLE) / 1000000.0) / nn.n)) AS c
                   FROM s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j CROSS JOIN nn),
           dd AS (SELECT count(*) AS d FROM mu),
           v0 AS (SELECT i, round(1.0 / sqrt(CAST(d AS DOUBLE)), 6) AS v FROM mu, dd),
@@ -2349,9 +2352,10 @@ object SparkEntry {
     * embeds as literals. */
   private lazy val s22Oracle: String = s21Cte +
     """,
-          mm AS (SELECT mu.i, mu.sm / nn.n AS m FROM mu CROSS JOIN nn),
+          mm AS (SELECT mu.i, (CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n AS m
+                 FROM mu CROSS JOIN nn),
           pt AS (SELECT e.vec_id,
-                   CAST(sum(CAST(round(round(e.xi - m.m, 6) * v.v, 6)
+                   CAST(sum(CAST(round(round(CAST(e.xi AS DOUBLE) / 1000000.0 - m.m, 6) * v.v, 6)
                      AS DECIMAL(24,8))) AS DOUBLE) AS sc
                  FROM e1 e JOIN mm m ON m.i = e.i JOIN v12 v ON v.i = e.i
                  GROUP BY 1)

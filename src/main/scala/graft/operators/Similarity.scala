@@ -315,14 +315,19 @@ object Similarity {
     * the bounded-collect contract, same class as trainCoarse's
     * trainCap). Iterations never touch the corpus again.
     *
-    * Engine-exactness: coordinates round to 6; per-term products
-    * round-6 then DECIMAL(24,8)-sum (order-independent), and every
-    * iteration re-rounds (matvec terms, norm terms, the normalized
-    * vector) through the SAME round6/decimal discipline in the
-    * driver loop and the oracle's chained CTEs — the two replay
-    * identical IEEE arithmetic, so loadings, eigenvalue, and
-    * explained fraction are hash-EXACT. The eigenvector's sign is
-    * pinned by the deterministic start v0 = round6(1/√d)·1.
+    * Engine-exactness: coordinates round ONCE to 6 decimals and then
+    * live as exact INTEGER MICROS (×10⁶ longs) — every moment product
+    * xi6·xj6 is an exact integer, DECIMAL(38,0)-summed with no
+    * per-product rounding at all (rounding 8M products through
+    * BigDecimal was a measured 10× slowdown — the t20 lesson), and
+    * the conversion back (S = sum/10¹², m = sum/10⁶/n) is two IEEE
+    * divisions. Every power-iteration round re-rounds (matvec terms,
+    * norm terms, the normalized vector) through the round6/DECIMAL
+    * discipline in the driver loop and the oracle's chained CTEs —
+    * the two replay identical IEEE arithmetic, so loadings,
+    * eigenvalue, and explained fraction are hash-EXACT. The
+    * eigenvector's sign is pinned by the deterministic start
+    * v0 = round6(1/√d)·1.
     *
     * Output: d rows (pos, loading, eigenvalue, explained_frac).
     */
@@ -330,17 +335,19 @@ object Similarity {
                  iters: Int = 12): DataFrame = {
     val spark = df.sparkSession
     val rows = df.filter(col(vecCol).isNotNull)
-    val xr = rows.select(
-      posexplode(transform(col(vecCol), x => round(x.cast("double"), 6)))
-        .as(Seq("i", "_xi")),
-      transform(col(vecCol), x => round(x.cast("double"), 6)).as("_v"))
-    val pp = xr.select(col("i"), col("_xi"),
-      posexplode(col("_v")).as(Seq("j", "_xj")))
-    val sRows = pp.groupBy("i", "j")
-      .agg(sum(round(col("_xi") * col("_xj"), 6).cast("decimal(24,8)")).as("s"))
+    // micro-coordinates: round6 once, then exact integers (the round6
+    // value × 1e6 sits within 1e-4 of an integer — no tie ambiguity)
+    val c6 = transform(col(vecCol),
+      x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+    val withC = rows.select(c6.as("_v"))
+    val e1 = withC.select(posexplode(col("_v")).as(Seq("i", "_xi")), col("_v"))
+    val sRows = e1
+      .select(col("i"), col("_xi"), posexplode(col("_v")).as(Seq("j", "_xj")))
+      .groupBy("i", "j")
+      .agg(sum((col("_xi") * col("_xj")).cast("decimal(38,0)")).as("s6"))
       .collect()
-    val mRows = xr.groupBy("i")
-      .agg(sum(col("_xi").cast("decimal(24,8)")).as("sm"))
+    val mRows = withC.select(posexplode(col("_v")).as(Seq("i", "_xi")))
+      .groupBy("i").agg(sum(col("_xi").cast("decimal(38,0)")).as("m6"))
       .collect()
     val n = rows.count()
     require(n > 0, "topPcPower: empty corpus")
@@ -348,13 +355,14 @@ object Similarity {
     require(d.toLong * d <= 16384,
       s"topPcPower: d=$d exceeds the 128-dim driver-matrix contract")
     val nD = n.toDouble
-    val sm = mRows.map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+    val sm = mRows.map(r =>
+      r.getInt(0) -> r.getDecimal(1).doubleValue() / 1e6).toMap
     // C_ij = S_ij/n - (sm_i/n)(sm_j/n), association mirrored by the oracle
     val m = Array.tabulate(d)(i => sm(i) / nD)
     val c = Array.ofDim[Double](d, d)
     sRows.foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = r.getDecimal(2).doubleValue() / nD - m(i) * m(j)
+      c(i)(j) = r.getDecimal(2).doubleValue() / 1e12 / nD - m(i) * m(j)
     }
     import graft.functions.PqCodes.round6
     // DECIMAL(24,8) fold of round6 terms — the engine-portable sum
@@ -403,14 +411,16 @@ object Similarity {
       .orderBy("pos").collect()
     val loadings = pc.map(_.getDouble(1))
     // the same corpus mean the moment pass measured, re-derived with
-    // the identical rounded-coordinate aggregate
+    // the identical micro-integer aggregate and conversion order
     val rows = df.filter(col(vecCol).isNotNull)
     val n = rows.count().toDouble
     val mRows = rows.select(
-        posexplode(transform(col(vecCol), x => round(x.cast("double"), 6)))
+        posexplode(transform(col(vecCol),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long")))
           .as(Seq("i", "_xi")))
-      .groupBy("i").agg(sum(col("_xi").cast("decimal(24,8)")).as("sm"))
-      .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      .groupBy("i").agg(sum(col("_xi").cast("decimal(38,0)")).as("m6"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue() / 1e6).toMap
     val means = Array.tabulate(loadings.length)(i => mRows(i) / n)
     val terms = (0 until loadings.length).map { i =>
       round(round((element_at(col("_xr"), i + 1) - lit(means(i))) , 6) * lit(loadings(i)), 6)

@@ -423,4 +423,33 @@ class PlanSpec extends SparkSpec {
     // K-task hot window over the whole corpus
     assert(p.split("\\bWindow\\b").length - 1 == 2, p)
   }
+
+  test("s20: int8 search broadcasts query codes and ranks via WindowGroupLimit") {
+    val p = plan("s20_int8_ann")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query codes must broadcast, never shuffle the corpus: " + p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("s22: PC projection is one narrow zero-shuffle pass over the corpus") {
+    val p = SparkEntry.queries("s22_pc_project")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // loadings and means are literals: no join, no aggregate, and the
+    // only exchange is the final orderBy's range partitioning
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("m07: the overlap join runs on the md5 fp key, never audio bytes") {
+    val p = SparkEntry.queries("m07_audio_overlap")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the chunk explode collapses to (id, fp) BEFORE any exchange:
+    // no binary blob column survives into a shuffle
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("_b#")),
+      "audio bytes must not ride a shuffle: " + exchanges.mkString("\n"))
+  }
 }
