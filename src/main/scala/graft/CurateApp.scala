@@ -217,6 +217,21 @@ object CurateApp {
       .write.mode("overwrite").parquet(outDir + "_sigstore")
     if (doCounts) stageSecs("sig_store") = (System.nanoTime() - ts) / 1e9
 
+    // 10: the STATS side of the same handoff — per-source mergeable
+    // KMV sketches of the curated corpus's token distincts
+    // (SketchStore, ~KB per source). The next run folds its own
+    // batch's store into this one with pure column arithmetic
+    // (kmvStoreMerge) instead of re-scanning the curated text —
+    // merged == one-shot is the d26-oracle-proven invariant.
+    val tk = System.nanoTime()
+    operators.SketchStore.kmvStore(
+        capped.select(col("source"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0),
+        "source", md5(col("tok")), 256)
+      .write.mode("overwrite").parquet(outDir + "_sketchstore")
+    if (doCounts) stageSecs("sketch_store") = (System.nanoTime() - tk) / 1e9
+
     scored.unpersist()
     exactKept.unpersist()
     resolved.unpersist()

@@ -16,6 +16,7 @@ package graft
   *   decontaminate (shingle join + seal)                   ~3
   *   quota (per-source window)                             ~2
   *   write (partitionBy exchange)                          ~1
+  *   sketch store (token explode + per-source KMV agg)     ~1
   *
   * Separate ACTIONS (the sealOver barriers inside exact/LSH/
   * decontaminate, plus the final write) re-plan their DataFrames
@@ -25,8 +26,9 @@ package graft
   * composed total measures 35 executed shuffle stages at sf0.001,
   * counts off — down from 45 before the persist (33) plus the
   * stage-9 signature-store write (+2: the sig aggregate over the
-  * persisted capped frame). The pinned bound (38) leaves AQE jitter
-  * room only. Glue regressions
+  * persisted capped frame) plus the stage-10 sketch store (+1: one
+  * per-source KMV aggregate). The pinned bound (39) leaves AQE
+  * jitter room only. Glue regressions
   * that re-shuffle the corpus — a lost broadcast, a join that
   * stopped pruning, a DROPPED persist that silently returns every
   * consumer to recompute-with-exchange — show up as +2 or more.
@@ -55,9 +57,17 @@ class CuratePipelineSpec extends SparkSpec {
     assert(sigs.select("id").distinct().count() == curated.count(),
       "signature store must cover exactly the curated corpus")
     assert(m.shuffleStages > 0, "meter saw no stages — not attached?")
-    assert(m.shuffleStages <= 38,
+    assert(m.shuffleStages <= 39,
       s"composed pipeline now executes ${m.shuffleStages} shuffle stages " +
         "— the composition grew a corpus shuffle beyond its operators' own")
+    // stage 10: the stats handoff — a per-source KMV store covering
+    // exactly the curated corpus's sources, mergeable into the next
+    // run's store without touching this corpus again
+    val sket = spark.read.parquet(out.getAbsolutePath + "_sketchstore")
+    assert(sket.columns.sorted.toSeq == Seq("kmv", "source"))
+    val curSources = curated.select("source").distinct().count()
+    assert(sket.count() == curSources,
+      s"sketch store has ${sket.count()} sources, corpus has $curSources")
 
     // the append workflow, end to end: a re-sent batch of the curated
     // docs (new ids, same text) must be caught — every doc, at 8/8
