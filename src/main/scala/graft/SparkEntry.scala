@@ -1312,6 +1312,19 @@ object SparkEntry {
           when(col("is_anomaly"), lit("fire")).otherwise(lit("resolve")).as("edge"))
         .orderBy("event_type", "hr_start")),
 
+    "r25_template_drift" -> ((s, dir) =>
+      // what changed between then and now: per-template counts in
+      // the earlier vs later half of the time range, add-1 log rate
+      // ratio, new/vanished/shifted status — one masking pass into a
+      // template-keyed conditional agg, top-k movers via TakeOrdered
+      operators.LogMining.templateDrift(
+        T(s, dir, "events").select(col("ts"), concat(
+          lit("user="), col("user_id"),
+          lit(" type="), col("event_type"),
+          lit(" value="), col("value").cast("string")).as("line")),
+        "ts", "line", k = 20)
+        .orderBy(abs(col("log_ratio")).desc, col("template"))),
+
     "r22_template_anomaly" -> ((s, dir) =>
       // which MESSAGE TYPE misbehaves: r18's masking keys the raw
       // line stream (no schema knowledge needed), r16's trailing
@@ -2924,6 +2937,34 @@ object SparkEntry {
                 CASE WHEN an THEN 'fire' ELSE 'resolve' END AS edge
          FROM e WHERE an <> coalesce(prev, false)
          ORDER BY event_type, hr_start""",
+
+    "r25_template_drift" ->
+      """WITH lines AS (SELECT ts, 'user=' || user_id || ' type=' || event_type
+                || ' value=' || CAST(value AS VARCHAR) AS l FROM events),
+            t AS (SELECT epoch_us(ts) AS us,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                      '<UUID>', 'g'),
+                      '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                      '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+                  FROM lines),
+            b AS (SELECT min(us) + ((max(us) - min(us)) // 2) AS bnd FROM t),
+            c AS (SELECT template,
+                    CAST(sum(CASE WHEN us < bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                    CAST(sum(CASE WHEN us >= bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+                  FROM t, b GROUP BY 1),
+            sc AS (SELECT template, n_before, n_after,
+                     round(ln(CAST(n_after + 1 AS DOUBLE)
+                              / CAST(n_before + 1 AS DOUBLE)), 6) AS log_ratio,
+                     CASE WHEN n_before = 0 THEN 'new'
+                          WHEN n_after = 0 THEN 'vanished'
+                          ELSE 'shifted' END AS status
+                   FROM c)
+         SELECT template, n_before, n_after, log_ratio, status FROM (
+           SELECT *, row_number() OVER (
+             ORDER BY abs(log_ratio) DESC, template) AS rk FROM sc)
+         WHERE rk <= 20 ORDER BY abs(log_ratio) DESC, template""",
 
     "r22_template_anomaly" ->
       // the r18 masking CTE keys the r16 anomaly CTE — same regexes,

@@ -144,6 +144,48 @@ object LogMining {
     Caching.sealOver(result, counts)
   }
 
+  /** Template DRIFT — "what changed between then and now": per
+    * masked skeleton, counts in the earlier vs later half of the
+    * stream's time range and the add-1-smoothed log rate ratio, with
+    * the top movers surfaced. NEW templates (a failure path that
+    * didn't exist before) and VANISHED ones (a message that stopped
+    * — often the more alarming signal) flag explicitly; both score
+    * finite ratios through the add-1 floor (the t23/p07 smoothing
+    * rule), so "new" competes with "30× growth" on one scale.
+    *
+    * Shape at scale: the boundary is one (min, max) aggregate
+    * broadcast back as a scalar; ONE masking pass collapses the
+    * corpus to per-(template) conditional counts (map-side partials
+    * — the r18 premise that the template population is tiny); the
+    * ratio math is row-local on that frame and the top-k is a
+    * TakeOrdered, never a sort. Output: (template, n_before,
+    * n_after, log_ratio, status), the k largest |log_ratio| (ties to
+    * template asc).
+    */
+  def templateDrift(df: DataFrame, tsCol: String, lineCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"templateDrift: k $k must be positive")
+    val us = unix_micros(col(tsCol))
+    val bounds = df.agg(min(us).as("_mn"), max(us).as("_mx"))
+      .select(expr("_mn + ((_mx - _mn) div 2)").as("_bnd")) // BIGINT, no float midpoint
+    val counts = df
+      .select(template(col(lineCol)).as("template"), us.as("_us"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("template"))
+      .agg(sum(when(col("_us") < col("_bnd"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("_us") >= col("_bnd"), 1L).otherwise(0L)).as("n_after"))
+    counts
+      .withColumn("log_ratio", round(log(
+        (col("n_after") + lit(1L)).cast("double") /
+          (col("n_before") + lit(1L)).cast("double")), 6))
+      .withColumn("status",
+        when(col("n_before") === 0, "new")
+          .when(col("n_after") === 0, "vanished")
+          .otherwise("shifted"))
+      .orderBy(abs(col("log_ratio")).desc, col("template"))
+      .limit(k)
+  }
+
   /** Unsealed internals of [[templates]] (the spanDedupRaw rule: the
     * seal cuts lineage, so shape gates must read the plan BEFORE it).
     * Returns (result, persisted counts frame); callers other than the
