@@ -390,6 +390,23 @@ object SparkEntry {
         .agg(dsum(col("value")))
         .orderBy("d")),
 
+    "q32_unpivot" -> ((s, dir) => {
+      // the q19 complement: wide per-flag measures melted back to
+      // (flag, measure, total) long form — Dataset.unpivot, the
+      // declarative melt (one agg shuffle; the melt itself is a
+      // row-local expand, no shuffle)
+      val wide = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("qty"),
+          dsum(col("l_extendedprice")).as("price"),
+          dsum(col("l_discount"), 4).as("disc"),
+          dsum(col("l_tax"), 4).as("tax"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc"), col("tax")),
+          "measure", "total")
+        .orderBy("l_returnflag", "measure")
+    }),
+
     "q20_asof_join" -> ((s, dir) => {
       val ev = T(s, dir, "events")
       val errors = ev.filter(col("event_type") === "error")
@@ -3348,6 +3365,19 @@ object SparkEntry {
                     / CAST(count(*) OVER (PARTITION BY p_type) AS DOUBLE) AS avg_price
            FROM part)
          WHERE p_retailprice > avg_price ORDER BY p_partkey""",
+
+    "q32_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc,
+               CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS tax
+             FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'qty' AS measure, qty AS total FROM w
+         UNION ALL SELECT l_returnflag, 'price', price FROM w
+         UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+         UNION ALL SELECT l_returnflag, 'tax', tax FROM w
+         ORDER BY l_returnflag, measure""",
 
     "q19_pivot" ->
       """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
