@@ -1279,6 +1279,16 @@ object SparkEntry {
           (col("n_errors").cast("double") / col("n_events").cast("double")).as("error_rate"))
         .orderBy("window_start")),
 
+    "r26_burn_rate" -> ((s, dir) =>
+      // the SRE multiwindow burn-rate frame: error budget consumption
+      // as a multiple of a 99.5% SLO over trailing 1h/6h/24h/72h
+      // windows ending at the stream's last hour — one hourly
+      // histogram shuffle, windows aggregated over the histogram
+      Windows.burnRate(T(s, dir, "events"), "ts",
+          col("event_type") === "error", slo = 0.995,
+          windowsHours = Seq(1, 6, 24, 72))
+        .orderBy("window_hours")),
+
     "r16_rate_anomaly" -> ((s, dir) =>
       // statistical upgrade of r14: per-event-type hourly counts
       // scored against the trailing-24h mean/stddev; the rolling
@@ -2853,6 +2863,27 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
                CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
          ORDER BY doc_id""",
+
+    "r26_burn_rate" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+                    FROM events GROUP BY 1),
+            mx AS (SELECT max(hr) AS mx FROM h),
+            w(window_hours) AS (VALUES (1), (6), (24), (72)),
+            a AS (SELECT w.window_hours,
+                         CAST(sum(h.n) AS BIGINT) AS n_total,
+                         CAST(sum(h.e) AS BIGINT) AS n_errors
+                  FROM h CROSS JOIN mx CROSS JOIN w
+                  WHERE h.hr > mx.mx - w.window_hours
+                  GROUP BY 1)
+         SELECT CAST(window_hours AS INTEGER) AS window_hours, n_total, n_errors,
+                round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS err_rate,
+                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / 0.0050000000000000044, 6) AS burn_rate,
+                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / 0.0050000000000000044, 6) >= 14.4 AS page
+         FROM a ORDER BY window_hours""",
 
     "r14_rate_alert" ->
       """SELECT * FROM (

@@ -65,6 +65,53 @@ object Windows {
     * Output: (key, hr_start, n_events, mean_trailing, z_score,
     * is_anomaly) for every scored hour.
     */
+  /** Multi-window error-budget BURN RATE (the Google SRE workbook's
+    * multiwindow multi-burn-rate alert, the shape production SLO
+    * paging actually uses): for each trailing window ending at the
+    * stream's last hour, the error rate as a multiple of the SLO's
+    * error budget — burn 1.0 spends the budget exactly at period
+    * end, the canonical fast-page threshold is 14.4 (2% of a 30-day
+    * budget in one hour). Short windows catch fast burns, long
+    * windows keep slow leaks from hiding between spikes; paging on
+    * BOTH (a short and a long window over threshold) is the
+    * workbook's flap guard, and this frame is exactly the input that
+    * rule reads.
+    *
+    * Shape at scale: ONE shuffle collapses the corpus to the hourly
+    * (total, error) histogram; the trailing-window sums aggregate
+    * the ≤|hours| histogram against the broadcast window list, and
+    * the last-hour anchor is one (max) aggregate — the corpus never
+    * windows. Rates are IEEE divisions of exact longs, rounded 6.
+    * Output: (window_hours, n_total, n_errors, err_rate, burn_rate,
+    * page) per requested window.
+    */
+  def burnRate(df: DataFrame, ts: String, isError: Column,
+               slo: Double, windowsHours: Seq[Int],
+               pageAt: Double = 14.4): DataFrame = {
+    require(slo > 0 && slo < 1, s"burnRate: slo $slo must be in (0,1)")
+    require(windowsHours.nonEmpty && windowsHours.forall(_ > 0),
+      s"burnRate: bad windows $windowsHours")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budget = 1.0 - slo
+    val hourly = df
+      .groupBy((unix_micros(col(ts)) / lit(3600000000L)).cast("long").as("_hr"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(isError, 1L).otherwise(0L)).as("_e"))
+    val anchor = hourly.agg(max(col("_hr")).as("_mx"))
+    val wins = windowsHours.toDF("window_hours")
+    hourly.crossJoin(broadcast(anchor)).crossJoin(broadcast(wins))
+      .filter(col("_hr") > col("_mx") - col("window_hours"))
+      .groupBy(col("window_hours"))
+      .agg(sum(col("_n")).as("n_total"), sum(col("_e")).as("n_errors"))
+      .withColumn("err_rate", round(
+        col("n_errors").cast("double") / col("n_total").cast("double"), 6))
+      .withColumn("burn_rate", round(
+        (col("n_errors").cast("double") / col("n_total").cast("double"))
+          / lit(budget), 6))
+      .withColumn("page", col("burn_rate") >= lit(pageAt))
+  }
+
   def rateAnomaly(df: DataFrame, ts: String, keyCol: String,
                   trailingHours: Int = 24, minHistory: Int = 12,
                   zThreshold: Double = 3.0): DataFrame = {
