@@ -911,6 +911,19 @@ object SparkEntry {
         .orderBy("doc_id", "matched_id")
     }),
 
+    "d28_dedup_report" -> ((s, dir) => {
+      // per-source duplication report card: how much of each source
+      // is duplicated text, how many clusters, the largest cluster —
+      // the between-stage drift view (mirror/SEO-farm jumps, giant
+      // boilerplate clusters) on the same 3-gram tau=0.5 components
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      Dedup.dedupReport(docs.select(col("doc_id"), col("source")),
+          "doc_id", "source", pairs)
+        .orderBy("source")
+    }),
+
     "d27_incremental_cc" -> ((s, dir) => {
       // append-mode component resolution: yesterday's store (old half
       // + its own pairs) folds in today's batch via edge CONTRACTION
@@ -3543,6 +3556,31 @@ object SparkEntry {
                         * (1.0 - $horner), 6) AS effective_tokens
          FROM tot ORDER BY source"""
     },
+
+    "d28_dedup_report" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         allc AS (SELECT d.doc_id, d.source,
+                         coalesce(c.component, d.doc_id) AS component
+                  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 500) d
+                  LEFT JOIN comp c ON c.id = d.doc_id),
+         csz AS (SELECT component, count(*) AS csz FROM allc GROUP BY 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                round(CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+                CAST(count(DISTINCT CASE WHEN csz > 1 THEN component END) AS BIGINT)
+                  AS n_clusters,
+                CAST(max(csz) AS BIGINT) AS max_cluster
+         FROM allc JOIN csz USING (component)
+         GROUP BY 1 ORDER BY source"""),
 
     "d27_incremental_cc" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       // the ONE-SHOT d06 components over ALL docs and ALL pairs: the

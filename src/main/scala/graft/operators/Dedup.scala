@@ -321,6 +321,41 @@ object Dedup {
     Caching.sealOver(oldResolved.unionByName(newResolved), cc)
   }
 
+  /** Dedup REPORT CARD — the per-source duplication drift view a
+    * curation run gates between stages (the t29 rule applied to
+    * dedup): every doc labels with its near-dup component and the
+    * component's size, then one source-keyed aggregate reports how
+    * much of each source is duplicated text, how many clusters it
+    * participates in, and its largest cluster. A source whose
+    * dup_rate jumps between crawls is the classic mirror/SEO-farm
+    * signal; a giant max_cluster is boilerplate. Components may span
+    * sources, so a doc's "duplicated" verdict is corpus-global —
+    * per-source numbers attribute it to where the docs live.
+    *
+    * Shape at scale: component resolution is the d06 machinery; the
+    * size attach is one component-keyed aggregate + join (components
+    * are near-dup clusters, orders of magnitude smaller than the
+    * corpus); the report is one aggregate over |sources| groups.
+    * Output: (source, n_docs, n_dup_docs, dup_rate, n_clusters,
+    * max_cluster).
+    */
+  def dedupReport(df: DataFrame, idCol: String, sourceCol: String,
+                  pairs: DataFrame): DataFrame = {
+    val comps = components(df.select(col(idCol), col(sourceCol)), idCol, pairs)
+    val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("_csz"))
+    comps.join(sizes, "component")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("_csz") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_docs"),
+        countDistinct(when(col("_csz") > 1, col("component"))).cast("long")
+          .as("n_clusters"),
+        max(col("_csz")).cast("long").as("max_cluster"))
+      .withColumn("dup_rate", round(
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 6))
+      .select(col(sourceCol), col("n_docs"), col("n_dup_docs"),
+        col("dup_rate"), col("n_clusters"), col("max_cluster"))
+  }
+
   /** Materialize the deduplicated corpus: keep exactly one row (the
     * minimum id) per near-dup component; rows in no pair keep
     * themselves.
