@@ -314,8 +314,13 @@ object Dedup {
     val oldResolved = store
       .join(merged, store("component") === merged("_rep"), "left")
       .select(col("id"), coalesce(col("_mc"), col("component")).as("component"))
+    // an id present in BOTH the store and the new batch (a re-sent
+    // doc) keeps its store row only — without the anti join it would
+    // emit twice and a later run reading the output as a store would
+    // see duplicate labels
     val newResolved = newIds
       .select(col(idCol).cast("long").as("id"))
+      .join(store.select(col("id")), Seq("id"), "left_anti")
       .join(merged.withColumnRenamed("_rep", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("_mc"), col("id")).as("component"))
     Caching.sealOver(oldResolved.unionByName(newResolved), cc)

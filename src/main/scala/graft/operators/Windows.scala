@@ -94,22 +94,27 @@ object Windows {
     val spark = df.sparkSession
     import spark.implicits._
     val budget = 1.0 - slo
+    // persisted: the histogram feeds BOTH the anchor aggregate and
+    // the window sums — unpersisted, the corpus pass would run twice
     val hourly = df
       .groupBy((unix_micros(col(ts)) / lit(3600000000L)).cast("long").as("_hr"))
       .agg(count(lit(1)).as("_n"),
         sum(when(isError, 1L).otherwise(0L)).as("_e"))
+      .persist()
     val anchor = hourly.agg(max(col("_hr")).as("_mx"))
     val wins = windowsHours.toDF("window_hours")
-    hourly.crossJoin(broadcast(anchor)).crossJoin(broadcast(wins))
-      .filter(col("_hr") > col("_mx") - col("window_hours"))
-      .groupBy(col("window_hours"))
-      .agg(sum(col("_n")).as("n_total"), sum(col("_e")).as("n_errors"))
-      .withColumn("err_rate", round(
-        col("n_errors").cast("double") / col("n_total").cast("double"), 6))
-      .withColumn("burn_rate", round(
-        (col("n_errors").cast("double") / col("n_total").cast("double"))
-          / lit(budget), 6))
-      .withColumn("page", col("burn_rate") >= lit(pageAt))
+    Caching.sealOver(
+      hourly.crossJoin(broadcast(anchor)).crossJoin(broadcast(wins))
+        .filter(col("_hr") > col("_mx") - col("window_hours"))
+        .groupBy(col("window_hours"))
+        .agg(sum(col("_n")).as("n_total"), sum(col("_e")).as("n_errors"))
+        .withColumn("err_rate", round(
+          col("n_errors").cast("double") / col("n_total").cast("double"), 6))
+        .withColumn("burn_rate", round(
+          (col("n_errors").cast("double") / col("n_total").cast("double"))
+            / lit(budget), 6))
+        .withColumn("page", col("burn_rate") >= lit(pageAt)),
+      hourly)
   }
 
   def rateAnomaly(df: DataFrame, ts: String, keyCol: String,

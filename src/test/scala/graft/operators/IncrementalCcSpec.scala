@@ -52,6 +52,16 @@ class IncrementalCcSpec extends SparkSpec {
     assert(got(22L) == 2L && got(21L) == 20L && got(23L) == 23L)
   }
 
+  test("a re-sent id (already in the store) keeps one row, not two") {
+    val store = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val out = Dedup.incrementalComponents(store,
+        Seq(2L, 5L).toDF("id"), "id",
+        Seq((5L, 2L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 3, out.mkString(","))
+    assert(out.toMap == Map(1L -> 1L, 2L -> 1L, 5L -> 1L), out.mkString(","))
+  }
+
   test("the output is a valid store for the NEXT incremental round") {
     val r1 = incr(
       oldIds = Seq(1L, 2L), oldPairs = Seq((1L, 2L)),
