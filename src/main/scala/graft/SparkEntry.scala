@@ -780,6 +780,15 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")),
 
+    "p19_interleave" -> ((s, dir) =>
+      // stratified interleaved training order: round r holds the
+      // r-th md5-ranked doc of every source — consecutive training
+      // positions rotate across sources instead of chancing long
+      // same-source runs; one source-key shuffle, no global window
+      Training.interleaveOrder(T(s, dir, "documents"), "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("round"), col("ord"))
+        .orderBy("round", "ord")),
+
     "p18_leakage_split" -> ((s, dir) => {
       // cluster-aware train/val/test split: near-dup components (the
       // d06 machinery on the same 3-gram tau=0.5 pairs) draw ONE hash
@@ -3674,6 +3683,13 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
+
+    "p19_interleave" ->
+      """SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS round,
+                md5('o:' || CAST(doc_id AS VARCHAR)) AS ord
+         FROM documents ORDER BY round, ord""",
 
     "p18_leakage_split" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       // d06's component resolution, then the p05 hash-range CASE on

@@ -269,6 +269,32 @@ object Training {
       when(h < valThr, "val").when(h < bothThr, "test").otherwise("train"))
   }
 
+  /** Stratified INTERLEAVED training order — the data-ordering step
+    * after mixing: a plain reproducible shuffle (p03) still deals
+    * long same-source runs by chance, and source-sorted ingestion
+    * deals catastrophic ones; gradient quality prefers consecutive
+    * batches that rotate across sources. Each doc gets its ROUND
+    * (its rank within its source, md5-ordered — round r holds the
+    * r-th doc of EVERY source that still has one) and a round-local
+    * md5 tiebreak; training order = sort by (round, ord). With
+    * equal-sized sources a source repeats adjacently only across a
+    * round boundary (run length ≤ 2, spec-pinned); small sources
+    * simply exhaust early.
+    *
+    * Shape at scale: ONE source-key shuffle for the rank window
+    * (the p04/p08 shuffle), a row-local tiebreak, and NO global
+    * window — the (round, ord) key IS the order; a consumer
+    * range-partitions on it to materialize the schedule.
+    * Output: input columns + round + ord.
+    */
+  def interleaveOrder(df: DataFrame, idCol: String,
+                      sourceCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    df.withColumn("round", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(h, col(idCol))).cast("long"))
+      .withColumn("ord", md5(concat(lit("o:"), col(idCol).cast("string"))))
+  }
+
   /** LEAKAGE-SAFE train/val/test split — cluster-aware splitting, the
     * contamination complement of [[assignSplit]]: a random split of a
     * near-duplicated corpus puts one copy in train and its twin in
