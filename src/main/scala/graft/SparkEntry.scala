@@ -1800,6 +1800,16 @@ object SparkEntry {
       TextStats.bpeTrain(T(s, dir, "documents"), "text", merges = 8)
         .orderBy("rank")),
 
+    "t37_bpe_fertility" -> ((s, dir) => {
+      // tokenizer fertility audit per language: subword tokens per
+      // word and chars per token under the corpus-trained BPE table
+      // — the multilingual context-budget inequity view
+      val merges = TextStats.bpeTrain(T(s, dir, "documents"), "text", 8)
+        .orderBy("rank").collect().map(_.getString(1)).toSeq
+      TextStats.bpeFertility(T(s, dir, "documents"), "lang", "text", merges)
+        .orderBy("lang")
+    }),
+
     "t35_bpe_tokens" -> ((s, dir) => {
       // the trained tokenizer applied back to the corpus: per-doc BPE
       // token counts — the honest upgrade over whitespace counts for
@@ -4260,6 +4270,26 @@ object SparkEntry {
       (1 to 8).map(k =>
           s"SELECT CAST($k AS BIGINT) AS rank, pair, CAST(f AS BIGINT) AS freq FROM m$k")
         .mkString("", "\nUNION ALL ", "\nORDER BY rank")),
+
+    "t37_bpe_fertility" -> (bpeCtes(8) +
+      s""",
+            tk AS (SELECT lang,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w
+                   FROM documents WHERE lang IS NOT NULL),
+            seg AS (SELECT lang, len(w) AS ch,
+                      ${(1 to 8).foldLeft("s0")((e, k) =>
+                        s"replace($e, ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ')")} AS s
+                    FROM (SELECT lang, w,
+                            ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
+                          FROM tk WHERE w <> '') ${(1 to 8).map(k => s", m$k").mkString}),
+            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                           CAST(sum(ch) AS BIGINT) AS n_chars,
+                           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe
+                    FROM seg GROUP BY 1)
+         SELECT lang, n_words, n_chars, n_bpe,
+                round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+                round(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6) AS chars_per_token
+         FROM agg ORDER BY lang"""),
 
     "t35_bpe_tokens" -> (bpeCtes(8) +
       // apply the learned table in rank order: the same padded

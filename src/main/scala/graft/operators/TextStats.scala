@@ -1121,6 +1121,39 @@ object TextStats {
     * literals, no shuffle), one per-doc sum — no vocabulary join.
     * Empty docs keep a 0 row (LEFT join back to ids).
     */
+  /** Tokenizer FERTILITY per language (the standard tokenizer-quality
+    * audit: how many subword tokens a word costs, and how many
+    * characters a token carries — a language whose fertility is 2×
+    * another's pays 2× the context budget for the same text, the
+    * classic multilingual-tokenizer inequity finding): the learned
+    * merge table ([[bpeTrain]]) applies through the SAME padded
+    * replace chain as [[bpeTokenCounts]], aggregated per language
+    * instead of per doc. One word explode + row-local chain + one
+    * |langs|-group aggregate; rates are IEEE divisions of exact
+    * longs, rounded 6. Output: (lang, n_words, n_chars, n_bpe,
+    * fertility, chars_per_token).
+    */
+  def bpeFertility(df: DataFrame, langCol: String, textCol: String,
+                   mergePairs: Seq[String]): DataFrame = {
+    val segmented = mergePairs.foldLeft(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")): Column) {
+      (c, p) => call_function("replace", c, lit(" " + p + " "),
+        lit(" " + p.replace(" ", "") + " "))
+    }
+    df.select(col(langCol).as("lang"),
+        explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("lang").isNotNull && length(col("w")) > 0)
+      .select(col("lang"), length(col("w")).cast("long").as("_ch"),
+        size(split(trim(segmented), " ")).cast("long").as("_n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("_ch")).as("n_chars"), sum(col("_n")).as("n_bpe"))
+      .withColumn("fertility", round(
+        col("n_bpe").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("chars_per_token", round(
+        col("n_chars").cast("double") / col("n_bpe").cast("double"), 6))
+  }
+
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      mergePairs: Seq[String]): DataFrame = {
     val ids = df.select(col(idCol).as("id")).filter(col("id").isNotNull).distinct()
