@@ -1116,6 +1116,15 @@ object SparkEntry {
         .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
         .orderBy("label", "pos")),
 
+    "s23_centroid_sim" -> ((s, dir) =>
+      // inter-slice redundancy audit: pairwise cosine between the
+      // per-label centroids — near-1 pairs are candidate merges or
+      // leakage; one corpus centroid pass, everything after runs on
+      // the |labels| x d frame
+      Similarity.centroidSimilarity(T(s, dir, "embeddings"),
+          "label", "embedding")
+        .orderBy("label1", "label2")),
+
     "s05_vec_norm" -> ((s, dir) =>
       T(s, dir, "embeddings")
         .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
@@ -3943,6 +3952,28 @@ object SparkEntry {
                       unnest(range(len(embedding))) AS pos
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s23_centroid_sim" ->
+      """WITH ce AS (SELECT label, pos,
+               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(len(embedding))) AS pos
+                   FROM embeddings)
+             GROUP BY 1, 2),
+            nm AS (SELECT label,
+                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                   FROM ce GROUP BY 1),
+            dt AS (SELECT a.label AS label1, b.label AS label2,
+                     CAST(sum(CAST(round(a.c * b.c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS dot
+                   FROM ce a JOIN ce b ON b.pos = a.pos AND a.label < b.label
+                   GROUP BY 1, 2)
+         SELECT label1, label2,
+                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         FROM dt JOIN nm na ON na.label = dt.label1
+                 JOIN nm nb ON nb.label = dt.label2
+         WHERE na.n2 > 0 AND nb.n2 > 0
+         ORDER BY label1, label2""",
 
     "s05_vec_norm" ->
       """SELECT vec_id, round(sqrt(list_aggregate(

@@ -707,6 +707,44 @@ object Similarity {
       .agg((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double")
         / count(lit(1)).cast("double")).as("c"))
 
+  /** Centroid SIMILARITY MATRIX — the inter-slice redundancy/drift
+    * audit (which labels/sources occupy the same region of embedding
+    * space: near-1 pairs are candidate merges or leakage between
+    * slices, a pair that drifts apart between crawls signals an
+    * encoder or content change): pairwise cosine between the s04
+    * per-label centroids. Everything after the centroid aggregate
+    * runs on the |labels|·d frame — the corpus is touched exactly
+    * once; centroids round to 6 and per-term products round-6 →
+    * DECIMAL-fold (the t13 discipline), so the matrix is hash-exact.
+    * Zero-norm labels drop by the no-evidence rule. Output:
+    * (label1, label2, cos) for label1 < label2.
+    */
+  def centroidSimilarity(df: DataFrame, labelCol: String,
+                         vecCol: String): DataFrame = {
+    // persisted: the tiny centroid frame feeds the norm aggregate AND
+    // both sides of the pair join; unpersisted, each consumer re-runs
+    // the corpus centroid pass
+    val cents = centroids(df, labelCol, vecCol)
+      .select(col("label"), col("pos"), round(col("c"), 6).as("c"))
+      .persist()
+    val norms = cents.groupBy(col("label"))
+      .agg(sum(round(col("c") * col("c"), 6).cast("decimal(24,8)"))
+        .cast("double").as("_n2"))
+      .filter(col("_n2") > 0)
+    val a = cents.select(col("label").as("label1"), col("pos"), col("c").as("_c1"))
+    val b = cents.select(col("label").as("label2"), col("pos"), col("c").as("_c2"))
+    Caching.sealOver(
+      a.join(b, "pos").filter(col("label1") < col("label2"))
+        .groupBy(col("label1"), col("label2"))
+        .agg(sum(round(col("_c1") * col("_c2"), 6).cast("decimal(24,8)"))
+          .cast("double").as("_dot"))
+        .join(norms.select(col("label").as("label1"), col("_n2").as("_na")), "label1")
+        .join(norms.select(col("label").as("label2"), col("_n2").as("_nb")), "label2")
+        .select(col("label1"), col("label2"),
+          round(col("_dot") / (sqrt(col("_na")) * sqrt(col("_nb"))), 6).as("cos")),
+      cents)
+  }
+
   /** Scale path for embedding near-dup: multi-table hyperplane LSH
     * buckets the corpus, candidate pairs form only within buckets
     * (id1 < id2, deduped across tables), then the exact cosine
