@@ -35,6 +35,23 @@ object Bucketing {
     df.write.format("parquet").partitionBy(partitionCols: _*)
       .mode("overwrite").save(path)
 
+  /** DYNAMIC partition overwrite — incremental re-curation: replace
+    * ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched (static overwrite mode would delete
+    * the whole table first). This is how one corrupted day / one
+    * re-gated language shard re-curates in place at 100 TB — the
+    * pipeline re-runs on the affected slice and rewrites 1/Nth of
+    * the corpus; the untouched partitions are never read, never
+    * rewritten, and stay visible to concurrent readers. The option
+    * is per-write (no session-level config flip), so surrounding
+    * static-mode writes keep their semantics.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: String*): Unit =
+    df.write.format("parquet").partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").save(path)
+
   /** Range-clustered parquet: repartitionByRange + sortWithinPartitions
     * on the cluster key before writing, so each output file owns a
     * DISJOINT key range. Parquet then records tight min/max stats per

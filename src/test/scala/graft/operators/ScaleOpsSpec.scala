@@ -118,6 +118,34 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("dynamic overwrite replaces only the re-curated partition") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toFile
+    val full = Seq(
+      (1L, "keep-a", "en"), (2L, "keep-b", "en"),
+      (3L, "old-c", "de"), (4L, "old-d", "de"),
+      (5L, "keep-e", "fr")).toDF("id", "payload", "lang")
+    Bucketing.writePartitioned(full, dir.getAbsolutePath, "lang")
+    // record the untouched partitions' physical files
+    def files(lang: String) = Option(new java.io.File(dir, s"lang=$lang")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val enBefore = files("en"); val frBefore = files("fr")
+    assert(enBefore.nonEmpty && files("de").nonEmpty)
+    // re-curate ONLY de: the incoming frame holds that partition alone
+    val recurated = Seq((30L, "new-c", "de")).toDF("id", "payload", "lang")
+    Bucketing.overwritePartitions(recurated, dir.getAbsolutePath, "lang")
+    val after = s.read.parquet(dir.getAbsolutePath)
+    assert(after.filter($"lang" === "de").select("payload")
+      .as[String].collect().toSet == Set("new-c"))
+    // other partitions: same rows AND the same untouched files
+    assert(after.filter($"lang" === "en").count() == 2)
+    assert(after.filter($"lang" === "fr").count() == 1)
+    assert(files("en") == enBefore && files("fr") == frBefore,
+      "untouched partitions must not be rewritten")
+  }
+
   test("range-clustered files own disjoint key ranges (min/max skippable)") {
     val s = spark
     import s.implicits._
