@@ -436,6 +436,13 @@ object SparkEntry {
       Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
         .select("keep_id", "n_dups").orderBy("keep_id")),
 
+    "d29_normalized_dedup" -> ((s, dir) =>
+      // normalize-then-hash dedup (the C4/CCNet rung between d01's
+      // byte-exact and d02's fuzzy): casing/punctuation/whitespace
+      // variants collapse at d01's one-shuffle cost
+      Dedup.normalizedExact(T(s, dir, "documents"), "doc_id", "text")
+        .select("keep_id", "n_dups").orderBy("keep_id")),
+
     "d02_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashLsh(T(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
@@ -1309,6 +1316,16 @@ object SparkEntry {
         .select(col("window_start"), col("n_events"), col("n_errors"),
           (col("n_errors").cast("double") / col("n_events").cast("double")).as("error_rate"))
         .orderBy("window_start")),
+
+    "r27_seasonal_baseline" -> ((s, dir) =>
+      // seasonal-naive weekly baseline: per (event_type, hour-of-
+      // week), the historical mean vs the last full week — Tuesday
+      // 9am compares to Tuesday 9ams, not a flat trailing mean that
+      // pages every Monday morning; calendar slots counted by exact
+      // integer arithmetic so zero-event hours deflate the mean
+      Windows.seasonalBaseline(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "how")),
 
     "r26_burn_rate" -> ((s, dir) =>
       // the SRE multiwindow burn-rate frame: error budget consumption
@@ -2905,6 +2922,39 @@ object SparkEntry {
                CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
          ORDER BY doc_id""",
 
+    "r27_seasonal_baseline" ->
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT min(hr) AS h0,
+                         greatest(min(hr), max(hr) - 167) AS hb FROM h),
+            hi AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_hist
+                   FROM h, b WHERE hr < hb GROUP BY 1, 2),
+            la AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_last
+                   FROM h, b WHERE hr >= hb GROUP BY 1, 2),
+            j AS (SELECT coalesce(hi.key, la.key) AS key,
+                         coalesce(hi.how, la.how) AS how,
+                         coalesce(n_hist, 0) AS n_hist,
+                         coalesce(n_last, 0) AS n_last
+                  FROM hi FULL OUTER JOIN la
+                    ON la.key = hi.key AND la.how = hi.how),
+            sl AS (SELECT j.*, ((b.hb - b.h0) // 168) +
+                     (CASE WHEN ((j.how - (b.h0 % 168) + 168) % 168)
+                                < ((b.hb - b.h0) % 168)
+                           THEN 1 ELSE 0 END) AS slots_hist
+                   FROM j, b)
+         SELECT key AS event_type, how, n_hist, CAST(slots_hist AS BIGINT) AS slots_hist,
+                CASE WHEN slots_hist > 0
+                     THEN round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
+                END AS baseline_mean,
+                n_last,
+                CASE WHEN slots_hist > 0
+                     THEN round((CAST(n_last AS DOUBLE) + 1.0) /
+                            (round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
+                             + 1.0), 6)
+                END AS ratio
+         FROM sl ORDER BY event_type, how""",
+
     "r26_burn_rate" ->
       """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
                            CAST(count(*) AS BIGINT) AS n,
@@ -3484,6 +3534,13 @@ object SparkEntry {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "d29_normalized_dedup" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+         FROM documents
+         GROUP BY trim(regexp_replace(regexp_replace(
+           lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
+         ORDER BY keep_id""",
 
     "d11_minhash_portable" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -42,6 +42,27 @@ object Dedup {
         md5(col(textCol).cast("binary")).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** NORMALIZED exact dedup — the C4/CCNet practice between d01's
+    * byte-exact and d02's fuzzy: hash AFTER lowercasing, stripping
+    * punctuation, and collapsing whitespace, so "Hello,  World!" and
+    * "hello world" are the same document. Catches the enormous class
+    * of near-dups that differ only in casing/punctuation/whitespace
+    * (re-rendered pages, copy-paste mangling) at d01's one-shuffle
+    * cost — no shingles, no bands. The normalization is an RE2-safe
+    * regex pair ([^letters/digits/space] strip, whitespace collapse)
+    * the oracle replays verbatim. Docs normalizing to EMPTY (pure
+    * punctuation) still group — with each other, not with genuine
+    * text. Output: (keep_id, n_dups) per normalized-identity class.
+    */
+  def normalizedExact(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+    df.groupBy(xxhash64(norm).as("text_hash"),
+        md5(norm.cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** Streaming exact dedup: drop rows whose `textCol` hash was
     * already seen, with state bounded by the watermark (a duplicate
     * arriving later than `delay` after the original passes through —

@@ -117,6 +117,68 @@ object Windows {
       hourly)
   }
 
+  /** Hour-of-week SEASONAL baseline + deviation (the seasonal-naive
+    * forecasting rung the r16 z-score skips: traffic has a weekly
+    * shape, so "is this hour odd" must compare Tuesday-9am to
+    * Tuesday-9ams, not to a flat trailing mean that pages every
+    * Monday morning): per (key, hour-of-week), the historical mean
+    * hourly count over every PRIOR occurrence of that slot —
+    * including calendar slots with zero events, counted by exact
+    * integer arithmetic, not by distinct observed hours — against
+    * the LAST full week's count, as an add-1 ratio. Hour-of-week is
+    * epoch-aligned (hr mod 168), timezone-free and engine-portable.
+    *
+    * Shape at scale: ONE shuffle to the hourly histogram; bounds are
+    * one (min, max) aggregate broadcast back; history and last-week
+    * sides aggregate the histogram to ≤|keys|·168 rows and full-outer
+    * join — a slot absent from the last week is a DROP candidate
+    * (n_last 0), absent history is no-evidence (null baseline/ratio).
+    * Output: (key, how, n_hist, slots_hist, baseline_mean, n_last,
+    * ratio).
+    */
+  def seasonalBaseline(df: DataFrame, ts: String,
+                       keyCol: String): DataFrame = {
+    val hr = (unix_micros(col(ts)) / lit(3600000000L)).cast("long")
+    // persisted: the histogram feeds the bounds aggregate AND both
+    // window sides
+    val hourly = df.groupBy(col(keyCol).as("key"), hr.as("_hr"))
+      .agg(count(lit(1)).as("_c")).persist()
+    // hb clamps to h0: a corpus shorter than a week has an EMPTY
+    // history window, not a negative one (negative div/mod would
+    // fabricate a phantom slot)
+    val bounds = hourly.agg(min(col("_hr")).as("_h0"), max(col("_hr")).as("_hx"))
+      .select(col("_h0"), greatest(col("_h0"), col("_hx") - lit(167L)).as("_hb"))
+    val withB = hourly.crossJoin(broadcast(bounds))
+    val how = pmod(col("_hr"), lit(168L))
+    val hist = withB.filter(col("_hr") < col("_hb"))
+      .groupBy(col("key"), how.as("how"))
+      .agg(sum(col("_c")).as("n_hist"))
+    val last = withB.filter(col("_hr") >= col("_hb"))
+      .groupBy(col("key"), how.as("how"))
+      .agg(sum(col("_c")).as("n_last"))
+    // calendar slots of `how` in [h0, hb): full weeks + the partial
+    // remainder, exact BIGINT arithmetic shared with the oracle — a
+    // slot with zero HISTORICAL events still has slots, so its
+    // baseline is an honest 0.0, not a null
+    val slots = expr("((_hb - _h0) div 168)") +
+      when(pmod(col("how") - pmod(col("_h0"), lit(168L)) + lit(168L), lit(168L))
+        < pmod(col("_hb") - col("_h0"), lit(168L)), 1L).otherwise(0L)
+    val out = hist
+      .join(last, Seq("key", "how"), "full_outer")
+      .crossJoin(broadcast(bounds))
+      .withColumn("n_hist", coalesce(col("n_hist"), lit(0L)))
+      .withColumn("n_last", coalesce(col("n_last"), lit(0L)))
+      .withColumn("slots_hist", slots)
+      .withColumn("baseline_mean", when(col("slots_hist") > 0,
+        round(col("n_hist").cast("double") / col("slots_hist").cast("double"), 6)))
+      .withColumn("ratio", when(col("baseline_mean").isNotNull,
+        round((col("n_last").cast("double") + lit(1.0)) /
+          (col("baseline_mean") + lit(1.0)), 6)))
+      .select(col("key"), col("how"), col("n_hist"), col("slots_hist"),
+        col("baseline_mean"), col("n_last"), col("ratio"))
+    Caching.sealOver(out, hourly)
+  }
+
   def rateAnomaly(df: DataFrame, ts: String, keyCol: String,
                   trailingHours: Int = 24, minHistory: Int = 12,
                   zThreshold: Double = 3.0): DataFrame = {

@@ -38,3 +38,24 @@ class DedupReportSpec extends SparkSpec {
     assert(out("b") == ((1L, 0L, 0.0, 0L, 1L)), out("b"))
   }
 }
+
+/** Normalized exact dedup (d29): the C4-style normalize-then-hash
+  * equivalence class and its boundaries.
+  */
+class NormalizedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("casing/punctuation/whitespace variants collapse; real edits don't") {
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... world"),
+      (4L, "hello worlds"),     // a real edit survives
+      (5L, "?!...,"),           // normalizes to empty
+      (6L, "  ,,  "))           // also empty: groups with 5, not text
+      .toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 2L), out)
+  }
+}
