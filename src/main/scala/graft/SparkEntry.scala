@@ -1327,6 +1327,14 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "how")),
 
+    "r28_incidents" -> ((s, dir) =>
+      // incidents + MTTR: fire edges pair with their key's next
+      // resolve (one lead over the tiny edge frame); open incidents
+      // surface as n_open, MTTR averages closed durations only
+      Windows.incidents(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "r26_burn_rate" -> ((s, dir) =>
       // the SRE multiwindow burn-rate frame: error budget consumption
       // as a multiple of a 99.5% SLO over trailing 1h/6h/24h/72h
@@ -3043,6 +3051,47 @@ object SparkEntry {
          SELECT src_template, dst_template, n, share,
                 (n <= 2 OR share < 0.05) AS rare
          FROM sh ORDER BY src_template, dst_template""",
+
+    "r28_incidents" ->
+      // the r23 edge chain + one lead pairing fires with their next
+      // resolve; per-key MTTR over closed incidents only
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a),
+            ed AS (SELECT event_type, hr_start, an FROM e
+                   WHERE an <> coalesce(prev, false)),
+            fr AS (SELECT event_type, hr_start, an,
+                     lead(hr_start) OVER (PARTITION BY event_type
+                       ORDER BY hr_start) AS nxt
+                   FROM ed),
+            fi AS (SELECT event_type, (nxt - hr_start) // 3600 AS dur, nxt
+                   FROM fr WHERE an)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_incidents,
+                CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                round(avg(CAST(dur AS DOUBLE)), 6) AS mttr_hours,
+                CAST(max(dur) AS BIGINT) AS max_hours
+         FROM fi GROUP BY 1 ORDER BY event_type""",
 
     "r23_alert_edges" ->
       // the r16 CTE + one lag over the scored hourly frame; same

@@ -65,6 +65,40 @@ object Windows {
     * Output: (key, hr_start, n_events, mean_trailing, z_score,
     * is_anomaly) for every scored hour.
     */
+  /** INCIDENTS + MTTR from the alert-edge stream — the SRE summary
+    * the r23 fire/resolve edges exist to feed: each fire pairs with
+    * its key's NEXT resolve (edges alternate by construction, so one
+    * lead over the tiny edge frame is the pairing), closed incidents
+    * get a duration, a trailing fire with no resolve is an OPEN
+    * incident (surfaced, not guessed closed), and the per-key
+    * summary reports incident count, open count, MTTR (mean hours to
+    * resolve over CLOSED incidents — null when nothing closed), and
+    * the longest incident.
+    *
+    * Shape at scale: everything downstream of [[rateAnomaly]] runs
+    * on the scored-hours frame (hour grain, never the event stream);
+    * the edge filter + lead + summary touch only edge rows.
+    * Output: (key, n_incidents, n_open, mttr_hours, max_hours).
+    */
+  def incidents(df: DataFrame, ts: String, keyCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byKey = W.partitionBy(col("key")).orderBy(col("hr_start"))
+    val edges = rateAnomaly(df, ts, keyCol)
+      .withColumn("_prev", lag(col("is_anomaly"), 1).over(byKey))
+      .filter(col("is_anomaly") =!= coalesce(col("_prev"), lit(false)))
+      .select(col("key"), col("hr_start"), col("is_anomaly"))
+    val fires = edges
+      .withColumn("_next", lead(col("hr_start"), 1).over(byKey))
+      .filter(col("is_anomaly"))
+      .withColumn("dur_hours",
+        ((col("_next") - col("hr_start")) / lit(3600L)).cast("long"))
+    fires.groupBy(col("key"))
+      .agg(count(lit(1)).cast("long").as("n_incidents"),
+        sum(when(col("_next").isNull, 1L).otherwise(0L)).cast("long").as("n_open"),
+        round(avg(col("dur_hours").cast("double")), 6).as("mttr_hours"),
+        max(col("dur_hours")).as("max_hours"))
+  }
+
   /** Multi-window error-budget BURN RATE (the Google SRE workbook's
     * multiwindow multi-burn-rate alert, the shape production SLO
     * paging actually uses): for each trailing window ending at the
