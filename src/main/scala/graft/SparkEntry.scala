@@ -877,6 +877,42 @@ object SparkEntry {
           "doc_id", "n_toks", seqLen = 512L, shardSize = 128L)
         .orderBy("doc_id")),
 
+    "p20_pack_efficiency" -> ((s, dir) => {
+      // the packing-quality report (the metric Krell et al. optimize):
+      // padding vs capacity over p12's packs — an oversized lone doc
+      // contributes its own fill as capacity, padding nothing
+      val docs = T(s, dir, "documents").withColumn("n_toks",
+        graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"))
+      val packed = Training.packGreedy(docs, "doc_id", "n_toks",
+        seqLen = 512L, shardSize = 128L)
+      packed.join(docs.select(col("doc_id"), col("n_toks")), "doc_id")
+        .groupBy(col("shard"), col("pack"))
+        .agg(sum(col("n_toks")).as("fl"))
+        .agg(cnt.as("n_packs"),
+          sum(col("fl")).cast("long").as("n_tokens"),
+          sum(when(col("fl") > 512, 1L).otherwise(0L)).cast("long")
+            .as("n_oversized"),
+          round(sum(greatest(lit(0L), lit(512L) - col("fl"))).cast("double")
+            / sum(greatest(lit(512L), col("fl"))).cast("double"), 6)
+            .as("waste_frac"),
+          round(expr("percentile(fl, 0.5)"), 6).as("p50_fill"))
+    }),
+
+    "p21_seq_profile" -> ((s, dir) =>
+      // per-source sequence-length profile: the distribution maxLen /
+      // packing / chunking choices are made FROM — exact percentiles
+      // per |sources| group, one shuffle
+      T(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(cnt.as("n_docs"),
+          round(expr("percentile(n_toks, 0.5)"), 6).as("p50_toks"),
+          round(expr("percentile(n_toks, 0.95)"), 6).as("p95_toks"),
+          max(col("n_toks")).as("max_toks"),
+          sum(col("n_toks")).cast("long").as("total_toks"))
+        .orderBy("source")),
+
     "p15_pack_bestfit" -> ((s, dir) =>
       // best-fit-decreasing packing (Krell et al.'s main algorithm;
       // p12 is its next-fit baseline): longest-first placement into
@@ -2410,6 +2446,29 @@ object SparkEntry {
     * ln(0.4 · (nu+1)/(N+V)) with the same multiplication association —
     * each rounded to 6 then DECIMAL-summed per doc.
     */
+  /** The p12 next-fit fold as a per-shard recursive CTE (depth ≤
+    * shardSize=128), shared by the p12 gate and the p20 efficiency
+    * report so the packs they describe cannot drift. */
+  private lazy val p12PackCte: String =
+    """WITH RECURSIVE n AS (SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+             FROM documents),
+           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
+                   row_number() OVER (PARTITION BY doc_id // 128
+                     ORDER BY doc_id) AS rn
+                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
+           g AS (
+             SELECT shard, rn, doc_id, n_toks,
+                    CAST(0 AS BIGINT) AS pack, n_toks AS fill
+             FROM r WHERE rn = 1
+             UNION ALL
+             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
+               CASE WHEN g.fill + r.n_toks > 512 THEN g.pack + 1 ELSE g.pack END,
+               CASE WHEN g.fill + r.n_toks > 512 THEN r.n_toks
+                    ELSE g.fill + r.n_toks END
+             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)"""
+
   /** s21 oracle: the identical moment pass and the identical 12
     * power-iteration rounds as chained CTEs — every sum a round-6 →
     * DECIMAL(24,8) fold, every round's normalize re-rounded, so the
@@ -4276,28 +4335,36 @@ object SparkEntry {
          SELECT vec_id, cluster, CAST(pick AS BIGINT) AS pick
          FROM r WHERE pick <= 50 ORDER BY vec_id""",
 
-    "p12_pack_greedy" ->
-      // the sequential next-fit fold replayed as a per-shard recursive
-      // CTE (depth <= shardSize=128); same first-doc/overflow rules
-      """WITH RECURSIVE n AS (SELECT doc_id,
+    "p12_pack_greedy" -> (p12PackCte +
+      """
+         SELECT doc_id, shard, pack FROM g ORDER BY doc_id"""),
+
+    "p20_pack_efficiency" -> (p12PackCte +
+      // the Krell efficiency report over the same packs: padding vs
+      // capacity, with an oversized pack contributing its own fill as
+      // capacity (a lone over-cap doc pads nothing)
+      """,
+           pk AS (SELECT shard, pack, CAST(sum(n_toks) AS BIGINT) AS fl
+                  FROM g GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_packs,
+                CAST(sum(fl) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN fl > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+                round(CAST(sum(greatest(0, 512 - fl)) AS DOUBLE)
+                      / CAST(sum(greatest(512, fl)) AS DOUBLE), 6) AS waste_frac,
+                round(quantile_cont(fl, 0.5), 6) AS p50_fill
+         FROM pk"""),
+
+    "p21_seq_profile" ->
+      """WITH n AS (SELECT source,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents),
-           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
-                   row_number() OVER (PARTITION BY doc_id // 128
-                     ORDER BY doc_id) AS rn
-                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
-           g AS (
-             SELECT shard, rn, doc_id, n_toks,
-                    CAST(0 AS BIGINT) AS pack, n_toks AS fill
-             FROM r WHERE rn = 1
-             UNION ALL
-             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
-               CASE WHEN g.fill + r.n_toks > 512 THEN g.pack + 1 ELSE g.pack END,
-               CASE WHEN g.fill + r.n_toks > 512 THEN r.n_toks
-                    ELSE g.fill + r.n_toks END
-             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
-         SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
+             FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                round(quantile_cont(n_toks, 0.5), 6) AS p50_toks,
+                round(quantile_cont(n_toks, 0.95), 6) AS p95_toks,
+                CAST(max(n_toks) AS BIGINT) AS max_toks,
+                CAST(sum(n_toks) AS BIGINT) AS total_toks
+         FROM n GROUP BY 1 ORDER BY source""",
 
     "p13_epoch_repeat" ->
       // identical IEEE64 fraction math on both sides; the extra-copy
