@@ -1638,6 +1638,17 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "m08_scene_changes" -> ((s, dir) => {
+      // shot-boundary detection over the sampled frame stream:
+      // adjacent frame features differ by exact-integer squared L2,
+      // boundaries above tau2 — one id-keyed lag window
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.sceneChanges(blobs, "doc_id", "blob", n = 4,
+          tau2 = 150000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "m07_audio_overlap" -> ((s, dir) => {
       // audio segment dedup: files pairing on shared 100-byte chunk
       // contents at any block-aligned offset — the "same jingle in
@@ -4805,6 +4816,38 @@ object SparkEntry {
                 CAST(least(len, frame_idx * step + step) - frame_idx * step AS BIGINT)
                   AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
+
+    "m08_scene_changes" ->
+      // the m02 frame grid + the m04 hex byte parse: per-frame 8-bin
+      // byte folds are exact integers, so dist2 is pure BIGINT math
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len
+                    FROM documents),
+            f AS (SELECT doc_id, hx, len, greatest(1, len // 4) AS step,
+                         unnest(range(least(4, greatest(1, len)))) AS fi
+                  FROM h),
+            w AS (SELECT doc_id, fi, hx, fi * step AS frm,
+                         least(len, fi * step + step) AS til
+                  FROM f),
+            b AS (SELECT doc_id, fi, (i - frm) % 8 AS j,
+                    (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS byte
+                  FROM (SELECT doc_id, fi, hx, frm, til,
+                          unnest(range(frm, til)) AS i FROM w)),
+            ft AS (SELECT doc_id, fi, j, CAST(sum(byte) AS BIGINT) AS v
+                   FROM b GROUP BY 1, 2, 3),
+            grid AS (SELECT doc_id, fi, unnest(range(8)) AS j
+                     FROM (SELECT DISTINCT doc_id, fi FROM f)),
+            fv AS (SELECT g.doc_id, g.fi, g.j, coalesce(ft.v, 0) AS v
+                   FROM grid g LEFT JOIN ft
+                     ON ft.doc_id = g.doc_id AND ft.fi = g.fi AND ft.j = g.j),
+            d2 AS (SELECT a.doc_id, a.fi,
+                     CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist2
+                   FROM fv a JOIN fv b
+                     ON b.doc_id = a.doc_id AND b.fi = a.fi - 1 AND b.j = a.j
+                   GROUP BY 1, 2)
+         SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, dist2,
+                dist2 > 150000 AS is_boundary
+         FROM d2 ORDER BY doc_id, frame_idx""",
 
     "m03_resize" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,

@@ -222,6 +222,32 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Scene-change detection over the sampled frame stream — the
+    * shot-boundary step a video curation pipeline runs before
+    * per-scene sampling/captioning: adjacent frames' feature vectors
+    * differ by squared L2, and a distance above `tau2` marks a
+    * boundary. The features are [[sampleFrames]]' partition-batched
+    * stub fold (exact INTEGER byte sums, so dist² is exact BIGINT
+    * arithmetic and the whole operator is oracle-exact; a real
+    * decoder swaps in at the same point and the lag/threshold
+    * plumbing is unchanged). One id-keyed lag window over the
+    * ≤n-frames-per-video frame stream; first frames have no previous
+    * and emit nothing. Output: (id, frame_idx, dist2, is_boundary).
+    */
+  def sceneChanges(df: DataFrame, idCol: String, blobCol: String,
+                   n: Int, tau2: Long, dim: Int = 8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    sampleFrames(df, idCol, blobCol, n, dim)
+      .withColumn("_prev", lag(col("feature"), 1).over(W))
+      .filter(col("_prev").isNotNull)
+      .withColumn("dist2", aggregate(
+        zip_with(col("feature"), col("_prev"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).cast("long"))
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("dist2"), (col("dist2") > tau2).as("is_boundary"))
+  }
+
   /** Resize stub: the Spark-side contract of an image resize — one
     * output row per input with target dims and the resized payload
     * (here truncated to w*h bytes; a real impl swaps in the scaler).
