@@ -1254,6 +1254,14 @@ object SparkEntry {
           functions.KmvAgg.distinctEst(col("_sk"), 256).as("distinct_est"))
         .orderBy("l_returnflag")),
 
+    "t40_code_switch" -> ((s, dir) =>
+      // per-doc language consistency: sentence-level langId labels
+      // collapsed to a (doc, lang) histogram — mixed-language docs
+      // the doc-level t01 label hides by construction
+      TextStats.codeSwitch(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t01_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -2204,7 +2212,11 @@ object SparkEntry {
 
   /** DuckDB twin of TextFunctions.langId, generated from the same
     * stopword table so the two can never drift. */
-  private val langIdOracle: String = {
+  /** The langId CASE chain over any relation exposing (keyCols...,
+    * txt, toks) — generated from the same stopword table as
+    * TextFunctions.langId, shared by the t01 oracle and t40's
+    * per-sentence labeling so the twins can never drift. */
+  private def langIdOver(rel: String, keyCols: String): String = {
     val scoreCols = TextFunctions.StopwordSets.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       if (TextFunctions.UnsegmentedLangs(l))
@@ -2219,14 +2231,16 @@ object SparkEntry {
     val cases = TextFunctions.StopwordSets.map { case (l, _) =>
       s"WHEN best > 0 AND s_$l = best THEN '$l'"
     }.mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (
-          SELECT doc_id, $best AS best, s_${TextFunctions.StopwordSets.map(_._1).mkString(", s_")} FROM (
-            SELECT doc_id, $scoreCols FROM (
-              SELECT doc_id, lower(text) AS txt,
-                     string_split_regex(lower(text), '\\s+') AS toks
-              FROM documents)))
-        ORDER BY doc_id"""
+    s"""SELECT $keyCols, CASE $cases ELSE 'und' END AS lang_pred FROM (
+          SELECT $keyCols, $best AS best, s_${TextFunctions.StopwordSets.map(_._1).mkString(", s_")} FROM (
+            SELECT $keyCols, $scoreCols FROM $rel))"""
   }
+
+  private val langIdOracle: String =
+    langIdOver(
+      """(SELECT doc_id, lower(text) AS txt,
+                 string_split_regex(lower(text), '\s+') AS toks
+          FROM documents)""", "doc_id") + " ORDER BY doc_id"
 
   /** Chained-CTE replay of [[graft.operators.TextStats.bpeTrain]]'s 8
     * merge rounds: v0 = the space-joined char symbolization of the
@@ -4659,6 +4673,36 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY cnt DESC, item""",
 
     "t01_lang_id" -> langIdOracle,
+
+    "t40_code_switch" -> {
+      // sentence explode (the d23 segmentation) -> the shared langId
+      // chain -> per-doc histogram + dominant pick with the same
+      // (count desc, lang asc) tie-break
+      val perSentence = langIdOver(
+        """(SELECT doc_id, lower(sent) AS txt,
+                   string_split_regex(lower(sent), '\s+') AS toks
+            FROM (SELECT doc_id, trim(s) AS sent FROM (
+                    SELECT doc_id, unnest(regexp_extract_all(text,
+                      '[^.!?]+[.!?]+|[^.!?]+')) AS s
+                    FROM documents))
+            WHERE sent <> '')""", "doc_id")
+      s"""WITH lp AS ($perSentence),
+            lc AS (SELECT doc_id, lang_pred, CAST(count(*) AS BIGINT) AS c
+                   FROM lp GROUP BY 1, 2),
+            rk AS (SELECT doc_id, lang_pred, c,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, lang_pred) AS rn,
+                     sum(c) OVER (PARTITION BY doc_id) AS tot,
+                     count(*) OVER (PARTITION BY doc_id) AS nl
+                   FROM lc)
+         SELECT doc_id, CAST(tot AS BIGINT) AS n_sents,
+                CAST(nl AS BIGINT) AS n_langs,
+                lang_pred AS dominant_lang,
+                round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS dominant_share,
+                (nl > 1 AND round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) < 0.9)
+                  AS is_mixed
+         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+    },
 
     "t05_lang_eval" ->
       s"""WITH pred AS ($langIdOracle)

@@ -1121,6 +1121,50 @@ object TextStats {
     * literals, no shuffle), one per-doc sum — no vocabulary join.
     * Empty docs keep a 0 row (LEFT join back to ids).
     */
+  /** CODE-SWITCHING detector — per-document language consistency
+    * (mixed-language documents dilute monolingual training slices and
+    * break per-language quality models; the doc-level t01 label
+    * hides them by construction): every sentence (the d23 RE2-safe
+    * segmentation, oracle-replayable) labels with the t01 langId,
+    * and the doc reports sentence count, distinct languages, the
+    * dominant language (ties to the lexicographically smallest) and
+    * its share, plus a mixed flag (more than one language and the
+    * dominant under 90%).
+    *
+    * Shape at scale: one sentence explode + the row-local langId
+    * expression, collapsed to the (doc, lang) histogram; the
+    * dominant pick and shares are windows over that ≤|langs|-per-doc
+    * frame, never the sentence stream. Output: (id, n_sents,
+    * n_langs, dominant_lang, dominant_share, is_mixed).
+    */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0))).as("_s"))
+      .select(col("id"), trim(col("_s")).as("_s"))
+      .filter(col("_s") =!= "")
+    val hist = sents
+      .select(col("id"), graft.functions.TextFunctions.langId(col("_s"))
+        .as("lang_pred"))
+      .groupBy(col("id"), col("lang_pred")).agg(count(lit(1)).as("_c"))
+    val byDoc = Window.partitionBy(col("id"))
+    val rank = Window.partitionBy(col("id"))
+      .orderBy(col("_c").desc, col("lang_pred"))
+    hist
+      .withColumn("_rn", row_number().over(rank))
+      .withColumn("_tot", sum(col("_c")).over(byDoc))
+      .withColumn("_nl", count(lit(1)).over(byDoc))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("_tot").cast("long").as("n_sents"),
+        col("_nl").cast("long").as("n_langs"),
+        col("lang_pred").as("dominant_lang"),
+        round(col("_c").cast("double") / col("_tot").cast("double"), 6)
+          .as("dominant_share"))
+      .withColumn("is_mixed",
+        col("n_langs") > 1 && col("dominant_share") < 0.9)
+  }
+
   /** Tokenizer FERTILITY per language (the standard tokenizer-quality
     * audit: how many subword tokens a word costs, and how many
     * characters a token carries — a language whose fertility is 2×
