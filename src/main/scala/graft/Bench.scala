@@ -178,11 +178,14 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
     // sf shrinks to its basename in the windowed line (the full path
-    // is in BENCH_LOCAL.json); the driver keeps ~2000 chars, so stay
-    // a margin under it
+    // is in BENCH_LOCAL.json); the driver's captured tail measured
+    // ~2100+ chars in past rounds (PROGRESS.jsonl shows three WARN
+    // lines + a 1886-char JSON surviving), and nothing prints after
+    // this line, so a 2000-char budget still leaves real margin —
+    // and BENCH_LOCAL.json carries the breakdown regardless
     val sfBase = new java.io.File(sfDir).getName
     val out = Seq((3, false), (2, false), (3, true), (2, true), (1, true))
-      .map { case (d, s) => line(d, s, sfBase) }.find(_.length <= 1950)
+      .map { case (d, s) => line(d, s, sfBase) }.find(_.length <= 2000)
       .getOrElse {
         // the driver would otherwise lose the whole per-query
         // breakdown; stderr is outside its parsed stdout window
