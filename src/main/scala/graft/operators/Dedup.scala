@@ -76,6 +76,23 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
+  /** Streaming twin of [[normalizedExact]]: the SAME normalization
+    * expression keys the watermark-bounded dedup state, so a
+    * re-rendered/re-punctuated copy arriving on the live stream drops
+    * exactly when the batch operator would have grouped it (parity
+    * spec-pinned across micro-batches). State = 8-byte hashes of
+    * normalized text, never documents.
+    */
+  def streamingNormalizedExact(df: DataFrame, tsCol: String,
+                               textCol: String, delay: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+    df.withColumn("_norm_hash", xxhash64(norm))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_norm_hash")
+      .drop("_norm_hash")
+  }
+
   /** Streaming NEAR-dup candidates: each arriving document computes
     * its MinHash signature row-locally (shingles → base hashes →
     * [[graft.functions.MinHashRow]], one fused pass), explodes into
