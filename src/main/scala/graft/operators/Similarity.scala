@@ -307,13 +307,17 @@ object Similarity {
     * explained-variance share means the corpus collapsed toward a
     * line — an encoder or dedup regression).
     *
-    * Shape at scale: ONE corpus pass builds the d×d second-moment
-    * matrix — the (i,j) product explode partial-aggregates map-side,
-    * so the shuffle carries d² keys per partition, never the corpus —
-    * plus the d-row mean; the covariance assembly and the iteration
-    * itself run on the DRIVER over d² ≤ 16384 doubles (require'd;
-    * the bounded-collect contract, same class as trainCoarse's
-    * trainCap). Iterations never touch the corpus again.
+    * Shape at scale: ONE corpus pass builds count, mean sums, AND the
+    * d×d second-moment matrix via [[graft.functions.GramianAgg]] — a
+    * TypedImperativeAggregate that folds each vector's d(d+1)/2
+    * pairwise products in place (map-side partials, one ~132 KB
+    * buffer per partition crossing the shuffle), instead of emitting
+    * d² = 16,384 exploded rows per vector into a hash aggregate (the
+    * r12-flagged constant-factor tax). The covariance assembly and
+    * the iteration itself run on the DRIVER over d² ≤ 16384 doubles
+    * (require'd; the bounded-collect contract, same class as
+    * trainCoarse's trainCap). Iterations never touch the corpus
+    * again.
     *
     * Engine-exactness: coordinates round ONCE to 6 decimals and then
     * live as exact INTEGER MICROS (×10⁶ longs) — every moment product
@@ -334,35 +338,57 @@ object Similarity {
   def topPcPower(df: DataFrame, idCol: String, vecCol: String,
                  iters: Int = 12): DataFrame = {
     val spark = df.sparkSession
+    val t = pcTrain(df, vecCol, iters)
+    import spark.implicits._
+    t.loadings.zipWithIndex
+      .map { case (l, i) => (i.toLong, l, t.eigenvalue, t.explainedFrac) }.toSeq
+      .toDF("pos", "loading", "eigenvalue", "explained_frac")
+  }
+
+  /** The shared training pass behind [[topPcPower]] and
+    * [[pcProject]]: one Gramian-aggregate corpus action yields count,
+    * means, and covariance; the power iteration runs on the driver.
+    * Returning means and n here is what lets pcProject avoid the two
+    * extra corpus scans the r12 verdict flagged.
+    */
+  private[graft] final case class PcModel(
+      loadings: Array[Double], eigenvalue: Double, explainedFrac: Double,
+      means: Array[Double], n: Long)
+
+  private[graft] def pcTrain(df: DataFrame, vecCol: String,
+                             iters: Int): PcModel = {
     val rows = df.filter(col(vecCol).isNotNull)
     // micro-coordinates: round6 once, then exact integers (the round6
     // value × 1e6 sits within 1e-4 of an integer — no tie ambiguity)
     val c6 = transform(col(vecCol),
       x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
-    val withC = rows.select(c6.as("_v"))
-    val e1 = withC.select(posexplode(col("_v")).as(Seq("i", "_xi")), col("_v"))
-    val sRows = e1
-      .select(col("i"), col("_xi"), posexplode(col("_v")).as(Seq("j", "_xj")))
-      .groupBy("i", "j")
-      .agg(sum((col("_xi") * col("_xj")).cast("decimal(38,0)")).as("s6"))
-      .collect()
-    val mRows = withC.select(posexplode(col("_v")).as(Seq("i", "_xi")))
-      .groupBy("i").agg(sum(col("_xi").cast("decimal(38,0)")).as("m6"))
-      .collect()
-    val n = rows.count()
+    val sketch = rows
+      .select(graft.functions.GramianAgg.gramian(c6).as("g"))
+      .head().getAs[Array[Byte]](0)
+    val (n, d, mBig, sBig) = graft.functions.GramianAgg.parse(sketch)
     require(n > 0, "topPcPower: empty corpus")
-    val d = mRows.length
     require(d.toLong * d <= 16384,
       s"topPcPower: d=$d exceeds the 128-dim driver-matrix contract")
     val nD = n.toDouble
-    val sm = mRows.map(r =>
-      r.getInt(0) -> r.getDecimal(1).doubleValue() / 1e6).toMap
+    // identical conversion order to the pre-r13 DECIMAL(38,0) collect:
+    // exact-integer sum → BigDecimal → IEEE double → the two divisions
+    val sm = mBig.map(b => new java.math.BigDecimal(b).doubleValue() / 1e6)
     // C_ij = S_ij/n - (sm_i/n)(sm_j/n), association mirrored by the oracle
     val m = Array.tabulate(d)(i => sm(i) / nD)
     val c = Array.ofDim[Double](d, d)
-    sRows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      c(i)(j) = r.getDecimal(2).doubleValue() / 1e12 / nD - m(i) * m(j)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        // exact integer S_ij = S_ji: the mirror is bit-identical
+        // because m(i)*m(j) is IEEE-commutative
+        val v = new java.math.BigDecimal(sBig(k)).doubleValue() / 1e12 / nD -
+          m(i) * m(j)
+        c(i)(j) = v; c(j)(i) = v
+        k += 1; j += 1
+      }
+      i += 1
     }
     import graft.functions.PqCodes.round6
     // DECIMAL(24,8) fold of round6 terms — the engine-portable sum
@@ -384,9 +410,7 @@ object Similarity {
     val trace = decSum((0 until d).iterator.map(i => c(i)(i)))
     val eig = round6(nm)
     val expl = round6(eig / trace)
-    import spark.implicits._
-    v.zipWithIndex.map { case (l, i) => (i.toLong, l, eig, expl) }.toSeq
-      .toDF("pos", "loading", "eigenvalue", "explained_frac")
+    PcModel(v, eig, expl, m, n)
   }
 
   /** Project every embedding onto the corpus top principal component
@@ -398,8 +422,10 @@ object Similarity {
     * says WHICH rows sit where on it (tail cleanup, stratified
     * sampling along the axis, PCA whitening's first coordinate).
     *
-    * Shape at scale: [[topPcPower]]'s bounded moment pass runs once;
-    * the projection itself embeds the d loadings and d means as
+    * Shape at scale: [[pcTrain]]'s ONE Gramian corpus action runs
+    * once and hands back loadings AND the corpus mean/count it
+    * already measured (no re-derivation scans — the r12 fix); the
+    * projection itself embeds the d loadings and d means as
     * LITERALS in one zero-shuffle narrow pass (the s08/d21 device) —
     * per-term products round-6 then DECIMAL-fold row-locally, so the
     * score is engine-exact and deterministic under any partitioning.
@@ -407,21 +433,10 @@ object Similarity {
     */
   def pcProject(df: DataFrame, idCol: String, vecCol: String,
                 iters: Int = 12): DataFrame = {
-    val pc = topPcPower(df, idCol, vecCol, iters)
-      .orderBy("pos").collect()
-    val loadings = pc.map(_.getDouble(1))
-    // the same corpus mean the moment pass measured, re-derived with
-    // the identical micro-integer aggregate and conversion order
+    val model = pcTrain(df, vecCol, iters)
+    val loadings = model.loadings
+    val means = model.means
     val rows = df.filter(col(vecCol).isNotNull)
-    val n = rows.count().toDouble
-    val mRows = rows.select(
-        posexplode(transform(col(vecCol),
-          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long")))
-          .as(Seq("i", "_xi")))
-      .groupBy("i").agg(sum(col("_xi").cast("decimal(38,0)")).as("m6"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue() / 1e6).toMap
-    val means = Array.tabulate(loadings.length)(i => mRows(i) / n)
     val terms = (0 until loadings.length).map { i =>
       round(round((element_at(col("_xr"), i + 1) - lit(means(i))) , 6) * lit(loadings(i)), 6)
         .cast("decimal(24,8)")
