@@ -14,8 +14,24 @@ object Verify {
     // arg falls back to a local dataset, which must be visible, not tacit
     System.err.println(s"[verify] sfDir=$sfDir outDir=$outDir (args=${args.mkString(",")})")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,3072] runs the whole gate
+    // across REAL executor JVMs — the cheapest proof that every
+    // TypedImperativeAggregate's serialize/merge/deserialize and every
+    // broadcast survives a process boundary (local[n] keeps them all
+    // in-process). Executors need the graft classes and the JDK17
+    // module opens on their own command lines; the driver's sbt-side
+    // settings don't propagate.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+    val builder =
+      if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
