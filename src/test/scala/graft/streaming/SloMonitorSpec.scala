@@ -1,0 +1,226 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Windows
+import SloMonitor._
+
+/** Streaming twins of the r26/r27/r28 SRE frames: every emitted frame
+  * must be BIT-equal to its batch operator run over the stream prefix
+  * the frame summarizes, across micro-batch boundaries.
+  */
+class SloMonitorSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ r26 burn
+
+  // hour h carries 10+(h%3) events, h%4 of them errors
+  private def burnEvents(hours: Range): Seq[(Long, Boolean)] =
+    hours.flatMap { h =>
+      val n = 10 + (h % 3); val e = h % 4
+      (1 to n).map(i => (h * 3600L + i, i <= e))
+    }
+
+  private def batchBurnAt(rows: Seq[(Long, Boolean)], anchorHr: Long,
+                          wins: Seq[Int]): Seq[BurnFrame] = {
+    val s = spark
+    import s.implicits._
+    Windows.burnRate(
+        rows.filter(_._1 < (anchorHr + 1) * 3600L)
+          .toDF("epoch", "isError")
+          .withColumn("ts", timestamp_seconds(col("epoch"))),
+        "ts", col("isError"), slo = 0.995, windowsHours = wins)
+      .collect().map(r => BurnFrame(anchorHr * 3600L, r.getInt(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toSeq.sortBy(_.window_hours)
+  }
+
+  test("burn frames equal the batch multiwindow op at every emitted anchor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val wins = Seq(1, 6, 24, 72)
+    val rows = burnEvents(0 until 30)
+    val input = MemoryStream[(Long, Boolean)]
+    val events = input.toDF().toDF("tsSec", "isError")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "0 seconds")
+      .select("ts", "isError").as[ErrEvent]
+    val q = burnFrames(events, slo = 0.995, windowsHours = wins)
+      .writeStream.format("memory").queryName("burn")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.filter(_._1 < 10L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._1 >= 10L * 3600L && r._1 < 20L * 3600L): _*)
+      q.processAllAvailable()
+      // quiet flusher hour 31 closes everything through hour 29
+      input.addData(rows.filter(_._1 >= 20L * 3600L) :+ (31L * 3600L + 1L, false): _*)
+      q.processAllAvailable()
+      val got = spark.table("burn").as[BurnFrame].collect().toSeq
+      // EVERY emitted frame — intermediate anchors included — must
+      // equal the batch op over that anchor's prefix
+      val anchors = got.map(_.as_of / 3600L).distinct.sorted
+      assert(anchors.nonEmpty && anchors.last == 29L, anchors.toString)
+      anchors.foreach { a =>
+        val frame = got.filter(_.as_of == a * 3600L).sortBy(_.window_hours)
+        assert(frame == batchBurnAt(rows, a, wins),
+          s"anchor $a:\nstream: $frame\nbatch: ${batchBurnAt(rows, a, wins)}")
+      }
+    } finally q.stop()
+  }
+
+  test("burn pages at the canonical 14.4x fast-burn threshold") {
+    val st = new TestGroupState[BurnState]
+    // 24 clean hours then an hour burning 10% errors against a 0.5%
+    // budget = burn 20 — the 1h window pages, the 24h window does not
+    val clean = (0L until 25L).flatMap(h =>
+      (1 to 100).map(i => ErrEvent(new java.sql.Timestamp((h * 3600L + i) * 1000L),
+        i <= (if (h == 24L) 10 else 0))))
+    st.watermarkMs = 26L * 3600L * 1000L
+    val frames = burnUpdate(0.995, Seq(1, 24), 14.4)(
+      "all", clean.iterator, st).toList
+    val f1 = frames.find(_.window_hours == 1).get
+    val f24 = frames.find(_.window_hours == 24).get
+    assert(f1.burn_rate == 20.0 && f1.page, f1.toString)
+    assert(!f24.page, f24.toString)
+    // state kept only the trailing-window hours
+    assert(st.updated.get.hours.keys.min >= 26L - 24L - 1L)
+  }
+
+  // -------------------------------------------------------- r27 seasonal
+
+  // two keys with different weekly shapes over 2.5 weeks
+  private def seasonEvents(maxHr: Long): Seq[(String, Long)] =
+    (0L to maxHr).flatMap { h =>
+      val a = if (h % 7L < 3L) (1 to (1 + (h % 2L).toInt)).map(i =>
+        ("api", h * 3600L + i)) else Nil
+      val b = if (h % 5L == 0L) Seq(("db", h * 3600L + 50L)) else Nil
+      a ++ b
+    }
+
+  test("seasonal frames equal the batch hour-of-week baseline at the anchor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = seasonEvents(420L)
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("key", "tsSec")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "0 seconds")
+      .select("key", "ts").as[KeyEvent]
+    val q = seasonalFrames(events)
+      .writeStream.format("memory").queryName("season")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split mid-week so the fold-into-history crosses batch bounds
+      input.addData(rows.filter(_._2 < 200L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 200L * 3600L): _*)
+      q.processAllAvailable()
+      // quiet flusher closes hour 420
+      input.addData(("flush", 423L * 3600L))
+      q.processAllAvailable()
+      val got = spark.table("season").as[SeasonRow].collect().toSeq
+      val lastAnchor = got.map(_.as_of).max
+      assert(lastAnchor == 420L * 3600L, s"anchor $lastAnchor")
+      val frame = got.filter(_.as_of == lastAnchor)
+        .map(r => (r.key, r.how, r.n_hist, r.slots_hist, r.baseline_mean,
+          r.n_last, r.ratio))
+        .sortBy(t => (t._1, t._2))
+      val batch = Windows.seasonalBaseline(
+          rows.toDF("event_type", "epoch")
+            .withColumn("ts", timestamp_seconds(col("epoch"))),
+          "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getLong(5), if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(frame.size == batch.size, s"${frame.size} vs ${batch.size}")
+      frame.zip(batch).foreach { case (g, b) => assert(g == b, s"\n$g\n$b") }
+    } finally q.stop()
+  }
+
+  test("seasonal sub-week corpus: empty history, null baseline, no phantom slots") {
+    val st = new TestGroupState[SeasonState]
+    val evs = (0L until 10L).map(h =>
+      KeyEvent("k", new java.sql.Timestamp(h * 3600L * 1000L)))
+    st.watermarkMs = 12L * 3600L * 1000L
+    val rows = seasonUpdate("all", evs.iterator, st).toList
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.slots_hist == 0L && r.baseline_mean.isEmpty
+      && r.ratio.isEmpty && r.n_hist == 0L), rows.toString)
+    assert(rows.map(_.n_last).sum == 10L)
+  }
+
+  // ------------------------------------------------------- r28 incidents
+
+  test("incident summaries equal the batch lead-pairing over real events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts",
+        if (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000")) else col("ts"))
+    // the r23 lag rule over the r16 verdicts — the edge stream an
+    // alert manager would feed this operator (AlertEdgesSpec pins the
+    // streaming version of this fold)
+    val verdicts = Windows.rateAnomaly(ev, "ts", "event_type")
+      .select(col("key"), col("hr_start"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1)
+    val edges = verdicts.toSeq.flatMap { case (k, vs) =>
+      vs.sortBy(_._2).foldLeft((Seq.empty[(String, Long, String)], false)) {
+        case ((acc, prev), (_, hr, an)) =>
+          (if (an != prev) acc :+ ((k, hr, if (an) "fire" else "resolve"))
+           else acc, an)
+      }._1
+    }.sortBy(_._2)
+    assert(edges.nonEmpty, "test corpus produced no alert edges")
+    val input = MemoryStream[(String, Long, String)]
+    val edgeDs = input.toDF().toDF("key", "hrStart", "edge")
+      .as[AlertEdges.Edge]
+    val q = SloMonitor.incidents(edgeDs)
+      .writeStream.format("memory").queryName("inc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // split mid-stream: open incidents must survive the boundary
+      val (h1, h2) = edges.splitAt(edges.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("inc").as[IncidentSummary].collect()
+        .groupBy(_.key).map { case (k, rs) => rs.maxBy(_.as_of) }
+        .map(r => (r.key, r.n_incidents, r.n_open, r.mttr_hours, r.max_hours))
+        .toSeq.sortBy(_._1)
+      val batch = Windows.incidents(ev, "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))
+        .toSeq.sortBy(_._1)
+      assert(got == batch, s"\nstream: $got\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("incidents ignore stale replays and malformed sequences") {
+    val st = new TestGroupState[IncidentState]
+    import AlertEdges.Edge
+    val out1 = incidentUpdate("k",
+      Iterator(Edge("k", 10L * 3600L, "fire")), st).toList
+    assert(out1.map(r => (r.n_incidents, r.n_open)) == List((1L, 1L)))
+    // stale replay of the same fire: no new incident
+    assert(incidentUpdate("k",
+      Iterator(Edge("k", 10L * 3600L, "fire")), st).isEmpty)
+    val out2 = incidentUpdate("k",
+      Iterator(Edge("k", 13L * 3600L, "resolve")), st).toList
+    assert(out2.map(r => (r.n_incidents, r.n_open, r.mttr_hours, r.max_hours))
+      == List((1L, 0L, Some(3.0), Some(3L))))
+    // a second resolve with nothing open is ignored, not banked
+    val out3 = incidentUpdate("k",
+      Iterator(Edge("k", 15L * 3600L, "resolve")), st).toList
+    assert(out3.map(r => (r.n_incidents, r.mttr_hours)) == List((1L, Some(3.0))))
+  }
+}
