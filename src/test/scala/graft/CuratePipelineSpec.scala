@@ -83,4 +83,106 @@ class CuratePipelineSpec extends SparkSpec {
     assert(caught == curated.count(),
       s"store caught $caught of ${curated.count()} re-sent docs")
   }
+
+  test("corpus-append trilogy: run 2 through the stores equals the one-shot build") {
+    // d25 sig store → d26 sketch stores → d27 label store, COMPOSED:
+    // run 1 builds all three; run 2's batch flows match → fold →
+    // label-merge; every merged artifact must equal the one-shot
+    // build over everything ingested — the proof the stores
+    // interoperate, not just work in isolation.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, SketchStore}
+    val s = spark
+    import s.implicits._
+    def words(tag: String, n: Int): String =
+      (1 to n).map(i => s"${tag}w$i").mkString(" ")
+    val base1 = words("a", 40); val base5 = words("c", 40)
+    val runA = Seq(
+      (1L, "web", base1), (2L, "web", base1.replace("aw7", "edited")),
+      (3L, "web", words("t3", 30)), (4L, "wiki", words("t4", 30)),
+      (5L, "wiki", base5), (6L, "wiki", base5.replace("cw9", "edited")),
+      (7L, "web", words("t7", 30)), (8L, "wiki", words("t8", 30)))
+      .toDF("doc_id", "source", "text")
+    val n102 = words("n", 40)
+    val runB = Seq(
+      (101L, "web", base1.replace("aw12", "blah")),   // joins {1,2}
+      (102L, "forum", n102),
+      (103L, "forum", n102.replace("nw5", "x")),       // new pair {102,103}
+      (104L, "wiki", base5.replace("cw20", "zz")),     // joins {5,6}
+      (105L, "forum", words("t105", 30)), (106L, "web", words("t106", 30)),
+      (3L, "web", words("t3", 30)))                    // re-sent doc
+      .toDF("doc_id", "source", "text")
+
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    def tokHist(df: org.apache.spark.sql.DataFrame) =
+      toks(df).groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    def selfPairs(store: org.apache.spark.sql.DataFrame,
+                  docs: org.apache.spark.sql.DataFrame) =
+      Dedup.sigStoreDedup(store, docs, "doc_id", "text")
+        .filter(col("doc_id") =!= col("matched_id"))
+        .select(col("doc_id").as("id1"), col("matched_id").as("id2"))
+
+    // ---- run 1: build the three stores
+    val sigA = Dedup.portableSignatureStore(runA, "doc_id", "text").persist()
+    val labelsA = Dedup.incrementalComponents(
+      Seq.empty[(Long, Long)].toDF("id", "component"),
+      runA.select("doc_id"), "doc_id", selfPairs(sigA, runA))
+    val kmvA = SketchStore.kmvStore(toks(runA), "source", md5(col("tok")), 64)
+    val cmsA = SketchStore.cmsStore(tokHist(runA), "source", col("tok"),
+      col("c"), 256, 4)
+
+    // ---- run 2: match (d25) → fold (d26) → label-merge (d27)
+    val sigB = Dedup.portableSignatureStore(runB, "doc_id", "text").persist()
+    val crossPairs = Dedup.sigStoreDedup(sigA, runB, "doc_id", "text")
+      .filter(col("doc_id") =!= col("matched_id"))
+      .select(col("doc_id").as("id1"), col("matched_id").as("id2"))
+    val newPairs = crossPairs.unionByName(selfPairs(sigB, runB))
+    val labels2 = Dedup.incrementalComponents(
+      labelsA, runB.select("doc_id"), "doc_id", newPairs)
+    val sigStore2 = sigA.unionByName(
+      sigB.join(sigA.select("id").distinct(), Seq("id"), "left_anti"))
+    val kmv2 = SketchStore.kmvStoreMerge(kmvA,
+      SketchStore.kmvStore(toks(runB), "source", md5(col("tok")), 64),
+      "source", 64)
+    val cms2 = SketchStore.cmsStoreMerge(cmsA,
+      SketchStore.cmsStore(tokHist(runB), "source", col("tok"),
+        col("c"), 256, 4),
+      "source", 256, 4)
+
+    // ---- one-shot builds over everything ingested
+    val allBag = runA.unionByName(runB)
+    val allDocs = runA.unionByName(
+      runB.join(runA.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val sigOne = Dedup.portableSignatureStore(allDocs, "doc_id", "text").persist()
+    val labelsOne = Dedup.components(allDocs.select("doc_id"), "doc_id",
+        selfPairs(sigOne, allDocs))
+      .select(col("doc_id").as("id"), col("component"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(labels2) == rows(labelsOne), "label store != one-shot CC")
+    def hexed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("i"), hex(col("sig")))
+    assert(rows(hexed(sigStore2)) == rows(hexed(sigOne)),
+      "sig store != one-shot signatures")
+    assert(rows(kmv2) ==
+      rows(SketchStore.kmvStore(toks(allBag), "source", md5(col("tok")), 64)),
+      "merged KMV != one-shot KMV")
+    assert(rows(cms2) ==
+      rows(SketchStore.cmsStore(tokHist(allBag), "source", col("tok"),
+        col("c"), 256, 4)),
+      "merged CMS != one-shot CMS")
+
+    // the run-2 decisions themselves: new docs joined the right
+    // clusters, the re-sent doc kept one label, nothing leaked
+    val comp = labels2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels2.count() == 14 && comp.size == 14, "dup or missing labels")
+    assert(comp(101L) == comp(1L) && comp(1L) == comp(2L))
+    assert(comp(104L) == comp(5L) && comp(5L) == comp(6L))
+    assert(comp(102L) == comp(103L) && comp(102L) != comp(1L))
+    assert(Seq(3L, 4L, 7L, 8L, 105L, 106L).forall(i => comp(i) == i))
+    sigA.unpersist(); sigB.unpersist(); sigOne.unpersist()
+  }
 }
