@@ -769,6 +769,26 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("pc_score"))
         .orderBy("vec_id")),
 
+    "s24_pca_topk" -> ((s, dir) =>
+      // top-3 principal components by power iteration + Hotelling
+      // deflation: ONE Gramian corpus pass trains all components
+      // (deflation is a d^2 driver update); the k-axis anisotropy
+      // view and the OPQ-style rotation trainer
+      Similarity.topKPcPower(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3)
+        .orderBy("component", "pos")),
+
+    "s25_pc_whiten" -> ((s, dir) =>
+      // PCA whitening: every vector's centered coordinate along each
+      // top-3 component plus the sqrt(eigenvalue)-normalized whitened
+      // coordinate — k*d loadings + d means as literals, one
+      // zero-shuffle narrow pass, k rows per vector
+      Similarity.pcWhiten(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3)
+        .select(col("id").as("vec_id"), col("component"),
+          col("score"), col("white"))
+        .orderBy("vec_id", "component")),
+
     "s20_int8_ann" -> ((s, dir) => {
       // symmetric int8 quantized search (FAISS SQ8 shape): scales
       // cancel out of the cosine, so ranking runs entirely on BIGINT
@@ -2532,17 +2552,24 @@ object SparkEntry {
     * DECIMAL(24,8) fold, every round's normalize re-rounded, so the
     * loadings/eigenvalue/explained fraction replay Spark's driver
     * loop bit-for-bit. */
-  private lazy val s21Cte: String = {
-    val iterCtes = (1 to 12).map { t =>
-      val pv = if (t == 1) "v0" else s"v${t - 1}"
-      // every iteration CTE MATERIALIZED: inlined, v_t references w_t
-      // twice (directly and via n_t), so the plan re-expands
-      // exponentially in the iteration count
-      s"""w$t AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(round(c.c * p.v, 6) AS DECIMAL(24,8))) AS DOUBLE) AS w
-                  FROM cov c JOIN $pv p ON p.i = c.j GROUP BY 1),
-          n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM w$t),
-          v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM w$t, n$t)"""
+  /** One component's 12 power-iteration rounds as chained CTEs —
+    * every iteration MATERIALIZED (inlined, v_t references w_t twice,
+    * directly and via n_t, so the plan re-expands exponentially in
+    * the iteration count). `covName` is the matrix the component
+    * iterates on; `p` prefixes the CTE names so s24's deflation chain
+    * can stack k of these ("" reproduces s21's historical names).
+    */
+  private def pcIterCtes(covName: String, p: String, iters: Int): String =
+    (1 to iters).map { t =>
+      val pv = if (t == 1) "v0" else s"${p}v${t - 1}"
+      s"""${p}w$t AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(round(c.c * p.v, 6) AS DECIMAL(24,8))) AS DOUBLE) AS w
+                  FROM $covName c JOIN $pv p ON p.i = c.j GROUP BY 1),
+          ${p}n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM ${p}w$t),
+          ${p}v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM ${p}w$t, ${p}n$t)"""
     }.mkString(",\n")
+
+  private lazy val s21Cte: String = {
+    val iterCtes = pcIterCtes("cov", "", 12)
     s"""WITH x AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
                  t -> CAST(round(round(CAST(t AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT)) AS v
                FROM embeddings WHERE embedding IS NOT NULL),
@@ -2583,6 +2610,67 @@ object SparkEntry {
                  FROM e1 e JOIN mm m ON m.i = e.i JOIN v12 v ON v.i = e.i
                  GROUP BY 1)
        SELECT vec_id, round(sc, 6) AS pc_score FROM pt ORDER BY vec_id"""
+
+  /** s24/s25 shared chain: the s21 moment/covariance head, then k
+    * components of 12 power-iteration rounds with Hotelling deflation
+    * between them — cov_{c+1} = cov_c − (λ·v_i)·v_j, the association
+    * written verbatim as the Spark driver computes it. */
+  private def sPcKCte(k: Int): String = {
+    def covName(c: Int) = if (c == 1) "cov" else s"cov$c"
+    val compCtes = (1 to k).map { c =>
+      val iters = pcIterCtes(covName(c), s"k$c", 12)
+      val lam = s"k${c}lam AS (SELECT round(nm, 6) AS lam FROM k${c}n12)"
+      val deflate =
+        if (c == k) ""
+        else s""",
+          ${covName(c + 1)} AS MATERIALIZED (SELECT c.i, c.j,
+                  c.c - (l.lam * a.v) * b.v AS c
+                  FROM ${covName(c)} c
+                  JOIN k${c}v12 a ON a.i = c.i
+                  JOIN k${c}v12 b ON b.i = c.j
+                  CROSS JOIN k${c}lam l)"""
+      s"$iters,\n          $lam$deflate"
+    }.mkString(",\n")
+    s21Cte.replace(s"\n          ${pcIterCtes("cov", "", 12)}",
+      s"\n          $compCtes") match {
+      case same if same == s21Cte =>
+        sys.error("sPcKCte: iteration-chain splice failed")
+      case ok => ok
+    }
+  }
+
+  /** s24: the k-component chain's loadings/eigenvalues, explained
+    * against the ORIGINAL trace. */
+  private lazy val s24Oracle: String = sPcKCte(3) +
+    s""",
+          tr AS (SELECT CAST(sum(CAST(round(c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS tr
+                 FROM cov WHERE i = j)
+       ${(1 to 3).map(c =>
+        s"""SELECT CAST($c AS BIGINT) AS component, i AS pos, v AS loading,
+               l.lam AS eigenvalue, round(l.lam / tr, 6) AS explained_frac
+             FROM k${c}v12, k${c}lam l, tr""").mkString("\nUNION ALL\n")}
+       ORDER BY component, pos"""
+
+  /** s25: each component's centered projection + the √λ-normalized
+    * whitened coordinate — the s22 arithmetic per component. */
+  private lazy val s25Oracle: String = sPcKCte(3) +
+    s""",
+          mm AS (SELECT mu.i,
+                   CAST(round((CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n, 6)
+                     AS DECIMAL(12,6)) AS m
+                 FROM mu CROSS JOIN nn)
+       ${(1 to 3).map(c =>
+        s"""SELECT vec_id, CAST($c AS BIGINT) AS component,
+               sc AS score,
+               round(sc / sqrt(l.lam), 6) AS white
+             FROM (SELECT e.vec_id,
+                     CAST(round(sum(CAST(round(
+                         (CAST(CAST(e.xi AS DOUBLE) / 1000000.0 AS DECIMAL(12,6)) - m.m)
+                         * CAST(v.v AS DECIMAL(12,6)), 6)
+                       AS DECIMAL(24,8))), 6) AS DOUBLE) AS sc
+                   FROM e1 e JOIN mm m ON m.i = e.i JOIN k${c}v12 v ON v.i = e.i
+                   GROUP BY 1), k${c}lam l""").mkString("\nUNION ALL\n")}
+       ORDER BY vec_id, component"""
 
   private lazy val t30Oracle: String = t30ScoreCte +
     """
@@ -4119,6 +4207,10 @@ object SparkEntry {
     "s21_top_pc" -> s21Oracle,
 
     "s22_pc_project" -> s22Oracle,
+
+    "s24_pca_topk" -> s24Oracle,
+
+    "s25_pc_whiten" -> s25Oracle,
 
     "s20_int8_ann" ->
       // both sides re-quantized with s07's floor codes; the three

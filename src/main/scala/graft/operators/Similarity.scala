@@ -355,8 +355,23 @@ object Similarity {
       loadings: Array[Double], eigenvalue: Double, explainedFrac: Double,
       means: Array[Double], n: Long)
 
-  private[graft] def pcTrain(df: DataFrame, vecCol: String,
-                             iters: Int): PcModel = {
+  private def round6(x: Double): Double = graft.functions.PqCodes.round6(x)
+
+  /** DECIMAL(24,8) fold of round6 terms — the engine-portable sum. */
+  private def decSum(terms: Iterator[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    terms.foreach { t =>
+      acc = acc.add(java.math.BigDecimal.valueOf(round6(t)).setScale(8))
+    }
+    acc.doubleValue()
+  }
+
+  /** The one-corpus-pass covariance assembly: Gramian aggregate →
+    * bounded driver collect → (n, means, C). Shared by the k=1 and
+    * top-k trainers.
+    */
+  private def covariance(df: DataFrame, vecCol: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
     val rows = df.filter(col(vecCol).isNotNull)
     // micro-coordinates: round6 once, then exact integers (the round6
     // value × 1e6 sits within 1e-4 of an integer — no tie ambiguity)
@@ -390,15 +405,14 @@ object Similarity {
       }
       i += 1
     }
-    import graft.functions.PqCodes.round6
-    // DECIMAL(24,8) fold of round6 terms — the engine-portable sum
-    def decSum(terms: Iterator[Double]): Double = {
-      var acc = java.math.BigDecimal.ZERO
-      terms.foreach { t =>
-        acc = acc.add(java.math.BigDecimal.valueOf(round6(t)).setScale(8))
-      }
-      acc.doubleValue()
-    }
+    (n, m, c)
+  }
+
+  /** 12-round power iteration under the round6/DECIMAL discipline —
+    * the driver loop both engines replay identically. */
+  private def powerIterate(c: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    val d = c.length
     var v = Array.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
     var nm = 0.0
     for (_ <- 1 to iters) {
@@ -407,10 +421,68 @@ object Similarity {
       require(nm > 0, "topPcPower: zero covariance — no variance to explain")
       v = w.map(x => round6(x / nm))
     }
+    (v, round6(nm))
+  }
+
+  private[graft] def pcTrain(df: DataFrame, vecCol: String,
+                             iters: Int): PcModel = {
+    val (n, m, c) = covariance(df, vecCol)
+    val d = c.length
+    val (v, eig) = powerIterate(c, iters)
     val trace = decSum((0 until d).iterator.map(i => c(i)(i)))
-    val eig = round6(nm)
-    val expl = round6(eig / trace)
-    PcModel(v, eig, expl, m, n)
+    PcModel(v, eig, round6(eig / trace), m, n)
+  }
+
+  /** Top-K principal components by power iteration + Hotelling
+    * DEFLATION: component c trains on C_c, then C_{c+1} = C_c −
+    * (λ·v)·vᵀ removes its variance, exactly the rotation matrix
+    * Jégou et al. 2011 §V.A train for OPQ-style preprocessing, and
+    * the k-axis version of the s21 anisotropy diagnostic. The SAME
+    * single Gramian corpus pass feeds every component — deflation is
+    * a d² driver update, the corpus is never rescanned.
+    *
+    * Engine-exactness extends s21's discipline: the deflation update
+    * is written (λ·v_i)·v_j with that exact association on both
+    * engines, λ and v round-6 from the previous component's chain —
+    * so all k loading vectors, eigenvalues, and explained fractions
+    * (each against the ORIGINAL trace — the total-variance share)
+    * hash-match the oracle's chained CTEs.
+    *
+    * Output: k·d rows (component 1-based, pos, loading, eigenvalue,
+    * explained_frac).
+    */
+  def topKPcPower(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 3, iters: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val models = pcTrainK(df, vecCol, k, iters)
+    import spark.implicits._
+    models.comps.zipWithIndex.flatMap { case ((v, eig, expl), ci) =>
+      v.zipWithIndex.map { case (l, i) =>
+        ((ci + 1).toLong, i.toLong, l, eig, expl)
+      }
+    }.toDF("component", "pos", "loading", "eigenvalue", "explained_frac")
+  }
+
+  private[graft] final case class PcKModel(
+      comps: Seq[(Array[Double], Double, Double)],
+      means: Array[Double], n: Long)
+
+  private[graft] def pcTrainK(df: DataFrame, vecCol: String,
+                              k: Int, iters: Int): PcKModel = {
+    require(k >= 1 && k <= 8, s"topKPcPower: k $k not in [1,8]")
+    val (n, m, c0) = covariance(df, vecCol)
+    val d = c0.length
+    val trace = decSum((0 until d).iterator.map(i => c0(i)(i)))
+    var c = c0
+    val comps = (1 to k).map { _ =>
+      val (v, eig) = powerIterate(c, iters)
+      // Hotelling deflation, association (λ·v_i)·v_j mirrored verbatim
+      // by the oracle's cov_{c+1} CTE
+      val next = Array.tabulate(d, d)((i, j) => c(i)(j) - (eig * v(i)) * v(j))
+      c = next
+      (v, eig, round6(eig / trace))
+    }
+    PcKModel(comps, m, n)
   }
 
   /** Project every embedding onto the corpus top principal component
@@ -446,6 +518,57 @@ object Similarity {
       .withColumn("pc_score",
         round(terms.reduce(_ + _).cast("double"), 6))
       .select(col("id"), col("pc_score"))
+  }
+
+  /** PCA WHITENING projection — the apply step of [[topKPcPower]] and
+    * the standard embedding-preprocessing rung (Jégou & Chum 2012
+    * "Negative evidences and co-occurrences in image retrieval:
+    * the benefit of PCA and whitening"): every vector's centered
+    * coordinate along each of the top-k components (`score`), plus
+    * the variance-normalized coordinate `white` = score/√λ_c — the
+    * rotation+rescale that equalizes axis variances before cosine/PQ.
+    *
+    * Shape at scale: pcTrainK's ONE Gramian corpus pass trains all k
+    * components (deflation is a d² driver update); the projection
+    * embeds k·d loadings + d means as LITERALS in one zero-shuffle
+    * narrow pass — k scores per row, row-local DECIMAL folds, no
+    * joins, no aggregates (the s22 device, k-wide). Engine-exact:
+    * per-term round-6 products, √λ a correctly-rounded sqrt of the
+    * same round-6 double on both engines.
+    *
+    * Output: k rows per vector (id, component, score, white).
+    */
+  def pcWhiten(df: DataFrame, idCol: String, vecCol: String,
+               k: Int = 3, iters: Int = 12): DataFrame = {
+    val model = pcTrainK(df, vecCol, k, iters)
+    val means = model.means
+    val rows = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double"), 6)).as("_xr"))
+    val compCols = model.comps.zipWithIndex.map { case ((v, eig, _), ci) =>
+      // the WHOLE per-row chain runs in exact decimal: coordinate and
+      // round-6 mean are exactly representable as DECIMAL(12,6), so
+      // diff, product, per-term round, sum, and the final round are
+      // all exact HALF_UP decimal arithmetic — engine-identical by
+      // construction. The s22-style double formulation broke half-way
+      // ties by the double's binary neighborhood (3 divergent scores
+      // at sf0.001, components 2–3). Centering therefore uses the
+      // ROUND-6 mean — s25's defined semantics (the only remaining
+      // double-rounds are the 64 corpus means and white's division,
+      // both loud-if-ever-tied).
+      val terms = v.indices.map { i =>
+        round((element_at(col("_xr"), i + 1).cast("decimal(12,6)")
+            - lit(round6(means(i))).cast("decimal(12,6)"))
+          * lit(v(i)).cast("decimal(12,6)"), 6).cast("decimal(24,8)")
+      }
+      val score = round(terms.reduce(_ + _), 6).cast("double")
+      struct(lit((ci + 1).toLong).as("component"), score.as("score"),
+        round(score / lit(math.sqrt(eig)), 6).as("white"))
+    }
+    rows
+      .select(col("id"), explode(array(compCols: _*)).as("_c"))
+      .select(col("id"), col("_c.component").as("component"),
+        col("_c.score").as("score"), col("_c.white").as("white"))
   }
 
   /** Symmetric int8-quantized ANN — the FAISS SQ8 SEARCH path on top

@@ -442,6 +442,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("s25: whitening projection is one narrow zero-shuffle pass") {
+    val p = SparkEntry.queries("s25_pc_whiten")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // k*d loadings + d means are literals; the k-way expand is a
+    // row-local explode — no join, no aggregate, no hash exchange
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("m07: the overlap join runs on the md5 fp key, never audio bytes") {
     val p = SparkEntry.queries("m07_audio_overlap")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
