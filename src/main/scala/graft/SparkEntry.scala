@@ -1491,6 +1491,15 @@ object SparkEntry {
           when(col("is_anomaly"), lit("fire")).otherwise(lit("resolve")).as("edge"))
         .orderBy("event_type", "hr_start")),
 
+    "r29_alert_storms" -> ((s, dir) =>
+      // incident grouping above r23: maximal runs of fire edges (any
+      // key) at most 2h apart collapse to one storm row — the
+      // shared-root-cause view (n_keys >> 1 in a tight span); the
+      // global-order window runs over the tiny edge frame only
+      Windows.alertStorms(T(s, dir, "events"), "ts", "event_type",
+          gapHours = 2)
+        .orderBy("storm_start")),
+
     "r25_template_drift" -> ((s, dir) =>
       // what changed between then and now: per-template counts in
       // the earlier vs later half of the time range, add-1 log rate
@@ -3330,6 +3339,51 @@ object SparkEntry {
                 CASE WHEN an THEN 'fire' ELSE 'resolve' END AS edge
          FROM e WHERE an <> coalesce(prev, false)
          ORDER BY event_type, hr_start""",
+
+    "r29_alert_storms" ->
+      // the r23 chain's fire edges, gap-split in global (hr, key)
+      // order, grouped per storm — identical cumsum storm ids
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a),
+            f AS (SELECT event_type AS key, hr_start FROM e
+                  WHERE an <> coalesce(prev, false) AND an),
+            g AS (SELECT key, hr_start,
+                    CASE WHEN lag(hr_start) OVER o IS NULL
+                           OR hr_start - lag(hr_start) OVER o > 7200 THEN 1
+                         ELSE 0 END AS ns
+                  FROM f WINDOW o AS (ORDER BY hr_start, key)),
+            st AS (SELECT key, hr_start, sum(ns) OVER (
+                     ORDER BY hr_start, key ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM g)
+         SELECT CAST(min(hr_start) AS BIGINT) AS storm_start,
+                CAST(max(hr_start) AS BIGINT) AS storm_end,
+                CAST(count(*) AS BIGINT) AS n_fires,
+                CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+                CAST((max(hr_start) - min(hr_start)) // 3600 AS BIGINT) AS span_hours,
+                string_agg(DISTINCT key, ',' ORDER BY key) AS keys
+         FROM st GROUP BY sid ORDER BY storm_start""",
 
     "r25_template_drift" ->
       """WITH lines AS (SELECT ts, 'user=' || user_id || ' type=' || event_type

@@ -99,6 +99,56 @@ object Windows {
         max(col("dur_hours")).as("max_hours"))
   }
 
+  /** ALERT-STORM correlation — the incident-grouping rung above r23's
+    * per-key edges (the Alertmanager `group_by`/PagerDuty incident-
+    * merge behavior): one root cause pages 50 services inside a few
+    * hours, and the on-call wants ONE storm row, not 50 incident
+    * rows. A storm is a maximal run of FIRE edges (any key) where
+    * consecutive fires are at most `gapHours` apart; the summary
+    * reports its span, fire count, distinct keys, and the sorted key
+    * list — n_keys >> 1 inside a tight span is the shared-root-cause
+    * signal.
+    *
+    * Shape at scale: everything upstream is the r16→r23 hour-grain
+    * machinery; the storm grouping itself runs over the EDGE frame —
+    * state-change rows only, orders of magnitude below even the
+    * hourly frame — so the one global-order window here scans alert
+    * edges, never events or hours (the same tiny-frame contract as
+    * [[incidents]]' lead).
+    * Output: (storm_start, storm_end, n_fires, n_keys, span_hours,
+    * keys), one row per storm.
+    */
+  def alertStorms(df: DataFrame, ts: String, keyCol: String,
+                  gapHours: Int = 2): DataFrame = {
+    require(gapHours >= 1, s"alertStorms: gapHours $gapHours must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val byKey = W.partitionBy(col("key")).orderBy(col("hr_start"))
+    val fires = rateAnomaly(df, ts, keyCol)
+      .withColumn("_prev", lag(col("is_anomaly"), 1).over(byKey))
+      .filter(col("is_anomaly") =!= coalesce(col("_prev"), lit(false)))
+      .filter(col("is_anomaly"))
+      .select(col("key"), col("hr_start"))
+    // global order over the edge frame (tiny by contract): a fire
+    // starts a new storm iff it trails the previous fire by > gap
+    val ord = W.orderBy(col("hr_start"), col("key"))
+    val sid = sum(
+        when(col("hr_start") - lag(col("hr_start"), 1).over(ord)
+          > lit(gapHours * 3600L), 1L)
+          .when(lag(col("hr_start"), 1).over(ord).isNull, 1L)
+          .otherwise(0L))
+      .over(ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+    fires.withColumn("_sid", sid)
+      .groupBy(col("_sid"))
+      .agg(min(col("hr_start")).as("storm_start"),
+        max(col("hr_start")).as("storm_end"),
+        count(lit(1)).as("n_fires"),
+        countDistinct(col("key")).as("n_keys"),
+        ((max(col("hr_start")) - min(col("hr_start"))) / lit(3600L))
+          .cast("long").as("span_hours"),
+        array_join(array_sort(collect_set(col("key"))), ",").as("keys"))
+      .drop("_sid")
+  }
+
   /** Multi-window error-budget BURN RATE (the Google SRE workbook's
     * multiwindow multi-burn-rate alert, the shape production SLO
     * paging actually uses): for each trailing window ending at the
