@@ -1151,6 +1151,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s26_ann_index" -> ((s, dir) => {
+      // the persistent ANN index workflow (build once, serve many —
+      // the d25 store split applied to ANN): buildAnnIndex trains the
+      // coarse quantizer and encodes the corpus into posting lists
+      // with inline PQ codes; annIndexTopK then serves a query batch
+      // against the STORE alone, never touching raw corpus vectors.
+      // Rows-only (xxhash seeding, as s12); AnnIndexSpec pins
+      // store-served == end-to-end ivfPqTopK bit-for-bit including a
+      // parquet round-trip of both store relations.
+      val emb = T(s, dir, "embeddings").withColumn("embedding",
+        transform(col("embedding"),
+          x => x.cast("double") / Similarity.norm(col("embedding"))))
+      val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+        m = 16, ksub = 256, iters = 2)
+      val (cents, postings) = Similarity.buildAnnIndex(emb, "vec_id",
+        "embedding", cb, "code", "codeword",
+        m = 16, nlist = 16, refineIters = 4, spill = 2)
+      Similarity.annIndexTopK(cents, postings,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cb, "code", "codeword", m = 16, k = 10, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s13_ivf_pq_residual" -> ((s, dir) => {
       // RESIDUAL-encoded IVF-PQ (the actual FAISS layout): corpus
       // vectors PQ-encode v − centroid with residual-trained subspace

@@ -1446,6 +1446,98 @@ object Similarity {
         round(col("_rawcos"), 6).as("cos"), col("rank"))
   }
 
+  /** WRITE half of the PERSISTENT ANN index — the "build once, serve
+    * many" split [[ivfPqTopK]] lacks (it retrains the coarse
+    * quantizer and re-encodes the corpus on every call — fine for a
+    * one-shot query, wrong for the serving workflow where yesterday's
+    * petabytes are cold and only the index stays hot; the d25
+    * signature-store move applied to ANN). Returns the two relations
+    * a caller persists as parquet:
+    *
+    *   - centroids: (cent_id, cent_vec, cent_nrm) — the trained
+    *     coarse quantizer, ≤ nlist rows;
+    *   - postings: (cent_id, id, codes) — the FAISS inverted-list
+    *     layout: one row per list member with its m PQ codes INLINE
+    *     as an array (~m bytes/vector at a real deployment's code
+    *     width), list membership replicated `spill` ways.
+    *
+    * Neither relation references the raw vectors: a later batch of
+    * queries runs [[annIndexTopK]] against the store alone.
+    */
+  def buildAnnIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                    m: Int, nlist: Int = 64, refineIters: Int = 1,
+                    spill: Int = 1, trainCap: Int = 65536)
+      : (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val cents = trainCoarse(corpus, corpusId, corpusVec, nlist, refineIters,
+      trainCap)
+    val idType = corpus.schema(corpusId).dataType
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val centDf = spark.createDataFrame(
+      java.util.Arrays.asList(cents.map(c => Row(c.id, c.vec.toSeq, c.nrm)): _*),
+      StructType(Seq(StructField("cent_id", idType),
+        StructField("cent_vec", ArrayType(DoubleType)),
+        StructField("cent_nrm", DoubleType))))
+    val lists = assignCents(cents, idType,
+        corpus.withColumn("_cnrm", norm(col(corpusVec))), corpusVec,
+        col("_cnrm"), spill)
+      .select(col(corpusId).as("id"), col("_cent_id").as("cent_id"))
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "buildAnnIndex")
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, "buildAnnIndex")
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    (centDf, lists.join(codes, "id")
+      .select(col("cent_id"), col("id"), col("codes")))
+  }
+
+  /** READ half: serve a query batch against a persisted
+    * [[buildAnnIndex]] store with NO access to the original corpus —
+    * same plan as [[ivfPqTopK]]'s compressed-domain path (refine
+    * needs raw vectors, so it lives with the corpus, not the store):
+    * probes assign against the ≤128-row stored quantizer via the
+    * same literal expression, candidates come off the posting lists
+    * (spill duplicates collapse before the ADC sum — the double-count
+    * guard), and ranking is the broadcast ADC table join. The spec
+    * pins store-served results ≡ the end-to-end [[ivfPqTopK]] run,
+    * including through a parquet round-trip.
+    */
+  def annIndexTopK(centroids: DataFrame, postings: DataFrame,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                   m: Int, k: Int, nprobe: Int = 4): DataFrame = {
+    val cRows = centroids.select(col("cent_id"), col("cent_vec"), col("cent_nrm"))
+      .collect()
+    require(cRows.nonEmpty && cRows.length <= 128,
+      s"annIndexTopK: ${cRows.length} centroids outside the (0, 128] contract")
+    val cents = cRows.map(r =>
+      Cent(r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val idType = centroids.schema("cent_id").dataType
+    val probes = assignCents(cents, idType,
+        queries.withColumn("_qnrm", norm(col(queryVec))), queryVec,
+        col("_qnrm"), nprobe)
+      .select(col(queryId).cast("long").as("query_id"),
+        col("_cent_id").as("cent_id"))
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "annIndexTopK")
+    val dt = adcTable(queries, queryId, queryVec, cb, m, "annIndexTopK")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    postings.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("id"), col("codes"))
+      .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** RESIDUAL-encoded IVF-PQ — the actual FAISS IVFPQ layout (Jégou
     * 2011 §IV-A): corpus vectors PQ-encode their residual v − c(v)
     * against the assigned coarse centroid, with the subspace
