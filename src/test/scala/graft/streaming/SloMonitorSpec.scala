@@ -205,6 +205,82 @@ class SloMonitorSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("storm stream equals the batch gap-split over real fire edges") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .withColumn("ts",
+        if (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000")) else col("ts"))
+    val verdicts = Windows.rateAnomaly(ev, "ts", "event_type")
+      .select(col("key"), col("hr_start"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .groupBy(_._1)
+    val edges = verdicts.toSeq.flatMap { case (k, vs) =>
+      vs.sortBy(_._2).foldLeft((Seq.empty[(String, Long, String)], false)) {
+        case ((acc, prev), (_, hr, an)) =>
+          (if (an != prev) acc :+ ((k, hr, if (an) "fire" else "resolve"))
+           else acc, an)
+      }._1
+    }.sortBy(_._2)
+    assert(edges.count(_._3 == "fire") > 1, "test corpus has too few fires")
+    // a far-future resolve advances the watermark past the last storm
+    val flushHr = edges.map(_._2).max + 100L * 3600L
+    val input = MemoryStream[(String, Long, String)]
+    val edgeDs = input.toDF().toDF("key", "hrStart", "edge")
+      .as[AlertEdges.Edge]
+    val q = SloMonitor.storms(edgeDs, gapHours = 2)
+      .writeStream.format("memory").queryName("storms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (h1, h2) = edges.splitAt(edges.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2 :+ (("flush", flushHr, "resolve")): _*)
+      q.processAllAvailable()
+      // a second flusher batch that REACHES the group (a fire): the
+      // trailing real storm closes in the data path under the first
+      // flusher's now-current watermark; the flush-fire's own storm
+      // stays open and never emits
+      input.addData(("flush", flushHr + 100L * 3600L, "fire"))
+      q.processAllAvailable()
+      val got = spark.table("storms").as[SloMonitor.StormRow].collect()
+        .map(r => (r.storm_start, r.storm_end, r.n_fires, r.n_keys,
+          r.span_hours, r.keys))
+        .toSeq.sortBy(_._1)
+      val batch = Windows.alertStorms(ev, "ts", "event_type", gapHours = 2)
+        .orderBy("storm_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))
+        .toSeq
+      assert(got == batch, s"\nstream: $got\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("storm transition: gap split, cross-key dedup, watermark close") {
+    val st = new TestGroupState[SloMonitor.StormAgg]
+    import SloMonitor.FireEdge
+    // two fires 1h apart (merge), same key twice (n_keys dedup)
+    val out1 = SloMonitor.stormUpdate(2)("all", Iterator(
+      FireEdge("a", new java.sql.Timestamp(10L * 3600L * 1000L)), FireEdge("b", new java.sql.Timestamp(11L * 3600L * 1000L)),
+      FireEdge("a", new java.sql.Timestamp(12L * 3600L * 1000L))), st).toList
+    assert(out1.isEmpty && st.updated.get.n == 3L
+      && st.updated.get.keys.sorted == Seq("a", "b"))
+    // a fire > 2h later closes the open storm and starts a new one
+    val out2 = SloMonitor.stormUpdate(2)("all",
+      Iterator(FireEdge("c", new java.sql.Timestamp(20L * 3600L * 1000L))), st).toList
+    assert(out2.map(r => (r.storm_start, r.storm_end, r.n_fires, r.n_keys,
+      r.span_hours, r.keys))
+      == List((10L * 3600L, 12L * 3600L, 3L, 2L, 2L, "a,b")))
+    // watermark past last + gap closes the trailing storm (timeout path)
+    st.watermarkMs = 30L * 3600L * 1000L
+    val out3 = SloMonitor.stormUpdate(2)("all", Iterator.empty, st).toList
+    assert(out3.map(r => (r.storm_start, r.n_fires, r.keys))
+      == List((20L * 3600L, 1L, "c")))
+    assert(st.updated.isEmpty)
+  }
+
   test("incidents ignore stale replays and malformed sequences") {
     val st = new TestGroupState[IncidentState]
     import AlertEdges.Edge
