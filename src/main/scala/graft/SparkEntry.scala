@@ -2685,24 +2685,28 @@ object SparkEntry {
        ORDER BY component, pos"""
 
   /** s25: each component's centered projection + the √λ-normalized
-    * whitened coordinate — the s22 arithmetic per component. */
+    * whitened coordinate — the s21 integer-micro discipline end to
+    * end: coordinate/mean/loading as ×10⁶ BIGINTs, exact pico term
+    * sums, HALF_UP at the pico→micro boundary by integer division
+    * (sum(BIGINT) is HUGEINT in DuckDB — exact — cast back down). */
   private lazy val s25Oracle: String = sPcKCte(3) +
     s""",
           mm AS (SELECT mu.i,
-                   CAST(round((CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n, 6)
-                     AS DECIMAL(12,6)) AS m
+                   CAST(round(round((CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n, 6)
+                     * 1000000.0, 0) AS BIGINT) AS m6
                  FROM mu CROSS JOIN nn)
        ${(1 to 3).map(c =>
         s"""SELECT vec_id, CAST($c AS BIGINT) AS component,
-               sc AS score,
-               round(sc / sqrt(l.lam), 6) AS white
-             FROM (SELECT e.vec_id,
-                     CAST(round(sum(CAST(round(
-                         (CAST(CAST(e.xi AS DOUBLE) / 1000000.0 AS DECIMAL(12,6)) - m.m)
-                         * CAST(v.v AS DECIMAL(12,6)), 6)
-                       AS DECIMAL(24,8))), 6) AS DOUBLE) AS sc
-                   FROM e1 e JOIN mm m ON m.i = e.i JOIN k${c}v12 v ON v.i = e.i
-                   GROUP BY 1), k${c}lam l""").mkString("\nUNION ALL\n")}
+               CAST(micro AS DOUBLE) / 1000000.0 AS score,
+               round((CAST(micro AS DOUBLE) / 1000000.0) / sqrt(l.lam), 6) AS white
+             FROM (SELECT vec_id,
+                     CASE WHEN pico >= 0 THEN (pico + 500000) // 1000000
+                          ELSE -((-pico + 500000) // 1000000) END AS micro
+                   FROM (SELECT e.vec_id,
+                           CAST(sum((e.xi - m.m6)
+                             * CAST(round(v.v * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS pico
+                         FROM e1 e JOIN mm m ON m.i = e.i JOIN k${c}v12 v ON v.i = e.i
+                         GROUP BY 1)), k${c}lam l""").mkString("\nUNION ALL\n")}
        ORDER BY vec_id, component"""
 
   private lazy val t30Oracle: String = t30ScoreCte +

@@ -544,31 +544,50 @@ object Similarity {
     val means = model.means
     val rows = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
-        transform(col(vecCol), x => round(x.cast("double"), 6)).as("_xr"))
+        transform(col(vecCol),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("_x6"))
     val compCols = model.comps.zipWithIndex.map { case ((v, eig, _), ci) =>
-      // the WHOLE per-row chain runs in exact decimal: coordinate and
-      // round-6 mean are exactly representable as DECIMAL(12,6), so
-      // diff, product, per-term round, sum, and the final round are
-      // all exact HALF_UP decimal arithmetic — engine-identical by
-      // construction. The s22-style double formulation broke half-way
-      // ties by the double's binary neighborhood (3 divergent scores
-      // at sf0.001, components 2–3). Centering therefore uses the
-      // ROUND-6 mean — s25's defined semantics (the only remaining
-      // double-rounds are the 64 corpus means and white's division,
-      // both loud-if-ever-tied).
-      val terms = v.indices.map { i =>
-        round((element_at(col("_xr"), i + 1).cast("decimal(12,6)")
-            - lit(round6(means(i))).cast("decimal(12,6)"))
-          * lit(v(i)).cast("decimal(12,6)"), 6).cast("decimal(24,8)")
-      }
-      val score = round(terms.reduce(_ + _), 6).cast("double")
-      struct(lit((ci + 1).toLong).as("component"), score.as("score"),
-        round(score / lit(math.sqrt(eig)), 6).as("white"))
+      // the WHOLE per-row chain runs in exact INTEGER MICROS (the s21
+      // discipline end to end): coordinate, round-6 mean, and loading
+      // live as ×10⁶ longs, each term (x6−m6)·v6 is an exact pico
+      // long (|x|≤1000 ⇒ |term|≤10¹⁵, 64 terms ≤ 6.4×10¹⁶ — far
+      // inside a long), and the 6-decimal HALF_UP happens by pure
+      // integer arithmetic on the pico sum. Two earlier formulations
+      // failed the discipline: per-coordinate round(double, 6) broke
+      // half-way ties by the double's binary neighborhood (3
+      // divergent scores at sf0.001), and a 64-term DECIMAL add
+      // chain silently crossed precision 38, where Spark's
+      // precision-loss rule truncates the scale MID-CHAIN (1176
+      // divergent scores). Long arithmetic has neither hazard — and
+      // no BigDecimal churn in the hot path.
+      val m6 = means.map(mi => java.math.BigDecimal.valueOf(round6(mi))
+        .movePointRight(6).setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact())
+      val v6 = v.map(vi => java.math.BigDecimal.valueOf(vi)
+        .movePointRight(6).setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact())
+      val pico = v.indices.map { i =>
+        (element_at(col("_x6"), i + 1) - lit(m6(i))) * lit(v6(i))
+      }.reduce(_ + _)
+      // the √λ denominator rides the struct so `white` derives from
+      // the ALREADY-EVALUATED score in a later projection — the
+      // 64-term tree evaluates once per component, not twice
+      struct(lit((ci + 1).toLong).as("component"), pico.as("pico"),
+        lit(math.sqrt(eig)).as("den"))
     }
+    // HALF_UP away from zero at the pico→micro boundary, in pure
+    // integer DIV (a double division here would sit exactly at the
+    // 2^53 precision edge for long picos)
+    val micro = expr("""CASE WHEN _c.pico >= 0
+        THEN (_c.pico + 500000L) DIV 1000000L
+        ELSE -((-_c.pico + 500000L) DIV 1000000L) END""")
+    val score = micro.cast("double") / lit(1e6)
     rows
       .select(col("id"), explode(array(compCols: _*)).as("_c"))
       .select(col("id"), col("_c.component").as("component"),
-        col("_c.score").as("score"), col("_c.white").as("white"))
+        score.as("score"),
+        round(score / col("_c.den"), 6).as("white"))
   }
 
   /** Symmetric int8-quantized ANN — the FAISS SQ8 SEARCH path on top
@@ -1480,17 +1499,61 @@ object Similarity {
       StructType(Seq(StructField("cent_id", idType),
         StructField("cent_vec", ArrayType(DoubleType)),
         StructField("cent_nrm", DoubleType))))
+    (centDf, encodePostings(cents, idType, corpus, corpusId, corpusVec,
+      codebook, cbIdCol, cbVecCol, m, spill, "buildAnnIndex"))
+  }
+
+  /** The encode half shared by [[buildAnnIndex]] and
+    * [[appendAnnIndex]]: assign each vector to its `spill` nearest
+    * centroids and inline its m PQ codes — one narrow pass plus one
+    * id-keyed join, deterministic for a FIXED quantizer + codebook.
+    */
+  private def encodePostings(cents: Array[Cent],
+                             idType: org.apache.spark.sql.types.DataType,
+                             corpus: DataFrame, corpusId: String,
+                             corpusVec: String,
+                             codebook: DataFrame, cbIdCol: String,
+                             cbVecCol: String, m: Int, spill: Int,
+                             who: String): DataFrame = {
     val lists = assignCents(cents, idType,
         corpus.withColumn("_cnrm", norm(col(corpusVec))), corpusVec,
         col("_cnrm"), spill)
       .select(col(corpusId).as("id"), col("_cent_id").as("cent_id"))
-    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "buildAnnIndex")
-    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, "buildAnnIndex")
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, who)
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m, who)
       .groupBy(col("id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
         .as("codes"))
-    (centDf, lists.join(codes, "id")
-      .select(col("cent_id"), col("id"), col("codes")))
+    lists.join(codes, "id")
+      .select(col("cent_id"), col("id"), col("codes"))
+  }
+
+  /** APPEND a new vector batch to a persisted [[buildAnnIndex]] store
+    * — the FAISS `add()` semantics: the coarse quantizer and codebook
+    * stay FIXED (retraining would re-point every existing posting),
+    * so appending costs one narrow assign+encode pass over the NEW
+    * batch plus a union — proportional to the batch, never the
+    * stored history (the d25/d26/d27 corpus-append rule applied to
+    * ANN). A re-sent id keeps its stored posting (anti-join), so a
+    * replayed batch cannot double-post. Returns the unified postings
+    * relation; centroids are unchanged by construction.
+    */
+  def appendAnnIndex(centroids: DataFrame, postings: DataFrame,
+                     newCorpus: DataFrame, corpusId: String, corpusVec: String,
+                     codebook: DataFrame, cbIdCol: String, cbVecCol: String,
+                     m: Int, spill: Int = 1): DataFrame = {
+    val cRows = centroids.select(col("cent_id"), col("cent_vec"), col("cent_nrm"))
+      .collect()
+    require(cRows.nonEmpty && cRows.length <= 128,
+      s"appendAnnIndex: ${cRows.length} centroids outside the (0, 128] contract")
+    val cents = cRows.map(r =>
+      Cent(r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val idType = centroids.schema("cent_id").dataType
+    val fresh = newCorpus.join(
+      postings.select(col("id").as(corpusId)).distinct(), Seq(corpusId),
+      "left_anti")
+    postings.unionByName(encodePostings(cents, idType, fresh, corpusId,
+      corpusVec, codebook, cbIdCol, cbVecCol, m, spill, "appendAnnIndex"))
   }
 
   /** READ half: serve a query batch against a persisted

@@ -59,6 +59,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(pCols == Seq("cent_id", "codes", "id"), pCols.toString)
   }
 
+  test("append equals re-encode under the fixed quantizer; replays can't double-post") {
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val (cents, p1) = Similarity.buildAnnIndex(half, "vec_id", "embedding",
+      cb, "code", "codeword", m = 16, nlist = 16, refineIters = 4, spill = 2)
+    val appended = Similarity.appendAnnIndex(cents, p1, rest,
+      "vec_id", "embedding", cb, "code", "codeword", m = 16, spill = 2)
+    // reference: the same fixed quantizer encoding the full corpus
+    val full = Similarity.appendAnnIndex(cents,
+      p1.limit(0), emb, "vec_id", "embedding", cb, "code", "codeword",
+      m = 16, spill = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).mkString("/"))).toSet
+    assert(rows(appended) == rows(full))
+    // served results now see the appended half
+    val hits = served(cents, appended).map(_._2).toSet
+    assert(hits.exists(_ >= 250L), "appended vectors never surfaced")
+    // replaying the same batch is a no-op
+    val replay = Similarity.appendAnnIndex(cents, appended, rest,
+      "vec_id", "embedding", cb, "code", "codeword", m = 16, spill = 2)
+    assert(rows(replay) == rows(appended))
+  }
+
   test("the 128-centroid read contract is enforced") {
     val s = spark
     import s.implicits._
