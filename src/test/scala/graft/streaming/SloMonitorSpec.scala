@@ -281,6 +281,42 @@ class SloMonitorSpec extends SparkSpec {
     assert(st.updated.isEmpty)
   }
 
+  test("burn-rate state runs on the RocksDB state store provider") {
+    // the 100 TB state-backend check, applied to the newest stateful
+    // operator family: same query, disk-backed incremental store
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = burnEvents(0 until 8)
+      val input = MemoryStream[(Long, Boolean)]
+      val events = input.toDF().toDF("tsSec", "isError")
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+        .withWatermark("ts", "0 seconds")
+        .select("ts", "isError").as[ErrEvent]
+      val q = burnFrames(events, windowsHours = Seq(1, 6))
+        .writeStream.format("memory").queryName("rocks_burn")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(rows.filter(_._1 < 4L * 3600L): _*)
+        q.processAllAvailable()
+        input.addData(rows.filter(_._1 >= 4L * 3600L) :+ (9L * 3600L + 1, false): _*)
+        q.processAllAvailable()
+        val got = spark.table("rocks_burn").as[BurnFrame].collect().toSeq
+        val last = got.filter(_.as_of == 7L * 3600L).sortBy(_.window_hours)
+        assert(last == batchBurnAt(rows, 7L, Seq(1, 6)),
+          s"\nstream: $last\nbatch: ${batchBurnAt(rows, 7L, Seq(1, 6))}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   test("incidents ignore stale replays and malformed sequences") {
     val st = new TestGroupState[IncidentState]
     import AlertEdges.Edge
