@@ -281,6 +281,55 @@ class SloMonitorSpec extends SparkSpec {
     assert(st.updated.isEmpty)
   }
 
+  test("an open storm survives a checkpointed restart") {
+    // run 1 ends with a storm OPEN; run 2 resumes from the checkpoint
+    // and must close it with run-1's fires intact — the StormAgg
+    // state round-trips through the state store across process-style
+    // restarts, not just micro-batches
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-storm").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-storm-ckpt").toFile
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("hrStart",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("edge",
+        org.apache.spark.sql.types.StringType)))
+    def run(name: String): Seq[SloMonitor.StormRow] = {
+      // memory sink can't recover a checkpoint; foreachBatch can
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[SloMonitor.StormRow]()
+      val edges = spark.readStream.schema(schema)
+        .json(dir.getAbsolutePath).as[AlertEdges.Edge]
+      val q = SloMonitor.storms(edges, gapHours = 2)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[SloMonitor.StormRow],
+                       _: Long) => { b.collect().foreach(buf.add); () })
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    def write(f: String, rows: Seq[(String, Long, String)]): Unit = {
+      val txt = rows.map { case (k, h, e) =>
+        s"""{"key":"$k","hrStart":$h,"edge":"$e"}""" }.mkString("\n")
+      java.nio.file.Files.write(new java.io.File(dir, f).toPath,
+        txt.getBytes("UTF-8"))
+      ()
+    }
+    write("e1.json", Seq(("a", 10L * 3600L, "fire"), ("b", 11L * 3600L, "fire")))
+    assert(run("storm_r1").isEmpty, "storm must still be open after run 1")
+    // run 2: hour 20 closes {10,11}; hour 200 closes {20}
+    write("e2.json", Seq(("c", 20L * 3600L, "fire"), ("z", 200L * 3600L, "fire")))
+    val out = run("storm_r2").sortBy(_.storm_start)
+    assert(out.map(r => (r.storm_start / 3600L, r.storm_end / 3600L,
+      r.n_fires, r.keys))
+      == Seq((10L, 11L, 2L, "a,b"), (20L, 20L, 1L, "c")), out.toString)
+  }
+
   test("burn-rate state runs on the RocksDB state store provider") {
     // the 100 TB state-backend check, applied to the newest stateful
     // operator family: same query, disk-backed incremental store
