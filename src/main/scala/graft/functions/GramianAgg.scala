@@ -160,6 +160,23 @@ object GramianAgg {
     java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
 
+  /** Driver-side fold of parsed bucket sketches (the ≤1024-way tree
+    * merge's last level): exact BigInteger adds, so the fold equals
+    * the one-shot aggregate bit for bit under any bucketing. */
+  def foldParsed(parts: Seq[(Long, Int, Array[java.math.BigInteger], Array[java.math.BigInteger])])
+      : (Long, Int, Array[java.math.BigInteger], Array[java.math.BigInteger]) = {
+    if (parts.isEmpty) return (0L, 0, Array.empty, Array.empty)
+    val d = parts.head._2
+    require(parts.forall(_._2 == d),
+      s"gramian fold: inconsistent widths ${parts.map(_._2).distinct.mkString(",")}")
+    val n = parts.map(_._1).sum
+    val m = Array.tabulate(d)(i =>
+      parts.map(_._3(i)).reduce(_.add(_)))
+    val s = Array.tabulate(d * (d + 1) / 2)(k =>
+      parts.map(_._4(k)).reduce(_.add(_)))
+    (n, d, m, s)
+  }
+
   /** Driver-side parse of an eval'd sketch: (n, d, mean sums, upper-
     * triangle moment sums in (i,j≥i) row order) as exact integers. */
   def parse(bytes: Array[Byte])

@@ -369,6 +369,15 @@ object Similarity {
   /** The one-corpus-pass covariance assembly: Gramian aggregate →
     * bounded driver collect → (n, means, C). Shared by the k=1 and
     * top-k trainers.
+    *
+    * Merge topology: a global no-group aggregate would funnel EVERY
+    * partition's ~132 KB partial into one final reduce task — 13 GB
+    * of fan-in at 100k input partitions. Instead the partials
+    * shuffle into ≤1024 partition-id buckets (each map task emits
+    * exactly one partial, each reducer folds ~#partitions/1024 of
+    * them) and the DRIVER folds the ≤1024 bucket sketches with exact
+    * BigInteger adds — ≤135 MB of bounded driver fan-in at any
+    * corpus size, values bit-identical (integer sums associate).
     */
   private def covariance(df: DataFrame, vecCol: String)
       : (Long, Array[Double], Array[Array[Double]]) = {
@@ -377,10 +386,15 @@ object Similarity {
     // value × 1e6 sits within 1e-4 of an integer — no tie ambiguity)
     val c6 = transform(col(vecCol),
       x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
-    val sketch = rows
-      .select(graft.functions.GramianAgg.gramian(c6).as("g"))
-      .head().getAs[Array[Byte]](0)
-    val (n, d, mBig, sBig) = graft.functions.GramianAgg.parse(sketch)
+    val sketches = rows
+      .select(c6.as("_v"), pmod(spark_partition_id(), lit(1024)).as("_b"))
+      .groupBy(col("_b"))
+      .agg(graft.functions.GramianAgg.gramian(col("_v")).as("g"))
+      .select(col("g"))
+      .collect()
+      .map(r => graft.functions.GramianAgg.parse(r.getAs[Array[Byte]](0)))
+      .filter(_._1 > 0L)
+    val (n, d, mBig, sBig) = graft.functions.GramianAgg.foldParsed(sketches)
     require(n > 0, "topPcPower: empty corpus")
     require(d.toLong * d <= 16384,
       s"topPcPower: d=$d exceeds the 128-dim driver-matrix contract")
