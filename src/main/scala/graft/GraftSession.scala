@@ -12,10 +12,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      : SparkSession.Builder =
-    SparkSession
+      : SparkSession.Builder = {
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,3072] runs any graft
+    // session — including the whole test suite — across REAL executor
+    // JVMs; executors need the compiled classes and the JDK17 module
+    // opens on their own command lines (sbt-side settings don't
+    // propagate to processes the Worker launches)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b0 = SparkSession
       .builder()
-      .master(s"local[$cpus]")
+      .master(master)
+    val b =
+      if (master.startsWith("local-cluster")) b0
+        .config("spark.executor.extraClassPath",
+          Seq("target/scala-2.13/classes", "target/scala-2.13/test-classes")
+            .map(p => new java.io.File(p).getAbsolutePath).mkString(":"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      else b0
+    b
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -42,6 +57,7 @@ object GraftSession {
       // sealed result is GC'd; default false leaks one rdd-* dir per seal
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(cpus).getOrCreate()
