@@ -769,6 +769,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("pc_score"))
         .orderBy("vec_id")),
 
+    "s27_top_pc_fd" -> ((s, dir) =>
+      // Frequent-Directions top direction: the scale path past s21's
+      // d^2 <= 16384 exact-Gramian contract — an ell x d mergeable
+      // sketch with the Liberty covariance guarantee. Rows-only
+      // (SVD not oracle-expressible); FdSketchSpec gates accuracy,
+      // the error bound, and d=768 recovery.
+      Similarity.topPcFd(T(s, dir, "embeddings"), "vec_id", "embedding",
+          ell = 32)
+        .orderBy("pos")),
+
     "s24_pca_topk" -> ((s, dir) =>
       // top-3 principal components by power iteration + Hotelling
       // deflation: ONE Gramian corpus pass trains all components

@@ -499,6 +499,64 @@ object Similarity {
     PcKModel(comps, m, n)
   }
 
+  /** Top principal DIRECTION by a FREQUENT-DIRECTIONS sketch — the
+    * scale path PAST [[topPcPower]]'s d² ≤ 16384 driver-matrix
+    * contract (d = 768 embeddings put the exact Gramian at 590k fold
+    * slots per row and a 4.7 MB partial; this sketch holds ℓ·d
+    * doubles with the Liberty/Ghashami covariance guarantee
+    * AᵀA − BᵀB ⪯ (‖A‖_F²/ℓ)·I). Sketches the UNCENTERED second
+    * moment (classical FD — the Gram direction), which is the
+    * anisotropy/drift signal for embedding corpora; ‖A‖_F² and n ride
+    * the sketch EXACTLY, so explained_frac is a true lower bound of
+    * the direction's share of total mass.
+    *
+    * Shape at scale: the same bucketed tree-merge as the Gramian pass
+    * (≤1024 partials of ℓ·d doubles, driver append+shrink fold), one
+    * reduced SVD of the ≤ℓ×d sketch on the driver. NOT
+    * oracle-expressible (SVD) and the approximation (not the
+    * guarantee) is fold-order-dependent → rows-only with
+    * FdSketchSpec's accuracy + error-bound gates. Loading sign pins
+    * to the first non-tiny component being positive.
+    * Output: d rows (pos, loading, eigenvalue, explained_frac).
+    */
+  def topPcFd(df: DataFrame, idCol: String, vecCol: String,
+              ell: Int = 64): DataFrame = {
+    require(ell >= 2 && ell <= 256, s"topPcFd: ell $ell not in [2,256]")
+    val spark = df.sparkSession
+    val rows = df.filter(col(vecCol).isNotNull)
+    val sketches = rows
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        pmod(spark_partition_id(), lit(1024)).as("_b"))
+      .groupBy(col("_b"))
+      .agg(graft.functions.FdAgg.sketch(col("_v"), ell).as("g"))
+      .select(col("g"))
+      .collect()
+      .map(r => graft.functions.FdAgg.parse(r.getAs[Array[Byte]](0)))
+    val (d, n, fro2, b) = graft.functions.FdAgg.fold(sketches.toSeq, ell)
+    require(n > 0, "topPcFd: empty corpus")
+    require(fro2 > 0, "topPcFd: zero mass — no direction to explain")
+    import breeze.linalg.{svd, DenseMatrix}
+    val k = b.length
+    val flat = new Array[Double](k * d)
+    var i = 0
+    while (i < k) {
+      var j = 0
+      while (j < d) { flat(j * k + i) = b(i)(j); j += 1 }
+      i += 1
+    }
+    val res = svd.reduced(new DenseMatrix(k, d, flat))
+    val s0 = res.singularValues(0)
+    val vt = res.rightVectors
+    var v = Array.tabulate(d)(j => vt(0, j))
+    val pivot = v.indexWhere(x => math.abs(x) > 1e-9)
+    if (pivot >= 0 && v(pivot) < 0) v = v.map(-_)
+    val eig = s0 * s0 / n.toDouble
+    val expl = s0 * s0 / fro2
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, j) => (j.toLong, l, eig, expl) }.toSeq
+      .toDF("pos", "loading", "eigenvalue", "explained_frac")
+  }
+
   /** Project every embedding onto the corpus top principal component
     * (the APPLY step of [[topPcPower]]): score_r = Σ_i round6(x_ri)·v_i
     * — centered by the same corpus mean the training pass measured,
