@@ -407,6 +407,16 @@ object SparkEntry {
         .agg(dsum(col("value")))
         .orderBy("d")),
 
+    "q33_interval_coverage" -> ((s, dir) =>
+      // interval-union active time per user: each event opens a
+      // 30-minute activity interval, overlaps count once — endpoint
+      // sweep line (row-local expand, one (key,pos) shuffle, per-key
+      // windows over the endpoint frame), exact epoch micros
+      operators.Windows.intervalCoverage(
+          T(s, dir, "events"), "ts", "user_id", durSec = 1800L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")),
+
     "q32_unpivot" -> ((s, dir) => {
       // the q19 complement: wide per-flag measures melted back to
       // (flag, measure, total) long form — Dataset.unpivot, the
@@ -1523,6 +1533,16 @@ object SparkEntry {
         .select(col("key").as("event_type"), col("hr_start"),
           col("n_events"), col("z_score"),
           when(col("is_anomaly"), lit("fire")).otherwise(lit("resolve")).as("edge"))
+        .orderBy("event_type", "hr_start")),
+
+    "r30_cusum" -> ((s, dir) =>
+      // Page's CUSUM chart per event type: 24 warmup hours set the
+      // baseline, later hours accumulate deviations above a 1.25×
+      // allowance, signal at 5× baseline — the sustained-drift
+      // detector; exact integer micros, closed-form (cumsum +
+      // running-min) windows over the hourly frame only
+      Windows.cusumChangepoint(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
     "r29_alert_storms" -> ((s, dir) =>
@@ -3247,6 +3267,36 @@ object SparkEntry {
          WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
          ORDER BY window_start""",
 
+    "r30_cusum" ->
+      // same closed-form chart: baseline integer micros over the
+      // first 24 present hours, prefix sums of (count - allowance),
+      // running min, S = P - min(0, Pmin); all-integer until output
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT key, hr, c, min(hr) OVER (PARTITION BY key) AS h0 FROM h),
+            b2 AS (SELECT key, hr, c, h0,
+                     sum(CASE WHEN hr < h0 + 24 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY key) AS nb,
+                     sum(CASE WHEN hr < h0 + 24 THEN c ELSE 0 END)
+                       OVER (PARTITION BY key) AS bs
+                   FROM b),
+            s AS (SELECT key, hr, c, (bs * 1000000) // nb AS bm
+                  FROM b2 WHERE hr >= h0 + 24),
+            p AS (SELECT key, hr, c, bm,
+                    sum(c * 1000000 - (bm + bm // 4)) OVER (
+                      PARTITION BY key ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pp
+                  FROM s),
+            q AS (SELECT key, hr, c, bm, pp,
+                    min(pp) OVER (PARTITION BY key ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS pmin
+                  FROM p)
+         SELECT key AS event_type, hr * 3600 AS hr_start,
+                c AS n_events, bm AS baseline_micros,
+                pp - least(pmin, 0) AS cusum_micros,
+                (pp - least(pmin, 0)) > bm * 5 AS is_change
+         FROM q ORDER BY event_type, hr_start""",
+
     "r16_rate_anomaly" ->
       """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
                 FROM events GROUP BY 1, 2),
@@ -3824,6 +3874,37 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY 1, 2""",
+
+    "q33_interval_coverage" ->
+      // identical sweep: endpoint deltas, per-position net, per-key
+      // cumulative active count, gaps where active > 0; all-integer
+      // epoch micros until the final rounded ratio
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                            epoch_us(ts) + 1800000000 AS e
+                     FROM events),
+            pts AS (SELECT user_id, s AS pos, 1 AS d FROM iv
+                    UNION ALL
+                    SELECT user_id, e AS pos, -1 AS d FROM iv),
+            g AS (SELECT user_id, pos, CAST(sum(d) AS BIGINT) AS d
+                  FROM pts GROUP BY 1, 2),
+            c AS (SELECT user_id, pos,
+                    sum(d) OVER (PARTITION BY user_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS act,
+                    lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS nxt
+                  FROM g),
+            cov AS (SELECT user_id,
+                      CAST(sum(CASE WHEN act > 0 THEN nxt - pos ELSE 0 END)
+                        AS BIGINT) AS covered_micros
+                    FROM c GROUP BY 1),
+            sp AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                          min(s) AS s0, max(e) AS e1
+                   FROM iv GROUP BY 1)
+         SELECT sp.user_id, n_intervals, covered_micros,
+                (e1 - s0) AS span_micros,
+                round(CAST(covered_micros AS DOUBLE)
+                      / CAST(e1 - s0 AS DOUBLE), 6) AS utilization
+         FROM sp JOIN cov ON sp.user_id = cov.user_id
+         ORDER BY sp.user_id""",
 
     "q18_corr_subquery" ->
       """SELECT p_partkey, p_type, p_retailprice FROM (

@@ -263,6 +263,122 @@ object Windows {
     Caching.sealOver(out, hourly)
   }
 
+  /** Interval-union COVERAGE by sweep line (the classic interval
+    * algebra every session/uptime/billing pipeline eventually needs:
+    * each event opens a fixed-length activity interval, overlapping
+    * intervals must count ONCE — naive Σ durations double-counts, and
+    * pairwise overlap joins go quadratic): per key, the union length
+    * of [ts, ts + durSec) intervals, via endpoint deltas (+1 open,
+    * −1 close), a per-key cumulative active count over DISTINCT
+    * positions, and the sum of gaps where active > 0. Half-open
+    * intervals make back-to-back [s,e)+[e,f) merge exactly (the net
+    * delta at e is 0), and grouping deltas per position first makes
+    * the sweep tie-free and deterministic. All positions are exact
+    * epoch micros; only the final utilization ratio is IEEE.
+    *
+    * Shape at scale: interval expansion is row-local (2 endpoint rows
+    * per event), then ONE (key, pos) aggregation with map-side
+    * partials collapses ties; the sweep windows are key-partitioned
+    * over the per-key endpoint frame — sequential per key as the
+    * semantics demand, parallel across keys, no global order anywhere.
+    * Output: (key, n_intervals, covered_micros, span_micros,
+    * utilization) per key.
+    */
+  def intervalCoverage(df: DataFrame, ts: String, keyCol: String,
+                       durSec: Long): DataFrame = {
+    require(durSec >= 1, s"intervalCoverage: durSec $durSec must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val iv = df.select(col(keyCol).as("key"),
+      unix_micros(col(ts)).as("_s"),
+      (unix_micros(col(ts)) + durSec * 1000000L).as("_e"))
+    val pts = iv.select(col("key"), explode(array(
+        struct(col("_s").as("pos"), lit(1L).as("d")),
+        struct(col("_e").as("pos"), lit(-1L).as("d")))).as("_p"))
+      .select(col("key"), col("_p.pos").as("pos"), col("_p.d").as("d"))
+      .groupBy(col("key"), col("pos")).agg(sum(col("d")).as("d"))
+    val byKey = W.partitionBy(col("key")).orderBy(col("pos"))
+    val covered = pts
+      .withColumn("_act", sum(col("d")).over(
+        byKey.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_nxt", lead(col("pos"), 1).over(byKey))
+      .groupBy(col("key"))
+      .agg(sum(when(col("_act") > 0, col("_nxt") - col("pos"))
+        .otherwise(0L)).as("covered_micros"))
+    val spans = iv.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_intervals"),
+        min(col("_s")).as("_s0"), max(col("_e")).as("_e1"))
+    spans.join(covered, Seq("key"))
+      .select(col("key"), col("n_intervals"), col("covered_micros"),
+        (col("_e1") - col("_s0")).as("span_micros"),
+        round(col("covered_micros").cast("double")
+          / (col("_e1") - col("_s0")).cast("double"), 6).as("utilization"))
+  }
+
+  /** CUSUM changepoint detection (Page 1954's cumulative-sum chart —
+    * the sustained-LEVEL-SHIFT detector that z-score and EWMA charts
+    * miss: a 30% rate creep spread over days never crosses a 3-sigma
+    * hourly threshold, but its deviations ACCUMULATE): per key, the
+    * first `warmupHours` present hours establish a baseline mean
+    * rate; each later hour adds its deviation from an allowance
+    * k = baseline·(1 + 1/slackDen) to a one-sided cumulative sum
+    * clamped at zero, and the chart signals when the sum crosses
+    * h = baseline·hFactor. Small persistent drifts integrate up to
+    * the threshold; noise around the allowance keeps resetting to 0.
+    *
+    * Cross-engine exactness with NO sequential recurrence: the
+    * textbook recursion S_t = max(0, S_{t-1} + x_t − k) has the
+    * closed form S_t = P_t − min(0, min_{j≤t} P_j) over the prefix
+    * sums P_t = Σ(x_i − k) — so the whole chart is ONE cumulative
+    * sum and ONE running min, both plain window functions the oracle
+    * replays verbatim. Rates are exact integer micros (counts ×10⁶,
+    * integer-DIV baseline) — bit-equal across engines, overflow-safe
+    * to ~1.8·10¹² events/hour.
+    *
+    * Shape at scale: the corpus collapses to the hourly histogram in
+    * ONE aggregation with map-side partials; the baseline stats and
+    * the cumulative windows all run key-partitioned over that hourly
+    * frame (8760 rows per key-year), never the event stream. Silent
+    * hours don't appear and don't decay the sum (the r16 rule): the
+    * chart integrates per ACTIVE hour.
+    * Output: (key, hr_start, n_events, baseline_micros, cusum_micros,
+    * is_change) for every post-warmup hour.
+    */
+  def cusumChangepoint(df: DataFrame, ts: String, keyCol: String,
+                       warmupHours: Int = 24, slackDen: Int = 4,
+                       hFactor: Int = 5): DataFrame = {
+    require(warmupHours >= 1, s"cusumChangepoint: warmupHours $warmupHours must be >= 1")
+    require(slackDen >= 1, s"cusumChangepoint: slackDen $slackDen must be >= 1")
+    require(hFactor >= 1, s"cusumChangepoint: hFactor $hFactor must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+    val byKey = W.partitionBy(col("key"))
+    val cum = W.partitionBy(col("key")).orderBy(col("_hr"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val scored = hourly
+      .withColumn("_h0", min(col("_hr")).over(byKey))
+      .withColumn("_nb", sum(when(col("_hr") < col("_h0") + warmupHours, 1L)
+        .otherwise(0L)).over(byKey))
+      .withColumn("_bs", sum(when(col("_hr") < col("_h0") + warmupHours, col("_c"))
+        .otherwise(0L)).over(byKey))
+      .filter(col("_hr") >= col("_h0") + warmupHours)
+      // present warmup hours all have _c >= 1, so _bm >= 10^6 and the
+      // h threshold is never zero
+      .withColumn("_bm", expr("(_bs * 1000000) div _nb"))
+      .withColumn("_p", sum(col("_c") * lit(1000000L)
+        - (col("_bm") + expr(s"_bm div $slackDen"))).over(cum))
+      .withColumn("_pmin", min(col("_p")).over(cum))
+      .withColumn("_s", col("_p") - least(col("_pmin"), lit(0L)))
+    scored.select(col("key"),
+      (col("_hr") * 3600L).as("hr_start"),
+      col("_c").cast("long").as("n_events"),
+      col("_bm").as("baseline_micros"),
+      col("_s").as("cusum_micros"),
+      (col("_s") > col("_bm") * hFactor).as("is_change"))
+  }
+
   def rateAnomaly(df: DataFrame, ts: String, keyCol: String,
                   trailingHours: Int = 24, minHistory: Int = 12,
                   zThreshold: Double = 3.0): DataFrame = {
