@@ -1990,6 +1990,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t41_kneser_ney" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram score (the KenLM smoothing):
+      // absolute discount + continuation-diversity backoff mass —
+      // "francisco" is frequent but only ever follows "san", so it
+      // earns almost no backoff mass; the honest fluency score
+      TextStats.kneserNey(T(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t33_heaps" -> ((s, dir) =>
       // Heaps'-law vocabulary-growth fit over 8 doc-id-ordered
       // corpus prefixes — the t24 Zipf fit's companion corpus law
@@ -5426,6 +5435,41 @@ object SparkEntry {
          SELECT doc_id, lang, mean_logprob, bucket
          FROM sl JOIN cut USING (lang, mean_logprob)
          ORDER BY doc_id""",
+
+    "t41_kneser_ney" ->
+      // identical KN chain: bigram types derive prefix totals +
+      // continuation fan-in + the type-count scalar; the per-pair
+      // double expression is written in the same association order
+      """WITH tk AS (SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\s+'),
+                t -> len(t) > 0) AS toks FROM documents),
+            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                      FROM (SELECT doc_id, toks,
+                              unnest(range(1, len(toks))) AS i FROM tk)
+                      WHERE len(toks) >= 2),
+            bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+                   FROM pairs GROUP BY 1, 2),
+            pf AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np,
+                          CAST(count(*) AS BIGINT) AS t1
+                   FROM bg GROUP BY 1),
+            ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+                   FROM bg GROUP BY 1),
+            bbt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg),
+            lp AS (SELECT doc_id,
+                     CAST(CAST(round(ln(
+                         (CAST(nb AS DOUBLE) - 0.75) / CAST(np AS DOUBLE)
+                         + 0.75 * CAST(t1 AS DOUBLE) / CAST(np AS DOUBLE)
+                           * (CAST(cont AS DOUBLE) / CAST(bb AS DOUBLE))), 6)
+                       AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS lpm
+                   FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
+                        JOIN ct USING (w2) CROSS JOIN bbt),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                           CAST(sum(lpm) AS BIGINT) AS s
+                    FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+                CAST(-(((-s) * 2 + n_bigrams) // (2 * n_bigrams)) AS DOUBLE)
+                  / 1000000.0 AS mean_logprob
+         FROM agg ORDER BY doc_id""",
 
     "t16_bigram_logprob" ->
       """WITH tk AS (SELECT doc_id, list_filter(

@@ -545,6 +545,24 @@ object TextStats {
     headHits.unionByName(residual)
   }
 
+  /** Multi-column variant of [[joinHeadResidual]]: the stats frame
+    * carries several columns per key (ordered into the broadcast head
+    * by `orderCol`). Same Zipf-head split — broadcast the top keys,
+    * shuffle-join only the residual tail.
+    */
+  private def joinHeadResidualCols(stream: DataFrame, stats: DataFrame,
+                                   key: String, orderCol: String,
+                                   headVocab: Int): DataFrame = {
+    val statCols = stats.columns.filter(_ != key)
+    val head = stats.orderBy(col(orderCol).desc, col(key)).limit(headVocab)
+    val tagged = stream.join(broadcast(head), Seq(key), "left")
+    val headHits = tagged.filter(col(orderCol).isNotNull)
+    val residual = statCols.foldLeft(tagged.filter(col(orderCol).isNull))(_ drop _)
+      .join(stats.join(broadcast(head.select(col(key))), Seq(key), "left_anti"),
+        Seq(key))
+    headHits.unionByName(residual)
+  }
+
   /** LEFT-residual variant of [[joinHeadResidual]]: rows whose key
     * the counts frame never saw come back with `countCol` NULL
     * instead of dropping — the backoff scorer needs to SEE unseen
@@ -733,6 +751,88 @@ object TextStats {
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           round(sum(col("_lp")).cast("double") / count(lit(1)), 6).as("mean_logprob")),
       pairs, uniCounts)
+  }
+
+  /** Interpolated Kneser-Ney bigram score (Kneser & Ney 1995; the
+    * formulation of Chen & Goodman 1999 §2.7 — the smoothing KenLM
+    * ships and every serious LM-data quality filter ultimately runs):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    *
+    * The continuation term is KN's insight over plain absolute
+    * discounting: a word's backoff mass follows how many DISTINCT
+    * contexts it completes, not its raw frequency — "francisco" is
+    * frequent but only ever follows "san", so it gets almost no
+    * backoff mass and word salad containing it scores honestly low
+    * where t30's unigram floor would reward it. Self-scored on the
+    * corpus (the t16 regime: every scored pair was seen, so the
+    * discounted term is positive by construction and the
+    * interpolation never needs a zero branch).
+    *
+    * Shape at scale: ONE pair explode; the bigram histogram persists
+    * and derives ALL model stats — prefix totals + continuation
+    * fan-in are aggregates of the (much smaller) bigram-type frame,
+    * the type count is one scalar broadcast. Scoring joins the
+    * near-flat bigram key first, then prefix stats and continuation
+    * counts via the broadcast-head/residual device (the Zipf skew
+    * lives on BOTH unigram keys: every "the …" shares prefix "the",
+    * every "… the" shares continuation "the"). Per-pair doubles are
+    * a fixed expression over exact longs; each logprob rounds to 6
+    * decimals and converts to EXACT integer micros, and the per-doc
+    * mean is an integer half-away-from-zero division of the micro
+    * sum — the t16 family's final round(double-sum / n) can flip on
+    * a half-tie when the two engines' round primitives disagree at
+    * the boundary (hit once at sf0.1 here); the all-integer mean
+    * cannot.
+    * Output: (id, n_bigrams, mean_logprob).
+    */
+  def kneserNey(df: DataFrame, idCol: String, textCol: String,
+                discount: Double = 0.75, headVocab: Int = 65536): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"kneserNey: discount $discount must be in (0,1)")
+    val toksArr = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val pairs = df.select(col(idCol).as("id"), toksArr.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("id"),
+        explode(graft.functions.ShingleStrings.of(col("_t"), 2)).as("_g"))
+      .select(col("id"),
+        substring_index(col("_g"), " ", 1).as("w1"),
+        substring_index(col("_g"), " ", -1).as("w2"))
+      .persist()
+    // persisted: the bigram-TYPE frame feeds four consumers (prefix
+    // stats, continuation fan-in, the type-count scalar, scoring)
+    val bigramCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_nb")).persist()
+    val prefixStats = bigramCounts.groupBy(col("w1"))
+      .agg(sum(col("_nb")).as("_np"), count(lit(1)).as("_t1"))
+    val contCounts = bigramCounts.groupBy(col("w2"))
+      .agg(count(lit(1)).as("_cont"))
+    val bb = bigramCounts.agg(count(lit(1)).as("_bb"))
+    val scored = pairs.join(bigramCounts, Seq("w1", "w2"))
+    val p = (col("_nb").cast("double") - lit(discount)) / col("_np").cast("double") +
+      lit(discount) * col("_t1").cast("double") / col("_np").cast("double") *
+        (col("_cont").cast("double") / col("_bb").cast("double"))
+    Caching.sealOver(
+      joinHeadResidual(
+          joinHeadResidualCols(scored, prefixStats, "w1", "_np", headVocab),
+          contCounts, "w2", "_cont", headVocab)
+        .crossJoin(broadcast(bb))
+        // decimal cast of the rounded double is exact (shortest-
+        // string), so the micros are the 6-decimal logprob bit-for-bit
+        .withColumn("_lpm",
+          (round(log(p), 6).cast("decimal(24,6)") * lit(1000000L)).cast("long"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum(col("_lpm")).as("_s"))
+        // p <= 1 termwise, so every _lpm <= 0: half-away-from-zero
+        // mean via positive-operand integer division (floor == trunc)
+        .withColumn("mean_logprob",
+          (-expr("((-_s) * 2 + n_bigrams) div (2 * n_bigrams)"))
+            .cast("double") / lit(1000000.0))
+        .select(col("id"), col("n_bigrams"), col("mean_logprob")),
+      pairs, bigramCounts)
   }
 
   /** Bigram language-model quality score: mean CONDITIONAL
