@@ -1761,6 +1761,18 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    "m09_keyframes" -> ((s, dir) => {
+      // keyframe per scene: m08's boundaries split frames into
+      // scenes (running boundary count), keyframe = max-energy frame
+      // per scene, ties to the earliest — all windows over the tiny
+      // frame stream, exact BIGINT energy
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.keyframes(blobs, "doc_id", "blob", n = 4,
+          tau2 = 150000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "scene")
+    }),
+
     "m08_scene_changes" -> ((s, dir) => {
       // shot-boundary detection over the sampled frame stream:
       // adjacent frame features differ by exact-integer squared L2,
@@ -5224,6 +5236,52 @@ object SparkEntry {
          SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, dist2,
                 dist2 > 150000 AS is_boundary
          FROM d2 ORDER BY doc_id, frame_idx""",
+
+    "m09_keyframes" ->
+      // m08's feature chain + per-frame energy, boundary-count scene
+      // ids, and a (energy DESC, fi) row_number argmax per scene
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len
+                    FROM documents),
+            f AS (SELECT doc_id, hx, len, greatest(1, len // 4) AS step,
+                         unnest(range(least(4, greatest(1, len)))) AS fi
+                  FROM h),
+            w AS (SELECT doc_id, fi, hx, fi * step AS frm,
+                         least(len, fi * step + step) AS til
+                  FROM f),
+            b AS (SELECT doc_id, fi, (i - frm) % 8 AS j,
+                    (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS byte
+                  FROM (SELECT doc_id, fi, hx, frm, til,
+                          unnest(range(frm, til)) AS i FROM w)),
+            ft AS (SELECT doc_id, fi, j, CAST(sum(byte) AS BIGINT) AS v
+                   FROM b GROUP BY 1, 2, 3),
+            grid AS (SELECT doc_id, fi, unnest(range(8)) AS j
+                     FROM (SELECT DISTINCT doc_id, fi FROM f)),
+            fv AS (SELECT g.doc_id, g.fi, g.j, coalesce(ft.v, 0) AS v
+                   FROM grid g LEFT JOIN ft
+                     ON ft.doc_id = g.doc_id AND ft.fi = g.fi AND ft.j = g.j),
+            en AS (SELECT doc_id, fi, CAST(sum(v * v) AS BIGINT) AS energy
+                   FROM fv GROUP BY 1, 2),
+            d2 AS (SELECT a.doc_id, a.fi,
+                     CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist2
+                   FROM fv a JOIN fv b
+                     ON b.doc_id = a.doc_id AND b.fi = a.fi - 1 AND b.j = a.j
+                   GROUP BY 1, 2),
+            sc AS (SELECT en.doc_id, en.fi, en.energy,
+                     sum(CASE WHEN d2.dist2 > 150000 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY en.doc_id ORDER BY en.fi
+                       ROWS UNBOUNDED PRECEDING) AS scene
+                   FROM en LEFT JOIN d2
+                     ON d2.doc_id = en.doc_id AND d2.fi = en.fi),
+            r AS (SELECT doc_id, scene, fi, energy,
+                    row_number() OVER (PARTITION BY doc_id, scene
+                      ORDER BY energy DESC, fi) AS rn,
+                    count(*) OVER (PARTITION BY doc_id, scene) AS nf
+                  FROM sc)
+         SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(fi AS BIGINT) AS keyframe_idx, energy
+         FROM r WHERE rn = 1 ORDER BY doc_id, scene""",
 
     "m03_resize" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,

@@ -248,6 +248,50 @@ object Multimodal {
         col("dist2"), (col("dist2") > tau2).as("is_boundary"))
   }
 
+  /** KEYFRAME selection per scene — the step after [[sceneChanges]]
+    * in a video curation pipeline (caption/embed ONE representative
+    * frame per shot, not every frame): boundaries split each video's
+    * frame sequence into scenes (scene id = running boundary count,
+    * frame 0 opens scene 0), and within each scene the keyframe is
+    * the frame with the highest feature ENERGY (Σ v_j² — the
+    * stub-fold proxy for the sharpness/contrast argmax real
+    * pipelines use; a real decoder swaps in at [[sampleFrames]]'
+    * swap point and this plumbing is unchanged), ties to the
+    * earliest frame. Energy and the boundary distances are exact
+    * BIGINT arithmetic over the integer byte-fold features, so the
+    * whole operator is oracle-exact.
+    *
+    * Shape at scale: everything runs on the ≤n-frames-per-video
+    * frame stream — the lag/cumsum/rank windows are id-keyed over
+    * that tiny frame (the m08 contract), never the blob bytes.
+    * Output: (id, scene, n_frames, keyframe_idx, energy).
+    */
+  def keyframes(df: DataFrame, idCol: String, blobCol: String,
+                n: Int, tau2: Long, dim: Int = 8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byId = W.partitionBy(col("id")).orderBy(col("frame_idx"))
+    val byScene = W.partitionBy(col("id"), col("scene"))
+    val scenes = sampleFrames(df, idCol, blobCol, n, dim)
+      .withColumn("_prev", lag(col("feature"), 1).over(byId))
+      .withColumn("_d2", aggregate(
+        zip_with(col("feature"), coalesce(col("_prev"), col("feature")),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).cast("long"))
+      .withColumn("scene", sum(when(col("_prev").isNotNull &&
+          col("_d2") > tau2, 1L).otherwise(0L))
+        .over(byId.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("energy", aggregate(
+        transform(col("feature"), v => v * v),
+        lit(0.0), (acc, x) => acc + x).cast("long"))
+    scenes
+      .withColumn("_rn", row_number().over(
+        byScene.orderBy(col("energy").desc, col("frame_idx"))))
+      .withColumn("n_frames", count(lit(1)).over(byScene))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("scene"), col("n_frames"),
+        col("frame_idx").cast("long").as("keyframe_idx"), col("energy"))
+  }
+
   /** Resize stub: the Spark-side contract of an image resize — one
     * output row per input with target dims and the resized payload
     * (here truncated to w*h bytes; a real impl swaps in the scaler).
