@@ -2087,6 +2087,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "t42_kn_buckets" -> ((s, dir) =>
+      // CCNet terciles under the Kneser-Ney score — KN IS KenLM's
+      // smoothing, so this is the closest self-contained stand-in
+      // for the published composition; tercile cut shared with
+      // t18/t36 (the bucketers cannot drift)
+      TextStats.knBuckets(T(s, dir, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "t18_ppl_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail terciles of the per-language unigram-LM
       // score distribution — cut on the (lang, score) histogram, the
@@ -5475,6 +5484,57 @@ object SparkEntry {
                    GROUP BY doc_id),
             sl AS (SELECT sc.doc_id, d.lang, sc.mean_logprob
                    FROM sc JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, mean_logprob, count(*) AS c
+                     FROM sl GROUP BY 1, 2),
+            cut AS (SELECT lang, mean_logprob,
+                      CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                               ORDER BY mean_logprob DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                             < (1.0 / 3.0) THEN 'head'
+                           WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
+                               ORDER BY mean_logprob DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
+                             < (2.0 / 3.0) THEN 'middle'
+                           ELSE 'tail' END AS bucket
+                    FROM hist)
+         SELECT doc_id, lang, mean_logprob, bucket
+         FROM sl JOIN cut USING (lang, mean_logprob)
+         ORDER BY doc_id""",
+
+    "t42_kn_buckets" ->
+      // t41's KN chain verbatim feeding t18's tercile CTE verbatim
+      """WITH tk AS (SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\s+'),
+                t -> len(t) > 0) AS toks FROM documents),
+            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                      FROM (SELECT doc_id, toks,
+                              unnest(range(1, len(toks))) AS i FROM tk)
+                      WHERE len(toks) >= 2),
+            bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+                   FROM pairs GROUP BY 1, 2),
+            pf AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np,
+                          CAST(count(*) AS BIGINT) AS t1
+                   FROM bg GROUP BY 1),
+            ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
+                   FROM bg GROUP BY 1),
+            bbt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg),
+            lp AS (SELECT doc_id,
+                     CAST(CAST(round(ln(
+                         (CAST(nb AS DOUBLE) - 0.75) / CAST(np AS DOUBLE)
+                         + 0.75 * CAST(t1 AS DOUBLE) / CAST(np AS DOUBLE)
+                           * (CAST(cont AS DOUBLE) / CAST(bb AS DOUBLE))), 6)
+                       AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS lpm
+                   FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
+                        JOIN ct USING (w2) CROSS JOIN bbt),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(lpm) AS BIGINT) AS s
+                    FROM lp GROUP BY doc_id),
+            sl AS (SELECT a.doc_id, d.lang,
+                          CAST(-(((-s) * 2 + n) // (2 * n)) AS DOUBLE)
+                            / 1000000.0 AS mean_logprob
+                   FROM agg a JOIN documents d USING (doc_id)),
             hist AS (SELECT lang, mean_logprob, count(*) AS c
                      FROM sl GROUP BY 1, 2),
             cut AS (SELECT lang, mean_logprob,

@@ -835,6 +835,21 @@ object TextStats {
       pairs, bigramCounts)
   }
 
+  /** CCNet bucketing under the KNESER-NEY score — the tercile cut
+    * ([[bucketByLangTercile]], shared with t18/t36 so the three
+    * bucketers cannot drift) over [[kneserNey]]'s per-doc scores:
+    * the closest self-contained stand-in for CCNet's actual
+    * KenLM-perplexity terciles, since interpolated KN IS KenLM's
+    * smoothing. Docs with fewer than two tokens drop (no bigram
+    * evidence). Output: (id, lang, mean_logprob, bucket).
+    */
+  def knBuckets(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, discount: Double = 0.75): DataFrame =
+    bucketByLangTercile(
+      kneserNey(df, idCol, textCol, discount)
+        .join(df.select(col(idCol).as("id"), col(langCol).as("lang")), "id")
+        .select(col("id"), col("lang"), col("mean_logprob")))
+
   /** Bigram language-model quality score: mean CONDITIONAL
     * log-probability log(c(w1,w2) / c(w1·)) of a document's adjacent
     * token pairs under the corpus's own bigram counts — one Markov
