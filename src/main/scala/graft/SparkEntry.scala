@@ -836,6 +836,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    "p22_fim_split" -> ((s, dir) =>
+      // fill-in-the-middle span assignment at the published 0.5 rate:
+      // hash-gated selection, two uniform md5-channel cut points,
+      // PSM/SPM by a further channel — row-local, reproducible,
+      // composes in front of the packing family unchanged
+      Training.fimSplit(T(s, dir, "documents"), "doc_id", "text",
+          fimRate = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "p05_split" -> ((s, dir) =>
       // deterministic 10/10/80 val/test/train split by md5 hash range:
       // a doc's split never changes as the corpus grows
@@ -4581,6 +4591,32 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
              FROM documents)
          SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
+
+    "p22_fim_split" ->
+      // same md5 channels: gate on the 5-hex prefix, cuts from two
+      // 15-hex channels mod n+1 (order-normalized), PSM/SPM on a bit
+      """WITH n AS (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END
+                        AS BIGINT) AS n_toks,
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '80000' AS is_fim,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c1'), 1, 15))
+                        AS BIGINT) AS h1,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c2'), 1, 15))
+                        AS BIGINT) AS h2,
+                      substr(md5(CAST(doc_id AS VARCHAR) || ':o'), 1, 1) < '8' AS psm
+                    FROM documents),
+            c AS (SELECT doc_id, n_toks, is_fim, psm,
+                    least(h1 % (n_toks + 1), h2 % (n_toks + 1)) AS lo,
+                    greatest(h1 % (n_toks + 1), h2 % (n_toks + 1)) AS hi
+                  FROM n)
+         SELECT doc_id, n_toks, is_fim,
+                CASE WHEN is_fim THEN lo ELSE n_toks END AS n_prefix,
+                CASE WHEN is_fim THEN hi - lo ELSE 0 END AS n_middle,
+                CASE WHEN is_fim THEN n_toks - hi ELSE 0 END AS n_suffix,
+                CASE WHEN NOT is_fim THEN 'none'
+                     WHEN psm THEN 'psm' ELSE 'spm' END AS fim_order
+         FROM c ORDER BY doc_id""",
 
     "p05_split" ->
       """SELECT doc_id, CASE

@@ -977,4 +977,52 @@ object Training {
       .filter(col("_cum") <= col("_lvl"))
       .drop("_cum", "_lvl")
   }
+
+  /** FIM (fill-in-the-middle) span assignment (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle" —
+    * the transformation every code-model pipeline applies at the
+    * published ~0.5 rate): a deterministically hash-gated fraction of
+    * documents is marked for FIM; each marked document gets two cut
+    * points over its whitespace token count splitting it
+    * prefix/middle/suffix, and a further hash channel picks PSM vs
+    * SPM ordering (the paper trains a 50/50 joint mixture of both).
+    * Everything derives from md5 channels of the doc id — the same
+    * device as p02/p05, so a document's transformation never changes
+    * as the corpus grows or repartitions, and an epoch is exactly
+    * reproducible.
+    *
+    * Cut points are independent uniform draws over [0, n] (two 15-hex
+    * md5 channels mod n+1, order-normalized) — the paper's
+    * "uniformly at random" span, so middles of every size including
+    * empty appear. Unmarked documents pass through whole
+    * (n_prefix = n, order "none").
+    *
+    * Shape at scale: strictly row-local — one projection pass, no
+    * shuffle, no window; composes in front of p01/p12/p15 packing
+    * unchanged. Output: (id, n_toks, is_fim, n_prefix, n_middle,
+    * n_suffix, fim_order).
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+               fimRate: Double = 0.5): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1,
+      s"fimSplit: fimRate $fimRate must be in [0,1]")
+    val thr = f"${math.min(math.floor(fimRate * 1048576.0).toLong, 1048575L)}%05x"
+    val idStr = col(idCol).cast("string")
+    val n = when(length(trim(col(textCol))) === 0, 0L)
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
+    def chan(tag: String): Column =
+      conv(substring(md5(concat(idStr, lit(tag))), 1, 15), 16, 10).cast("long")
+    val isFim = substring(md5(idStr), 1, 5) < thr
+    val c1 = chan(":c1") % (n + 1L)
+    val c2 = chan(":c2") % (n + 1L)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.select(col(idCol).as("id"), n.as("n_toks"), isFim.as("is_fim"),
+        when(isFim, lo).otherwise(n).as("n_prefix"),
+        when(isFim, hi - lo).otherwise(0L).as("n_middle"),
+        when(isFim, n - hi).otherwise(0L).as("n_suffix"),
+        when(!isFim, "none")
+          .when(substring(md5(concat(idStr, lit(":o"))), 1, 1) < "8", "psm")
+          .otherwise("spm").as("fim_order"))
+  }
 }
