@@ -1485,6 +1485,15 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type")),
 
+    "r31_budget_status" -> ((s, dir) =>
+      // the SLO review dashboard row above r26: budget consumed this
+      // trailing period (time-linear model), trailing-week burn, and
+      // projected hours to exhaustion at the recent pace — one
+      // hourly-histogram shuffle, conditional aggregates only
+      Windows.budgetStatus(T(s, dir, "events"), "ts",
+        col("event_type") === "error", slo = 0.995,
+        periodHours = 720, recentHours = 168)),
+
     "r26_burn_rate" -> ((s, dir) =>
       // the SRE multiwindow burn-rate frame: error budget consumption
       // as a multiple of a 99.5% SLO over trailing 1h/6h/24h/72h
@@ -3306,6 +3315,43 @@ object SparkEntry {
            FROM events GROUP BY 1)
          WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
          ORDER BY window_start""",
+
+    "r31_budget_status" ->
+      // same histogram + conditional aggregates; rate expressions in
+      // the identical association order, budget literal bit-shared
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS e
+                    FROM events GROUP BY 1),
+            a AS (SELECT max(hr) AS mx, min(hr) AS mn FROM h),
+            g AS (SELECT a.mx, a.mn,
+                    CAST(sum(h.n) AS BIGINT) AS n_total,
+                    CAST(sum(h.e) AS BIGINT) AS n_errors,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS rn,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.e ELSE 0 END)
+                      AS BIGINT) AS re
+                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 720
+                  GROUP BY 1, 2),
+            x AS (SELECT *, least(mx - mn + 1, 720) AS elapsed,
+                    CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate,
+                    CAST(re AS DOUBLE) / CAST(rn AS DOUBLE)
+                      / 0.0050000000000000044 AS rb
+                  FROM g),
+            y AS (SELECT *, rate / 0.0050000000000000044
+                    * CAST(elapsed AS DOUBLE) / 720.0 AS used
+                  FROM x)
+         SELECT CAST(720 AS BIGINT) AS period_hours,
+                CAST(elapsed AS BIGINT) AS elapsed_hours,
+                n_total, n_errors, round(rate, 6) AS err_rate,
+                round(used, 6) AS budget_used_frac,
+                round(rb, 6) AS recent_burn,
+                CASE WHEN re = 0 THEN NULL
+                     ELSE round(greatest((1.0 - used) * 720.0 / rb, 0.0), 6)
+                END AS hours_to_exhaustion,
+                used >= 1.0 AS exhausted
+         FROM y""",
 
     "r30_cusum" ->
       // same closed-form chart: baseline integer micros over the

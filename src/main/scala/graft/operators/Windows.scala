@@ -201,6 +201,72 @@ object Windows {
       hourly)
   }
 
+  /** SLO error-BUDGET STATUS report (the dashboard row above r26's
+    * alert frame — the question an SRE review actually asks: "how
+    * much of this period's budget is gone, and at the recent pace,
+    * when does it run out?"): over the trailing `periodHours` ending
+    * at the stream's last hour — elapsed calendar hours, exact
+    * total/error counts, the period error rate, budget consumption
+    * as average-burn × elapsed/period (the workbook's time-linear
+    * budget model: burn 1.0 for the whole period spends exactly
+    * 100%), the trailing-`recentHours` burn rate, and the projected
+    * hours to exhaustion at that recent pace (null when the recent
+    * window is error-free — no evidence, no projection; 0 when the
+    * budget is already blown).
+    *
+    * Shape at scale: the same ONE hourly-histogram shuffle as
+    * [[burnRate]]; both period and recent sums are conditional
+    * aggregates of the histogram against the broadcast anchor — the
+    * corpus never windows. All rates are IEEE divisions of exact
+    * longs, rounded 6 — oracle-exact.
+    * Output: one row (period_hours, elapsed_hours, n_total,
+    * n_errors, err_rate, budget_used_frac, recent_burn,
+    * hours_to_exhaustion, exhausted).
+    */
+  def budgetStatus(df: DataFrame, ts: String, isError: Column,
+                   slo: Double, periodHours: Int = 720,
+                   recentHours: Int = 168): DataFrame = {
+    require(slo > 0 && slo < 1, s"budgetStatus: slo $slo must be in (0,1)")
+    require(periodHours >= 1 && recentHours >= 1 && recentHours <= periodHours,
+      s"budgetStatus: bad periodHours=$periodHours recentHours=$recentHours")
+    val budget = 1.0 - slo
+    val hourly = df
+      .groupBy(expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(isError, 1L).otherwise(0L)).as("_e"))
+      .persist()
+    val anchor = hourly.agg(max(col("_hr")).as("_mx"), min(col("_hr")).as("_mn"))
+    val joined = hourly.crossJoin(broadcast(anchor))
+      .filter(col("_hr") > col("_mx") - periodHours)
+    val agg = joined.groupBy(col("_mx"), col("_mn"))
+      .agg(sum(col("_n")).as("n_total"), sum(col("_e")).as("n_errors"),
+        sum(when(col("_hr") > col("_mx") - recentHours, col("_n"))
+          .otherwise(0L)).as("_rn"),
+        sum(when(col("_hr") > col("_mx") - recentHours, col("_e"))
+          .otherwise(0L)).as("_re"))
+    val elapsed = least(col("_mx") - col("_mn") + 1L, lit(periodHours.toLong))
+    val rate = col("n_errors").cast("double") / col("n_total").cast("double")
+    val used = rate / lit(budget) * elapsed.cast("double") / lit(periodHours.toDouble)
+    val recentBurn = col("_re").cast("double") / col("_rn").cast("double") / lit(budget)
+    Caching.sealOver(
+      agg
+        .withColumn("period_hours", lit(periodHours.toLong))
+        .withColumn("elapsed_hours", elapsed)
+        .withColumn("err_rate", round(rate, 6))
+        .withColumn("budget_used_frac", round(used, 6))
+        .withColumn("recent_burn", round(recentBurn, 6))
+        .withColumn("hours_to_exhaustion",
+          when(col("_re") === 0L, lit(null).cast("double"))
+            .otherwise(round(greatest(
+              (lit(1.0) - used) * lit(periodHours.toDouble) / recentBurn,
+              lit(0.0)), 6)))
+        .withColumn("exhausted", used >= 1.0)
+        .select(col("period_hours"), col("elapsed_hours"), col("n_total"),
+          col("n_errors"), col("err_rate"), col("budget_used_frac"),
+          col("recent_burn"), col("hours_to_exhaustion"), col("exhausted")),
+      hourly)
+  }
+
   /** Hour-of-week SEASONAL baseline + deviation (the seasonal-naive
     * forecasting rung the r16 z-score skips: traffic has a weekly
     * shape, so "is this hour odd" must compare Tuesday-9am to
