@@ -90,6 +90,79 @@ class SloMonitorSpec extends SparkSpec {
     assert(st.updated.get.hours.keys.min >= 26L - 24L - 1L)
   }
 
+  // ----------------------------------------------------- r31 budget status
+
+  private def batchBudgetAt(rows: Seq[(Long, Boolean)], anchorHr: Long,
+                            period: Int, recent: Int): BudgetFrame = {
+    val s = spark
+    import s.implicits._
+    val r = Windows.budgetStatus(
+        rows.filter(_._1 < (anchorHr + 1) * 3600L)
+          .toDF("epoch", "isError")
+          .withColumn("ts", timestamp_seconds(col("epoch"))),
+        "ts", col("isError"), slo = 0.995,
+        periodHours = period, recentHours = recent)
+      .collect().head
+    BudgetFrame(anchorHr * 3600L, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+      if (r.isNullAt(7)) None else Some(r.getDouble(7)), r.getBoolean(8))
+  }
+
+  test("budget frames equal the batch status report at every emitted anchor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // 30 hours at a varying error mix; period 24 / recent 6 so both
+    // the elapsed clamp and eviction engage inside the test horizon
+    val rows = burnEvents(0 until 30)
+    val input = MemoryStream[(Long, Boolean)]
+    val events = input.toDF().toDF("tsSec", "isError")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "0 seconds")
+      .select("ts", "isError").as[ErrEvent]
+    val q = budgetFrames(events, slo = 0.995, periodHours = 24, recentHours = 6)
+      .writeStream.format("memory").queryName("budget")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.filter(_._1 < 10L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._1 >= 10L * 3600L && r._1 < 20L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 >= 20L * 3600L) :+ (31L * 3600L + 1L, false): _*)
+      q.processAllAvailable()
+      val got = spark.table("budget").as[BudgetFrame].collect().toSeq
+      val anchors = got.map(_.as_of / 3600L).distinct.sorted
+      assert(anchors.nonEmpty && anchors.last == 29L, anchors.toString)
+      anchors.foreach { a =>
+        val frame = got.filter(_.as_of == a * 3600L)
+        assert(frame.length == 1 &&
+          frame.head == batchBudgetAt(rows, a, 24, 6),
+          s"anchor $a:\nstream: $frame\nbatch: ${batchBudgetAt(rows, a, 24, 6)}")
+      }
+    } finally q.stop()
+  }
+
+  test("budget transition: clean recent window yields no projection, state evicts") {
+    val st = new TestGroupState[BudgetState]
+    // errors only in hour 0; recent window (6h before anchor 29) clean
+    val evs = (0L until 30L).flatMap(h =>
+      (1 to 10).map(i => ErrEvent(
+        new java.sql.Timestamp((h * 3600L + i) * 1000L), h == 0L && i <= 2)))
+    st.watermarkMs = 30L * 3600L * 1000L
+    val frames = budgetUpdate(0.995, 48, 6)("all", evs.iterator, st).toList
+    assert(frames.length == 1, frames.toString)
+    val f = frames.head
+    assert(f.n_total == 300L && f.n_errors == 2L && f.elapsed_hours == 30L, f)
+    assert(f.recent_burn == 0.0 && f.hours_to_exhaustion.isEmpty, f)
+    assert(!f.exhausted, f)
+    // h0 survives even when its hour would evict under a short period
+    val st2 = new TestGroupState[BudgetState]
+    st2.watermarkMs = 30L * 3600L * 1000L
+    val f2 = budgetUpdate(0.995, 4, 2)("all", evs.iterator, st2).toList.head
+    assert(f2.elapsed_hours == 4L && st2.updated.get.h0 == 0L, f2)
+    assert(st2.updated.get.hours.keys.min > 29L - 4L, st2.updated.toString)
+  }
+
   // -------------------------------------------------------- r27 seasonal
 
   // two keys with different weekly shapes over 2.5 weeks
