@@ -153,6 +153,16 @@ object Bench {
     // decimals until it fits.
     def num(dec: Int, v: Double): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    // the windowed-line forms also strip trailing zeros ("2.0" -> "2")
+    // — every char counts against the 2000 budget; BENCH_LOCAL.json
+    // keeps full 3-decimal values
+    def tnum(dec: Int, v: Double): String = {
+      val s = num(dec, v)
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty) "0" else t
+      } else s
+    }
     // Per-query keys shrink to their unique prefix (q01_agg -> q01)
     // once the full-name line would overflow the window — losing the
     // breakdown entirely is worse than losing the suffixes.
@@ -165,9 +175,25 @@ object Bench {
       val qs = results.map { case (k, v) =>
         val prefix = k.takeWhile(_ != '_')
         val key = if (short && !dupPrefixes(prefix)) prefix else k
-        "\"" + key + "\":" + num(dec, v)
+        "\"" + key + "\":" + tnum(dec, v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(dec, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${tnum(dec, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfLabel"}"""
+    }
+    // Densest complete form: queries grouped by family letter with the
+    // letter factored out of every key ({"queries":{"d":{"01":0.4,...},
+    // "q":{...}}} — "d"+"01" reads back as d01). Same seconds, same
+    // coverage, ~170 chars tighter than the flat short form at 194
+    // queries — the last level that still carries EVERY query before
+    // the no-breakdown fallback.
+    def nestedLine(dec: Int, sfLabel: String): String = {
+      val fams = results.groupBy(_._1.head).toSeq.sortBy(_._1)
+      val qs = fams.map { case (f, rs) =>
+        val inner = rs.map { case (k, v) =>
+          "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + tnum(dec, v)
+        }.mkString(",")
+        "\"" + f + "\":{" + inner + "}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${tnum(dec, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfLabel"}"""
     }
     // the COMPLETE breakdown always lands in the repo, immune to the
     // driver's stdout window — the judge's per-query record even when
@@ -184,8 +210,10 @@ object Bench {
     // this line, so a 2000-char budget still leaves real margin —
     // and BENCH_LOCAL.json carries the breakdown regardless
     val sfBase = new java.io.File(sfDir).getName
-    val out = Seq((3, false), (2, false), (3, true), (2, true), (1, true))
-      .map { case (d, s) => line(d, s, sfBase) }.find(_.length <= 2000)
+    val out = (Seq((3, false), (2, false), (3, true), (2, true), (1, true))
+      .map { case (d, s) => line(d, s, sfBase) } ++
+      Seq(nestedLine(2, sfBase), nestedLine(1, sfBase)))
+      .find(_.length <= 2000)
       .getOrElse {
         // the driver would otherwise lose the whole per-query
         // breakdown; stderr is outside its parsed stdout window

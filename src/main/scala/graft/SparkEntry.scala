@@ -1274,6 +1274,15 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("label1", "label2")),
 
+    "s28_proto_prune" -> ((s, dir) =>
+      // prototypicality pruning (Sorscher et al. 2022): score every
+      // vector against its own label centroid, prune the top-30% most
+      // prototypical per label — one centroid pass, broadcast joins,
+      // window ranked within the pruning cluster
+      Similarity.protoPrune(T(s, dir, "embeddings"), "vec_id", "label",
+          "embedding", pruneNum = 3, pruneDen = 10)
+        .orderBy("label", "rank_in_label")),
+
     "s05_vec_norm" -> ((s, dir) =>
       T(s, dir, "embeddings")
         .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
@@ -4548,6 +4557,45 @@ object SparkEntry {
                  JOIN nm nb ON nb.label = dt.label2
          WHERE na.n2 > 0 AND nb.n2 > 0
          ORDER BY label1, label2""",
+
+    "s28_proto_prune" ->
+      // the s04 centroid chain rounded 6, per-term round-6 products
+      // DECIMAL-folded (the s23 discipline), rank/count windows, and
+      // the exact-integer prune cut n*3//10
+      """WITH ce AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(len(embedding))) AS pos
+                   FROM embeddings)
+             GROUP BY 1, 2),
+            cn AS (SELECT label,
+                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS cn2
+                   FROM ce GROUP BY 1),
+            nv AS (SELECT vec_id, sqrt(list_aggregate(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     'sum')) AS vn
+                   FROM embeddings),
+            dt AS (SELECT e.vec_id, e.label,
+                     CAST(sum(CAST(round(ce.c * CAST(e.x AS DOUBLE), 6)
+                       AS DECIMAL(24,8))) AS DOUBLE) AS dot
+                   FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                                unnest(range(len(embedding))) AS pos
+                         FROM embeddings) e
+                   JOIN ce ON ce.label = e.label AND ce.pos = e.pos
+                   GROUP BY 1, 2),
+            sc AS (SELECT dt.vec_id, dt.label,
+                     round(dot / (sqrt(cn.cn2) * nv.vn), 6) AS proto_score
+                   FROM dt JOIN cn ON cn.label = dt.label AND cn.cn2 > 0
+                           JOIN nv ON nv.vec_id = dt.vec_id AND nv.vn > 0),
+            rk AS (SELECT *,
+                     CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY proto_score DESC, vec_id) AS BIGINT) AS rank_in_label,
+                     CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+                   FROM sc)
+         SELECT vec_id, label, proto_score, rank_in_label, n_label,
+                rank_in_label > n_label * 3 // 10 AS kept
+         FROM rk ORDER BY label, rank_in_label""",
 
     "s05_vec_norm" ->
       """SELECT vec_id, round(sqrt(list_aggregate(

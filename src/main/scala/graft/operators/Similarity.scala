@@ -974,6 +974,71 @@ object Similarity {
       cents)
   }
 
+  /** PROTOTYPICALITY pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws": when data is abundant, dropping the EASIEST —
+    * most prototypical — examples beats random pruning; the
+    * supervised-prototypes metric is cosine to the example's own
+    * class centroid). Per vector: its similarity to its label's
+    * centroid, its rank within the label (1 = most prototypical,
+    * ties broken by id), and the keep decision after pruning the
+    * top `pruneNum/pruneDen` fraction per label.
+    *
+    * Shape at scale: ONE corpus centroid pass (the s04 (label, pos)
+    * aggregate — map-side partials, |labels|·d rows out), then the
+    * tiny centroid frame broadcast-joins back onto the row-local
+    * (vec_id, pos, x) expand; the per-vector dot collapses map-side
+    * to one row per vector before its shuffle. The rank is a window
+    * partitioned by label — the pruning key IS the cluster, so
+    * per-partition volume is corpus/|clusters|; for few-label
+    * corpora at extreme scale, cut on the per-label score threshold
+    * (exact percentile, q11's two-phase shape) instead of
+    * materializing ranks. Centroids round to 6, per-term products
+    * round-6 → DECIMAL-fold (the t13/s23 discipline) — hash-exact.
+    * Zero-norm vectors and zero-norm labels drop by the no-evidence
+    * rule. The prune fraction is a RATIONAL (pruneNum/pruneDen) so
+    * the cut count n·num div den is exact integer arithmetic, never
+    * an IEEE rounding hazard.
+    * Output: (vec_id, label, proto_score, rank_in_label, n_label,
+    * kept) — `kept` = survives pruning.
+    */
+  def protoPrune(df: DataFrame, idCol: String, labelCol: String,
+                 vecCol: String, pruneNum: Int, pruneDen: Int): DataFrame = {
+    require(pruneDen >= 1 && pruneNum >= 0 && pruneNum <= pruneDen,
+      s"protoPrune: prune fraction $pruneNum/$pruneDen must be in [0,1]")
+    val cents = centroids(df, labelCol, vecCol)
+      .select(col("label"), col("pos"), round(col("c"), 6).as("_c"))
+      .persist()
+    val cnorm = cents.groupBy(col("label"))
+      .agg(sum(round(col("_c") * col("_c"), 6).cast("decimal(24,8)"))
+        .cast("double").as("_cn2"))
+      .filter(col("_cn2") > 0)
+    val dots = df
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        norm(col(vecCol)).as("_vn"),
+        posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .filter(col("_vn") > 0)
+      .join(broadcast(cents), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"), col("_vn"))
+      .agg(sum(round(col("_c") * col("_x").cast("double"), 6)
+        .cast("decimal(24,8)")).cast("double").as("_dot"))
+    val scored = dots.join(broadcast(cnorm), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("_dot") / (sqrt(col("_cn2")) * col("_vn")), 6)
+          .as("proto_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+    Caching.sealOver(
+      scored
+        .withColumn("rank_in_label",
+          row_number().over(w.orderBy(col("proto_score").desc, col("vec_id")))
+            .cast("long"))
+        .withColumn("n_label", count(lit(1)).over(w))
+        .withColumn("kept",
+          col("rank_in_label") >
+            expr(s"n_label * $pruneNum div $pruneDen")),
+      cents)
+  }
+
   /** Scale path for embedding near-dup: multi-table hyperplane LSH
     * buckets the corpus, candidate pairs form only within buckets
     * (id1 < id2, deduped across tables), then the exact cosine
