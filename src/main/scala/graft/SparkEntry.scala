@@ -1494,6 +1494,15 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type")),
 
+    "r32_canary_compare" -> ((s, dir) =>
+      // before/after deploy comparison: last week vs the 3 weeks
+      // before it, per event_type — volume rates, mix shares, and the
+      // two-proportion z on the share shift
+      Windows.canaryCompare(T(s, dir, "events"), "ts", "event_type",
+          beforeHours = 504, afterHours = 168)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "r31_budget_status" -> ((s, dir) =>
       // the SLO review dashboard row above r26: budget consumed this
       // trailing period (time-linear model), trailing-week burn, and
@@ -3324,6 +3333,44 @@ object SparkEntry {
            FROM events GROUP BY 1)
          WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
          ORDER BY window_start""",
+
+    "r32_canary_compare" ->
+      // the same (key, hour) histogram + conditional window sums;
+      // every division replayed in the identical association order
+      """WITH h AS (SELECT event_type AS key,
+                           epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+            a AS (SELECT max(hr) AS mx FROM h),
+            k AS (SELECT h.key,
+                    CAST(sum(CASE WHEN h.hr <= a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS n_before,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS n_after
+                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 672
+                  GROUP BY 1),
+            t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                         CAST(sum(n_after) AS BIGINT) AS ta FROM k),
+            x AS (SELECT k.*, t.tb, t.ta,
+                    CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE) AS pb,
+                    CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE) AS pa,
+                    CAST(n_before + n_after AS DOUBLE)
+                      / CAST(tb + ta AS DOUBLE) AS p
+                  FROM k CROSS JOIN t)
+         SELECT key AS event_type, n_before, n_after,
+                round(CAST(n_before AS DOUBLE) / 504.0, 6) AS rate_before,
+                round(CAST(n_after AS DOUBLE) / 168.0, 6) AS rate_after,
+                CASE WHEN n_before = 0 THEN NULL
+                     ELSE round((CAST(n_after AS DOUBLE) / 168.0)
+                                / (CAST(n_before AS DOUBLE) / 504.0), 6)
+                END AS rate_ratio,
+                round(pb, 6) AS share_before,
+                round(pa, 6) AS share_after,
+                CASE WHEN tb = 0 OR ta = 0 OR p = 0.0 OR p = 1.0 THEN NULL
+                     ELSE round((pa - pb) / sqrt(p * (1.0 - p)
+                       * (1.0 / CAST(tb AS DOUBLE) + 1.0 / CAST(ta AS DOUBLE))), 6)
+                END AS z_score
+         FROM x ORDER BY event_type""",
 
     "r31_budget_status" ->
       // same histogram + conditional aggregates; rate expressions in

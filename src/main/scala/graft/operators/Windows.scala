@@ -201,6 +201,75 @@ object Windows {
       hourly)
   }
 
+  /** CANARY / before-after DEPLOY comparison (the release-validation
+    * question: did the traffic mix or per-type volume shift after the
+    * cut point?): per key, the trailing `afterHours` window against
+    * the `beforeHours` window preceding it — exact counts, events/hour
+    * rates, the rate ratio (null when the before window is empty — no
+    * evidence, no ratio), each window's traffic SHARE, and the
+    * two-proportion z-score on the share shift (the canary-analysis
+    * statistic: pooled p, z = (pa − pb) / √(p(1−p)(1/Nb + 1/Na)),
+    * null when the pooled share is degenerate 0/1 or a window is
+    * empty). |z| ≳ 3 on real volumes = the mix moved.
+    *
+    * Shape at scale: ONE (key, hour) histogram shuffle off the
+    * corpus; the anchor is a broadcast 1-row max; per-key window sums
+    * are conditional aggregates of the ≤ |keys|·(before+after)
+    * histogram; totals are a broadcast 1-row aggregate OF that tiny
+    * frame. Rates are IEEE divisions of exact longs in pinned
+    * association order, rounded 6 — oracle-exact.
+    * Output: (key, n_before, n_after, rate_before, rate_after,
+    * rate_ratio, share_before, share_after, z_score).
+    */
+  def canaryCompare(df: DataFrame, ts: String, key: String,
+                    beforeHours: Int, afterHours: Int): DataFrame = {
+    require(beforeHours >= 1 && afterHours >= 1,
+      s"canaryCompare: bad beforeHours=$beforeHours afterHours=$afterHours")
+    val hourly = df
+      .groupBy(col(key).as("key"),
+        (unix_micros(col(ts)) / lit(3600000000L)).cast("long").as("_hr"))
+      .agg(count(lit(1)).as("_n"))
+      .persist()
+    val anchor = hourly.agg(max(col("_hr")).as("_mx"))
+    val byKey = hourly.crossJoin(broadcast(anchor))
+      .filter(col("_hr") > col("_mx") - (beforeHours + afterHours))
+      .groupBy(col("key"))
+      .agg(sum(when(col("_hr") <= col("_mx") - afterHours, col("_n"))
+          .otherwise(0L)).as("n_before"),
+        sum(when(col("_hr") > col("_mx") - afterHours, col("_n"))
+          .otherwise(0L)).as("n_after"))
+    val totals = byKey.agg(sum(col("n_before")).as("_tb"),
+      sum(col("n_after")).as("_ta"))
+    val nb = col("n_before").cast("double")
+    val na = col("n_after").cast("double")
+    val tb = col("_tb").cast("double")
+    val ta = col("_ta").cast("double")
+    val pb = nb / tb
+    val pa = na / ta
+    val pooled = (col("n_before") + col("n_after")).cast("double") /
+      (col("_tb") + col("_ta")).cast("double")
+    Caching.sealOver(
+      byKey.crossJoin(broadcast(totals))
+        .withColumn("rate_before", round(nb / lit(beforeHours.toDouble), 6))
+        .withColumn("rate_after", round(na / lit(afterHours.toDouble), 6))
+        .withColumn("rate_ratio",
+          when(col("n_before") === 0L, lit(null).cast("double"))
+            .otherwise(round((na / lit(afterHours.toDouble)) /
+              (nb / lit(beforeHours.toDouble)), 6)))
+        .withColumn("share_before", round(pb, 6))
+        .withColumn("share_after", round(pa, 6))
+        .withColumn("z_score",
+          when(col("_tb") === 0L || col("_ta") === 0L ||
+               pooled === 0.0 || pooled === 1.0, lit(null).cast("double"))
+            .otherwise(round((pa - pb) /
+              sqrt(pooled * (lit(1.0) - pooled) *
+                (lit(1.0) / tb + lit(1.0) / ta)), 6)))
+        .select(col("key"), col("n_before"), col("n_after"),
+          col("rate_before"), col("rate_after"), col("rate_ratio"),
+          col("share_before"), col("share_after"), col("z_score")),
+      hourly)
+  }
+
   /** SLO error-BUDGET STATUS report (the dashboard row above r26's
     * alert frame — the question an SRE review actually asks: "how
     * much of this period's budget is gone, and at the recent pace,
