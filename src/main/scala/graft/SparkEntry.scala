@@ -2110,6 +2110,15 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "t38_tfidf_terms" -> ((s, dir) =>
+      // per-doc TF-IDF top-3 keywords: the "what is this doc about"
+      // signal for topic tagging and mixture labeling; stopwords die
+      // by idf, no list needed
+      operators.Retrieval.tfidfTerms(T(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+
     "t17_bm25" -> ((s, dir) => {
       // BM25 top-10 per query over the corpus: the sparse-retrieval
       // side of data mining (rank corpus docs against seed queries).
@@ -5647,6 +5656,29 @@ object SparkEntry {
          FROM s1 WHERE n_words > 0 AND n_sents > 0 ORDER BY doc_id""",
 
     "t17_bm25" -> t17Oracle,
+
+    "t38_tfidf_terms" ->
+      // the t17 token chain verbatim; (tf/dl)*ln(N/df) in pinned
+      // order; post-round ties rank by term
+      """WITH tk AS (SELECT doc_id, tok AS term FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tk GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+            sc AS (SELECT doc_id, term,
+                     round((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+                           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                       AS tfidf
+                   FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
+                   CROSS JOIN n)
+         SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rank FROM (
+           SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rk FROM sc)
+         WHERE rk <= 3 ORDER BY doc_id, rank""",
 
     "t18_ppl_buckets" ->
       """WITH tk AS (SELECT doc_id, tok FROM (

@@ -79,4 +79,46 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("bm25"), col("rank").cast("long").as("rank"))
   }
+
+  /** TF-IDF top-k KEYWORD extraction per document — the classic
+    * "what is this document about" signal (topic tagging, domain
+    * labeling for mixture weights, index keywords): for each doc the
+    * k terms maximizing (tf/dl) · ln(N/df), length-normalized term
+    * frequency times inverse document frequency over token-bearing
+    * docs. Stopwords die by idf (df ≈ N ⇒ ln ≈ 0) — no list needed.
+    *
+    * Shape at scale: the SAME lowercase-split token chain as
+    * [[bm25TopK]] (the twins cannot drift); ONE (doc, term) tf
+    * aggregate off the token stream, df one term-keyed aggregate
+    * OVER the distinct (doc, term) frame (never the raw stream), the
+    * corpus-level N a broadcast 1-row aggregate. df joins back by a
+    * shuffle join on term — the vocabulary is corpus-sized, so it is
+    * NOT broadcast. Top-k per doc is a rank window Spark executes as
+    * WindowGroupLimit (map-side top-k partial). Scores round to 6;
+    * post-round ties rank by term for determinism.
+    * Output: (id, term, tfidf, rank), rank 1..k per id.
+    */
+  def tfidfTerms(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"tfidfTerms: k $k must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = dl.agg(count(lit(1)).as("n_docs"))
+    val score = (col("tf").cast("double") / col("dl").cast("double")) *
+      log(col("n_docs").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df_, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
 }
