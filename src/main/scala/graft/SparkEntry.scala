@@ -1274,6 +1274,16 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("label1", "label2")),
 
+    "s29_kmeans_train" -> ((s, dir) =>
+      // distributed Lloyd: 3 exact-integer-micro updates from the
+      // md5-deterministic seed, then the final assignment — one
+      // (cluster,pos) shuffle + one bounded k*d collect per iteration,
+      // zero-shuffle literal-codegen assignment passes
+      Similarity.kmeansTrain(T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, iters = 3, dims = 64)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     "s28_proto_prune" -> ((s, dir) =>
       // prototypicality pruning (Sorscher et al. 2022): score every
       // vector against its own label centroid, prune the top-30% most
@@ -2568,6 +2578,49 @@ object SparkEntry {
     * both engines produce identical IEEE64 scores and therefore
     * identical ranks (ties broken by doc_id).
     */
+  /** s29 oracle: the FULL Lloyd trajectory replayed in SQL — micro
+    * vectors, md5-seeded init, per-iteration exact-integer argmin +
+    * sign-split HALF_UP micro means with the empty-cluster COALESCE,
+    * then the final assignment. Exact integers end-to-end make the
+    * whole trajectory engine-independent.
+    */
+  private def s29Oracle(k: Int, iters: Int, dims: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""d$t AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
+               FROM ex e JOIN c${t - 1} c USING (pos) GROUP BY 1, 2),
+          a$t AS (SELECT id, j FROM (
+                    SELECT id, j, row_number() OVER (PARTITION BY id
+                      ORDER BY dist, j) AS rk FROM d$t) WHERE rk = 1),
+          m$t AS (SELECT a.j, e.pos,
+                    CASE WHEN sum(e.x6) >= 0
+                         THEN (2 * sum(e.x6) + count(*)) // (2 * count(*))
+                         ELSE -((2 * -sum(e.x6) + count(*)) // (2 * count(*)))
+                    END AS c6
+                  FROM ex e JOIN a$t a USING (id) GROUP BY a.j, e.pos),
+          c$t AS (SELECT p.j, p.pos, CAST(COALESCE(m.c6, p.c6) AS BIGINT) AS c6
+                  FROM c${t - 1} p LEFT JOIN m$t m ON m.j = p.j AND m.pos = p.pos)"""
+    }.mkString(",\n")
+    s"""WITH ex AS (SELECT vec_id AS id, CAST(pos AS BIGINT) AS pos,
+                CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS x6
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           unnest(range(len(embedding))) AS pos
+                    FROM embeddings WHERE len(embedding) = $dims)),
+         sd AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                    - 1 AS j
+                FROM embeddings WHERE len(embedding) = $dims
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         c0 AS (SELECT sd.j, ex.pos, ex.x6 AS c6 FROM sd JOIN ex ON ex.id = sd.vec_id),
+         $iterCtes,
+         fin AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
+                 FROM ex e JOIN c$iters c USING (pos) GROUP BY 1, 2)
+       SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster,
+              CAST(dist AS BIGINT) AS dist_sq
+       FROM (SELECT id, j, dist, row_number() OVER (PARTITION BY id
+               ORDER BY dist, j) AS rk FROM fin)
+       WHERE rk = 1 ORDER BY vec_id"""
+  }
+
   private lazy val t17Oracle: String = {
     val values = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
     s"""WITH tk AS (SELECT doc_id, tok AS term FROM (
@@ -4613,6 +4666,8 @@ object SparkEntry {
                  JOIN nm nb ON nb.label = dt.label2
          WHERE na.n2 > 0 AND nb.n2 > 0
          ORDER BY label1, label2""",
+
+    "s29_kmeans_train" -> s29Oracle(k = 8, iters = 3, dims = 64),
 
     "s28_proto_prune" ->
       // the s04 centroid chain rounded 6, per-term round-6 products

@@ -974,6 +974,103 @@ object Similarity {
       cents)
   }
 
+  /** Distributed LLOYD K-MEANS training — the coarse-quantizer /
+    * topic-cluster trainer the IVF family (s03/s12/s13/s26) and the
+    * cluster-conditioned ops (SemDeDup, prototypicality pruning,
+    * cluster-aware splits) consume. `iters` full Lloyd updates from a
+    * deterministic seed, then the final assignment:
+    *
+    *   init:   the k vectors with the smallest md5(id) (portable
+    *           pseudo-random spread, no RNG state to replay)
+    *   assign: nearest centroid by EXACT integer-micro squared L2 —
+    *           vectors land as ×10⁶ longs, each (x₆−c₆)² term and the
+    *           d-term sum are exact longs, so the argmin has NO float
+    *           reassociation hazard under any partitioning; ties take
+    *           the smaller cluster id
+    *   update: per-(cluster, pos) micro means — DECIMAL(38,0) sums,
+    *           HALF_UP at the micro boundary by sign-split integer
+    *           division; an emptied cluster keeps its previous
+    *           centroid (the standard Lloyd rule)
+    *
+    * Shape at scale: per iteration ONE (cluster, pos) aggregate
+    * shuffle (map-side partials; k·d rows out) and one bounded k·d
+    * driver collect; the assignment pass is ZERO-shuffle — centroids
+    * embed as literals in whole-stage codegen exactly like the s22/
+    * s25 projections. Total cost: (iters+1) corpus scans, linear in
+    * rows — the textbook distributed Lloyd layout. The k·d ≤ 16384
+    * contract bounds every collect loudly (the s21 Gramian contract);
+    * past it, train on a [[trainCap]]-style sample or lift k via the
+    * IVF-PQ path.
+    *
+    * Everything is exact integers end-to-end (the s25 lesson), so the
+    * whole trajectory — including the final assignment and its
+    * squared distances — is oracle-reproducible bit-for-bit.
+    * Output: (id, cluster, dist_sq) where dist_sq is the exact
+    * squared L2 distance in micro² units (×10¹²).
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, dims: Int): DataFrame = {
+    require(k >= 1 && iters >= 1 && dims >= 1,
+      s"kmeansTrain: bad k=$k iters=$iters dims=$dims")
+    require(k.toLong * dims <= 16384,
+      s"kmeansTrain: k*dims = ${k.toLong * dims} exceeds the 16384 " +
+        "driver-matrix contract — sample the trainer or use the IVF-PQ path")
+    val base = df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("_x6"))
+      .persist()
+    // deterministic seed: the k ids with the smallest md5 — a bounded
+    // TakeOrdered collect of k micro vectors
+    val seed = base
+      .withColumn("_h", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("_h"), col("id")).limit(k)
+      .select(col("_x6")).collect()
+    require(seed.length == k,
+      s"kmeansTrain: corpus has only ${seed.length} vectors of dim $dims, need k=$k")
+    var cents: Array[Array[Long]] =
+      seed.map(_.getSeq[Long](0).toArray)
+    def distTo(c: Array[Long], j: Int) = {
+      val d2 = (0 until dims).map { i =>
+        val d = element_at(col("_x6"), i + 1) - lit(c(i))
+        d * d
+      }.reduce(_ + _)
+      struct(d2.as("d"), lit(j.toLong).as("j"))
+    }
+    def assigned = base.withColumn("_a",
+      array_min(array(cents.zipWithIndex.map { case (c, j) => distTo(c, j) }: _*)))
+    for (_ <- 1 to iters) {
+      // per-(cluster, pos) exact micro sums; the mean's HALF_UP lives
+      // on the driver as BigInteger — the oracle replays the identical
+      // sign-split formula in HUGEINT SQL
+      val sums = assigned
+        .select(col("_a.j").as("_j"), posexplode(col("_x6")).as(Seq("_pos", "_v")))
+        .groupBy(col("_j"), col("_pos"))
+        .agg(sum(col("_v").cast("decimal(38,0)")).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val j = r.getLong(0).toInt; val pos = r.getInt(1)
+        val s = r.getDecimal(2).toBigInteger
+        val n = java.math.BigInteger.valueOf(r.getLong(3))
+        val two = java.math.BigInteger.TWO
+        val m =
+          if (s.signum() >= 0)
+            s.multiply(two).add(n).divide(n.multiply(two))
+          else
+            s.negate().multiply(two).add(n).divide(n.multiply(two)).negate()
+        next(j)(pos) = m.longValueExact()
+      }
+      cents = next
+    }
+    Caching.sealOver(
+      assigned.select(col("id"), col("_a.j").as("cluster"),
+        col("_a.d").as("dist_sq")),
+      base)
+  }
+
   /** PROTOTYPICALITY pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws": when data is abundant, dropping the EASIEST —
     * most prototypical — examples beats random pruning; the

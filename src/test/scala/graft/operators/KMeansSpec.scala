@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Distributed Lloyd k-means (s29): blob recovery, exact-integer
+  * partition invariance, distance ties, and the bounded contracts.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two separated blobs resolve into two clusters with tight distances") {
+    // blob A around (0, 0), blob B around (10, 10) — any 2-seed Lloyd
+    // run separates them in one update
+    val rows = Seq(
+      (1L, Array(0.0f, 0.1f)), (2L, Array(0.1f, 0.0f)), (3L, Array(0.05f, 0.05f)),
+      (4L, Array(10.0f, 10.1f)), (5L, Array(10.1f, 10.0f)), (6L, Array(10.05f, 9.95f)))
+    val out = Similarity.kmeansTrain(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 3, dims = 2)
+      .orderBy("id").collect()
+    val byCluster = out.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert(byCluster.values.toSet == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)),
+      out.mkString)
+    // within-blob distance to the converged centroid is tiny:
+    // micro^2 units, blob spread ~0.1 => dist_sq < (0.15e6)^2 * 2
+    assert(out.forall(_.getLong(2) < 2L * 150000L * 150000L), out.mkString)
+  }
+
+  test("assignment is bit-identical under different partitionings") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array((i % 7).toFloat / 3f, (i % 5).toFloat / 2f, (i % 3).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    def run(parts: Int) =
+      Similarity.kmeansTrain(df.repartition(parts), "vec_id", "embedding",
+          k = 4, iters = 3, dims = 3)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(7) == run(3))
+  }
+
+  test("an exact distance tie takes the smaller cluster id") {
+    // v sits exactly between the two seeds after 1 iter of singleton
+    // clusters: seeds are the two blob points themselves
+    val rows = Seq(
+      (1L, Array(0.0f)), (2L, Array(2.0f)), (3L, Array(1.0f)))
+    val out = Similarity.kmeansTrain(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 1, dims = 1)
+      .orderBy("id").collect()
+    val mid = out.find(_.getLong(0) == 3L).get
+    val ends = out.filter(_.getLong(0) != 3L)
+    // whichever cluster ids the md5 seed handed out, the midpoint's
+    // id equals the SMALLER of the two (the tie rule) unless the
+    // means moved it off-tie — with iters=1 the midpoint joins one
+    // seed first, shifting that mean toward it
+    assert(out.length == 3 && ends.map(_.getLong(1)).distinct.length == 2,
+      out.mkString)
+    assert(Set(0L, 1L).contains(mid.getLong(1)), mid.toString)
+  }
+
+  test("contracts fail loudly") {
+    val df = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(df, "vec_id", "embedding", k = 200, iters = 1,
+        dims = 128) // 200*128 > 16384
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(df, "vec_id", "embedding", k = 2, iters = 1,
+        dims = 2) // only 1 vector, need k=2
+    }
+  }
+}
