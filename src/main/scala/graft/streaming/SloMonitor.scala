@@ -198,6 +198,95 @@ object SloMonitor {
         budgetUpdate(slo, periodHours, recentHours) _)
   }
 
+  // ------------------------------------------------------------ r32 canary
+
+  /** hours: "key hr" → count over the trailing before+after windows
+    * (bounded by |keys|·(b+a) + pending — the bounded-population
+    * contract); anchor: latest emitted frame's anchor. */
+  final case class CanaryState(hours: Map[String, Long], anchor: Long)
+
+  final case class CanaryRow(
+      as_of: Long, key: String, n_before: Long, n_after: Long,
+      rate_before: Double, rate_after: Double, rate_ratio: Option[Double],
+      share_before: Double, share_after: Double, z_score: Option[Double])
+
+  implicit val canaryStEnc: Encoder[CanaryState] = Encoders.product[CanaryState]
+  implicit val canaryEnc: Encoder[CanaryRow] = Encoders.product[CanaryRow]
+
+  /** Transition, exposed for unit tests. The batch
+    * [[graft.operators.Windows.canaryCompare]] arithmetic verbatim —
+    * exact long window sums, the same IEEE division order — so each
+    * per-key row is bit-equal to the batch row over the frame's
+    * prefix. */
+  def canaryUpdate(beforeHours: Int, afterHours: Int)(
+      key: String, events: Iterator[KeyEvent],
+      state: GroupState[CanaryState]): Iterator[CanaryRow] = {
+    val st0 = state.getOption.getOrElse(CanaryState(Map.empty, Long.MinValue))
+    val hours = events.foldLeft(st0.hours) { (m, e) =>
+      val k = e.key + Sep + e.hr
+      m.updated(k, m.getOrElse(k, 0L) + 1L)
+    }
+    def hrOf(k: String): Long = k.substring(k.lastIndexOf(Sep) + 1).toLong
+    def keyOf(k: String): String = k.substring(0, k.lastIndexOf(Sep))
+    val wmHr = state.getCurrentWatermarkMs() / 1000L / 3600L
+    val closed = hours.keys.map(hrOf).filter(_ < wmHr)
+    val anchor = if (closed.nonEmpty) closed.max max st0.anchor else st0.anchor
+    val rows =
+      if (anchor > st0.anchor) {
+        // the batch filter verbatim: hr > anchor - (b+a), closed only
+        val in = hours.toSeq.filter { case (k, _) =>
+          val h = hrOf(k)
+          h > anchor - (beforeHours + afterHours) && h <= anchor
+        }
+        val byKey = in.groupMapReduce(kv => keyOf(kv._1))(kv =>
+          if (hrOf(kv._1) > anchor - afterHours) (0L, kv._2) else (kv._2, 0L)
+        )((x, y) => (x._1 + y._1, x._2 + y._2))
+        val tb = byKey.values.map(_._1).sum
+        val ta = byKey.values.map(_._2).sum
+        byKey.toSeq.sortBy(_._1).map { case (k, (nb, na)) =>
+          val pb = nb.toDouble / tb.toDouble
+          val pa = na.toDouble / ta.toDouble
+          val pooled = (nb + na).toDouble / (tb + ta).toDouble
+          val ratio = if (nb == 0L) None
+            else Some(rd6((na.toDouble / afterHours.toDouble) /
+              (nb.toDouble / beforeHours.toDouble)))
+          val z = if (tb == 0L || ta == 0L || pooled == 0.0 || pooled == 1.0) None
+            else Some(rd6((pa - pb) /
+              math.sqrt(pooled * (1.0 - pooled) *
+                (1.0 / tb.toDouble + 1.0 / ta.toDouble))))
+          CanaryRow(anchor * 3600L, k, nb, na,
+            rd6(nb.toDouble / beforeHours.toDouble),
+            rd6(na.toDouble / afterHours.toDouble), ratio, rd6(pb), rd6(pa), z)
+        }
+      } else Nil
+    val kept = hours.filter { case (k, _) =>
+      hrOf(k) > (anchor max (wmHr - 1)) - (beforeHours + afterHours) }
+    if (kept.isEmpty) state.remove()
+    else {
+      state.update(CanaryState(kept, anchor))
+      kept.keys.map(hrOf).filter(_ >= wmHr).minOption
+        .foreach(p => state.setTimeoutTimestamp((p + 1) * 3600L * 1000L))
+    }
+    rows.iterator
+  }
+
+  /** Streaming twin of the r32 batch canary comparison: one full
+    * per-key frame per advanced anchor hour, each row bit-equal to
+    * [[graft.operators.Windows.canaryCompare]] over the prefix of
+    * events in hours ≤ as_of/3600. Single-group state ≤
+    * |keys|·(before+after) + pending counts.
+    */
+  def canaryFrames(events: Dataset[KeyEvent], beforeHours: Int,
+                   afterHours: Int): Dataset[CanaryRow] = {
+    require(beforeHours >= 1 && afterHours >= 1,
+      s"canaryFrames: bad beforeHours=$beforeHours afterHours=$afterHours")
+    events
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[CanaryState, CanaryRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        canaryUpdate(beforeHours, afterHours) _)
+  }
+
   // -------------------------------------------------------- r27 seasonal
 
   /** One keyed event (the Anomaly.Event shape). */

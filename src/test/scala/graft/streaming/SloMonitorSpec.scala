@@ -163,6 +163,65 @@ class SloMonitorSpec extends SparkSpec {
     assert(st2.updated.get.hours.keys.min > 29L - 4L, st2.updated.toString)
   }
 
+  // ------------------------------------------------------------ r32 canary
+
+  // two keys whose mix shifts over time: "api" fades, "db" grows
+  private def canaryEvents(hours: Range): Seq[(String, Long)] =
+    hours.flatMap { h =>
+      val api = 12 - (h / 4)
+      val db = 2 + (h / 3)
+      (1 to (api max 1)).map(i => ("api", h * 3600L + i)) ++
+        (1 to db).map(i => ("db", h * 3600L + 100 + i))
+    }
+
+  private def batchCanaryAt(rows: Seq[(String, Long)], anchorHr: Long,
+                            b: Int, a: Int): Seq[CanaryRow] = {
+    val s = spark
+    import s.implicits._
+    Windows.canaryCompare(
+        rows.filter(_._2 < (anchorHr + 1) * 3600L)
+          .toDF("key", "epoch")
+          .withColumn("ts", timestamp_seconds(col("epoch"))),
+        "ts", "key", beforeHours = b, afterHours = a)
+      .collect().map(r => CanaryRow(anchorHr * 3600L, r.getString(0),
+        r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6), r.getDouble(7),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8))))
+      .toSeq.sortBy(_.key)
+  }
+
+  test("canary frames equal the batch comparison at every emitted anchor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = canaryEvents(0 until 30)
+    val input = MemoryStream[(String, Long)]
+    val events = input.toDF().toDF("key", "tsSec")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .withWatermark("ts", "0 seconds")
+      .select("key", "ts").as[KeyEvent]
+    val q = canaryFrames(events, beforeHours = 12, afterHours = 4)
+      .writeStream.format("memory").queryName("canary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.filter(_._2 < 11L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(r => r._2 >= 11L * 3600L && r._2 < 21L * 3600L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 21L * 3600L) :+ ("api", 31L * 3600L + 1L): _*)
+      q.processAllAvailable()
+      val got = spark.table("canary").as[CanaryRow].collect().toSeq
+      val anchors = got.map(_.as_of / 3600L).distinct.sorted
+      assert(anchors.nonEmpty && anchors.last == 29L, anchors.toString)
+      anchors.foreach { a =>
+        val frame = got.filter(_.as_of == a * 3600L).sortBy(_.key)
+        assert(frame == batchCanaryAt(rows, a, 12, 4),
+          s"anchor $a:\nstream: $frame\nbatch: ${batchCanaryAt(rows, a, 12, 4)}")
+      }
+    } finally q.stop()
+  }
+
   // -------------------------------------------------------- r27 seasonal
 
   // two keys with different weekly shapes over 2.5 weeks
