@@ -1274,6 +1274,23 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("label1", "label2")),
 
+    "s30_kmeans_prune" -> ((s, dir) => {
+      // unsupervised SSL prototypes (Sorscher et al. 2022, the
+      // headline composition): k-means in embedding space, then
+      // prototypicality pruning within each TRAINED cluster — s29's
+      // assignment feeds s28's ranker unchanged
+      val emb = T(s, dir, "embeddings")
+      val asg = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+          k = 8, iters = 3, dims = 64)
+        .select(col("id").as("vec_id"), col("cluster"))
+      Similarity.protoPrune(emb.join(asg, "vec_id"), "vec_id", "cluster",
+          "embedding", pruneNum = 3, pruneDen = 10)
+        .withColumnRenamed("label", "cluster")
+        .withColumnRenamed("rank_in_label", "rank_in_cluster")
+        .withColumnRenamed("n_label", "n_cluster")
+        .orderBy("cluster", "rank_in_cluster")
+    }),
+
     "s29_kmeans_train" -> ((s, dir) =>
       // distributed Lloyd: 3 exact-integer-micro updates from the
       // md5-deterministic seed, then the final assignment — one
@@ -2584,7 +2601,18 @@ object SparkEntry {
     * then the final assignment. Exact integers end-to-end make the
     * whole trajectory engine-independent.
     */
-  private def s29Oracle(k: Int, iters: Int, dims: Int): String = {
+  private def s29Oracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${lloydCtes(k, iters, dims)}
+       SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster,
+              CAST(dist AS BIGINT) AS dist_sq
+       FROM asg ORDER BY vec_id"""
+
+  /** The shared Lloyd-trajectory CTE chain (ends at `asg`:
+    * (id, j, dist) — the final assignment under the final centroids).
+    * s29 selects it directly; s30 stacks the prototypicality chain on
+    * top, so the two oracles cannot drift.
+    */
+  private def lloydCtes(k: Int, iters: Int, dims: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""d$t AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
                FROM ex e JOIN c${t - 1} c USING (pos) GROUP BY 1, 2),
@@ -2600,7 +2628,7 @@ object SparkEntry {
           c$t AS (SELECT p.j, p.pos, CAST(COALESCE(m.c6, p.c6) AS BIGINT) AS c6
                   FROM c${t - 1} p LEFT JOIN m$t m ON m.j = p.j AND m.pos = p.pos)"""
     }.mkString(",\n")
-    s"""WITH ex AS (SELECT vec_id AS id, CAST(pos AS BIGINT) AS pos,
+    s"""ex AS (SELECT vec_id AS id, CAST(pos AS BIGINT) AS pos,
                 CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS x6
               FROM (SELECT vec_id, unnest(embedding) AS x,
                            unnest(range(len(embedding))) AS pos
@@ -2613,13 +2641,52 @@ object SparkEntry {
          c0 AS (SELECT sd.j, ex.pos, ex.x6 AS c6 FROM sd JOIN ex ON ex.id = sd.vec_id),
          $iterCtes,
          fin AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
-                 FROM ex e JOIN c$iters c USING (pos) GROUP BY 1, 2)
-       SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster,
-              CAST(dist AS BIGINT) AS dist_sq
-       FROM (SELECT id, j, dist, row_number() OVER (PARTITION BY id
-               ORDER BY dist, j) AS rk FROM fin)
-       WHERE rk = 1 ORDER BY vec_id"""
+                 FROM ex e JOIN c$iters c USING (pos) GROUP BY 1, 2),
+         asg AS (SELECT id, j, dist FROM (
+                   SELECT id, j, dist, row_number() OVER (PARTITION BY id
+                     ORDER BY dist, j) AS rk FROM fin) WHERE rk = 1)"""
   }
+
+  /** s30 oracle: the Lloyd chain's `asg` assignment becomes the label
+    * for the s28 prototypicality chain — unsupervised SSL prototypes
+    * (Sorscher et al. 2022), both halves shared verbatim with their
+    * standalone oracles.
+    */
+  private def s30Oracle(k: Int, iters: Int, dims: Int,
+                        pruneNum: Int, pruneDen: Int): String =
+    s"""WITH ${lloydCtes(k, iters, dims)},
+         ex2 AS (SELECT e.vec_id, a.j AS cluster, unnest(e.embedding) AS x,
+                        unnest(range(len(e.embedding))) AS pos
+                 FROM embeddings e JOIN asg a ON a.id = e.vec_id),
+         ce AS (SELECT cluster, CAST(pos AS BIGINT) AS pos,
+                  round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS c
+                FROM ex2 GROUP BY 1, 2),
+         cn AS (SELECT cluster,
+                  CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS cn2
+                FROM ce GROUP BY 1),
+         nv AS (SELECT vec_id, sqrt(list_aggregate(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum')) AS vn
+                FROM embeddings),
+         dt AS (SELECT e.vec_id, e.cluster,
+                  CAST(sum(CAST(round(ce.c * CAST(e.x AS DOUBLE), 6)
+                    AS DECIMAL(24,8))) AS DOUBLE) AS dot
+                FROM ex2 e JOIN ce ON ce.cluster = e.cluster
+                  AND ce.pos = e.pos
+                GROUP BY 1, 2),
+         sc AS (SELECT dt.vec_id, CAST(dt.cluster AS BIGINT) AS cluster,
+                  round(dot / (sqrt(cn.cn2) * nv.vn), 6) AS proto_score
+                FROM dt JOIN cn ON cn.cluster = dt.cluster AND cn.cn2 > 0
+                        JOIN nv ON nv.vec_id = dt.vec_id AND nv.vn > 0),
+         rk AS (SELECT *,
+                  CAST(row_number() OVER (PARTITION BY cluster
+                    ORDER BY proto_score DESC, vec_id) AS BIGINT) AS rank_in_cluster,
+                  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
+                FROM sc)
+       SELECT vec_id, cluster, proto_score, rank_in_cluster, n_cluster,
+              rank_in_cluster > n_cluster * $pruneNum // $pruneDen AS kept
+       FROM rk ORDER BY cluster, rank_in_cluster"""
 
   private lazy val t17Oracle: String = {
     val values = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
@@ -4668,6 +4735,9 @@ object SparkEntry {
          ORDER BY label1, label2""",
 
     "s29_kmeans_train" -> s29Oracle(k = 8, iters = 3, dims = 64),
+
+    "s30_kmeans_prune" ->
+      s30Oracle(k = 8, iters = 3, dims = 64, pruneNum = 3, pruneDen = 10),
 
     "s28_proto_prune" ->
       // the s04 centroid chain rounded 6, per-term round-6 products

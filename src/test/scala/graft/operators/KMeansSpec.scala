@@ -55,6 +55,29 @@ class KMeansSpec extends SparkSpec {
     assert(Set(0L, 1L).contains(mid.getLong(1)), mid.toString)
   }
 
+  test("trained clusters feed prototypicality pruning (SSL prototypes)") {
+    import org.apache.spark.sql.functions._
+    // two far blobs; ids 6 and 4 sort first under md5 (the seed
+    // order), so placing them dead-center in opposite blobs makes
+    // the seeds split the blobs on iteration 1 — each blob's center
+    // is its most prototypical member and the 1/3 cut prunes it
+    val rows = Seq(
+      (6L, Array(1.0f, 1.0f)), (1L, Array(1.2f, 0.8f)), (2L, Array(0.8f, 1.2f)),
+      (4L, Array(10.0f, -10.0f)), (3L, Array(12.0f, -8.0f)), (5L, Array(8.0f, -12.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val asg = Similarity.kmeansTrain(df, "vec_id", "embedding", 2, 3, 2)
+      .select(col("id").as("vec_id"), col("cluster"))
+    val out = Similarity.protoPrune(df.join(asg, "vec_id"), "vec_id",
+        "cluster", "embedding", 1, 3)
+      .collect()
+    val byCluster = out.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet)
+    assert(byCluster.values.toSet == Set(Set(6L, 1L, 2L), Set(4L, 3L, 5L)),
+      out.mkString)
+    val pruned = out.filter(!_.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(pruned == Set(6L, 4L), out.mkString)
+  }
+
   test("contracts fail loudly") {
     val df = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
