@@ -1888,6 +1888,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m10_phash_resolve" -> ((s, dir) => {
+      // image near-dup RESOLUTION: m05's pigeonhole pHash pairs feed
+      // d06's component machinery; each cluster keeps its min-id
+      // member as the canonical image (no quality column on blobs)
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val blobs = Multimodal.withBlob(docs, "text")
+      val pairs = Dedup.chunkedHammingPairs(
+          Multimodal.imagePhash(blobs, "doc_id", "blob"))
+        .select(col("id1"), col("id2"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      Dedup.components(docs.select(col("doc_id")), "doc_id", pairs)
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+        .orderBy("doc_id")
+    }),
+
     "m05_phash_pairs" -> ((s, dir) => {
       // image near-dup detection: 64-bit perceptual hash from the
       // partition-batched decode stub, pairs at hamming <= 3 via the
@@ -5441,6 +5457,50 @@ object SparkEntry {
                 CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) END AS align_cos,
                 CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) >= 0.0 END AS keep
          FROM d ORDER BY doc_id""",
+
+    "m10_phash_resolve" ->
+      // the m05 pHash pair chain verbatim, then the d06 recursive-CTE
+      // component resolution with min-id canonicals
+      """WITH RECURSIVE h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents WHERE doc_id < 500),
+            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
+            byt AS (SELECT doc_id, (i - 1) % 64 AS j,
+                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
+                    FROM pos),
+            cellv AS (SELECT doc_id, j, sum(v) AS cv FROM byt GROUP BY 1, 2),
+            grid AS (SELECT doc_id, unnest(range(0, 64)) AS j FROM h),
+            cells AS (SELECT g.doc_id, g.j, coalesce(c.cv, 0) AS cv
+                      FROM grid g LEFT JOIN cellv c
+                        ON c.doc_id = g.doc_id AND c.j = g.j),
+            bits AS (SELECT a.doc_id, a.j,
+                       CASE WHEN a.cv > b.cv THEN 1 ELSE 0 END AS bit
+                     FROM cells a JOIN cells b
+                       ON b.doc_id = a.doc_id AND b.j = (a.j + 1) % 64),
+            chunks AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f0,
+                         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f1,
+                         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f2,
+                         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f3
+                       FROM bits GROUP BY 1),
+            prs AS (SELECT id1, id2 FROM (
+                      SELECT a.doc_id AS id1, b.doc_id AS id2,
+                             bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
+                           + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) AS hm
+                      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id)
+                    WHERE hm <= 3),
+            edges AS (SELECT id1 AS a, id2 AS b FROM prs
+                      UNION SELECT id2, id1 FROM prs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+            allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                     FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+                     LEFT JOIN comp c ON c.id = d.doc_id)
+         SELECT doc_id, component,
+                CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+                doc_id = component AS is_canonical
+         FROM allc ORDER BY doc_id""",
 
     "m05_phash_pairs" ->
       // byte-level dHash replay (the m01 hex-parse rule): cell[j] =
