@@ -519,6 +519,15 @@ object SparkEntry {
           T(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text")
         .orderBy("id1", "id2")),
 
+    "d30_edit_verify" -> ((s, dir) =>
+      // fuzzy dedup for short docs: d11's LSH candidates verified by
+      // Levenshtein similarity over the first 256 chars — the edit
+      // RATIO catches one-typo twins shingle Jaccard undercounts
+      Dedup.editVerifiedPairs(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", shingleN = 3, minSim = 0.5, clipChars = 256)
+        .orderBy("id1", "id2")),
+
     "d11_minhash_portable" -> ((s, dir) => {
       // the d02 MinHash+LSH pipeline re-run on an md5 hash family that
       // DuckDB can evaluate too, so the ENTIRE chain — signatures →
@@ -4255,6 +4264,37 @@ object SparkEntry {
          GROUP BY trim(regexp_replace(regexp_replace(
            lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
          ORDER BY keep_id""",
+
+    "d30_edit_verify" ->
+      // the d11 candidate chain verbatim; verify = levenshtein over
+      // substr(text, 1, 256) with the max(len, 1) guard
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            sigs AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+            bands AS (SELECT doc_id, i // 2 AS band,
+                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
+                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
+                      FROM sigs GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            cl AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents
+                   WHERE doc_id < 500),
+            v AS (SELECT c.id1, c.id2,
+                    CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+                    round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                      / CAST(greatest(length(a.t), length(b.t), 1) AS DOUBLE), 6)
+                      AS edit_sim
+                  FROM cand c JOIN cl a ON a.doc_id = c.id1
+                              JOIN cl b ON b.doc_id = c.id2)
+         SELECT id1, id2, lev, edit_sim FROM v
+         WHERE edit_sim >= 0.5 ORDER BY id1, id2""",
 
     "d11_minhash_portable" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -540,6 +540,55 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EDIT-DISTANCE-verified near-dup pairs — the fuzzy-dedup rung for
+    * SHORT documents where shingle Jaccard is coarse (titles, queries,
+    * code lines: one edit flips 3 of a 10-shingle set, but the edit
+    * RATIO stays 0.97): candidates come from the d11 portable
+    * MinHash+LSH banding (never all pairs), the verify is Levenshtein
+    * similarity 1 − lev/max(len) over the first `clipChars`
+    * characters of each side. The clip bounds the O(len²) DP row-local
+    * cost at corpus scale — the standard fuzzy-dedup approximation,
+    * applied identically in the oracle (substr both sides), so the
+    * output is still hash-exact.
+    *
+    * Shape at scale: one shingle explode → one (id, i) signature
+    * aggregate → one band self-join (candidate-only, the d02/d11
+    * maxBucket story applies) → the clipped texts join back by id and
+    * the DP runs once per CANDIDATE pair. Output: (id1, id2, lev,
+    * edit_sim) for pairs at or above `minSim`.
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, minSim: Double = 0.8,
+                        clipChars: Int = 256): DataFrame = {
+    require(minSim > 0 && minSim <= 1,
+      s"editVerifiedPairs: minSim $minSim must be in (0,1]")
+    require(clipChars >= 1, s"editVerifiedPairs: clipChars $clipChars must be >= 1")
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val sigs = sh
+      .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"), col("shingle"))
+      .groupBy("id", "i")
+      .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle"))))).as("sig"))
+    val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
+      .agg(unhex(md5(concat(
+        min(when(col("i") % 2 === 0, col("sig"))),
+        min(when(col("i") % 2 === 1, col("sig")))))).as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val clipped = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, clipChars).as("_t"))
+    val sim = lit(1.0) - col("lev").cast("double") /
+      greatest(length(col("_t1")), length(col("_t2")), lit(1)).cast("double")
+    cand
+      .join(clipped.select(col("id").as("id1"), col("_t").as("_t1")), "id1")
+      .join(clipped.select(col("id").as("id2"), col("_t").as("_t2")), "id2")
+      .withColumn("lev", levenshtein(col("_t1"), col("_t2")).cast("long"))
+      .withColumn("edit_sim", round(sim, 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id1"), col("id2"), col("lev"), col("edit_sim"))
+  }
+
   /** The "write" half of signature-store dedup: k=8 portable md5
     * MinHash signatures, one (id, i, sig) row per component — the
     * ~130-bytes-per-doc artifact a corpus append workflow PERSISTS so
