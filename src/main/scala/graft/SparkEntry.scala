@@ -1747,6 +1747,29 @@ object SparkEntry {
           gapUs = 1800000000L, maxLen = 8, k = 20)
         .orderBy(col("n_sessions").desc, col("path"))),
 
+    "q34_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension build from a change stream — the
+      // warehouse versioning pattern: per user, consecutive duplicate
+      // states collapse, each surviving change opens a versioned row
+      // [effective_from, effective_to), the last open-ended and
+      // flagged current; one user_id shuffle feeds both windows
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("_us"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"), col("event_id"))
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+        .withColumn("effective_from", col("_us"))
+        .withColumn("effective_to", lead(col("_us"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("effective_from"), col("effective_to"), col("version"),
+          col("effective_to").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     "q29_funnel" -> ((s, dir) => {
       // ordered-step conversion funnel: first view, then first click
       // within 24h of it, then first purchase within 24h of that. Each
@@ -3910,6 +3933,25 @@ object SparkEntry {
                 round(quantile_cont(v, 0.95), 6) AS p95,
                 round(max(v), 6) AS max_v
          FROM t GROUP BY 1 ORDER BY template""",
+
+    "q34_scd2" ->
+      // identical lag-collapse then lead/row_number over the change
+      // rows; (us, event_id) tiebreak makes both windows deterministic
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+            ch AS (SELECT user_id, event_type, us, event_id FROM (
+                     SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS prev FROM e)
+                   WHERE prev IS NULL OR prev <> event_type),
+            v AS (SELECT user_id, event_type AS state, us AS effective_from,
+                    lead(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS effective_to,
+                    CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS BIGINT) AS version
+                  FROM ch)
+         SELECT user_id, state, effective_from, effective_to, version,
+                effective_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
 
     "q29_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t FROM events
