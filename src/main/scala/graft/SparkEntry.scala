@@ -1283,6 +1283,18 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("label1", "label2")),
 
+    "s31_centroid_drift" -> ((s, dir) => {
+      // snapshot drift monitor: even vec_ids stand in for the old
+      // crawl, odd for the new — per label, did its region of
+      // embedding space move?
+      val emb = T(s, dir, "embeddings")
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy("label")
+    }),
+
     "s30_kmeans_prune" -> ((s, dir) => {
       // unsupervised SSL prototypes (Sorscher et al. 2022, the
       // headline composition): k-means in embedding space, then
@@ -4836,6 +4848,47 @@ object SparkEntry {
 
     "s30_kmeans_prune" ->
       s30Oracle(k = 8, iters = 3, dims = 64, pruneNum = 3, pruneDen = 10),
+
+    "s31_centroid_drift" ->
+      // two s04 centroid chains (even/odd snapshot split), the s23
+      // round-6/DECIMAL dot, counts per side
+      """WITH eo AS (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                     FROM embeddings WHERE vec_id % 2 = 0),
+            en AS (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                   FROM embeddings WHERE vec_id % 2 = 1),
+            co AS (SELECT label, pos,
+                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS c
+                   FROM eo GROUP BY 1, 2),
+            cn AS (SELECT label, pos,
+                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS c
+                   FROM en GROUP BY 1, 2),
+            n2o AS (SELECT label,
+                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                    FROM co GROUP BY 1 HAVING n2 > 0),
+            n2n AS (SELECT label,
+                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                    FROM cn GROUP BY 1 HAVING n2 > 0),
+            no AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old
+                   FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+            nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new
+                   FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+            dt AS (SELECT co.label,
+                     CAST(sum(CAST(round(co.c * cn.c, 6) AS DECIMAL(24,8))) AS DOUBLE)
+                       AS dot
+                   FROM co JOIN cn ON cn.label = co.label AND cn.pos = co.pos
+                   GROUP BY 1)
+         SELECT dt.label, no.n_old, nn.n_new,
+                round(dot / (sqrt(n2o.n2) * sqrt(n2n.n2)), 6) AS cos_drift,
+                round(sqrt(n2n.n2) / sqrt(n2o.n2), 6) AS norm_ratio
+         FROM dt JOIN n2o ON n2o.label = dt.label
+                 JOIN n2n ON n2n.label = dt.label
+                 JOIN no ON no.label = dt.label
+                 JOIN nn ON nn.label = dt.label
+         ORDER BY dt.label""",
 
     "s28_proto_prune" ->
       // the s04 centroid chain rounded 6, per-term round-6 products

@@ -974,6 +974,50 @@ object Similarity {
       cents)
   }
 
+  /** Centroid DRIFT between two corpus snapshots — the
+    * encoder/content-change monitor (new crawl, new embedding model
+    * version, re-scraped source: did each label's region of embedding
+    * space MOVE?): per label present in BOTH snapshots, the cosine
+    * between its old and new centroids, both counts, and the norm
+    * ratio. cos ≈ 1 and ratio ≈ 1 = stable; a dropping cos flags the
+    * drifted slice before it poisons mixtures trained on the old map.
+    *
+    * Shape at scale: ONE s04 centroid pass per snapshot (everything
+    * after runs on two |labels|·d frames); the s23 round6/DECIMAL
+    * fold discipline makes the matrix hash-exact; zero-norm sides
+    * drop by the no-evidence rule.
+    * Output: (label, n_old, n_new, cos_drift, norm_ratio).
+    */
+  def centroidDrift(dfOld: DataFrame, dfNew: DataFrame, labelCol: String,
+                    vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): (DataFrame, DataFrame, DataFrame) = {
+      val c = centroids(df, labelCol, vecCol)
+        .select(col("label"), col("pos"), round(col("c"), 6).as(s"_c$tag"))
+        .persist()
+      val n2 = c.groupBy(col("label"))
+        .agg(sum(round(col(s"_c$tag") * col(s"_c$tag"), 6).cast("decimal(24,8)"))
+          .cast("double").as(s"_n2$tag"))
+        .filter(col(s"_n2$tag") > 0)
+      val n = df.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+      (c, n2, n)
+    }
+    val (co, n2o, no) = side(dfOld, "old")
+    val (cn, n2n, nn) = side(dfNew, "new")
+    Caching.sealOver(
+      co.join(cn, Seq("label", "pos"))
+        .groupBy(col("label"))
+        .agg(sum(round(col("_cold") * col("_cnew"), 6).cast("decimal(24,8)"))
+          .cast("double").as("_dot"))
+        .join(n2o, "label").join(n2n, "label")
+        .join(no, "label").join(nn, "label")
+        .select(col("label"), col("n_old"), col("n_new"),
+          round(col("_dot") / (sqrt(col("_n2old")) * sqrt(col("_n2new"))), 6)
+            .as("cos_drift"),
+          round(sqrt(col("_n2new")) / sqrt(col("_n2old")), 6).as("norm_ratio")),
+      co, cn)
+  }
+
   /** Distributed LLOYD K-MEANS training — the coarse-quantizer /
     * topic-cluster trainer the IVF family (s03/s12/s13/s26) and the
     * cluster-conditioned ops (SemDeDup, prototypicality pruning,

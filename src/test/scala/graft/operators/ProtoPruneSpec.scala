@@ -49,6 +49,27 @@ class ProtoPruneSpec extends SparkSpec {
     assert(out.forall(_.getLong(4) == 2L), out.mkString) // n_label counts survivors
   }
 
+  test("centroid drift: identical snapshots read 1.0, a moved label reads below") {
+    val old_ = Seq(
+      (1L, "A", Array(1.0f, 0.0f)), (2L, "A", Array(0.9f, 0.1f)),
+      (3L, "B", Array(0.0f, 1.0f)),
+      (4L, "C", Array(0.5f, 0.5f))) // C missing from the new snapshot
+    val new_ = Seq(
+      (5L, "A", Array(1.0f, 0.0f)), (6L, "A", Array(0.9f, 0.1f)), // unchanged
+      (7L, "B", Array(1.0f, 0.2f))) // B rotated hard
+    val out = Similarity.centroidDrift(
+        old_.toDF("vec_id", "label", "embedding"),
+        new_.toDF("vec_id", "label", "embedding"),
+        "label", "embedding")
+      .orderBy("label").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"), out.mkString)
+    val a = out.head
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0, a)
+    assert(a.getLong(1) == 2L && a.getLong(2) == 2L, a)
+    val b = out(1)
+    assert(b.getDouble(3) < 0.3, b) // near-orthogonal rotation
+  }
+
   test("prune fraction 0 keeps everything; bad fractions fail loudly") {
     val df = Seq((1L, "A", Array(1.0f)), (2L, "A", Array(0.5f)))
       .toDF("vec_id", "label", "embedding")
