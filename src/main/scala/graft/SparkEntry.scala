@@ -1960,6 +1960,18 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "p23_length_batches" -> ((s, dir) =>
+      // pad-efficiency dynamic batching: docs bucket to the smallest
+      // power-of-two cap holding them, md5-shuffled within the
+      // bucket, runs of 16 form batches; per-doc padding reported
+      Training.lengthBatches(
+          T(s, dir, "documents")
+            .select(col("doc_id"), TextFunctions.tokenCountWs(col("text")).as("n_toks")),
+          "doc_id", "n_toks",
+          caps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L), batchSize = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "p01_pack" -> ((s, dir) =>
       // sequence packing for training: docs in doc_id order become one
       // virtual token stream cut into 2048-token sequences; each doc
@@ -5803,6 +5815,27 @@ object SparkEntry {
                 CAST(strlen(text) AS BIGINT) AS in_bytes,
                 CAST(least(strlen(text), 1024) AS BIGINT) AS out_bytes
          FROM documents ORDER BY doc_id""",
+
+    "p23_length_batches" ->
+      // plain per-bucket rank window single-node; the Spark side is
+      // the distributed prefix count
+      """WITH tk AS (SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END
+                         AS BIGINT) AS n
+                     FROM documents),
+            b AS (SELECT doc_id, n,
+                    CAST(CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                         WHEN n <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS cap,
+                    md5('b:' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM tk),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cap
+                    ORDER BY h, doc_id) AS BIGINT) AS rank_in_bucket FROM b)
+         SELECT doc_id, n AS n_toks, cap AS bucket_cap, rank_in_bucket,
+                (rank_in_bucket - 1) // 16 AS batch_idx,
+                cap - least(n, cap) AS pad_tokens
+         FROM r ORDER BY doc_id""",
 
     "p01_pack" ->
       // the oracle computes the same packing with a plain global

@@ -29,6 +29,62 @@ object Training {
     * row — never document text, so the op is two narrow passes at any
     * corpus size. No global single-partition window anywhere.
     */
+  /** LENGTH-BUCKETED batch assembly — the pad-efficiency dynamic
+    * batching every trainer's data loader ships (batch same-length
+    * docs together so padding-to-cap wastes little): each doc lands
+    * in the smallest cap of `caps` holding its token count (the top
+    * cap catches — and truncates to cap semantics — everything
+    * longer), docs order within their bucket by md5 (the p19
+    * reproducible-shuffle rule), and consecutive runs of `batchSize`
+    * form batches. Reports the per-doc padding cost so the efficiency
+    * win over single-cap batching is auditable.
+    *
+    * Shape at scale: the per-bucket rank is the packSequences
+    * DISTRIBUTED prefix count — range-partition on (cap, md5, id),
+    * per-partition row_number, plus a #partitions×#caps offset frame;
+    * NO per-bucket global window (buckets are few and corpus-sized —
+    * a Window.partitionBy(cap) would put the whole corpus in ≤|caps|
+    * partitions).
+    * Output: (id, n_toks, bucket_cap, rank_in_bucket, batch_idx,
+    * pad_tokens).
+    */
+  def lengthBatches(df: DataFrame, idCol: String, nTokCol: String,
+                    caps: Seq[Long], batchSize: Int): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps &&
+      caps.forall(_ >= 1), s"lengthBatches: caps $caps must be distinct, " +
+      "ascending and positive")
+    require(batchSize >= 1, s"lengthBatches: batchSize $batchSize must be >= 1")
+    val capCase = caps.init.foldRight(lit(caps.last): Column) { (c, acc) =>
+      when(col("_n") <= c, lit(c)).otherwise(acc)
+    }
+    val base = df.select(col(idCol).as("id"),
+        col(nTokCol).cast("long").as("_n"))
+      .withColumn("_cap", capCase)
+      .withColumn("_h", md5(concat(lit("b:"), col("id").cast("string"))))
+    // sealed for the same reason as packSequences: the ranged frame
+    // feeds both the local ranks and the offset totals, and a
+    // twice-evaluated repartitionByRange can sample different bounds
+    val ranged = Caching.sealOver(
+      base.repartitionByRange(col("_cap"), col("_h"), col("id"))
+        .withColumn("_pid", spark_partition_id()))
+    val local = ranged.withColumn("_lrank",
+      row_number().over(Window.partitionBy("_pid", "_cap")
+        .orderBy(col("_h"), col("id"))))
+    val offs = ranged.groupBy(col("_pid"), col("_cap"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy("_cap").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_cap"), col("_off"))
+    local.join(offs, Seq("_pid", "_cap"))
+      .withColumn("rank_in_bucket", col("_lrank") + col("_off"))
+      .withColumn("batch_idx",
+        expr(s"(rank_in_bucket - 1) div $batchSize"))
+      .withColumn("pad_tokens", col("_cap") - least(col("_n"), col("_cap")))
+      .select(col("id"), col("_n").as("n_toks"), col("_cap").as("bucket_cap"),
+        col("rank_in_bucket"), col("batch_idx"), col("pad_tokens"))
+  }
+
   def packSequences(df: DataFrame, orderCol: String, nTokCol: String,
                     seqLen: Long): DataFrame = {
     // SEALED AT THE INPUT, not the output: the per-partition totals
