@@ -1902,6 +1902,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "m11_silence_segments" -> ((s, dir) => {
+      // VAD-shaped segmentation: runs of chunks above 3/4 of the
+      // file's mean byte-energy become active segments — exact
+      // integer cross-multiplication, islands cumsum at chunk grain
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.silenceSegments(blobs, "doc_id", "blob", chunkBytes = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "seg_idx")
+    }),
+
     "m04_audio_chunks" -> ((s, dir) => {
       val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
       Multimodal.chunkAudio(blobs, "doc_id", "blob", chunkBytes = 100)
@@ -5700,6 +5710,44 @@ object SparkEntry {
                   FROM d a JOIN d b ON a.ck = b.ck AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
          SELECT id1, id2, n_shared FROM p ORDER BY id1, id2""",
+
+    "m11_silence_segments" ->
+      // the m04 hex chunk grid with exact byte SUMS, the integer
+      // threshold cross-multiplication, then row_number islands
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents),
+            c AS (SELECT doc_id, hx, n,
+                    unnest(range(0, greatest((n + 99) // 100, 1))) AS chunk_idx
+                  FROM h),
+            s AS (SELECT doc_id, chunk_idx, chunk_idx * 100 AS off,
+                         least(n, chunk_idx * 100 + 100) - chunk_idx * 100 AS nb, hx
+                  FROM c),
+            e AS (SELECT doc_id, chunk_idx,
+                    CASE WHEN nb = 0 THEN 0 ELSE
+                      CAST(list_aggregate(list_transform(range(1, nb + 1),
+                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*(off + i) - 1, 1)) - 1) * 16
+                             + (strpos('0123456789ABCDEF', substr(hx, 2*(off + i), 1)) - 1)),
+                        'sum') AS BIGINT) END AS e
+                  FROM s),
+            t AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS nc
+                  FROM e GROUP BY 1),
+            a AS (SELECT e.doc_id, e.chunk_idx FROM e JOIN t USING (doc_id)
+                  WHERE e.e * 4 * t.nc > 3 * t.tot),
+            i AS (SELECT doc_id, chunk_idx,
+                    chunk_idx - row_number() OVER (PARTITION BY doc_id
+                      ORDER BY chunk_idx) AS isl
+                  FROM a),
+            g AS (SELECT doc_id, isl,
+                    CAST(min(chunk_idx) AS BIGINT) AS start_chunk,
+                    CAST(max(chunk_idx) AS BIGINT) AS end_chunk,
+                    CAST(count(*) AS BIGINT) AS n_chunks
+                  FROM i GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY start_chunk) AS BIGINT) AS seg_idx,
+                start_chunk, end_chunk, n_chunks
+         FROM g ORDER BY doc_id, seg_idx""",
 
     "m04_audio_chunks" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n

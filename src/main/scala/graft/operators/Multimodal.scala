@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -399,6 +400,77 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rowRdd, outSchema)
+  }
+
+  /** SILENCE-gap SEGMENTATION (the VAD-shaped cut every audio
+    * pipeline runs before transcription/embedding: split a recording
+    * into active segments separated by quiet): chunks whose exact
+    * byte-energy exceeds `numThresh/denThresh` of the file's mean
+    * chunk energy are active; maximal runs of consecutive active
+    * chunks become segments (the islands cumsum — chunk_idx minus
+    * rank). The byte-energy fold is the chunkAudio decode stand-in —
+    * a real frame-energy frontend swaps in at the same mapPartitions
+    * point, plumbing unchanged. A short tail chunk carries fewer
+    * bytes, hence less energy — partial audio IS quieter, the
+    * semantics compose.
+    *
+    * Shape at scale: one partition-batched chunk fold (output ∝
+    * bytes/chunkBytes), one id-keyed total aggregate joined back, and
+    * id-partitioned windows at CHUNK grain (bounded per file) — the
+    * corpus never windows. The active predicate is an exact-integer
+    * cross-multiplication (e·den·nChunks > num·total), no IEEE mean.
+    * Output: (id, seg_idx, start_chunk, end_chunk, n_chunks).
+    */
+  def silenceSegments(df: DataFrame, idCol: String, blobCol: String,
+                      chunkBytes: Int, numThresh: Int = 3,
+                      denThresh: Int = 4): DataFrame = {
+    require(chunkBytes > 0, s"silenceSegments: chunkBytes $chunkBytes")
+    require(numThresh >= 0 && denThresh >= 1,
+      s"silenceSegments: bad threshold $numThresh/$denThresh")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("e", LongType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd
+      .mapPartitions { it =>
+        // a real audio frontend (resample + frame energy) constructs
+        // HERE, once per partition
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) Iterator.empty
+          else {
+            val nChunks = math.max(1L,
+              (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
+            (0L until nChunks).iterator.map { c =>
+              val from = (c * chunkBytes).toInt
+              val until = math.min(bytes.length.toLong,
+                c * chunkBytes + chunkBytes).toInt
+              var sum = 0L
+              var i = from
+              while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
+              Row(r.getLong(0), c, sum)
+            }
+          }
+        }
+      }
+    val chunks = spark.createDataFrame(rowRdd, schema)
+    val tot = chunks.groupBy(col("id"))
+      .agg(sum(col("e")).as("_tot"), count(lit(1)).as("_nc"))
+    val wIdx = Window.partitionBy(col("id")).orderBy(col("chunk_idx"))
+    chunks.join(tot, "id")
+      .filter(col("e") * lit(denThresh.toLong) * col("_nc") >
+        lit(numThresh.toLong) * col("_tot"))
+      .withColumn("_isl", col("chunk_idx") - row_number().over(wIdx))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("chunk_idx")).as("start_chunk"),
+        max(col("chunk_idx")).as("end_chunk"),
+        count(lit(1)).as("n_chunks"))
+      .withColumn("seg_idx", row_number()
+        .over(Window.partitionBy(col("id")).orderBy(col("start_chunk")))
+        .cast("long"))
+      .select(col("id"), col("seg_idx"), col("start_chunk"),
+        col("end_chunk"), col("n_chunks"))
   }
 
   /** Perceptual-hash contract for image-shaped blobs: a 64-bit
