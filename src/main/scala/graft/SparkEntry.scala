@@ -1759,6 +1759,31 @@ object SparkEntry {
           gapUs = 1800000000L, maxLen = 8, k = 20)
         .orderBy(col("n_sessions").desc, col("path"))),
 
+    "q35_pareto" -> ((s, dir) => {
+      // revenue concentration (the 80/20 audit): per-customer revenue
+      // share and cumulative share in descending order; the global
+      // window runs over the already-aggregated DIMENSION-sized frame
+      // (|customers| rows), never the fact table — at extreme
+      // dimension cardinality the packSequences distributed prefix
+      // sum is the stated fallback
+      import org.apache.spark.sql.expressions.Window
+      val rev = T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("_rev"))
+      val tot = rev.agg(sum(col("_rev")).as("_tot"))
+      val w = Window.orderBy(col("_rev").desc, col("o_custkey"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("revenue", col("_rev").cast("double"))
+        .withColumn("share",
+          round(col("_rev").cast("double") / col("_tot").cast("double"), 6))
+        .withColumn("cum_share", round(
+          sum(col("_rev")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / col("_tot").cast("double"), 6))
+        .select(col("o_custkey"), col("rank"), col("revenue"),
+          col("share"), col("cum_share"))
+        .orderBy("rank")
+    }),
+
     "q34_scd2" -> ((s, dir) => {
       // SCD Type-2 dimension build from a change stream — the
       // warehouse versioning pattern: per user, consecutive duplicate
@@ -3967,6 +3992,23 @@ object SparkEntry {
                 round(quantile_cont(v, 0.95), 6) AS p95,
                 round(max(v), 6) AS max_v
          FROM t GROUP BY 1 ORDER BY template""",
+
+    "q35_pareto" ->
+      // same decimal revenue sums; rank/cumsum windows with the
+      // (rev desc, custkey) tiebreak
+      """WITH r AS (SELECT o_custkey,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                    FROM orders GROUP BY 1),
+            t AS (SELECT sum(rev) AS tot FROM r)
+         SELECT o_custkey,
+                CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+                  AS rank,
+                CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+                round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(tot AS DOUBLE), 6) AS cum_share
+         FROM r CROSS JOIN t ORDER BY rank""",
 
     "q34_scd2" ->
       // identical lag-collapse then lead/row_number over the change
