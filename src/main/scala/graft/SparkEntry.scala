@@ -1759,6 +1759,18 @@ object SparkEntry {
           gapUs = 1800000000L, maxLen = 8, k = 20)
         .orderBy(col("n_sessions").desc, col("path"))),
 
+    "q36_listagg" -> ((s, dir) =>
+      // grouped string aggregation (LISTAGG/string_agg — the report
+      // column every BI export wants): nations per region, sorted so
+      // the aggregate is deterministic under any partitioning
+      T(s, dir, "nation")
+        .join(T(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(cnt.as("n_nations"),
+          array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("r_name")),
+
     "q35_pareto" -> ((s, dir) => {
       // revenue concentration (the 80/20 audit): per-customer revenue
       // share and cumulative share in descending order; the global
@@ -2242,6 +2254,25 @@ object SparkEntry {
       TextStats.stupidBackoff(T(s, dir, "documents"), "doc_id", "text",
           lmPred = col("lang") === "en")
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "t39_sentence_stats" -> ((s, dir) =>
+      // sentence-profile quality signal (the Gopher-family rung at
+      // SENTENCE grain): sentences split on terminal punctuation
+      // runs, per doc the count, mean and max words per sentence —
+      // wall-of-text and fragment-spam docs sit at the two tails
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(col("text"), "[.!?]+")).as("_sent"))
+        .select(col("doc_id"), trim(col("_sent")).as("_sent"))
+        .filter(length(col("_sent")) > 0)
+        .select(col("doc_id"),
+          size(split(col("_sent"), "\\s+")).cast("long").as("_w"))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_sentences"),
+          round(sum(col("_w")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_words"),
+          max(col("_w")).as("max_words"))
         .orderBy("doc_id")),
 
     "t38_tfidf_terms" -> ((s, dir) =>
@@ -3992,6 +4023,12 @@ object SparkEntry {
                 round(quantile_cont(v, 0.95), 6) AS p95,
                 round(max(v), 6) AS max_v
          FROM t GROUP BY 1 ORDER BY template""",
+
+    "q36_listagg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q35_pareto" ->
       // same decimal revenue sums; rank/cumsum windows with the
@@ -6099,6 +6136,21 @@ object SparkEntry {
          FROM s1 WHERE n_words > 0 AND n_sents > 0 ORDER BY doc_id""",
 
     "t17_bm25" -> t17Oracle,
+
+    "t39_sentence_stats" ->
+      // same terminal-punctuation split, trim, empty drop, word count
+      """WITH s AS (SELECT doc_id, trim(x) AS sent FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS x
+                FROM documents)
+              WHERE length(trim(x)) > 0),
+            w AS (SELECT doc_id,
+                    CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS w
+                  FROM s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+                round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS mean_words,
+                CAST(max(w) AS BIGINT) AS max_words
+         FROM w GROUP BY 1 ORDER BY 1""",
 
     "t38_tfidf_terms" ->
       // the t17 token chain verbatim; (tf/dl)*ln(N/df) in pinned
