@@ -1283,6 +1283,18 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("label1", "label2")),
 
+    "s32_ivf_exact" -> ((s, dir) => {
+      // ORACLE-EXACT IVF: trained coarse quantizer (s29's exact
+      // trajectory), exact-integer probe of 2 nearest lists, s01
+      // cosine over the probed candidates — the whole search replays
+      // in SQL, making IVF's recall/cost trade auditable hash-exactly
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfExactTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 2, kClusters = 8, iters = 2, dims = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     "s31_centroid_drift" -> ((s, dir) => {
       // snapshot drift monitor: even vec_ids stand in for the old
       // crawl, odd for the new — per label, did its region of
@@ -2784,6 +2796,39 @@ object SparkEntry {
                    SELECT id, j, dist, row_number() OVER (PARTITION BY id
                      ORDER BY dist, j) AS rk FROM fin) WHERE rk = 1)"""
   }
+
+  /** s32 oracle: the Lloyd chain trains the quantizer, queries probe
+    * their `nprobe` nearest final centroids by the same exact-integer
+    * metric, candidates are the probed clusters' members, the s01
+    * cosine chain ranks them.
+    */
+  private def s32Oracle(k: Int, iters: Int, dims: Int, nprobe: Int,
+                        topK: Int, queryMax: Long): String =
+    s"""WITH ${lloydCtes(k, iters, dims)},
+         qd AS (SELECT q.id AS qid, c.j,
+                  sum((q.x6 - c.c6) * (q.x6 - c.c6)) AS dist
+                FROM (SELECT id, pos, x6 FROM ex WHERE id < $queryMax) q
+                JOIN c$iters c USING (pos) GROUP BY 1, 2),
+         pr AS (SELECT qid, j FROM (
+                  SELECT qid, j, row_number() OVER (PARTITION BY qid
+                    ORDER BY dist, j) AS rk FROM qd) WHERE rk <= $nprobe),
+         cand AS (SELECT pr.qid, a.id AS cid FROM pr JOIN asg a ON a.j = pr.j),
+         u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                      CAST(unnest(qe) AS DOUBLE) AS y
+               FROM (SELECT cand.qid, cand.cid, ce.embedding AS ce,
+                            qe.embedding AS qe
+                     FROM cand JOIN embeddings ce ON ce.vec_id = cand.cid
+                               JOIN embeddings qe ON qe.vec_id = cand.qid)),
+         sc AS (SELECT qid, cid,
+                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                FROM u GROUP BY 1, 2
+                HAVING sum(x*x) > 0 AND sum(y*y) > 0),
+         rr AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                FROM sc)
+       SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos,
+              rnk AS rank
+       FROM rr WHERE rnk <= $topK ORDER BY query_id, rank"""
 
   /** s30 oracle: the Lloyd chain's `asg` assignment becomes the label
     * for the s28 prototypicality chain — unsupervised SSL prototypes
@@ -4949,6 +4994,10 @@ object SparkEntry {
 
     "s30_kmeans_prune" ->
       s30Oracle(k = 8, iters = 3, dims = 64, pruneNum = 3, pruneDen = 10),
+
+    "s32_ivf_exact" ->
+      s32Oracle(k = 8, iters = 2, dims = 64, nprobe = 2, topK = 10,
+        queryMax = 5L),
 
     "s31_centroid_drift" ->
       // two s04 centroid chains (even/odd snapshot split), the s23

@@ -1053,7 +1053,15 @@ object Similarity {
     * squared L2 distance in micro² units (×10¹²).
     */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int, dims: Int): DataFrame = {
+                  k: Int, iters: Int, dims: Int): DataFrame =
+    kmeansFit(df, idCol, vecCol, k, iters, dims)._1
+
+  /** The full fit: [[kmeansTrain]]'s assignment frame PLUS the final
+    * centroid micro matrix (k × dims ×10⁶ longs) for consumers that
+    * probe against the trained quantizer ([[ivfExactTopK]]). */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int,
+                dims: Int): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && iters >= 1 && dims >= 1,
       s"kmeansTrain: bad k=$k iters=$iters dims=$dims")
     require(k.toLong * dims <= 16384,
@@ -1109,10 +1117,70 @@ object Similarity {
       }
       cents = next
     }
-    Caching.sealOver(
+    (Caching.sealOver(
       assigned.select(col("id"), col("_a.j").as("cluster"),
         col("_a.d").as("dist_sq")),
-      base)
+      base), cents)
+  }
+
+  /** ORACLE-EXACT IVF ANN search — the verifiable twin of the seeded
+    * s03/s12 family: the coarse quantizer is [[kmeansFit]]'s trained
+    * centroids (exact integer-micro trajectory), each query probes its
+    * `nprobe` nearest centroids by the SAME exact metric (ties to the
+    * smaller cluster), candidates are exactly the probed clusters'
+    * members, and the final ranking is the s01 cosine chain. Every
+    * stage is deterministic integer arithmetic or the established
+    * round-6 cosine — the whole search replays in SQL, so IVF's
+    * recall/cost trade-off is auditable hash-exactly, not just
+    * recall-gated.
+    *
+    * Shape at scale: queries are broadcast-small by contract (the
+    * bruteTopK rule); the probe list explodes on the QUERY side and
+    * joins the assignment frame on cluster — candidate volume is the
+    * probed lists' mass, the IVF story; the trained centroids ride as
+    * codegen literals.
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k.
+    */
+  def ivfExactTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   queries: DataFrame, queryId: String, queryVec: String,
+                   k: Int, nprobe: Int, kClusters: Int, iters: Int,
+                   dims: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= kClusters,
+      s"ivfExactTopK: bad k=$k nprobe=$nprobe kClusters=$kClusters")
+    val (assigned, cents) = kmeansFit(corpus, corpusId, corpusVec,
+      kClusters, iters, dims)
+    val q6 = queries.filter(size(col(queryVec)) === dims)
+      .select(col(queryId).as("_qid"), col(queryVec).as("_qv"),
+        transform(col(queryVec),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("_q6"))
+    val dists = array(cents.zipWithIndex.map { case (c, j) =>
+      val d2 = (0 until dims).map { i =>
+        val d = element_at(col("_q6"), i + 1) - lit(c(i))
+        d * d
+      }.reduce(_ + _)
+      struct(d2.as("d"), lit(j.toLong).as("j"))
+    }: _*)
+    val probed = q6
+      .withColumn("_probe", slice(array_sort(dists), 1, nprobe))
+      .select(col("_qid"), col("_qv"),
+        explode(col("_probe").getField("j")).as("cluster"))
+    val cvec = corpus.select(col(corpusId).as("id"), col(corpusVec).as("_cv"))
+      .withColumn("_cnrm", norm(col("_cv")))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("cos").desc, col("id"))
+    broadcast(probed)
+      .join(assigned.select(col("id"), col("cluster")), Seq("cluster"))
+      .join(cvec, "id")
+      .withColumn("_qnrm", norm(col("_qv")))
+      // zero-norm sides drop by the no-evidence rule (cosine undefined)
+      .filter(col("_cnrm") > 0 && col("_qnrm") > 0)
+      .withColumn("cos", VecDot.dot(col("_cv"), col("_qv")) /
+        (col("_cnrm") * col("_qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as("query_id"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
   }
 
   /** PROTOTYPICALITY pruning (Sorscher et al. 2022, "Beyond neural

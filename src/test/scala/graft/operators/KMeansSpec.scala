@@ -78,6 +78,43 @@ class KMeansSpec extends SparkSpec {
     assert(pruned == Set(6L, 4L), out.mkString)
   }
 
+  test("IVF with nprobe = kClusters reproduces brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 40).map(i => (i.toLong,
+      Array((i % 7).toFloat / 3f + 0.1f, (i % 5).toFloat / 2f + 0.1f,
+        (i % 3).toFloat + 0.1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfExactTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5, nprobe = 4, kClusters = 4,
+        iters = 2, dims = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding",
+        q.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf == brute, s"\nivf:   $ivf\nbrute: $brute")
+  }
+
+  test("IVF partial probe returns at most k per query from probed lists only") {
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 60).map(i => (i.toLong,
+      Array((i % 11).toFloat, (i % 13).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfExactTopK(df, "vec_id", "embedding",
+        df.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 8, nprobe = 1, kClusters = 6, iters = 2, dims = 2)
+      .collect()
+    val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 8), perQ.toMap.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfExactTopK(df, "vec_id", "embedding", df, "vec_id",
+        "embedding", k = 1, nprobe = 9, kClusters = 6, iters = 1, dims = 2)
+    }
+  }
+
   test("contracts fail loudly") {
     val df = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
