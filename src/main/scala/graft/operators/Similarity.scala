@@ -1062,17 +1062,61 @@ object Similarity {
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int,
                 dims: Int): (DataFrame, Array[Array[Long]]) = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, dims)
+    (kmeansAssign(df, idCol, vecCol, cents, dims), cents)
+  }
+
+  private def microVecs(df: DataFrame, idCol: String, vecCol: String,
+                        dims: Int): DataFrame =
+    df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("_x6"))
+
+  /** (dist², j) per centroid for the micro vector in `vecCol`, as an
+    * array column. Centroids ride as ONE array<array<long>> literal and
+    * the distances fold through zip_with/aggregate loops — the plan
+    * tree is O(1) in k·d where an unrolled per-term expression was
+    * O(k·d) and cost SECONDS of Catalyst planning per fresh plan
+    * (measured: 7s/query at k=8, d=64; the arithmetic is identical
+    * exact longs either way). */
+  private def centDists(cents: Array[Array[Long]], vecCol: Column): Column = {
+    val cl = typedlit(cents.map(_.toSeq).toSeq)
+    zip_with(
+      transform(cl, c =>
+        aggregate(zip_with(vecCol, c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)),
+      sequence(lit(0L), lit((cents.length - 1).toLong)),
+      (d, j) => struct(d.as("d"), j.as("j")))
+  }
+
+  private def argminStruct(cents: Array[Array[Long]], dims: Int): Column =
+    array_min(centDists(cents, col("_x6")))
+
+  /** Assignment under FIXED centroids — one zero-shuffle literal
+    * codegen pass; the apply half of the train-once / assign-anywhere
+    * workflow (centroids from [[kmeansCentroids]] are plain driver
+    * longs, safe to memoize across queries and sessions). */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   cents: Array[Array[Long]], dims: Int): DataFrame = {
+    require(cents.nonEmpty && cents.forall(_.length == dims),
+      s"kmeansAssign: centroid matrix must be k x $dims")
+    microVecs(df, idCol, vecCol, dims)
+      .withColumn("_a", argminStruct(cents, dims))
+      .select(col("id"), col("_a.j").as("cluster"), col("_a.d").as("dist_sq"))
+  }
+
+  /** The training half: `iters` Lloyd updates, returns the final
+    * centroid micros only (k·d driver longs). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, dims: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 1 && dims >= 1,
       s"kmeansTrain: bad k=$k iters=$iters dims=$dims")
     require(k.toLong * dims <= 16384,
       s"kmeansTrain: k*dims = ${k.toLong * dims} exceeds the 16384 " +
         "driver-matrix contract — sample the trainer or use the IVF-PQ path")
-    val base = df.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).as("id"),
-        transform(col(vecCol),
-          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
-          .as("_x6"))
-      .persist()
+    val base = microVecs(df, idCol, vecCol, dims).persist()
     // deterministic seed: the k ids with the smallest md5 — a bounded
     // TakeOrdered collect of k micro vectors
     val seed = base
@@ -1083,15 +1127,7 @@ object Similarity {
       s"kmeansTrain: corpus has only ${seed.length} vectors of dim $dims, need k=$k")
     var cents: Array[Array[Long]] =
       seed.map(_.getSeq[Long](0).toArray)
-    def distTo(c: Array[Long], j: Int) = {
-      val d2 = (0 until dims).map { i =>
-        val d = element_at(col("_x6"), i + 1) - lit(c(i))
-        d * d
-      }.reduce(_ + _)
-      struct(d2.as("d"), lit(j.toLong).as("j"))
-    }
-    def assigned = base.withColumn("_a",
-      array_min(array(cents.zipWithIndex.map { case (c, j) => distTo(c, j) }: _*)))
+    def assigned = base.withColumn("_a", argminStruct(cents, dims))
     for (_ <- 1 to iters) {
       // per-(cluster, pos) exact micro sums; the mean's HALF_UP lives
       // on the driver as BigInteger — the oracle replays the identical
@@ -1117,10 +1153,8 @@ object Similarity {
       }
       cents = next
     }
-    (Caching.sealOver(
-      assigned.select(col("id"), col("_a.j").as("cluster"),
-        col("_a.d").as("dist_sq")),
-      base), cents)
+    base.unpersist(blocking = false)
+    cents
   }
 
   /** ORACLE-EXACT IVF ANN search — the verifiable twin of the seeded
@@ -1144,25 +1178,26 @@ object Similarity {
   def ivfExactTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                    queries: DataFrame, queryId: String, queryVec: String,
                    k: Int, nprobe: Int, kClusters: Int, iters: Int,
-                   dims: Int): DataFrame = {
+                   dims: Int,
+                   trained: Option[Array[Array[Long]]] = None): DataFrame = {
     require(k >= 1 && nprobe >= 1 && nprobe <= kClusters,
       s"ivfExactTopK: bad k=$k nprobe=$nprobe kClusters=$kClusters")
-    val (assigned, cents) = kmeansFit(corpus, corpusId, corpusVec,
-      kClusters, iters, dims)
+    // `trained` supplies an already-fitted quantizer (the memoized
+    // train-once workflow); identical params => identical centroids,
+    // so the search result is unchanged either way
+    val cents = trained.getOrElse(
+      kmeansCentroids(corpus, corpusId, corpusVec, kClusters, iters, dims))
+    require(cents.length == kClusters,
+      s"ivfExactTopK: trained quantizer has ${cents.length} centroids, want $kClusters")
+    val assigned = kmeansAssign(corpus, corpusId, corpusVec, cents, dims)
     val q6 = queries.filter(size(col(queryVec)) === dims)
       .select(col(queryId).as("_qid"), col(queryVec).as("_qv"),
         transform(col(queryVec),
           x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
           .as("_q6"))
-    val dists = array(cents.zipWithIndex.map { case (c, j) =>
-      val d2 = (0 until dims).map { i =>
-        val d = element_at(col("_q6"), i + 1) - lit(c(i))
-        d * d
-      }.reduce(_ + _)
-      struct(d2.as("d"), lit(j.toLong).as("j"))
-    }: _*)
     val probed = q6
-      .withColumn("_probe", slice(array_sort(dists), 1, nprobe))
+      .withColumn("_probe",
+        slice(array_sort(centDists(cents, col("_q6"))), 1, nprobe))
       .select(col("_qid"), col("_qv"),
         explode(col("_probe").getField("j")).as("cluster"))
     val cvec = corpus.select(col(corpusId).as("id"), col(corpusVec).as("_cv"))
