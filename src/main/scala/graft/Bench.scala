@@ -185,15 +185,33 @@ object Bench {
     // coverage, ~170 chars tighter than the flat short form at 194
     // queries — the last level that still carries EVERY query before
     // the no-breakdown fallback.
-    def nestedLine(dec: Int, sfLabel: String): String = {
+    def nestedLine(dec: Int, sfLabel: String,
+                   stripZeros: Boolean = false): String = {
       val fams = results.groupBy(_._1.head).toSeq.sortBy(_._1)
       val qs = fams.map { case (f, rs) =>
         val inner = rs.map { case (k, v) =>
-          "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + tnum(dec, v)
+          val num = k.takeWhile(_ != '_').drop(1)
+          // "01" -> "1" when squeezing: the family letter + number
+          // reads back unambiguously either way
+          val key = if (stripZeros) num.dropWhile(_ == '0') match {
+            case "" => "0"; case t => t
+          } else num
+          "\"" + key + "\":" + tnum(dec, v)
         }.mkString(",")
         "\"" + f + "\":{" + inner + "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${tnum(dec, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfLabel"}"""
+    }
+    // Last resort that still names queries: the N slowest individually
+    // plus an EXPLICIT aggregate of the rest (count + seconds + a
+    // pointer at the committed full breakdown) — never a silent cap.
+    def topNLine(n: Int, sfLabel: String): String = {
+      val sortedQ = results.sortBy { case (k, v) => (-v, k) }
+      val top = sortedQ.take(n).map { case (k, v) =>
+        "\"" + k + "\":" + tnum(1, v) }.mkString(",")
+      val rest = sortedQ.drop(n)
+      val qs = s"""{$top,"_rest":{"n":${rest.length},"sec":${tnum(1, rest.map(_._2).sum)},"full":"BENCH_LOCAL.json"}}"""
+      s"""{"metric":"total","value":${tnum(1, total)},"unit":"sec","queries":$qs$pipeline,"sf":"$sfLabel"}"""
     }
     // the COMPLETE breakdown always lands in the repo, immune to the
     // driver's stdout window — the judge's per-query record even when
@@ -212,8 +230,10 @@ object Bench {
     val sfBase = new java.io.File(sfDir).getName
     val out = (Seq((3, false), (2, false), (3, true), (2, true), (1, true))
       .map { case (d, s) => line(d, s, sfBase) } ++
-      Seq(nestedLine(2, sfBase), nestedLine(1, sfBase)))
-      .find(_.length <= 2000)
+      Seq(nestedLine(2, sfBase), nestedLine(1, sfBase),
+        nestedLine(1, sfBase, stripZeros = true)) ++
+      Seq(60, 40, 25, 12).map(topNLine(_, sfBase)))
+      .find(_.length <= 1950)
       .getOrElse {
         // the driver would otherwise lose the whole per-query
         // breakdown; stderr is outside its parsed stdout window
