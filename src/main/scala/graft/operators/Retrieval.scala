@@ -91,9 +91,12 @@ object Retrieval {
     * [[bm25TopK]] (the twins cannot drift); ONE (doc, term) tf
     * aggregate off the token stream, df one term-keyed aggregate
     * OVER the distinct (doc, term) frame (never the raw stream), the
-    * corpus-level N a broadcast 1-row aggregate. df joins back by a
-    * shuffle join on term — the vocabulary is corpus-sized, so it is
-    * NOT broadcast. Top-k per doc is a rank window Spark executes as
+    * corpus-level N a broadcast 1-row aggregate. df joins back on
+    * term with the strategy left to Spark's size estimate: small
+    * vocabularies fit under autoBroadcastJoinThreshold and broadcast,
+    * corpus-scale ones exceed it and shuffle-join — no forced hint,
+    * the adaptive choice is right at each scale.
+    * Top-k per doc is a rank window Spark executes as
     * WindowGroupLimit (map-side top-k partial). Scores round to 6;
     * post-round ties rank by term for determinism.
     * Output: (id, term, tfidf, rank), rank 1..k per id.

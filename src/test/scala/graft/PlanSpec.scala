@@ -452,6 +452,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("s29: the assignment pass is zero-shuffle literal codegen") {
+    val p = SparkEntry.queries("s29_kmeans_train")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // centroids ride as one array literal; the argmin is row-local —
+    // no join, no aggregate, no hash exchange (only the output sort's
+    // range exchange survives)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("array_min(zip_with("), p)
+  }
+
+  test("s32: the probe side broadcasts; top-k gets WindowGroupLimit") {
+    val p = SparkEntry.queries("s32_ivf_exact")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // candidates = probed lists only: the tiny query-probe frame is
+    // the broadcast build side of the cluster join, never the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("vec_dot"), p)
+  }
+
+  test("p23: the per-bucket rank windows are partitioned, never global") {
+    val p = SparkEntry.queries("p23_length_batches")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the local rank partitions by (_pid, _cap) and the offset window
+    // by _cap over the #partitions-sized frame — no window runs with
+    // an empty partition spec over the corpus
+    assert(p.contains("windowspecdefinition(_pid"), p)
+    assert(!p.contains("windowspecdefinition(_h"), p)
+  }
+
+  test("t38: per-doc top-k gets a map-side WindowGroupLimit partial") {
+    val p = SparkEntry.queries("t38_tfidf_terms")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WindowGroupLimit"), p)
+    // the (doc, term) tf aggregate combines map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   test("m07: the overlap join runs on the md5 fp key, never audio bytes") {
     val p = SparkEntry.queries("m07_audio_overlap")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
