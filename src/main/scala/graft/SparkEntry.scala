@@ -1834,20 +1834,12 @@ object SparkEntry {
       // states collapse, each surviving change opens a versioned row
       // [effective_from, effective_to), the last open-ended and
       // flagged current; one user_id shuffle feeds both windows
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("_us"), col("event_id"))
-      T(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("_us"), col("event_id"))
-        .withColumn("_prev", lag(col("event_type"), 1).over(w))
-        .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
-        .withColumn("effective_from", col("_us"))
-        .withColumn("effective_to", lead(col("_us"), 1).over(w))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("effective_from"), col("effective_to"), col("version"),
-          col("effective_to").isNull.as("is_current"))
+      operators.Windows.scd2(
+          T(s, dir, "events")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("_us"), col("event_id")),
+          "user_id", "event_type", "_us", "event_id")
+        .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "version")
     }),
 

@@ -201,6 +201,40 @@ object Windows {
       hourly)
   }
 
+  /** SCD TYPE-2 dimension build from a change stream (the warehouse
+    * versioning pattern): per key, consecutive duplicate states
+    * collapse via lag, each surviving change opens a half-open
+    * [effective_from, effective_to) version by lead, the last version
+    * open-ended (null) and flagged current, versions numbered from 1.
+    * `ts` must already be exact epoch micros; `tieCol` makes the
+    * collapse and both windows deterministic under equal timestamps.
+    * ONE key shuffle feeds all three windows.
+    * Output: (key, state, effective_from, effective_to, version,
+    * is_current).
+    */
+  def scd2(df: DataFrame, keyCol: String, stateCol: String,
+           usCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(usCol), col(tieCol))
+    df.select(col(keyCol).as("key"), col(stateCol).as("state"),
+        col(usCol).as("_us"), col(tieCol).as("_tie"))
+      .withColumn("_prev", lag(col("state"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("_us"), col("_tie"))))
+      .filter(col("_prev").isNull || col("_prev") =!= col("state"))
+      .withColumn("effective_from", col("_us"))
+      .withColumn("effective_to", lead(col("_us"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("_us"), col("_tie"))))
+      .withColumn("version", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("_us"), col("_tie")))
+        .cast("long"))
+      .select(col("key"), col("state"), col("effective_from"),
+        col("effective_to"), col("version"),
+        col("effective_to").isNull.as("is_current"))
+  }
+
   /** CANARY / before-after DEPLOY comparison (the release-validation
     * question: did the traffic mix or per-type volume shift after the
     * cut point?): per key, the trailing `afterHours` window against
