@@ -82,6 +82,26 @@ class CuratePipelineSpec extends SparkSpec {
       .select("doc_id").distinct().count()
     assert(caught == curated.count(),
       s"store caught $caught of ${curated.count()} re-sent docs")
+
+    // the TRAINING handoff, end to end: the curated corpus flows
+    // through length-bucketed batch assembly AND sequence packing
+    // unchanged — every curated doc lands in exactly one batch slot
+    // and one packed span, with padding/packing accounting consistent
+    val toks = curated.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.TextFunctions.tokenCountWs(
+        org.apache.spark.sql.functions.col("text")).as("n_toks"))
+    val batches = graft.operators.Training.lengthBatches(
+      toks, "doc_id", "n_toks", caps = Seq(64L, 256L, 1024L, 4096L),
+      batchSize = 8)
+    assert(batches.count() == curated.count(),
+      "every curated doc gets exactly one batch slot")
+    assert(batches.filter(
+      org.apache.spark.sql.functions.col("pad_tokens") < 0).count() == 0L)
+    val packed = graft.operators.Training.packSequences(
+      toks, "doc_id", "n_toks", seqLen = 2048L)
+    assert(packed.count() == curated.count(),
+      "every curated doc lands in the packed stream")
   }
 
   test("corpus-append trilogy: run 2 through the stores equals the one-shot build") {
