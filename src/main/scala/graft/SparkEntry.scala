@@ -1574,6 +1574,14 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type")),
 
+    "r33_spike_attribution" -> ((s, dir) =>
+      // "the total rate is anomalous — which segment drives it": the
+      // r16 chain on the GLOBAL rate, then per-event-type share lift
+      // and two-proportion z between anomalous and normal hours
+      Windows.spikeAttribution(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "r32_canary_compare" -> ((s, dir) =>
       // before/after deploy comparison: last week vs the 3 weeks
       // before it, per event_type — volume rates, mix shares, and the
@@ -3657,6 +3665,58 @@ object SparkEntry {
            FROM events GROUP BY 1)
          WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
          ORDER BY window_start""",
+
+    "r33_spike_attribution" ->
+      // the r16 chain verbatim on the constant-key global rate, then
+      // the r32 share/z formulas between the two hour classes
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                    FROM events GROUP BY 1),
+            r AS (SELECT hr, c, count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT hr, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT hr,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            vd AS (SELECT hr, (coalesce(abs(zs) >= 3.0, false)
+                               OR zs IS NULL) AS an FROM z),
+            kh AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+            k AS (SELECT kh.key,
+                    CAST(sum(CASE WHEN vd.an THEN kh.c ELSE 0 END) AS BIGINT)
+                      AS n_anom,
+                    CAST(sum(CASE WHEN NOT vd.an THEN kh.c ELSE 0 END) AS BIGINT)
+                      AS n_norm
+                  FROM kh JOIN vd USING (hr) GROUP BY 1),
+            t AS (SELECT CAST(sum(n_anom) AS BIGINT) AS ta,
+                         CAST(sum(n_norm) AS BIGINT) AS tn2 FROM k),
+            x AS (SELECT k.*, t.ta, t.tn2,
+                    CAST(n_anom AS DOUBLE) / CAST(ta AS DOUBLE) AS sa,
+                    CAST(n_norm AS DOUBLE) / CAST(tn2 AS DOUBLE) AS sn,
+                    CAST(n_anom + n_norm AS DOUBLE)
+                      / CAST(ta + tn2 AS DOUBLE) AS p
+                  FROM k CROSS JOIN t WHERE t.ta > 0)
+         SELECT key AS event_type, n_anom, n_norm,
+                round(sa, 6) AS share_anom, round(sn, 6) AS share_norm,
+                CASE WHEN n_norm = 0 THEN NULL
+                     ELSE round(sa / sn, 6) END AS lift,
+                round(CAST(n_anom AS DOUBLE) - CAST(ta AS DOUBLE) * sn, 6)
+                  AS excess,
+                CASE WHEN tn2 = 0 OR p = 0.0 OR p = 1.0 THEN NULL
+                     ELSE round((sa - sn) / sqrt(p * (1.0 - p)
+                       * (1.0 / CAST(ta AS DOUBLE) + 1.0 / CAST(tn2 AS DOUBLE))), 6)
+                END AS z_score
+         FROM x ORDER BY event_type""",
 
     "r32_canary_compare" ->
       // the same (key, hour) histogram + conditional window sums;

@@ -587,6 +587,70 @@ object Windows {
           col("_z").isNull).as("is_anomaly"))
   }
 
+  /** SPIKE ATTRIBUTION — the on-call question right after "the total
+    * rate is anomalous" (r16): WHICH segment drives it? The r16
+    * z-chain runs on the GLOBAL hourly rate (one constant-key pass,
+    * the chain verbatim); hours with a verdict partition into
+    * anomalous vs normal, and each segment's traffic SHARE is
+    * compared across the two sides — lift = share_anom/share_norm
+    * (null for segments absent from normal hours — new traffic, by
+    * definition suspicious), excess = its events above the
+    * normal-mix expectation, and the r32 two-proportion z on the
+    * share shift. High-lift/high-z segments ARE the attribution.
+    *
+    * Shape at scale: ONE (key, hour) histogram shuffle + ONE hourly
+    * histogram for the global chain; verdicts join the per-key
+    * histogram at HOUR grain (broadcast — ≤|hours| rows); per-key
+    * conditional sums, totals a broadcast 1-row aggregate. All
+    * divisions IEEE over exact longs in pinned order — hash-exact.
+    * Output: (key, n_anom, n_norm, share_anom, share_norm, lift,
+    * excess, z_score), segments present only in verdict-covered
+    * hours.
+    */
+  def spikeAttribution(df: DataFrame, ts: String, keyCol: String,
+                       trailingHours: Int = 24, minHistory: Int = 12,
+                       zThreshold: Double = 3.0): DataFrame = {
+    val verdicts = rateAnomaly(df.withColumn("_all", lit("all")), ts, "_all",
+        trailingHours, minHistory, zThreshold)
+      .select((col("hr_start") / 3600L).cast("long").as("_hr"),
+        col("is_anomaly"))
+    val byKey = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .join(broadcast(verdicts), Seq("_hr"))
+      .groupBy(col("key"))
+      .agg(sum(when(col("is_anomaly"), col("_c")).otherwise(0L)).as("n_anom"),
+        sum(when(!col("is_anomaly"), col("_c")).otherwise(0L)).as("n_norm"))
+    val totals = byKey.agg(sum(col("n_anom")).as("_ta"),
+      sum(col("n_norm")).as("_tn"))
+    val na = col("n_anom").cast("double")
+    val nn = col("n_norm").cast("double")
+    val ta = col("_ta").cast("double")
+    val tn = col("_tn").cast("double")
+    val sa = na / ta
+    val sn = nn / tn
+    val pooled = (col("n_anom") + col("n_norm")).cast("double") /
+      (col("_ta") + col("_tn")).cast("double")
+    byKey.crossJoin(broadcast(totals))
+      .filter(col("_ta") > 0L)
+      .withColumn("share_anom", round(sa, 6))
+      .withColumn("share_norm", round(sn, 6))
+      .withColumn("lift",
+        when(col("n_norm") === 0L, lit(null).cast("double"))
+          .otherwise(round(sa / sn, 6)))
+      .withColumn("excess", round(na - ta * sn, 6))
+      .withColumn("z_score",
+        when(col("_tn") === 0L || pooled === 0.0 || pooled === 1.0,
+          lit(null).cast("double"))
+          .otherwise(round((sa - sn) /
+            sqrt(pooled * (lit(1.0) - pooled) *
+              (lit(1.0) / ta + lit(1.0) / tn)), 6)))
+      .select(col("key"), col("n_anom"), col("n_norm"),
+        col("share_anom"), col("share_norm"), col("lift"),
+        col("excess"), col("z_score"))
+  }
+
   /** Trailing EWMA rate forecast (the exponentially-weighted moving
     * average of Roberts 1959's EWMA control chart, as monitoring
     * pipelines deploy it): forecast hour t's count from the trailing
