@@ -510,10 +510,15 @@ object SparkEntry {
       // filtering (SSJoin/AllPairs): recall-1.0 similarity join whose
       // candidate keys are each doc's RAREST tokens — the oracle is a
       // full quadratic brute force, so the hash-match proves the
-      // prefix filter dropped nothing
+      // prefix filter dropped nothing. Guarded at 256x docs: on this
+      // 500-doc corpus the word-set output mass is ~74% of quadratic
+      // by design so the cap cannot trip here, but on a larger corpus
+      // it fails loudly BEFORE the verify join goes quadratic instead
+      // of in stage 40 of a 100 TB run.
       Dedup.allPairsJaccard(
           T(s, dir, "documents").filter(col("doc_id") < 500),
-          "doc_id", "text", tau = 0.5)
+          "doc_id", "text", tau = 0.5,
+          maxCandidateFactor = Some(256.0))
         .orderBy("id1", "id2")),
 
     "d24b_allpairs_3gram" -> ((s, dir) =>
@@ -3818,8 +3823,8 @@ object SparkEntry {
                       ROWS UNBOUNDED PRECEDING) AS pmin
                   FROM p)
          SELECT key AS event_type, hr * 3600 AS hr_start,
-                c AS n_events, bm AS baseline_micros,
-                pp - least(pmin, 0) AS cusum_micros,
+                c AS n_events, CAST(bm AS BIGINT) AS baseline_micros,
+                CAST(pp - least(pmin, 0) AS BIGINT) AS cusum_micros,
                 (pp - least(pmin, 0)) > bm * 5 AS is_change
          FROM q ORDER BY event_type, hr_start""",
 

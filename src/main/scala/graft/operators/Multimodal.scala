@@ -158,6 +158,116 @@ object Multimodal {
       }
   }
 
+  /** One decoded audio chunk: `offset`/`n` in the frontend's own UNITS
+    * (raw bytes for the stub, PCM sample frames for [[WavAudio]]),
+    * `mean` level, and an exact INTEGER `energy` — the quantity
+    * [[silenceSegments]]' cross-multiplied activity predicate needs to
+    * stay IEEE-free on either frontend.
+    */
+  final case class AudioChunk(offset: Long, n: Long, mean: Double, energy: Long)
+
+  /** The audio decode swap point, made explicit exactly like
+    * [[MediaDecoder]]: [[chunkAudio]] (m04) and [[silenceSegments]]
+    * (m11) take a frontend and default to the deterministic
+    * byte-fold stub (the oracle-checkable path, raw-byte semantics
+    * unchanged). [[WavAudio]] is the real implementation on
+    * `javax.sound.sampled` — zero new dependencies, ships with the
+    * JDK. `None` means "not decodable as audio": the operator drops
+    * the row (the no-evidence rule), never a failed Spark task.
+    */
+  trait AudioFrontend extends Serializable {
+    /** Fixed-size chunking of the decoded stream, `chunkUnits` units
+      * per chunk (last chunk may be short). None = undecodable. */
+    def chunks(bytes: Array[Byte], chunkUnits: Int): Option[Array[AudioChunk]]
+  }
+
+  /** Deterministic byte-fold stub — the default and the oracle path.
+    * Unit = one raw byte; energy = Σ unsigned bytes (exactly the fold
+    * the m04/m11 oracles compute in SQL). */
+  object ByteFoldAudio extends AudioFrontend {
+    def chunks(bytes: Array[Byte], chunkUnits: Int): Option[Array[AudioChunk]] = {
+      if (bytes == null) return None
+      val nChunks = math.max(1L, (bytes.length.toLong + chunkUnits - 1) / chunkUnits)
+      Some(Array.tabulate(nChunks.toInt) { c =>
+        val from = (c.toLong * chunkUnits).toInt
+        val until = math.min(bytes.length.toLong, c.toLong * chunkUnits + chunkUnits).toInt
+        var s = 0L
+        var i = from
+        while (i < until) { s += (bytes(i) & 0xff); i += 1 }
+        val n = math.max(0, until - from)
+        AudioChunk(from.toLong, n.toLong, if (n > 0) s.toDouble / n else 0.0, s)
+      })
+    }
+  }
+
+  /** Real audio decode on `javax.sound.sampled` (WAV/AIFF/AU — the
+    * JDK service registry decides; compressed codecs need a provider
+    * on the classpath). The stream converts to 16-bit signed PCM,
+    * channels average to mono, and chunking runs over SAMPLE FRAMES:
+    * two containers of the same samples (a 16-bit and an 8-bit WAV of
+    * the same waveform) produce the same segmentation, which is the
+    * property that makes the VAD cut acoustic rather than
+    * byte-cosmetic. mean/energy are Σ|amplitude| folds — integer
+    * exact (|s| ≤ 2^15 per frame keeps Long headroom past 2^47
+    * frames), so the silence predicate stays cross-multiplied
+    * integers on the real path too.
+    */
+  object WavAudio extends AudioFrontend {
+    /** Decoded mono PCM amplitudes (channel-averaged 16-bit). */
+    private def pcm(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+        try {
+          val base = in.getFormat
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
+            base.getSampleRate, false)
+          val dec = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var r = dec.read(tmp)
+          while (r > 0) { buf.write(tmp, 0, r); r = dec.read(tmp) }
+          val raw = buf.toByteArray
+          val ch = math.max(1, fmt.getChannels)
+          val nFrames = raw.length / (2 * ch)
+          val mono = new Array[Int](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var s = 0
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              s += ((raw(i) & 0xff) | (raw(i + 1) << 8)) // little-endian signed
+              c += 1
+            }
+            mono(f) = s / ch
+            f += 1
+          }
+          Some(mono)
+        } finally in.close()
+      // UnsupportedAudioFileException, truncated headers, bad chunk
+      // sizes — all mean "undecodable -> None -> drop the row"
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    def chunks(bytes: Array[Byte], chunkUnits: Int): Option[Array[AudioChunk]] =
+      pcm(bytes).map { mono =>
+        val nChunks = math.max(1L, (mono.length.toLong + chunkUnits - 1) / chunkUnits)
+        Array.tabulate(nChunks.toInt) { c =>
+          val from = (c.toLong * chunkUnits).toInt
+          val until = math.min(mono.length.toLong, c.toLong * chunkUnits + chunkUnits).toInt
+          var e = 0L
+          var i = from
+          while (i < until) { e += math.abs(mono(i).toLong); i += 1 }
+          val n = math.max(0, until - from)
+          AudioChunk(from.toLong, n.toLong, if (n > 0) e.toDouble / n else 0.0, e)
+        }
+      }
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("head_byte", IntegerType, nullable = false),
@@ -369,7 +479,8 @@ object Multimodal {
     * other decode stubs so a real resampler inits once per partition.
     */
   def chunkAudio(df: DataFrame, idCol: String, blobCol: String,
-                 chunkBytes: Int): DataFrame = {
+                 chunkBytes: Int,
+                 frontend: AudioFrontend = ByteFoldAudio): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
@@ -378,23 +489,14 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("byte_mean", DoubleType, nullable = false)))
     val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd.mapPartitions { it =>
-      // real resampler/feature frontend would be constructed HERE
+      // the frontend is a singleton module: any heavy decoder state
+      // constructs once per executor JVM, amortized across partitions
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        if (bytes == null) Iterator.empty // null blob: no chunks, no NPE
-        else {
-          // Long ceiling-division: the Int form overflows past ~2 GiB
-          // blobs and would silently truncate to one chunk
-          val nChunks = math.max(1L, (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
-          (0L until nChunks).iterator.map { c =>
-            val from = (c * chunkBytes).toInt
-            val until = math.min(bytes.length.toLong, c * chunkBytes + chunkBytes).toInt
-            var sum = 0L
-            var i = from
-            while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
-            val n = math.max(0, until - from)
-            Row(r.getLong(0), c, from.toLong, n.toLong,
-              if (n > 0) sum.toDouble / n else 0.0)
+        frontend.chunks(bytes, chunkBytes) match {
+          case None => Iterator.empty // null/undecodable: no chunks, no NPE
+          case Some(cs) => cs.iterator.zipWithIndex.map { case (ck, c) =>
+            Row(r.getLong(0), c.toLong, ck.offset, ck.n, ck.mean)
           }
         }
       }
@@ -423,7 +525,8 @@ object Multimodal {
     */
   def silenceSegments(df: DataFrame, idCol: String, blobCol: String,
                       chunkBytes: Int, numThresh: Int = 3,
-                      denThresh: Int = 4): DataFrame = {
+                      denThresh: Int = 4,
+                      frontend: AudioFrontend = ByteFoldAudio): DataFrame = {
     require(chunkBytes > 0, s"silenceSegments: chunkBytes $chunkBytes")
     require(numThresh >= 0 && denThresh >= 1,
       s"silenceSegments: bad threshold $numThresh/$denThresh")
@@ -434,22 +537,15 @@ object Multimodal {
       StructField("e", LongType, nullable = false)))
     val rowRdd = df.select(col(idCol).cast("long"), col(blobCol)).rdd
       .mapPartitions { it =>
-        // a real audio frontend (resample + frame energy) constructs
-        // HERE, once per partition
+        // frontend is the m04 swap point: [[WavAudio]] supplies REAL
+        // per-chunk frame energies here, the stub the byte fold — the
+        // segmentation below is shared either way
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          if (bytes == null) Iterator.empty
-          else {
-            val nChunks = math.max(1L,
-              (bytes.length.toLong + chunkBytes - 1) / chunkBytes)
-            (0L until nChunks).iterator.map { c =>
-              val from = (c * chunkBytes).toInt
-              val until = math.min(bytes.length.toLong,
-                c * chunkBytes + chunkBytes).toInt
-              var sum = 0L
-              var i = from
-              while (i < until) { sum += (bytes(i) & 0xff); i += 1 }
-              Row(r.getLong(0), c, sum)
+          frontend.chunks(bytes, chunkBytes) match {
+            case None => Iterator.empty
+            case Some(cs) => cs.iterator.zipWithIndex.map { case (ck, c) =>
+              Row(r.getLong(0), c.toLong, ck.energy)
             }
           }
         }

@@ -295,9 +295,9 @@ object SloMonitor {
   }
 
   /** h0: first event hour ever seen; anchor: latest emitted frame's
-    * anchor; hist: "key how" → historical count (hours already
+    * anchor; hist: "key\u0000how" → historical count (hours already
     * folded below the last-week boundary — permanent, ≤ |keys|·168
-    * entries); recent: "key hr" → count for hours at or above
+    * entries); recent: "key\u0000hr" → count for hours at or above
     * the boundary (incl. pending).
     */
   final case class SeasonState(h0: Long, anchor: Long,
@@ -311,7 +311,7 @@ object SloMonitor {
   implicit val seasonStEnc: Encoder[SeasonState] = Encoders.product[SeasonState]
   implicit val seasonEnc: Encoder[SeasonRow] = Encoders.product[SeasonRow]
 
-  private val Sep = " "
+  private val Sep = "\u0000"
   private def pm(a: Long, m: Long): Long = ((a % m) + m) % m
 
   /** Transition, exposed for unit tests. */

@@ -88,6 +88,22 @@ class AllPairsSpec extends SparkSpec {
       shingleN = 3, maxCandidateFactor = Some(64.0)).collect()
     assert(ok.nonEmpty) // the even/odd twins are exact 3-gram dups
   }
+
+  test("d24's production guard (tau=0.5, unigram, 256x) trips past 512 docs") {
+    // the exact d24 call-site configuration: at 256x the cap sits just
+    // above the full quadratic for n=500 (the verify corpus — cannot
+    // trip there), but a degenerate shared-vocabulary corpus one size
+    // up crosses it: 600 near-identical word sets emit ~600*599/2 =
+    // 179,700 candidates > 256*600 = 153,600
+    val docs = (0 until 600).map(i =>
+      (i.toLong, s"alpha beta gamma ${if (i % 2 == 0) "delta" else "epsilon"}"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccard(docs, "doc_id", "text", tau = 0.5,
+        maxCandidateFactor = Some(256.0)).collect()
+    }
+    assert(e.getMessage.contains("candidate pairs exceed"), e.getMessage)
+  }
 }
 
 /** Session path mining (r21). */
