@@ -189,6 +189,134 @@ object TailApp {
     }
   }
 
+  /** Translate the reference's OWN `config.yaml` (config/config.go:14-50
+    * — `files` / `log` / `window` / `sink` / `db_engine` sections,
+    * parsed by [[graft.sources.YamlLite]]) into per-source configs +
+    * the requested log level, so a tailsql user's existing YAML loads
+    * as-is. Semantics per section:
+    *
+    *  - `files[i]`: `path` is a FILE to follow in the reference
+    *    (file/namedpipe/stdin) — a path that `isDir` says is a
+    *    directory becomes a directory-tail source, anything else the
+    *    byte-offset follow-file source; `regex` is the
+    *    `(?P<name__type>...)` row pattern (required non-empty — an
+    *    untyped table has no columns to query); `filter` the
+    *    where-clause row filter; `throttle` as in the flag form
+    *    (`buffer_size` validated then ignored — the Go channel-depth
+    *    knob has no Spark meaning, see the `--throttlers` note);
+    *    `do_not_tail: true` = process from the start of the file
+    *    (maps to [[TailStream.Config.doNotTail]] directly).
+    *  - `window`: `size_seconds` (>0), `sliding_interval_seconds`
+    *    (0 = tumbling, the reference's own convention), and
+    *    `idx_of_ts_field` — the 0-based index into the row's capture
+    *    groups (sql/squeryer.go:172-178 `row[opt.IdxOfTsField]`),
+    *    resolved here against each source's OWN regex to the field
+    *    NAME Spark windows need; -1 = processing-time windows.
+    *  - `sink`: `to` must be `stdout` (all the reference supports);
+    *    `formatter` table/raw/rawV (case-insensitive) = our format.
+    *  - `log.level`: logrus level, applied as the Spark log level.
+    *  - `db_engine`: validated against the reference's set
+    *    (sqlite/duckdb/qlbridge) then IGNORED by design — Spark SQL
+    *    is the engine; a typo still fails loudly.
+    *
+    * The SQL itself is not part of the reference's YAML (it is the
+    * query CLI argument there), so pass `--sql` next to `--config`.
+    * Pure given `isDir`, so the spec pins the translation without
+    * touching a filesystem.
+    */
+  def fromYaml(text: String,
+               isDir: String => Boolean): (Seq[TailStream.Config], Option[String]) = {
+    import graft.sources.YamlLite
+    val root = YamlLite.parse(text)
+    def intOf(m: YamlLite.Mapping, k: String, where: String): Option[Int] =
+      m.scalar(k).filter(_.nonEmpty).map(v => v.toIntOption.getOrElse(
+        sys.error(s"config.yaml: $where.$k must be an int, got '$v'")))
+    def boolOf(m: YamlLite.Mapping, k: String, where: String): Option[Boolean] =
+      m.scalar(k).filter(_.nonEmpty).map(v => v.toBooleanOption.getOrElse(
+        sys.error(s"config.yaml: $where.$k must be a bool, got '$v'")))
+
+    val win = root.get("window").map {
+      case m: YamlLite.Mapping => m
+      case _ => sys.error("config.yaml: 'window' must be a mapping")
+    }
+    val winSize = win.flatMap(intOf(_, "size_seconds", "window")) match {
+      case Some(s) if s > 0 => s.toLong
+      case Some(s) => sys.error(s"config.yaml: window.size_seconds must be > 0, got $s")
+      case None => 60L
+    }
+    // the reference's own convention: sliding_interval_seconds 0 (or
+    // absent) = tumbling window
+    val slide = win.flatMap(intOf(_, "sliding_interval_seconds", "window"))
+      .filter(_ > 0).map(_.toLong)
+    val tsIdx = win.flatMap(intOf(_, "idx_of_ts_field", "window")).filter(_ >= 0)
+
+    val format = root.get("sink").map {
+      case m: YamlLite.Mapping =>
+        m.scalar("to").filter(_.nonEmpty).foreach(to => require(to == "stdout",
+          s"config.yaml: sink.to '$to' is not supported; the reference sinks to stdout"))
+        m.scalar("formatter").filter(_.nonEmpty).map(_.toLowerCase) match {
+          case Some(f @ ("table" | "raw" | "rawv")) => f
+          case Some(f) => sys.error(
+            s"config.yaml: sink.formatter '$f' is not one of table/raw/rawV")
+          case None => "table"
+        }
+      case _ => sys.error("config.yaml: 'sink' must be a mapping")
+    }.getOrElse("table")
+
+    val logLevel = root.get("log").map {
+      case m: YamlLite.Mapping => m.scalar("level").filter(_.nonEmpty)
+      case _ => sys.error("config.yaml: 'log' must be a mapping")
+    }.getOrElse(None)
+
+    root.scalar("db_engine").filter(_.nonEmpty).foreach { e =>
+      require(Set("sqlite", "duckdb", "qlbridge")(e.toLowerCase),
+        s"config.yaml: db_engine '$e' is not one of sqlite/duckdb/qlbridge " +
+          "(the value is accepted for compatibility and ignored: Spark SQL is the engine)")
+    }
+
+    val files = root.get("files") match {
+      case Some(YamlLite.Sequence(items)) if items.nonEmpty => items
+      case Some(_) => sys.error("config.yaml: 'files' must be a non-empty sequence")
+      case None => sys.error("config.yaml: 'files' is required")
+    }
+    val cfgs = files.zipWithIndex.map {
+      case (m: YamlLite.Mapping, i) =>
+        val path = m.scalar("path").filter(_.nonEmpty).getOrElse(
+          sys.error(s"config.yaml: files[$i].path is required"))
+        val regex = m.scalar("regex").filter(_.nonEmpty).getOrElse(
+          sys.error(s"config.yaml: files[$i].regex is required — named capture " +
+            "groups (?P<name__type>...) define the table columns"))
+        val tsField = tsIdx.map { idx =>
+          val fields = graft.sources.LogSource.compilePattern(regex).fields
+          require(idx < fields.size, s"config.yaml: window.idx_of_ts_field $idx " +
+            s"is out of range for files[$i].regex (${fields.size} capture groups)")
+          fields(idx).name
+        }
+        val throttle = m.get("throttle").map {
+          case t: YamlLite.Mapping =>
+            intOf(t, "buffer_size", s"files[$i].throttle") // validated, ignored
+            (intOf(t, "max_elements_in_period", s"files[$i].throttle").filter(_ > 0),
+              intOf(t, "period_seconds", s"files[$i].throttle").filter(_ > 0).map(_.toLong))
+          case _ => sys.error(s"config.yaml: files[$i].throttle must be a mapping")
+        }.getOrElse((None, None))
+        TailStream.Config(
+          dir = path,
+          pattern = regex,
+          filter = m.scalar("filter").map(_.trim).filter(_.nonEmpty),
+          windowSizeSec = winSize,
+          slideSec = slide,
+          tsField = tsField,
+          sql = None, // the reference takes the SQL as a CLI argument
+          format = format,
+          doNotTail = boolOf(m, "do_not_tail", s"files[$i]").getOrElse(false),
+          throttleMax = throttle._1,
+          throttlePeriodSec = throttle._2,
+          follow = !isDir(path))
+      case (_, i) => sys.error(s"config.yaml: files[$i] must be a mapping")
+    }
+    (cfgs, logLevel)
+  }
+
   /** Translate the repeated-flag form (N × `--dir`) into per-source
     * configs — the reference's `-f/-r/-F` slice semantics
     * (config/config.go NewCfg): patterns 1:1 with dirs, filters
@@ -262,15 +390,28 @@ object TailApp {
       require(unsupportedBare.isEmpty,
         s"${unsupportedBare.mkString(", ")} cannot combine with --config; " +
           "set source.N.do_not_tail in the file instead of --seek-end")
-      val props = new java.util.Properties()
-      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-      try props.load(in) finally in.close()
-      val cfgs0 = fromProperties(props)
+      // a .yaml/.yml path loads the reference's OWN config schema
+      // (config/config.go) verbatim; anything else the properties form
+      val (cfgs0, yamlLogLevel) =
+        if (path.endsWith(".yaml") || path.endsWith(".yml")) {
+          val text = new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          fromYaml(text,
+            p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+        } else {
+          val props = new java.util.Properties()
+          val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+          try props.load(in) finally in.close()
+          (fromProperties(props), None)
+        }
       // explicit CLI flags win over the file
       val cfgs = cfgs0.map(c => c.copy(
         sql = one(a, "sql").orElse(c.sql),
         format = one(a, "format").getOrElse(c.format)))
       val spark0 = GraftSession.get()
+      // the file's log.level applies first, an explicit --log-level wins
+      yamlLogLevel.foreach(l => spark0.sparkContext.setLogLevel(l.toUpperCase))
       setLogLevel(spark0)
       val ckpt0 = one(a, "checkpoint").getOrElse(
         java.nio.file.Files.createTempDirectory("graft-tailapp").toString)

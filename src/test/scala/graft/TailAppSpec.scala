@@ -130,6 +130,156 @@ class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
       "--dir", "/a", "--pattern", "p", "--window", "5", "--window", "6")))
     assert(e.getMessage.contains("--window given 2 times"), e.getMessage)
   }
+
+  /** A verbatim reference-STYLE config.yaml: the exact section/key
+    * schema of config/config.go:14-50 and the shipped config.yaml —
+    * comments, quoting, nested throttle block, the lot. */
+  private val refYaml =
+    """# you can follow multi files
+      |# each file will be parsed to one table t0, t1, ...
+      |files:
+      |  - path: "/logs/app.log"   # file/namedpipe/stdin
+      |    # (?P<fieldname__filedtype>regex), type float/int/date/str
+      |    regex: "(?P<ts__date>\\S+ \\S+) (?P<level__str>\\w+) (?P<ms__int>\\d+)"
+      |    # filter to select row to table
+      |    filter: "level = 'ERROR'"
+      |    throttle:
+      |      max_elements_in_period: 100
+      |      period_seconds: 10
+      |      buffer_size: 0
+      |    # process from the start of file instead of seeking to end
+      |    do_not_tail: true
+      |  - path: "/logs/dir"
+      |    regex: "(?P<ts__date>\\S+ \\S+) (?P<msg__str>.*)"
+      |    throttle:
+      |      max_elements_in_period: 0
+      |      period_seconds: 0
+      |      buffer_size: 0
+      |log:
+      |  level: "info"
+      |window:
+      |  size_seconds: 30
+      |  sliding_interval_seconds: 10
+      |  idx_of_ts_field: 0
+      |sink:
+      |  to: "stdout"
+      |  formatter: "rawV"
+      |db_engine: "duckdb"
+      |""".stripMargin
+
+  test("the reference's own config.yaml schema loads verbatim (files/log/window/sink/db_engine)") {
+    val (cfgs, logLevel) = TailApp.fromYaml(refYaml, isDir = _ == "/logs/dir")
+    assert(cfgs.size == 2)
+    val c0 = cfgs.head
+    assert(c0.dir == "/logs/app.log" && c0.follow,
+      "a non-directory path is the byte-offset follow-file source")
+    assert(c0.pattern == """(?P<ts__date>\S+ \S+) (?P<level__str>\w+) (?P<ms__int>\d+)""")
+    assert(c0.filter.contains("level = 'ERROR'"))
+    assert(c0.throttleMax.contains(100) && c0.throttlePeriodSec.contains(10L))
+    assert(c0.doNotTail, "do_not_tail: true must map through")
+    // shared window block; idx_of_ts_field 0 resolves to the 0th
+    // capture group's NAME against each source's own regex
+    assert(c0.windowSizeSec == 30L && c0.slideSec.contains(10L)
+      && c0.tsField.contains("ts"))
+    assert(c0.format == "rawv" && c0.sql.isEmpty)
+    val c1 = cfgs(1)
+    assert(c1.dir == "/logs/dir" && !c1.follow,
+      "a directory path is the directory-tail source")
+    // 0 throttle = unthrottled, absent do_not_tail = seek to end
+    assert(c1.throttleMax.isEmpty && c1.throttlePeriodSec.isEmpty && !c1.doNotTail)
+    assert(c1.tsField.contains("ts"))
+    assert(logLevel.contains("info"))
+  }
+
+  test("yaml window/sink/engine values are validated loudly, not silently defaulted") {
+    def y(window: String = "  size_seconds: 30", sink: String = "  formatter: table",
+          engine: String = "duckdb", regex: String =
+          """"(?P<ts__date>\\S+)""""): String =
+      s"""files:
+         |  - path: "/logs/a.log"
+         |    regex: $regex
+         |window:
+         |$window
+         |sink:
+         |$sink
+         |db_engine: "$engine"
+         |""".stripMargin
+    def err(doc: String): String =
+      intercept[RuntimeException](TailApp.fromYaml(doc, _ => false)).getMessage
+    assert(err(y(engine = "oracle")).contains("db_engine"))
+    assert(err(y(sink = "  formatter: csv")).contains("formatter"))
+    assert(err(y(sink = "  to: kafka")).contains("sink.to"))
+    assert(err(y(window = "  size_seconds: 0")).contains("size_seconds"))
+    assert(err(y(window = "  size_seconds: ten")).contains("must be an int"))
+    // idx_of_ts_field out of the regex's capture-group range
+    assert(err(y(window = "  size_seconds: 30\n  idx_of_ts_field: 5"))
+      .contains("out of range"))
+    assert(err(y(regex = "\"\"")).contains("regex"))
+    // idx_of_ts_field -1 = processing-time windows (the reference's own default)
+    val (cfgs, _) = TailApp.fromYaml(
+      y(window = "  size_seconds: 30\n  idx_of_ts_field: -1"), _ => false)
+    assert(cfgs.head.tsField.isEmpty)
+    // absent sliding_interval_seconds (or 0) = tumbling
+    assert(cfgs.head.slideSec.isEmpty)
+  }
+}
+
+/** The YAML-subset reader under the config loader ([[graft.sources.YamlLite]]). */
+class YamlLiteSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sources.YamlLite
+  import graft.sources.YamlLite.{Mapping, Scalar, Sequence}
+
+  test("comments strip outside quotes only") {
+    assert(YamlLite.stripComment("""a: "x # y"  # real comment""") == """a: "x # y"  """)
+    assert(YamlLite.stripComment("# whole line") == "")
+    assert(YamlLite.stripComment("a: b#c") == "a: b#c") // no space before #
+  }
+
+  test("nested mappings, sequences, quoting, and escapes parse") {
+    val m = YamlLite.parse(
+      """top: "a \"quoted\" value"
+        |regex: "(?P<ts__date>\\S+ \\S+)"
+        |single: 'it''s'
+        |empty: ""
+        |nested:
+        |  x: 1
+        |  y:
+        |    z: deep
+        |list:
+        |  - one
+        |  - two
+        |""".stripMargin)
+    assert(m.scalar("top").contains("""a "quoted" value"""))
+    // \\ in double quotes is ONE backslash, exactly like yaml.v3
+    assert(m.scalar("regex").contains("""(?P<ts__date>\S+ \S+)"""))
+    assert(m.scalar("single").contains("it's"))
+    assert(m.scalar("empty").contains(""))
+    val nested = m.get("nested").get.asInstanceOf[Mapping]
+    assert(nested.scalar("x").contains("1"))
+    assert(nested.get("y").get.asInstanceOf[Mapping].scalar("z").contains("deep"))
+    assert(m.get("list").get == Sequence(Vector(Scalar("one"), Scalar("two"))))
+  }
+
+  test("sequences of mappings carry multi-key items (the files: shape)") {
+    val m = YamlLite.parse(
+      """files:
+        |  - path: a
+        |    nested:
+        |      k: v
+        |  - path: b
+        |""".stripMargin)
+    val items = m.get("files").get.asInstanceOf[Sequence].items
+    assert(items.size == 2)
+    assert(items(0).asInstanceOf[Mapping].scalar("path").contains("a"))
+    assert(items(0).asInstanceOf[Mapping].get("nested").get
+      .asInstanceOf[Mapping].scalar("k").contains("v"))
+    assert(items(1).asInstanceOf[Mapping].scalar("path").contains("b"))
+  }
+
+  test("what the subset excludes fails loudly, never parses wrong") {
+    intercept[RuntimeException](YamlLite.parse("\tkey: value"))
+    intercept[RuntimeException](YamlLite.parse("just a scalar line"))
+  }
 }
 
 /** End-to-end CLI runs (real streams over temp dirs, shared session). */
@@ -187,6 +337,56 @@ class TailAppCliSpec extends SparkSpec {
     val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
     // one 00:00 window; 3 lines arrived, the throttler admitted 2
     assert(out.exists(_.endsWith(",2")), out.toString)
+  }
+
+  test("a reference-style config.yaml drives the CLI to the same output as the flag form") {
+    spark.sparkContext
+    val dir = Files.createTempDirectory("graft-cli-yaml").toFile
+    Files.write(new java.io.File(dir, "a.log").toPath,
+      Seq(
+        "2024-01-01 00:00:10 INFO 5",
+        "2024-01-01 00:00:20 WARN 9",
+        "2024-01-01 00:01:30 WARN 4").mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the reference's own YAML schema, verbatim style: files + window +
+    // sink sections, do_not_tail=true to process the existing file
+    val yaml = s"""# reference-style config
+                  |files:
+                  |  - path: "${dir.getAbsolutePath}"
+                  |    regex: "(?P<ts__date>\\\\d{4}-\\\\d{2}-\\\\d{2} \\\\d{2}:\\\\d{2}:\\\\d{2}) (?P<level__str>\\\\w+) (?P<ms__int>\\\\d+)"
+                  |    throttle:
+                  |      max_elements_in_period: 0
+                  |      period_seconds: 0
+                  |      buffer_size: 0
+                  |    do_not_tail: true
+                  |window:
+                  |  size_seconds: 60
+                  |  sliding_interval_seconds: 0
+                  |  idx_of_ts_field: 0
+                  |sink:
+                  |  to: "stdout"
+                  |  formatter: "raw"
+                  |db_engine: "duckdb"
+                  |""".stripMargin
+    val cfgFile = Files.createTempDirectory("graft-cli-yamlcfg").resolve("config.yaml")
+    Files.write(cfgFile, yaml.getBytes("UTF-8"))
+    val sql = "SELECT window_start, count(*) AS n FROM t0 GROUP BY 1 ORDER BY 1"
+    def run(args: Array[String]): Seq[String] = {
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      TailApp.runCli(args, sink = s => captured.add(s), stopSparkOnExit = false)
+      String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    }
+    val viaYaml = run(Array(
+      "--config", cfgFile.toString, "--sql", sql,
+      "--checkpoint", Files.createTempDirectory("ck-y").toString, "--once"))
+    val viaFlags = run(Array(
+      "--dir", dir.getAbsolutePath,
+      "--pattern", """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) (?P<ms__int>\d+)""",
+      "--window", "60", "--ts-field", "ts", "--format", "raw", "--sql", sql,
+      "--checkpoint", Files.createTempDirectory("ck-f").toString, "--once"))
+    // two windows: 2 rows in 00:00, 1 in 00:01 — identical either way
+    assert(viaYaml.exists(_.endsWith(",2")) && viaYaml.exists(_.endsWith(",1")),
+      viaYaml.toString)
+    assert(viaYaml == viaFlags, s"yaml=$viaYaml flags=$viaFlags")
   }
 
   test("--log-level flag reaches the Spark context (reference -l/--log-level)") {
