@@ -64,12 +64,20 @@ object Similarity {
     * of the join — the broadcast-small side — so the corpus-side work
     * (one signature row per table) is unchanged and candidates stay
     * sublinear in corpus size.
+    *
+    * `probeRadius` is the standard recall/table-count trade: radius r
+    * probes Σ_{i<=r} C(planes, i) buckets per table (1+6+15 = 22 at
+    * the 6-plane default, r=2), so FEWER tables reach the same recall
+    * — fewer corpus-side signature rows, the side that scales with
+    * the corpus. Probe masks come from [[probeMasks]]: popcount-major
+    * then value order, a deterministic sequence the spec pins.
     */
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, numPlanes: Int = 6, numTables: Int = 8,
               probeRadius: Int = 1): DataFrame = {
-    require(probeRadius <= 1, "probeRadius > 1 not implemented")
+    require(probeRadius >= 0 && probeRadius <= numPlanes,
+      s"probeRadius $probeRadius not in [0, numPlanes=$numPlanes]")
     // one fused pass per vector for ALL tables' signatures, then
     // posexplode tags each signature with its table index
     def withSig(df: DataFrame, vec: String): DataFrame = df
@@ -81,11 +89,11 @@ object Similarity {
       .drop("_t", "_sig")
       .withColumn("_cnrm", norm(col(corpusVec)))
     val qsigs = withSig(queries, queryVec)
+    val masks = probeMasks(numPlanes, probeRadius)
     val probed =
       if (probeRadius == 0) qsigs
       else qsigs.withColumn("_sig", explode(array(
-        col("_sig") +: (0 until numPlanes).map(p =>
-          col("_sig").bitwiseXOR(lit(1L << p))): _*)))
+        masks.map(m => col("_sig").bitwiseXOR(lit(m))): _*)))
     val qb = probed
       .withColumn("_sg", struct(col("_t"), col("_sig")))
       .drop("_t", "_sig")
@@ -103,6 +111,20 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** The multi-probe XOR-mask sequence for [[lshTopK]]: every plane
+    * subset of size <= probeRadius, popcount-major then numeric order
+    * — mask 0 (the exact bucket) first, then single flips ascending,
+    * then pairs, ... Deterministic by construction (no RNG, no hash
+    * order), so a probe sequence is reproducible across runs and
+    * Spark versions; the spec pins it literally.
+    */
+  def probeMasks(numPlanes: Int, probeRadius: Int): Seq[Long] =
+    (0 to probeRadius).flatMap { r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, p) => m | (1L << p)))
+        .toSeq.sorted
+    }
 
   private case class Cent(id: Any, vec: Array[Double], nrm: Double)
 

@@ -253,6 +253,50 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(ivf >= 0.95, s"IVF recall regressed: $ivf (measured 1.000)")
   }
 
+  test("probe masks are the pinned deterministic sequence") {
+    // popcount-major then numeric: exact bucket, single flips, pairs.
+    // Pinned literally — a change to the sequence changes which
+    // buckets every production query probes, so it must be deliberate.
+    assert(graft.operators.Similarity.probeMasks(6, 0) == Seq(0L))
+    assert(graft.operators.Similarity.probeMasks(6, 1) ==
+      Seq(0L, 1L, 2L, 4L, 8L, 16L, 32L))
+    assert(graft.operators.Similarity.probeMasks(4, 2) ==
+      Seq(0L, 1L, 2L, 4L, 8L, 3L, 5L, 6L, 9L, 10L, 12L))
+    // radius r probes sum_{i<=r} C(planes, i) buckets
+    assert(graft.operators.Similarity.probeMasks(6, 2).size == 1 + 6 + 15)
+    assert(graft.operators.Similarity.probeMasks(6, 2).distinct.size == 22)
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.lshTopK(null, "a", "b", null, "c", "d",
+        k = 1, numPlanes = 4, probeRadius = 5))
+  }
+
+  test("probeRadius=2 buys back the recall that halving the tables loses") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val brute = neighbors("s01_ann_brute")
+    def recallOf(tables: Int, radius: Int): Double = {
+      val m = graft.operators.Similarity.lshTopK(emb, "vec_id", "embedding",
+          q, "qid", "qvec", k = 10, numPlanes = 6, numTables = tables,
+          probeRadius = radius)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val per = brute.keys.toSeq.map(qq =>
+        (m.getOrElse(qq, Set.empty) intersect brute(qq)).size.toDouble / brute(qq).size)
+      per.sum / per.size
+    }
+    val half1 = recallOf(tables = 4, radius = 1)
+    val half2 = recallOf(tables = 4, radius = 2)
+    info(f"4 tables: r=1 recall $half1%.3f, r=2 recall $half2%.3f")
+    // deterministic (seeded hash planes): r=2 candidates are a strict
+    // SUPERSET of r=1's, so recall is monotone; the gate checks the
+    // radius actually recovers the 8-table bar at half the tables
+    assert(half2 >= half1, s"r=2 must dominate r=1: $half2 < $half1")
+    assert(half2 >= 0.89, s"4-table r=2 recall below the s02 gate: $half2")
+  }
+
   test("IVF-PQ recall@10 vs brute force clears the gate") {
     val brute = neighbors("s01_ann_brute")
     val ivfpq = neighbors("s12_ivf_pq")
