@@ -1,0 +1,384 @@
+package graft
+
+/** DuckDB oracle SQL for the query-family query keys — split from
+  * SparkEntry so the per-round growth lands in family files.
+  * Entries are verbatim; the shared CTE builders live in
+  * [[OracleHelpers]]. The oracle contract (identical aliases to
+  * the Spark side, total-order ORDER BY, BIGINT/DOUBLE casts) is
+  * documented on [[SparkEntry.oracleSql]].
+  */
+private[graft] object OraclesQ {
+  import OracleHelpers._
+
+  val sql: Map[String, String] = Map(
+    "q31_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS wk FROM events),
+            fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+         SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
+                CAST(u.wk - f.cohort AS BIGINT) AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM uw u JOIN fw f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q36_listagg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q35_pareto" ->
+      // same decimal revenue sums; rank/cumsum windows with the
+      // (rev desc, custkey) tiebreak
+      """WITH r AS (SELECT o_custkey,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                    FROM orders GROUP BY 1),
+            t AS (SELECT sum(rev) AS tot FROM r)
+         SELECT o_custkey,
+                CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+                  AS rank,
+                CAST(rev AS DOUBLE) AS revenue,
+                round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+                round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(tot AS DOUBLE), 6) AS cum_share
+         FROM r CROSS JOIN t ORDER BY rank""",
+
+    "q34_scd2" ->
+      // identical lag-collapse then lead/row_number over the change
+      // rows; (us, event_id) tiebreak makes both windows deterministic
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                    FROM events),
+            ch AS (SELECT user_id, event_type, us, event_id FROM (
+                     SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS prev FROM e)
+                   WHERE prev IS NULL OR prev <> event_type),
+            v AS (SELECT user_id, event_type AS state, us AS effective_from,
+                    lead(us) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS effective_to,
+                    CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS BIGINT) AS version
+                  FROM ch)
+         SELECT user_id, state, effective_from, effective_to, version,
+                effective_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+
+    "q29_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+                        AND e.ts <= v.t + INTERVAL 24 HOUR
+                  WHERE e.event_type = 'click' GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+                        AND e.ts <= c.t + INTERVAL 24 HOUR
+                  WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+         UNION ALL
+         SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+         UNION ALL
+         SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+         ORDER BY step""",
+
+    "q24_setops" ->
+      """SELECT id, src FROM (
+           SELECT id, 'both' AS src FROM (
+             SELECT DISTINCT user_id AS id FROM events
+             INTERSECT
+             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
+           UNION ALL
+           SELECT id, 'cust_only' AS src FROM (
+             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer
+             EXCEPT
+             SELECT DISTINCT user_id AS id FROM events))
+         ORDER BY src, id""",
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q02_join_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q03_multijoin" ->
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q03b_multijoin_cbo" ->
+      // identical spec to q03: the CBO/statistics planning regime is a
+      // performance choice and must be answer-invariant
+      """SELECT r_name, n_name,
+                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q04_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+           FROM orders) WHERE rnk <= 3
+         ORDER BY o_orderpriority, rnk""",
+
+    "q05_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "q07_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+
+    "q08_case_agg" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q09_strings" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS pfx,
+                p_brand || '-' || p_type AS brand_type,
+                CAST(length(p_name) AS BIGINT) AS name_len,
+                CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS BIGINT) AS has_a,
+                regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+         FROM part ORDER BY p_partkey""",
+
+    "q10_time_extract" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
+                CAST(hour(ts) AS BIGINT) AS hr,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q11_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q12_having" ->
+      """SELECT o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_custkey
+         HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) * 2.0 FROM orders)
+         ORDER BY o_custkey""",
+
+    "q13_union" ->
+      """SELECT id, CAST(count(*) AS BIGINT) AS n_sources FROM (
+           SELECT DISTINCT user_id AS id FROM events
+           UNION ALL
+           SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
+         GROUP BY id ORDER BY id""",
+
+    "q14_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q15_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS running_total,
+                CAST(row_number() OVER w AS BIGINT) AS order_seq
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, order_seq""",
+
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+         ORDER BY c_custkey""",
+
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
+
+    "q33_interval_coverage" ->
+      // identical sweep: endpoint deltas, per-position net, per-key
+      // cumulative active count, gaps where active > 0; all-integer
+      // epoch micros until the final rounded ratio
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                            epoch_us(ts) + 1800000000 AS e
+                     FROM events),
+            pts AS (SELECT user_id, s AS pos, 1 AS d FROM iv
+                    UNION ALL
+                    SELECT user_id, e AS pos, -1 AS d FROM iv),
+            g AS (SELECT user_id, pos, CAST(sum(d) AS BIGINT) AS d
+                  FROM pts GROUP BY 1, 2),
+            c AS (SELECT user_id, pos,
+                    sum(d) OVER (PARTITION BY user_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS act,
+                    lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS nxt
+                  FROM g),
+            cov AS (SELECT user_id,
+                      CAST(sum(CASE WHEN act > 0 THEN nxt - pos ELSE 0 END)
+                        AS BIGINT) AS covered_micros
+                    FROM c GROUP BY 1),
+            sp AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                          min(s) AS s0, max(e) AS e1
+                   FROM iv GROUP BY 1)
+         SELECT sp.user_id, n_intervals, covered_micros,
+                (e1 - s0) AS span_micros,
+                round(CAST(covered_micros AS DOUBLE)
+                      / CAST(e1 - s0 AS DOUBLE), 6) AS utilization
+         FROM sp JOIN cov ON sp.user_id = cov.user_id
+         ORDER BY sp.user_id""",
+
+    "q18_corr_subquery" ->
+      """SELECT p_partkey, p_type, p_retailprice FROM (
+           SELECT p_partkey, p_type, p_retailprice,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                       OVER (PARTITION BY p_type) AS DOUBLE)
+                    / CAST(count(*) OVER (PARTITION BY p_type) AS DOUBLE) AS avg_price
+           FROM part)
+         WHERE p_retailprice > avg_price ORDER BY p_partkey""",
+
+    "q32_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc,
+               CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS tax
+             FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'qty' AS measure, qty AS total FROM w
+         UNION ALL SELECT l_returnflag, 'price', price FROM w
+         UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+         UNION ALL SELECT l_returnflag, 'tax', tax FROM w
+         ORDER BY l_returnflag, measure""",
+
+    "q19_pivot" ->
+      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
+                CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+                CAST(SUM(CASE WHEN event_type = 'error'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+                CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+                CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q20_asof_join" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, c.click_id,
+                epoch_us(date_trunc('second', c.ts)) // 1000000 AS click_ts_s
+         FROM events e ASOF LEFT JOIN c
+           ON e.user_id = c.user_id AND c.ts <= e.ts
+         WHERE e.event_type = 'error' ORDER BY e.event_id""",
+
+    "q21_range_join" ->
+      """SELECT i AS bucket, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN (SELECT unnest(range(50)) AS i) b
+           ON e.value >= i * 10.0 AND e.value < (i + 1) * 10.0
+         GROUP BY 1 ORDER BY 1""",
+
+    "q27_rolling_window" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS rolling_sum
+         FROM events ORDER BY user_id, ts_us, event_id""",
+
+    "q28_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey,
+                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                round(percent_rank() OVER w, 6) AS prnk,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, drnk, o_orderkey""",
+
+    "q26_full_outer" ->
+      """SELECT coalesce(e.user_id, c.cust_id) AS id,
+                coalesce(e.n_events, 0) AS n_events,
+                coalesce(c.c_mktsegment, 'NONE') AS segment
+         FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1) e
+         FULL OUTER JOIN (SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment
+                          FROM customer) c
+           ON e.user_id = c.cust_id
+         ORDER BY id""",
+
+    "q23_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                 (o_orderstatus, o_orderpriority))
+         ORDER BY 1, 2""",
+
+    "q30_distinct_kmv" ->
+      """WITH d AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+                    FROM lineitem GROUP BY 1, 2),
+            rk AS (SELECT l_returnflag, h,
+                          row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY h) AS r
+                   FROM d),
+            sk AS (SELECT l_returnflag, count(*) AS n_sketch, max(h) AS hk
+                   FROM rk WHERE r <= 256 GROUP BY 1)
+         SELECT l_returnflag, CAST(n_sketch AS BIGINT) AS n_sketch,
+                CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
+                     ELSE round(255.0 * 1152921504606846976.0 /
+                            CAST(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)
+                                 AS DOUBLE), 4)
+                END AS distinct_est
+         FROM sk ORDER BY l_returnflag"""
+  )
+}

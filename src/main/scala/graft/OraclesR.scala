@@ -1,0 +1,679 @@
+package graft
+
+/** DuckDB oracle SQL for the log-stream-family query keys — split from
+  * SparkEntry so the per-round growth lands in family files.
+  * Entries are verbatim; the shared CTE builders live in
+  * [[OracleHelpers]]. The oracle contract (identical aliases to
+  * the Spark side, total-order ORDER BY, BIGINT/DOUBLE casts) is
+  * documented on [[SparkEntry.oracleSql]].
+  */
+private[graft] object OraclesR {
+  import OracleHelpers._
+
+  val sql: Map[String, String] = Map(
+    "r11_hash_sample" ->
+      """SELECT event_id, event_type AS etype, value FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+         ORDER BY event_id""",
+
+    "r12_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+                    FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+                  FROM g)
+         SELECT user_id, CAST(session AS BIGINT) AS session,
+                min(ts_us) AS start_us, max(ts_us) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r21_session_paths" ->
+      // r12's session CTE + ordered string_agg of each session's
+      // first-8 event types; same (count desc, path) top-20
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+                    FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+                  FROM g),
+            x AS (SELECT *, row_number() OVER (PARTITION BY user_id, session
+                    ORDER BY ts_us, event_id) AS rn FROM s),
+            p AS (SELECT user_id, session,
+                    string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM x WHERE rn <= 8 GROUP BY 1, 2),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+                  FROM p GROUP BY 1)
+         SELECT path, n_sessions FROM (
+           SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
+           FROM c)
+         WHERE rk <= 20 ORDER BY n_sessions DESC, path""",
+
+    "r13_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+               CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
+         ORDER BY doc_id""",
+
+    "r27_seasonal_baseline" ->
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT min(hr) AS h0,
+                         greatest(min(hr), max(hr) - 167) AS hb FROM h),
+            hi AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_hist
+                   FROM h, b WHERE hr < hb GROUP BY 1, 2),
+            la AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_last
+                   FROM h, b WHERE hr >= hb GROUP BY 1, 2),
+            j AS (SELECT coalesce(hi.key, la.key) AS key,
+                         coalesce(hi.how, la.how) AS how,
+                         coalesce(n_hist, 0) AS n_hist,
+                         coalesce(n_last, 0) AS n_last
+                  FROM hi FULL OUTER JOIN la
+                    ON la.key = hi.key AND la.how = hi.how),
+            sl AS (SELECT j.*, ((b.hb - b.h0) // 168) +
+                     (CASE WHEN ((j.how - (b.h0 % 168) + 168) % 168)
+                                < ((b.hb - b.h0) % 168)
+                           THEN 1 ELSE 0 END) AS slots_hist
+                   FROM j, b)
+         SELECT key AS event_type, how, n_hist, CAST(slots_hist AS BIGINT) AS slots_hist,
+                CASE WHEN slots_hist > 0
+                     THEN round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
+                END AS baseline_mean,
+                n_last,
+                CASE WHEN slots_hist > 0
+                     THEN round((CAST(n_last AS DOUBLE) + 1.0) /
+                            (round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
+                             + 1.0), 6)
+                END AS ratio
+         FROM sl ORDER BY event_type, how""",
+
+    "r26_burn_rate" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+                    FROM events GROUP BY 1),
+            mx AS (SELECT max(hr) AS mx FROM h),
+            w(window_hours) AS (VALUES (1), (6), (24), (72)),
+            a AS (SELECT w.window_hours,
+                         CAST(sum(h.n) AS BIGINT) AS n_total,
+                         CAST(sum(h.e) AS BIGINT) AS n_errors
+                  FROM h CROSS JOIN mx CROSS JOIN w
+                  WHERE h.hr > mx.mx - w.window_hours
+                  GROUP BY 1)
+         SELECT CAST(window_hours AS INTEGER) AS window_hours, n_total, n_errors,
+                round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS err_rate,
+                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / 0.0050000000000000044, 6) AS burn_rate,
+                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / 0.0050000000000000044, 6) >= 14.4 AS page
+         FROM a ORDER BY window_hours""",
+
+    "r14_rate_alert" ->
+      """SELECT * FROM (
+           SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS error_rate
+           FROM events GROUP BY 1)
+         WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
+         ORDER BY window_start""",
+
+    "r33_spike_attribution" ->
+      // the r16 chain verbatim on the constant-key global rate, then
+      // the r32 share/z formulas between the two hour classes
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                    FROM events GROUP BY 1),
+            r AS (SELECT hr, c, count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT hr, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT hr,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            vd AS (SELECT hr, (coalesce(abs(zs) >= 3.0, false)
+                               OR zs IS NULL) AS an FROM z),
+            kh AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+            k AS (SELECT kh.key,
+                    CAST(sum(CASE WHEN vd.an THEN kh.c ELSE 0 END) AS BIGINT)
+                      AS n_anom,
+                    CAST(sum(CASE WHEN NOT vd.an THEN kh.c ELSE 0 END) AS BIGINT)
+                      AS n_norm
+                  FROM kh JOIN vd USING (hr) GROUP BY 1),
+            t AS (SELECT CAST(sum(n_anom) AS BIGINT) AS ta,
+                         CAST(sum(n_norm) AS BIGINT) AS tn2 FROM k),
+            x AS (SELECT k.*, t.ta, t.tn2,
+                    CAST(n_anom AS DOUBLE) / CAST(ta AS DOUBLE) AS sa,
+                    CAST(n_norm AS DOUBLE) / CAST(tn2 AS DOUBLE) AS sn,
+                    CAST(n_anom + n_norm AS DOUBLE)
+                      / CAST(ta + tn2 AS DOUBLE) AS p
+                  FROM k CROSS JOIN t WHERE t.ta > 0)
+         SELECT key AS event_type, n_anom, n_norm,
+                round(sa, 6) AS share_anom, round(sn, 6) AS share_norm,
+                CASE WHEN n_norm = 0 THEN NULL
+                     ELSE round(sa / sn, 6) END AS lift,
+                round(CAST(n_anom AS DOUBLE) - CAST(ta AS DOUBLE) * sn, 6)
+                  AS excess,
+                CASE WHEN tn2 = 0 OR p = 0.0 OR p = 1.0 THEN NULL
+                     ELSE round((sa - sn) / sqrt(p * (1.0 - p)
+                       * (1.0 / CAST(ta AS DOUBLE) + 1.0 / CAST(tn2 AS DOUBLE))), 6)
+                END AS z_score
+         FROM x ORDER BY event_type""",
+
+    "r32_canary_compare" ->
+      // the same (key, hour) histogram + conditional window sums;
+      // every division replayed in the identical association order
+      """WITH h AS (SELECT event_type AS key,
+                           epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2),
+            a AS (SELECT max(hr) AS mx FROM h),
+            k AS (SELECT h.key,
+                    CAST(sum(CASE WHEN h.hr <= a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS n_before,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS n_after
+                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 672
+                  GROUP BY 1),
+            t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                         CAST(sum(n_after) AS BIGINT) AS ta FROM k),
+            x AS (SELECT k.*, t.tb, t.ta,
+                    CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE) AS pb,
+                    CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE) AS pa,
+                    CAST(n_before + n_after AS DOUBLE)
+                      / CAST(tb + ta AS DOUBLE) AS p
+                  FROM k CROSS JOIN t)
+         SELECT key AS event_type, n_before, n_after,
+                round(CAST(n_before AS DOUBLE) / 504.0, 6) AS rate_before,
+                round(CAST(n_after AS DOUBLE) / 168.0, 6) AS rate_after,
+                CASE WHEN n_before = 0 THEN NULL
+                     ELSE round((CAST(n_after AS DOUBLE) / 168.0)
+                                / (CAST(n_before AS DOUBLE) / 504.0), 6)
+                END AS rate_ratio,
+                round(pb, 6) AS share_before,
+                round(pa, 6) AS share_after,
+                CASE WHEN tb = 0 OR ta = 0 OR p = 0.0 OR p = 1.0 THEN NULL
+                     ELSE round((pa - pb) / sqrt(p * (1.0 - p)
+                       * (1.0 / CAST(tb AS DOUBLE) + 1.0 / CAST(ta AS DOUBLE))), 6)
+                END AS z_score
+         FROM x ORDER BY event_type""",
+
+    "r31_budget_status" ->
+      // same histogram + conditional aggregates; rate expressions in
+      // the identical association order, budget literal bit-shared
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                             AS BIGINT) AS e
+                    FROM events GROUP BY 1),
+            a AS (SELECT max(hr) AS mx, min(hr) AS mn FROM h),
+            g AS (SELECT a.mx, a.mn,
+                    CAST(sum(h.n) AS BIGINT) AS n_total,
+                    CAST(sum(h.e) AS BIGINT) AS n_errors,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
+                      AS BIGINT) AS rn,
+                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.e ELSE 0 END)
+                      AS BIGINT) AS re
+                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 720
+                  GROUP BY 1, 2),
+            x AS (SELECT *, least(mx - mn + 1, 720) AS elapsed,
+                    CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate,
+                    CAST(re AS DOUBLE) / CAST(rn AS DOUBLE)
+                      / 0.0050000000000000044 AS rb
+                  FROM g),
+            y AS (SELECT *, rate / 0.0050000000000000044
+                    * CAST(elapsed AS DOUBLE) / 720.0 AS used
+                  FROM x)
+         SELECT CAST(720 AS BIGINT) AS period_hours,
+                CAST(elapsed AS BIGINT) AS elapsed_hours,
+                n_total, n_errors, round(rate, 6) AS err_rate,
+                round(used, 6) AS budget_used_frac,
+                round(rb, 6) AS recent_burn,
+                CASE WHEN re = 0 THEN NULL
+                     ELSE round(greatest((1.0 - used) * 720.0 / rb, 0.0), 6)
+                END AS hours_to_exhaustion,
+                used >= 1.0 AS exhausted
+         FROM y""",
+
+    "r30_cusum" ->
+      // same closed-form chart: baseline integer micros over the
+      // first 24 present hours, prefix sums of (count - allowance),
+      // running min, S = P - min(0, Pmin); all-integer until output
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            b AS (SELECT key, hr, c, min(hr) OVER (PARTITION BY key) AS h0 FROM h),
+            b2 AS (SELECT key, hr, c, h0,
+                     sum(CASE WHEN hr < h0 + 24 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY key) AS nb,
+                     sum(CASE WHEN hr < h0 + 24 THEN c ELSE 0 END)
+                       OVER (PARTITION BY key) AS bs
+                   FROM b),
+            s AS (SELECT key, hr, c, (bs * 1000000) // nb AS bm
+                  FROM b2 WHERE hr >= h0 + 24),
+            p AS (SELECT key, hr, c, bm,
+                    sum(c * 1000000 - (bm + bm // 4)) OVER (
+                      PARTITION BY key ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pp
+                  FROM s),
+            q AS (SELECT key, hr, c, bm, pp,
+                    min(pp) OVER (PARTITION BY key ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS pmin
+                  FROM p)
+         SELECT key AS event_type, hr * 3600 AS hr_start,
+                c AS n_events, CAST(bm AS BIGINT) AS baseline_micros,
+                CAST(pp - least(pmin, 0) AS BIGINT) AS cusum_micros,
+                (pp - least(pmin, 0)) > bm * 5 AS is_change
+         FROM q ORDER BY event_type, hr_start""",
+
+    "r16_rate_anomaly" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc)
+         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(m, 6) AS mean_trailing,
+                round(zs, 6) AS z_score,
+                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
+         FROM z ORDER BY event_type, hr_start""",
+
+    "r24_rare_transitions" ->
+      // per-user lag over the identically-masked lines, transition
+      // counts, share of the source's outgoing edges, the same flag
+      """WITH lines AS (
+           SELECT user_id, ts, event_id,
+                  'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT user_id, ts, event_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                     '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                     '<UUID>', 'g'),
+                     '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                     '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS tpl
+                 FROM lines),
+           tr AS (SELECT prev AS src_template, tpl AS dst_template,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT tpl, lag(tpl) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                        FROM t)
+                  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           sh AS (SELECT src_template, dst_template, n,
+                         round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                           PARTITION BY src_template) AS DOUBLE), 6) AS share
+                  FROM tr)
+         SELECT src_template, dst_template, n, share,
+                (n <= 2 OR share < 0.05) AS rare
+         FROM sh ORDER BY src_template, dst_template""",
+
+    "r28_incidents" ->
+      // the r23 edge chain + one lead pairing fires with their next
+      // resolve; per-key MTTR over closed incidents only
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a),
+            ed AS (SELECT event_type, hr_start, an FROM e
+                   WHERE an <> coalesce(prev, false)),
+            fr AS (SELECT event_type, hr_start, an,
+                     lead(hr_start) OVER (PARTITION BY event_type
+                       ORDER BY hr_start) AS nxt
+                   FROM ed),
+            fi AS (SELECT event_type, (nxt - hr_start) // 3600 AS dur, nxt
+                   FROM fr WHERE an)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_incidents,
+                CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                round(avg(CAST(dur AS DOUBLE)), 6) AS mttr_hours,
+                CAST(max(dur) AS BIGINT) AS max_hours
+         FROM fi GROUP BY 1 ORDER BY event_type""",
+
+    "r23_alert_edges" ->
+      // the r16 CTE + one lag over the scored hourly frame; same
+      // rising/falling edge rule
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c, m,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start, c, zs,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a)
+         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(zs, 6) AS z_score,
+                CASE WHEN an THEN 'fire' ELSE 'resolve' END AS edge
+         FROM e WHERE an <> coalesce(prev, false)
+         ORDER BY event_type, hr_start""",
+
+    "r29_alert_storms" ->
+      // the r23 chain's fire edges, gap-split in global (hr, key)
+      // order, grouped per storm — identical cumsum storm ids
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hr, c,
+                    count(*) OVER w AS tn,
+                    sum(c) OVER w AS tsum,
+                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
+                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                   FROM r WHERE tn >= 12),
+            z AS (SELECT event_type, hr_start, c,
+                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                  FROM sc),
+            a AS (SELECT event_type, hr_start,
+                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
+                  FROM z),
+            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
+                    ORDER BY hr_start) AS prev FROM a),
+            f AS (SELECT event_type AS key, hr_start FROM e
+                  WHERE an <> coalesce(prev, false) AND an),
+            g AS (SELECT key, hr_start,
+                    CASE WHEN lag(hr_start) OVER o IS NULL
+                           OR hr_start - lag(hr_start) OVER o > 7200 THEN 1
+                         ELSE 0 END AS ns
+                  FROM f WINDOW o AS (ORDER BY hr_start, key)),
+            st AS (SELECT key, hr_start, sum(ns) OVER (
+                     ORDER BY hr_start, key ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM g)
+         SELECT CAST(min(hr_start) AS BIGINT) AS storm_start,
+                CAST(max(hr_start) AS BIGINT) AS storm_end,
+                CAST(count(*) AS BIGINT) AS n_fires,
+                CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+                CAST((max(hr_start) - min(hr_start)) // 3600 AS BIGINT) AS span_hours,
+                string_agg(DISTINCT key, ',' ORDER BY key) AS keys
+         FROM st GROUP BY sid ORDER BY storm_start""",
+
+    "r25_template_drift" ->
+      """WITH lines AS (SELECT ts, 'user=' || user_id || ' type=' || event_type
+                || ' value=' || CAST(value AS VARCHAR) AS l FROM events),
+            t AS (SELECT epoch_us(ts) AS us,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                      '<UUID>', 'g'),
+                      '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                      '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+                  FROM lines),
+            b AS (SELECT min(us) + ((max(us) - min(us)) // 2) AS bnd FROM t),
+            c AS (SELECT template,
+                    CAST(sum(CASE WHEN us < bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+                    CAST(sum(CASE WHEN us >= bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+                  FROM t, b GROUP BY 1),
+            sc AS (SELECT template, n_before, n_after,
+                     round(ln(CAST(n_after + 1 AS DOUBLE)
+                              / CAST(n_before + 1 AS DOUBLE)), 6) AS log_ratio,
+                     CASE WHEN n_before = 0 THEN 'new'
+                          WHEN n_after = 0 THEN 'vanished'
+                          ELSE 'shifted' END AS status
+                   FROM c)
+         SELECT template, n_before, n_after, log_ratio, status FROM (
+           SELECT *, row_number() OVER (
+             ORDER BY abs(log_ratio) DESC, template) AS rk FROM sc)
+         WHERE rk <= 20 ORDER BY abs(log_ratio) DESC, template""",
+
+    "r22_template_anomaly" ->
+      // the r18 masking CTE keys the r16 anomaly CTE — same regexes,
+      // same trailing-24 z-score arithmetic, template-keyed
+      """WITH lines AS (
+           SELECT ts, 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT ts, regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+              FROM lines),
+           h AS (SELECT template, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+                 FROM t GROUP BY 1, 2),
+           r AS (SELECT template, hr, c,
+                   count(*) OVER w AS tn,
+                   sum(c) OVER w AS tsum,
+                   sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
+                 FROM h
+                 WINDOW w AS (PARTITION BY template ORDER BY hr
+                              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+           sc AS (SELECT template, hr * 3600 AS hr_start, c,
+                    CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
+                    CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
+                      - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
+                        * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
+                  FROM r WHERE tn >= 12),
+           z AS (SELECT template, hr_start, c, m,
+                   CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
+                        WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
+                 FROM sc)
+         SELECT template, hr_start, CAST(c AS BIGINT) AS n_events,
+                round(m, 6) AS mean_trailing,
+                round(zs, 6) AS z_score,
+                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
+         FROM z ORDER BY template, hr_start""",
+
+    "r20_ewma_forecast" ->
+      // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as
+      // exact integers, then perform the SAME single IEEE division
+      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              j AS (SELECT a.key, a.hr, a.c,
+                      CAST(sum(b.c * (CAST(1 AS BIGINT)
+                        << CAST(24 - (a.hr - b.hr) AS INTEGER))) AS BIGINT) AS num,
+                      CAST(sum(CAST(1 AS BIGINT)
+                        << CAST(24 - (a.hr - b.hr) AS INTEGER)) AS BIGINT) AS den,
+                      count(*) AS tn
+                    FROM h a JOIN h b
+                      ON b.key = a.key AND b.hr BETWEEN a.hr - 24 AND a.hr - 1
+                    GROUP BY 1, 2, 3),
+              f AS (SELECT key, hr, c, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS fc
+                    FROM j WHERE tn >= 12)
+         SELECT key AS event_type, hr * 3600 AS hr_start,
+                CAST(c AS BIGINT) AS n_events,
+                round(fc, 6) AS ewma_forecast,
+                (CAST(c AS DOUBLE) >= 3.0 * fc) AS is_spike,
+                (CAST(c AS DOUBLE) <= fc / 3.0) AS is_drop
+         FROM f ORDER BY event_type, hr_start""",
+
+    "r17_parse_rate" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                count(*) AS n_lines,
+                sum(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS n_parsed
+             FROM events GROUP BY 1)
+         SELECT hr * 3600 AS hr_start, CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(n_parsed AS BIGINT) AS n_parsed,
+                CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) AS parse_rate,
+                (CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.95) AS alert
+         FROM h ORDER BY hr_start""",
+
+    "r18_log_templates" ->
+      """WITH lines AS (
+           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events
+           UNION ALL
+           SELECT 'user=' || c_custkey || ' name=' || c_name
+               || ' segment=' || c_mktsegment FROM customer),
+           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
+              FROM lines)
+         SELECT template, CAST(count(*) AS BIGINT) AS n
+         FROM t GROUP BY 1 ORDER BY template""",
+
+    "r19_template_latency" ->
+      """WITH lines AS (
+           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+               || ' user=' || user_id || ' type=' || event_type
+               || ' value=' || CAST(value AS VARCHAR) AS l
+           FROM events),
+           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
+                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                 '<UUID>', 'g'),
+                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template,
+                 CAST(regexp_extract(l, ' value=(.+)$', 1) AS DOUBLE) AS v
+              FROM lines)
+         SELECT template, CAST(count(*) AS BIGINT) AS n,
+                round(quantile_cont(v, 0.5), 6) AS p50,
+                round(quantile_cont(v, 0.95), 6) AS p95,
+                round(max(v), 6) AS max_v
+         FROM t GROUP BY 1 ORDER BY template""",
+
+    "r15_multiline" ->
+      """WITH lines AS (
+           SELECT user_id, event_id * 2 AS line_no,
+                  'id=' || event_id || ' type=' || event_type AS line,
+                  1 AS is_header
+           FROM events
+           UNION ALL
+           SELECT user_id, event_id * 2 + 1, '  at trace#' || event_id, 0
+           FROM events WHERE event_type = 'error'),
+            r AS (
+           SELECT user_id, line_no, line,
+                  CAST(sum(is_header) OVER (PARTITION BY user_id ORDER BY line_no) AS BIGINT) AS rec_no
+           FROM lines)
+         SELECT user_id, rec_no, CAST(count(*) AS BIGINT) AS n_lines,
+                string_agg(line, ' | ' ORDER BY line_no) AS record
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r01_regex_parse" ->
+      """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
+                user_id, event_type AS etype, value
+         FROM events ORDER BY event_id""",
+
+    "r02_date_parse" ->
+      """SELECT event_id, CASE
+           WHEN event_id % 9 = 5 THEN epoch_us(date_trunc('minute', ts)) // 1000000
+           WHEN event_id % 9 = 7 THEN epoch_us(date_trunc('day', ts)) // 1000000
+           ELSE epoch_us(date_trunc('second', ts)) // 1000000
+         END AS ts_s
+         FROM events ORDER BY event_id""",
+
+    "r03_filter" ->
+      """SELECT event_id, event_type AS etype, value FROM events
+         WHERE event_type = 'error' AND value > 50.0 ORDER BY event_id""",
+
+    "r05_throttle" ->
+      """SELECT event_id FROM (
+           SELECT event_id, row_number() OVER (
+             PARTITION BY epoch_us(ts) // 60000000
+             ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events) WHERE rn <= 5 ORDER BY event_id""",
+
+    "r06_window_tumbling" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300 AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r07_window_sliding" ->
+      """SELECT ws AS window_start, event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT unnest([(epoch_us(ts) // 300000000) * 300 - 300,
+                              (epoch_us(ts) // 300000000) * 300]) AS ws,
+                      event_type, value
+               FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r08_multitable_join" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "r09_sql_per_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                event_type AS etype, CAST(count(*) AS BIGINT) AS n, max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "r10_bool_parse" ->
+      """SELECT value > 50.0 AS big, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

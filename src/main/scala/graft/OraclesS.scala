@@ -1,0 +1,422 @@
+package graft
+
+/** DuckDB oracle SQL for the similarity-family query keys — split from
+  * SparkEntry so the per-round growth lands in family files.
+  * Entries are verbatim; the shared CTE builders live in
+  * [[OracleHelpers]]. The oracle contract (identical aliases to
+  * the Spark side, total-order ORDER BY, BIGINT/DOUBLE casts) is
+  * documented on [[SparkEntry.oracleSql]].
+  */
+private[graft] object OraclesS {
+  import OracleHelpers._
+
+  val sql: Map[String, String] = Map(
+    "s01_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s19_mmr_rerank" -> mmrOracle(k = 5, prefetch = 20, lam = 0.7),
+
+    "s18_postfiltered_ann" ->
+      // unfiltered top-20, label=1 survivors re-ranked to 10 — the
+      // post-filter strategy's exact answer, short lists included
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+                    FROM s),
+              f AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY rnk) AS BIGINT) AS rnk2
+                    FROM r
+                    JOIN (SELECT vec_id FROM embeddings WHERE label = 1) lf
+                      ON lf.vec_id = r.cid
+                    WHERE rnk <= 20)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos,
+                rnk2 AS rank
+         FROM f WHERE rnk2 <= 10 ORDER BY query_id, rank""",
+
+    "s17_filtered_ann" ->
+      // s01's brute spec restricted to the label=1 survivors — the
+      // pre-filter strategy's exact answer
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE label = 1),
+              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
+              s AS (SELECT qid, cid,
+                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                    FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                    FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s21_top_pc" -> s21Oracle,
+
+    "s22_pc_project" -> s22Oracle,
+
+    "s24_pca_topk" -> s24Oracle,
+
+    "s25_pc_whiten" -> s25Oracle,
+
+    "s20_int8_ann" ->
+      // both sides re-quantized with s07's floor codes; the three
+      // sums are exact integer arithmetic (order-insensitive), so the
+      // quantized cosine reproduces Spark's bit-for-bit
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                    FROM embeddings),
+            cd AS (SELECT vec_id AS id,
+                     CASE WHEN scale = 0
+                          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT))
+                     END AS codes
+                   FROM e),
+            u AS (SELECT q.id AS qid, c.id AS cid,
+                         unnest(q.codes) AS qx, unnest(c.codes) AS cx
+                  FROM cd c, (SELECT * FROM cd WHERE id < 5) q),
+            s AS (SELECT qid, cid,
+                         CAST(sum(qx*cx) AS BIGINT) AS dot,
+                         CAST(sum(cx*cx) AS BIGINT) AS cn2,
+                         CAST(sum(qx*qx) AS BIGINT) AS qn2
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT qid, cid,
+                         round(CAST(dot AS DOUBLE) /
+                           (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6)
+                           AS qcos
+                  FROM s WHERE cn2 > 0 AND qn2 > 0),
+            k AS (SELECT qid, cid, qcos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY qcos DESC, cid) AS BIGINT) AS rnk
+                  FROM r)
+         SELECT qid AS query_id, cid AS neighbor_id, qcos, rnk AS rank
+         FROM k WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s07_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                    FROM embeddings),
+              u AS (SELECT vec_id, scale, unnest(embedding) AS x,
+                           unnest(range(len(embedding))) AS pos FROM e)
+         SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+                CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT) END AS code,
+                scale
+         FROM u ORDER BY vec_id, pos""",
+
+    "s04_centroids" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+                round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS c
+         FROM (SELECT label, unnest(embedding) AS x,
+                      unnest(range(len(embedding))) AS pos
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s23_centroid_sim" ->
+      """WITH ce AS (SELECT label, pos,
+               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(len(embedding))) AS pos
+                   FROM embeddings)
+             GROUP BY 1, 2),
+            nm AS (SELECT label,
+                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                   FROM ce GROUP BY 1),
+            dt AS (SELECT a.label AS label1, b.label AS label2,
+                     CAST(sum(CAST(round(a.c * b.c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS dot
+                   FROM ce a JOIN ce b ON b.pos = a.pos AND a.label < b.label
+                   GROUP BY 1, 2)
+         SELECT label1, label2,
+                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         FROM dt JOIN nm na ON na.label = dt.label1
+                 JOIN nm nb ON nb.label = dt.label2
+         WHERE na.n2 > 0 AND nb.n2 > 0
+         ORDER BY label1, label2""",
+
+    "s29_kmeans_train" -> s29Oracle(k = 8, iters = 3, dims = 64),
+
+    "s30_kmeans_prune" ->
+      s30Oracle(k = 8, iters = 3, dims = 64, pruneNum = 3, pruneDen = 10),
+
+    "s32_ivf_exact" ->
+      s32Oracle(k = 8, iters = 3, dims = 64, nprobe = 2, topK = 10,
+        queryMax = 5L),
+
+    "s31_centroid_drift" ->
+      // two s04 centroid chains (even/odd snapshot split), the s23
+      // round-6/DECIMAL dot, counts per side
+      """WITH eo AS (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                     FROM embeddings WHERE vec_id % 2 = 0),
+            en AS (SELECT label, unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS pos
+                   FROM embeddings WHERE vec_id % 2 = 1),
+            co AS (SELECT label, pos,
+                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS c
+                   FROM eo GROUP BY 1, 2),
+            cn AS (SELECT label, pos,
+                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS c
+                   FROM en GROUP BY 1, 2),
+            n2o AS (SELECT label,
+                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                    FROM co GROUP BY 1 HAVING n2 > 0),
+            n2n AS (SELECT label,
+                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
+                    FROM cn GROUP BY 1 HAVING n2 > 0),
+            no AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old
+                   FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+            nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new
+                   FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+            dt AS (SELECT co.label,
+                     CAST(sum(CAST(round(co.c * cn.c, 6) AS DECIMAL(24,8))) AS DOUBLE)
+                       AS dot
+                   FROM co JOIN cn ON cn.label = co.label AND cn.pos = co.pos
+                   GROUP BY 1)
+         SELECT dt.label, no.n_old, nn.n_new,
+                round(dot / (sqrt(n2o.n2) * sqrt(n2n.n2)), 6) AS cos_drift,
+                round(sqrt(n2n.n2) / sqrt(n2o.n2), 6) AS norm_ratio
+         FROM dt JOIN n2o ON n2o.label = dt.label
+                 JOIN n2n ON n2n.label = dt.label
+                 JOIN no ON no.label = dt.label
+                 JOIN nn ON nn.label = dt.label
+         ORDER BY dt.label""",
+
+    "s28_proto_prune" ->
+      // the s04 centroid chain rounded 6, per-term round-6 products
+      // DECIMAL-folded (the s23 discipline), rank/count windows, and
+      // the exact-integer prune cut n*3//10
+      """WITH ce AS (SELECT label, CAST(pos AS BIGINT) AS pos,
+               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS c
+             FROM (SELECT label, unnest(embedding) AS x,
+                          unnest(range(len(embedding))) AS pos
+                   FROM embeddings)
+             GROUP BY 1, 2),
+            cn AS (SELECT label,
+                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS cn2
+                   FROM ce GROUP BY 1),
+            nv AS (SELECT vec_id, sqrt(list_aggregate(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     'sum')) AS vn
+                   FROM embeddings),
+            dt AS (SELECT e.vec_id, e.label,
+                     CAST(sum(CAST(round(ce.c * CAST(e.x AS DOUBLE), 6)
+                       AS DECIMAL(24,8))) AS DOUBLE) AS dot
+                   FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                                unnest(range(len(embedding))) AS pos
+                         FROM embeddings) e
+                   JOIN ce ON ce.label = e.label AND ce.pos = e.pos
+                   GROUP BY 1, 2),
+            sc AS (SELECT dt.vec_id, dt.label,
+                     round(dot / (sqrt(cn.cn2) * nv.vn), 6) AS proto_score
+                   FROM dt JOIN cn ON cn.label = dt.label AND cn.cn2 > 0
+                           JOIN nv ON nv.vec_id = dt.vec_id AND nv.vn > 0),
+            rk AS (SELECT *,
+                     CAST(row_number() OVER (PARTITION BY label
+                       ORDER BY proto_score DESC, vec_id) AS BIGINT) AS rank_in_label,
+                     CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
+                   FROM sc)
+         SELECT vec_id, label, proto_score, rank_in_label, n_label,
+                rank_in_label > n_label * 3 // 10 AS kept
+         FROM rk ORDER BY label, rank_in_label""",
+
+    "s05_vec_norm" ->
+      """SELECT vec_id, round(sqrt(list_aggregate(
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                'sum')), 6) AS l2
+         FROM embeddings ORDER BY vec_id""",
+
+    "s14_hamming_topk" ->
+      """WITH pj AS (SELECT vec_id, j,
+                round(list_aggregate(list_transform(range(len(embedding)),
+                  i -> CAST(embedding[i + 1] AS DOUBLE) *
+                       (CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
+              FROM embeddings CROSS JOIN (SELECT unnest(range(16)) AS j)),
+            code AS (SELECT vec_id,
+                       sum(CASE WHEN proj > 0
+                           THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END) AS code
+                     FROM pj GROUP BY 1),
+            qc AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 10),
+            hm AS (SELECT qid, c.vec_id AS cid, bit_count(xor(c.code, qcode)) AS ham
+                   FROM code c CROSS JOIN qc),
+            sl AS (SELECT qid, cid, ham FROM (
+                     SELECT qid, cid, ham, row_number() OVER (
+                       PARTITION BY qid ORDER BY ham, cid) AS srnk FROM hm)
+                   WHERE srnk <= 50),
+            u AS (SELECT qid, cid, ham, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
+                         CAST(unnest(qe.embedding) AS DOUBLE) AS y
+                  FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
+                          JOIN embeddings qe ON qe.vec_id = sl.qid),
+            s AS (SELECT qid, cid, ham,
+                         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                  FROM u GROUP BY 1, 2, 3),
+            r AS (SELECT qid, cid, ham, cos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                  FROM s)
+         SELECT qid AS query_id, cid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
+                round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s15_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                    WHERE vec_id < 10),
+            c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+            pu AS (SELECT qid, cid, CAST(unnest(ce[1:16]) AS DOUBLE) AS x,
+                          CAST(unnest(qe[1:16]) AS DOUBLE) AS y
+                   FROM (SELECT qid, cid, qe, ce FROM q, c)),
+            ps AS (SELECT qid, cid,
+                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                            AS pcos
+                   FROM pu GROUP BY 1, 2),
+            sl AS (SELECT qid, cid, pcos FROM (
+                     SELECT qid, cid, pcos, row_number() OVER (
+                       PARTITION BY qid ORDER BY pcos DESC, cid) AS srnk FROM ps)
+                   WHERE srnk <= 50),
+            fu AS (SELECT qid, cid, pcos, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
+                          CAST(unnest(qe.embedding) AS DOUBLE) AS y
+                   FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
+                           JOIN embeddings qe ON qe.vec_id = sl.qid),
+            fs AS (SELECT qid, cid, pcos,
+                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                            AS cos
+                   FROM fu GROUP BY 1, 2, 3),
+            r AS (SELECT qid, cid, pcos, cos, CAST(row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                  FROM fs)
+         SELECT qid AS query_id, cid AS neighbor_id, pcos AS prefix_cos,
+                cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
+    "s08_random_projection" ->
+      """WITH sj AS (SELECT vec_id, j, embedding FROM embeddings
+                     CROSS JOIN (SELECT unnest(range(16)) AS j))
+         SELECT vec_id, CAST(j AS BIGINT) AS j,
+                round(list_aggregate(list_transform(range(len(embedding)),
+                  i -> CAST(embedding[i + 1] AS DOUBLE) *
+                       (CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5(CAST(i AS VARCHAR) || ':' ||
+                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
+         FROM sj ORDER BY vec_id, j""",
+
+    "s10_pq" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              sj AS (SELECT vec_id, ev, code, cv, j FROM e
+                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              d AS (SELECT vec_id, j, code,
+                      round(list_aggregate(list_transform(range(8), i ->
+                          CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                        - 2 * list_aggregate(list_transform(range(8), i ->
+                          CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                        6) AS dist
+                    FROM sj),
+              r AS (SELECT vec_id, j, code, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM d)
+         SELECT vec_id, CAST(j AS BIGINT) AS sub, code
+         FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
+
+    "s11_pq_adc" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              sj AS (SELECT vec_id, ev, code, cv, j FROM e
+                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              dmat AS (SELECT vec_id, j, code,
+                         round(list_aggregate(list_transform(range(8), i ->
+                             CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                           - 2 * list_aggregate(list_transform(range(8), i ->
+                             CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                           6) AS dist
+                       FROM sj),
+              codes AS (SELECT vec_id, j, code FROM (
+                          SELECT vec_id, j, code, row_number() OVER (
+                            PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM dmat)
+                        WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+              dt AS (SELECT qid, j, code,
+                       round(list_aggregate(list_transform(range(8), i ->
+                           CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                         - 2 * list_aggregate(list_transform(range(8), i ->
+                           CAST(qv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                         6) AS dist
+                     FROM q CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              s AS (SELECT dt.qid, c.vec_id AS nid,
+                           round(CAST(sum(CAST(dt.dist AS DECIMAL(24,8))) AS DOUBLE), 6) AS adc_dist
+                    FROM codes c JOIN dt ON dt.j = c.j AND dt.code = c.code
+                    GROUP BY 1, 2),
+              r2 AS (SELECT qid, nid, adc_dist, CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY adc_dist, nid) AS BIGINT) AS rank FROM s)
+         SELECT qid AS query_id, nid AS neighbor_id, adc_dist, rank
+         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "s09_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              u AS (SELECT vec_id, cid, sum(x*y) AS dot,
+                           sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nc
+                    FROM (SELECT vec_id, cid, CAST(unnest(ev) AS DOUBLE) AS x,
+                                 CAST(unnest(ce) AS DOUBLE) AS y FROM e, c)
+                    GROUP BY 1, 2),
+              a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY round(dot/(ne*nc), 6) DESC, cid) AS rn FROM u),
+              asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+              pe AS (SELECT a1.vec_id AS id1, a2.vec_id AS id2, e1.ev AS v1, e2.ev AS v2
+                     FROM asg a1 JOIN asg a2
+                       ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+                     JOIN e e1 ON e1.vec_id = a1.vec_id
+                     JOIN e e2 ON e2.vec_id = a2.vec_id),
+              pu AS (SELECT id1, id2, sum(x*y) AS dot,
+                            sqrt(sum(x*x)) AS n1, sqrt(sum(y*y)) AS n2
+                     FROM (SELECT id1, id2, CAST(unnest(v1) AS DOUBLE) AS x,
+                                  CAST(unnest(v2) AS DOUBLE) AS y FROM pe)
+                     GROUP BY 1, 2),
+              dups AS (SELECT DISTINCT id2 FROM pu WHERE dot/(n1*n2) >= 0.35)
+         SELECT asg.vec_id, asg.cluster FROM asg
+         LEFT JOIN dups ON asg.vec_id = dups.id2
+         WHERE dups.id2 IS NULL ORDER BY vec_id""",
+
+    "s16_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+            u AS (SELECT src, dst, CAST(unnest(se) AS DOUBLE) AS x,
+                         CAST(unnest(de) AS DOUBLE) AS y
+                  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+                               a.embedding AS se, b.embedding AS de
+                        FROM v a, v b WHERE a.vec_id <> b.vec_id)),
+            s AS (SELECT src, dst,
+                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                           AS cos
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT src, dst, cos, CAST(row_number() OVER (
+                    PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
+                  FROM s)
+         SELECT src, dst, cos, rank FROM r WHERE rank <= 5
+         ORDER BY src, rank"""
+  )
+}

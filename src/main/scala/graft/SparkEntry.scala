@@ -106,10 +106,6 @@ object SparkEntry {
 
   /** Seed queries for the BM25 retrieval op (t17): shared between the
     * Spark query and the DuckDB oracle's VALUES list. */
-  private val bm25Queries: Seq[(String, String)] = Seq(
-    "q1" -> "hash", "q1" -> "join", "q1" -> "merge",
-    "q2" -> "window", "q2" -> "stream", "q2" -> "batch",
-    "q3" -> "spark", "q3" -> "vector", "q3" -> "scan")
 
   // ---------------------------------------------------------------- entry
 
@@ -2328,7 +2324,7 @@ object SparkEntry {
       // anything shuffles; per-term contributions rounded then
       // decimal-summed; rank window runs as WindowGroupLimit.
       import s.implicits._
-      val qt = bm25Queries.toDF("qid", "term")
+      val qt = OracleHelpers.bm25Queries.toDF("qid", "term")
       operators.Retrieval.bm25TopK(
           T(s, dir, "documents"), "doc_id", "text", qt, "qid", "term", k = 10)
         .withColumnRenamed("id", "doc_id")
@@ -2610,4218 +2606,14 @@ object SparkEntry {
     * txt, toks) — generated from the same stopword table as
     * TextFunctions.langId, shared by the t01 oracle and t40's
     * per-sentence labeling so the twins can never drift. */
-  private def langIdOver(rel: String, keyCols: String): String = {
-    val scoreCols = TextFunctions.StopwordSets.map { case (l, ws) =>
-      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      if (TextFunctions.UnsegmentedLangs(l))
-        // unsegmented scripts: substring containment on the raw text,
-        // mirroring TextFunctions.langScoreUnsegmented
-        s"len(list_filter($arr, m -> contains(txt, m))) AS s_$l"
-      else
-        s"len(list_intersect(toks, $arr)) AS s_$l"
-    }.mkString(", ")
-    val best = TextFunctions.StopwordSets.map { case (l, _) => s"s_$l" }
-      .mkString("greatest(", ", ", ")")
-    val cases = TextFunctions.StopwordSets.map { case (l, _) =>
-      s"WHEN best > 0 AND s_$l = best THEN '$l'"
-    }.mkString(" ")
-    s"""SELECT $keyCols, CASE $cases ELSE 'und' END AS lang_pred FROM (
-          SELECT $keyCols, $best AS best, s_${TextFunctions.StopwordSets.map(_._1).mkString(", s_")} FROM (
-            SELECT $keyCols, $scoreCols FROM $rel))"""
-  }
-
-  private val langIdOracle: String =
-    langIdOver(
-      """(SELECT doc_id, lower(text) AS txt,
-                 string_split_regex(lower(text), '\s+') AS toks
-          FROM documents)""", "doc_id") + " ORDER BY doc_id"
-
-  /** Chained-CTE replay of [[graft.operators.TextStats.bpeTrain]]'s 8
-    * merge rounds: v0 = the space-joined char symbolization of the
-    * vocabulary; round k picks argmax pair (freq desc, pair asc) from
-    * v(k-1) and rewrites v(k-1) with the same padded replace. Built
-    * programmatically — the rounds are mechanical.
+  /** DuckDB oracle SQL per query key (the driver's correctness
+    * gate): same column aliases as the Spark side, total-order
+    * ORDER BY, and explicit BIGINT/DOUBLE casts where DuckDB's
+    * types diverge (sum(int) widens to HUGEINT, which breaks the
+    * value hash). Entries live in the per-family Oracles* files;
+    * keys absent here get the weaker rows-only check by design.
     */
-  private def bpeCtes(nMerges: Int): String = {
-    val head =
-      """WITH words AS (SELECT w, count(*) AS cnt FROM (
-              SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-              FROM documents) WHERE w <> '' GROUP BY 1),
-            v0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS syms, cnt
-                   FROM words)"""
-    val rounds = (1 to nMerges).map { k =>
-      s""",
-            p$k AS (SELECT l[i] || ' ' || l[i+1] AS pair, sum(cnt) AS f
-                    FROM (SELECT l, cnt, unnest(range(1, len(l))) AS i
-                          FROM (SELECT string_split(trim(syms), ' ') AS l, cnt
-                                FROM v${k - 1}))
-                    GROUP BY 1),
-            m$k AS (SELECT pair, f FROM p$k ORDER BY f DESC, pair LIMIT 1),
-            v$k AS (SELECT replace(syms, ' ' || pair || ' ',
-                             ' ' || replace(pair, ' ', '') || ' ') AS syms, cnt
-                    FROM v${k - 1}, m$k)"""
-    }.mkString
-    head + rounds
-  }
-
-  /** Chained-CTE replay of [[graft.operators.Similarity.mmrTopK]]'s
-    * greedy rounds: round i scores every unselected candidate as
-    * λ·rel − (1−λ)·max(sim to a1..a(i−1)) and takes the window-rank-1
-    * row. λ and 1−λ interpolate as the Scala-computed doubles so both
-    * engines fold the SAME IEEE constants over the SAME rounded-6
-    * rel/sim inputs.
-    */
-  private def mmrOracle(k: Int, prefetch: Int, lam: Double): String = {
-    val l = lam.toString
-    val oml = (1.0 - lam).toString
-    val head =
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
-                           CAST(unnest(qe) AS DOUBLE) AS y
-                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
-              s AS (SELECT qid, cid,
-                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                    FROM u GROUP BY 1, 2),
-              r AS (SELECT qid, cid, cos, row_number() OVER (
-                      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-                    FROM s),
-              cand AS (SELECT qid, cid, round(cos, 6) AS rel FROM r WHERE rnk <= $prefetch),
-              su AS (SELECT a.qid, a.cid AS c1, b.cid AS c2,
-                            CAST(unnest(ea.embedding) AS DOUBLE) AS x,
-                            CAST(unnest(eb.embedding) AS DOUBLE) AS y
-                     FROM cand a JOIN cand b ON a.qid = b.qid
-                     JOIN embeddings ea ON ea.vec_id = a.cid
-                     JOIN embeddings eb ON eb.vec_id = b.cid),
-              sims AS (SELECT qid, c1, c2,
-                              round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6) AS sim
-                       FROM su GROUP BY 1, 2, 3),
-              a1 AS (SELECT qid, cid, 1 AS mmr_rank FROM (
-                       SELECT qid, cid, row_number() OVER (
-                         PARTITION BY qid ORDER BY rel DESC, cid) AS rk FROM cand)
-                     WHERE rk = 1)"""
-    val rounds = (2 to k).map { i =>
-      s""",
-              a$i AS (SELECT qid, cid, $i AS mmr_rank FROM (
-                        SELECT c.qid, c.cid, row_number() OVER (
-                          PARTITION BY c.qid
-                          ORDER BY $l * c.rel - $oml * ms.m DESC, c.cid) AS rk
-                        FROM cand c
-                        JOIN (SELECT s2.qid, s2.c1 AS cid, max(s2.sim) AS m
-                              FROM sims s2
-                              JOIN (${(1 until i).map(j => s"SELECT qid, cid FROM a$j").mkString(" UNION ALL ")}) p
-                                ON p.qid = s2.qid AND p.cid = s2.c2
-                              GROUP BY 1, 2) ms
-                          ON ms.qid = c.qid AND ms.cid = c.cid
-                        WHERE NOT EXISTS (
-                          SELECT 1 FROM (${(1 until i).map(j => s"SELECT qid, cid FROM a$j").mkString(" UNION ALL ")}) p2
-                          WHERE p2.qid = c.qid AND p2.cid = c.cid))
-                      WHERE rk = 1)"""
-    }.mkString
-    val all = (1 to k).map(j => s"SELECT qid, cid, mmr_rank FROM a$j")
-      .mkString(" UNION ALL ")
-    head + rounds +
-      s"""
-         SELECT f.qid AS query_id, f.cid AS neighbor_id, cand.rel AS rel,
-                CAST(f.mmr_rank AS BIGINT) AS mmr_rank
-         FROM ($all) f JOIN cand ON cand.qid = f.qid AND cand.cid = f.cid
-         ORDER BY query_id, mmr_rank"""
-  }
-
-  private val ngramShingleCte =
-    // shingle start positions unnest per row from range(1, len(toks)-1)
-    // (1-based, stop-exclusive => i+2 <= len), so the bound derives
-    // from each document's own token count — no silent cap on long docs
-    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                  FROM documents WHERE doc_id < 500),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
-                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)"""
-
-  /** DuckDB twin of TextFunctions.qualityScore over documents —
-    * shared by t02 and d07 so the two oracles cannot drift. */
-  private val qualitySubSql =
-    """SELECT doc_id, round(
-           (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1 ELSE 0 END) * 0.3
-           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1 ELSE 0 END) * 0.3
-           + ar * 0.4, 4) AS quality
-         FROM (
-           SELECT doc_id, text,
-                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                    / CAST(greatest(length(text), 1) AS DOUBLE) AS ar,
-                  CAST(length(text) AS DOUBLE) / CAST(greatest(
-                    CASE WHEN length(trim(text)) = 0 THEN 0
-                         ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS DOUBLE) AS mwl
-           FROM documents)"""
-
-  /** d12's DuckDB twin, generated: the 64 per-bit conditional sums
-    * mirror the Spark aggregate column for column (same instr-based hex
-    * digit parse, same floor-div bit extraction), so both engines
-    * evaluate the identical hash family and banding.
-    */
-  /** BM25 oracle: identical arithmetic association as
-    * Retrieval.bm25TopK — idf * ((tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl)))
-    * with per-term contributions rounded to 6 then DECIMAL-summed, so
-    * both engines produce identical IEEE64 scores and therefore
-    * identical ranks (ties broken by doc_id).
-    */
-  /** s29 oracle: the FULL Lloyd trajectory replayed in SQL — micro
-    * vectors, md5-seeded init, per-iteration exact-integer argmin +
-    * sign-split HALF_UP micro means with the empty-cluster COALESCE,
-    * then the final assignment. Exact integers end-to-end make the
-    * whole trajectory engine-independent.
-    */
-  private def s29Oracle(k: Int, iters: Int, dims: Int): String =
-    s"""WITH ${lloydCtes(k, iters, dims)}
-       SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster,
-              CAST(dist AS BIGINT) AS dist_sq
-       FROM asg ORDER BY vec_id"""
-
-  /** The shared Lloyd-trajectory CTE chain (ends at `asg`:
-    * (id, j, dist) — the final assignment under the final centroids).
-    * s29 selects it directly; s30 stacks the prototypicality chain on
-    * top, so the two oracles cannot drift.
-    */
-  private def lloydCtes(k: Int, iters: Int, dims: Int): String = {
-    val iterCtes = (1 to iters).map { t =>
-      s"""d$t AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
-               FROM ex e JOIN c${t - 1} c USING (pos) GROUP BY 1, 2),
-          a$t AS (SELECT id, j FROM (
-                    SELECT id, j, row_number() OVER (PARTITION BY id
-                      ORDER BY dist, j) AS rk FROM d$t) WHERE rk = 1),
-          m$t AS (SELECT a.j, e.pos,
-                    CASE WHEN sum(e.x6) >= 0
-                         THEN (2 * sum(e.x6) + count(*)) // (2 * count(*))
-                         ELSE -((2 * -sum(e.x6) + count(*)) // (2 * count(*)))
-                    END AS c6
-                  FROM ex e JOIN a$t a USING (id) GROUP BY a.j, e.pos),
-          c$t AS (SELECT p.j, p.pos, CAST(COALESCE(m.c6, p.c6) AS BIGINT) AS c6
-                  FROM c${t - 1} p LEFT JOIN m$t m ON m.j = p.j AND m.pos = p.pos)"""
-    }.mkString(",\n")
-    s"""ex AS (SELECT vec_id AS id, CAST(pos AS BIGINT) AS pos,
-                CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000, 0) AS BIGINT) AS x6
-              FROM (SELECT vec_id, unnest(embedding) AS x,
-                           unnest(range(len(embedding))) AS pos
-                    FROM embeddings WHERE len(embedding) = $dims)),
-         sd AS (SELECT vec_id,
-                  row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-                    - 1 AS j
-                FROM embeddings WHERE len(embedding) = $dims
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
-         c0 AS (SELECT sd.j, ex.pos, ex.x6 AS c6 FROM sd JOIN ex ON ex.id = sd.vec_id),
-         $iterCtes,
-         fin AS (SELECT e.id, c.j, sum((e.x6 - c.c6) * (e.x6 - c.c6)) AS dist
-                 FROM ex e JOIN c$iters c USING (pos) GROUP BY 1, 2),
-         asg AS (SELECT id, j, dist FROM (
-                   SELECT id, j, dist, row_number() OVER (PARTITION BY id
-                     ORDER BY dist, j) AS rk FROM fin) WHERE rk = 1)"""
-  }
-
-  /** s32 oracle: the Lloyd chain trains the quantizer, queries probe
-    * their `nprobe` nearest final centroids by the same exact-integer
-    * metric, candidates are the probed clusters' members, the s01
-    * cosine chain ranks them.
-    */
-  private def s32Oracle(k: Int, iters: Int, dims: Int, nprobe: Int,
-                        topK: Int, queryMax: Long): String =
-    s"""WITH ${lloydCtes(k, iters, dims)},
-         qd AS (SELECT q.id AS qid, c.j,
-                  sum((q.x6 - c.c6) * (q.x6 - c.c6)) AS dist
-                FROM (SELECT id, pos, x6 FROM ex WHERE id < $queryMax) q
-                JOIN c$iters c USING (pos) GROUP BY 1, 2),
-         pr AS (SELECT qid, j FROM (
-                  SELECT qid, j, row_number() OVER (PARTITION BY qid
-                    ORDER BY dist, j) AS rk FROM qd) WHERE rk <= $nprobe),
-         cand AS (SELECT pr.qid, a.id AS cid FROM pr JOIN asg a ON a.j = pr.j),
-         u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
-                      CAST(unnest(qe) AS DOUBLE) AS y
-               FROM (SELECT cand.qid, cand.cid, ce.embedding AS ce,
-                            qe.embedding AS qe
-                     FROM cand JOIN embeddings ce ON ce.vec_id = cand.cid
-                               JOIN embeddings qe ON qe.vec_id = cand.qid)),
-         sc AS (SELECT qid, cid,
-                  sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                FROM u GROUP BY 1, 2
-                HAVING sum(x*x) > 0 AND sum(y*y) > 0),
-         rr AS (SELECT qid, cid, cos, CAST(row_number() OVER (
-                  PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-                FROM sc)
-       SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos,
-              rnk AS rank
-       FROM rr WHERE rnk <= $topK ORDER BY query_id, rank"""
-
-  /** s30 oracle: the Lloyd chain's `asg` assignment becomes the label
-    * for the s28 prototypicality chain — unsupervised SSL prototypes
-    * (Sorscher et al. 2022), both halves shared verbatim with their
-    * standalone oracles.
-    */
-  private def s30Oracle(k: Int, iters: Int, dims: Int,
-                        pruneNum: Int, pruneDen: Int): String =
-    s"""WITH ${lloydCtes(k, iters, dims)},
-         ex2 AS (SELECT e.vec_id, a.j AS cluster, unnest(e.embedding) AS x,
-                        unnest(range(len(e.embedding))) AS pos
-                 FROM embeddings e JOIN asg a ON a.id = e.vec_id),
-         ce AS (SELECT cluster, CAST(pos AS BIGINT) AS pos,
-                  round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                        / CAST(count(*) AS DOUBLE), 6) AS c
-                FROM ex2 GROUP BY 1, 2),
-         cn AS (SELECT cluster,
-                  CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS cn2
-                FROM ce GROUP BY 1),
-         nv AS (SELECT vec_id, sqrt(list_aggregate(
-                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                  'sum')) AS vn
-                FROM embeddings),
-         dt AS (SELECT e.vec_id, e.cluster,
-                  CAST(sum(CAST(round(ce.c * CAST(e.x AS DOUBLE), 6)
-                    AS DECIMAL(24,8))) AS DOUBLE) AS dot
-                FROM ex2 e JOIN ce ON ce.cluster = e.cluster
-                  AND ce.pos = e.pos
-                GROUP BY 1, 2),
-         sc AS (SELECT dt.vec_id, CAST(dt.cluster AS BIGINT) AS cluster,
-                  round(dot / (sqrt(cn.cn2) * nv.vn), 6) AS proto_score
-                FROM dt JOIN cn ON cn.cluster = dt.cluster AND cn.cn2 > 0
-                        JOIN nv ON nv.vec_id = dt.vec_id AND nv.vn > 0),
-         rk AS (SELECT *,
-                  CAST(row_number() OVER (PARTITION BY cluster
-                    ORDER BY proto_score DESC, vec_id) AS BIGINT) AS rank_in_cluster,
-                  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
-                FROM sc)
-       SELECT vec_id, cluster, proto_score, rank_in_cluster, n_cluster,
-              rank_in_cluster > n_cluster * $pruneNum // $pruneDen AS kept
-       FROM rk ORDER BY cluster, rank_in_cluster"""
-
-  private lazy val t17Oracle: String = {
-    val values = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-    s"""WITH tk AS (SELECT doc_id, tok AS term FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
-            st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-            q(qid, term) AS (VALUES $values),
-            tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
-                   JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY 1, 2),
-            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            ct AS (SELECT qid, doc_id,
-                     round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                                    / (CAST(df AS DOUBLE) + 0.5))
-                           * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
-                              / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-                                 + (0.75 * CAST(dl AS DOUBLE))
-                                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS c
-                   FROM tf JOIN q USING (term) JOIN dfq USING (term)
-                   JOIN dl USING (doc_id) CROSS JOIN st),
-            sc AS (SELECT qid, doc_id,
-                     round(CAST(sum(CAST(c AS DECIMAL(24,8))) AS DOUBLE), 6) AS bm25
-                   FROM ct GROUP BY 1, 2)
-         SELECT qid, doc_id, bm25, CAST(rk AS BIGINT) AS rank FROM (
-           SELECT qid, doc_id, bm25,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY bm25 DESC, doc_id) AS rk FROM sc)
-         WHERE rk <= 10 ORDER BY qid, rk"""
-  }
-
-  /** DSIR oracle: identical feature stream (unigrams + space-joined
-    * adjacent bigrams), identical 3-hex-digit md5 bucketing, identical
-    * smoothed-ratio association ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)),
-    * rounded to 6 then DECIMAL-summed per doc.
-    */
-  private lazy val p07Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val bucket = s"((${dg(1)} * 16 + ${dg(2)}) * 16 + ${dg(3)})"
-    s"""WITH tk AS (SELECT doc_id, (lang = 'en') AS tgt, list_filter(
-                string_split_regex(lower(text), '\\s+'),
-                t -> len(t) > 0) AS toks FROM documents),
-            uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM tk),
-            bi AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS f
-                   FROM (SELECT doc_id, tgt, toks,
-                           unnest(range(1, len(toks))) AS i FROM tk)
-                   WHERE len(toks) >= 2),
-            feats AS (SELECT doc_id, tgt, $bucket AS b
-                      FROM (SELECT doc_id, tgt, md5(f) AS h
-                            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))),
-            counts AS (SELECT b, count(*) AS cr,
-                              count(CASE WHEN tgt THEN 1 END) AS ct
-                       FROM feats GROUP BY 1),
-            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
-            lr AS (SELECT b, round(ln(
-                     (CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
-                     / (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))), 6) AS lr
-                   FROM counts CROSS JOIN tot),
-            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                     round(CAST(sum(CAST(lr AS DECIMAL(24,8))) AS DOUBLE), 6) AS log_weight
-                   FROM feats JOIN lr USING (b) GROUP BY 1)
-         SELECT doc_id, n_feats, log_weight FROM (
-           SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rk
-           FROM sc)
-         WHERE rk <= 100 ORDER BY doc_id"""
-  }
-
-  /** A-ES weighted-sample oracle: identical 8-hex-digit md5 uniform
-    * (instr-based hex parse → the same integer h, u = (h+1)/2^32 one
-    * exact IEEE division), identical ln(u)/w key rounded to 6 before
-    * ranking, same top-100 with id tiebreak. Token count is the
-    * tokenCountWs twin (the p12 expression).
-    */
-  private lazy val p14Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val hex8 = (1 to 8).map(dg).reduce((a, b) => s"($a * 16 + $b)")
-    s"""WITH n AS (SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
-             FROM documents),
-          hx AS (SELECT doc_id, n_toks, md5(CAST(doc_id AS VARCHAR)) AS h
-                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
-          ky AS (SELECT doc_id, n_toks,
-                   round(ln((CAST($hex8 AS DOUBLE) + 1) / 4294967296.0)
-                         / CAST(n_toks AS DOUBLE), 6) AS wkey
-                 FROM hx)
-       SELECT doc_id, n_toks, wkey FROM (
-         SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS rk FROM ky)
-       WHERE rk <= 100 ORDER BY doc_id"""
-  }
-
-  /** Stupid Backoff oracle: identical pair/token streams, identical
-    * branch arithmetic — seen bigrams score ln(nb/np), unseen ones
-    * ln(0.4 · (nu+1)/(N+V)) with the same multiplication association —
-    * each rounded to 6 then DECIMAL-summed per doc.
-    */
-  /** The p12 next-fit fold as a per-shard recursive CTE (depth ≤
-    * shardSize=128), shared by the p12 gate and the p20 efficiency
-    * report so the packs they describe cannot drift. */
-  private lazy val p12PackCte: String =
-    """WITH RECURSIVE n AS (SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents),
-           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
-                   row_number() OVER (PARTITION BY doc_id // 128
-                     ORDER BY doc_id) AS rn
-                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
-           g AS (
-             SELECT shard, rn, doc_id, n_toks,
-                    CAST(0 AS BIGINT) AS pack, n_toks AS fill
-             FROM r WHERE rn = 1
-             UNION ALL
-             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
-               CASE WHEN g.fill + r.n_toks > 512 THEN g.pack + 1 ELSE g.pack END,
-               CASE WHEN g.fill + r.n_toks > 512 THEN r.n_toks
-                    ELSE g.fill + r.n_toks END
-             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)"""
-
-  /** s21 oracle: the identical moment pass and the identical 12
-    * power-iteration rounds as chained CTEs — every sum a round-6 →
-    * DECIMAL(24,8) fold, every round's normalize re-rounded, so the
-    * loadings/eigenvalue/explained fraction replay Spark's driver
-    * loop bit-for-bit. */
-  /** One component's 12 power-iteration rounds as chained CTEs —
-    * every iteration MATERIALIZED (inlined, v_t references w_t twice,
-    * directly and via n_t, so the plan re-expands exponentially in
-    * the iteration count). `covName` is the matrix the component
-    * iterates on; `p` prefixes the CTE names so s24's deflation chain
-    * can stack k of these ("" reproduces s21's historical names).
-    */
-  private def pcIterCtes(covName: String, p: String, iters: Int): String =
-    (1 to iters).map { t =>
-      val pv = if (t == 1) "v0" else s"${p}v${t - 1}"
-      s"""${p}w$t AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(round(c.c * p.v, 6) AS DECIMAL(24,8))) AS DOUBLE) AS w
-                  FROM $covName c JOIN $pv p ON p.i = c.j GROUP BY 1),
-          ${p}n$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 6) AS DECIMAL(24,8))) AS DOUBLE)) AS nm FROM ${p}w$t),
-          ${p}v$t AS MATERIALIZED (SELECT i, round(w / nm, 6) AS v FROM ${p}w$t, ${p}n$t)"""
-    }.mkString(",\n")
-
-  private lazy val s21Cte: String = {
-    val iterCtes = pcIterCtes("cov", "", 12)
-    s"""WITH x AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
-                 t -> CAST(round(round(CAST(t AS DOUBLE), 6) * 1000000.0, 0) AS BIGINT)) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
-          nn AS (SELECT count(*) AS n FROM x),
-          e1 AS (SELECT vec_id, unnest(v) AS xi, unnest(range(len(v))) AS i, v FROM x),
-          pp AS (SELECT i, xi, unnest(v) AS xj, unnest(range(len(v))) AS j FROM e1),
-          s AS (SELECT i, j, sum(xi * xj) AS s6 FROM pp GROUP BY 1, 2),
-          mu AS (SELECT i, sum(xi) AS m6 FROM e1 GROUP BY 1),
-          cov AS MATERIALIZED (SELECT s.i, s.j,
-                  ((CAST(s.s6 AS DOUBLE) / 1.0e12) / nn.n)
-                  - (((CAST(m1.m6 AS DOUBLE) / 1000000.0) / nn.n)
-                     * ((CAST(m2.m6 AS DOUBLE) / 1000000.0) / nn.n)) AS c
-                  FROM s JOIN mu m1 ON m1.i = s.i JOIN mu m2 ON m2.i = s.j CROSS JOIN nn),
-          dd AS (SELECT count(*) AS d FROM mu),
-          v0 AS (SELECT i, round(1.0 / sqrt(CAST(d AS DOUBLE)), 6) AS v FROM mu, dd),
-          $iterCtes"""
-  }
-
-  private lazy val s21Oracle: String = s21Cte +
-    """,
-          tr AS (SELECT CAST(sum(CAST(round(c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS tr
-                 FROM cov WHERE i = j)
-       SELECT i AS pos, v AS loading, round(nm, 6) AS eigenvalue,
-              round(round(nm, 6) / tr, 6) AS explained_frac
-       FROM v12, n12, tr ORDER BY pos"""
-
-  /** s22: the s21 chain's v12 loadings applied back to every vector —
-    * centered by the same mu/n mean, per-term round-6 products
-    * DECIMAL-summed per row, the identical arithmetic the Spark side
-    * embeds as literals. */
-  private lazy val s22Oracle: String = s21Cte +
-    """,
-          mm AS (SELECT mu.i, (CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n AS m
-                 FROM mu CROSS JOIN nn),
-          pt AS (SELECT e.vec_id,
-                   CAST(sum(CAST(round(round(CAST(e.xi AS DOUBLE) / 1000000.0 - m.m, 6) * v.v, 6)
-                     AS DECIMAL(24,8))) AS DOUBLE) AS sc
-                 FROM e1 e JOIN mm m ON m.i = e.i JOIN v12 v ON v.i = e.i
-                 GROUP BY 1)
-       SELECT vec_id, round(sc, 6) AS pc_score FROM pt ORDER BY vec_id"""
-
-  /** s24/s25 shared chain: the s21 moment/covariance head, then k
-    * components of 12 power-iteration rounds with Hotelling deflation
-    * between them — cov_{c+1} = cov_c − (λ·v_i)·v_j, the association
-    * written verbatim as the Spark driver computes it. */
-  private def sPcKCte(k: Int): String = {
-    def covName(c: Int) = if (c == 1) "cov" else s"cov$c"
-    val compCtes = (1 to k).map { c =>
-      val iters = pcIterCtes(covName(c), s"k$c", 12)
-      val lam = s"k${c}lam AS (SELECT round(nm, 6) AS lam FROM k${c}n12)"
-      val deflate =
-        if (c == k) ""
-        else s""",
-          ${covName(c + 1)} AS MATERIALIZED (SELECT c.i, c.j,
-                  c.c - (l.lam * a.v) * b.v AS c
-                  FROM ${covName(c)} c
-                  JOIN k${c}v12 a ON a.i = c.i
-                  JOIN k${c}v12 b ON b.i = c.j
-                  CROSS JOIN k${c}lam l)"""
-      s"$iters,\n          $lam$deflate"
-    }.mkString(",\n")
-    s21Cte.replace(s"\n          ${pcIterCtes("cov", "", 12)}",
-      s"\n          $compCtes") match {
-      case same if same == s21Cte =>
-        sys.error("sPcKCte: iteration-chain splice failed")
-      case ok => ok
-    }
-  }
-
-  /** s24: the k-component chain's loadings/eigenvalues, explained
-    * against the ORIGINAL trace. */
-  private lazy val s24Oracle: String = sPcKCte(3) +
-    s""",
-          tr AS (SELECT CAST(sum(CAST(round(c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS tr
-                 FROM cov WHERE i = j)
-       ${(1 to 3).map(c =>
-        s"""SELECT CAST($c AS BIGINT) AS component, i AS pos, v AS loading,
-               l.lam AS eigenvalue, round(l.lam / tr, 6) AS explained_frac
-             FROM k${c}v12, k${c}lam l, tr""").mkString("\nUNION ALL\n")}
-       ORDER BY component, pos"""
-
-  /** s25: each component's centered projection + the √λ-normalized
-    * whitened coordinate — the s21 integer-micro discipline end to
-    * end: coordinate/mean/loading as ×10⁶ BIGINTs, exact pico term
-    * sums, HALF_UP at the pico→micro boundary by integer division
-    * (sum(BIGINT) is HUGEINT in DuckDB — exact — cast back down). */
-  private lazy val s25Oracle: String = sPcKCte(3) +
-    s""",
-          mm AS (SELECT mu.i,
-                   CAST(round(round((CAST(mu.m6 AS DOUBLE) / 1000000.0) / nn.n, 6)
-                     * 1000000.0, 0) AS BIGINT) AS m6
-                 FROM mu CROSS JOIN nn)
-       ${(1 to 3).map(c =>
-        s"""SELECT vec_id, CAST($c AS BIGINT) AS component,
-               CAST(micro AS DOUBLE) / 1000000.0 AS score,
-               round((CAST(micro AS DOUBLE) / 1000000.0) / sqrt(l.lam), 6) AS white
-             FROM (SELECT vec_id,
-                     CASE WHEN pico >= 0 THEN (pico + 500000) // 1000000
-                          ELSE -((-pico + 500000) // 1000000) END AS micro
-                   FROM (SELECT e.vec_id,
-                           CAST(sum((e.xi - m.m6)
-                             * CAST(round(v.v * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS pico
-                         FROM e1 e JOIN mm m ON m.i = e.i JOIN k${c}v12 v ON v.i = e.i
-                         GROUP BY 1)), k${c}lam l""").mkString("\nUNION ALL\n")}
-       ORDER BY vec_id, component"""
-
-  private lazy val t30Oracle: String = t30ScoreCte +
-    """
-       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6)
-                AS mean_logprob
-       FROM sc GROUP BY 1 ORDER BY 1"""
-
-  /** t36: t30's per-doc backoff scores fed through the t18 tercile
-    * cut — per-language head/middle/tail on the cross-slice LM. */
-  private lazy val t36Oracle: String = t30ScoreCte +
-    """,
-          pd AS (SELECT doc_id,
-                   round(CAST(sum(CAST(lp AS DECIMAL(24,8))) AS DOUBLE)
-                         / count(*), 6) AS mean_logprob
-                 FROM sc GROUP BY 1),
-          sl AS (SELECT d.doc_id, d.lang, p.mean_logprob
-                 FROM pd p JOIN documents d ON d.doc_id = p.doc_id),
-          hist AS (SELECT lang, mean_logprob, count(*) AS c
-                   FROM sl GROUP BY 1, 2),
-          cut AS (SELECT lang, mean_logprob,
-                    CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                             ORDER BY mean_logprob DESC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                           / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                           < (1.0 / 3.0) THEN 'head'
-                         WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                             ORDER BY mean_logprob DESC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                           / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                           < (2.0 / 3.0) THEN 'middle'
-                         ELSE 'tail' END AS bucket
-                  FROM hist)
-       SELECT doc_id, lang, mean_logprob, bucket
-       FROM sl JOIN cut USING (lang, mean_logprob)
-       ORDER BY doc_id"""
-
-  private lazy val t30ScoreCte: String =
-    """WITH tk AS (SELECT doc_id, lang = 'en' AS lm,
-               list_filter(string_split_regex(lower(text), '\s+'),
-                 t -> len(t) > 0) AS toks FROM documents),
-          pr AS (SELECT doc_id, lm, toks[i] AS w1, toks[i+1] AS w2
-                 FROM (SELECT doc_id, lm, toks,
-                         unnest(range(1, len(toks))) AS i FROM tk)
-                 WHERE len(toks) >= 2),
-          bc AS (SELECT w1, w2, count(*) AS nb FROM pr WHERE lm GROUP BY 1, 2),
-          pc AS (SELECT w1, count(*) AS np FROM pr WHERE lm GROUP BY 1),
-          un AS (SELECT w2, count(*) AS nu FROM (
-                   SELECT unnest(toks) AS w2 FROM tk WHERE lm) GROUP BY 1),
-          tot AS (SELECT sum(nu) AS n, count(*) AS v FROM un),
-          sc AS (SELECT p.doc_id,
-                   CASE WHEN b.nb IS NOT NULL
-                     THEN round(ln(CAST(b.nb AS DOUBLE) / CAST(c.np AS DOUBLE)), 6)
-                     ELSE round(ln(0.4 *
-                       (CAST(coalesce(u.nu, 0) + 1 AS DOUBLE)
-                        / CAST(t.n + t.v AS DOUBLE))), 6) END AS lp
-                 FROM pr p
-                 LEFT JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
-                 LEFT JOIN pc c ON c.w1 = p.w1
-                 LEFT JOIN un u ON u.w2 = p.w2
-                 CROSS JOIN tot t)"""
-
-  /** CMS oracle: rebuilds the Count-Min grid in SQL with the same
-    * portable row hashes ((first 4 md5 hex digits of "r:item") mod w)
-    * and takes the same min-over-rows estimate — bit-for-bit against
-    * the JVM aggregate.
-    */
-  private lazy val t20Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val hex4 = (1 to 4).map(dg).reduce((a, b) => s"($a * 16 + $b)")
-    s"""WITH tk AS (SELECT tok FROM (
-                SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            rb AS (SELECT r, $hex4 % 1024 AS bkt FROM (
-                     SELECT r, md5(CAST(r AS VARCHAR) || ':' || tok) AS h
-                     FROM tk CROSS JOIN (SELECT unnest(range(4)) AS r))),
-            bc AS (SELECT r, bkt, count(*) AS c FROM rb GROUP BY 1, 2),
-            probe(term) AS (VALUES ('hash'), ('join'), ('batch'), ('the'),
-                                   ('nosuchtoken')),
-            pb AS (SELECT term, r, $hex4 % 1024 AS bkt FROM (
-                     SELECT term, r, md5(CAST(r AS VARCHAR) || ':' || term) AS h
-                     FROM probe CROSS JOIN (SELECT unnest(range(4)) AS r))),
-            est AS (SELECT term, min(coalesce(c, 0)) AS est
-                    FROM pb LEFT JOIN bc USING (r, bkt) GROUP BY 1),
-            ex AS (SELECT tok AS term, count(*) AS exact FROM tk GROUP BY 1)
-         SELECT term, CAST(est AS BIGINT) AS est,
-                CAST(coalesce(exact, 0) AS BIGINT) AS exact
-         FROM est LEFT JOIN ex USING (term) ORDER BY term"""
-  }
-
-  /** Quality-classifier oracle: the p07 feature/bucket SQL with a
-    * seed-vs-rest contrast — per-bucket naive-Bayes log-odds, doc
-    * prior, DECIMAL-summed per-doc scores, keep = score > 0.
-    */
-  private lazy val t21Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val bucket = s"((${dg(1)} * 16 + ${dg(2)}) * 16 + ${dg(3)})"
-    s"""WITH tk AS (SELECT doc_id, (doc_id % 50 = 0) AS pos, list_filter(
-                string_split_regex(lower(text), '\\s+'),
-                t -> len(t) > 0) AS toks FROM documents),
-            uni AS (SELECT doc_id, pos, unnest(toks) AS f FROM tk),
-            bi AS (SELECT doc_id, pos, toks[i] || ' ' || toks[i+1] AS f
-                   FROM (SELECT doc_id, pos, toks,
-                           unnest(range(1, len(toks))) AS i FROM tk)
-                   WHERE len(toks) >= 2),
-            feats AS (SELECT doc_id, pos, $bucket AS b
-                      FROM (SELECT doc_id, pos, md5(f) AS h
-                            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))),
-            counts AS (SELECT b, count(CASE WHEN pos THEN 1 END) AS cp,
-                              count(CASE WHEN NOT pos THEN 1 END) AS cn
-                       FROM feats GROUP BY 1),
-            tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
-            w AS (SELECT b, round(ln(
-                     (CAST(cp + 1 AS DOUBLE) / CAST(np + 4096 AS DOUBLE))
-                     / (CAST(cn + 1 AS DOUBLE) / CAST(nn + 4096 AS DOUBLE))), 6) AS w
-                  FROM counts CROSS JOIN tot),
-            prior AS (SELECT round(ln(
-                     CAST(count(CASE WHEN pos THEN 1 END) + 1 AS DOUBLE)
-                     / CAST(count(CASE WHEN NOT pos THEN 1 END) + 1 AS DOUBLE)), 6) AS pw
-                  FROM tk),
-            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                     round(CAST(sum(CAST(w AS DECIMAL(24,8)))
-                                + CAST(pw AS DECIMAL(24,8)) AS DOUBLE), 6) AS score
-                   FROM feats JOIN w USING (b) CROSS JOIN prior
-                   GROUP BY doc_id, pw)
-         SELECT doc_id, n_feats, score, score > 0 AS keep
-         FROM sc ORDER BY doc_id"""
-  }
-
-  /** Gopher-repetition oracle: same framing, same line/char/n-gram
-    * conventions (occurrence-sum duplicates, top ties to the
-    * lexicographically first gram), same rounded thresholds.
-    */
-  private lazy val t22Oracle: String = {
-    val topFracs = Seq(2, 3, 4).map(n =>
-      s"round(CAST(coalesce(t$n, 0) AS DOUBLE) / tc, 6) AS top_${n}gram_char_frac")
-    val dupFracs = (5 to 10).map(n =>
-      s"round(CAST(coalesce(d$n, 0) AS DOUBLE) / tc, 6) AS dup_${n}gram_char_frac")
-    val pivTop = Seq(2, 3, 4).map(n => s"max(CASE WHEN n = $n THEN topc END) AS t$n")
-    val pivDup = (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dupc END) AS d$n")
-    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
-    val passDup = (5 to 10).map(n =>
-      s"round(CAST(coalesce(d$n, 0) AS DOUBLE) / tc, 6) <= ${dupThr(n)}").mkString(" AND ")
-    s"""WITH framed AS (SELECT doc_id,
-               'subscribe to our newsletter today for free updates' || chr(10) ||
-               text ||
-               CASE WHEN doc_id % 7 = 0 THEN chr(10) || text ELSE '' END AS text
-             FROM documents),
-            ln AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
-                     CAST(greatest(len(text), 1) AS DOUBLE) AS tc,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> len(t) > 0) AS toks
-                   FROM framed),
-            lstat AS (SELECT doc_id, tc, toks,
-                     round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-                       / greatest(len(lines), 1), 6) AS dlf,
-                     round(CAST(list_aggregate(list_transform(lines, l -> len(l)), 'sum')
-                         - list_aggregate(list_transform(list_distinct(lines), l -> len(l)), 'sum')
-                         AS DOUBLE)
-                       / greatest(list_aggregate(list_transform(lines, l -> len(l)), 'sum'), 1),
-                       6) AS dlcf
-                   FROM ln),
-            grams AS (SELECT doc_id, n,
-                     array_to_string(toks[i:i+n-1], ' ') AS g
-                   FROM (SELECT doc_id, toks, n, unnest(range(1, len(toks) - n + 2)) AS i
-                         FROM lstat CROSS JOIN (SELECT unnest(range(2, 11)) AS n)
-                         WHERE len(toks) >= n)),
-            cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-            ranked AS (SELECT doc_id, n, c * len(g) AS topc,
-                     row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rn
-                   FROM cnt),
-            dup AS (SELECT doc_id, n,
-                     sum(CASE WHEN c >= 2 THEN c * len(g) END) AS dupc
-                   FROM cnt GROUP BY 1, 2),
-            pern AS (SELECT r.doc_id, r.n, r.topc, d.dupc
-                   FROM ranked r JOIN dup d USING (doc_id, n) WHERE r.rn = 1),
-            piv AS (SELECT doc_id, ${(pivTop ++ pivDup).mkString(", ")}
-                   FROM pern GROUP BY 1)
-         SELECT doc_id, dlf AS dup_line_frac, dlcf AS dup_line_char_frac,
-                ${(topFracs ++ dupFracs).mkString(", ")},
-                (dlf <= 0.30 AND dlcf <= 0.20
-                 AND round(CAST(coalesce(t2, 0) AS DOUBLE) / tc, 6) <= 0.20
-                 AND round(CAST(coalesce(t3, 0) AS DOUBLE) / tc, 6) <= 0.18
-                 AND round(CAST(coalesce(t4, 0) AS DOUBLE) / tc, 6) <= 0.16
-                 AND $passDup) AS pass
-         FROM lstat JOIN piv USING (doc_id) ORDER BY doc_id"""
-  }
-
-  /** Bloom-decontamination oracle: rebuilds the IDENTICAL portable
-    * bitmap — the same 3 bit positions per shingle (first 5 md5 hex
-    * digits of "r:shingle" = 20 bits, the full 2^20 range) — as a
-    * distinct (r, pos) set, then declares a training shingle
-    * bloom-positive iff all 3 of its positions are in the set. False
-    * positives reproduce exactly, so the sweep hash-matches.
-    */
-  private lazy val d19Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val hex5 = (1 to 5).map(dg).reduce((a, b) => s"($a * 16 + $b)")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-                   FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            bits AS (SELECT DISTINCT r, $hex5 AS pos FROM (
-                       SELECT r, md5(CAST(r AS VARCHAR) || ':' || shingle) AS h
-                       FROM (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
-                       CROSS JOIN (SELECT unnest(range(3)) AS r))),
-            pr AS (SELECT doc_id, shingle, r, $hex5 AS pos FROM (
-                     SELECT doc_id, shingle, r,
-                            md5(CAST(r AS VARCHAR) || ':' || shingle) AS h
-                     FROM sh CROSS JOIN (SELECT unnest(range(3)) AS r)
-                     WHERE doc_id % 50 <> 0)),
-            hitsh AS (SELECT doc_id, shingle FROM pr JOIN bits USING (r, pos)
-                      GROUP BY 1, 2 HAVING count(*) = 3)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS bloom_hits
-         FROM hitsh GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1"""
-  }
-
-  /** Winnowing oracle: identical 32-bit md5-prefix gram hash, the
-    * same h·2³¹ + (2³¹−1−pos) pack (so MIN = min hash, rightmost
-    * position), a w-row window frame, and the same distinct-hash
-    * pair count.
-    */
-  private lazy val d17Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    val h32 = (1 to 8).map(dg).reduce((a, b) => s"($a * 16 + $b)")
-    s"""WITH t AS (SELECT doc_id, list_filter(
-                string_split_regex(lower(text), '\\s+'),
-                t -> len(t) > 0) AS toks
-              FROM documents WHERE doc_id < 500),
-            g AS (SELECT doc_id, i - 1 AS start,
-                         md5(toks[i] || ' ' || toks[i+1] || ' ' ||
-                             toks[i+2] || ' ' || toks[i+3]) AS h
-                  FROM (SELECT doc_id, toks,
-                          unnest(range(1, len(toks) - 2)) AS i FROM t)
-                  WHERE len(toks) >= 4),
-            e AS (SELECT doc_id, start,
-                         $h32 * 2147483648 + (2147483647 - start) AS enc
-                  FROM g),
-            win AS (SELECT doc_id,
-                      min(enc) OVER (PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-                      count(*) OVER (PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-                    FROM e),
-            fp AS (SELECT DISTINCT doc_id, wmin // 2147483648 AS fh
-                   FROM win WHERE wn = 4)
-         SELECT a.doc_id AS id1, b.doc_id AS id2,
-                CAST(count(*) AS BIGINT) AS n_shared
-         FROM fp a JOIN fp b ON a.fh = b.fh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2
-         ORDER BY id1, id2"""
-  }
-
-  private lazy val d12Oracle: String = {
-    def dg(p: Int) = s"(instr('0123456789abcdef', substr(h, $p, 1)) - 1)"
-    def chunk(k: Int) =
-      s"((((${dg(4 * k + 1)}) * 16 + ${dg(4 * k + 2)}) * 16 + ${dg(4 * k + 3)}) * 16 + ${dg(4 * k + 4)})"
-    val sumCols = (for (k <- 0 to 3; j <- 0 to 15) yield
-      s"sum(cnt * ((CAST(floor(c$k / ${1 << (15 - j)}) AS INT) % 2) * 2 - 1)) AS s${k}_$j")
-      .mkString(", ")
-    val fCols = (0 to 3).map { k =>
-      (0 to 15).map(j => s"CASE WHEN s${k}_$j > 0 THEN ${1 << (15 - j)} ELSE 0 END")
-        .mkString("(", " + ", s") AS f$k")
-    }.mkString(", ")
-    val ham = "bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) " +
-      "+ bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))"
-    raw"""WITH toks AS (SELECT doc_id, tok, count(*) AS cnt
-                    FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                          FROM documents WHERE doc_id < 500)
-                    GROUP BY 1, 2),
-         hx AS (SELECT doc_id, cnt, md5(tok) AS h FROM toks),
-         ch AS (SELECT doc_id, cnt, ${chunk(0)} AS c0, ${chunk(1)} AS c1,
-                       ${chunk(2)} AS c2, ${chunk(3)} AS c3 FROM hx),
-         sums AS (SELECT doc_id, $sumCols FROM ch GROUP BY doc_id),
-         fps AS (SELECT doc_id, $fCols FROM sums),
-         bands AS (SELECT doc_id, f0, f1, f2, f3, k,
-                          CASE k WHEN 0 THEN f0 WHEN 1 THEN f1 WHEN 2 THEN f2 ELSE f3 END AS bh
-                   FROM fps CROSS JOIN (SELECT unnest(range(4)) AS k)),
-         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                         a.f0 AS a0, a.f1 AS a1, a.f2 AS a2, a.f3 AS a3,
-                         b.f0 AS b0, b.f1 AS b1, b.f2 AS b2, b.f3 AS b3
-                  FROM bands a JOIN bands b
-                    ON a.k = b.k AND a.bh = b.bh AND a.doc_id < b.doc_id)
-     SELECT id1, id2, CAST($ham AS BIGINT) AS hamming
-     FROM cand WHERE $ham <= 3
-     ORDER BY id1, id2"""
-  }
-
-  def oracleSql: Map[String, String] = Map(
-    "d12_simhash_portable" -> d12Oracle,
-    "d07_keep_best" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      s""",
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-         q AS ($qualitySubSql),
-         lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, q.quality
-                 FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-                 LEFT JOIN comp c ON c.id = d.doc_id
-                 JOIN q ON q.doc_id = d.doc_id)
-         SELECT doc_id, component, quality FROM (
-           SELECT doc_id, component, quality,
-                  row_number() OVER (PARTITION BY component
-                    ORDER BY quality DESC, doc_id) AS rk
-           FROM lab) WHERE rk = 1
-         ORDER BY doc_id"""),
-
-    "d21_semantic_decontaminate" ->
-      """WITH q AS (SELECT vec_id AS eid, embedding AS qe FROM embeddings
-                    WHERE vec_id < 20),
-            c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                  WHERE vec_id >= 20),
-            u AS (SELECT cid, eid, CAST(unnest(ce) AS DOUBLE) AS x,
-                         CAST(unnest(qe) AS DOUBLE) AS y
-                  FROM (SELECT cid, eid, ce, qe FROM c, q)),
-            s AS (SELECT cid, eid,
-                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
-                           AS cos
-                  FROM u GROUP BY 1, 2),
-            best AS (SELECT cid, eid, cos FROM (
-                       SELECT cid, eid, cos, row_number() OVER (
-                         PARTITION BY cid ORDER BY cos DESC, eid) AS rn FROM s)
-                     WHERE rn = 1)
-         SELECT cid AS vec_id, eid AS eval_id, cos FROM best
-         WHERE cos >= 0.35 ORDER BY vec_id""",
-
-    "d08_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            hit AS (SELECT a.doc_id AS tid, b.doc_id AS bid, count(*) AS ov
-                    FROM sh a JOIN sh b ON a.shingle = b.shingle
-                    WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
-                    GROUP BY 1, 2 HAVING count(*) >= 5)
-         SELECT tid AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
-                CAST(max(ov) AS BIGINT) AS max_overlap
-         FROM hit GROUP BY 1 ORDER BY 1""",
-
-    "d22_source_overlap" ->
-      """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents),
-            sh AS (SELECT DISTINCT source,
-                     md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
-                   FROM (SELECT source, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            bk AS (SELECT source, h FROM (
-                     SELECT source, h,
-                            row_number() OVER (PARTITION BY source ORDER BY h) AS r
-                     FROM sh) WHERE r <= 128),
-            srcs AS (SELECT DISTINCT source FROM bk),
-            m AS (SELECT least(bk.source, s.source) AS s1,
-                         greatest(bk.source, s.source) AS s2, bk.h,
-                         max(bk.source < s.source) AS in1,
-                         max(bk.source > s.source) AS in2
-                  FROM bk, srcs s WHERE bk.source <> s.source
-                  GROUP BY 1, 2, 3),
-            rk AS (SELECT s1, s2, in1, in2,
-                          row_number() OVER (PARTITION BY s1, s2 ORDER BY h) AS r
-                   FROM m)
-         SELECT s1, s2, CAST(count(*) AS BIGINT) AS k_eff,
-                CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_common,
-                round(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END)::DOUBLE
-                      / count(*), 6) AS jaccard_est
-         FROM rk WHERE r <= 128 GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "t08_repetition" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                       FROM documents),
-            u AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
-            us AS (SELECT doc_id,
-                          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tf,
-                          CAST(sum(c) AS BIGINT) AS n_toks
-                   FROM u GROUP BY 1),
-            tl AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
-                   FROM documents),
-            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS big
-                   FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tl)),
-            b AS (SELECT doc_id, big, count(*) AS c FROM bg GROUP BY 1, 2),
-            bs AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS bf
-                   FROM b GROUP BY 1)
-         SELECT us.doc_id, n_toks, round(tf, 6) AS top_tok_frac,
-                round(coalesce(bs.bf, 0.0), 6) AS top_bigram_frac
-         FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
-         ORDER BY us.doc_id""",
-
-    "r11_hash_sample" ->
-      """SELECT event_id, event_type AS etype, value FROM events
-         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
-         ORDER BY event_id""",
-
-    "r12_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
-                    FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-                              OR ts_us - lag(ts_us) OVER w > 1800000000
-                            THEN 1 ELSE 0 END AS brk
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
-                    ORDER BY ts_us, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-                  FROM g)
-         SELECT user_id, CAST(session AS BIGINT) AS session,
-                min(ts_us) AS start_us, max(ts_us) AS end_us,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "q31_retention" ->
-      """WITH uw AS (SELECT DISTINCT user_id,
-                       epoch_us(ts) // 604800000000 AS wk FROM events),
-            fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
-         SELECT CAST(f.cohort AS BIGINT) AS cohort_week,
-                CAST(u.wk - f.cohort AS BIGINT) AS week_offset,
-                CAST(count(*) AS BIGINT) AS n_users
-         FROM uw u JOIN fw f USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "r21_session_paths" ->
-      // r12's session CTE + ordered string_agg of each session's
-      // first-8 event types; same (count desc, path) top-20
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
-                    FROM events),
-            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-                              OR ts_us - lag(ts_us) OVER w > 1800000000
-                            THEN 1 ELSE 0 END AS brk
-                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
-                    ORDER BY ts_us, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-                  FROM g),
-            x AS (SELECT *, row_number() OVER (PARTITION BY user_id, session
-                    ORDER BY ts_us, event_id) AS rn FROM s),
-            p AS (SELECT user_id, session,
-                    string_agg(event_type, '>' ORDER BY rn) AS path
-                  FROM x WHERE rn <= 8 GROUP BY 1, 2),
-            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-                  FROM p GROUP BY 1)
-         SELECT path, n_sessions FROM (
-           SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rk
-           FROM c)
-         WHERE rk <= 20 ORDER BY n_sessions DESC, path""",
-
-    "d09_blocklist" ->
-      """SELECT doc_id, source FROM documents
-         WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
-         ORDER BY doc_id""",
-
-    "r13_stratified" ->
-      """SELECT doc_id, source FROM documents
-         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-               CASE WHEN source = 'src0' THEN '40' ELSE '1a' END
-         ORDER BY doc_id""",
-
-    "r27_seasonal_baseline" ->
-      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
-                           CAST(count(*) AS BIGINT) AS c
-                    FROM events GROUP BY 1, 2),
-            b AS (SELECT min(hr) AS h0,
-                         greatest(min(hr), max(hr) - 167) AS hb FROM h),
-            hi AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_hist
-                   FROM h, b WHERE hr < hb GROUP BY 1, 2),
-            la AS (SELECT key, hr % 168 AS how, CAST(sum(c) AS BIGINT) AS n_last
-                   FROM h, b WHERE hr >= hb GROUP BY 1, 2),
-            j AS (SELECT coalesce(hi.key, la.key) AS key,
-                         coalesce(hi.how, la.how) AS how,
-                         coalesce(n_hist, 0) AS n_hist,
-                         coalesce(n_last, 0) AS n_last
-                  FROM hi FULL OUTER JOIN la
-                    ON la.key = hi.key AND la.how = hi.how),
-            sl AS (SELECT j.*, ((b.hb - b.h0) // 168) +
-                     (CASE WHEN ((j.how - (b.h0 % 168) + 168) % 168)
-                                < ((b.hb - b.h0) % 168)
-                           THEN 1 ELSE 0 END) AS slots_hist
-                   FROM j, b)
-         SELECT key AS event_type, how, n_hist, CAST(slots_hist AS BIGINT) AS slots_hist,
-                CASE WHEN slots_hist > 0
-                     THEN round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
-                END AS baseline_mean,
-                n_last,
-                CASE WHEN slots_hist > 0
-                     THEN round((CAST(n_last AS DOUBLE) + 1.0) /
-                            (round(CAST(n_hist AS DOUBLE) / CAST(slots_hist AS DOUBLE), 6)
-                             + 1.0), 6)
-                END AS ratio
-         FROM sl ORDER BY event_type, how""",
-
-    "r26_burn_rate" ->
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
-                           CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
-                    FROM events GROUP BY 1),
-            mx AS (SELECT max(hr) AS mx FROM h),
-            w(window_hours) AS (VALUES (1), (6), (24), (72)),
-            a AS (SELECT w.window_hours,
-                         CAST(sum(h.n) AS BIGINT) AS n_total,
-                         CAST(sum(h.e) AS BIGINT) AS n_errors
-                  FROM h CROSS JOIN mx CROSS JOIN w
-                  WHERE h.hr > mx.mx - w.window_hours
-                  GROUP BY 1)
-         SELECT CAST(window_hours AS INTEGER) AS window_hours, n_total, n_errors,
-                round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS err_rate,
-                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
-                      / 0.0050000000000000044, 6) AS burn_rate,
-                round((CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
-                      / 0.0050000000000000044, 6) >= 14.4 AS page
-         FROM a ORDER BY window_hours""",
-
-    "r14_rate_alert" ->
-      """SELECT * FROM (
-           SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
-                  CAST(count(*) AS BIGINT) AS n_events,
-                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
-                    / CAST(count(*) AS DOUBLE) AS error_rate
-           FROM events GROUP BY 1)
-         WHERE CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
-         ORDER BY window_start""",
-
-    "r33_spike_attribution" ->
-      // the r16 chain verbatim on the constant-key global rate, then
-      // the r32 share/z formulas between the two hour classes
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                    FROM events GROUP BY 1),
-            r AS (SELECT hr, c, count(*) OVER w AS tn,
-                    sum(c) OVER w AS tsum,
-                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                  FROM h
-                  WINDOW w AS (ORDER BY hr
-                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-            sc AS (SELECT hr, c,
-                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                   FROM r WHERE tn >= 12),
-            z AS (SELECT hr,
-                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                  FROM sc),
-            vd AS (SELECT hr, (coalesce(abs(zs) >= 3.0, false)
-                               OR zs IS NULL) AS an FROM z),
-            kh AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
-                     CAST(count(*) AS BIGINT) AS c
-                   FROM events GROUP BY 1, 2),
-            k AS (SELECT kh.key,
-                    CAST(sum(CASE WHEN vd.an THEN kh.c ELSE 0 END) AS BIGINT)
-                      AS n_anom,
-                    CAST(sum(CASE WHEN NOT vd.an THEN kh.c ELSE 0 END) AS BIGINT)
-                      AS n_norm
-                  FROM kh JOIN vd USING (hr) GROUP BY 1),
-            t AS (SELECT CAST(sum(n_anom) AS BIGINT) AS ta,
-                         CAST(sum(n_norm) AS BIGINT) AS tn2 FROM k),
-            x AS (SELECT k.*, t.ta, t.tn2,
-                    CAST(n_anom AS DOUBLE) / CAST(ta AS DOUBLE) AS sa,
-                    CAST(n_norm AS DOUBLE) / CAST(tn2 AS DOUBLE) AS sn,
-                    CAST(n_anom + n_norm AS DOUBLE)
-                      / CAST(ta + tn2 AS DOUBLE) AS p
-                  FROM k CROSS JOIN t WHERE t.ta > 0)
-         SELECT key AS event_type, n_anom, n_norm,
-                round(sa, 6) AS share_anom, round(sn, 6) AS share_norm,
-                CASE WHEN n_norm = 0 THEN NULL
-                     ELSE round(sa / sn, 6) END AS lift,
-                round(CAST(n_anom AS DOUBLE) - CAST(ta AS DOUBLE) * sn, 6)
-                  AS excess,
-                CASE WHEN tn2 = 0 OR p = 0.0 OR p = 1.0 THEN NULL
-                     ELSE round((sa - sn) / sqrt(p * (1.0 - p)
-                       * (1.0 / CAST(ta AS DOUBLE) + 1.0 / CAST(tn2 AS DOUBLE))), 6)
-                END AS z_score
-         FROM x ORDER BY event_type""",
-
-    "r32_canary_compare" ->
-      // the same (key, hour) histogram + conditional window sums;
-      // every division replayed in the identical association order
-      """WITH h AS (SELECT event_type AS key,
-                           epoch_us(ts) // 3600000000 AS hr,
-                           CAST(count(*) AS BIGINT) AS n
-                    FROM events GROUP BY 1, 2),
-            a AS (SELECT max(hr) AS mx FROM h),
-            k AS (SELECT h.key,
-                    CAST(sum(CASE WHEN h.hr <= a.mx - 168 THEN h.n ELSE 0 END)
-                      AS BIGINT) AS n_before,
-                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
-                      AS BIGINT) AS n_after
-                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 672
-                  GROUP BY 1),
-            t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
-                         CAST(sum(n_after) AS BIGINT) AS ta FROM k),
-            x AS (SELECT k.*, t.tb, t.ta,
-                    CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE) AS pb,
-                    CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE) AS pa,
-                    CAST(n_before + n_after AS DOUBLE)
-                      / CAST(tb + ta AS DOUBLE) AS p
-                  FROM k CROSS JOIN t)
-         SELECT key AS event_type, n_before, n_after,
-                round(CAST(n_before AS DOUBLE) / 504.0, 6) AS rate_before,
-                round(CAST(n_after AS DOUBLE) / 168.0, 6) AS rate_after,
-                CASE WHEN n_before = 0 THEN NULL
-                     ELSE round((CAST(n_after AS DOUBLE) / 168.0)
-                                / (CAST(n_before AS DOUBLE) / 504.0), 6)
-                END AS rate_ratio,
-                round(pb, 6) AS share_before,
-                round(pa, 6) AS share_after,
-                CASE WHEN tb = 0 OR ta = 0 OR p = 0.0 OR p = 1.0 THEN NULL
-                     ELSE round((pa - pb) / sqrt(p * (1.0 - p)
-                       * (1.0 / CAST(tb AS DOUBLE) + 1.0 / CAST(ta AS DOUBLE))), 6)
-                END AS z_score
-         FROM x ORDER BY event_type""",
-
-    "r31_budget_status" ->
-      // same histogram + conditional aggregates; rate expressions in
-      // the identical association order, budget literal bit-shared
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
-                           CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                             AS BIGINT) AS e
-                    FROM events GROUP BY 1),
-            a AS (SELECT max(hr) AS mx, min(hr) AS mn FROM h),
-            g AS (SELECT a.mx, a.mn,
-                    CAST(sum(h.n) AS BIGINT) AS n_total,
-                    CAST(sum(h.e) AS BIGINT) AS n_errors,
-                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.n ELSE 0 END)
-                      AS BIGINT) AS rn,
-                    CAST(sum(CASE WHEN h.hr > a.mx - 168 THEN h.e ELSE 0 END)
-                      AS BIGINT) AS re
-                  FROM h CROSS JOIN a WHERE h.hr > a.mx - 720
-                  GROUP BY 1, 2),
-            x AS (SELECT *, least(mx - mn + 1, 720) AS elapsed,
-                    CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate,
-                    CAST(re AS DOUBLE) / CAST(rn AS DOUBLE)
-                      / 0.0050000000000000044 AS rb
-                  FROM g),
-            y AS (SELECT *, rate / 0.0050000000000000044
-                    * CAST(elapsed AS DOUBLE) / 720.0 AS used
-                  FROM x)
-         SELECT CAST(720 AS BIGINT) AS period_hours,
-                CAST(elapsed AS BIGINT) AS elapsed_hours,
-                n_total, n_errors, round(rate, 6) AS err_rate,
-                round(used, 6) AS budget_used_frac,
-                round(rb, 6) AS recent_burn,
-                CASE WHEN re = 0 THEN NULL
-                     ELSE round(greatest((1.0 - used) * 720.0 / rb, 0.0), 6)
-                END AS hours_to_exhaustion,
-                used >= 1.0 AS exhausted
-         FROM y""",
-
-    "r30_cusum" ->
-      // same closed-form chart: baseline integer micros over the
-      // first 24 present hours, prefix sums of (count - allowance),
-      // running min, S = P - min(0, Pmin); all-integer until output
-      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
-                           CAST(count(*) AS BIGINT) AS c
-                    FROM events GROUP BY 1, 2),
-            b AS (SELECT key, hr, c, min(hr) OVER (PARTITION BY key) AS h0 FROM h),
-            b2 AS (SELECT key, hr, c, h0,
-                     sum(CASE WHEN hr < h0 + 24 THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY key) AS nb,
-                     sum(CASE WHEN hr < h0 + 24 THEN c ELSE 0 END)
-                       OVER (PARTITION BY key) AS bs
-                   FROM b),
-            s AS (SELECT key, hr, c, (bs * 1000000) // nb AS bm
-                  FROM b2 WHERE hr >= h0 + 24),
-            p AS (SELECT key, hr, c, bm,
-                    sum(c * 1000000 - (bm + bm // 4)) OVER (
-                      PARTITION BY key ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pp
-                  FROM s),
-            q AS (SELECT key, hr, c, bm, pp,
-                    min(pp) OVER (PARTITION BY key ORDER BY hr
-                      ROWS UNBOUNDED PRECEDING) AS pmin
-                  FROM p)
-         SELECT key AS event_type, hr * 3600 AS hr_start,
-                c AS n_events, CAST(bm AS BIGINT) AS baseline_micros,
-                CAST(pp - least(pmin, 0) AS BIGINT) AS cusum_micros,
-                (pp - least(pmin, 0)) > bm * 5 AS is_change
-         FROM q ORDER BY event_type, hr_start""",
-
-    "r16_rate_anomaly" ->
-      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                FROM events GROUP BY 1, 2),
-            r AS (SELECT event_type, hr, c,
-                    count(*) OVER w AS tn,
-                    sum(c) OVER w AS tsum,
-                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                  FROM h
-                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
-                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
-                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                   FROM r WHERE tn >= 12),
-            z AS (SELECT event_type, hr_start, c, m,
-                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                  FROM sc)
-         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
-                round(m, 6) AS mean_trailing,
-                round(zs, 6) AS z_score,
-                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
-         FROM z ORDER BY event_type, hr_start""",
-
-    "r24_rare_transitions" ->
-      // per-user lag over the identically-masked lines, transition
-      // counts, share of the source's outgoing edges, the same flag
-      """WITH lines AS (
-           SELECT user_id, ts, event_id,
-                  'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
-               || ' user=' || user_id || ' type=' || event_type
-               || ' value=' || CAST(value AS VARCHAR) AS l
-           FROM events),
-           t AS (SELECT user_id, ts, event_id,
-                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
-                     '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-                     '<UUID>', 'g'),
-                     '0x[0-9a-fA-F]+', '<HEX>', 'g'),
-                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                     '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS tpl
-                 FROM lines),
-           tr AS (SELECT prev AS src_template, tpl AS dst_template,
-                         CAST(count(*) AS BIGINT) AS n
-                  FROM (SELECT tpl, lag(tpl) OVER (
-                          PARTITION BY user_id ORDER BY ts, event_id) AS prev
-                        FROM t)
-                  WHERE prev IS NOT NULL GROUP BY 1, 2),
-           sh AS (SELECT src_template, dst_template, n,
-                         round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
-                           PARTITION BY src_template) AS DOUBLE), 6) AS share
-                  FROM tr)
-         SELECT src_template, dst_template, n, share,
-                (n <= 2 OR share < 0.05) AS rare
-         FROM sh ORDER BY src_template, dst_template""",
-
-    "r28_incidents" ->
-      // the r23 edge chain + one lead pairing fires with their next
-      // resolve; per-key MTTR over closed incidents only
-      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                FROM events GROUP BY 1, 2),
-            r AS (SELECT event_type, hr, c,
-                    count(*) OVER w AS tn,
-                    sum(c) OVER w AS tsum,
-                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                  FROM h
-                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
-                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
-                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                   FROM r WHERE tn >= 12),
-            z AS (SELECT event_type, hr_start, c, m,
-                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                  FROM sc),
-            a AS (SELECT event_type, hr_start,
-                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
-                  FROM z),
-            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
-                    ORDER BY hr_start) AS prev FROM a),
-            ed AS (SELECT event_type, hr_start, an FROM e
-                   WHERE an <> coalesce(prev, false)),
-            fr AS (SELECT event_type, hr_start, an,
-                     lead(hr_start) OVER (PARTITION BY event_type
-                       ORDER BY hr_start) AS nxt
-                   FROM ed),
-            fi AS (SELECT event_type, (nxt - hr_start) // 3600 AS dur, nxt
-                   FROM fr WHERE an)
-         SELECT event_type, CAST(count(*) AS BIGINT) AS n_incidents,
-                CAST(sum(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-                round(avg(CAST(dur AS DOUBLE)), 6) AS mttr_hours,
-                CAST(max(dur) AS BIGINT) AS max_hours
-         FROM fi GROUP BY 1 ORDER BY event_type""",
-
-    "r23_alert_edges" ->
-      // the r16 CTE + one lag over the scored hourly frame; same
-      // rising/falling edge rule
-      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                FROM events GROUP BY 1, 2),
-            r AS (SELECT event_type, hr, c,
-                    count(*) OVER w AS tn,
-                    sum(c) OVER w AS tsum,
-                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                  FROM h
-                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
-                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
-                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                   FROM r WHERE tn >= 12),
-            z AS (SELECT event_type, hr_start, c, m,
-                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                  FROM sc),
-            a AS (SELECT event_type, hr_start, c, zs,
-                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
-                  FROM z),
-            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
-                    ORDER BY hr_start) AS prev FROM a)
-         SELECT event_type, hr_start, CAST(c AS BIGINT) AS n_events,
-                round(zs, 6) AS z_score,
-                CASE WHEN an THEN 'fire' ELSE 'resolve' END AS edge
-         FROM e WHERE an <> coalesce(prev, false)
-         ORDER BY event_type, hr_start""",
-
-    "r29_alert_storms" ->
-      // the r23 chain's fire edges, gap-split in global (hr, key)
-      // order, grouped per storm — identical cumsum storm ids
-      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                FROM events GROUP BY 1, 2),
-            r AS (SELECT event_type, hr, c,
-                    count(*) OVER w AS tn,
-                    sum(c) OVER w AS tsum,
-                    sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                  FROM h
-                  WINDOW w AS (PARTITION BY event_type ORDER BY hr
-                               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-            sc AS (SELECT event_type, hr * 3600 AS hr_start, c,
-                     CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                     CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                       - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                         * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                   FROM r WHERE tn >= 12),
-            z AS (SELECT event_type, hr_start, c,
-                    CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                         WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                  FROM sc),
-            a AS (SELECT event_type, hr_start,
-                    (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS an
-                  FROM z),
-            e AS (SELECT *, lag(an) OVER (PARTITION BY event_type
-                    ORDER BY hr_start) AS prev FROM a),
-            f AS (SELECT event_type AS key, hr_start FROM e
-                  WHERE an <> coalesce(prev, false) AND an),
-            g AS (SELECT key, hr_start,
-                    CASE WHEN lag(hr_start) OVER o IS NULL
-                           OR hr_start - lag(hr_start) OVER o > 7200 THEN 1
-                         ELSE 0 END AS ns
-                  FROM f WINDOW o AS (ORDER BY hr_start, key)),
-            st AS (SELECT key, hr_start, sum(ns) OVER (
-                     ORDER BY hr_start, key ROWS UNBOUNDED PRECEDING) AS sid
-                   FROM g)
-         SELECT CAST(min(hr_start) AS BIGINT) AS storm_start,
-                CAST(max(hr_start) AS BIGINT) AS storm_end,
-                CAST(count(*) AS BIGINT) AS n_fires,
-                CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
-                CAST((max(hr_start) - min(hr_start)) // 3600 AS BIGINT) AS span_hours,
-                string_agg(DISTINCT key, ',' ORDER BY key) AS keys
-         FROM st GROUP BY sid ORDER BY storm_start""",
-
-    "r25_template_drift" ->
-      """WITH lines AS (SELECT ts, 'user=' || user_id || ' type=' || event_type
-                || ' value=' || CAST(value AS VARCHAR) AS l FROM events),
-            t AS (SELECT epoch_us(ts) AS us,
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
-                      '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-                      '<UUID>', 'g'),
-                      '0x[0-9a-fA-F]+', '<HEX>', 'g'),
-                      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                      '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
-                  FROM lines),
-            b AS (SELECT min(us) + ((max(us) - min(us)) // 2) AS bnd FROM t),
-            c AS (SELECT template,
-                    CAST(sum(CASE WHEN us < bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
-                    CAST(sum(CASE WHEN us >= bnd THEN 1 ELSE 0 END) AS BIGINT) AS n_after
-                  FROM t, b GROUP BY 1),
-            sc AS (SELECT template, n_before, n_after,
-                     round(ln(CAST(n_after + 1 AS DOUBLE)
-                              / CAST(n_before + 1 AS DOUBLE)), 6) AS log_ratio,
-                     CASE WHEN n_before = 0 THEN 'new'
-                          WHEN n_after = 0 THEN 'vanished'
-                          ELSE 'shifted' END AS status
-                   FROM c)
-         SELECT template, n_before, n_after, log_ratio, status FROM (
-           SELECT *, row_number() OVER (
-             ORDER BY abs(log_ratio) DESC, template) AS rk FROM sc)
-         WHERE rk <= 20 ORDER BY abs(log_ratio) DESC, template""",
-
-    "r22_template_anomaly" ->
-      // the r18 masking CTE keys the r16 anomaly CTE — same regexes,
-      // same trailing-24 z-score arithmetic, template-keyed
-      """WITH lines AS (
-           SELECT ts, 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
-               || ' user=' || user_id || ' type=' || event_type
-               || ' value=' || CAST(value AS VARCHAR) AS l
-           FROM events),
-           t AS (SELECT ts, regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
-                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-                 '<UUID>', 'g'),
-                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
-                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
-              FROM lines),
-           h AS (SELECT template, epoch_us(ts) // 3600000000 AS hr, count(*) AS c
-                 FROM t GROUP BY 1, 2),
-           r AS (SELECT template, hr, c,
-                   count(*) OVER w AS tn,
-                   sum(c) OVER w AS tsum,
-                   sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) OVER w AS tss
-                 FROM h
-                 WINDOW w AS (PARTITION BY template ORDER BY hr
-                              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-           sc AS (SELECT template, hr * 3600 AS hr_start, c,
-                    CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE) AS m,
-                    CAST(tss AS DOUBLE) / CAST(tn AS DOUBLE)
-                      - (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE))
-                        * (CAST(tsum AS DOUBLE) / CAST(tn AS DOUBLE)) AS v
-                  FROM r WHERE tn >= 12),
-           z AS (SELECT template, hr_start, c, m,
-                   CASE WHEN v > 0.0 THEN (CAST(c AS DOUBLE) - m) / sqrt(v)
-                        WHEN CAST(c AS DOUBLE) = m THEN 0.0 END AS zs
-                 FROM sc)
-         SELECT template, hr_start, CAST(c AS BIGINT) AS n_events,
-                round(m, 6) AS mean_trailing,
-                round(zs, 6) AS z_score,
-                (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
-         FROM z ORDER BY template, hr_start""",
-
-    "r20_ewma_forecast" ->
-      // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as
-      // exact integers, then perform the SAME single IEEE division
-      """WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
-                           count(*) AS c
-                    FROM events GROUP BY 1, 2),
-              j AS (SELECT a.key, a.hr, a.c,
-                      CAST(sum(b.c * (CAST(1 AS BIGINT)
-                        << CAST(24 - (a.hr - b.hr) AS INTEGER))) AS BIGINT) AS num,
-                      CAST(sum(CAST(1 AS BIGINT)
-                        << CAST(24 - (a.hr - b.hr) AS INTEGER)) AS BIGINT) AS den,
-                      count(*) AS tn
-                    FROM h a JOIN h b
-                      ON b.key = a.key AND b.hr BETWEEN a.hr - 24 AND a.hr - 1
-                    GROUP BY 1, 2, 3),
-              f AS (SELECT key, hr, c, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS fc
-                    FROM j WHERE tn >= 12)
-         SELECT key AS event_type, hr * 3600 AS hr_start,
-                CAST(c AS BIGINT) AS n_events,
-                round(fc, 6) AS ewma_forecast,
-                (CAST(c AS DOUBLE) >= 3.0 * fc) AS is_spike,
-                (CAST(c AS DOUBLE) <= fc / 3.0) AS is_drop
-         FROM f ORDER BY event_type, hr_start""",
-
-    "r17_parse_rate" ->
-      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
-                count(*) AS n_lines,
-                sum(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS n_parsed
-             FROM events GROUP BY 1)
-         SELECT hr * 3600 AS hr_start, CAST(n_lines AS BIGINT) AS n_lines,
-                CAST(n_parsed AS BIGINT) AS n_parsed,
-                CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) AS parse_rate,
-                (CAST(n_parsed AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.95) AS alert
-         FROM h ORDER BY hr_start""",
-
-    "r18_log_templates" ->
-      """WITH lines AS (
-           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
-               || ' user=' || user_id || ' type=' || event_type
-               || ' value=' || CAST(value AS VARCHAR) AS l
-           FROM events
-           UNION ALL
-           SELECT 'user=' || c_custkey || ' name=' || c_name
-               || ' segment=' || c_mktsegment FROM customer),
-           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
-                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-                 '<UUID>', 'g'),
-                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
-                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template
-              FROM lines)
-         SELECT template, CAST(count(*) AS BIGINT) AS n
-         FROM t GROUP BY 1 ORDER BY template""",
-
-    "r19_template_latency" ->
-      """WITH lines AS (
-           SELECT 'id=' || event_id || ' ts=' || strftime(ts, '%Y-%m-%d %H:%M:%S')
-               || ' user=' || user_id || ' type=' || event_type
-               || ' value=' || CAST(value AS VARCHAR) AS l
-           FROM events),
-           t AS (SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(l,
-                 '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
-                 '<UUID>', 'g'),
-                 '0x[0-9a-fA-F]+', '<HEX>', 'g'),
-                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                 '-?[0-9]+(\.[0-9]+)?([Ee][+-]?[0-9]+)?', '<N>', 'g') AS template,
-                 CAST(regexp_extract(l, ' value=(.+)$', 1) AS DOUBLE) AS v
-              FROM lines)
-         SELECT template, CAST(count(*) AS BIGINT) AS n,
-                round(quantile_cont(v, 0.5), 6) AS p50,
-                round(quantile_cont(v, 0.95), 6) AS p95,
-                round(max(v), 6) AS max_v
-         FROM t GROUP BY 1 ORDER BY template""",
-
-    "q36_listagg" ->
-      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
-                string_agg(n_name, ',' ORDER BY n_name) AS nations
-         FROM nation JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY 1""",
-
-    "q35_pareto" ->
-      // same decimal revenue sums; rank/cumsum windows with the
-      // (rev desc, custkey) tiebreak
-      """WITH r AS (SELECT o_custkey,
-                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-                    FROM orders GROUP BY 1),
-            t AS (SELECT sum(rev) AS tot FROM r)
-         SELECT o_custkey,
-                CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
-                  AS rank,
-                CAST(rev AS DOUBLE) AS revenue,
-                round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
-                round(CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                  / CAST(tot AS DOUBLE), 6) AS cum_share
-         FROM r CROSS JOIN t ORDER BY rank""",
-
-    "q34_scd2" ->
-      // identical lag-collapse then lead/row_number over the change
-      // rows; (us, event_id) tiebreak makes both windows deterministic
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
-                    FROM events),
-            ch AS (SELECT user_id, event_type, us, event_id FROM (
-                     SELECT *, lag(event_type) OVER (PARTITION BY user_id
-                       ORDER BY us, event_id) AS prev FROM e)
-                   WHERE prev IS NULL OR prev <> event_type),
-            v AS (SELECT user_id, event_type AS state, us AS effective_from,
-                    lead(us) OVER (PARTITION BY user_id
-                      ORDER BY us, event_id) AS effective_to,
-                    CAST(row_number() OVER (PARTITION BY user_id
-                      ORDER BY us, event_id) AS BIGINT) AS version
-                  FROM ch)
-         SELECT user_id, state, effective_from, effective_to, version,
-                effective_to IS NULL AS is_current
-         FROM v ORDER BY user_id, version""",
-
-    "q29_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
-                    WHERE event_type = 'view' GROUP BY 1),
-            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-                  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
-                        AND e.ts <= v.t + INTERVAL 24 HOUR
-                  WHERE e.event_type = 'click' GROUP BY 1),
-            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-                  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
-                        AND e.ts <= c.t + INTERVAL 24 HOUR
-                  WHERE e.event_type = 'purchase' GROUP BY 1)
-         SELECT '1_view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
-         UNION ALL
-         SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
-         UNION ALL
-         SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
-         ORDER BY step""",
-
-    "r15_multiline" ->
-      """WITH lines AS (
-           SELECT user_id, event_id * 2 AS line_no,
-                  'id=' || event_id || ' type=' || event_type AS line,
-                  1 AS is_header
-           FROM events
-           UNION ALL
-           SELECT user_id, event_id * 2 + 1, '  at trace#' || event_id, 0
-           FROM events WHERE event_type = 'error'),
-            r AS (
-           SELECT user_id, line_no, line,
-                  CAST(sum(is_header) OVER (PARTITION BY user_id ORDER BY line_no) AS BIGINT) AS rec_no
-           FROM lines)
-         SELECT user_id, rec_no, CAST(count(*) AS BIGINT) AS n_lines,
-                string_agg(line, ' | ' ORDER BY line_no) AS record
-         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "t09_top_ngrams" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents),
-            sh AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t))
-         SELECT shingle, CAST(count(*) AS BIGINT) AS n
-         FROM sh GROUP BY 1 ORDER BY n DESC, shingle LIMIT 20""",
-
-    "r01_regex_parse" ->
-      """SELECT event_id, epoch_us(date_trunc('second', ts)) // 1000000 AS ts_s,
-                user_id, event_type AS etype, value
-         FROM events ORDER BY event_id""",
-
-    "r02_date_parse" ->
-      """SELECT event_id, CASE
-           WHEN event_id % 9 = 5 THEN epoch_us(date_trunc('minute', ts)) // 1000000
-           WHEN event_id % 9 = 7 THEN epoch_us(date_trunc('day', ts)) // 1000000
-           ELSE epoch_us(date_trunc('second', ts)) // 1000000
-         END AS ts_s
-         FROM events ORDER BY event_id""",
-
-    "r03_filter" ->
-      """SELECT event_id, event_type AS etype, value FROM events
-         WHERE event_type = 'error' AND value > 50.0 ORDER BY event_id""",
-
-    "r05_throttle" ->
-      """SELECT event_id FROM (
-           SELECT event_id, row_number() OVER (
-             PARTITION BY epoch_us(ts) // 60000000
-             ORDER BY epoch_us(ts), event_id) AS rn
-           FROM events) WHERE rn <= 5 ORDER BY event_id""",
-
-    "r06_window_tumbling" ->
-      """SELECT (epoch_us(ts) // 300000000) * 300 AS window_start, event_type,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "r07_window_sliding" ->
-      """SELECT ws AS window_start, event_type,
-                CAST(count(*) AS BIGINT) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM (SELECT unnest([(epoch_us(ts) // 300000000) * 300 - 300,
-                              (epoch_us(ts) // 300000000) * 300]) AS ws,
-                      event_type, value
-               FROM events)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "r08_multitable_join" ->
-      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1 ORDER BY 1""",
-
-    "r09_sql_per_window" ->
-      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
-                event_type AS etype, CAST(count(*) AS BIGINT) AS n, max(value) AS max_v
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "r10_bool_parse" ->
-      """SELECT value > 50.0 AS big, CAST(count(*) AS BIGINT) AS n
-         FROM events GROUP BY 1 ORDER BY 1""",
-
-    "q24_setops" ->
-      """SELECT id, src FROM (
-           SELECT id, 'both' AS src FROM (
-             SELECT DISTINCT user_id AS id FROM events
-             INTERSECT
-             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
-           UNION ALL
-           SELECT id, 'cust_only' AS src FROM (
-             SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer
-             EXCEPT
-             SELECT DISTINCT user_id AS id FROM events))
-         ORDER BY src, id""",
-
-    "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
-                CAST(count(*) AS BIGINT) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "q02_join_agg" ->
-      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         GROUP BY 1 ORDER BY 1""",
-
-    "q03_multijoin" ->
-      """SELECT r_name, n_name,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-                CAST(count(*) AS BIGINT) AS n
-         FROM region
-           JOIN nation ON n_regionkey = r_regionkey
-           JOIN customer ON c_nationkey = n_nationkey
-           JOIN orders ON o_custkey = c_custkey
-           JOIN lineitem ON l_orderkey = o_orderkey
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "q03b_multijoin_cbo" ->
-      // identical spec to q03: the CBO/statistics planning regime is a
-      // performance choice and must be answer-invariant
-      """SELECT r_name, n_name,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-                CAST(count(*) AS BIGINT) AS n
-         FROM region
-           JOIN nation ON n_regionkey = r_regionkey
-           JOIN customer ON c_nationkey = n_nationkey
-           JOIN orders ON o_custkey = c_custkey
-           JOIN lineitem ON l_orderkey = o_orderkey
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "q04_topk_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
-           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                  CAST(row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
-           FROM orders) WHERE rnk <= 3
-         ORDER BY o_orderpriority, rnk""",
-
-    "q05_distinct" ->
-      """SELECT l_returnflag,
-                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-                CAST(count(*) AS BIGINT) AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-
-    "q06_anti_join" ->
-      """SELECT c_custkey, c_mktsegment FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-         ORDER BY c_custkey""",
-
-    "q07_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-                coalesce(l_linestatus, 'ALL') AS linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(count(*) AS BIGINT) AS n
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY 1, 2""",
-
-    "q08_case_agg" ->
-      """SELECT o_orderpriority,
-                CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                         THEN CAST(o_totalprice AS DECIMAL(18,2))
-                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
-                CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
-                CAST(count(*) AS BIGINT) AS n
-         FROM orders GROUP BY 1 ORDER BY 1""",
-
-    "q09_strings" ->
-      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS pfx,
-                p_brand || '-' || p_type AS brand_type,
-                CAST(length(p_name) AS BIGINT) AS name_len,
-                CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS BIGINT) AS has_a,
-                regexp_extract(p_name, '([a-z]+)', 1) AS first_word
-         FROM part ORDER BY p_partkey""",
-
-    "q10_time_extract" ->
-      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
-                CAST(hour(ts) AS BIGINT) AS hr,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "q11_percentile" ->
-      """SELECT l_returnflag,
-                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-                round(quantile_cont(l_quantity, 0.9), 6) AS p90
-         FROM lineitem GROUP BY 1 ORDER BY 1""",
-
-    "q12_having" ->
-      """SELECT o_custkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-                CAST(count(*) AS BIGINT) AS n
-         FROM orders GROUP BY o_custkey
-         HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) >
-           (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) * 2.0 FROM orders)
-         ORDER BY o_custkey""",
-
-    "q13_union" ->
-      """SELECT id, CAST(count(*) AS BIGINT) AS n_sources FROM (
-           SELECT DISTINCT user_id AS id FROM events
-           UNION ALL
-           SELECT DISTINCT CAST(c_custkey AS BIGINT) AS id FROM customer)
-         GROUP BY id ORDER BY id""",
-
-    "q14_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1""",
-
-    "q15_window_funcs" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice,
-                lag(o_totalprice, 1) OVER w AS prev_price,
-                lead(o_totalprice, 1) OVER w AS next_price,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                  AS running_total,
-                CAST(row_number() OVER w AS BIGINT) AS order_seq
-         FROM orders WHERE o_custkey < 100
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, order_seq""",
-
-    "q16_semi_join" ->
-      """SELECT c_custkey, c_mktsegment FROM customer c
-         WHERE EXISTS (SELECT 1 FROM orders o
-                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
-         ORDER BY c_custkey""",
-
-    "q17_cube" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-                coalesce(o_orderpriority, 'ALL') AS priority,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-                CAST(count(*) AS BIGINT) AS n
-         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-         ORDER BY 1, 2""",
-
-    "q33_interval_coverage" ->
-      // identical sweep: endpoint deltas, per-position net, per-key
-      // cumulative active count, gaps where active > 0; all-integer
-      // epoch micros until the final rounded ratio
-      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
-                            epoch_us(ts) + 1800000000 AS e
-                     FROM events),
-            pts AS (SELECT user_id, s AS pos, 1 AS d FROM iv
-                    UNION ALL
-                    SELECT user_id, e AS pos, -1 AS d FROM iv),
-            g AS (SELECT user_id, pos, CAST(sum(d) AS BIGINT) AS d
-                  FROM pts GROUP BY 1, 2),
-            c AS (SELECT user_id, pos,
-                    sum(d) OVER (PARTITION BY user_id ORDER BY pos
-                      ROWS UNBOUNDED PRECEDING) AS act,
-                    lead(pos) OVER (PARTITION BY user_id ORDER BY pos) AS nxt
-                  FROM g),
-            cov AS (SELECT user_id,
-                      CAST(sum(CASE WHEN act > 0 THEN nxt - pos ELSE 0 END)
-                        AS BIGINT) AS covered_micros
-                    FROM c GROUP BY 1),
-            sp AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
-                          min(s) AS s0, max(e) AS e1
-                   FROM iv GROUP BY 1)
-         SELECT sp.user_id, n_intervals, covered_micros,
-                (e1 - s0) AS span_micros,
-                round(CAST(covered_micros AS DOUBLE)
-                      / CAST(e1 - s0 AS DOUBLE), 6) AS utilization
-         FROM sp JOIN cov ON sp.user_id = cov.user_id
-         ORDER BY sp.user_id""",
-
-    "q18_corr_subquery" ->
-      """SELECT p_partkey, p_type, p_retailprice FROM (
-           SELECT p_partkey, p_type, p_retailprice,
-                  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
-                       OVER (PARTITION BY p_type) AS DOUBLE)
-                    / CAST(count(*) OVER (PARTITION BY p_type) AS DOUBLE) AS avg_price
-           FROM part)
-         WHERE p_retailprice > avg_price ORDER BY p_partkey""",
-
-    "q32_unpivot" ->
-      """WITH w AS (SELECT l_returnflag,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc,
-               CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS tax
-             FROM lineitem GROUP BY 1)
-         SELECT l_returnflag, 'qty' AS measure, qty AS total FROM w
-         UNION ALL SELECT l_returnflag, 'price', price FROM w
-         UNION ALL SELECT l_returnflag, 'disc', disc FROM w
-         UNION ALL SELECT l_returnflag, 'tax', tax FROM w
-         ORDER BY l_returnflag, measure""",
-
-    "q19_pivot" ->
-      """SELECT epoch_us(date_trunc('day', ts)) // 1000000 AS d,
-                CAST(SUM(CASE WHEN event_type = 'click'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
-                CAST(SUM(CASE WHEN event_type = 'error'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
-                CAST(SUM(CASE WHEN event_type = 'purchase'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
-                CAST(SUM(CASE WHEN event_type = 'signup'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
-                CAST(SUM(CASE WHEN event_type = 'view'
-                  THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
-         FROM events GROUP BY 1 ORDER BY 1""",
-
-    "q20_asof_join" ->
-      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
-                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
-         SELECT e.event_id, e.user_id, c.click_id,
-                epoch_us(date_trunc('second', c.ts)) // 1000000 AS click_ts_s
-         FROM events e ASOF LEFT JOIN c
-           ON e.user_id = c.user_id AND c.ts <= e.ts
-         WHERE e.event_type = 'error' ORDER BY e.event_id""",
-
-    "q21_range_join" ->
-      """SELECT i AS bucket, CAST(count(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events e JOIN (SELECT unnest(range(50)) AS i) b
-           ON e.value >= i * 10.0 AND e.value < (i + 1) * 10.0
-         GROUP BY 1 ORDER BY 1""",
-
-    "d01_dedup_exact" ->
-      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
-         FROM documents GROUP BY text ORDER BY keep_id""",
-
-    "d29_normalized_dedup" ->
-      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
-         FROM documents
-         GROUP BY trim(regexp_replace(regexp_replace(
-           lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
-         ORDER BY keep_id""",
-
-    "d30_edit_verify" ->
-      // the d11 candidate chain verbatim; verify = levenshtein over
-      // substr(text, 1, 256) with the max(len, 1) guard
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 500),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            sigs AS (SELECT doc_id, i,
-                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
-            bands AS (SELECT doc_id, i // 2 AS band,
-                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
-                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
-                      FROM sigs GROUP BY 1, 2),
-            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-            cl AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents
-                   WHERE doc_id < 500),
-            v AS (SELECT c.id1, c.id2,
-                    CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
-                    round(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
-                      / CAST(greatest(length(a.t), length(b.t), 1) AS DOUBLE), 6)
-                      AS edit_sim
-                  FROM cand c JOIN cl a ON a.doc_id = c.id1
-                              JOIN cl b ON b.doc_id = c.id2)
-         SELECT id1, id2, lev, edit_sim FROM v
-         WHERE edit_sim >= 0.5 ORDER BY id1, id2""",
-
-    "d11_minhash_portable" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 500),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            sigs AS (SELECT doc_id, i,
-                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
-            bands AS (SELECT doc_id, i // 2 AS band,
-                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
-                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
-                      FROM sigs GROUP BY 1, 2),
-            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-            inter AS (SELECT c.id1, c.id2, count(*) AS n
-                      FROM cand c
-                      JOIN sh a ON a.doc_id = c.id1
-                      JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-                      GROUP BY 1, 2)
-         SELECT id1, id2,
-                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
-         ORDER BY id1, id2""",
-
-    "d24_allpairs_exact" ->
-      // brute-force quadratic oracle: every doc pair sharing >= 1
-      // word token, exact jaccard on distinct-token sets — the
-      // algorithm-free spec the prefix-filtered join must reproduce
-      """WITH t AS (SELECT DISTINCT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents WHERE doc_id < 500)),
-            sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY 1),
-            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n
-                      FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-         SELECT id1, id2,
-                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
-         ORDER BY id1, id2""",
-
-    "d04_ngram_jaccard" -> (ngramShingleCte +
-      """
-         SELECT id1, id2,
-                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
-         ORDER BY id1, id2"""),
-
-    "p16_token_waterfill" ->
-      // the identical integer waterfill: totals -> boundary row
-      // T_{i-1} <= lvl < T_i with lvl = (B - P_{i-1}) // (n-i+1) ->
-      // per-source md5-ordered cumsum <= lvl. All BIGINT arithmetic.
-      """WITH n AS (SELECT doc_id, source,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
-            tot AS (SELECT source, sum(n_toks) AS t FROM n GROUP BY 1),
-            lvc AS (SELECT * FROM (
-                      SELECT source, t,
-                             (26000 - (p - t)) // (ns - i + 1) AS lvl,
-                             coalesce(lag(t) OVER (ORDER BY t, source), 0) AS prevt
-                      FROM (SELECT source, t,
-                              row_number() OVER (ORDER BY t, source) AS i,
-                              sum(t) OVER (ORDER BY t, source) AS p,
-                              count(*) OVER () AS ns
-                            FROM tot))
-                    WHERE prevt <= lvl AND lvl < t),
-            lv AS (SELECT coalesce(min(lvl), 9223372036854775807) AS lvl FROM lvc),
-            c AS (SELECT doc_id, source, n_toks,
-                    sum(n_toks) OVER (PARTITION BY source
-                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
-                  FROM n)
-         SELECT doc_id, source, n_toks FROM c, lv WHERE cum <= lvl
-         ORDER BY doc_id""",
-
-    "p17_effective_tokens" -> {
-      // the identical arithmetic, Horner chain generated from the
-      // same coefficient table (operators.Training.expNegHornerSql)
-      val x = "greatest(0.0, (2000.0 / CAST(unique_tokens AS DOUBLE)) - 1.0) / 5.3"
-      val horner = graft.operators.Training.expNegHornerSql(x)
-      s"""WITH n AS (SELECT source,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_toks
-             FROM documents WHERE source IS NOT NULL),
-            tot AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS unique_tokens
-                    FROM n GROUP BY 1)
-         SELECT source, unique_tokens,
-                round(2000.0 / CAST(unique_tokens AS DOUBLE), 6) AS epochs,
-                round(CAST(unique_tokens AS DOUBLE)
-                      + (CAST(unique_tokens AS DOUBLE) * 5.3)
-                        * (1.0 - $horner), 6) AS effective_tokens
-         FROM tot ORDER BY source"""
-    },
-
-    "d28_dedup_report" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      """,
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-         allc AS (SELECT d.doc_id, d.source,
-                         coalesce(c.component, d.doc_id) AS component
-                  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 500) d
-                  LEFT JOIN comp c ON c.id = d.doc_id),
-         csz AS (SELECT component, count(*) AS csz FROM allc GROUP BY 1)
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-                round(CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate,
-                CAST(count(DISTINCT CASE WHEN csz > 1 THEN component END) AS BIGINT)
-                  AS n_clusters,
-                CAST(max(csz) AS BIGINT) AS max_cluster
-         FROM allc JOIN csz USING (component)
-         GROUP BY 1 ORDER BY source"""),
-
-    "d27_incremental_cc" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      // the ONE-SHOT d06 components over ALL docs and ALL pairs: the
-      // hash match proves the contracted incremental fold exact
-      """,
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
-         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-         LEFT JOIN comp c ON c.id = d.doc_id
-         ORDER BY d.doc_id"""),
-
-    "d26_kmv_store_merge" ->
-      // the ONE-SHOT whole-corpus bottom-64 per source: matching the
-      // Spark side's two-run merge proves store mergeability exactly
-      """WITH tk AS (SELECT source, md5(tok) AS h FROM (
-                SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0 GROUP BY 1, 2),
-            rk AS (SELECT source, h, row_number() OVER (
-                     PARTITION BY source ORDER BY h) AS r FROM tk),
-            sk AS (SELECT source, count(*) AS n_sketch, max(h) AS hk
-                   FROM rk WHERE r <= 64 GROUP BY 1)
-         SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
-                CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
-                     ELSE round(63.0 * 1152921504606846976.0 /
-                            CAST(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)
-                                 AS DOUBLE), 4)
-                END AS distinct_tokens_est
-         FROM sk ORDER BY source""",
-
-    "d25_sig_store_dedup" ->
-      // the d11 portable chain split at doc_id 250: signatures + bands
-      // for both halves, candidates only where a bucket holds one NEW
-      // and one STORED doc, then component-match counting — no old
-      // text below the sig CTE, mirroring the store contract
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 500),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            sigs AS (SELECT doc_id, i,
-                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
-            bands AS (SELECT doc_id, i // 2 AS band,
-                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
-                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
-                      FROM sigs GROUP BY 1, 2),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS matched_id
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bkey = b.bkey
-                     WHERE a.doc_id >= 250 AND b.doc_id < 250),
-            m AS (SELECT c.doc_id, c.matched_id,
-                         sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS matches
-                  FROM cand c
-                  JOIN sigs sa ON sa.doc_id = c.doc_id
-                  JOIN sigs sb ON sb.doc_id = c.matched_id AND sb.i = sa.i
-                  GROUP BY 1, 2)
-         SELECT doc_id, matched_id, CAST(matches AS BIGINT) AS matches,
-                round(CAST(matches AS DOUBLE) / 8.0, 6) AS est_jaccard
-         FROM m WHERE matches >= 4 ORDER BY doc_id, matched_id""",
-
-    "d24b_allpairs_3gram" -> (ngramShingleCte +
-      // brute-force quadratic 3-gram oracle at tau=0.8: every shared-
-      // shingle pair, exact jaccard — algorithm-free, so the prefix
-      // filter's hash-match proves it dropped nothing at this tau
-      """
-         SELECT id1, id2,
-                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.8
-         ORDER BY id1, id2"""),
-
-    "d06_dedup_resolve" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      """,
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
-         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-         LEFT JOIN comp c ON c.id = d.doc_id
-         ORDER BY d.doc_id"""),
-
-    "p19_interleave" ->
-      """SELECT doc_id, source,
-                CAST(row_number() OVER (PARTITION BY source
-                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS round,
-                md5('o:' || CAST(doc_id AS VARCHAR)) AS ord
-         FROM documents ORDER BY round, ord""",
-
-    "p18_leakage_split" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      // d06's component resolution, then the p05 hash-range CASE on
-      // the COMPONENT key: thr(0.2) = 0x33333, thr(0.4) = 0x66666
-      """,
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-         allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-                  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-                  LEFT JOIN comp c ON c.id = d.doc_id)
-         SELECT doc_id, component, CASE
-           WHEN substring(md5(CAST(component AS VARCHAR)), 1, 5) < '33333' THEN 'val'
-           WHEN substring(md5(CAST(component AS VARCHAR)), 1, 5) < '66666' THEN 'test'
-           ELSE 'train' END AS split
-         FROM allc ORDER BY doc_id"""),
-
-    "d20_soft_dedup" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
-      """,
-         pairs AS (SELECT id1, id2 FROM inter
-                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
-         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                   UNION SELECT id2, id1 FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM edges
-                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-         allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-                  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-                  LEFT JOIN comp c ON c.id = d.doc_id),
-         csz AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
-                 FROM allc GROUP BY 1)
-         SELECT f.doc_id, f.component, s.cluster_size,
-                round(CAST(1 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE), 6) AS weight
-         FROM allc f JOIN csz s USING (component)
-         ORDER BY f.doc_id"""),
-
-    "d10_containment" -> (ngramShingleCte +
-      """
-         SELECT id1, id2,
-                round(greatest(CAST(n AS DOUBLE) / CAST(s1.sz AS DOUBLE),
-                               CAST(n AS DOUBLE) / CAST(s2.sz AS DOUBLE)), 6) AS containment
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE greatest(CAST(n AS DOUBLE) / CAST(s1.sz AS DOUBLE),
-                        CAST(n AS DOUBLE) / CAST(s2.sz AS DOUBLE)) >= 0.8
-         ORDER BY id1, id2"""),
-
-    "t10_heavy_hitters_by_key" ->
-      """SELECT user_id % 10 AS seg, event_type AS item,
-                CAST(count(*) AS BIGINT) AS cnt
-         FROM events GROUP BY 1, 2 ORDER BY seg, cnt DESC, item""",
-
-    "d05_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
-              p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-                           a.embedding AS ea, b.embedding AS eb
-                    FROM e a JOIN e b ON a.vec_id < b.vec_id),
-              u AS (SELECT id1, id2, CAST(unnest(ea) AS DOUBLE) AS x,
-                           CAST(unnest(eb) AS DOUBLE) AS y FROM p),
-              s AS (SELECT id1, id2, sum(x*y) AS dot,
-                           sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-                    FROM u GROUP BY 1, 2)
-         SELECT id1, id2, round(dot / (na * nb), 6) AS cos
-         FROM s WHERE dot / (na * nb) >= 0.45 ORDER BY id1, id2""",
-
-    "s01_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
-                           CAST(unnest(qe) AS DOUBLE) AS y
-                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
-              s AS (SELECT qid, cid,
-                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                    FROM u GROUP BY 1, 2),
-              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
-                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-                    FROM s)
-         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
-
-    "s19_mmr_rerank" -> mmrOracle(k = 5, prefetch = 20, lam = 0.7),
-
-    "s18_postfiltered_ann" ->
-      // unfiltered top-20, label=1 survivors re-ranked to 10 — the
-      // post-filter strategy's exact answer, short lists included
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
-                           CAST(unnest(qe) AS DOUBLE) AS y
-                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
-              s AS (SELECT qid, cid,
-                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                    FROM u GROUP BY 1, 2),
-              r AS (SELECT qid, cid, cos, row_number() OVER (
-                      PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
-                    FROM s),
-              f AS (SELECT qid, cid, cos, CAST(row_number() OVER (
-                      PARTITION BY qid ORDER BY rnk) AS BIGINT) AS rnk2
-                    FROM r
-                    JOIN (SELECT vec_id FROM embeddings WHERE label = 1) lf
-                      ON lf.vec_id = r.cid
-                    WHERE rnk <= 20)
-         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos,
-                rnk2 AS rank
-         FROM f WHERE rnk2 <= 10 ORDER BY query_id, rank""",
-
-    "s17_filtered_ann" ->
-      // s01's brute spec restricted to the label=1 survivors — the
-      // pre-filter strategy's exact answer
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE label = 1),
-              u AS (SELECT qid, cid, CAST(unnest(ce) AS DOUBLE) AS x,
-                           CAST(unnest(qe) AS DOUBLE) AS y
-                    FROM (SELECT qid, cid, qe, ce FROM q, c)),
-              s AS (SELECT qid, cid,
-                           sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                    FROM u GROUP BY 1, 2),
-              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
-                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-                    FROM s)
-         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
-
-    "q27_rolling_window" ->
-      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-                  PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-                  AS DOUBLE) AS rolling_sum
-         FROM events ORDER BY user_id, ts_us, event_id""",
-
-    "q28_rank_funcs" ->
-      """SELECT o_orderpriority, o_orderkey,
-                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-                round(percent_rank() OVER w, 6) AS prnk,
-                CAST(ntile(4) OVER w AS BIGINT) AS quartile
-         FROM orders
-         WINDOW w AS (PARTITION BY o_orderpriority
-                      ORDER BY o_totalprice DESC, o_orderkey)
-         ORDER BY o_orderpriority, drnk, o_orderkey""",
-
-    "q26_full_outer" ->
-      """SELECT coalesce(e.user_id, c.cust_id) AS id,
-                coalesce(e.n_events, 0) AS n_events,
-                coalesce(c.c_mktsegment, 'NONE') AS segment
-         FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
-               FROM events GROUP BY 1) e
-         FULL OUTER JOIN (SELECT CAST(c_custkey AS BIGINT) AS cust_id, c_mktsegment
-                          FROM customer) c
-           ON e.user_id = c.cust_id
-         ORDER BY id""",
-
-    "q23_grouping_sets" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-                coalesce(o_orderpriority, 'ALL') AS priority,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-                CAST(count(*) AS BIGINT) AS n
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                 (o_orderstatus, o_orderpriority))
-         ORDER BY 1, 2""",
-
-    "q30_distinct_kmv" ->
-      """WITH d AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
-                    FROM lineitem GROUP BY 1, 2),
-            rk AS (SELECT l_returnflag, h,
-                          row_number() OVER (PARTITION BY l_returnflag
-                                             ORDER BY h) AS r
-                   FROM d),
-            sk AS (SELECT l_returnflag, count(*) AS n_sketch, max(h) AS hk
-                   FROM rk WHERE r <= 256 GROUP BY 1)
-         SELECT l_returnflag, CAST(n_sketch AS BIGINT) AS n_sketch,
-                CASE WHEN n_sketch < 256 THEN CAST(n_sketch AS DOUBLE)
-                     ELSE round(255.0 * 1152921504606846976.0 /
-                            CAST(CAST(('0x' || substr(hk, 1, 15)) AS BIGINT)
-                                 AS DOUBLE), 4)
-                END AS distinct_est
-         FROM sk ORDER BY l_returnflag""",
-
-    "s21_top_pc" -> s21Oracle,
-
-    "s22_pc_project" -> s22Oracle,
-
-    "s24_pca_topk" -> s24Oracle,
-
-    "s25_pc_whiten" -> s25Oracle,
-
-    "s20_int8_ann" ->
-      // both sides re-quantized with s07's floor codes; the three
-      // sums are exact integer arithmetic (order-insensitive), so the
-      // quantized cosine reproduces Spark's bit-for-bit
-      """WITH e AS (SELECT vec_id, embedding,
-                      list_max(list_transform(embedding,
-                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-                    FROM embeddings),
-            cd AS (SELECT vec_id AS id,
-                     CASE WHEN scale = 0
-                          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                          ELSE list_transform(embedding,
-                            x -> CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT))
-                     END AS codes
-                   FROM e),
-            u AS (SELECT q.id AS qid, c.id AS cid,
-                         unnest(q.codes) AS qx, unnest(c.codes) AS cx
-                  FROM cd c, (SELECT * FROM cd WHERE id < 5) q),
-            s AS (SELECT qid, cid,
-                         CAST(sum(qx*cx) AS BIGINT) AS dot,
-                         CAST(sum(cx*cx) AS BIGINT) AS cn2,
-                         CAST(sum(qx*qx) AS BIGINT) AS qn2
-                  FROM u GROUP BY 1, 2),
-            r AS (SELECT qid, cid,
-                         round(CAST(dot AS DOUBLE) /
-                           (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))), 6)
-                           AS qcos
-                  FROM s WHERE cn2 > 0 AND qn2 > 0),
-            k AS (SELECT qid, cid, qcos, CAST(row_number() OVER (
-                    PARTITION BY qid ORDER BY qcos DESC, cid) AS BIGINT) AS rnk
-                  FROM r)
-         SELECT qid AS query_id, cid AS neighbor_id, qcos, rnk AS rank
-         FROM k WHERE rnk <= 10 ORDER BY query_id, rank""",
-
-    "s07_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, embedding,
-                      list_max(list_transform(embedding,
-                        x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-                    FROM embeddings),
-              u AS (SELECT vec_id, scale, unnest(embedding) AS x,
-                           unnest(range(len(embedding))) AS pos FROM e)
-         SELECT vec_id, CAST(pos AS BIGINT) AS pos,
-                CASE WHEN scale = 0 THEN 0
-                     ELSE CAST(floor(CAST(x AS DOUBLE) / scale) AS BIGINT) END AS code,
-                scale
-         FROM u ORDER BY vec_id, pos""",
-
-    "s04_centroids" ->
-      """SELECT label, CAST(pos AS BIGINT) AS pos,
-                round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                      / CAST(count(*) AS DOUBLE), 6) AS c
-         FROM (SELECT label, unnest(embedding) AS x,
-                      unnest(range(len(embedding))) AS pos
-               FROM embeddings)
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "s23_centroid_sim" ->
-      """WITH ce AS (SELECT label, pos,
-               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 6) AS c
-             FROM (SELECT label, unnest(embedding) AS x,
-                          unnest(range(len(embedding))) AS pos
-                   FROM embeddings)
-             GROUP BY 1, 2),
-            nm AS (SELECT label,
-                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
-                   FROM ce GROUP BY 1),
-            dt AS (SELECT a.label AS label1, b.label AS label2,
-                     CAST(sum(CAST(round(a.c * b.c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS dot
-                   FROM ce a JOIN ce b ON b.pos = a.pos AND a.label < b.label
-                   GROUP BY 1, 2)
-         SELECT label1, label2,
-                round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
-         FROM dt JOIN nm na ON na.label = dt.label1
-                 JOIN nm nb ON nb.label = dt.label2
-         WHERE na.n2 > 0 AND nb.n2 > 0
-         ORDER BY label1, label2""",
-
-    "s29_kmeans_train" -> s29Oracle(k = 8, iters = 3, dims = 64),
-
-    "s30_kmeans_prune" ->
-      s30Oracle(k = 8, iters = 3, dims = 64, pruneNum = 3, pruneDen = 10),
-
-    "s32_ivf_exact" ->
-      s32Oracle(k = 8, iters = 3, dims = 64, nprobe = 2, topK = 10,
-        queryMax = 5L),
-
-    "s31_centroid_drift" ->
-      // two s04 centroid chains (even/odd snapshot split), the s23
-      // round-6/DECIMAL dot, counts per side
-      """WITH eo AS (SELECT label, unnest(embedding) AS x,
-                       unnest(range(len(embedding))) AS pos
-                     FROM embeddings WHERE vec_id % 2 = 0),
-            en AS (SELECT label, unnest(embedding) AS x,
-                       unnest(range(len(embedding))) AS pos
-                   FROM embeddings WHERE vec_id % 2 = 1),
-            co AS (SELECT label, pos,
-                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                           / CAST(count(*) AS DOUBLE), 6) AS c
-                   FROM eo GROUP BY 1, 2),
-            cn AS (SELECT label, pos,
-                     round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                           / CAST(count(*) AS DOUBLE), 6) AS c
-                   FROM en GROUP BY 1, 2),
-            n2o AS (SELECT label,
-                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
-                    FROM co GROUP BY 1 HAVING n2 > 0),
-            n2n AS (SELECT label,
-                      CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS n2
-                    FROM cn GROUP BY 1 HAVING n2 > 0),
-            no AS (SELECT label, CAST(count(*) AS BIGINT) AS n_old
-                   FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
-            nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n_new
-                   FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
-            dt AS (SELECT co.label,
-                     CAST(sum(CAST(round(co.c * cn.c, 6) AS DECIMAL(24,8))) AS DOUBLE)
-                       AS dot
-                   FROM co JOIN cn ON cn.label = co.label AND cn.pos = co.pos
-                   GROUP BY 1)
-         SELECT dt.label, no.n_old, nn.n_new,
-                round(dot / (sqrt(n2o.n2) * sqrt(n2n.n2)), 6) AS cos_drift,
-                round(sqrt(n2n.n2) / sqrt(n2o.n2), 6) AS norm_ratio
-         FROM dt JOIN n2o ON n2o.label = dt.label
-                 JOIN n2n ON n2n.label = dt.label
-                 JOIN no ON no.label = dt.label
-                 JOIN nn ON nn.label = dt.label
-         ORDER BY dt.label""",
-
-    "s28_proto_prune" ->
-      // the s04 centroid chain rounded 6, per-term round-6 products
-      // DECIMAL-folded (the s23 discipline), rank/count windows, and
-      // the exact-integer prune cut n*3//10
-      """WITH ce AS (SELECT label, CAST(pos AS BIGINT) AS pos,
-               round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-                     / CAST(count(*) AS DOUBLE), 6) AS c
-             FROM (SELECT label, unnest(embedding) AS x,
-                          unnest(range(len(embedding))) AS pos
-                   FROM embeddings)
-             GROUP BY 1, 2),
-            cn AS (SELECT label,
-                     CAST(sum(CAST(round(c * c, 6) AS DECIMAL(24,8))) AS DOUBLE) AS cn2
-                   FROM ce GROUP BY 1),
-            nv AS (SELECT vec_id, sqrt(list_aggregate(
-                     list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                     'sum')) AS vn
-                   FROM embeddings),
-            dt AS (SELECT e.vec_id, e.label,
-                     CAST(sum(CAST(round(ce.c * CAST(e.x AS DOUBLE), 6)
-                       AS DECIMAL(24,8))) AS DOUBLE) AS dot
-                   FROM (SELECT vec_id, label, unnest(embedding) AS x,
-                                unnest(range(len(embedding))) AS pos
-                         FROM embeddings) e
-                   JOIN ce ON ce.label = e.label AND ce.pos = e.pos
-                   GROUP BY 1, 2),
-            sc AS (SELECT dt.vec_id, dt.label,
-                     round(dot / (sqrt(cn.cn2) * nv.vn), 6) AS proto_score
-                   FROM dt JOIN cn ON cn.label = dt.label AND cn.cn2 > 0
-                           JOIN nv ON nv.vec_id = dt.vec_id AND nv.vn > 0),
-            rk AS (SELECT *,
-                     CAST(row_number() OVER (PARTITION BY label
-                       ORDER BY proto_score DESC, vec_id) AS BIGINT) AS rank_in_label,
-                     CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_label
-                   FROM sc)
-         SELECT vec_id, label, proto_score, rank_in_label, n_label,
-                rank_in_label > n_label * 3 // 10 AS kept
-         FROM rk ORDER BY label, rank_in_label""",
-
-    "s05_vec_norm" ->
-      """SELECT vec_id, round(sqrt(list_aggregate(
-                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                'sum')), 6) AS l2
-         FROM embeddings ORDER BY vec_id""",
-
-    "s14_hamming_topk" ->
-      """WITH pj AS (SELECT vec_id, j,
-                round(list_aggregate(list_transform(range(len(embedding)),
-                  i -> CAST(embedding[i + 1] AS DOUBLE) *
-                       (CASE WHEN (strpos('0123456789abcdef',
-                           substr(md5(CAST(i AS VARCHAR) || ':' ||
-                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
-              FROM embeddings CROSS JOIN (SELECT unnest(range(16)) AS j)),
-            code AS (SELECT vec_id,
-                       sum(CASE WHEN proj > 0
-                           THEN CAST(power(2, 15 - j) AS BIGINT) ELSE 0 END) AS code
-                     FROM pj GROUP BY 1),
-            qc AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 10),
-            hm AS (SELECT qid, c.vec_id AS cid, bit_count(xor(c.code, qcode)) AS ham
-                   FROM code c CROSS JOIN qc),
-            sl AS (SELECT qid, cid, ham FROM (
-                     SELECT qid, cid, ham, row_number() OVER (
-                       PARTITION BY qid ORDER BY ham, cid) AS srnk FROM hm)
-                   WHERE srnk <= 50),
-            u AS (SELECT qid, cid, ham, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
-                         CAST(unnest(qe.embedding) AS DOUBLE) AS y
-                  FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
-                          JOIN embeddings qe ON qe.vec_id = sl.qid),
-            s AS (SELECT qid, cid, ham,
-                         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
-                  FROM u GROUP BY 1, 2, 3),
-            r AS (SELECT qid, cid, ham, cos, CAST(row_number() OVER (
-                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-                  FROM s)
-         SELECT qid AS query_id, cid AS neighbor_id, CAST(ham AS BIGINT) AS hamming,
-                round(cos, 6) AS cos, rnk AS rank
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
-
-    "s15_matryoshka" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-                    WHERE vec_id < 10),
-            c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
-            pu AS (SELECT qid, cid, CAST(unnest(ce[1:16]) AS DOUBLE) AS x,
-                          CAST(unnest(qe[1:16]) AS DOUBLE) AS y
-                   FROM (SELECT qid, cid, qe, ce FROM q, c)),
-            ps AS (SELECT qid, cid,
-                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
-                            AS pcos
-                   FROM pu GROUP BY 1, 2),
-            sl AS (SELECT qid, cid, pcos FROM (
-                     SELECT qid, cid, pcos, row_number() OVER (
-                       PARTITION BY qid ORDER BY pcos DESC, cid) AS srnk FROM ps)
-                   WHERE srnk <= 50),
-            fu AS (SELECT qid, cid, pcos, CAST(unnest(ce.embedding) AS DOUBLE) AS x,
-                          CAST(unnest(qe.embedding) AS DOUBLE) AS y
-                   FROM sl JOIN embeddings ce ON ce.vec_id = sl.cid
-                           JOIN embeddings qe ON qe.vec_id = sl.qid),
-            fs AS (SELECT qid, cid, pcos,
-                          round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
-                            AS cos
-                   FROM fu GROUP BY 1, 2, 3),
-            r AS (SELECT qid, cid, pcos, cos, CAST(row_number() OVER (
-                    PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
-                  FROM fs)
-         SELECT qid AS query_id, cid AS neighbor_id, pcos AS prefix_cos,
-                cos, rnk AS rank
-         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
-
-    "s08_random_projection" ->
-      """WITH sj AS (SELECT vec_id, j, embedding FROM embeddings
-                     CROSS JOIN (SELECT unnest(range(16)) AS j))
-         SELECT vec_id, CAST(j AS BIGINT) AS j,
-                round(list_aggregate(list_transform(range(len(embedding)),
-                  i -> CAST(embedding[i + 1] AS DOUBLE) *
-                       (CASE WHEN (strpos('0123456789abcdef',
-                           substr(md5(CAST(i AS VARCHAR) || ':' ||
-                             CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-                         THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
-         FROM sj ORDER BY vec_id, j""",
-
-    "p04_source_quota" ->
-      """WITH r AS (SELECT doc_id, source,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
-             FROM documents)
-         SELECT doc_id, source FROM r WHERE qr <= 30 ORDER BY doc_id""",
-
-    "p22_fim_split" ->
-      // same md5 channels: gate on the 5-hex prefix, cuts from two
-      // 15-hex channels mod n+1 (order-normalized), PSM/SPM on a bit
-      """WITH n AS (SELECT doc_id,
-                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END
-                        AS BIGINT) AS n_toks,
-                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '80000' AS is_fim,
-                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c1'), 1, 15))
-                        AS BIGINT) AS h1,
-                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':c2'), 1, 15))
-                        AS BIGINT) AS h2,
-                      substr(md5(CAST(doc_id AS VARCHAR) || ':o'), 1, 1) < '8' AS psm
-                    FROM documents),
-            c AS (SELECT doc_id, n_toks, is_fim, psm,
-                    least(h1 % (n_toks + 1), h2 % (n_toks + 1)) AS lo,
-                    greatest(h1 % (n_toks + 1), h2 % (n_toks + 1)) AS hi
-                  FROM n)
-         SELECT doc_id, n_toks, is_fim,
-                CASE WHEN is_fim THEN lo ELSE n_toks END AS n_prefix,
-                CASE WHEN is_fim THEN hi - lo ELSE 0 END AS n_middle,
-                CASE WHEN is_fim THEN n_toks - hi ELSE 0 END AS n_suffix,
-                CASE WHEN NOT is_fim THEN 'none'
-                     WHEN psm THEN 'psm' ELSE 'spm' END AS fim_order
-         FROM c ORDER BY doc_id""",
-
-    "p05_split" ->
-      """SELECT doc_id, CASE
-           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '19999' THEN 'val'
-           WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '33333' THEN 'test'
-           ELSE 'train' END AS split
-         FROM documents ORDER BY doc_id""",
-
-    "p06_token_budget" ->
-      """WITH n AS (SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents),
-            c AS (SELECT doc_id, n_toks,
-                    sum(n_toks) OVER (
-                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
-                  FROM n)
-         SELECT doc_id, n_toks FROM c WHERE cum <= 20000 ORDER BY doc_id""",
-
-    "p10_chunk_windows" ->
-      """WITH tk AS (SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'),
-                           t -> len(t) > 0) AS toks
-             FROM documents),
-            nz AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
-            st AS (SELECT doc_id, toks, n, s FROM
-                     (SELECT doc_id, toks, n, unnest(range(0, n, 24)) AS s FROM nz)
-                   WHERE s = 0 OR s - 24 + 32 < n)
-         SELECT doc_id,
-                CAST(s // 24 AS BIGINT) AS chunk_idx,
-                array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
-                CAST(least(32, n - s) AS BIGINT) AS n_toks
-         FROM st ORDER BY doc_id, chunk_idx""",
-
-    "p07_dsir" -> p07Oracle,
-
-    "p08_temperature" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-              r AS (SELECT source, n,
-                      CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS rs
-                    FROM c),
-              tot AS (SELECT CAST(sum(n) AS HUGEINT) AS total, sum(rs) AS s FROM r),
-              k AS (SELECT source,
-                      least(CAST(n AS HUGEINT),
-                            ((SELECT total FROM tot) * 1 // 2) * rs // (SELECT s FROM tot))
-                        AS cap
-                    FROM r),
-              ranked AS (SELECT doc_id, source,
-                           row_number() OVER (PARTITION BY source
-                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-                         FROM documents)
-         SELECT doc_id, source FROM ranked JOIN k USING (source)
-         WHERE rn <= cap ORDER BY doc_id""",
-
-    "t29_corpus_card" -> (
-      // per-doc metrics = the t02 quality twin + the p12 token-count
-      // twin, joined on doc_id; same decimal-sum mean, same ROLLUP
-      s"""WITH q AS ($qualitySubSql),
-             d AS (SELECT doc_id, source, lang,
-                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
-                   FROM documents),
-             j AS (SELECT d.source, d.lang, d.nt, q.quality
-                   FROM d JOIN q USING (doc_id))
-         SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL'
-                     ELSE coalesce(source, '(null)') END AS source,
-                CASE WHEN GROUPING(lang) = 1 THEN 'ALL'
-                     ELSE coalesce(lang, '(null)') END AS lang,
-                CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(nt) AS BIGINT) AS n_tokens,
-                CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-                round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
-                      / CAST(count(*) AS DOUBLE), 6) AS mean_quality
-         FROM j GROUP BY ROLLUP(source, lang) ORDER BY 1, 2"""),
-
-    "p09_curriculum" -> (
-      s"""WITH q AS ($qualitySubSql),
-             h AS (SELECT quality, count(*) AS c FROM q GROUP BY 1),
-             b AS (SELECT quality,
-                     coalesce(sum(c) OVER (ORDER BY quality DESC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS bef,
-                     sum(c) OVER () AS n
-                   FROM h),
-             st AS (SELECT quality,
-                      CAST((bef * 4) // n + 1 AS BIGINT) AS stage FROM b)
-         SELECT q.doc_id, q.quality, st.stage
-         FROM q JOIN st USING (quality) ORDER BY q.doc_id"""),
-
-    "p11_diverse_sample" ->
-      // assignment = the s09 CTE (rounded cosine, lowest-cid tie);
-      // selection = md5-order row_number per cluster, quota 50
-      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
-              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
-              u AS (SELECT vec_id, cid, sum(x*y) AS dot,
-                           sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nc
-                    FROM (SELECT vec_id, cid, CAST(unnest(ev) AS DOUBLE) AS x,
-                                 CAST(unnest(ce) AS DOUBLE) AS y FROM e, c)
-                    GROUP BY 1, 2),
-              a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY round(dot/(ne*nc), 6) DESC, cid) AS rn FROM u),
-              asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
-              r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
-                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick FROM asg)
-         SELECT vec_id, cluster, CAST(pick AS BIGINT) AS pick
-         FROM r WHERE pick <= 50 ORDER BY vec_id""",
-
-    "p12_pack_greedy" -> (p12PackCte +
-      """
-         SELECT doc_id, shard, pack FROM g ORDER BY doc_id"""),
-
-    "p20_pack_efficiency" -> (p12PackCte +
-      // the Krell efficiency report over the same packs: padding vs
-      // capacity, with an oversized pack contributing its own fill as
-      // capacity (a lone over-cap doc pads nothing)
-      """,
-           pk AS (SELECT shard, pack, CAST(sum(n_toks) AS BIGINT) AS fl
-                  FROM g GROUP BY 1, 2)
-         SELECT CAST(count(*) AS BIGINT) AS n_packs,
-                CAST(sum(fl) AS BIGINT) AS n_tokens,
-                CAST(sum(CASE WHEN fl > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
-                round(CAST(sum(greatest(0, 512 - fl)) AS DOUBLE)
-                      / CAST(sum(greatest(512, fl)) AS DOUBLE), 6) AS waste_frac,
-                round(quantile_cont(fl, 0.5), 6) AS p50_fill
-         FROM pk"""),
-
-    "p21_seq_profile" ->
-      """WITH n AS (SELECT source,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents)
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                round(quantile_cont(n_toks, 0.5), 6) AS p50_toks,
-                round(quantile_cont(n_toks, 0.95), 6) AS p95_toks,
-                CAST(max(n_toks) AS BIGINT) AS max_toks,
-                CAST(sum(n_toks) AS BIGINT) AS total_toks
-         FROM n GROUP BY 1 ORDER BY source""",
-
-    "p13_epoch_repeat" ->
-      // identical IEEE64 fraction math on both sides; the extra-copy
-      // draw is the mixtureSample 5-hex-digit md5 prefix compare
-      """WITH w AS (SELECT doc_id,
-               CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                    THEN CAST(2.45 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END AS ep
-             FROM documents),
-           c AS (SELECT doc_id, CAST(floor(ep) AS BIGINT)
-                   + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 5) <
-                       printf('%05x', CAST(least(floor((ep - floor(ep)) * 1048576.0),
-                                                 1048575.0) AS BIGINT))
-                     THEN 1 ELSE 0 END AS copies
-                 FROM w)
-         SELECT doc_id, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
-         FROM c WHERE copies > 0 ORDER BY doc_id, epoch""",
-
-    "p14_weighted_sample" -> p14Oracle,
-
-    "p15_pack_bestfit" ->
-      // the BFD fold replayed per shard: LIST-of-fills state in the
-      // recursive CTE, best fit = first position of the max feasible
-      // fill (equal fills are interchangeable, so this IS the
-      // lowest-index best fit — the operator's identical rule)
-      """WITH RECURSIVE n AS (SELECT doc_id,
-               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
-             FROM documents),
-           r AS (SELECT doc_id, doc_id // 128 AS shard, n_toks,
-                   row_number() OVER (PARTITION BY doc_id // 128
-                     ORDER BY n_toks DESC, doc_id) AS rn
-                 FROM n WHERE n_toks > 0 AND doc_id IS NOT NULL),
-           g AS (
-             SELECT shard, rn, doc_id, n_toks,
-                    CAST(0 AS BIGINT) AS pack, [n_toks] AS fills
-             FROM r WHERE rn = 1
-             UNION ALL
-             SELECT r.shard, r.rn, r.doc_id, r.n_toks,
-               CAST(CASE WHEN list_max(list_filter(g.fills, f -> f + r.n_toks <= 512)) IS NULL
-                    THEN len(g.fills)
-                    ELSE list_position(g.fills, list_max(list_filter(g.fills,
-                           f -> f + r.n_toks <= 512))) - 1 END AS BIGINT),
-               CASE WHEN list_max(list_filter(g.fills, f -> f + r.n_toks <= 512)) IS NULL
-                    THEN list_append(g.fills, r.n_toks)
-                    ELSE list_transform(range(1, len(g.fills) + 1), i ->
-                      CASE WHEN i = list_position(g.fills, list_max(list_filter(g.fills,
-                             f -> f + r.n_toks <= 512)))
-                           THEN g.fills[i] + r.n_toks ELSE g.fills[i] END) END
-             FROM g JOIN r ON r.shard = g.shard AND r.rn = g.rn + 1)
-         SELECT doc_id, shard, pack FROM g ORDER BY doc_id""",
-
-    "t30_stupid_backoff" -> t30Oracle,
-
-    "t36_backoff_buckets" -> t36Oracle,
-
-    "t33_heaps" ->
-      // same prefix construction (first-doc vocab trick), same moment
-      // discipline as the t24 oracle, beta un-negated
-      """WITH mx AS (SELECT max(doc_id) + 1 AS span FROM documents),
-            tk AS (SELECT doc_id, tok FROM (
-                     SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                     FROM documents WHERE doc_id IS NOT NULL)
-                   WHERE len(tok) > 0),
-            fi AS (SELECT tok, min(doc_id) AS mid FROM tk GROUP BY 1),
-            ks AS (SELECT unnest(range(1, 9)) AS k),
-            np AS (SELECT k, count(*) AS nn FROM ks, tk, mx
-                   WHERE doc_id < (span * k) // 8 GROUP BY k),
-            vp AS (SELECT k, count(*) AS vv FROM ks, fi, mx
-                   WHERE mid < (span * k) // 8 GROUP BY k),
-            pts AS (SELECT nn, vv FROM np JOIN vp USING (k)
-                    WHERE nn > 0 AND vv > 0),
-            t AS (SELECT
-                CAST(round(ln(CAST(nn AS DOUBLE)), 6) AS DECIMAL(24,8)) AS x,
-                CAST(round(ln(CAST(vv AS DOUBLE)), 6) AS DECIMAL(24,8)) AS y,
-                CAST(round(ln(CAST(nn AS DOUBLE)) * ln(CAST(vv AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS xy,
-                CAST(round(ln(CAST(nn AS DOUBLE)) * ln(CAST(nn AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS xx,
-                CAST(round(ln(CAST(vv AS DOUBLE)) * ln(CAST(vv AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS yy
-              FROM pts),
-            s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
-                         sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx,
-                         sum(yy) AS syy FROM t)
-         SELECT n AS n_points,
-                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
-                round((CAST(sy AS DOUBLE)
-                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS ln_k,
-                round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-         FROM s""",
-
-    "t34_bpe_train" -> (bpeCtes(8) + "\n" +
-      (1 to 8).map(k =>
-          s"SELECT CAST($k AS BIGINT) AS rank, pair, CAST(f AS BIGINT) AS freq FROM m$k")
-        .mkString("", "\nUNION ALL ", "\nORDER BY rank")),
-
-    "t37_bpe_fertility" -> (bpeCtes(8) +
-      s""",
-            tk AS (SELECT lang,
-                     unnest(string_split_regex(lower(text), '\\s+')) AS w
-                   FROM documents WHERE lang IS NOT NULL),
-            seg AS (SELECT lang, len(w) AS ch,
-                      ${(1 to 8).foldLeft("s0")((e, k) =>
-                        s"replace($e, ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ')")} AS s
-                    FROM (SELECT lang, w,
-                            ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
-                          FROM tk WHERE w <> '') ${(1 to 8).map(k => s", m$k").mkString}),
-            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
-                           CAST(sum(ch) AS BIGINT) AS n_chars,
-                           CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe
-                    FROM seg GROUP BY 1)
-         SELECT lang, n_words, n_chars, n_bpe,
-                round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
-                round(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6) AS chars_per_token
-         FROM agg ORDER BY lang"""),
-
-    "t35_bpe_tokens" -> (bpeCtes(8) +
-      // apply the learned table in rank order: the same padded
-      // replaces, chained m1..m8 (cross joins of the 1-row argmax
-      // CTEs; 8 merges always exist on these corpora — a vocabulary
-      // too small to yield them would empty the chain in BOTH engines
-      // asymmetrically, so keep merges <= the guaranteed supply)
-      s""",
-            tk AS (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\\s+')) AS w
-                   FROM documents WHERE doc_id IS NOT NULL),
-            seg AS (SELECT doc_id,
-                      ${(1 to 8).foldLeft("s0")((e, k) =>
-                        s"replace($e, ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ')")} AS s
-                    FROM (SELECT doc_id,
-                            ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
-                          FROM tk WHERE w <> '') ${(1 to 8).map(k => s", m$k").mkString}),
-            perdoc AS (SELECT doc_id, sum(len(string_split(trim(s), ' '))) AS n
-                       FROM seg GROUP BY 1)
-         SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe
-         FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
-         LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-         ORDER BY d.doc_id"""),
-
-    // t35's per-doc BPE counts flowing through p06's md5-order
-    // cumulative-sum budget: identical training CTEs, identical
-    // count chain, then the p06 window
-    "p06b_token_budget_bpe" -> (bpeCtes(8) +
-      s""",
-            tk AS (SELECT doc_id,
-                     unnest(string_split_regex(lower(text), '\\s+')) AS w
-                   FROM documents WHERE doc_id IS NOT NULL),
-            seg AS (SELECT doc_id,
-                      ${(1 to 8).foldLeft("s0")((e, k) =>
-                        s"replace($e, ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ')")} AS s
-                    FROM (SELECT doc_id,
-                            ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s0
-                          FROM tk WHERE w <> '') ${(1 to 8).map(k => s", m$k").mkString}),
-            perdoc AS (SELECT doc_id, sum(len(string_split(trim(s), ' '))) AS n
-                       FROM seg GROUP BY 1),
-            nn AS (SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe
-                   FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) d
-                   LEFT JOIN perdoc p ON p.doc_id = d.doc_id),
-            cc AS (SELECT doc_id, n_bpe,
-                     sum(n_bpe) OVER (
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
-                   FROM nn)
-         SELECT doc_id, n_bpe FROM cc WHERE cum <= 80000 ORDER BY doc_id"""),
-
-    "t32_pmi" ->
-      // identical pair/token streams and the identical
-      // division-association in the PMI expression, rounded to 6
-      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
-                       t -> len(t) > 0) AS toks FROM documents),
-            pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
-                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)
-                   WHERE len(toks) >= 2),
-            bc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2),
-            m AS (SELECT sum(n_pair) AS m FROM bc),
-            un AS (SELECT w, count(*) AS c FROM (
-                     SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
-            n AS (SELECT sum(c) AS n FROM un),
-            sc AS (SELECT b.w1, b.w2, b.n_pair,
-                     round(ln((CAST(b.n_pair AS DOUBLE) / CAST(m.m AS DOUBLE)) /
-                       ((CAST(ua.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
-                        (CAST(ub.c AS DOUBLE) / CAST(n.n AS DOUBLE)))), 6) AS pmi
-                   FROM bc b JOIN un ua ON ua.w = b.w1
-                             JOIN un ub ON ub.w = b.w2
-                   CROSS JOIN m CROSS JOIN n
-                   WHERE b.n_pair >= 20)
-         SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi FROM (
-           SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM sc)
-         WHERE rk <= 30 ORDER BY pmi DESC, w1, w2""",
-
-    "t31_novelty" ->
-      // identical tokenization/shingle unit as the d04 CTE, full
-      // corpus (the df join is linear, unlike the pair joins)
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            dfq AS (SELECT g, count(*) AS dfc FROM sh GROUP BY 1)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-                round(CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                      / count(*), 6) AS novelty
-         FROM sh JOIN dfq USING (g) GROUP BY 1 ORDER BY doc_id""",
-
-    "s10_pq" ->
-      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
-              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
-              sj AS (SELECT vec_id, ev, code, cv, j FROM e
-                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
-              d AS (SELECT vec_id, j, code,
-                      round(list_aggregate(list_transform(range(8), i ->
-                          CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
-                        - 2 * list_aggregate(list_transform(range(8), i ->
-                          CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
-                        6) AS dist
-                    FROM sj),
-              r AS (SELECT vec_id, j, code, row_number() OVER (
-                      PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM d)
-         SELECT vec_id, CAST(j AS BIGINT) AS sub, code
-         FROM r WHERE rn = 1 ORDER BY vec_id, sub""",
-
-    "s11_pq_adc" ->
-      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
-              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
-              sj AS (SELECT vec_id, ev, code, cv, j FROM e
-                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
-              dmat AS (SELECT vec_id, j, code,
-                         round(list_aggregate(list_transform(range(8), i ->
-                             CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
-                           - 2 * list_aggregate(list_transform(range(8), i ->
-                             CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
-                           6) AS dist
-                       FROM sj),
-              codes AS (SELECT vec_id, j, code FROM (
-                          SELECT vec_id, j, code, row_number() OVER (
-                            PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM dmat)
-                        WHERE rn = 1),
-              q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
-              dt AS (SELECT qid, j, code,
-                       round(list_aggregate(list_transform(range(8), i ->
-                           CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
-                         - 2 * list_aggregate(list_transform(range(8), i ->
-                           CAST(qv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
-                         6) AS dist
-                     FROM q CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
-              s AS (SELECT dt.qid, c.vec_id AS nid,
-                           round(CAST(sum(CAST(dt.dist AS DECIMAL(24,8))) AS DOUBLE), 6) AS adc_dist
-                    FROM codes c JOIN dt ON dt.j = c.j AND dt.code = c.code
-                    GROUP BY 1, 2),
-              r2 AS (SELECT qid, nid, adc_dist, CAST(row_number() OVER (
-                       PARTITION BY qid ORDER BY adc_dist, nid) AS BIGINT) AS rank FROM s)
-         SELECT qid AS query_id, nid AS neighbor_id, adc_dist, rank
-         FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    "s09_semdedup" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
-              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
-              u AS (SELECT vec_id, cid, sum(x*y) AS dot,
-                           sqrt(sum(x*x)) AS ne, sqrt(sum(y*y)) AS nc
-                    FROM (SELECT vec_id, cid, CAST(unnest(ev) AS DOUBLE) AS x,
-                                 CAST(unnest(ce) AS DOUBLE) AS y FROM e, c)
-                    GROUP BY 1, 2),
-              a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-                      ORDER BY round(dot/(ne*nc), 6) DESC, cid) AS rn FROM u),
-              asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
-              pe AS (SELECT a1.vec_id AS id1, a2.vec_id AS id2, e1.ev AS v1, e2.ev AS v2
-                     FROM asg a1 JOIN asg a2
-                       ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
-                     JOIN e e1 ON e1.vec_id = a1.vec_id
-                     JOIN e e2 ON e2.vec_id = a2.vec_id),
-              pu AS (SELECT id1, id2, sum(x*y) AS dot,
-                            sqrt(sum(x*x)) AS n1, sqrt(sum(y*y)) AS n2
-                     FROM (SELECT id1, id2, CAST(unnest(v1) AS DOUBLE) AS x,
-                                  CAST(unnest(v2) AS DOUBLE) AS y FROM pe)
-                     GROUP BY 1, 2),
-              dups AS (SELECT DISTINCT id2 FROM pu WHERE dot/(n1*n2) >= 0.35)
-         SELECT asg.vec_id, asg.cluster FROM asg
-         LEFT JOIN dups ON asg.vec_id = dups.id2
-         WHERE dups.id2 IS NULL ORDER BY vec_id""",
-
-    "t07_redact" ->
-      """SELECT doc_id,
-                regexp_replace(
-                  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                                 '<EMAIL>', 'g'),
-                  '[0-9]{9,}', '<NUM>', 'g') AS redacted
-         FROM documents ORDER BY doc_id""",
-
-    "t06_heavy_hitters" ->
-      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS cnt
-         FROM events GROUP BY 1 ORDER BY cnt DESC, item""",
-
-    "t01_lang_id" -> langIdOracle,
-
-    "t40_code_switch" -> {
-      // sentence explode (the d23 segmentation) -> the shared langId
-      // chain -> per-doc histogram + dominant pick with the same
-      // (count desc, lang asc) tie-break
-      val perSentence = langIdOver(
-        """(SELECT doc_id, lower(sent) AS txt,
-                   string_split_regex(lower(sent), '\s+') AS toks
-            FROM (SELECT doc_id, trim(s) AS sent FROM (
-                    SELECT doc_id, unnest(regexp_extract_all(text,
-                      '[^.!?]+[.!?]+|[^.!?]+')) AS s
-                    FROM documents))
-            WHERE sent <> '')""", "doc_id")
-      s"""WITH lp AS ($perSentence),
-            lc AS (SELECT doc_id, lang_pred, CAST(count(*) AS BIGINT) AS c
-                   FROM lp GROUP BY 1, 2),
-            rk AS (SELECT doc_id, lang_pred, c,
-                     row_number() OVER (PARTITION BY doc_id
-                       ORDER BY c DESC, lang_pred) AS rn,
-                     sum(c) OVER (PARTITION BY doc_id) AS tot,
-                     count(*) OVER (PARTITION BY doc_id) AS nl
-                   FROM lc)
-         SELECT doc_id, CAST(tot AS BIGINT) AS n_sents,
-                CAST(nl AS BIGINT) AS n_langs,
-                lang_pred AS dominant_lang,
-                round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS dominant_share,
-                (nl > 1 AND round(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE), 6) < 0.9)
-                  AS is_mixed
-         FROM rk WHERE rn = 1 ORDER BY doc_id"""
-    },
-
-    "t05_lang_eval" ->
-      s"""WITH pred AS ($langIdOracle)
-          SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
-          FROM documents d JOIN pred p ON d.doc_id = p.doc_id
-          GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    "t02_quality" -> (s"SELECT doc_id, quality FROM ($qualitySubSql)" +
-      " ORDER BY doc_id"),
-
-    "t03_tokens" ->
-      """SELECT doc_id,
-                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_ws,
-                CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
-         FROM documents ORDER BY doc_id""",
-
-    "t04_fingerprint" ->
-      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
-         FROM documents GROUP BY text ORDER BY keep_id""",
-
-    "m01_multimodal" ->
-      // byte-level, not codepoint-level: hex(encode(text)) is the UTF-8
-      // byte sequence, each byte decoded from its two hex digits — so
-      // the equivalence with fakeDecode's byte stats is structural and
-      // holds for multi-byte text, not just ASCII
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents),
-              b AS (SELECT doc_id, n,
-                      list_transform(range(1, n + 1),
-                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
-                             + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
-                    FROM h)
-         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-                CAST(coalesce(bytes[1], 0) AS INT) AS head_byte,
-                round(CASE WHEN n = 0 THEN 0.0
-                      ELSE CAST(list_aggregate(bytes, 'sum') AS DOUBLE)
-                           / CAST(n AS DOUBLE) END, 6) AS byte_mean,
-                CAST(8 AS BIGINT) AS feat_dim
-         FROM b ORDER BY doc_id""",
-
-    "m06_alignment" ->
-      // image tower = the m01 byte-fold replay (8 cells); text tower
-      // = the s08 projection expr at 8 dims; same cosine + keep CASE
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents WHERE doc_id < 500),
-            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
-            byt AS (SELECT doc_id, (i - 1) % 8 AS k,
-                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
-                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
-                    FROM pos),
-            f0 AS (SELECT doc_id, k, sum(v) AS fv FROM byt GROUP BY 1, 2),
-            grid AS (SELECT doc_id, unnest(range(0, 8)) AS k FROM h),
-            feat AS (SELECT g.doc_id, g.k, CAST(coalesce(f0.fv, 0) AS DOUBLE) AS f
-                     FROM grid g LEFT JOIN f0
-                       ON f0.doc_id = g.doc_id AND f0.k = g.k),
-            tp AS (SELECT vec_id, j,
-                     round(list_aggregate(list_transform(range(len(embedding)),
-                       i -> CAST(embedding[i + 1] AS DOUBLE) *
-                            (CASE WHEN (strpos('0123456789abcdef',
-                                substr(md5(CAST(i AS VARCHAR) || ':' ||
-                                  CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-                              THEN 1 ELSE -1 END)), 'sum'), 6) AS p
-                   FROM embeddings CROSS JOIN (SELECT unnest(range(8)) AS j)),
-            d AS (SELECT f.doc_id,
-                    sum(f.f * t.p) AS dot,
-                    sqrt(sum(f.f * f.f)) AS nf,
-                    sqrt(sum(t.p * t.p)) AS nt
-                  FROM feat f JOIN tp t ON t.vec_id = f.doc_id AND t.j = f.k
-                  GROUP BY 1)
-         SELECT doc_id,
-                CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) END AS align_cos,
-                CASE WHEN nf > 0 AND nt > 0 THEN round(dot / (nf * nt), 6) >= 0.0 END AS keep
-         FROM d ORDER BY doc_id""",
-
-    "m10_phash_resolve" ->
-      // the m05 pHash pair chain verbatim, then the d06 recursive-CTE
-      // component resolution with min-id canonicals
-      """WITH RECURSIVE h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents WHERE doc_id < 500),
-            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
-            byt AS (SELECT doc_id, (i - 1) % 64 AS j,
-                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
-                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
-                    FROM pos),
-            cellv AS (SELECT doc_id, j, sum(v) AS cv FROM byt GROUP BY 1, 2),
-            grid AS (SELECT doc_id, unnest(range(0, 64)) AS j FROM h),
-            cells AS (SELECT g.doc_id, g.j, coalesce(c.cv, 0) AS cv
-                      FROM grid g LEFT JOIN cellv c
-                        ON c.doc_id = g.doc_id AND c.j = g.j),
-            bits AS (SELECT a.doc_id, a.j,
-                       CASE WHEN a.cv > b.cv THEN 1 ELSE 0 END AS bit
-                     FROM cells a JOIN cells b
-                       ON b.doc_id = a.doc_id AND b.j = (a.j + 1) % 64),
-            chunks AS (SELECT doc_id,
-                         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f0,
-                         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f1,
-                         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f2,
-                         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f3
-                       FROM bits GROUP BY 1),
-            prs AS (SELECT id1, id2 FROM (
-                      SELECT a.doc_id AS id1, b.doc_id AS id2,
-                             bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
-                           + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) AS hm
-                      FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id)
-                    WHERE hm <= 3),
-            edges AS (SELECT id1 AS a, id2 AS b FROM prs
-                      UNION SELECT id2, id1 FROM prs),
-            reach(a, b) AS (SELECT a, b FROM edges
-                            UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-            comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
-            allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-                     FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
-                     LEFT JOIN comp c ON c.id = d.doc_id)
-         SELECT doc_id, component,
-                CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
-                doc_id = component AS is_canonical
-         FROM allc ORDER BY doc_id""",
-
-    "m05_phash_pairs" ->
-      // byte-level dHash replay (the m01 hex-parse rule): cell[j] =
-      // sum of bytes at positions ≡ j (mod 64), bit j compares
-      // neighbor cells, chunks pack 16 bits each; pairs are the FULL
-      // quadratic cross join at hamming <= 3 — banding completeness
-      // is part of what the hash-match proves
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents WHERE doc_id < 500),
-            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
-            byt AS (SELECT doc_id, (i - 1) % 64 AS j,
-                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
-                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
-                    FROM pos),
-            cellv AS (SELECT doc_id, j, sum(v) AS cv FROM byt GROUP BY 1, 2),
-            grid AS (SELECT doc_id, unnest(range(0, 64)) AS j FROM h),
-            cells AS (SELECT g.doc_id, g.j, coalesce(c.cv, 0) AS cv
-                      FROM grid g LEFT JOIN cellv c
-                        ON c.doc_id = g.doc_id AND c.j = g.j),
-            bits AS (SELECT a.doc_id, a.j,
-                       CASE WHEN a.cv > b.cv THEN 1 ELSE 0 END AS bit
-                     FROM cells a JOIN cells b
-                       ON b.doc_id = a.doc_id AND b.j = (a.j + 1) % 64),
-            chunks AS (SELECT doc_id,
-                         CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f0,
-                         CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f1,
-                         CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f2,
-                         CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (15 - j % 16)) ELSE 0 END) AS BIGINT) AS f3
-                       FROM bits GROUP BY 1)
-         SELECT id1, id2, hamming FROM (
-           SELECT a.doc_id AS id1, b.doc_id AS id2,
-                  CAST(bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
-                     + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) AS BIGINT) AS hamming
-           FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id)
-         WHERE hamming <= 3 ORDER BY id1, id2""",
-
-    "m07_audio_overlap" ->
-      // chunk contents joined RAW (hex-slice equality) — md5 is only
-      // Spark's shuffle-key compression, so byte equality is the same
-      // relation and the pair counts hash-match
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents WHERE doc_id < 500 AND strlen(text) > 0),
-            c AS (SELECT doc_id, substr(hx, 2 * chunk_idx * 100 + 1, 200) AS ck
-                  FROM (SELECT doc_id, hx,
-                          unnest(range(0, (n + 99) // 100)) AS chunk_idx
-                        FROM h)),
-            d AS (SELECT DISTINCT doc_id, ck FROM c),
-            p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-                         CAST(count(*) AS BIGINT) AS n_shared
-                  FROM d a JOIN d b ON a.ck = b.ck AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-         SELECT id1, id2, n_shared FROM p ORDER BY id1, id2""",
-
-    "m11_silence_segments" ->
-      // the m04 hex chunk grid with exact byte SUMS, the integer
-      // threshold cross-multiplication, then row_number islands
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents),
-            c AS (SELECT doc_id, hx, n,
-                    unnest(range(0, greatest((n + 99) // 100, 1))) AS chunk_idx
-                  FROM h),
-            s AS (SELECT doc_id, chunk_idx, chunk_idx * 100 AS off,
-                         least(n, chunk_idx * 100 + 100) - chunk_idx * 100 AS nb, hx
-                  FROM c),
-            e AS (SELECT doc_id, chunk_idx,
-                    CASE WHEN nb = 0 THEN 0 ELSE
-                      CAST(list_aggregate(list_transform(range(1, nb + 1),
-                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*(off + i) - 1, 1)) - 1) * 16
-                             + (strpos('0123456789ABCDEF', substr(hx, 2*(off + i), 1)) - 1)),
-                        'sum') AS BIGINT) END AS e
-                  FROM s),
-            t AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS tot,
-                         CAST(count(*) AS BIGINT) AS nc
-                  FROM e GROUP BY 1),
-            a AS (SELECT e.doc_id, e.chunk_idx FROM e JOIN t USING (doc_id)
-                  WHERE e.e * 4 * t.nc > 3 * t.tot),
-            i AS (SELECT doc_id, chunk_idx,
-                    chunk_idx - row_number() OVER (PARTITION BY doc_id
-                      ORDER BY chunk_idx) AS isl
-                  FROM a),
-            g AS (SELECT doc_id, isl,
-                    CAST(min(chunk_idx) AS BIGINT) AS start_chunk,
-                    CAST(max(chunk_idx) AS BIGINT) AS end_chunk,
-                    CAST(count(*) AS BIGINT) AS n_chunks
-                  FROM i GROUP BY 1, 2)
-         SELECT doc_id,
-                CAST(row_number() OVER (PARTITION BY doc_id
-                  ORDER BY start_chunk) AS BIGINT) AS seg_idx,
-                start_chunk, end_chunk, n_chunks
-         FROM g ORDER BY doc_id, seg_idx""",
-
-    "m04_audio_chunks" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
-                    FROM documents),
-            c AS (SELECT doc_id, hx, n,
-                    unnest(range(0, greatest((n + 99) // 100, 1))) AS chunk_idx
-                  FROM h),
-            s AS (SELECT doc_id, chunk_idx, chunk_idx * 100 AS off,
-                         least(n, chunk_idx * 100 + 100) - chunk_idx * 100 AS nb, hx
-                  FROM c),
-            b AS (SELECT doc_id, chunk_idx, off, nb,
-                    CASE WHEN nb = 0 THEN 0.0 ELSE
-                      CAST(list_aggregate(list_transform(range(1, nb + 1),
-                        i -> (strpos('0123456789ABCDEF', substr(hx, 2*(off + i) - 1, 1)) - 1) * 16
-                             + (strpos('0123456789ABCDEF', substr(hx, 2*(off + i), 1)) - 1)),
-                        'sum') AS DOUBLE) / nb END AS bm
-                  FROM s)
-         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-                CAST(off AS BIGINT) AS offset, CAST(nb AS BIGINT) AS n_bytes,
-                round(bm, 6) AS byte_mean
-         FROM b ORDER BY doc_id, chunk_idx""",
-
-    "m02_frames" ->
-      """WITH d AS (SELECT doc_id, strlen(text) AS len FROM documents),
-              f AS (SELECT doc_id, len, greatest(1, len // 4) AS step,
-                           unnest(range(least(4, greatest(1, len)))) AS frame_idx
-                    FROM d)
-         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-                CAST(least(len, frame_idx * step + step) - frame_idx * step AS BIGINT)
-                  AS frame_bytes
-         FROM f ORDER BY doc_id, frame_idx""",
-
-    "m08_scene_changes" ->
-      // the m02 frame grid + the m04 hex byte parse: per-frame 8-bin
-      // byte folds are exact integers, so dist2 is pure BIGINT math
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len
-                    FROM documents),
-            f AS (SELECT doc_id, hx, len, greatest(1, len // 4) AS step,
-                         unnest(range(least(4, greatest(1, len)))) AS fi
-                  FROM h),
-            w AS (SELECT doc_id, fi, hx, fi * step AS frm,
-                         least(len, fi * step + step) AS til
-                  FROM f),
-            b AS (SELECT doc_id, fi, (i - frm) % 8 AS j,
-                    (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-                    + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS byte
-                  FROM (SELECT doc_id, fi, hx, frm, til,
-                          unnest(range(frm, til)) AS i FROM w)),
-            ft AS (SELECT doc_id, fi, j, CAST(sum(byte) AS BIGINT) AS v
-                   FROM b GROUP BY 1, 2, 3),
-            grid AS (SELECT doc_id, fi, unnest(range(8)) AS j
-                     FROM (SELECT DISTINCT doc_id, fi FROM f)),
-            fv AS (SELECT g.doc_id, g.fi, g.j, coalesce(ft.v, 0) AS v
-                   FROM grid g LEFT JOIN ft
-                     ON ft.doc_id = g.doc_id AND ft.fi = g.fi AND ft.j = g.j),
-            d2 AS (SELECT a.doc_id, a.fi,
-                     CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist2
-                   FROM fv a JOIN fv b
-                     ON b.doc_id = a.doc_id AND b.fi = a.fi - 1 AND b.j = a.j
-                   GROUP BY 1, 2)
-         SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, dist2,
-                dist2 > 150000 AS is_boundary
-         FROM d2 ORDER BY doc_id, frame_idx""",
-
-    "m09_keyframes" ->
-      // m08's feature chain + per-frame energy, boundary-count scene
-      // ids, and a (energy DESC, fi) row_number argmax per scene
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS len
-                    FROM documents),
-            f AS (SELECT doc_id, hx, len, greatest(1, len // 4) AS step,
-                         unnest(range(least(4, greatest(1, len)))) AS fi
-                  FROM h),
-            w AS (SELECT doc_id, fi, hx, fi * step AS frm,
-                         least(len, fi * step + step) AS til
-                  FROM f),
-            b AS (SELECT doc_id, fi, (i - frm) % 8 AS j,
-                    (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
-                    + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS byte
-                  FROM (SELECT doc_id, fi, hx, frm, til,
-                          unnest(range(frm, til)) AS i FROM w)),
-            ft AS (SELECT doc_id, fi, j, CAST(sum(byte) AS BIGINT) AS v
-                   FROM b GROUP BY 1, 2, 3),
-            grid AS (SELECT doc_id, fi, unnest(range(8)) AS j
-                     FROM (SELECT DISTINCT doc_id, fi FROM f)),
-            fv AS (SELECT g.doc_id, g.fi, g.j, coalesce(ft.v, 0) AS v
-                   FROM grid g LEFT JOIN ft
-                     ON ft.doc_id = g.doc_id AND ft.fi = g.fi AND ft.j = g.j),
-            en AS (SELECT doc_id, fi, CAST(sum(v * v) AS BIGINT) AS energy
-                   FROM fv GROUP BY 1, 2),
-            d2 AS (SELECT a.doc_id, a.fi,
-                     CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist2
-                   FROM fv a JOIN fv b
-                     ON b.doc_id = a.doc_id AND b.fi = a.fi - 1 AND b.j = a.j
-                   GROUP BY 1, 2),
-            sc AS (SELECT en.doc_id, en.fi, en.energy,
-                     sum(CASE WHEN d2.dist2 > 150000 THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY en.doc_id ORDER BY en.fi
-                       ROWS UNBOUNDED PRECEDING) AS scene
-                   FROM en LEFT JOIN d2
-                     ON d2.doc_id = en.doc_id AND d2.fi = en.fi),
-            r AS (SELECT doc_id, scene, fi, energy,
-                    row_number() OVER (PARTITION BY doc_id, scene
-                      ORDER BY energy DESC, fi) AS rn,
-                    count(*) OVER (PARTITION BY doc_id, scene) AS nf
-                  FROM sc)
-         SELECT doc_id, CAST(scene AS BIGINT) AS scene,
-                CAST(nf AS BIGINT) AS n_frames,
-                CAST(fi AS BIGINT) AS keyframe_idx, energy
-         FROM r WHERE rn = 1 ORDER BY doc_id, scene""",
-
-    "m03_resize" ->
-      """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
-                CAST(strlen(text) AS BIGINT) AS in_bytes,
-                CAST(least(strlen(text), 1024) AS BIGINT) AS out_bytes
-         FROM documents ORDER BY doc_id""",
-
-    "p23_length_batches" ->
-      // plain per-bucket rank window single-node; the Spark side is
-      // the distributed prefix count
-      """WITH tk AS (SELECT doc_id,
-                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+')) END
-                         AS BIGINT) AS n
-                     FROM documents),
-            b AS (SELECT doc_id, n,
-                    CAST(CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
-                         WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
-                         WHEN n <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS cap,
-                    md5('b:' || CAST(doc_id AS VARCHAR)) AS h
-                  FROM tk),
-            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cap
-                    ORDER BY h, doc_id) AS BIGINT) AS rank_in_bucket FROM b)
-         SELECT doc_id, n AS n_toks, cap AS bucket_cap, rank_in_bucket,
-                (rank_in_bucket - 1) // 16 AS batch_idx,
-                cap - least(n, cap) AS pad_tokens
-         FROM r ORDER BY doc_id""",
-
-    "p01_pack" ->
-      // the oracle computes the same packing with a plain global
-      // cumsum — fine single-node; the Spark side is the distributed
-      // prefix sum
-      """WITH tk AS (SELECT doc_id,
-                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\s+')) END
-                         AS BIGINT) AS n_toks
-                     FROM documents),
-              c AS (SELECT doc_id, n_toks,
-                       coalesce(sum(n_toks) OVER (ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-                    FROM tk)
-         SELECT doc_id, n_toks,
-                CAST(cb // 2048 AS BIGINT) AS seq_start,
-                CAST((cb + n_toks - 1) // 2048 AS BIGINT) AS seq_end,
-                CAST(cb % 2048 AS BIGINT) AS seq_off
-         FROM c WHERE n_toks > 0 ORDER BY doc_id""",
-
-    "p02_mixture" ->
-      // identical IEEE64 rate math on both sides: w * (total*0.5) / n,
-      // floored once into a 5-hex-digit md5 prefix threshold
-      """WITH w AS (SELECT doc_id, source,
-                      CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                           THEN CAST(0.08 AS DOUBLE)
-                           ELSE CAST(0.6 AS DOUBLE) / CAST(15.0 AS DOUBLE) END AS w
-                    FROM documents),
-            cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n, min(w) AS w
-                   FROM w GROUP BY 1),
-            tt AS (SELECT sum(n) AS total FROM cs),
-           thr AS (SELECT source,
-                      printf('%05x', CAST(least(floor(least(
-                        w * (CAST(total AS DOUBLE) * 0.5) / CAST(n AS DOUBLE),
-                        1.0) * 1048576.0), 1048575.0) AS BIGINT)) AS t
-                   FROM cs CROSS JOIN tt)
-         SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
-         FROM documents d JOIN thr ON d.source = thr.source
-         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < thr.t
-         GROUP BY 1 ORDER BY 1""",
-
-    "p03_shard" ->
-      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
-                    FROM documents)
-         SELECT doc_id,
-                CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT)
-                  AS shard,
-                CAST(row_number() OVER (
-                  PARTITION BY strpos('0123456789abcdef', substr(h, 1, 1))
-                  ORDER BY substr(h, 2), doc_id) AS BIGINT) AS pos
-         FROM h ORDER BY doc_id""",
-
-    "t11_normalize" ->
-      """WITH n AS (SELECT doc_id, text,
-                      trim(regexp_replace(regexp_replace(text,
-                        '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
-                    FROM documents)
-         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
-                CAST(length(norm) AS BIGINT) AS n_norm,
-                CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
-                norm AS norm_text
-         FROM n ORDER BY doc_id""",
-
-    "t12_boilerplate" ->
-      """WITH framed AS (SELECT doc_id,
-               'subscribe to our newsletter' || chr(10) || text || chr(10) ||
-               CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
-                    ELSE 'thanks for reading' END ||
-               chr(10) || 'ref ' || doc_id AS text
-             FROM documents),
-            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM framed),
-            lines AS (SELECT doc_id, a[i] AS line, i
-                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
-                            FROM ls)),
-            freq AS (SELECT line FROM (
-                       SELECT line, count(DISTINCT doc_id) AS nd
-                       FROM lines GROUP BY 1)
-                     WHERE nd >= 100 AND len(line) > 0),
-            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1),
-            kept AS (SELECT doc_id, line, i FROM lines
-                     WHERE line NOT IN (SELECT line FROM freq))
-         SELECT k.doc_id,
-                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
-                CAST(count(*) AS BIGINT) AS n_kept,
-                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
-         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-         GROUP BY k.doc_id ORDER BY k.doc_id""",
-
-    "t15_collapse_runs" ->
-      """WITH framed AS (SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'loading...' || chr(10) ELSE '' END ||
-               'loading...' || chr(10) || text || chr(10) || text || chr(10) || 'done' AS text
-             FROM documents),
-            ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM framed),
-            lines AS (SELECT doc_id, a[i] AS line, i
-                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
-                            FROM ls)),
-            marked AS (SELECT doc_id, line, i,
-                         lag(line) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                       FROM lines),
-            kept AS (SELECT doc_id, line, i FROM marked
-                     WHERE prev IS NULL OR prev <> line),
-            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1)
-         SELECT k.doc_id,
-                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
-                CAST(count(*) AS BIGINT) AS n_kept,
-                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
-         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-         GROUP BY k.doc_id ORDER BY k.doc_id""",
-
-    "t27_c4_line_filter" ->
-      """WITH framed AS (SELECT doc_id,
-               'home | about | contact' || chr(10) ||
-               'this page is archived for reference.' || chr(10) ||
-               text || '.' || chr(10) ||
-               'comments are closed on this article.' || chr(10) ||
-               'please enable javascript to continue.' || chr(10) ||
-               'read our privacy policy.' ||
-               CASE WHEN doc_id % 97 = 0
-                    THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
-               CASE WHEN doc_id % 89 = 0
-                    THEN chr(10) || 'function() { return; }' ELSE '' END AS text
-             FROM documents),
-            pages AS (SELECT doc_id, text FROM framed
-                      WHERE NOT contains(lower(text), 'lorem ipsum')
-                        AND NOT contains(text, '{')),
-            ls AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS a FROM pages),
-            lines AS (SELECT doc_id, a[i] AS line, i
-                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
-                            FROM ls)),
-            kept AS (SELECT doc_id, line, i FROM lines
-                     WHERE regexp_matches(trim(line), '[.!?"]$')
-                       AND len(string_split_regex(trim(line), '\s+')) >= 3
-                       AND NOT contains(lower(trim(line)), 'javascript')
-                       AND NOT contains(lower(trim(line)), 'privacy policy')
-                       AND NOT contains(lower(trim(line)), 'terms of use')
-                       AND NOT contains(lower(trim(line)), 'cookie policy')
-                       AND NOT contains(lower(trim(line)), 'uses cookies')
-                       AND NOT contains(lower(trim(line)), 'use of cookies')
-                       AND NOT contains(lower(trim(line)), 'use cookies')),
-            tot AS (SELECT doc_id, count(*) AS n_tot FROM lines GROUP BY 1)
-         SELECT k.doc_id,
-                string_agg(k.line, chr(10) ORDER BY k.i) AS text_clean,
-                CAST(count(*) AS BIGINT) AS n_kept,
-                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
-         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-         GROUP BY k.doc_id HAVING count(*) >= 3 ORDER BY k.doc_id""",
-
-    "t28_readability" ->
-      """WITH framed AS (SELECT doc_id,
-               'a short opening line. ' || text || '. the closing line ends here.' AS text
-             FROM documents),
-            s0 AS (SELECT doc_id,
-                     len(list_filter(list_transform(
-                       regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'),
-                       x -> trim(x)), x -> len(x) > 0)) AS n_sents,
-                     list_filter(string_split_regex(lower(text), '\s+'),
-                       t -> len(t) > 0) AS ws
-                   FROM framed),
-            s1 AS (SELECT doc_id, n_sents, len(ws) AS n_words,
-                     list_sum(list_transform(ws,
-                       w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS n_syllables
-                   FROM s0)
-         SELECT doc_id,
-                CAST(n_sents AS BIGINT) AS n_sents,
-                CAST(n_words AS BIGINT) AS n_words,
-                CAST(n_syllables AS BIGINT) AS n_syllables,
-                round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) +
-                      11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
-                      15.59, 6) AS fk_grade
-         FROM s1 WHERE n_words > 0 AND n_sents > 0 ORDER BY doc_id""",
-
-    "t17_bm25" -> t17Oracle,
-
-    "t39_sentence_stats" ->
-      // same terminal-punctuation split, trim, empty drop, word count
-      """WITH s AS (SELECT doc_id, trim(x) AS sent FROM (
-                SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS x
-                FROM documents)
-              WHERE length(trim(x)) > 0),
-            w AS (SELECT doc_id,
-                    CAST(len(string_split_regex(sent, '\s+')) AS BIGINT) AS w
-                  FROM s)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
-                round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-                  AS mean_words,
-                CAST(max(w) AS BIGINT) AS max_words
-         FROM w GROUP BY 1 ORDER BY 1""",
-
-    "t38_tfidf_terms" ->
-      // the t17 token chain verbatim; (tf/dl)*ln(N/df) in pinned
-      // order; post-round ties rank by term
-      """WITH tk AS (SELECT doc_id, tok AS term FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                   FROM tk GROUP BY 1, 2),
-            dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-            dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl),
-            sc AS (SELECT doc_id, term,
-                     round((CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
-                           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
-                       AS tfidf
-                   FROM tf JOIN dl USING (doc_id) JOIN dft USING (term)
-                   CROSS JOIN n)
-         SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rank FROM (
-           SELECT doc_id, term, tfidf,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY tfidf DESC, term) AS rk FROM sc)
-         WHERE rk <= 3 ORDER BY doc_id, rank""",
-
-    "t18_ppl_buckets" ->
-      """WITH tk AS (SELECT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            vocab AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
-            tt AS (SELECT sum(n) AS total FROM vocab),
-            sc AS (SELECT doc_id,
-                     round(CAST(sum(CAST(round(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
-                             AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
-                   FROM tk JOIN vocab USING (tok) CROSS JOIN tt
-                   GROUP BY doc_id),
-            sl AS (SELECT sc.doc_id, d.lang, sc.mean_logprob
-                   FROM sc JOIN documents d USING (doc_id)),
-            hist AS (SELECT lang, mean_logprob, count(*) AS c
-                     FROM sl GROUP BY 1, 2),
-            cut AS (SELECT lang, mean_logprob,
-                      CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                               ORDER BY mean_logprob DESC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                             < (1.0 / 3.0) THEN 'head'
-                           WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                               ORDER BY mean_logprob DESC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                             < (2.0 / 3.0) THEN 'middle'
-                           ELSE 'tail' END AS bucket
-                    FROM hist)
-         SELECT doc_id, lang, mean_logprob, bucket
-         FROM sl JOIN cut USING (lang, mean_logprob)
-         ORDER BY doc_id""",
-
-    "t42_kn_buckets" ->
-      // t41's KN chain verbatim feeding t18's tercile CTE verbatim
-      """WITH tk AS (SELECT doc_id, list_filter(
-                string_split_regex(lower(text), '\s+'),
-                t -> len(t) > 0) AS toks FROM documents),
-            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-                      FROM (SELECT doc_id, toks,
-                              unnest(range(1, len(toks))) AS i FROM tk)
-                      WHERE len(toks) >= 2),
-            bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
-                   FROM pairs GROUP BY 1, 2),
-            pf AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np,
-                          CAST(count(*) AS BIGINT) AS t1
-                   FROM bg GROUP BY 1),
-            ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
-                   FROM bg GROUP BY 1),
-            bbt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg),
-            lp AS (SELECT doc_id,
-                     CAST(CAST(round(ln(
-                         (CAST(nb AS DOUBLE) - 0.75) / CAST(np AS DOUBLE)
-                         + 0.75 * CAST(t1 AS DOUBLE) / CAST(np AS DOUBLE)
-                           * (CAST(cont AS DOUBLE) / CAST(bb AS DOUBLE))), 6)
-                       AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS lpm
-                   FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
-                        JOIN ct USING (w2) CROSS JOIN bbt),
-            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(lpm) AS BIGINT) AS s
-                    FROM lp GROUP BY doc_id),
-            sl AS (SELECT a.doc_id, d.lang,
-                          CAST(-(((-s) * 2 + n) // (2 * n)) AS DOUBLE)
-                            / 1000000.0 AS mean_logprob
-                   FROM agg a JOIN documents d USING (doc_id)),
-            hist AS (SELECT lang, mean_logprob, count(*) AS c
-                     FROM sl GROUP BY 1, 2),
-            cut AS (SELECT lang, mean_logprob,
-                      CASE WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                               ORDER BY mean_logprob DESC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                             < (1.0 / 3.0) THEN 'head'
-                           WHEN CAST(coalesce(sum(c) OVER (PARTITION BY lang
-                               ORDER BY mean_logprob DESC
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-                             / CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE)
-                             < (2.0 / 3.0) THEN 'middle'
-                           ELSE 'tail' END AS bucket
-                    FROM hist)
-         SELECT doc_id, lang, mean_logprob, bucket
-         FROM sl JOIN cut USING (lang, mean_logprob)
-         ORDER BY doc_id""",
-
-    "t41_kneser_ney" ->
-      // identical KN chain: bigram types derive prefix totals +
-      // continuation fan-in + the type-count scalar; the per-pair
-      // double expression is written in the same association order
-      """WITH tk AS (SELECT doc_id, list_filter(
-                string_split_regex(lower(text), '\s+'),
-                t -> len(t) > 0) AS toks FROM documents),
-            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-                      FROM (SELECT doc_id, toks,
-                              unnest(range(1, len(toks))) AS i FROM tk)
-                      WHERE len(toks) >= 2),
-            bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
-                   FROM pairs GROUP BY 1, 2),
-            pf AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS np,
-                          CAST(count(*) AS BIGINT) AS t1
-                   FROM bg GROUP BY 1),
-            ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont
-                   FROM bg GROUP BY 1),
-            bbt AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg),
-            lp AS (SELECT doc_id,
-                     CAST(CAST(round(ln(
-                         (CAST(nb AS DOUBLE) - 0.75) / CAST(np AS DOUBLE)
-                         + 0.75 * CAST(t1 AS DOUBLE) / CAST(np AS DOUBLE)
-                           * (CAST(cont AS DOUBLE) / CAST(bb AS DOUBLE))), 6)
-                       AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS lpm
-                   FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
-                        JOIN ct USING (w2) CROSS JOIN bbt),
-            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                           CAST(sum(lpm) AS BIGINT) AS s
-                    FROM lp GROUP BY doc_id)
-         SELECT doc_id, n_bigrams,
-                CAST(-(((-s) * 2 + n_bigrams) // (2 * n_bigrams)) AS DOUBLE)
-                  / 1000000.0 AS mean_logprob
-         FROM agg ORDER BY doc_id""",
-
-    "t16_bigram_logprob" ->
-      """WITH tk AS (SELECT doc_id, list_filter(
-                string_split_regex(lower(text), '\s+'),
-                t -> len(t) > 0) AS toks FROM documents),
-            pairs AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-                      FROM (SELECT doc_id, toks,
-                              unnest(range(1, len(toks))) AS i FROM tk)
-                      WHERE len(toks) >= 2),
-            bg AS (SELECT w1, w2, count(*) AS nb FROM pairs GROUP BY 1, 2),
-            pf AS (SELECT w1, count(*) AS np FROM pairs GROUP BY 1)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                round(CAST(sum(CAST(round(ln(CAST(nb AS DOUBLE) / CAST(np AS DOUBLE)), 6)
-                        AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
-         FROM pairs JOIN bg USING (w1, w2) JOIN pf USING (w1)
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    "t13_unigram_logprob" ->
-      """WITH tk AS (SELECT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            vocab AS (SELECT tok, count(*) AS n FROM tk GROUP BY 1),
-            tt AS (SELECT sum(n) AS total FROM vocab)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-                round(CAST(sum(CAST(round(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
-                        AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS mean_logprob
-         FROM tk JOIN vocab USING (tok) CROSS JOIN tt
-         GROUP BY doc_id ORDER BY doc_id""",
-
-    "t14_token_entropy" ->
-      """WITH tk AS (SELECT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-            n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
-         SELECT c.doc_id, CAST(any_value(n.n) AS BIGINT) AS n_toks,
-                round(CAST(-sum(CAST(round(
-                    (CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
-                    ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
-                  AS DECIMAL(24,8))) AS DOUBLE), 6) AS token_entropy
-         FROM c JOIN n ON c.doc_id = n.doc_id
-         GROUP BY c.doc_id ORDER BY c.doc_id""",
-
-    "d13_url_canon" ->
-      """WITH u AS (SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0
-                    THEN 'HTTP://WWW.Example.COM:80/articles/item-' || (doc_id % 100) || '/'
-                    ELSE 'http://example.com/articles/item-' || (doc_id % 100) END ||
-               CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=home'
-                    ELSE '?ref=home' END ||
-               CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
-             FROM documents),
-            c AS (SELECT doc_id,
-               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
-               regexp_replace(regexp_extract(url,
-                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
-               regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS q
-             FROM u),
-            c2 AS (SELECT doc_id, scheme,
-               CASE WHEN scheme = 'http'
-                    THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':80$', '')
-                    WHEN scheme = 'https'
-                    THEN regexp_replace(regexp_replace(rawhost, '^www\.', ''), ':443$', '')
-                    ELSE regexp_replace(rawhost, '^www\.', '') END AS host,
-               path,
-               array_to_string(list_filter(string_split(q, '&'),
-                 p -> p <> '' AND NOT regexp_matches(p,
-                   '^(utm_[^=]*|fbclid|gclid)(=|$)')), '&') AS qs
-             FROM c)
-         SELECT scheme || '://' || host || path ||
-                CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url,
-                min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
-         FROM c2 GROUP BY 1 ORDER BY 1""",
-
-    "d14_cross_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-                    FROM documents WHERE doc_id < 500),
-            sh AS (SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
-            sigs AS (SELECT doc_id, i,
-                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
-                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
-            bands AS (SELECT doc_id, i // 2 AS band,
-                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
-                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
-                      FROM sigs GROUP BY 1, 2),
-            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bkey = b.bkey
-                     WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
-            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-            inter AS (SELECT c.id1, c.id2, count(*) AS n
-                      FROM cand c
-                      JOIN sh a ON a.doc_id = c.id1
-                      JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
-                      GROUP BY 1, 2)
-         SELECT id1 AS doc_id, id2 AS matched_id,
-                round(CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS jaccard
-         FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-         WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
-         ORDER BY doc_id, matched_id""",
-
-    "d15_para_dedup" ->
-      """WITH framed AS (SELECT doc_id,
-               'about us' || chr(10) || chr(10) || text || chr(10) || chr(10) ||
-               CASE WHEN doc_id % 2 = 0 THEN 'contact us at example.com'
-                    ELSE 'follow us on social media' END ||
-               chr(10) || chr(10) || 'para ' || doc_id AS text
-             FROM documents),
-            ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a
-                   FROM framed),
-            paras AS (SELECT doc_id, a[i] AS para, i
-                      FROM (SELECT doc_id, a, unnest(range(1, len(a) + 1)) AS i
-                            FROM ps)),
-            kept AS (SELECT doc_id, para, i FROM (
-                       SELECT doc_id, para, i, row_number() OVER (
-                         PARTITION BY md5(para) ORDER BY doc_id, i) AS rn
-                       FROM paras) WHERE rn = 1),
-            tot AS (SELECT doc_id, count(*) AS n_tot FROM paras GROUP BY 1)
-         SELECT k.doc_id,
-                string_agg(k.para, chr(10) || chr(10) ORDER BY k.i) AS text_clean,
-                CAST(count(*) AS BIGINT) AS n_kept,
-                CAST(any_value(t.n_tot) - count(*) AS BIGINT) AS n_dropped
-         FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-         GROUP BY k.doc_id ORDER BY k.doc_id""",
-
-    "d16_dup_substrings" ->
-      """WITH framed AS (SELECT doc_id,
-               'subscribe to our newsletter today for free updates ' || text ||
-               CASE WHEN doc_id % 7 = 0 THEN ' ' || text ELSE '' END AS text
-             FROM documents),
-            t AS (SELECT doc_id, list_filter(
-                    string_split_regex(lower(text), '\s+'),
-                    t -> len(t) > 0) AS toks
-                  FROM framed),
-            grams AS (SELECT doc_id, i - 1 AS start,
-                             md5(toks[i] || ' ' || toks[i+1] || ' ' ||
-                                 toks[i+2] || ' ' || toks[i+3]) AS h
-                      FROM (SELECT doc_id, toks,
-                              unnest(range(1, len(toks) - 2)) AS i FROM t)),
-            dup AS (SELECT h FROM (
-                      SELECT h, count(*) AS c FROM grams GROUP BY 1) WHERE c > 1),
-            m AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
-            cov AS (SELECT doc_id, count(DISTINCT start + j) AS nd
-                    FROM m CROSS JOIN (SELECT unnest(range(4)) AS j) GROUP BY 1),
-            tot AS (SELECT doc_id, len(toks) AS n FROM t)
-         SELECT t.doc_id, CAST(n AS BIGINT) AS n_toks,
-                CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_toks,
-                round(CAST(coalesce(nd, 0) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_frac
-         FROM tot t LEFT JOIN cov USING (doc_id) ORDER BY doc_id""",
-
-    "d17_winnowing" -> d17Oracle,
-
-    "t20_cms" -> t20Oracle,
-
-    "t21_quality_classifier" -> t21Oracle,
-
-    "t22_gopher_repetition" -> t22Oracle,
-
-    "t23_divergence" ->
-      """WITH tk AS (SELECT source, tok FROM (
-                SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            c AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-            vocab AS (SELECT tok, sum(c) AS ct FROM c GROUP BY 1),
-            tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
-                           CAST(sum(ct) AS BIGINT) AS n FROM vocab),
-            lnq AS (SELECT tok, CAST(round(ln(
-                      CAST(ct + 1 AS DOUBLE) /
-                      CAST((SELECT n FROM tot) + (SELECT v FROM tot) AS DOUBLE)), 6)
-                    AS DECIMAL(24,8)) AS lnq FROM vocab),
-            lnqall AS (SELECT sum(lnq) AS lnq_all FROM lnq),
-            g AS (SELECT source, CAST(sum(c) AS BIGINT) AS ng,
-                         CAST(count(*) AS BIGINT) AS vg FROM c GROUP BY 1),
-            terms AS (SELECT c.source,
-                CAST(round((CAST(c.c + 1 AS DOUBLE) /
-                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
-                    (ln(CAST(c.c + 1 AS DOUBLE) /
-                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE))
-                     - CAST(l.lnq AS DOUBLE)), 6) AS DECIMAL(24,8)) AS kl_t,
-                CAST(round(-(CAST(c.c + 1 AS DOUBLE) /
-                      CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
-                    CAST(l.lnq AS DOUBLE), 6) AS DECIMAL(24,8)) AS ce_t,
-                l.lnq AS lnq
-              FROM c JOIN lnq l USING (tok) JOIN g USING (source)),
-            s AS (SELECT source, sum(kl_t) AS s_kl, sum(ce_t) AS s_ce,
-                         sum(lnq) AS lnq_g FROM terms GROUP BY 1)
-         SELECT s.source, g.ng AS n_toks, g.vg AS n_types,
-                round(CAST(s_kl AS DOUBLE) +
-                  (CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
-                  (CAST((SELECT v FROM tot) - g.vg AS DOUBLE) *
-                     ln(CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE))
-                   - CAST(lnq_all - lnq_g AS DOUBLE)), 6) AS kl,
-                round(CAST(s_ce AS DOUBLE) -
-                  (CAST(1 AS DOUBLE) / CAST(g.ng + (SELECT v FROM tot) AS DOUBLE)) *
-                  CAST(lnq_all - lnq_g AS DOUBLE), 6) AS ce
-         FROM s JOIN g USING (source) CROSS JOIN lnqall
-         ORDER BY source""",
-
-    "s16_knn_graph" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-            u AS (SELECT src, dst, CAST(unnest(se) AS DOUBLE) AS x,
-                         CAST(unnest(de) AS DOUBLE) AS y
-                  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
-                               a.embedding AS se, b.embedding AS de
-                        FROM v a, v b WHERE a.vec_id <> b.vec_id)),
-            s AS (SELECT src, dst,
-                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
-                           AS cos
-                  FROM u GROUP BY 1, 2),
-            r AS (SELECT src, dst, cos, CAST(row_number() OVER (
-                    PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
-                  FROM s)
-         SELECT src, dst, cos, rank FROM r WHERE rank <= 5
-         ORDER BY src, rank""",
-
-    "t26_lexical_diversity" ->
-      """WITH t AS (SELECT doc_id,
-                list_filter(string_split_regex(lower(text), '\s+'),
-                            x -> len(x) > 0) AS toks
-              FROM documents),
-            c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
-                  FROM t)
-         SELECT doc_id, n_tokens, n_types,
-                CASE WHEN n_tokens > 0 THEN round(
-                  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) END AS ttr,
-                CASE WHEN n_tokens > 0 THEN round(
-                  CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
-                  END AS root_ttr,
-                CASE WHEN n_tokens > 1 THEN round(
-                  ln(CAST(n_types AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
-                  END AS herdan_c
-         FROM c ORDER BY doc_id""",
-
-    "t25_bpe_pairs" ->
-      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
-                       FROM documents),
-            words AS (SELECT w, count(*) AS wc FROM toks
-                      WHERE length(w) > 1 GROUP BY 1),
-            pairs AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
-                      FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
-                            FROM words)),
-            agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
-                    FROM pairs GROUP BY 1)
-         SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""",
-
-    "t24_zipf" ->
-      """WITH tk AS (SELECT tok FROM (
-                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
-                FROM documents) WHERE len(tok) > 0),
-            top AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1
-                    ORDER BY c DESC, tok LIMIT 500),
-            ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
-                       FROM top),
-            t AS (SELECT
-                CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(24,8)) AS x,
-                CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(24,8)) AS y,
-                CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS xy,
-                CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS xx,
-                CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 6)
-                  AS DECIMAL(24,8)) AS yy
-              FROM ranked),
-            s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
-                         sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx,
-                         sum(yy) AS syy FROM t)
-         SELECT n AS n_ranks,
-                round(-((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) AS alpha,
-                round((CAST(sy AS DOUBLE)
-                       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
-                round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-         FROM s""",
-
-    "d19_bloom_decontaminate" -> d19Oracle,
-
-    "d23_span_dedup" ->
-      """WITH framed AS (SELECT doc_id,
-               'welcome to the archive. this copy is mirrored nightly. enjoy your stay. ' ||
-               text || '.' ||
-               CASE WHEN doc_id % 2 = 0
-                    THEN ' thanks for visiting. see you next time. goodbye.'
-                    ELSE ' closing note ' || CAST(doc_id AS VARCHAR) || '.' END AS text
-             FROM documents),
-            s0 AS (SELECT doc_id, list_filter(list_transform(
-                     regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+'),
-                     x -> trim(x)), x -> len(x) > 0) AS sents FROM framed),
-            base AS (SELECT doc_id, sents, len(sents) AS n FROM s0),
-            spans AS (SELECT doc_id, s AS start,
-                        md5(array_to_string(list_slice(sents, s + 1, s + 3), chr(1))) AS h
-                      FROM (SELECT doc_id, sents, n, unnest(range(0, n - 2)) AS s
-                            FROM base WHERE n >= 3)),
-            winners AS (SELECT h, doc_id, start FROM (
-                          SELECT h, doc_id, start,
-                            row_number() OVER (PARTITION BY h
-                              ORDER BY doc_id, start) AS rn
-                          FROM spans) WHERE rn = 1),
-            removals AS (SELECT DISTINCT sp.doc_id, sp.start + d.d AS pos
-                         FROM spans sp
-                         LEFT JOIN winners w ON sp.h = w.h
-                           AND sp.doc_id = w.doc_id AND sp.start = w.start
-                         CROSS JOIN (SELECT unnest(range(0, 3)) AS d) d
-                         WHERE w.h IS NULL),
-            sent AS (SELECT doc_id, i - 1 AS pos, sents[i] AS sent
-                     FROM (SELECT doc_id, sents, unnest(range(1, n + 1)) AS i
-                           FROM base)),
-            kept AS (SELECT s.doc_id, s.pos, s.sent FROM sent s
-                     LEFT JOIN removals r ON s.doc_id = r.doc_id AND s.pos = r.pos
-                     WHERE r.doc_id IS NULL),
-            agg AS (SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text_clean,
-                      count(*) AS n_kept FROM kept GROUP BY 1)
-         SELECT b.doc_id,
-                coalesce(a.text_clean, '') AS text_clean,
-                CAST(b.n AS BIGINT) AS n_sents,
-                CAST(b.n - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
-         FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""",
-
-    "d18_dup_substring_cut" ->
-      """WITH framed AS (SELECT doc_id,
-               'subscribe to our newsletter today for free updates ' || text ||
-               CASE WHEN doc_id % 7 = 0 THEN ' ' || text ELSE '' END AS text
-             FROM documents),
-            t AS (SELECT doc_id, list_filter(
-                    string_split_regex(lower(text), '\s+'),
-                    t -> len(t) > 0) AS toks
-                  FROM framed),
-            grams AS (SELECT doc_id, i - 1 AS start,
-                             md5(toks[i] || ' ' || toks[i+1] || ' ' ||
-                                 toks[i+2] || ' ' || toks[i+3]) AS h
-                      FROM (SELECT doc_id, toks,
-                              unnest(range(1, len(toks) - 2)) AS i FROM t)),
-            dup AS (SELECT h FROM (
-                      SELECT h, count(*) AS c FROM grams GROUP BY 1) WHERE c > 1),
-            m AS (SELECT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
-            cov AS (SELECT DISTINCT doc_id, start + j AS pos
-                    FROM m CROSS JOIN (SELECT unnest(range(4)) AS j)),
-            tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-                   FROM (SELECT doc_id, toks,
-                           unnest(range(1, len(toks) + 1)) AS i FROM t)),
-            kept AS (SELECT k.doc_id,
-                       string_agg(k.tok, ' ' ORDER BY k.pos) AS clean,
-                       count(*) AS nk
-                     FROM tk k LEFT JOIN cov c
-                       ON c.doc_id = k.doc_id AND c.pos = k.pos
-                     WHERE c.pos IS NULL GROUP BY 1),
-            tot AS (SELECT doc_id, len(toks) AS n FROM t)
-         SELECT t.doc_id, coalesce(clean, '') AS text_clean,
-                CAST(n AS BIGINT) AS n_toks,
-                CAST(n - coalesce(nk, 0) AS BIGINT) AS n_dup_toks
-         FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""",
-
-    "t19_gopher_rules" ->
-      """WITH b AS (SELECT doc_id, text,
-               list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks,
-               string_split(text, chr(10)) AS lines
-             FROM documents),
-            sig AS (SELECT doc_id,
-              CAST(len(toks) AS BIGINT) AS n_words,
-              CAST(greatest(len(toks), 1) AS DOUBLE) AS nws,
-              len(regexp_replace(text, '\s', '', 'g')) AS chars_in,
-              len(text) - len(replace(text, '#', '')) AS nhash,
-              (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
-              CAST(greatest(len(lines), 1) AS DOUBLE) AS nlines,
-              len(list_filter(lines, l -> starts_with(ltrim(l), '-')
-                  OR starts_with(ltrim(l), '*')
-                  OR starts_with(ltrim(l), '•'))) AS bl,
-              len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS el,
-              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
-              CAST(len(list_filter(toks, t -> list_contains(
-                ['the','be','to','of','and','that','have','with'], lower(t))))
-                AS BIGINT) AS n_stop
-            FROM b),
-            o AS (SELECT doc_id, n_words,
-              round(CAST(chars_in AS DOUBLE) / nws, 6) AS mean_word_len,
-              round(CAST(nhash + nell AS DOUBLE) / nws, 6) AS symbol_ratio,
-              round(CAST(bl AS DOUBLE) / nlines, 6) AS bullet_frac,
-              round(CAST(el AS DOUBLE) / nlines, 6) AS ellipsis_frac,
-              round(CAST(aw AS DOUBLE) / nws, 6) AS alpha_frac,
-              n_stop FROM sig)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-                ellipsis_frac, alpha_frac, n_stop,
-                (n_words >= 50 AND n_words <= 100000
-                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                 AND symbol_ratio <= 0.1
-                 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-                 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass
-         FROM o ORDER BY doc_id"""
-  )
+  def oracleSql: Map[String, String] =
+    OraclesD.sql ++ OraclesM.sql ++ OraclesP.sql ++ OraclesQ.sql ++
+      OraclesR.sql ++ OraclesS.sql ++ OraclesT.sql
 }
