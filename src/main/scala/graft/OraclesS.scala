@@ -26,6 +26,54 @@ private[graft] object OraclesS {
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
 
+    "s33_lsh_portable" ->
+      // the full multi-probe LSH mechanism replayed in SQL: md5-parity
+      // sign projections (the s08 matrix, j = table*6 + plane) in the
+      // SAME ordered list fold as the engine's VecDot — identical IEEE
+      // double, identical sign, identical signature — then bucket
+      // equality per table, the RADIUS-2 probe masks (all 22 of
+      // probeMasks(6, 2), popcount-major then numeric, pinned by
+      // spec), candidate dedup, exact cosine, top-k with the id
+      // tie-break
+      """WITH tp AS (SELECT t, p, t * 6 + p AS j
+                     FROM (SELECT unnest(range(4)) AS t),
+                          (SELECT unnest(range(6)) AS p)),
+              pr AS (SELECT vec_id, t, p,
+                       list_aggregate(list_transform(range(len(embedding)), i ->
+                         CAST(embedding[i + 1] AS DOUBLE) *
+                         (CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(CAST(i AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                           THEN 1 ELSE -1 END)), 'sum') AS proj
+                     FROM embeddings CROSS JOIN tp),
+              sig AS (SELECT vec_id, t,
+                        CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END)
+                          AS BIGINT) AS sg
+                      FROM pr GROUP BY 1, 2),
+              qp AS (SELECT s.vec_id AS qid, s.t, xor(s.sg, m.m) AS sg
+                     FROM sig s, (SELECT unnest([0, 1, 2, 4, 8, 16, 32,
+                            3, 5, 6, 9, 10, 12, 17, 18, 20, 24,
+                            33, 34, 36, 40, 48]) AS m) m
+                     WHERE s.vec_id < 5),
+              cand AS (SELECT DISTINCT qp.qid, c.vec_id AS cid
+                       FROM qp JOIN sig c ON c.t = qp.t AND c.sg = qp.sg),
+              q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+              u AS (SELECT cand.qid, cand.cid,
+                           CAST(unnest(ce) AS DOUBLE) AS x,
+                           CAST(unnest(qe) AS DOUBLE) AS y
+                    FROM cand
+                    JOIN q ON q.qid = cand.qid
+                    JOIN c ON c.cid = cand.cid),
+              s2 AS (SELECT qid, cid,
+                            sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                     FROM u GROUP BY 1, 2),
+              r AS (SELECT qid, cid, cos, CAST(row_number() OVER (
+                      PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rnk
+                    FROM s2)
+         SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
+         FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+
     "s19_mmr_rerank" -> mmrOracle(k = 5, prefetch = 20, lam = 0.7),
 
     "s18_postfiltered_ann" ->

@@ -764,6 +764,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s33_lsh_portable" -> ((s, dir) => {
+      // hash-exact multi-probe LSH (lshTopK's portable twin): md5-sign
+      // hyperplanes + ordered-fold projections make the signature,
+      // bucket join, RADIUS-2 probe expansion (all 22 probeMasks(6,2)
+      // bit-flips, enumerated literally in the oracle), and top-k all
+      // replay in SQL — the d11/d12 auditability move applied to the
+      // ANN family, at the fewer-tables/deeper-probe operating point
+      // the multi-probe trade exists for
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshPortableTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+          k = 10, dims = 64, numPlanes = 6, numTables = 4, probeRadius = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s03_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)

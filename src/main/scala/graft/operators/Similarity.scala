@@ -84,6 +84,56 @@ object Similarity {
       .select(col("*"),
         posexplode(graft.functions.LshSigs.sigs(col(vec), numPlanes, numTables))
           .as(Seq("_t", "_sig")))
+    lshSearch(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, numPlanes, probeRadius, withSig)
+  }
+
+  /** PORTABLE multi-probe LSH ANN — [[lshTopK]]'s hash-exact twin
+    * (the d11/d12 move applied to the ANN family): hyperplanes are the
+    * s08 md5-parity ±1 sign matrix ([[srpSigns]], component +1 iff the
+    * first md5 hex digit of "i:j" is even, j = table·planes + plane)
+    * instead of the splitmix64 family, and each plane's projection is
+    * one [[VecDot]] literal fold — index order, so an engine replaying
+    * the projection as an ordered list fold reproduces the EXACT IEEE
+    * double, hence the exact sign, hence the exact signature, bucket
+    * join, probe expansion, and top-k. The whole sublinear mechanism —
+    * banding, bucket equality, multi-probe bit flips — becomes
+    * auditable in SQL rather than trusted.
+    *
+    * Same search shape as [[lshTopK]] (shared [[lshSearch]] core);
+    * only the signature source differs. Zero shuffle on the signature
+    * pass: planes × tables literal VecDot evaluations per row.
+    */
+  def lshPortableTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, dims: Int, numPlanes: Int = 6, numTables: Int = 4,
+                      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= numPlanes,
+      s"probeRadius $probeRadius not in [0, numPlanes=$numPlanes]")
+    require(numPlanes <= 62, s"numPlanes $numPlanes overflows the long signature")
+    val signs = srpSigns(dims, numPlanes * numTables)
+    def sigFor(vec: Column, t: Int): Column =
+      (0 until numPlanes).map { p =>
+        when(VecDot.dot(vec, lit(signs(t * numPlanes + p))) >= 0.0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def withSig(df: DataFrame, vec: String): DataFrame = df
+      .select(col("*"),
+        posexplode(array((0 until numTables).map(t => sigFor(col(vec), t)): _*))
+          .as(Seq("_t", "_sig")))
+    lshSearch(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      k, numPlanes, probeRadius, withSig)
+  }
+
+  /** The shared LSH search core behind [[lshTopK]] and
+    * [[lshPortableTopK]]: signature attach (caller-supplied), probe
+    * expansion on the broadcast-small query side, bucket equi-join,
+    * pair dedup, exact cosine, per-query top-k.
+    */
+  private def lshSearch(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        k: Int, numPlanes: Int, probeRadius: Int,
+                        withSig: (DataFrame, String) => DataFrame): DataFrame = {
     val cb = withSig(corpus, corpusVec)
       .withColumn("_sg", struct(col("_t"), col("_sig")))
       .drop("_t", "_sig")

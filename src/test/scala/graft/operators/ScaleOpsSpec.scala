@@ -253,6 +253,20 @@ class AnnRecallSpec extends graft.SparkSpec {
     assert(ivf >= 0.95, s"IVF recall regressed: $ivf (measured 1.000)")
   }
 
+  test("portable LSH twin clears a recall gate of its own") {
+    // s33 is hash-exact vs its oracle (the strong gate); this pins the
+    // SEARCH QUALITY of the md5-plane family so a sign-convention or
+    // probe regression that still hash-matches its own oracle cannot
+    // silently gut recall. Deterministic: md5 planes, no RNG.
+    val brute = neighbors("s01_ann_brute")
+    val port = neighbors("s33_lsh_portable")
+    val per = brute.keys.toSeq.map(q =>
+      (port.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
+    val recall = per.sum / per.size
+    info(f"portable LSH (4 tables, r=2) recall = $recall%.3f")
+    assert(recall >= 0.89, s"portable LSH recall regressed: $recall (measured 0.940)")
+  }
+
   test("probe masks are the pinned deterministic sequence") {
     // popcount-major then numeric: exact bucket, single flips, pairs.
     // Pinned literally — a change to the sequence changes which
