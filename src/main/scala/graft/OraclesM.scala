@@ -199,6 +199,50 @@ private[graft] object OraclesM {
                 start_chunk, end_chunk, n_chunks
          FROM g ORDER BY doc_id, seg_idx""",
 
+    "m12_wav_vad" ->
+      // the m11 segmentation replayed on DECODED sample energies: the
+      // engine synthesizes a real WAV per doc (sample f = byte f − 128,
+      // shifted to 16 bits) and decodes it with javax.sound; the
+      // oracle never touches WAV — it recomputes the identical
+      // amplitude stream straight from the text bytes (|b − 128|·256
+      // per sample, 50-frame chunks), so hash equality proves the
+      // decode round-trip is sample-exact
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents),
+            c AS (SELECT doc_id, hx, n,
+                    unnest(range(0, greatest((n + 49) // 50, 1))) AS chunk_idx
+                  FROM h),
+            s AS (SELECT doc_id, chunk_idx, chunk_idx * 50 AS off,
+                         least(n, chunk_idx * 50 + 50) - chunk_idx * 50 AS nb, hx
+                  FROM c),
+            e AS (SELECT doc_id, chunk_idx,
+                    CASE WHEN nb = 0 THEN 0 ELSE
+                      CAST(list_aggregate(list_transform(range(1, nb + 1),
+                        i -> abs((strpos('0123456789ABCDEF', substr(hx, 2*(off + i) - 1, 1)) - 1) * 16
+                             + (strpos('0123456789ABCDEF', substr(hx, 2*(off + i), 1)) - 1)
+                             - 128) * 256),
+                        'sum') AS BIGINT) END AS e
+                  FROM s),
+            t AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS tot,
+                         CAST(count(*) AS BIGINT) AS nc
+                  FROM e GROUP BY 1),
+            a AS (SELECT e.doc_id, e.chunk_idx FROM e JOIN t USING (doc_id)
+                  WHERE e.e * 4 * t.nc > 3 * t.tot),
+            i AS (SELECT doc_id, chunk_idx,
+                    chunk_idx - row_number() OVER (PARTITION BY doc_id
+                      ORDER BY chunk_idx) AS isl
+                  FROM a),
+            g AS (SELECT doc_id, isl,
+                    CAST(min(chunk_idx) AS BIGINT) AS start_chunk,
+                    CAST(max(chunk_idx) AS BIGINT) AS end_chunk,
+                    CAST(count(*) AS BIGINT) AS n_chunks
+                  FROM i GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY start_chunk) AS BIGINT) AS seg_idx,
+                start_chunk, end_chunk, n_chunks
+         FROM g ORDER BY doc_id, seg_idx""",
+
     "m04_audio_chunks" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
                     FROM documents),

@@ -1999,6 +1999,22 @@ object SparkEntry {
         .orderBy("doc_id", "seg_idx")
     }),
 
+    "m12_wav_vad" -> ((s, dir) => {
+      // the REAL decoder, hash-gated end to end: every document
+      // synthesizes to an actual RIFF/PCM WAV (sample f = text byte f
+      // recentred to 16 bits), javax.sound decodes it back, and the
+      // m11 silence segmentation runs on the DECODED frame energies
+      // (50-frame chunks, exact integer |amplitude| sums). The oracle
+      // replays the post-decode pipeline from the text bytes alone —
+      // if the decode path drops, scales, or reorders one sample, the
+      // hash breaks
+      val wavs = Multimodal.synthWav(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.silenceSegments(wavs, "id", "wav", chunkBytes = 50,
+          frontend = Multimodal.WavAudio)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "seg_idx")
+    }),
+
     "m04_audio_chunks" -> ((s, dir) => {
       val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
       Multimodal.chunkAudio(blobs, "doc_id", "blob", chunkBytes = 100)

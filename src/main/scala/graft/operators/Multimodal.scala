@@ -268,6 +268,50 @@ object Multimodal {
       }
   }
 
+  /** Deterministic WAV synthesis from text bytes — the end-to-end
+    * harness for the REAL decoder path (m12): sample f is the f-th
+    * UTF-8 byte recentred to 16 bits ((b − 128) << 8), wrapped in a
+    * canonical 44-byte RIFF/PCM header (16-bit mono, 8 kHz,
+    * little-endian — hand-built, so the blob is byte-deterministic
+    * across JDKs). The decoded amplitude stream is exactly
+    * recoverable from the text bytes, which is the point: a SQL
+    * oracle replays the post-decode pipeline from the text WITHOUT
+    * parsing WAV, so the whole javax.sound decode path gets a
+    * hash-exact gate instead of a spec-only one. Null id/text rows
+    * drop (no evidence). Output: (id, wav).
+    */
+  def synthWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(textCol)).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val data = new Array[Byte](bytes.length * 2)
+          var i = 0
+          while (i < bytes.length) {
+            val v = ((bytes(i) & 0xff) - 128) << 8
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+            .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+            .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+          Iterator.single(Row(r.getLong(0), bb.array()))
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, schema)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("head_byte", IntegerType, nullable = false),

@@ -105,6 +105,30 @@ class AudioIoSpec extends SparkSpec {
       "not audio".getBytes("UTF-8"), 4).nonEmpty)
   }
 
+  test("synthWav round-trips: decode recovers the exact recentred text bytes") {
+    // the m12 contract: sample f of the synthesized WAV decodes to
+    // ((byte f) - 128) << 8 EXACTLY — if the header, endianness, or
+    // the decoder's conversion moved one sample, the m12 oracle (which
+    // recomputes energies from the text, never the WAV) would break
+    val text = "Graft über alles: ±16-bit"
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val wav = Multimodal.synthWav(df, "doc_id", "text")
+      .collect().head.getAs[Array[Byte]]("wav")
+    val bytes = text.getBytes("UTF-8")
+    assert(wav.length == 44 + 2 * bytes.length)
+    // the JDK parses our hand-built header as 16-bit mono PCM
+    val chunks = Multimodal.WavAudio.chunks(wav, bytes.length).get
+    assert(chunks.length == 1 && chunks.head.n == bytes.length.toLong)
+    val wantEnergy = bytes.map(b => math.abs((b & 0xff) - 128).toLong * 256L).sum
+    assert(chunks.head.energy == wantEnergy,
+      s"decoded energy ${chunks.head.energy} != $wantEnergy from text bytes")
+    // null text drops, empty text still synthesizes a (silent) file
+    val edge = Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text")
+    val got = Multimodal.synthWav(edge, "doc_id", "text").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(got.head.getAs[Array[Byte]]("wav").length == 44)
+  }
+
   test("the stub path is byte-for-byte the m04/m11 oracle fold (no drift from the refactor)") {
     // the frontend extraction must not move the oracle: per-chunk
     // (offset, n, mean, energy) over raw bytes computed independently
