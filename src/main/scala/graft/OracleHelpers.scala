@@ -836,4 +836,57 @@ private[graft] object OracleHelpers {
      ORDER BY id1, id2"""
   }
 
+  /** The q38 PageRank oracle: the event-type transition graph built
+    * exactly like the Spark side (per-user lag in (epoch_us, id)
+    * order, count-weighted edges, alphabetical dense node ids), then
+    * `iters` FIXED iterations replayed with the identical arithmetic
+    * shape — decimal(38,18) contribution sums cast back to double,
+    * the (1−d)/N base and d·(in + dm/N) combine in the same
+    * parenthesization, every constant CAST to DOUBLE so DuckDB's
+    * decimal literals can't change a bit. Bit-equal ranks after 3
+    * iterations are the §5 float discipline extended to an ITERATIVE
+    * algorithm.
+    */
+  def pageRankOracle(d: String, iters: Int): String = {
+    val one = "CAST(1 AS DOUBLE)"
+    val dd = s"CAST($d AS DOUBLE)"
+    val nD = "CAST(nn.n AS DOUBLE)"
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""c$k AS (SELECT sh.dst AS id,
+                CAST(sum(CAST(r.rank * sh.sh AS DECIMAL(38,18))) AS DOUBLE) AS inx
+              FROM $prev r JOIN sh ON sh.src = r.id GROUP BY 1),
+         d$k AS (SELECT CAST(coalesce(sum(CAST(rank AS DECIMAL(38,18))), 0) AS DOUBLE) AS dm
+              FROM $prev WHERE id IN (SELECT id FROM dang)),
+         r$k AS (SELECT nodes.id,
+                ($one - $dd) / $nD
+                  + $dd * (coalesce(c.inx, CAST(0 AS DOUBLE)) + d$k.dm / $nD) AS rank
+              FROM nodes CROSS JOIN nn CROSS JOIN d$k
+              LEFT JOIN c$k c ON c.id = nodes.id)"""
+    }.mkString(",\n         ")
+    s"""WITH tr AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS w
+                FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS src_type,
+                      event_type AS dst_type FROM events)
+                WHERE src_type IS NOT NULL GROUP BY 1, 2),
+         dict AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) - 1 AS nid
+                FROM (SELECT DISTINCT src_type AS t FROM tr
+                      UNION SELECT DISTINCT dst_type FROM tr)),
+         e AS (SELECT ds.nid AS src, dd2.nid AS dst, w
+               FROM tr JOIN dict ds ON ds.t = tr.src_type
+                       JOIN dict dd2 ON dd2.t = tr.dst_type),
+         nodes AS (SELECT DISTINCT nid AS id
+                FROM (SELECT src AS nid FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         sh AS (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS sh
+                FROM e JOIN ow USING (src)),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+         r0 AS (SELECT id, $one / $nD AS rank FROM nodes CROSS JOIN nn),
+         $iterCtes
+     SELECT dict.t AS event_type, round(r.rank, 9) AS rank
+     FROM r$iters r JOIN dict ON dict.nid = r.id
+     ORDER BY event_type"""
+  }
+
 }

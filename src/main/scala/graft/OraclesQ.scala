@@ -11,6 +11,27 @@ private[graft] object OraclesQ {
   import OracleHelpers._
 
   val sql: Map[String, String] = Map(
+    "q37_reachability" ->
+      // full recursive path enumeration capped at 4 hops, min() per
+      // node — proves the engine's first-visit BFS labels every node
+      // with its TRUE shortest hop count
+      """WITH RECURSIVE e AS (
+              SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+              UNION ALL
+              SELECT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+            r AS (
+              SELECT CAST(p_partkey * 2 + 1 AS BIGINT) AS id, 0 AS hops
+              FROM part WHERE p_partkey < 3
+              UNION ALL
+              SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+              WHERE r.hops < 4)
+         SELECT CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+                CAST(id // 2 AS BIGINT) AS node_id,
+                CAST(min(hops) AS BIGINT) AS hops
+         FROM r GROUP BY 1, 2 ORDER BY kind, node_id""",
+
+    "q38_pagerank" -> pageRankOracle(d = "0.85", iters = 3),
+
     "q31_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
                        epoch_us(ts) // 604800000000 AS wk FROM events),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{RollingHash, TextFunctions}
-import graft.operators.{AsOf, Decontaminate, Dedup, Multimodal, Similarity, TextStats, Throttle, Training, Windows}
+import graft.operators.{AsOf, Decontaminate, Dedup, Graph, Multimodal, Similarity, TextStats, Throttle, Training, Windows}
 import graft.sources.LogSource
 
 /** Driver contract: every SURVEY.md §2 capability gets a `queries`
@@ -1816,6 +1816,62 @@ object SparkEntry {
           "user_id", "ts_us", "event_id", "event_type",
           gapUs = 1800000000L, maxLen = 8, k = 20)
         .orderBy(col("n_sessions").desc, col("path"))),
+
+    "q37_reachability" -> ((s, dir) => {
+      // exact minimum-hop BFS over the order-part co-purchase graph
+      // (bipartite: order node 2k, part node 2k+1), seeded at parts
+      // {0,1,2}, capped at 4 hops — first-visit level expansion on the
+      // Spark side, proven against the oracle's full recursive path
+      // enumeration min(): a graph-traversal answer Spark lacks a
+      // built-in for (no recursive CTE), expressed as bounded
+      // driver-sequenced join rounds
+      val li = T(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = li.unionByName(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "part").filter(col("p_partkey") < 3)
+        .select((col("p_partkey") * 2 + 1).as("id"))
+      Graph.bfsHops(edges, "src", "dst", seeds, "id", maxHops = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("order")).otherwise(lit("part")).as("kind"),
+          shiftright(col("id"), 1).as("node_id"),
+          col("hops").cast("long").as("hops"))
+        .orderBy("kind", "node_id")
+    }),
+
+    "q38_pagerank" -> ((s, dir) => {
+      // PageRank over the event-type transition graph: the heavy part
+      // is corpus-scale (one lag window + count aggregate builds the
+      // weighted edge list from every user's event stream); the 3
+      // fixed iterations then run on the small type graph with
+      // decimal-exact contribution sums — every iteration replays bit
+      // for bit in the oracle (the §5 float discipline applied to an
+      // iterative algorithm)
+      val ev = T(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val trans = ev
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("src_type"), col("event_type").as("dst_type"))
+        .agg(cnt.as("w"))
+      // portable dense node dictionary: alphabetical event_type order
+      // (global window over the ≤|event types| distinct rows — the
+      // stated-bound contract for global orderBy)
+      val dict = trans.select(col("src_type").as("t"))
+        .unionByName(trans.select(col("dst_type").as("t"))).distinct()
+        .withColumn("nid",
+          row_number().over(Window.orderBy(col("t"))).cast("long") - 1)
+      val edges = trans
+        .join(dict.select(col("t").as("src_type"), col("nid").as("src")), "src_type")
+        .join(dict.select(col("t").as("dst_type"), col("nid").as("dst")), "dst_type")
+        .select(col("src"), col("dst"), col("w"))
+      Graph.pageRank(edges, "src", "dst", "w", d = 0.85, iters = 3)
+        .join(dict.select(col("nid").as("id"), col("t").as("event_type")), "id")
+        .select(col("event_type"), col("rank"))
+        .orderBy("event_type")
+    }),
 
     "q36_listagg" -> ((s, dir) =>
       // grouped string aggregation (LISTAGG/string_agg — the report

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (which live
+  * with their consumer in [[Dedup]]): exact breadth-first reachability
+  * and PageRank, the two traversal primitives a lineage/link-analysis
+  * workload asks of a corpus-scale engine. Both are driver-LOOPED but
+  * executor-EXECUTED: the driver only sequences a bounded number of
+  * DataFrame rounds (the Lloyd discipline from Similarity.trainCoarse
+  * — the loop bound is a loud parameter, never data-dependent), and
+  * each round is one distributed join/aggregate; no vertex data ever
+  * collects to the driver.
+  */
+object Graph {
+
+  /** Exact minimum-hop BFS from a seed set: every node reachable
+    * within `maxHops` directed edges, labeled with its TRUE shortest
+    * hop count (first-visit BFS — a node joins `known` at the level
+    * it is first reached, and levels expand in order, so the label is
+    * the minimum over all paths; the q37 oracle proves it against a
+    * full recursive path enumeration's min()).
+    *
+    * Shape at scale: level h is ONE equi-join of the frontier against
+    * the edge table on `src` + an anti-join against the known set —
+    * both shuffles on the node key, both sized by the FRONTIER (the
+    * growing `known` set joins as the anti side, which AQE broadcasts
+    * while it is small). The driver loop runs at most `maxHops`
+    * rounds (a loud contract, like the Lloyd iteration count) with
+    * one `isEmpty` probe per round for early exit; intermediate
+    * levels persist and seal away at the end. Undirected graphs pass
+    * both edge directions.
+    *
+    * Output: (id, hops) — seeds at hops 0, one row per reached node.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"bfsHops: maxHops $maxHops not in [0, 64] — the driver loop is bounded by it")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"))
+    var known = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("hops", lit(0)).persist()
+    var frontier = known
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += known
+    var h = 0
+    var done = maxHops == 0
+    while (!done) {
+      h += 1
+      // rename-then-using-join: at level 2+ the frontier DERIVES from
+      // the edge frame, so qualified references (frontier("id") ===
+      // e("_src")) are ambiguous self-join attrs — the rename mints a
+      // fresh column and the using-join resolves by name
+      val next = frontier.select(col("id").as("_src"))
+        .join(e, Seq("_src"))
+        .select(col("_dst").as("id")).distinct()
+        .join(known.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .persist()
+      persisted += next
+      if (next.isEmpty) done = true
+      else {
+        known = known.unionByName(next).persist()
+        persisted += known
+        frontier = next
+        if (h >= maxHops) done = true
+      }
+    }
+    Caching.sealOver(known, persisted.result(): _*)
+  }
+
+  /** PageRank with a FIXED iteration count and deterministic
+    * arithmetic: ranks over a weighted directed graph, each iteration
+    * r' = (1−d)/N + d·Σ_in (r(u)·w(u,v)/W(u)), dangling mass
+    * redistributed uniformly. Weights and N are exact longs; the rank
+    * sums run through DECIMAL(38,18) so accumulation order cannot
+    * change the IEEE result — the same float discipline as the
+    * oracle-exact aggregate family (SURVEY §5), which is what lets a
+    * SQL oracle replay all `iters` iterations bit for bit.
+    *
+    * Shape at scale: the expensive part of a corpus-derived graph is
+    * building the weighted edge list (an aggregate the CALLER runs —
+    * this operator takes edges as given); each iteration here is one
+    * join + one dst-keyed aggregate, `iters` rounds sequenced by the
+    * driver (bounded, loud). Output: (id, rank) for every node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, d: Double = 0.85, iters: Int = 3): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"pageRank: iters $iters not in [0, 50]")
+    require(d > 0 && d < 1, s"pageRank: damping $d not in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"),
+      col(weightCol).cast("long").as("_w"))
+    val nodes = e.select(col("_src").as("id"))
+      .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
+    val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
+    // edge share: w / W(src), one exact division per edge, reused
+    // every iteration
+    val share = e.join(outW, "_src")
+      .select(col("_src"), col("_dst"),
+        (col("_w").cast("double") / col("_ow").cast("double")).as("_sh"))
+      .persist()
+    val n = nodes.count()
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += nodes
+    persisted += share
+    var rank = nodes.withColumn("rank", lit(1.0 / n)).persist()
+    persisted += rank
+    val dangling = nodes.join(e.select(col("_src").as("id")).distinct(),
+      Seq("id"), "left_anti").persist()
+    persisted += dangling
+    for (_ <- 0 until iters) {
+      // decimal-exact contribution sum, then one IEEE combine — the
+      // identical expression shape the oracle replays
+      val contrib = rank.join(share, rank("id") === share("_src"))
+        .select(col("_dst").as("id"),
+          (col("rank") * col("_sh")).cast("decimal(38,18)").as("_c"))
+        .groupBy(col("id")).agg(sum(col("_c")).cast("double").as("_in"))
+      val dangMass = rank.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast("decimal(38,18)")), lit(0))
+          .cast("double").as("_dm"))
+      val next = nodes
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(dangMass)
+        .select(col("id"),
+          (lit((1.0 - d) / n) +
+            lit(d) * (coalesce(col("_in"), lit(0.0)) + col("_dm") / n))
+            .as("rank"))
+        .persist()
+      persisted += next
+      rank = next
+    }
+    Caching.sealOver(rank.select(col("id"), round(col("rank"), 9).as("rank")),
+      persisted.result(): _*)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph traversal operators (q37/q38): exact min-hop BFS and
+  * fixed-iteration PageRank on hand-checkable graphs.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toDF("src", "dst")
+  private def seeds(ids: Long*) = ids.toDF("id")
+
+  test("bfsHops labels every node with its true shortest hop count") {
+    // 1→2→3→4 plus a shortcut 1→3: node 3 is 1 hop, not 2
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L)
+    val got = Graph.bfsHops(e, "src", "dst", seeds(1L), "id", maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("bfsHops respects the hop cap and survives cycles") {
+    // ring 0→1→2→3→0: cap 2 reaches {0,1,2}; the cycle cannot loop
+    // forever because visited nodes never re-enter the frontier
+    val ring = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L)
+    val capped = Graph.bfsHops(ring, "src", "dst", seeds(0L), "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 2))
+    // full traversal terminates by frontier exhaustion before the cap
+    val full = Graph.bfsHops(ring, "src", "dst", seeds(0L), "id", maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("bfsHops: disconnected nodes never appear; multiple seeds take the nearer one") {
+    val e = edges(1L -> 2L, 10L -> 11L, 2L -> 10L)
+    val got = Graph.bfsHops(e, "src", "dst", seeds(1L, 10L), "id", maxHops = 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 10 is a seed (0 hops), so 11 is 1 hop — not 3 via 1→2→10→11
+    assert(got == Map(1L -> 0, 2L -> 1, 10L -> 0, 11L -> 1))
+    intercept[IllegalArgumentException](
+      Graph.bfsHops(e, "src", "dst", seeds(1L), "id", maxHops = 65))
+  }
+
+  test("pageRank conserves total mass and ranks the sink highest") {
+    // 1→3, 2→3 (weight 1 each): 3 is a dangling sink whose mass
+    // redistributes uniformly; total rank stays 1 every iteration
+    val e = Seq((1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", "w", d = 0.85, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass: ${got.values.sum}")
+    assert(got(3L) > got(1L) && got(1L) == got(2L), got.toString)
+  }
+
+  test("pageRank weights matter: the heavier edge carries more rank") {
+    // 0 splits 3:1 between 1 and 2; both feed back to 0
+    val e = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.pageRank(e, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L), got.toString)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", "w", d = 1.5))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(e, "src", "dst", "w", iters = 99))
+  }
+}
