@@ -391,6 +391,34 @@ private[graft] object OraclesD {
                 min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_variants
          FROM c2 GROUP BY 1 ORDER BY 1""",
 
+    "d31_corpus_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS ho, source AS so
+                    FROM documents WHERE doc_id < 600),
+            n AS (SELECT doc_id AS id,
+                    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS hn,
+                    source AS sn
+                  FROM documents WHERE doc_id >= 300 AND doc_id < 900),
+            j AS (SELECT coalesce(o.id, n.id) AS id, ho, hn,
+                         coalesce(sn, so) AS source
+                  FROM o FULL OUTER JOIN n ON o.id = n.id),
+            st AS (SELECT source,
+                     CASE WHEN ho IS NULL THEN 'added'
+                          WHEN hn IS NULL THEN 'removed'
+                          WHEN ho <> hn THEN 'changed'
+                          ELSE 'unchanged' END AS status
+                   FROM j),
+            g AS (SELECT source,
+                    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                    CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+                    CAST(count(*) AS BIGINT) AS nn
+                  FROM st GROUP BY 1)
+         SELECT source, n_added, n_removed, n_changed, n_unchanged,
+                round(CAST(n_added + n_removed + n_changed AS DOUBLE)
+                  / CAST(nn AS DOUBLE), 6) AS churn_rate
+         FROM g ORDER BY source""",
+
     "d14_cross_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                     FROM documents WHERE doc_id < 500),

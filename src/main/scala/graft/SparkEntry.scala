@@ -2476,6 +2476,22 @@ object SparkEntry {
         .orderBy("canon_url")
     }),
 
+    "d31_corpus_diff" -> ((s, dir) => {
+      // snapshot churn between two crawls: old = docs 0..599, new =
+      // docs 300..899 with every 5th doc's text re-crawled (uppercased)
+      // — so the diff shows removals (0..299), additions (600..899),
+      // changes (every 5th of 300..599), and unchanged rows, rolled up
+      // per source with the churn rate
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val oldSnap = docs.filter(col("doc_id") < 600)
+      val newSnap = docs.filter(col("doc_id") >= 300 && col("doc_id") < 900)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, upper(col("text"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     "d14_cross_dedup" -> ((s, dir) => {
       // dedupe the NEW crawl against the EXISTING training set: every
       // 10th doc plays the existing corpus; incoming docs near any of

@@ -399,6 +399,55 @@ object Dedup {
         col("dup_rate"), col("n_clusters"), col("max_cluster"))
   }
 
+  /** SNAPSHOT DIFF between two corpus versions — the churn gate a
+    * curation pipeline runs between crawls (alongside [[dedupReport]]'s
+    * duplication drift): every id classifies as added (new only),
+    * removed (old only), changed (both sides, content digest differs),
+    * or unchanged, then one source-keyed rollup reports the churn. A
+    * source whose churn_rate spikes between snapshots is the classic
+    * re-crawl / template-change / pipeline-bug signal — and the
+    * per-status counts are exactly what an INCREMENTAL re-curation
+    * (63's dynamic partition overwrite) needs to size its work.
+    *
+    * Shape at scale: content collapses to a 16-byte md5 digest BEFORE
+    * the join, so the full-outer id join — the only wide op — carries
+    * (id, digest, source)-class rows, never text; with both snapshots
+    * bucketed by id (47) it is shuffle-free. The rollup is one
+    * aggregate over |sources| groups. A doc's source attributes to the
+    * NEW side when present (renames follow the live corpus), the old
+    * side for removals.
+    *
+    * Output: (source, n_added, n_removed, n_changed, n_unchanged,
+    * churn_rate) — churn = (added + removed + changed) / all rows the
+    * source touched in either snapshot.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String): DataFrame = {
+    def digests(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as(s"_h$side"), col(sourceCol).as(s"_s$side"))
+    val joined = digests(oldDf, "o")
+      .join(digests(newDf, "n"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") =!= col("_hn"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("source", coalesce(col("_sn"), col("_so")))
+    joined.groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).cast("long").as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).cast("long").as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).cast("long").as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).cast("long").as("n_unchanged"),
+        count(lit(1)).cast("long").as("_n"))
+      .withColumn("churn_rate", round(
+        (col("n_added") + col("n_removed") + col("n_changed")).cast("double") /
+          col("_n").cast("double"), 6))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"), col("churn_rate"))
+  }
+
   /** Materialize the deduplicated corpus: keep exactly one row (the
     * minimum id) per near-dup component; rows in no pair keep
     * themselves.
