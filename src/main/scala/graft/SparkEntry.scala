@@ -1851,11 +1851,15 @@ object SparkEntry {
       val ev = T(s, dir, "events")
       val w = Window.partitionBy(col("user_id"))
         .orderBy(unix_micros(col("ts")), col("event_id"))
-      val trans = ev
+      // sealed: the corpus-scale lag window + aggregate runs ONCE —
+      // dict (twice) and edges (twice more) all read the ≤|types|²
+      // edge frame, never the event stream (PlanSpec pins no user_id
+      // exchange survives into the final plan)
+      val trans = graft.operators.Caching.sealOver(ev
         .withColumn("_prev", lag(col("event_type"), 1).over(w))
         .filter(col("_prev").isNotNull)
         .groupBy(col("_prev").as("src_type"), col("event_type").as("dst_type"))
-        .agg(cnt.as("w"))
+        .agg(cnt.as("w")))
       // portable dense node dictionary: alphabetical event_type order
       // (global window over the ≤|event types| distinct rows — the
       // stated-bound contract for global orderBy)

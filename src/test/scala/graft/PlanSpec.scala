@@ -493,6 +493,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("s33: the probe-expanded query side broadcasts; the corpus side never exchanges for the join") {
+    val p = SparkEntry.queries("s33_lsh_portable")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // bucket join = BroadcastHashJoin with the 22x-exploded QUERY side
+    // as the build — the corpus-side signature rows (the side that
+    // scales) must not shuffle to meet it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("vec_dot"), "projections must ride the codegen expression")
+    // final top-k is a partitioned window with a map-side group limit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("d31: the diff join carries digests, never text") {
+    val p = SparkEntry.queries("d31_corpus_diff")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the only wide op is the full-outer id join over (id, md5, source)
+    assert(p.contains("FullOuter"), p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text#")),
+      "document text must not ride a shuffle: " + exchanges.mkString("\n"))
+  }
+
+  test("q38: the corpus-scale lag window runs once, sealed — never re-planned per consumer") {
+    // trans feeds dict twice and edges twice; unsealed, the event
+    // stream's user_id window re-executed for each — the gate pins
+    // that NO user_id exchange survives into the final plan (the lag
+    // ran exactly once inside the seal; everything downstream reads
+    // the ≤|types|² edge frame)
+    val p = SparkEntry.queries("q38_pagerank")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("hashpartitioning(user_id"),
+      "the event lag window must be sealed, not re-planned: " + p)
+  }
+
   test("m07: the overlap join runs on the md5 fp key, never audio bytes") {
     val p = SparkEntry.queries("m07_audio_overlap")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
