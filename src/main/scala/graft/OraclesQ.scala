@@ -32,6 +32,27 @@ private[graft] object OraclesQ {
 
     "q38_pagerank" -> pageRankOracle(d = "0.85", iters = 3),
 
+    "q39_shortest_path" ->
+      // full <=4-edge weighted path enumeration, min(total) per node —
+      // proves the engine's bounded Bellman-Ford relaxation exactly
+      """WITH RECURSIVE e AS (
+              SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                     CAST(l_quantity AS BIGINT) AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey * 2 + 1, l_orderkey * 2,
+                     CAST(l_quantity AS BIGINT) FROM lineitem),
+            r AS (
+              SELECT CAST(p_partkey * 2 + 1 AS BIGINT) AS id,
+                     CAST(0 AS BIGINT) AS d, 0 AS hops
+              FROM part WHERE p_partkey < 3
+              UNION ALL
+              SELECT e.dst, r.d + e.w, r.hops + 1
+              FROM r JOIN e ON e.src = r.id WHERE r.hops < 4)
+         SELECT CASE WHEN id % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+                CAST(id // 2 AS BIGINT) AS node_id,
+                CAST(min(d) AS BIGINT) AS dist
+         FROM r GROUP BY 1, 2 ORDER BY kind, node_id""",
+
     "q31_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
                        epoch_us(ts) // 604800000000 AS wk FROM events),

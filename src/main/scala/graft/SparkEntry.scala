@@ -1840,6 +1840,27 @@ object SparkEntry {
         .orderBy("kind", "node_id")
     }),
 
+    "q39_shortest_path" -> ((s, dir) => {
+      // bounded-round Bellman-Ford over the weighted co-purchase
+      // graph (edge weight = line quantity, exact longs): minimum
+      // total weight from parts {0,1,2} using <= 4 edges — round k is
+      // provably min over all <=k-edge paths, so the oracle's full
+      // path enumeration min() must agree exactly
+      val li = T(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      val edges = li.unionByName(
+        li.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = T(s, dir, "part").filter(col("p_partkey") < 3)
+        .select((col("p_partkey") * 2 + 1).as("id"))
+      Graph.shortestPaths(edges, "src", "dst", "w", seeds, "id", maxRounds = 4)
+        .select(
+          when(col("id") % 2 === 0, lit("order")).otherwise(lit("part")).as("kind"),
+          shiftright(col("id"), 1).as("node_id"), col("dist"))
+        .orderBy("kind", "node_id")
+    }),
+
     "q38_pagerank" -> ((s, dir) => {
       // PageRank over the event-type transition graph: the heavy part
       // is corpus-scale (one lag window + count aggregate builds the

@@ -76,6 +76,63 @@ object Graph {
     Caching.sealOver(known, persisted.result(): _*)
   }
 
+  /** Bounded-round Bellman-Ford: exact minimum-WEIGHT distances from
+    * a seed set over non-negatively-or-arbitrarily weighted directed
+    * edges, where round k's frontier state is provably min over all
+    * paths of ≤ k EDGES (the union-min relaxation: dist_k(v) =
+    * min(dist_{k-1}(v), min_{(u,v)} dist_{k-1}(u) + w)). The bounded
+    * formulation sidesteps negative-cycle divergence entirely — the
+    * answer is well-defined for ANY weights — and the q39 oracle
+    * proves it against a full ≤maxRounds-edge path enumeration's
+    * min(total weight).
+    *
+    * Shape at scale: each round is one frontier-against-edges
+    * equi-join + one dst-keyed min aggregate — the [[bfsHops]] shape
+    * with min(dist) replacing first-visit; the driver sequences at
+    * most `maxRounds` rounds (loud contract) with one changed-probe
+    * per round for early exit. Weights are exact longs, so
+    * comparisons never tie-break on IEEE noise.
+    *
+    * Output: (id, dist) — seeds at 0, one row per node reachable
+    * within maxRounds edges.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, seeds: DataFrame, seedCol: String,
+                    maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0 && maxRounds <= 64,
+      s"shortestPaths: maxRounds $maxRounds not in [0, 64] — the driver loop is bounded by it")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"),
+      col(weightCol).cast("long").as("_w")).persist()
+    var dist = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("dist", lit(0L)).persist()
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += e
+    persisted += dist
+    var r = 0
+    var done = maxRounds == 0
+    while (!done) {
+      r += 1
+      val cand = dist.select(col("id").as("_src"), col("dist"))
+        .join(e, Seq("_src"))
+        .select(col("_dst").as("id"), (col("dist") + col("_w")).as("dist"))
+      val next = dist.unionByName(cand)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .persist()
+      persisted += next
+      // early exit: no node improved this round (exact long compare)
+      val improved = next.as("n")
+        .join(dist.as("d"), col("n.id") === col("d.id"), "left")
+        .filter(col("d.id").isNull || col("n.dist") < col("d.dist"))
+      if (improved.isEmpty) done = true
+      else {
+        dist = next
+        if (r >= maxRounds) done = true
+      }
+    }
+    Caching.sealOver(dist, persisted.result(): _*)
+  }
+
   /** PageRank with a FIXED iteration count and deterministic
     * arithmetic: ranks over a weighted directed graph, each iteration
     * r' = (1−d)/N + d·Σ_in (r(u)·w(u,v)/W(u)), dangling mass

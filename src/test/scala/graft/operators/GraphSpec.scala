@@ -44,6 +44,33 @@ class GraphSpec extends SparkSpec {
       Graph.bfsHops(e, "src", "dst", seeds(1L), "id", maxHops = 65))
   }
 
+  test("shortestPaths: a cheap 2-hop path beats an expensive direct edge") {
+    // 1→3 costs 5 direct; 1→2→3 costs 1+1=2
+    val e = Seq((1L, 3L, 5L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val s1 = Seq(1L).toDF("id")
+    val got = Graph.shortestPaths(e, "src", "dst", "w", s1, "id", maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // bounded semantics: with ONE round only the direct edge is
+    // reachable — round k is min over <=k-edge paths, exactly
+    val one = Graph.shortestPaths(e, "src", "dst", "w", s1, "id", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    intercept[IllegalArgumentException](
+      Graph.shortestPaths(e, "src", "dst", "w", s1, "id", maxRounds = 65))
+  }
+
+  test("shortestPaths terminates early on convergence and survives cycles") {
+    // ring with weights: 0→1 (1), 1→2 (1), 2→0 (1) — converges after
+    // 2 rounds; maxRounds=50 must not run 50 rounds of jobs (early
+    // exit) and the cycle must not lower any distance below truth
+    val ring = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.shortestPaths(ring, "src", "dst", "w",
+        Seq(0L).toDF("id"), "id", maxRounds = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("pageRank conserves total mass and ranks the sink highest") {
     // 1→3, 2→3 (weight 1 each): 3 is a dangling sink whose mass
     // redistributes uniformly; total rank stays 1 every iteration
