@@ -74,6 +74,45 @@ private[graft] object OraclesS {
          SELECT qid AS query_id, cid AS neighbor_id, round(cos, 6) AS cos, rnk AS rank
          FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
 
+    "s34_cosine_pairs_portable" ->
+      // the s33 signature machinery driving PAIR mining: same
+      // md5-parity ordered-fold projections and (table, signature)
+      // buckets, self-joined id1 < id2 (no probe expansion — pair
+      // mining meets in the exact bucket), degenerate buckets over
+      // 10k dropped via the windowed count (the maxBucket cap),
+      // candidates deduped, exact cosine at 0.45
+      """WITH tp AS (SELECT t, p, t * 6 + p AS j
+                     FROM (SELECT unnest(range(4)) AS t),
+                          (SELECT unnest(range(6)) AS p)),
+              pr AS (SELECT vec_id, t, p,
+                       list_aggregate(list_transform(range(len(embedding)), i ->
+                         CAST(embedding[i + 1] AS DOUBLE) *
+                         (CASE WHEN (strpos('0123456789abcdef',
+                             substr(md5(CAST(i AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+                           THEN 1 ELSE -1 END)), 'sum') AS proj
+                     FROM embeddings CROSS JOIN tp),
+              sig0 AS (SELECT vec_id, t,
+                        CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END)
+                          AS BIGINT) AS sg
+                      FROM pr GROUP BY 1, 2),
+              sig AS (SELECT vec_id, t, sg FROM sig0
+                      QUALIFY count(*) OVER (PARTITION BY t, sg) <= 10000),
+              cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                       FROM sig a JOIN sig b
+                         ON a.t = b.t AND a.sg = b.sg AND a.vec_id < b.vec_id),
+              c1 AS (SELECT vec_id AS id1, embedding AS e1 FROM embeddings),
+              c2 AS (SELECT vec_id AS id2, embedding AS e2 FROM embeddings),
+              u AS (SELECT cand.id1, cand.id2,
+                           CAST(unnest(e1) AS DOUBLE) AS x,
+                           CAST(unnest(e2) AS DOUBLE) AS y
+                    FROM cand JOIN c1 USING (id1) JOIN c2 USING (id2)),
+              s2 AS (SELECT id1, id2,
+                            sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos
+                     FROM u GROUP BY 1, 2)
+         SELECT id1, id2, round(cos, 6) AS cos
+         FROM s2 WHERE cos >= 0.45 ORDER BY id1, id2""",
+
     "s19_mmr_rerank" -> mmrOracle(k = 5, prefetch = 20, lam = 0.7),
 
     "s18_postfiltered_ann" ->

@@ -803,6 +803,17 @@ object SparkEntry {
           maxBucket = Some(10000))
         .orderBy("id1", "id2")),
 
+    "s34_cosine_pairs_portable" -> ((s, dir) =>
+      // s06's hash-exact twin: md5-plane signatures make the bucket
+      // membership — hence the EXACT candidate set — SQL-replayable,
+      // so the sublinear pair-mining mechanism itself is auditable,
+      // not just recall-gated; same 10k degenerate-bucket cap,
+      // replicated in the oracle as a windowed count filter
+      Similarity.cosinePairsPortable(T(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45, dims = 64, numPlanes = 6,
+          numTables = 4, maxBucket = Some(10000))
+        .orderBy("id1", "id2")),
+
     "s07_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(T(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("pos"), col("code"), col("scale"))

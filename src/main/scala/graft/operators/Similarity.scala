@@ -1373,12 +1373,45 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numPlanes: Int = 6,
                      numTables: Int = 8,
-                     maxBucket: Option[Int] = None): DataFrame = {
+                     maxBucket: Option[Int] = None): DataFrame =
+    cosinePairsCore(df, idCol, vecCol, threshold, maxBucket,
+      graft.functions.LshSigs.sigs(col("v"), numPlanes, numTables))
+
+  /** [[cosinePairsLsh]]'s hash-exact PORTABLE twin (the s33 move for
+    * the PAIR mining rung): signatures from the md5-parity sign
+    * matrix via index-ordered [[VecDot]] literal folds, so bucket
+    * membership — hence the exact candidate set — replays in SQL,
+    * and with it the whole sublinear pair-mining mechanism. Shares
+    * [[cosinePairsCore]] with the seeded form; only the signature
+    * source differs.
+    */
+  def cosinePairsPortable(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dims: Int, numPlanes: Int = 6,
+                          numTables: Int = 4,
+                          maxBucket: Option[Int] = None): DataFrame = {
+    require(numPlanes <= 62, s"numPlanes $numPlanes overflows the long signature")
+    val signs = srpSigns(dims, numPlanes * numTables)
+    val sigs = array((0 until numTables).map { t =>
+      (0 until numPlanes).map { p =>
+        when(VecDot.dot(col("v"), lit(signs(t * numPlanes + p))) >= 0.0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    cosinePairsCore(df, idCol, vecCol, threshold, maxBucket, sigs)
+  }
+
+  /** Shared pair-mining core: bucket self-join on (table, signature),
+    * pair dedup, exact cosine at `threshold`. `sigExpr` is the
+    * array<long> signature expression over the aliased vector column
+    * `v`.
+    */
+  private def cosinePairsCore(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, maxBucket: Option[Int],
+                              sigExpr: Column): DataFrame = {
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_nrm", norm(col("v")))
       .select(col("id"), col("v"), col("_nrm"),
-        posexplode(graft.functions.LshSigs.sigs(col("v"), numPlanes, numTables))
-          .as(Seq("_t", "_sig")))
+        posexplode(sigExpr).as(Seq("_t", "_sig")))
     val base = maxBucket match {
       case Some(m) =>
         val wb = Window.partitionBy(col("_t"), col("_sig"))

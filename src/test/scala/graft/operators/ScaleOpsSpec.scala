@@ -454,6 +454,25 @@ class CosinePairsLshSpec extends SparkSpec {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("the portable twin finds the same true near-dups as the seeded form") {
+    // same cluster corpus: the md5-plane family must not lose the
+    // high-cosine regime the seeded family covers (the oracle already
+    // gates EXACTNESS of the portable candidate set; this gates its
+    // QUALITY against the seeded production config)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20).flatMap { i =>
+      val v = Array.fill(16)(rnd.nextFloat() - 0.5f)
+      val twin = v.map(x => x + 0.001f * rnd.nextFloat())
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairsPortable(df, "vec_id", "embedding",
+        threshold = 0.99, dims = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("maxBucket prunes a degenerate bucket before the self-join") {
     val rnd = new scala.util.Random(7)
     // 50 IDENTICAL vectors: every table puts them in one bucket of 50
