@@ -836,6 +836,48 @@ private[graft] object OracleHelpers {
      ORDER BY id1, id2"""
   }
 
+  /** The q40 label-propagation oracle: the same transition-graph CTEs
+    * as [[pageRankOracle]] (symmetrized), then `iters` synchronous
+    * rounds replayed exactly — BIGINT weight sums, argmax via
+    * row_number ordered (m DESC, label), previous-label fallback for
+    * nodes with no incoming edge. Deterministic end to end, so the
+    * final labeling hash-matches.
+    */
+  def lpaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""s$k AS (SELECT e.dst AS id, l.label, CAST(sum(e.w) AS BIGINT) AS m
+              FROM $prev l JOIN eu e ON e.src = l.id GROUP BY 1, 2),
+         b$k AS (SELECT id, label FROM s$k
+              QUALIFY row_number() OVER (PARTITION BY id ORDER BY m DESC, label) = 1),
+         l$k AS (SELECT n.id, coalesce(b.label, p.label) AS label
+              FROM nodes n LEFT JOIN b$k b ON b.id = n.id
+              JOIN $prev p ON p.id = n.id)"""
+    }.mkString(",\n         ")
+    s"""WITH tr AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS w
+                FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS src_type,
+                      event_type AS dst_type FROM events)
+                WHERE src_type IS NOT NULL GROUP BY 1, 2),
+         dict AS (SELECT t, CAST(row_number() OVER (ORDER BY t) AS BIGINT) - 1 AS nid
+                FROM (SELECT DISTINCT src_type AS t FROM tr
+                      UNION SELECT DISTINCT dst_type FROM tr)),
+         e AS (SELECT ds.nid AS src, dd2.nid AS dst, w
+               FROM tr JOIN dict ds ON ds.t = tr.src_type
+                       JOIN dict dd2 ON dd2.t = tr.dst_type),
+         eu AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e),
+         nodes AS (SELECT DISTINCT nid AS id
+                FROM (SELECT src AS nid FROM eu UNION ALL SELECT dst FROM eu)),
+         l0 AS (SELECT id, id AS label FROM nodes),
+         $rounds
+     SELECT d1.t AS event_type, d2.t AS community
+     FROM l$iters f
+     JOIN dict d1 ON d1.nid = f.id
+     JOIN dict d2 ON d2.nid = f.label
+     ORDER BY event_type"""
+  }
+
   /** The q38 PageRank oracle: the event-type transition graph built
     * exactly like the Spark side (per-user lag in (epoch_us, id)
     * order, count-weighted edges, alphabetical dense node ids), then

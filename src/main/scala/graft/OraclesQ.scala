@@ -32,6 +32,8 @@ private[graft] object OraclesQ {
 
     "q38_pagerank" -> pageRankOracle(d = "0.85", iters = 3),
 
+    "q40_communities" -> lpaOracle(iters = 3),
+
     "q39_shortest_path" ->
       // full <=4-edge weighted path enumeration, min(total) per node —
       // proves the engine's bounded Bellman-Ford relaxation exactly

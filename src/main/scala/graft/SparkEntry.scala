@@ -1851,6 +1851,39 @@ object SparkEntry {
         .orderBy("kind", "node_id")
     }),
 
+    "q40_communities" -> ((s, dir) => {
+      // deterministic weighted label propagation on the symmetrized
+      // event-type transition graph (3 synchronous rounds, exact long
+      // weight argmax, min-label ties): the topic/community view of
+      // the same graph q38 ranks — every round replays in SQL, so the
+      // final labeling hash-matches
+      val ev = T(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val trans = graft.operators.Caching.sealOver(ev
+        .withColumn("_prev", lag(col("event_type"), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .groupBy(col("_prev").as("src_type"), col("event_type").as("dst_type"))
+        .agg(cnt.as("w")))
+      // global window over the ≤|event types| distinct rows (the
+      // stated-bound contract for global orderBy)
+      val dict = trans.select(col("src_type").as("t"))
+        .unionByName(trans.select(col("dst_type").as("t"))).distinct()
+        .withColumn("nid",
+          row_number().over(Window.orderBy(col("t"))).cast("long") - 1)
+      val directed = trans
+        .join(dict.select(col("t").as("src_type"), col("nid").as("src")), "src_type")
+        .join(dict.select(col("t").as("dst_type"), col("nid").as("dst")), "dst_type")
+        .select(col("src"), col("dst"), col("w"))
+      val edges = directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      Graph.labelPropagation(edges, "src", "dst", "w", iters = 3)
+        .join(dict.select(col("nid").as("id"), col("t").as("event_type")), "id")
+        .join(dict.select(col("nid").as("label"), col("t").as("community")), "label")
+        .select(col("event_type"), col("community"))
+        .orderBy("event_type")
+    }),
+
     "q39_shortest_path" -> ((s, dir) => {
       // bounded-round Bellman-Ford over the weighted co-purchase
       // graph (edge weight = line quantity, exact longs): minimum

@@ -133,6 +133,55 @@ object Graph {
     Caching.sealOver(dist, persisted.result(): _*)
   }
 
+  /** Synchronous weighted LABEL PROPAGATION (Raghavan et al. 2007
+    * made deterministic): every node starts as its own label; each
+    * round, a node adopts the label with the largest incoming WEIGHT
+    * sum among its neighbors' previous-round labels, ties to the
+    * SMALLEST label — the argmax is over exact long sums and the
+    * tie-break is total, so a fixed iteration count gives ONE answer
+    * any engine can replay (the q40 oracle replays all rounds in
+    * SQL). Nodes with no incoming edge keep their previous label.
+    * Undirected graphs pass both edge directions.
+    *
+    * Shape at scale: each round is one label-against-edges equi-join
+    * + one (dst, label) weight aggregate + a per-node top-1 window
+    * (map-side WindowGroupLimit) — the same bounded driver-sequenced
+    * discipline as the rest of the family.
+    *
+    * Output: (id, label) after `iters` rounds.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 50,
+      s"labelPropagation: iters $iters not in [0, 50]")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"),
+      col(weightCol).cast("long").as("_w")).persist()
+    val nodes = e.select(col("_src").as("id"))
+      .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += e
+    persisted += nodes
+    var lab = nodes.withColumn("label", col("id")).persist()
+    persisted += lab
+    for (_ <- 0 until iters) {
+      val scores = lab.select(col("id").as("_src"), col("label"))
+        .join(e, Seq("_src"))
+        .groupBy(col("_dst").as("id"), col("label"))
+        .agg(sum(col("_w")).as("_m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("_m").desc, col("label"))
+      val best = scores.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select(col("id"), col("label").as("_nl"))
+      val next = lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_nl"), col("label")).as("label"))
+        .persist()
+      persisted += next
+      lab = next
+    }
+    Caching.sealOver(lab, persisted.result(): _*)
+  }
+
   /** PageRank with a FIXED iteration count and deterministic
     * arithmetic: ranks over a weighted directed graph, each iteration
     * r' = (1−d)/N + d·Σ_in (r(u)·w(u,v)/W(u)), dangling mass

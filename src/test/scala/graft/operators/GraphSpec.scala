@@ -82,6 +82,27 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(1L) == got(2L), got.toString)
   }
 
+  test("labelPropagation: two weight-tight cliques keep separate labels; min-label wins ties") {
+    // clique A = {0,1,2} (heavy internal edges), clique B = {10,11,12},
+    // one weak bridge 2-10: after 3 rounds each clique converges to
+    // its minimum member's label and the bridge does not merge them
+    def clique(ids: Seq[Long], w: Long) =
+      for (a <- ids; b <- ids if a != b) yield (a, b, w)
+    val e = (clique(Seq(0L, 1L, 2L), 10L) ++ clique(Seq(10L, 11L, 12L), 10L) ++
+      Seq((2L, 10L, 1L), (10L, 2L, 1L))).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(e, "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.filter(_._1 < 10).values.toSet == Set(0L), got.toString)
+    assert(got.filter(_._1 >= 10).values.toSet == Set(10L), got.toString)
+    // isolated-direction node: a pure source keeps its own label
+    val e2 = Seq((5L, 6L, 1L)).toDF("src", "dst", "w")
+    val got2 = Graph.labelPropagation(e2, "src", "dst", "w", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(5L) == 5L && got2(6L) == 5L, got2.toString)
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(e2, "src", "dst", "w", iters = 99))
+  }
+
   test("pageRank weights matter: the heavier edge carries more rank") {
     // 0 splits 3:1 between 1 and 2; both feed back to 0
     val e = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
