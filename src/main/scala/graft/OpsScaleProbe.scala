@@ -73,7 +73,12 @@ object OpsScaleProbe {
     }
 
     val queryProbes = Seq("s29_kmeans_train", "s30_kmeans_prune",
-      "s32_ivf_exact", "t41_kneser_ney", "t42_kn_buckets")
+      "s32_ivf_exact", "t41_kneser_ney", "t42_kn_buckets",
+      // the graph family (r14): BFS/Bellman-Ford frontiers over the
+      // 10x co-purchase graph and the iterative ops over 10x events —
+      // frontier growth is where super-linearity would hide
+      "q37_reachability", "q39_shortest_path", "q38_pagerank",
+      "q40_communities")
     def mk(name: String, dir: String): () => DataFrame =
       if (name == "d24_allpairs_full")
         // guard raised to 256x for the PROBE: the Gen10x corpus
