@@ -34,6 +34,34 @@ private[graft] object OraclesQ {
 
     "q40_communities" -> lpaOracle(iters = 3),
 
+    "q41_pit_join" ->
+      // q34's SCD2 chain over non-purchase changes, then for each
+      // purchase fact the version with the greatest effective_from at
+      // or before it (ties to the highest version — the as-of
+      // tie-break); facts before any version keep NULLs via the left
+      // join
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                    FROM events WHERE event_type <> 'purchase'),
+            ch AS (SELECT user_id, event_type, us, event_id FROM (
+                     SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS prev FROM e)
+                   WHERE prev IS NULL OR prev <> event_type),
+            v AS (SELECT user_id, event_type AS state, us AS effective_from,
+                    CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS BIGINT) AS version
+                  FROM ch),
+            f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT f.event_id, v.state, v.version,
+                    row_number() OVER (PARTITION BY f.event_id
+                      ORDER BY v.effective_from DESC, v.version DESC) AS rn
+                  FROM f JOIN v ON v.user_id = f.user_id
+                              AND v.effective_from <= f.ts_us)
+         SELECT f.event_id, f.user_id, f.ts_us,
+                j.state AS state_at, j.version AS version_at
+         FROM f LEFT JOIN j ON j.event_id = f.event_id AND j.rn = 1
+         ORDER BY f.event_id""",
+
     "q39_shortest_path" ->
       // full <=4-edge weighted path enumeration, min(total) per node —
       // proves the engine's bounded Bellman-Ford relaxation exactly

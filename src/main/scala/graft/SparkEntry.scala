@@ -1851,6 +1851,32 @@ object SparkEntry {
         .orderBy("kind", "node_id")
     }),
 
+    "q41_pit_join" -> ((s, dir) => {
+      // the warehouse POINT-IN-TIME lookup, composed from the parts
+      // it is made of: q34's SCD2 version build (non-purchase state
+      // changes per user) probed by purchase facts through the q20
+      // as-of union-merge — which version was in effect when each
+      // purchase happened; facts before any version surface NULLs
+      // (no evidence), a version opening at the purchase's exact
+      // microsecond counts ("at or before"), same-instant versions
+      // resolve to the highest version. One key shuffle, no join
+      // node, no row replication — the PIT answer that survives
+      // 100 TB where a theta range join degenerates
+      val ev = T(s, dir, "events")
+      val dim = operators.Windows.scd2(
+          ev.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("_us"), col("event_id")),
+          "user_id", "event_type", "_us", "event_id")
+        .select(col("key").as("user_id"),
+          col("effective_from").as("ts_us"), col("state"), col("version"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      AsOf.join(facts, dim, Seq("user_id"), "ts_us", "version",
+          Seq("state" -> "state_at", "version" -> "version_at"))
+        .orderBy("event_id")
+    }),
+
     "q40_communities" -> ((s, dir) => {
       // deterministic weighted label propagation on the symmetrized
       // event-type transition graph (3 synchronous rounds, exact long
