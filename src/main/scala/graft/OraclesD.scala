@@ -392,19 +392,20 @@ private[graft] object OraclesD {
          FROM c2 GROUP BY 1 ORDER BY 1""",
 
     "d31_corpus_diff" ->
-      """WITH o AS (SELECT doc_id AS id, md5(text) AS ho, source AS so
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS ho, source AS so,
+                           TRUE AS po
                     FROM documents WHERE doc_id < 600),
             n AS (SELECT doc_id AS id,
                     md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS hn,
-                    source AS sn
+                    source AS sn, TRUE AS pn
                   FROM documents WHERE doc_id >= 300 AND doc_id < 900),
-            j AS (SELECT coalesce(o.id, n.id) AS id, ho, hn,
+            j AS (SELECT coalesce(o.id, n.id) AS id, ho, hn, po, pn,
                          coalesce(sn, so) AS source
                   FROM o FULL OUTER JOIN n ON o.id = n.id),
             st AS (SELECT source,
-                     CASE WHEN ho IS NULL THEN 'added'
-                          WHEN hn IS NULL THEN 'removed'
-                          WHEN ho <> hn THEN 'changed'
+                     CASE WHEN po IS NULL THEN 'added'
+                          WHEN pn IS NULL THEN 'removed'
+                          WHEN ho IS DISTINCT FROM hn THEN 'changed'
                           ELSE 'unchanged' END AS status
                    FROM j),
             g AS (SELECT source,

@@ -211,7 +211,9 @@ object TailApp {
     *    `idx_of_ts_field` — the 0-based index into the row's capture
     *    groups (sql/squeryer.go:172-178 `row[opt.IdxOfTsField]`),
     *    resolved here against each source's OWN regex to the field
-    *    NAME Spark windows need; -1 = processing-time windows.
+    *    NAME Spark windows need; absent defaults to 0 (the Go zero
+    *    value of the missing YAML field — reference semantics), and
+    *    an explicit -1 selects processing-time windows.
     *  - `sink`: `to` must be `stdout` (all the reference supports);
     *    `formatter` table/raw/rawV (case-insensitive) = our format.
     *  - `log.level`: logrus level, applied as the Spark log level.
@@ -248,7 +250,12 @@ object TailApp {
     // absent) = tumbling window
     val slide = win.flatMap(intOf(_, "sliding_interval_seconds", "window"))
       .filter(_ > 0).map(_.toLong)
-    val tsIdx = win.flatMap(intOf(_, "idx_of_ts_field", "window")).filter(_ >= 0)
+    // reference zero-value semantics: an absent YAML int is Go 0 and
+    // sql/squeryer.go:172 treats idx >= 0 as event time from capture
+    // group idx — so a present window mapping with NO idx_of_ts_field
+    // means group 0; processing-time windows require an explicit -1
+    val tsIdx = win.map(intOf(_, "idx_of_ts_field", "window").getOrElse(0))
+      .filter(_ >= 0)
 
     val format = root.get("sink").map {
       case m: YamlLite.Mapping =>
@@ -358,6 +365,20 @@ object TailApp {
     }
   }
 
+  /** logrus level → Spark log level. The sets differ: logrus has
+    * `warning` (an alias of `warn`) and `panic` (above `fatal`),
+    * neither a valid Spark level — a reference config with
+    * `log.level: warning` must not make `setLogLevel` throw. Unknown
+    * names pass through upper-cased so Spark's own error names the
+    * bad value.
+    */
+  private[graft] def logrusToSpark(level: String): String =
+    level.toLowerCase match {
+      case "warning" => "WARN"
+      case "panic"   => "FATAL"
+      case other     => other.toUpperCase
+    }
+
   def main(args: Array[String]): Unit =
     runCli(args, s => if (s.nonEmpty) println(s))
 
@@ -369,9 +390,9 @@ object TailApp {
     val a = parseArgs(args.filterNot(Flags))
     val snapshot = args.contains("--snapshot")
     def setLogLevel(spark: org.apache.spark.sql.SparkSession): Unit =
-      // the reference's -l/--log-level (logrus levels); Spark takes
-      // the same names upper-cased
-      one(a, "log-level").foreach(l => spark.sparkContext.setLogLevel(l.toUpperCase))
+      // the reference's -l/--log-level (logrus levels)
+      one(a, "log-level").foreach(l =>
+        spark.sparkContext.setLogLevel(logrusToSpark(l)))
     one(a, "config").foreach { path =>
       // only these flags override the file; anything else would be
       // silently ignored — reject it instead of misleading the operator
@@ -411,7 +432,7 @@ object TailApp {
         format = one(a, "format").getOrElse(c.format)))
       val spark0 = GraftSession.get()
       // the file's log.level applies first, an explicit --log-level wins
-      yamlLogLevel.foreach(l => spark0.sparkContext.setLogLevel(l.toUpperCase))
+      yamlLogLevel.foreach(l => spark0.sparkContext.setLogLevel(logrusToSpark(l)))
       setLogLevel(spark0)
       val ckpt0 = one(a, "checkpoint").getOrElse(
         java.nio.file.Files.createTempDirectory("graft-tailapp").toString)

@@ -423,15 +423,21 @@ object Dedup {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                  textCol: String, sourceCol: String): DataFrame = {
+    // presence is a flag per side, NOT digest nullability: a NULL text
+    // yields a NULL md5, and a digest-null test would misclassify an id
+    // present on both sides as added/removed. Digests compare
+    // null-safely (<=>) so null-vs-null is unchanged, null-vs-text
+    // changed.
     def digests(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).cast("long").as("id"),
-        md5(col(textCol)).as(s"_h$side"), col(sourceCol).as(s"_s$side"))
+        md5(col(textCol)).as(s"_h$side"), col(sourceCol).as(s"_s$side"),
+        lit(true).as(s"_p$side"))
     val joined = digests(oldDf, "o")
       .join(digests(newDf, "n"), Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("_ho").isNull, lit("added"))
-          .when(col("_hn").isNull, lit("removed"))
-          .when(col("_ho") =!= col("_hn"), lit("changed"))
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(!(col("_ho") <=> col("_hn")), lit("changed"))
           .otherwise(lit("unchanged")))
       .withColumn("source", coalesce(col("_sn"), col("_so")))
     joined.groupBy(col("source"))

@@ -299,6 +299,13 @@ object SloMonitor {
     * folded below the last-week boundary — permanent, ≤ |keys|·168
     * entries); recent: "key\u0000hr" → count for hours at or above
     * the boundary (incl. pending).
+    *
+    * State-key schema v2 (separator " " -> NUL): a checkpoint written
+    * by the earlier space-separated version cannot be resumed --
+    * restart such a query with a fresh checkpoint directory (the same
+    * contract as [[graft.operators.Dedup.streamingNearDupCandidates]]
+    * state schema v2). Old-format keys are detected loudly on first
+    * read rather than mis-parsed.
     */
   final case class SeasonState(h0: Long, anchor: Long,
                                hist: Map[String, Long], recent: Map[String, Long])
@@ -327,8 +334,16 @@ object SloMonitor {
       m.updated(k, m.getOrElse(k, 0L) + 1L)
     }
     val wmHr = state.getCurrentWatermarkMs() / 1000L / 3600L
-    def hrOf(k: String): Long = k.substring(k.lastIndexOf(Sep) + 1).toLong
-    def keyOf(k: String): String = k.substring(0, k.lastIndexOf(Sep))
+    def sepAt(k: String): Int = {
+      val i = k.lastIndexOf(Sep)
+      require(i >= 0,
+        s"seasonal-monitor state key '$k' predates the v2 NUL-separated " +
+          "key schema; resume is not supported — restart the query with " +
+          "a fresh checkpoint directory")
+      i
+    }
+    def hrOf(k: String): Long = k.substring(sepAt(k) + 1).toLong
+    def keyOf(k: String): String = k.substring(0, sepAt(k))
     val closed = recent0.keys.map(hrOf).filter(_ < wmHr)
     val anchor = if (closed.nonEmpty) closed.max max st0.anchor else st0.anchor
     var hist = st0.hist

@@ -215,12 +215,28 @@ class TailAppSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(err(y(window = "  size_seconds: 30\n  idx_of_ts_field: 5"))
       .contains("out of range"))
     assert(err(y(regex = "\"\"")).contains("regex"))
-    // idx_of_ts_field -1 = processing-time windows (the reference's own default)
+    // an explicit idx_of_ts_field -1 = processing-time windows
     val (cfgs, _) = TailApp.fromYaml(
       y(window = "  size_seconds: 30\n  idx_of_ts_field: -1"), _ => false)
     assert(cfgs.head.tsField.isEmpty)
     // absent sliding_interval_seconds (or 0) = tumbling
     assert(cfgs.head.slideSec.isEmpty)
+    // ABSENT idx_of_ts_field under a present window mapping is the Go
+    // zero value 0 (sql/squeryer.go:172 treats >=0 as event time from
+    // that capture group) — NOT processing time
+    val (cfgsDflt, _) = TailApp.fromYaml(y(), _ => false)
+    assert(cfgsDflt.head.tsField.contains("ts"))
+  }
+
+  test("logrus levels translate to Spark log levels (warning/panic have no Spark name)") {
+    assert(TailApp.logrusToSpark("warning") == "WARN")
+    assert(TailApp.logrusToSpark("Warning") == "WARN")
+    assert(TailApp.logrusToSpark("panic") == "FATAL")
+    assert(TailApp.logrusToSpark("warn") == "WARN")
+    assert(TailApp.logrusToSpark("info") == "INFO")
+    assert(TailApp.logrusToSpark("debug") == "DEBUG")
+    assert(TailApp.logrusToSpark("fatal") == "FATAL")
+    assert(TailApp.logrusToSpark("trace") == "TRACE")
   }
 }
 

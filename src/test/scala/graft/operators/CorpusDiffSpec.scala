@@ -38,6 +38,27 @@ class CorpusDiffSpec extends SparkSpec {
     assert(got.toSeq == Seq(("new-src", 1L)))
   }
 
+  test("NULL text classifies by side presence, not digest nullability") {
+    // id 1: null text on BOTH sides -> unchanged (null-safe digest);
+    // id 2: null -> text -> changed; id 3: text -> null -> changed;
+    // id 4: null text, old side only -> removed (not 'added')
+    val old = Seq(
+      (1L, null.asInstanceOf[String], "s"),
+      (2L, null.asInstanceOf[String], "s"),
+      (3L, "t", "s"),
+      (4L, null.asInstanceOf[String], "s")
+    ).toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (1L, null.asInstanceOf[String], "s"),
+      (2L, "t", "s"),
+      (3L, null.asInstanceOf[String], "s")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.corpusDiff(old, neu, "doc_id", "text", "source").collect().head
+    // (added, removed, changed, unchanged) = (0, 1, 2, 1)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((0L, 1L, 2L, 1L)))
+  }
+
   test("disjoint snapshots are pure adds + removes at churn 1.0") {
     val old = Seq((1L, "x", "s")).toDF("doc_id", "text", "source")
     val neu = Seq((2L, "y", "s")).toDF("doc_id", "text", "source")

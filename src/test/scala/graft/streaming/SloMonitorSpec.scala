@@ -287,6 +287,21 @@ class SloMonitorSpec extends SparkSpec {
     assert(rows.map(_.n_last).sum == 10L)
   }
 
+  test("seasonal state from the pre-NUL key schema is rejected loudly, not mis-parsed") {
+    val st = new TestGroupState[SeasonState]
+    // a v1 checkpoint used "key hr" space-separated state keys; v2 must
+    // refuse to resume (fresh-checkpoint contract) instead of throwing
+    // NumberFormatException from substring(0).toLong on the whole key
+    st.update(SeasonState(0L, Long.MinValue, Map.empty, Map("k 5" -> 3L)))
+    st.watermarkMs = 12L * 3600L * 1000L
+    val e = intercept[IllegalArgumentException] {
+      seasonUpdate("all",
+        Iterator(KeyEvent("k", new java.sql.Timestamp(10L * 3600L * 1000L))),
+        st).toList
+    }
+    assert(e.getMessage.contains("fresh checkpoint"), e.getMessage)
+  }
+
   // ------------------------------------------------------- r28 incidents
 
   test("incident summaries equal the batch lead-pairing over real events") {
