@@ -78,7 +78,12 @@ object OpsScaleProbe {
       // 10x co-purchase graph and the iterative ops over 10x events —
       // frontier growth is where super-linearity would hide
       "q37_reachability", "q39_shortest_path", "q38_pagerank",
-      "q40_communities")
+      "q40_communities",
+      // r15: the big-graph twins — iterative PageRank/LPA whose
+      // per-iteration joins run over the FULL co-purchase graph, so a
+      // super-linear iteration shape cannot hide behind a small node
+      // dictionary the way q38/q40's type graph allows
+      "q38b_pagerank_big", "q40b_communities_big")
     def mk(name: String, dir: String): () => DataFrame =
       if (name == "d24_allpairs_full")
         // guard raised to 256x for the PROBE: the Gen10x corpus
@@ -93,7 +98,10 @@ object OpsScaleProbe {
           maxCandidateFactor = Some(256.0))
       else () => SparkEntry.queries(name)(spark, dir)
 
-    val names = queryProbes :+ "d24_allpairs_full"
+    // dev loop: SPARK_GRAFT_ONLY=q38b_pagerank_big probes a subset
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(queryProbes :+ "d24_allpairs_full")
     val rows = names.map { n =>
       val s1 = time(mk(n, d1))
       val s10 = time(mk(n, d10))

@@ -889,11 +889,17 @@ private[graft] object OracleHelpers {
     * iterations are the §5 float discipline extended to an ITERATIVE
     * algorithm.
     */
-  def pageRankOracle(d: String, iters: Int): String = {
+  /** The shared PageRank iteration CTE chain (r0 → r`iters`): one
+    * contribution aggregate + one dangling-mass fold + one combine
+    * per round, each with the exact arithmetic shape the Spark side
+    * executes. Callers supply the CTEs `sh` (src, dst, sh), `nodes`
+    * (id), `nn` (n), `dang` (id) and `r0` (id, rank).
+    */
+  private def pageRankIterCtes(d: String, iters: Int): String = {
     val one = "CAST(1 AS DOUBLE)"
     val dd = s"CAST($d AS DOUBLE)"
     val nD = "CAST(nn.n AS DOUBLE)"
-    val iterCtes = (1 to iters).map { k =>
+    (1 to iters).map { k =>
       val prev = s"r${k - 1}"
       s"""c$k AS (SELECT sh.dst AS id,
                 CAST(sum(CAST(r.rank * sh.sh AS DECIMAL(38,18))) AS DOUBLE) AS inx
@@ -906,6 +912,12 @@ private[graft] object OracleHelpers {
               FROM nodes CROSS JOIN nn CROSS JOIN d$k
               LEFT JOIN c$k c ON c.id = nodes.id)"""
     }.mkString(",\n         ")
+  }
+
+  def pageRankOracle(d: String, iters: Int): String = {
+    val one = "CAST(1 AS DOUBLE)"
+    val nD = "CAST(nn.n AS DOUBLE)"
+    val iterCtes = pageRankIterCtes(d, iters)
     s"""WITH tr AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS w
                 FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
                         ORDER BY epoch_us(ts), event_id) AS src_type,
@@ -929,6 +941,71 @@ private[graft] object OracleHelpers {
      SELECT dict.t AS event_type, round(r.rank, 9) AS rank
      FROM r$iters r JOIN dict ON dict.nid = r.id
      ORDER BY event_type"""
+  }
+
+  /** The q38b PageRank oracle at REAL graph scale: the DIRECTED
+    * bipartite order→part co-purchase graph (order node 2k, part node
+    * 2k+1 — q37/q39's encoding), quantity-weighted. Every part node is
+    * dangling (no out-edges), so the dangling-mass redistribution —
+    * trivial on q38's 5-node type graph — carries half the graph's
+    * rank mass every iteration here. Same iteration arithmetic as
+    * [[pageRankOracle]] via the shared CTE chain.
+    */
+  def pageRankBigOracle(d: String, iters: Int): String = {
+    val one = "CAST(1 AS DOUBLE)"
+    val nD = "CAST(nn.n AS DOUBLE)"
+    val iterCtes = pageRankIterCtes(d, iters)
+    s"""WITH e AS (SELECT CAST(l_orderkey * 2 AS BIGINT) AS src,
+                      CAST(l_partkey * 2 + 1 AS BIGINT) AS dst,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               FROM lineitem GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT id
+                FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         sh AS (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS sh
+                FROM e JOIN ow USING (src)),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+         r0 AS (SELECT id, $one / $nD AS rank FROM nodes CROSS JOIN nn),
+         $iterCtes
+     SELECT CASE WHEN r.id % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+            CAST(r.id // 2 AS BIGINT) AS node_id, round(r.rank, 9) AS rank
+     FROM r$iters r
+     ORDER BY kind, node_id"""
+  }
+
+  /** The q40b label-propagation oracle at real graph scale: the
+    * SYMMETRIZED quantity-weighted co-purchase graph, `iters`
+    * synchronous rounds replayed exactly as in [[lpaOracle]] — BIGINT
+    * weight sums, (m DESC, label) argmax, previous-label fallback.
+    */
+  def lpaBigOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val prev = s"l${k - 1}"
+      s"""s$k AS (SELECT e.dst AS id, l.label, CAST(sum(e.w) AS BIGINT) AS m
+              FROM $prev l JOIN eu e ON e.src = l.id GROUP BY 1, 2),
+         b$k AS (SELECT id, label FROM s$k
+              QUALIFY row_number() OVER (PARTITION BY id ORDER BY m DESC, label) = 1),
+         l$k AS (SELECT n.id, coalesce(b.label, p.label) AS label
+              FROM nodes n LEFT JOIN b$k b ON b.id = n.id
+              JOIN $prev p ON p.id = n.id)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT CAST(l_orderkey * 2 AS BIGINT) AS src,
+                      CAST(l_partkey * 2 + 1 AS BIGINT) AS dst,
+                      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+               FROM lineitem GROUP BY 1, 2),
+         eu AS (SELECT src, dst, w FROM e
+                UNION ALL SELECT dst, src, w FROM e),
+         nodes AS (SELECT DISTINCT id
+                FROM (SELECT src AS id FROM eu UNION ALL SELECT dst FROM eu)),
+         l0 AS (SELECT id, id AS label FROM nodes),
+         $rounds
+     SELECT CASE WHEN f.id % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+            CAST(f.id // 2 AS BIGINT) AS node_id,
+            CASE WHEN f.label % 2 = 0 THEN 'order' ELSE 'part' END AS label_kind,
+            CAST(f.label // 2 AS BIGINT) AS label_id
+     FROM l$iters f
+     ORDER BY kind, node_id"""
   }
 
 }

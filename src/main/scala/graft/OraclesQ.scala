@@ -32,7 +32,11 @@ private[graft] object OraclesQ {
 
     "q38_pagerank" -> pageRankOracle(d = "0.85", iters = 3),
 
+    "q38b_pagerank_big" -> pageRankBigOracle(d = "0.85", iters = 3),
+
     "q40_communities" -> lpaOracle(iters = 3),
+
+    "q40b_communities_big" -> lpaBigOracle(iters = 3),
 
     "q41_pit_join" ->
       // q34's SCD2 chain over non-purchase changes, then for each

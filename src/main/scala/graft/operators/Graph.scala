@@ -154,9 +154,14 @@ object Graph {
                        weightCol: String, iters: Int): DataFrame = {
     require(iters >= 0 && iters <= 50,
       s"labelPropagation: iters $iters not in [0, 50]")
+    // persisted hash-partitioned on the per-round join key: each
+    // round's label⋈edges exchange then moves only the label frame,
+    // never the (far larger) edge frame — long-exact sums make the
+    // layout answer-invariant
     val e = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"),
-      col(weightCol).cast("long").as("_w")).persist()
+      col(weightCol).cast("long").as("_w"))
+      .repartition(col("_src")).persist()
     val nodes = e.select(col("_src").as("id"))
       .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
     val persisted = Seq.newBuilder[DataFrame]
@@ -208,10 +213,16 @@ object Graph {
       .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
     val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
     // edge share: w / W(src), one exact division per edge, reused
-    // every iteration
+    // every iteration — persisted ALREADY hash-partitioned on the
+    // per-iteration join key, so each round's rank⋈share exchange
+    // moves only the |nodes|-sized rank frame, never the edge frame
+    // (the dominant mass on a corpus-scale graph; the decimal
+    // contribution sums are order-exact, so the layout is free to
+    // choose)
     val share = e.join(outW, "_src")
       .select(col("_src"), col("_dst"),
         (col("_w").cast("double") / col("_ow").cast("double")).as("_sh"))
+      .repartition(col("_src"))
       .persist()
     val n = nodes.count()
     val persisted = Seq.newBuilder[DataFrame]
