@@ -3,21 +3,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 /** Dev tool: build a 10x copy of an sf dir (key-offset fact copies,
   * dims as-is) for scaling experiments. Usage: runMain graft.Gen10x
-  * <srcDir> <dstDir> [copies]. Never touches /root/testdata.
+  * <srcDir> <dstDir> [copies] [mode]. Never touches /root/testdata.
+  *
+  * Modes (r15, the d24 probe-conflation fix):
+  *  - `dup` (default): copies carry the ORIGINAL text verbatim, so
+  *    every doc gains copies-many exact duplicates — the worst case
+  *    for dedup operators whose OUTPUT is pair mass (a 10x dup corpus
+  *    has ~100x the true pairs, so a pair-emitting operator's wall
+  *    growing >10x is output mass, not a scan defect).
+  *  - `unique`: every copy's tokens are RENAMED with a copy-specific
+  *    suffix (w → w_c<i>) — a bijective vocabulary rename, so each
+  *    copy's within-copy duplicate structure (jaccard, shingle sets,
+  *    token counts) is EXACTLY the original corpus's, while token and
+  *    shingle sets are fully DISJOINT across copies (cross-copy
+  *    jaccard 0) — true pair mass grows linearly with copies,
+  *    isolating scan scaling from output growth. (Inserting salt
+  *    TOKENS instead would degrade 3-grams to unigram-grade shingles
+  *    — measured: 2.25M candidates over 5k docs — hence the rename.)
+  *    Copy 0 is renamed too; compare a unique-N run against a
+  *    unique-1 baseline, not the raw dir.
   */
 object Gen10x {
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
     val n = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "dup"
+    require(Set("dup", "unique")(mode), s"Gen10x: mode $mode not dup|unique")
     val spark = GraftSession.get("32")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    def stretch(df: DataFrame, keys: Map[String, Long]): DataFrame =
+    def stretch(df: DataFrame, keys: Map[String, Long],
+                salt: Option[Int => DataFrame => DataFrame] = None): DataFrame =
       (0 until n).map { i =>
-        keys.foldLeft(df) { case (d, (k, span)) =>
+        val shifted = keys.foldLeft(df) { case (d, (k, span)) =>
           d.withColumn(k, col(k) + lit(i * span)) }
+        salt.fold(shifted)(s => s(i)(shifted))
       }.reduce(_ unionAll _)
+    // per-copy token rename: word "w" -> "w_c<i>", making cross-copy
+    // shingle sets disjoint while within-copy dup structure survives
+    // bit for bit (the rename is a vocabulary bijection)
+    def saltText(i: Int): DataFrame => DataFrame = df =>
+      df.withColumn("text",
+        expr(s"array_join(transform(split(text, ' '), x -> concat(x, '_c$i')), ' ')"))
 
     val oSpan = rd("orders").agg(max("o_orderkey")).head.getLong(0) + 1
     val cSpan = rd("customer").agg(max("c_custkey")).head.getLong(0) + 1
@@ -29,7 +57,8 @@ object Gen10x {
     wr(stretch(rd("orders"), Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)), "orders")
     wr(stretch(rd("customer"), Map("c_custkey" -> cSpan)), "customer")
     wr(stretch(rd("events"), Map("event_id" -> eSpan, "user_id" -> cSpan)), "events")
-    wr(stretch(rd("documents"), Map("doc_id" -> dSpan)), "documents")
+    wr(stretch(rd("documents"), Map("doc_id" -> dSpan),
+      if (mode == "unique") Some(saltText _) else None), "documents")
     wr(stretch(rd("embeddings"), Map("vec_id" -> vSpan)), "embeddings")
     for (t <- Seq("region", "nation", "supplier", "part")) wr(rd(t), t)
     spark.stop()

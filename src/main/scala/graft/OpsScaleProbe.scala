@@ -27,7 +27,7 @@ object OpsScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: OpsScaleProbe <dir1x> <dir10x> [outJson]")
     val (d1, d10) = (args(0), args(1))
-    val out = if (args.length > 2) args(2) else "BENCH_OPS10X_r14.json"
+    val out = if (args.length > 2) args(2) else "BENCH_OPS10X_r15.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
