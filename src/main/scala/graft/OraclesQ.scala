@@ -66,6 +66,54 @@ private[graft] object OraclesQ {
          FROM f LEFT JOIN j ON j.event_id = f.event_id AND j.rn = 1
          ORDER BY f.event_id""",
 
+    "q42_bitemporal" ->
+      // q41's PIT shape against two transaction-time snapshots of the
+      // SCD2 chain: v1 builds only from changes the warehouse had
+      // ingested by T1 (tx = valid + (event_id % 7) hours), v2 from
+      // everything; per fact, the greatest effective_from at or
+      // before it wins in each snapshot (ties to highest version),
+      // and restated flags audit drift null-safely
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                      epoch_us(ts) + (event_id % 7) * 3600000000 AS tx_us
+                    FROM events WHERE event_type <> 'purchase'),
+            ch1 AS (SELECT user_id, event_type, us, event_id FROM (
+                      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS prev
+                      FROM e WHERE tx_us <= 1705363200000000)
+                    WHERE prev IS NULL OR prev <> event_type),
+            v1 AS (SELECT user_id, event_type AS state, us AS effective_from,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS BIGINT) AS version
+                   FROM ch1),
+            ch2 AS (SELECT user_id, event_type, us, event_id FROM (
+                      SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS prev FROM e)
+                    WHERE prev IS NULL OR prev <> event_type),
+            v2 AS (SELECT user_id, event_type AS state, us AS effective_from,
+                     CAST(row_number() OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS BIGINT) AS version
+                   FROM ch2),
+            f AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase'),
+            j1 AS (SELECT f.event_id, v.state, v.version,
+                     row_number() OVER (PARTITION BY f.event_id
+                       ORDER BY v.effective_from DESC, v.version DESC) AS rn
+                   FROM f JOIN v1 v ON v.user_id = f.user_id
+                                   AND v.effective_from <= f.ts_us),
+            j2 AS (SELECT f.event_id, v.state, v.version,
+                     row_number() OVER (PARTITION BY f.event_id
+                       ORDER BY v.effective_from DESC, v.version DESC) AS rn
+                   FROM f JOIN v2 v ON v.user_id = f.user_id
+                                   AND v.effective_from <= f.ts_us)
+         SELECT f.event_id, f.user_id, f.ts_us,
+                j1.state AS state_t1, j1.version AS version_t1,
+                j2.state AS state_now, j2.version AS version_now,
+                (j1.state IS DISTINCT FROM j2.state)
+                  OR (j1.version IS DISTINCT FROM j2.version) AS restated
+         FROM f LEFT JOIN j1 ON j1.event_id = f.event_id AND j1.rn = 1
+                LEFT JOIN j2 ON j2.event_id = f.event_id AND j2.rn = 1
+         ORDER BY f.event_id""",
+
     "q39_shortest_path" ->
       // full <=4-edge weighted path enumeration, min(total) per node —
       // proves the engine's bounded Bellman-Ford relaxation exactly

@@ -1877,6 +1877,50 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q42_bitemporal" -> ((s, dir) => {
+      // BITEMPORAL point-in-time audit (valid time × transaction
+      // time): the q41 PIT lookup run against TWO transaction-time
+      // snapshots of the same change stream — "what did the warehouse
+      // believe on report date T1 vs now about the state valid at
+      // each fact's time". Changes arrive LATE (tx = valid +
+      // (event_id % 7) hours, a deterministic ingest delay), so the
+      // T1 snapshot misses still-in-flight changes and some facts'
+      // attributed state is RESTATED between report dates — the drift
+      // a warehouse audit surfaces. Pure composition: Windows.scd2 +
+      // AsOf.join, both unchanged, once per snapshot; each leg is one
+      // user_id shuffle with no join node (the q20/q34/q41
+      // discipline), and the snapshot cut is a literal filter, so the
+      // whole plan stays join-free
+      val ev = T(s, dir, "events")
+      val changes = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"), col("event_id"))
+        .withColumn("_tx_us",
+          col("_us") + (col("event_id") % 7) * lit(3600000000L))
+      // report date T1 = 2024-01-16 00:00:00 UTC (mid-corpus at every
+      // SF; the testdata spans Jan 2024)
+      val t1Us = 1705363200000000L
+      def dimAt(snap: DataFrame) = operators.Windows.scd2(
+          snap.select(col("user_id"), col("event_type"), col("_us"),
+            col("event_id")),
+          "user_id", "event_type", "_us", "event_id")
+        .select(col("key").as("user_id"),
+          col("effective_from").as("ts_us"), col("state"), col("version"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val a1 = AsOf.join(facts,
+        dimAt(changes.filter(col("_tx_us") <= t1Us)),
+        Seq("user_id"), "ts_us", "version",
+        Seq("state" -> "state_t1", "version" -> "version_t1"))
+      AsOf.join(a1, dimAt(changes), Seq("user_id"), "ts_us", "version",
+          Seq("state" -> "state_now", "version" -> "version_now"))
+        .withColumn("restated",
+          !(col("state_t1") <=> col("state_now")) ||
+            !(col("version_t1") <=> col("version_now")))
+        .orderBy("event_id")
+    }),
+
     "q40_communities" -> ((s, dir) => {
       // deterministic weighted label propagation on the symmetrized
       // event-type transition graph (3 synchronous rounds, exact long

@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
   }
 
+  test("q42: bitemporal double PIT stays join-free end to end") {
+    // both transaction-time snapshots are literal filters and both
+    // as-of legs are union-merge — a Join node anywhere means a
+    // snapshot became a join or an as-of leg regressed to a range join
+    val p = SparkEntry.queries("q42_bitemporal")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), "bitemporal PIT must not plan a join: " + p)
+    // user_id windows (2 scd2 chains + 2 as-of merges) + the final
+    // event_id orderBy are the only exchanges; nothing quadratic
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p)
+  }
+
   test("q21: range join broadcasts the bucket dim as a nested-loop join") {
     val p = plan("q21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
