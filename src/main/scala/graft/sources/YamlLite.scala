@@ -55,7 +55,11 @@ object YamlLite {
   }
 
   /** Strip a `#` comment that is not inside quotes: `#` at start of
-    * content or preceded by whitespace opens a comment. */
+    * content or preceded by whitespace opens a comment. A quote char
+    * only OPENS a string when it can start one in YAML — at content
+    * start or after whitespace — so an apostrophe inside a bare
+    * scalar (`it's ok  # comment`) does not swallow the comment
+    * (found by YamlFuzzSpec's yaml.v3 round-trip property). */
   private[graft] def stripComment(line: String): String = {
     var i = 0
     var quote: Char = 0
@@ -63,7 +67,8 @@ object YamlLite {
       val c = line.charAt(i)
       if (quote != 0) {
         if (c == quote) quote = 0
-      } else if (c == '"' || c == '\'') quote = c
+      } else if ((c == '"' || c == '\'') &&
+          (i == 0 || line.charAt(i - 1).isWhitespace)) quote = c
       else if (c == '#' && (i == 0 || line.charAt(i - 1).isWhitespace))
         return line.substring(0, i)
       i += 1
@@ -91,7 +96,7 @@ object YamlLite {
       val key = unquote(text.substring(0, colon).trim)
       val rest = text.substring(colon + 1).trim
       lines = lines.tail
-      if (rest.nonEmpty) fields += key -> Scalar(unquote(rest))
+      if (rest.nonEmpty) fields += key -> scalarNode(rest, num)
       else if (lines.nonEmpty && lines.head.indent > indent) {
         val (child, more) = parseBlock(lines, lines.head.indent)
         fields += key -> child
@@ -126,7 +131,7 @@ object YamlLite {
         items += child
         lines = more
       } else { // `- scalar`
-        items += Scalar(unquote(inline))
+        items += scalarNode(inline, num)
         lines = lines.tail
       }
     }
@@ -147,6 +152,32 @@ object YamlLite {
       i += 1
     }
     -1
+  }
+
+  /** A scalar VALUE position: cleanly quoted strings unquote; bare
+    * scalars must not smuggle YAML syntax this subset does not
+    * implement — flow collections, anchors, aliases, tags, block
+    * scalars, and inline nested mappings would all parse as a plain
+    * string here while yaml.v3 gives them structure (or an error), so
+    * they fail LOUDLY instead of parsing wrong (the subset contract).
+    */
+  private def scalarNode(raw: String, num: Int): Scalar = {
+    val quoted = raw.length >= 2 &&
+      ((raw.head == '"' && raw.last == '"') ||
+        (raw.head == '\'' && raw.last == '\''))
+    if (quoted) Scalar(unquote(raw))
+    else {
+      require(!"[{&*|>!\"'".contains(raw.head),
+        s"yaml line $num: bare value '$raw' starts YAML syntax this " +
+          "subset does not implement (flow collection, anchor, alias, " +
+          "tag, block scalar, or a malformed quote) — quote the value " +
+          "if it is a literal string")
+      require(!raw.contains(": ") && !raw.endsWith(":"),
+        s"yaml line $num: bare value '$raw' contains a nested 'key:' — " +
+          "not valid YAML in a value position; quote the value if it " +
+          "is a literal string")
+      Scalar(raw)
+    }
   }
 
   private def unquote(s: String): String =
