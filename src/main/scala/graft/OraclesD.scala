@@ -10,7 +10,7 @@ package graft
 private[graft] object OraclesD {
   import OracleHelpers._
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "d12_simhash_portable" -> d12Oracle,
 
     "d07_keep_best" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
@@ -577,5 +577,30 @@ private[graft] object OraclesD {
                 CAST(n AS BIGINT) AS n_toks,
                 CAST(n - coalesce(nk, 0) AS BIGINT) AS n_dup_toks
          FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""
+  )
+
+  /** d32: banding-recovery report composed from the two pair chains it
+    * compares — the exhaustive shared-shingle truth (d04) and the
+    * banded MinHash + verify finder (d11) as CTEs verbatim, then one
+    * join counts recovered pairs. The finder verifies at the truth
+    * threshold, so precision is 1.0 by construction and recall is the
+    * banding miss rate.
+    */
+  val sql: Map[String, String] = base ++ Map(
+    "d32_dedup_effectiveness" ->
+      s"""WITH truth AS (${base("d04_ngram_jaccard")}),
+            found AS (${base("d11_minhash_portable")}),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+            nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found),
+            h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+                  FROM truth t JOIN found f ON f.id1 = t.id1 AND f.id2 = t.id2)
+         SELECT n_truth, n_found, n_hits,
+                CASE WHEN n_found > 0 THEN round(
+                  CAST(n_hits AS DOUBLE) / CAST(n_found AS DOUBLE), 6) END
+                  AS pair_precision,
+                CASE WHEN n_truth > 0 THEN round(
+                  CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) END
+                  AS pair_recall
+         FROM nt, nf, h"""
   )
 }

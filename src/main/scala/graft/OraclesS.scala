@@ -10,7 +10,7 @@ package graft
 private[graft] object OraclesS {
   import OracleHelpers._
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "s01_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
               c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
@@ -505,5 +505,28 @@ private[graft] object OraclesS {
                   FROM s)
          SELECT src, dst, cos, rank FROM r WHERE rank <= 5
          ORDER BY src, rank"""
+  )
+
+  /** s35: the recall@10 gate composed from the two rungs it compares —
+    * the EXACT brute-force chain and the portable multi-probe LSH
+    * chain run as CTEs verbatim, then one join counts per-query hits.
+    * Denominator is the exact side's row count at k.
+    */
+  val sql: Map[String, String] = base ++ Map(
+    "s35_recall_eval" ->
+      s"""WITH ex AS (${base("s01_ann_brute")}),
+            ap AS (SELECT DISTINCT query_id, neighbor_id
+                   FROM (${base("s33_lsh_portable")})),
+            exn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                    FROM ex GROUP BY 1),
+            hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+                     FROM ex e JOIN ap a ON a.query_id = e.query_id
+                                        AND a.neighbor_id = e.neighbor_id
+                     GROUP BY 1)
+         SELECT x.query_id, x.n_exact, coalesce(h.n_hits, 0) AS n_hits,
+                round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                  / CAST(x.n_exact AS DOUBLE), 6) AS recall
+         FROM exn x LEFT JOIN hits h ON h.query_id = x.query_id
+         ORDER BY x.query_id"""
   )
 }

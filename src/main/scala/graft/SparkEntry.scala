@@ -601,6 +601,18 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "d32_dedup_effectiveness" -> ((s, dir) =>
+      // the banding-recovery gate as a FIRST-CLASS operator (the
+      // MinHashRecallSpec comparison productionized): d11's banded
+      // MinHash+verify pairs measured against d04's exhaustive
+      // shared-shingle truth — the report a pipeline re-runs on a
+      // labeled sample whenever it retunes bands/rows; the finder
+      // verifies at the truth threshold so precision is 1.0 by
+      // construction and pair_recall is the banding miss rate
+      operators.Dedup.pairRecovery(
+        queries("d11_minhash_portable")(s, dir),
+        queries("d04_ngram_jaccard")(s, dir))),
+
     "d06_dedup_resolve" -> ((s, dir) => {
       val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
       val pairs = Dedup.jaccardPairs(
@@ -780,6 +792,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+
+    "s35_recall_eval" -> ((s, dir) =>
+      // the ANN accuracy gate as a FIRST-CLASS operator (AnnRecallSpec
+      // productionized): recall@10 of the portable multi-probe LSH
+      // rung against the exact brute-force rung over the same query
+      // set — the check a 100 TB deployment re-measures on every
+      // index rebuild and alerts on; both rungs are oracle-exact, so
+      // the composed report is hash-exact too
+      operators.Similarity.recallAtK(
+          queries("s33_lsh_portable")(s, dir),
+          queries("s01_ann_brute")(s, dir), k = 10)
+        .orderBy("query_id")),
 
     "s03_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")

@@ -1568,4 +1568,41 @@ object Dedup {
         round(col("n_common").cast("double") / col("k_eff").cast("double"), 6)
           .as("jaccard_est"))
   }
+
+  /** PAIR-RECOVERY report: precision/recall of a FOUND near-dup pair
+    * set against a ground-truth pair set — the dedup twin of
+    * [[Similarity.recallAtK]], and the gate a pipeline re-runs on a
+    * labeled sample whenever it retunes banding parameters (today the
+    * LSH-vs-exhaustive comparison lives only in MinHashRecallSpec).
+    * Pair orientation is normalized (least, greatest) and deduped on
+    * both sides, so callers can pass either triangular or symmetric
+    * pair frames. When `found` is a VERIFIED pair set (band candidates
+    * re-checked with exact jaccard at the truth threshold), precision
+    * is 1.0 by construction and the report measures what banding
+    * missed.
+    *
+    * Shape: pair frames are orders of magnitude smaller than the
+    * corpus (the cluster contract); one equi-join + three one-row
+    * aggregates. Output: ONE row (n_truth, n_found, n_hits,
+    * pair_precision, pair_recall) — NULL ratios on empty sides rather
+    * than a division error.
+    */
+  def pairRecovery(found: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      least(col("id1"), col("id2")).as("id1"),
+      greatest(col("id1"), col("id2")).as("id2")).distinct()
+    val f = norm(found)
+    val t = norm(truth)
+    val hits = t.join(f, Seq("id1", "id2"))
+    t.agg(count(lit(1)).cast("long").as("n_truth"))
+      .crossJoin(f.agg(count(lit(1)).cast("long").as("n_found")))
+      .crossJoin(hits.agg(count(lit(1)).cast("long").as("n_hits")))
+      .select(col("n_truth"), col("n_found"), col("n_hits"),
+        when(col("n_found") > 0, round(
+          col("n_hits").cast("double") / col("n_found").cast("double"), 6))
+          .as("pair_precision"),
+        when(col("n_truth") > 0, round(
+          col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
+          .as("pair_recall"))
+  }
 }

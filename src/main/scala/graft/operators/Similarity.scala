@@ -2372,4 +2372,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
+
+  /** RECALL@K of an approximate ANN result against an exact one — the
+    * accuracy gate a production pipeline runs CONTINUOUSLY beside its
+    * index (today this check lives only in AnnRecallSpec; a 100 TB
+    * deployment re-measures it on every index rebuild and alerts on
+    * drift, exactly like a dedup report). Inputs are two
+    * (query_id, neighbor_id, rank) frames — any of the family's topK
+    * operators. Per query: hits = |approx ∩ exact| within rank ≤ k,
+    * denominator = the EXACT side's row count at k (so a corpus
+    * smaller than k cannot cap recall below 1).
+    *
+    * Shape: both inputs are eval-sized (|queries|·k rows); one
+    * equi-join + two tiny aggregates. Output: (query_id, n_exact,
+    * n_hits, recall).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"recallAtK: k $k must be > 0")
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val exn = ex.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+    val hits = ex.join(ap, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_hits"))
+    exn.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+  }
 }
