@@ -579,6 +579,36 @@ private[graft] object OraclesD {
          FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""
   )
 
+  private val d33Sql: (String, String) = "d33_sparse_cosine" ->
+    // multiset 3-gram tf, rational df damping, DECIMAL(38,18) dot and
+    // norm folds — the identical arithmetic shape the engine runs, so
+    // the cosine replays bit for bit
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                  FROM documents WHERE doc_id < 500),
+          sh AS (SELECT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                 FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) - 1)) AS i FROM t)),
+          tf AS (SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS tf
+                 FROM sh GROUP BY 1, 2),
+          dfq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY 1),
+          w AS (SELECT doc_id, shingle,
+                  CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS w
+                FROM tf JOIN dfq USING (shingle)),
+          nrm AS (SELECT doc_id,
+                    sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+                  FROM w GROUP BY 1),
+          dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     CAST(sum(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+                   FROM w a JOIN w b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+       SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+       FROM dots JOIN nrm n1 ON n1.doc_id = id1 JOIN nrm n2 ON n2.doc_id = id2
+       WHERE dot / (n1.nrm * n2.nrm) >= 0.5
+       ORDER BY id1, id2"""
+
   /** d32: banding-recovery report composed from the two pair chains it
     * compares — the exhaustive shared-shingle truth (d04) and the
     * banded MinHash + verify finder (d11) as CTEs verbatim, then one
@@ -586,7 +616,7 @@ private[graft] object OraclesD {
     * threshold, so precision is 1.0 by construction and recall is the
     * banding miss rate.
     */
-  val sql: Map[String, String] = base ++ Map(
+  val sql: Map[String, String] = base + d33Sql ++ Map(
     "d32_dedup_effectiveness" ->
       s"""WITH truth AS (${base("d04_ngram_jaccard")}),
             found AS (${base("d11_minhash_portable")}),

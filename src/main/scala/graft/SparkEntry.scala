@@ -601,6 +601,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "d33_sparse_cosine" -> ((s, dir) =>
+      // exact all-pairs sparse cosine over df-damped term-frequency
+      // 3-gram vectors — the WEIGHTED rung beside d04's set Jaccard
+      // (repeated phrases count, df damps boilerplate grams); decimal
+      // dot/norm folds make the floats order-free and oracle-exact
+      operators.Dedup.allPairsCosine(
+          T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", tau = 0.5, shingleN = 3)
+        .orderBy("id1", "id2")),
+
     "d32_dedup_effectiveness" -> ((s, dir) =>
       // the banding-recovery gate as a FIRST-CLASS operator (the
       // MinHashRecallSpec comparison productionized): d11's banded

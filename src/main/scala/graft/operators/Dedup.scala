@@ -1605,4 +1605,58 @@ object Dedup {
           col("n_hits").cast("double") / col("n_truth").cast("double"), 6))
           .as("pair_recall"))
   }
+
+  /** EXACT all-pairs WEIGHTED cosine similarity over sparse term
+    * vectors — the classic IR document-similarity rung beside the
+    * set-based d04/d24 family (Jaccard treats a token seen once and
+    * fifty times alike; weighted cosine is what catches boilerplate
+    * wrappers around repeated phrases). Weights are df-damped term
+    * frequencies w(d,t) = tf(d,t) / df(t) — deliberately RATIONAL
+    * (one IEEE division of two exact longs) rather than ln-idf,
+    * because ln's last-ulp behavior is engine-specific and this rung
+    * is oracle-exact: dot products and norms accumulate per-term
+    * DOUBLE products through DECIMAL(38,18) (the §5 iterative-float
+    * discipline), so accumulation order cannot change a bit and the
+    * SQL twin replays the cosine exactly.
+    *
+    * Shape: one (id, gram) tf aggregate, one df aggregate + attach,
+    * one shared-gram self-join feeding a decimal dot-product
+    * aggregate — the pairOverlaps shuffle shape with weights. Gram
+    * keys travel as 16-byte md5 digests. As with [[jaccardPairs]],
+    * restrict the input (or pre-filter to LSH candidates) before
+    * calling at scale on unigram-grade grams: shared-vocabulary
+    * corpora pair quadratically below shingleN=3.
+    *
+    * Output: (id1, id2, cosine) for pairs with cosine >= tau.
+    */
+  def allPairsCosine(df: DataFrame, idCol: String, textCol: String,
+                     tau: Double, shingleN: Int = 3): DataFrame = {
+    require(tau > 0 && tau <= 1, s"allPairsCosine: tau $tau not in (0,1]")
+    val tf = shinglesRaw(df, idCol, textCol, shingleN)
+      .groupBy(col("id"), col("shingle"))
+      .agg(count(lit(1)).cast("long").as("_tf"))
+      .select(col("id"), unhex(md5(col("shingle"))).as("_tok"), col("_tf"))
+      .persist() // df aggregate + weight attach
+    val dfreq = tf.groupBy(col("_tok")).agg(count(lit(1)).cast("long").as("_df"))
+    val w = tf.join(dfreq, "_tok")
+      .select(col("id"), col("_tok"),
+        (col("_tf").cast("double") / col("_df").cast("double")).as("_w"))
+      .persist() // norms + both sides of the dot-product join
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum((col("_w") * col("_w")).cast("decimal(38,18)"))
+        .cast("double")).as("_nrm"))
+    val dots = w.as("a")
+      .join(w.as("b"),
+        col("a._tok") === col("b._tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(sum((col("a._w") * col("b._w")).cast("decimal(38,18)"))
+        .cast("double").as("_dot"))
+    val out = dots
+      .join(norms.select(col("id").as("id1"), col("_nrm").as("_n1")), "id1")
+      .join(norms.select(col("id").as("id2"), col("_nrm").as("_n2")), "id2")
+      .withColumn("cosine", col("_dot") / (col("_n1") * col("_n2")))
+      .filter(col("cosine") >= tau)
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+    Caching.sealOver(out, tf, w)
+  }
 }
