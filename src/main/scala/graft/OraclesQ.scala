@@ -66,6 +66,48 @@ private[graft] object OraclesQ {
          FROM f LEFT JOIN j ON j.event_id = f.event_id AND j.rn = 1
          ORDER BY f.event_id""",
 
+    "q43_stats_moments" ->
+      // the same exact-decimal raw sums cast to double, then the same
+      // fixed parenthesization for every derived statistic
+      """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round(sx / CAST(n AS DOUBLE), 6) AS avg_qty,
+                round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))), 6) AS std_qty,
+                round(sy / CAST(n AS DOUBLE), 6) AS avg_price,
+                round(sqrt((syy - sy * sy / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))), 6) AS std_price,
+                round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                  AS corr_qty_price
+         FROM g ORDER BY l_returnflag""",
+
+    "q44_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                      event_id, value FROM events),
+            t AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+                      THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS touch0
+                  FROM e)
+         SELECT coalesce(touch0, '(direct)') AS touch,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  AS attributed_value
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+
     "q42_bitemporal" ->
       // q41's PIT shape against two transaction-time snapshots of the
       // SCD2 chain: v1 builds only from changes the warehouse had

@@ -1911,6 +1911,63 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q43_stats_moments" -> ((s, dir) => {
+      // per-group statistical profile (mean/stddev/corr) with
+      // ORDER-EXACT moments: Spark's corr/stddev aggregates stream
+      // IEEE updates whose result depends on partitioning and differs
+      // from DuckDB's single-pass algorithms — instead the five raw
+      // sums (n, Σx, Σy, Σx², Σxy, Σy²) fold as exact DECIMALs and
+      // the statistics derive in ONE fixed double parenthesization
+      // both engines replay bit for bit (the §5 discipline applied to
+      // second moments)
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val g = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt.as("n"),
+          sum(x).cast("double").as("_sx"), sum(y).cast("double").as("_sy"),
+          sum(x * x).cast("double").as("_sxx"),
+          sum(y * y).cast("double").as("_syy"),
+          sum(x * y).cast("double").as("_sxy"))
+      val nD = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+          round(col("_sx") / nD, 6).as("avg_qty"),
+          round(sqrt((col("_sxx") - col("_sx") * col("_sx") / nD) / (nD - 1.0)), 6)
+            .as("std_qty"),
+          round(col("_sy") / nD, 6).as("avg_price"),
+          round(sqrt((col("_syy") - col("_sy") * col("_sy") / nD) / (nD - 1.0)), 6)
+            .as("std_price"),
+          round((nD * col("_sxy") - col("_sx") * col("_sy")) /
+            (sqrt(nD * col("_sxx") - col("_sx") * col("_sx")) *
+              sqrt(nD * col("_syy") - col("_sy") * col("_sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q44_attribution" -> ((s, dir) => {
+      // LAST-TOUCH revenue attribution (the marketing warehouse
+      // classic): each purchase attributes its value to the user's
+      // most recent PRECEDING non-purchase event type — a
+      // last(ignoreNulls) running frame over one user_id shuffle, the
+      // q20 union-merge idea inside a single window; purchases with
+      // no prior touch attribute to "(direct)"; values fold as exact
+      // DECIMAL(18,6) so the per-touch sums are order-free
+      val ev = T(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch", coalesce(col("_touch"), lit("(direct)")))
+        .groupBy("touch")
+        .agg(cnt.as("n_purchases"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("attributed_value"))
+        .orderBy("touch")
+    }),
+
     "q42_bitemporal" -> ((s, dir) => {
       // BITEMPORAL point-in-time audit (valid time × transaction
       // time): the q41 PIT lookup run against TWO transaction-time
