@@ -86,6 +86,25 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 4, p)
   }
 
+  test("q43: exact-moment profile is one aggregate — no window, no join") {
+    val p = SparkEntry.queries("q43_stats_moments")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+  }
+
+  test("q44: last-touch attribution is window + aggregate, join-free") {
+    val p = SparkEntry.queries("q44_attribution")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    // user_id window + touch aggregate; nothing quadratic
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+  }
+
+  // d33's result is sealed (localCheckpoint scan), so its join shape is
+  // not inspectable post-hoc; the digest-keyed join is pinned by the
+  // operator's oracle hash + SparseCosineSpec instead.
+
   test("q21: range join broadcasts the bucket dim as a nested-loop join") {
     val p = plan("q21_range_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
