@@ -66,6 +66,32 @@ private[graft] object OraclesQ {
          FROM f LEFT JOIN j ON j.event_id = f.event_id AND j.rn = 1
          ORDER BY f.event_id""",
 
+    "q45_activity_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                    FROM events),
+            g AS (SELECT user_id, day,
+                    day - row_number() OVER (PARTITION BY user_id
+                      ORDER BY day) AS grp
+                  FROM d)
+         SELECT user_id, CAST(min(day) AS BIGINT) AS start_day,
+                CAST(max(day) AS BIGINT) AS end_day,
+                CAST(count(*) AS BIGINT) AS n_days
+         FROM g GROUP BY user_id, grp
+         ORDER BY user_id, start_day""",
+
+    "q46_user_growth" ->
+      """WITH f AS (SELECT user_id,
+                      CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS day
+                    FROM events GROUP BY 1),
+            p AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+                  FROM f GROUP BY 1)
+         SELECT day, n_new,
+                CAST(sum(n_new) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_total
+         FROM p ORDER BY day""",
+
     "q43_stats_moments" ->
       // the same exact-decimal raw sums cast to double, then the same
       // fixed parenthesization for every derived statistic

@@ -1911,6 +1911,43 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q45_activity_islands" -> ((s, dir) => {
+      // GAPS-AND-ISLANDS (the warehouse streak pattern): per user,
+      // maximal runs of consecutive active days via the day −
+      // row_number() constant-group trick — consecutive days share a
+      // group key, one user shuffle feeds window and aggregate,
+      // everything integer-exact (epoch days)
+      val ev = T(s, dir, "events")
+      val days = ev.select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("_grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("_grp"))
+        .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+          cnt.as("n_days"))
+        .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+        .orderBy("user_id", "start_day")
+    }),
+
+    "q46_user_growth" -> ((s, dir) => {
+      // cumulative-user growth curve (the DAU-report classic): each
+      // user's FIRST active day, new-user counts per day, and the
+      // running total — the global window runs over the ≤|days|
+      // aggregated frame (30 rows here), never the event stream (the
+      // q35 stated-bound contract)
+      val ev = T(s, dir, "events")
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min((unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+          .as("day"))
+      val perDay = firstDay.groupBy(col("day")).agg(cnt.as("n_new"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDay.withColumn("n_total", sum(col("n_new")).over(w).cast("long"))
+        .select(col("day"), col("n_new"), col("n_total"))
+        .orderBy("day")
+    }),
+
     "q43_stats_moments" -> ((s, dir) => {
       // per-group statistical profile (mean/stddev/corr) with
       // ORDER-EXACT moments: Spark's corr/stddev aggregates stream
