@@ -92,6 +92,25 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q47_daily_balance" ->
+      // same shape: daily decimal totals, running balance + lead fill
+      // range per user, one generate_series unnest per observed day
+      """WITH daily AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     sum(CAST(value AS DECIMAL(18,6))) AS total
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            w AS (SELECT user_id, day,
+                    sum(total) OVER (PARTITION BY user_id ORDER BY day) AS bal,
+                    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+                  FROM daily)
+         SELECT user_id, d AS day, CAST(bal AS DOUBLE) AS balance,
+                d = obs AS is_active
+         FROM (SELECT user_id, day AS obs, bal,
+                 unnest(generate_series(day, coalesce(nxt - 1, day))) AS d
+               FROM w)
+         ORDER BY user_id, day""",
+
     "q43_stats_moments" ->
       // the same exact-decimal raw sums cast to double, then the same
       // fixed parenthesization for every derived statistic

@@ -462,6 +462,27 @@ private[graft] object OraclesR {
                 string_agg(DISTINCT key, ',' ORDER BY key) AS keys
          FROM st GROUP BY sid ORDER BY storm_start""",
 
+    "r34_alert_suppression" ->
+      // the sequential keep-decision replayed one row at a time: rn
+      // orders each user's alerts, the recursion carries last_kept
+      // forward and flags survivors
+      """WITH RECURSIVE e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rn
+              FROM events WHERE event_type = 'error'),
+            k AS (
+              SELECT user_id, us, event_id, rn, us AS last_kept, TRUE AS kept
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.us, e.event_id, e.rn,
+                     CASE WHEN e.us >= k.last_kept + 3600000000
+                          THEN e.us ELSE k.last_kept END,
+                     e.us >= k.last_kept + 3600000000
+              FROM k JOIN e ON e.user_id = k.user_id AND e.rn = k.rn + 1)
+         SELECT user_id, us AS ts_us, event_id
+         FROM k WHERE kept ORDER BY user_id, ts_us, event_id""",
+
     "r25_template_drift" ->
       """WITH lines AS (SELECT ts, 'user=' || user_id || ' type=' || event_type
                 || ' value=' || CAST(value AS VARCHAR) AS l FROM events),

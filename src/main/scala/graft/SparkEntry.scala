@@ -1742,6 +1742,21 @@ object SparkEntry {
           gapHours = 2)
         .orderBy("storm_start")),
 
+    "r34_alert_suppression" -> ((s, dir) =>
+      // alert-fatigue suppression: per user, an error alert survives
+      // only if >= 1h passed since the last SURVIVING alert — the
+      // kept-decision feedback no window/lag can express (lag sees
+      // the previous event, not the previous survivor); the oracle
+      // replays the sequential pass as a recursive CTE
+      operators.Windows.suppressAlerts(
+          T(s, dir, "events").filter(col("event_type") === "error")
+            .select(col("user_id"), unix_micros(col("ts")).as("_us"),
+              col("event_id")),
+          "user_id", "_us", "event_id", suppressSec = 3600L)
+        .select(col("key").as("user_id"), col("ts_us"),
+          col("id").as("event_id"))
+        .orderBy("user_id", "ts_us", "event_id")),
+
     "r25_template_drift" -> ((s, dir) =>
       // what changed between then and now: per-template counts in
       // the earlier vs later half of the time range, add-1 log rate
@@ -1946,6 +1961,35 @@ object SparkEntry {
       perDay.withColumn("n_total", sum(col("n_new")).over(w).cast("long"))
         .select(col("day"), col("n_new"), col("n_total"))
         .orderBy("day")
+    }),
+
+    "q47_daily_balance" -> ((s, dir) => {
+      // gap-filled DAILY BALANCE snapshots (the warehouse
+      // carry-forward classic: positions must exist for EVERY day in
+      // an entity's active span, not just days with activity): per
+      // user, daily purchase totals fold into a running balance, and
+      // each observed day emits itself PLUS every gap day up to the
+      // next observation via one sequence() explode — JOIN-FREE (no
+      // spine-vs-facts join: lead() already knows each fill range);
+      // one (user,day) aggregate + one user window; the fill factor
+      // is OUTPUT mass (bounded by the span), never shuffle mass.
+      // Balance folds as exact DECIMAL(18,6), one final double cast
+      // (the q44 discipline)
+      val ev = T(s, dir, "events").filter(col("event_type") === "purchase")
+      val daily = ev.groupBy(col("user_id"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("_total"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      daily
+        .withColumn("_bal", sum(col("_total")).over(w))
+        .withColumn("_next", lead(col("day"), 1).over(w))
+        .select(col("user_id"), col("day").as("_obs"), col("_bal"),
+          explode(sequence(col("day"),
+            coalesce(col("_next") - lit(1L), col("day")))).as("_d"))
+        .select(col("user_id"), col("_d").as("day"),
+          col("_bal").cast("double").as("balance"),
+          (col("_d") === col("_obs")).as("is_active"))
+        .orderBy("user_id", "day")
     }),
 
     "q43_stats_moments" -> ((s, dir) => {

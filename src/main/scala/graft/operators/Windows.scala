@@ -714,4 +714,44 @@ object Windows {
         (col("_c").cast("double") <= fc / lit(spikeFactor)).as("is_drop"))
     Caching.sealOver(out, hourly)
   }
+
+  /** ALERT SUPPRESSION (the alert-fatigue gate every paging pipeline
+    * ships): per key, keep an alert only if at least `suppressSec`
+    * has passed since the LAST KEPT alert — the decision feeds back
+    * into itself, so no window/lag expression can compute it (lag
+    * sees the previous EVENT, not the previous SURVIVOR); this is the
+    * sequential-per-key family the streaming twins handle with state,
+    * done in batch. The q42/DuckDB oracle replays it as a recursive
+    * CTE stepping one row at a time, so the kept set is hash-exact.
+    *
+    * Shape at scale: one groupByKey(key) shuffle, then a per-key
+    * in-memory sort + single pass — per-key alert counts are bounded
+    * by construction (the AlertEdges bounded-population contract:
+    * these are ALERTS, not raw events; a key whose alert stream does
+    * not fit one task's memory has a worse problem than suppression).
+    * Ties on (ts, id) order deterministically.
+    *
+    * Output: the kept rows (key, ts_us, id).
+    */
+  def suppressAlerts(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, suppressSec: Long): DataFrame = {
+    require(suppressSec > 0, s"suppressAlerts: suppressSec $suppressSec must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapUs = suppressSec * 1000000L
+    df.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts_us"), col(idCol).cast("long").as("id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortInPlaceBy(r => (r._2, r._3))
+        var lastKept = Long.MinValue
+        rows.iterator.filter { case (_, ts, _) =>
+          val keep = lastKept == Long.MinValue || ts >= lastKept + gapUs
+          if (keep) lastKept = ts
+          keep
+        }
+      }
+      .toDF("key", "ts_us", "id")
+  }
 }

@@ -101,6 +101,49 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
   }
 
+  test("q45: islands are one user shuffle feeding window + aggregate, join-free") {
+    val p = SparkEntry.queries("q45_activity_islands")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    // (user,day) dedup + the user window; the final orderBy is a range
+    // exchange, nothing quadratic
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+    assert(p.contains("Window"), "the day - row_number grouping needs the window: " + p)
+  }
+
+  test("q46: the cumulative window runs over the per-day aggregate, not events") {
+    val p = SparkEntry.queries("q46_user_growth")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    // the single-partition exchange must feed from the day-keyed
+    // aggregate (≤|days| rows), never the raw event stream — the q35
+    // stated-bound contract for global windows
+    val single = p.split("Exchange SinglePartition")
+    assert(single.length - 1 == 1, p)
+    assert(single(1).contains("HashAggregate(keys=[day"),
+      "global window must consume the per-day aggregate: " + p)
+  }
+
+  test("q47: gap fill is lead+explode, never a spine join") {
+    val p = SparkEntry.queries("q47_daily_balance")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), "fill ranges come from lead(), not a spine join: " + p)
+    assert(p.contains("Generate explode"), "the spine must be a generator: " + p)
+    // (user,day) aggregate + user window; final orderBy is a range
+    // exchange, nothing quadratic
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+  }
+
+  test("r34: error filter reaches the scan; one key shuffle, no join/window") {
+    val p = plan("r34_alert_suppression")
+    assert(p.contains("EqualTo(event_type,error)"),
+      "alert filter must prune at the parquet footer: " + p.take(2000))
+    val s = SparkEntry.queries("r34_alert_suppression")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!s.contains("Join") && !s.contains("Window "), s)
+    assert(s.split("Exchange hashpartitioning").length - 1 == 1, s)
+  }
+
   // d33's result is sealed (localCheckpoint scan), so its join shape is
   // not inspectable post-hoc; the digest-keyed join is pinned by the
   // operator's oracle hash + SparseCosineSpec instead.
