@@ -462,6 +462,27 @@ private[graft] object OraclesR {
                 string_agg(DISTINCT key, ',' ORDER BY key) AS keys
          FROM st GROUP BY sid ORDER BY storm_start""",
 
+    "r35_mad_outliers" ->
+      // quantile_cont shares percentile's linear-interpolation
+      // definition (the q11 pair); every derived double is an exact
+      // multiple of 0.25, so the k*MAD comparison is engine-neutral
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            m AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+                  FROM h GROUP BY 1),
+            a AS (SELECT h.event_type, h.hr, h.c, m.med,
+                         abs(CAST(h.c AS DOUBLE) - m.med) AS adev
+                  FROM h JOIN m USING (event_type)),
+            d AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                  FROM a GROUP BY 1)
+         SELECT a.event_type, CAST(a.hr * 3600 AS BIGINT) AS hr_start,
+                CAST(a.c AS BIGINT) AS n_events,
+                round(a.med, 6) AS median_rate, round(d.mad, 6) AS mad,
+                a.adev > 5.0 * d.mad AS is_outlier
+         FROM a JOIN d USING (event_type)
+         ORDER BY event_type, hr_start""",
+
     "r34_alert_suppression" ->
       // the sequential keep-decision replayed one row at a time: rn
       // orders each user's alerts, the recursion carries last_kept

@@ -1742,6 +1742,14 @@ object SparkEntry {
           gapHours = 2)
         .orderBy("storm_start")),
 
+    "r35_mad_outliers" -> ((s, dir) =>
+      // robust upgrade of r16: median/MAD have a 50% breakdown point,
+      // so one massive spike cannot inflate the baseline enough to
+      // hide itself (the masking failure of mean/stddev charts)
+      Windows.madOutliers(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hr_start")),
+
     "r34_alert_suppression" -> ((s, dir) =>
       // alert-fatigue suppression: per user, an error alert survives
       // only if >= 1h passed since the last SURVIVING alert — the

@@ -715,6 +715,66 @@ object Windows {
     Caching.sealOver(out, hourly)
   }
 
+  /** MAD / Hampel ROBUST outlier detection (the rung r16's mean-based
+    * z misses: ONE massive spike inflates the trailing mean AND
+    * stddev enough to hide itself and mask real anomalies — median
+    * and median-absolute-deviation have a 50% breakdown point, so a
+    * few extreme hours cannot move the baseline): per key, hourly
+    * counts score against the key's FULL-history median; an hour
+    * flags when |count − median| > k·MAD.
+    *
+    * Exactness: counts are integers, so the interpolated median is an
+    * exact x.0/x.5 double, deviations exact halves, the MAD an exact
+    * quarter — every derived double is exactly representable and the
+    * k·MAD comparison is engine-neutral (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation
+    * definition, the q11-proven pair).
+    *
+    * Shape at scale: ONE (key, hour) histogram shuffle — everything
+    * downstream (two |keys|-row percentile aggregates broadcast back
+    * onto the hourly frame) runs at hour grain, never the event
+    * stream (the r16 contract).
+    *
+    * MAD = 0 (a majority-constant series) degenerates on purpose: any
+    * deviation from the constant rate flags, the r16 zero-variance
+    * rule.
+    */
+  def madOutliers(df: DataFrame, ts: String, keyCol: String,
+                  k: Double = 5.0): DataFrame = {
+    val (out, hourly) = madOutliersPlan(df, ts, keyCol, k)
+    Caching.sealOver(out, hourly)
+  }
+
+  /** Unsealed core, exposed so PlanSpec can pin the shape (the sealed
+    * result is a checkpoint scan, not inspectable post-hoc — the d33
+    * precedent). The hourly histogram persists because THREE branches
+    * consume it (median agg, deviation frame, output) — unsealed and
+    * unpersisted, Catalyst would re-scan the event stream once per
+    * branch. Returns (result, the persisted frame to seal over).
+    */
+  private[graft] def madOutliersPlan(df: DataFrame, ts: String,
+      keyCol: String, k: Double): (DataFrame, DataFrame) = {
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val med = hourly.groupBy(col("key"))
+      .agg(expr("percentile(_c, 0.5)").as("_med"))
+    val withMed = hourly.join(broadcast(med), Seq("key"))
+      .withColumn("_adev", abs(col("_c").cast("double") - col("_med")))
+    val mad = withMed.groupBy(col("key"))
+      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+    val out = withMed.join(broadcast(mad), Seq("key"))
+      .select(col("key"),
+        (col("_hr") * 3600L).as("hr_start"),
+        col("_c").cast("long").as("n_events"),
+        round(col("_med"), 6).as("median_rate"),
+        round(col("_mad"), 6).as("mad"),
+        (col("_adev") > lit(k) * col("_mad")).as("is_outlier"))
+    (out, hourly)
+  }
+
   /** ALERT SUPPRESSION (the alert-fatigue gate every paging pipeline
     * ships): per key, keep an alert only if at least `suppressSec`
     * has passed since the LAST KEPT alert — the decision feeds back

@@ -134,6 +134,30 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
   }
 
+  test("r35: one event-grain histogram; stat frames broadcast onto the cached hourly") {
+    // the sealed public op is a checkpoint scan (d33 precedent), so
+    // pin the UNSEALED core; the persisted hourly shows as
+    // InMemoryTableScan in every reuse branch — the event stream must
+    // scan exactly once
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val (out, hourly) = graft.operators.Windows
+      .madOutliersPlan(ev, "ts", "event_type", 5.0)
+    try {
+      val p = out.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("SortMergeJoin"),
+        "the |keys|-row stat frames must broadcast: " + p)
+      // 2 joins in the output chain + the med join recomputed inside
+      // the mad broadcast build (over the cache — a |keys×hours| frame)
+      assert(p.split("BroadcastHashJoin").length - 1 <= 3, p)
+      // every consumer reads the cache (explain reprints the cached
+      // relation's build plan — with its FileScan — at each reference,
+      // so equal counts mean NO branch scans the file directly)
+      assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
+      assert(p.split("FileScan parquet").length == p.split("InMemoryRelation").length,
+        "every event scan must sit inside the cached relation build: " + p)
+    } finally { hourly.unpersist(); () }
+  }
+
   test("r34: error filter reaches the scan; one key shuffle, no join/window") {
     val p = plan("r34_alert_suppression")
     assert(p.contains("EqualTo(event_type,error)"),
