@@ -92,6 +92,27 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q48_dq_profile" ->
+      // every metric is invariant to the engine's string formatter
+      // (null-ness / blank-ness / distinct counts survive any
+      // injective cast), so the VARCHAR funnel is safe cross-engine
+      """WITH s AS (
+           SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM events
+           UNION ALL SELECT 'ts', CAST(ts AS VARCHAR) FROM events
+           UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+           UNION ALL SELECT 'event_type', CAST(event_type AS VARCHAR) FROM events
+           UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events
+           UNION ALL SELECT 'props', CAST(props AS VARCHAR) FROM events)
+         SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null,
+                CAST(sum(CASE WHEN trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_blank,
+                CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                round(CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS null_rate
+         FROM s GROUP BY 1 ORDER BY 1""",
+
     "q47_daily_balance" ->
       // same shape: daily decimal totals, running balance + lead fill
       // range per user, one generate_series unnest per observed day

@@ -1971,6 +1971,17 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q48_dq_profile" -> ((s, dir) =>
+      // per-column data-quality profile (the trust-a-new-feed audit):
+      // row/null/blank/exact-distinct counts per column, all
+      // format-independent so the string funnel cannot pin an
+      // engine's double/timestamp formatter
+      operators.Profile.columnProfile(T(s, dir, "events"),
+          Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_blank"), col("n_distinct"), col("null_rate"))
+        .orderBy("col_name")),
+
     "q47_daily_balance" -> ((s, dir) => {
       // gap-filled DAILY BALANCE snapshots (the warehouse
       // carry-forward classic: positions must exist for EVERY day in

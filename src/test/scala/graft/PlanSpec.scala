@@ -124,6 +124,21 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q48: the distinct-pair space crosses the wire, not the row space") {
+    val p = SparkEntry.queries("q48_dq_profile")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // one stack generator, then a (col_name, value)-keyed PARTIAL
+    // aggregate below the first exchange — the row-multiplied frame
+    // collapses map-side; only distinct pairs shuffle
+    assert(p.contains("Generate stack"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2, p)
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("HashAggregate(keys=[col_name#", firstExchange)
+    assert(partialIdx >= 0 && p.substring(partialIdx).contains("partial_count"),
+      "map-side partial on (col_name, value) must precede the shuffle: " + p)
+  }
+
   test("q47: gap fill is lead+explode, never a spine join") {
     val p = SparkEntry.queries("q47_daily_balance")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
