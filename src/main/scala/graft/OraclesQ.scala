@@ -92,6 +92,25 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q49_basket_lift" ->
+      // lift divides in the same pinned order (n_ab/n_a/n_b*N)
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+            p AS (SELECT a.pk AS pa, b.pk AS pb,
+                         CAST(count(*) AS BIGINT) AS n_ab
+                  FROM items a JOIN items b USING (ok)
+                  WHERE a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+            s AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+                  FROM items GROUP BY 1),
+            t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM items)
+         SELECT p.pa, p.pb, p.n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+                round(CAST(p.n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE)
+                  / CAST(sb.n_item AS DOUBLE) * CAST(t.n AS DOUBLE), 6)
+                  AS lift
+         FROM p JOIN s sa ON sa.pk = p.pa
+                JOIN s sb ON sb.pk = p.pb, t
+         ORDER BY pa, pb""",
+
     "q48_dq_profile" ->
       // every metric is invariant to the engine's string formatter
       // (null-ness / blank-ness / distinct counts survive any

@@ -1971,6 +1971,38 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q49_basket_lift" -> ((s, dir) => {
+      // MARKET-BASKET pair mining (the recommendation classic):
+      // co-purchase support and lift over order baskets. The pair
+      // join is WITHIN the order key — per-key work is quadratic in
+      // BASKET size (bounded ~7 lines in this schema), never in
+      // corpus size, so the shuffle stays one orderkey
+      // co-partitioning. Item supports attach by key join (|parts|
+      // grows with the corpus — no broadcast assumption), the order
+      // total is a broadcast 1-row aggregate. Lift divides in pinned
+      // order (n_ab/n_a/n_b*N) — three IEEE ops on exact longs, no
+      // integer-product overflow at any scale
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = items.select(col("ok"), col("pk").as("pa"))
+        .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(cnt.as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val supp = items.groupBy(col("pk")).agg(cnt.as("n_item"))
+      val total = items.agg(countDistinct(col("ok")).as("_n"))
+      pairs
+        .join(supp.select(col("pk").as("pa"), col("n_item").as("n_a")), Seq("pa"))
+        .join(supp.select(col("pk").as("pb"), col("n_item").as("n_b")), Seq("pb"))
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double")
+            / col("n_b").cast("double") * col("_n").cast("double"), 6)
+            .as("lift"))
+        .orderBy("pa", "pb")
+    }),
+
     "q48_dq_profile" -> ((s, dir) =>
       // per-column data-quality profile (the trust-a-new-feed audit):
       // row/null/blank/exact-distinct counts per column, all

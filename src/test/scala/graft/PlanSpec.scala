@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q49: the basket join is keyed on the order, the total is a 1-row broadcast") {
+    val p = SparkEntry.queries("q49_basket_lift")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // pair generation must be an equi-join on the order key (per-key
+    // work quadratic in basket size, never corpus size); the only
+    // nested-loop join allowed is the broadcast 1-row order total
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1, p)
+    val keyed = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[ok".r
+    assert(keyed.findFirstIn(p).isDefined,
+      "the pair join must key on the order: " + p)
+  }
+
   test("q48: the distinct-pair space crosses the wire, not the row space") {
     val p = SparkEntry.queries("q48_dq_profile")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
