@@ -92,6 +92,12 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q50_bootstrap_ci" ->
+      // generated from the SAME weight/threshold text the Spark op
+      // uses (Bootstrap.weightSql), so the engines cannot drift
+      graft.operators.Bootstrap.oracleSql(
+        "events", "event_type", "event_id", "value", b = 64),
+
     "q49_basket_lift" ->
       // lift divides in the same pinned order (n_ab/n_a/n_b*N)
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

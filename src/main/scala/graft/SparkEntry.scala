@@ -1971,6 +1971,16 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q50_bootstrap_ci" -> ((s, dir) =>
+      // deterministic Poisson-bootstrap 95% CI on the per-type mean
+      // value: all 64 resamples fold in ONE pass as weighted sums
+      // (online bootstrap), draws replayed exactly by the oracle via
+      // the shared md5-hex threshold text
+      operators.Bootstrap.meanCi(T(s, dir, "events"),
+          "event_type", "event_id", "value", b = 64)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "q49_basket_lift" -> ((s, dir) => {
       // MARKET-BASKET pair mining (the recommendation classic):
       // co-purchase support and lift over order baskets. The pair

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic POISSON BOOTSTRAP confidence intervals (error bars
+  * for a 100 TB mean without resampling the data): each replicate b
+  * re-weights every row by a Poisson(1) draw — the online bootstrap
+  * (Oza & Russell 2001) — so ALL B resamples fold in ONE pass as 2·B
+  * aggregate expressions; no row multiplication, no second scan, no
+  * driver-side resampling loop.
+  *
+  * Determinism is the r11 trick generalized: the draw for (row, b)
+  * comes from comparing an md5-hex prefix of `id || "_b"` against the
+  * Poisson(1) cumulative thresholds AS HEX STRINGS (floor(cum·16⁸)
+  * rendered to 8 hex digits) — md5, substring, and string `<` agree
+  * across engines, so a DuckDB oracle replays every draw exactly.
+  * Weights are capped at 5 (cum P ≈ 0.9994; the tail mass lands on
+  * the cap — a fixed, engine-neutral convention).
+  *
+  * Exactness: weighted sums fold as DECIMAL(18,6) products, each
+  * replicate mean is ONE IEEE division of the exact fold, and the CI
+  * is the percentile/quantile_cont pair (q11) over the B replicate
+  * means at the group grain (B·|keys| rows — never the row space).
+  */
+object Bootstrap {
+
+  /** floor(cumP(Poisson(1) ≤ k)·16⁸) as hex, k = 0..4; u ≥ last → 5 */
+  private val hexThresholds =
+    Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
+
+  /** Shared Spark-SQL/DuckDB text for one replicate's weight draw. */
+  private def weightSql(idExpr: String, b: Int): String = {
+    // STRING is the one text-type name BOTH parsers accept (Spark
+    // rejects bare VARCHAR; DuckDB aliases STRING to VARCHAR)
+    val h = s"substring(md5(concat(CAST($idExpr AS STRING), '_$b')), 1, 8)"
+    hexThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < '$t' THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+  }
+
+  def meanCi(df: DataFrame, keyCol: String, idCol: String, xCol: String,
+             b: Int = 64): DataFrame = {
+    require(b >= 4 && b <= 256, s"meanCi: b=$b replicates must be in [4,256]")
+    val weighted = df.select(
+      col(keyCol).as("key") +: col(xCol).cast("decimal(18,6)").as("_x") +:
+        (0 until b).map(i => expr(weightSql(s"`$idCol`", i)).as(s"_c$i")): _*)
+    // the point stats fold in the SAME aggregate as the replicates —
+    // the corpus scans ONCE; everything after is the |keys|(·B) frame
+    val aggs = (0 until b).flatMap(i => Seq(
+      sum(col(s"_c$i") * col("_x")).as(s"_wx$i"),
+      sum(col(s"_c$i")).cast("long").as(s"_n$i"))) ++ Seq(
+      sum(col("_x")).as("_sx"), count(lit(1)).as("_nr"))
+    val reps = weighted.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
+    val means = reps.select(col("key"), col("_sx"), col("_nr"), expr(
+      s"stack($b, " + (0 until b)
+        .map(i => s"CAST(_wx$i AS DOUBLE) / CAST(_n$i AS DOUBLE)")
+        .mkString(", ") + ") as (_mb)"))
+    means.groupBy(col("key"))
+      .agg(max(col("_nr")).as("n"),
+        round(max(col("_sx")).cast("double")
+          / max(col("_nr")).cast("double"), 6).as("mean_x"),
+        round(expr("percentile(_mb, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(_mb, 0.975)"), 6).as("ci_hi"))
+      .select(col("key"), col("n"), col("mean_x"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** The DuckDB oracle, generated from the SAME weight/threshold text
+    * so the two engines cannot drift. */
+  def oracleSql(table: String, keyCol: String, idCol: String, xCol: String,
+                b: Int = 64): String = {
+    val wCols = (0 until b)
+      .map(i => s"${weightSql(idCol, i)} AS c$i").mkString(",\n                ")
+    val aggCols = (0 until b).map(i =>
+      s"sum(c$i * CAST($xCol AS DECIMAL(18,6))) AS wx$i, " +
+        s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(",\n                ")
+    val meanRows = (0 until b).map(i =>
+      s"SELECT $keyCol AS key, CAST(wx$i AS DOUBLE) / CAST(n$i AS DOUBLE) AS mb FROM r")
+      .mkString("\n              UNION ALL ")
+    s"""WITH w AS (SELECT $keyCol, $xCol,
+                $wCols
+              FROM $table),
+            r AS (SELECT $keyCol,
+                $aggCols
+              FROM w GROUP BY 1),
+            m AS ($meanRows),
+            ci AS (SELECT key, round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+                          round(quantile_cont(mb, 0.975), 6) AS ci_hi
+                   FROM m GROUP BY 1),
+            p AS (SELECT $keyCol AS key, CAST(count(*) AS BIGINT) AS n,
+                         round(CAST(sum(CAST($xCol AS DECIMAL(18,6))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS mean_x
+                  FROM $table GROUP BY 1)
+         SELECT p.key AS $keyCol, p.n, p.mean_x, ci.ci_lo, ci.ci_hi
+         FROM p JOIN ci USING (key) ORDER BY 1"""
+  }
+}

@@ -124,6 +124,20 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q50: all 64 bootstrap resamples fold in ONE corpus scan") {
+    val p = SparkEntry.queries("q50_bootstrap_ci")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      "the online bootstrap must not rescan per replicate: " + p)
+    assert(!p.contains("Join"), p)
+    // the stack() reshape runs on the |keys| aggregated frame — the
+    // tree prints parents first, so the replicate-fold aggregate must
+    // appear BELOW the Generate, never the raw rows
+    val gen = p.indexOf("Generate stack")
+    assert(gen >= 0 && p.indexOf("HashAggregate(keys=[key", gen) > gen,
+      "replicate reshape must consume the aggregate, not the rows: " + p.take(1500))
+  }
+
   test("q49: the basket join is keyed on the order, the total is a 1-row broadcast") {
     val p = SparkEntry.queries("q49_basket_lift")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
