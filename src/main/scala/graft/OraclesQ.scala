@@ -92,6 +92,12 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q51_ks_drift" ->
+      // generated from the same division/critical-value text as the
+      // op; the key domain is the literal sorted event-type set
+      graft.operators.Stats.ksOracleSql("events", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view")),
+
     "q50_bootstrap_ci" ->
       // generated from the SAME weight/threshold text the Spark op
       // uses (Bootstrap.weightSql), so the engines cannot drift

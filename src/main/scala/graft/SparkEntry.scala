@@ -1971,6 +1971,14 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q51_ks_drift" -> ((s, dir) =>
+      // exact all-pairs two-sample KS over the per-type value
+      // distributions: integer cross-multiplied ECDF gaps (one IEEE
+      // division at the very end), cumsums assembled with the
+      // packSequences distributed-prefix discipline — no global window
+      operators.Stats.ksAllPairs(T(s, dir, "events"),
+        "event_type", "value")),
+
     "q50_bootstrap_ci" -> ((s, dir) =>
       // deterministic Poisson-bootstrap 95% CI on the per-type mean
       // value: all 64 resamples fold in ONE pass as weighted sums

@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q51: the ECDF cumsums are pid-partitioned, never a global value window") {
+    val p = SparkEntry.queries("q51_ks_drift")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the packSequences discipline: cumulative counts run inside each
+    // range partition (windowspec keyed on _pid), and no window ever
+    // orders the raw value axis in one partition
+    assert(p.contains("windowspecdefinition(_pid"), p.take(2000))
+    assert(!p.contains("windowspecdefinition(_x"),
+      "a global value-axis window would serialize the corpus: " + p.take(2000))
+  }
+
   test("q50: all 64 bootstrap resamples fold in ONE corpus scan") {
     val p = SparkEntry.queries("q50_bootstrap_ci")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
