@@ -92,6 +92,10 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q52_mannwhitney" ->
+      graft.operators.Stats.mwOracleSql("events", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view")),
+
     "q51_ks_drift" ->
       // generated from the same division/critical-value text as the
       // op; the key domain is the literal sorted event-type set

@@ -1971,6 +1971,13 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q52_mannwhitney" -> ((s, dir) =>
+      // nonparametric A/B beside q51: stochastic dominance (AUC) and
+      // the tie-corrected rank-sum z, exact integer folds in doubled
+      // units until one pinned IEEE chain
+      operators.Stats.mannWhitneyAllPairs(T(s, dir, "events"),
+        "event_type", "value")),
+
     "q51_ks_drift" -> ((s, dir) =>
       // exact all-pairs two-sample KS over the per-type value
       // distributions: integer cross-multiplied ECDF gaps (one IEEE

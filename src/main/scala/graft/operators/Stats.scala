@@ -32,15 +32,21 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  def ksAllPairs(df: DataFrame, keyCol: String, xCol: String,
-                 maxKeys: Int = 16): DataFrame = {
+  /** Shared distributed-ECDF machinery: collects the (loud-bounded)
+    * key domain, builds the (value, per-key count) histogram, and
+    * assembles each key's cumulative count with per-range-partition
+    * cumsums + a #partitions-row offset frame — no global window.
+    * Returns (keys, frame at value grain carrying _c$i (count at v),
+    * _F$i (inclusive cum ≤ v), _n$i (totals, broadcast onto every
+    * row)). */
+  private def cumFrame(df: DataFrame, keyCol: String, xCol: String,
+      maxKeys: Int, op: String): (Seq[String], DataFrame) = {
     val keys = df.select(col(keyCol).cast("string").as("_k"))
       .where(col("_k").isNotNull).distinct()
       .orderBy("_k").collect().map(_.getString(0)).toSeq
     require(keys.size >= 2 && keys.size <= maxKeys,
-      s"ksAllPairs: ${keys.size} keys; need 2..$maxKeys (keys are the " +
+      s"$op: ${keys.size} keys; need 2..$maxKeys (keys are the " +
         "monitored population — raise maxKeys only with a bound in hand)")
-    val n = keys.size
     val idx = keys.indices
     val hist = df
       .select(col(keyCol).cast("string").as("_k"), col(xCol).as("_x"))
@@ -52,7 +58,7 @@ object Stats {
       hist.repartitionByRange(col("_x")).withColumn("_pid", spark_partition_id()))
     val w = Window.partitionBy("_pid").orderBy("_x")
     val local = ranged.select(
-      col("_x") +: col("_pid") +:
+      col("_x") +: col("_pid") +: idx.map(i => col(s"_c$i")) ++:
         idx.map(i => sum(col(s"_c$i")).over(w).as(s"_l$i")): _*)
     val offW = Window.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -67,9 +73,16 @@ object Stats {
     val totals = ranged.agg(sum(col("_c0")).as("_n0"),
       idx.tail.map(i => sum(col(s"_c$i")).as(s"_n$i")): _*)
     val cum = local.join(broadcast(offs), Seq("_pid"))
-      .select(col("_x") +:
+      .select(col("_x") +: idx.map(i => col(s"_c$i")) ++:
         idx.map(i => (col(s"_l$i") + col(s"_o$i")).as(s"_F$i")): _*)
       .crossJoin(broadcast(totals))
+    (keys, cum)
+  }
+
+  def ksAllPairs(df: DataFrame, keyCol: String, xCol: String,
+                 maxKeys: Int = 16): DataFrame = {
+    val (keys, cum) = cumFrame(df, keyCol, xCol, maxKeys, "ksAllPairs")
+    val idx = keys.indices
     val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
     def cross(i: Int, j: Int): Column =
       abs(col(s"_F$i").cast("decimal(19,0)") * col(s"_n$j").cast("decimal(19,0)")
@@ -94,6 +107,106 @@ object Stats {
             / (col("_na").cast("double") * col("_nb").cast("double"))))
           .as("reject_95"))
       .orderBy("key_a", "key_b")
+  }
+
+  /** MANN–WHITNEY U rank-sum test, all key pairs (the nonparametric
+    * A/B answer beside q51's KS: not "did the shape move" but "does
+    * one arm stochastically dominate, and by how much"). From the
+    * same histogram: 2·U_ij = Σ_v c_i(v)·(2·F_j(v) − c_j(v)) — U
+    * counts key_a's WINS (pairs with a > b, ties half), so DOUBLED
+    * units keep the fold exact integers (DECIMAL, order-free); the
+    * tie-corrected normal z and the common-language effect size
+    * AUC = U/(n_a·n_b) = P(a>b) + ½P(a=b)
+    * derive in one pinned IEEE chain shared textually with the
+    * oracle. Tie correction Σ(t³−t) folds exactly too (t = pooled
+    * count at v, cube bounded ~10¹² per distinct value). All-tied
+    * pairs have zero variance — z is NULL, not ±inf.
+    */
+  def mannWhitneyAllPairs(df: DataFrame, keyCol: String, xCol: String,
+                          maxKeys: Int = 16): DataFrame = {
+    val (keys, cum) = cumFrame(df, keyCol, xCol, maxKeys, "mannWhitneyAllPairs")
+    val idx = keys.indices
+    val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    def u2(i: Int, j: Int): Column =
+      sum(dec(col(s"_c$i")) * (dec(col(s"_F$j")) * lit(2) - dec(col(s"_c$j"))))
+    def ties(i: Int, j: Int): Column = {
+      val t = (col(s"_c$i") + col(s"_c$j")).cast("decimal(12,0)")
+      sum(t * t * t - t)
+    }
+    val folded = cum.agg(
+      u2(pairs.head._1, pairs.head._2).as("_u0"),
+      pairs.tail.zipWithIndex.map { case ((i, j), p) =>
+        u2(i, j).as(s"_u${p + 1}")
+      } ++ pairs.zipWithIndex.map { case ((i, j), p) =>
+        ties(i, j).as(s"_t$p")
+      } ++ idx.map(i => max(col(s"_n$i")).as(s"_m$i")): _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.zipWithIndex.map {
+      case ((i, j), p) =>
+        s"'${keys(i)}', '${keys(j)}', _m$i, _m$j, _u$p, _t$p"
+    }.mkString(", ") + ") as (key_a, key_b, _na, _nb, _u2, _tt)"
+    val na = col("_na").cast("double")
+    val nb = col("_nb").cast("double")
+    val varU = na * nb / lit(12.0) *
+      ((col("_na") + col("_nb") + lit(1L)).cast("double")
+        - col("_tt").cast("double")
+          / ((col("_na") + col("_nb")).cast("double")
+            * (col("_na") + col("_nb") - lit(1L)).cast("double")))
+    folded.select(expr(stackExpr))
+      .select(col("key_a"), col("key_b"),
+        col("_na").as("n_a"), col("_nb").as("n_b"),
+        (col("_u2").cast("double") / lit(2.0)).as("u_stat"),
+        round(col("_u2").cast("double") / lit(2.0) / na / nb, 6).as("auc"),
+        when(varU > 0.0, round(
+          ((col("_u2") - dec(col("_na")) * dec(col("_nb"))).cast("double")
+            / lit(2.0)) / sqrt(varU), 6)).as("z_score"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Mann–Whitney oracle — same histogram/cumsum CTEs as KS, same
+    * pinned division chain as the op. */
+  def mwOracleSql(table: String, keyCol: String, xCol: String,
+                  keys: Seq[String]): String = {
+    val idx = keys.indices
+    val hCols = idx.map(i =>
+      s"sum(CASE WHEN $keyCol = '${keys(i)}' THEN 1 ELSE 0 END) AS c$i")
+      .mkString(",\n                ")
+    val fCols = (idx.map(i => s"c$i") ++
+      idx.map(i => s"sum(c$i) OVER (ORDER BY x) AS f$i"))
+      .mkString(",\n                ")
+    val tCols = idx.map(i => s"CAST(sum(c$i) AS BIGINT) AS n$i")
+      .mkString(", ")
+    val pairs = for { i <- idx; j <- idx if i < j } yield (i, j)
+    val dCols = pairs.map { case (i, j) =>
+      s"sum(CAST(c$i AS DECIMAL(19,0)) * (CAST(f$j AS DECIMAL(19,0)) * 2 " +
+        s"- CAST(c$j AS DECIMAL(19,0)))) AS u${i}_$j,\n                " +
+        s"sum(CAST(c$i + c$j AS DECIMAL(12,0)) * CAST(c$i + c$j AS DECIMAL(12,0)) " +
+        s"* CAST(c$i + c$j AS DECIMAL(12,0)) - CAST(c$i + c$j AS DECIMAL(12,0))) " +
+        s"AS t${i}_$j"
+    }.mkString(",\n                ")
+    val rows = pairs.map { case (i, j) =>
+      val vr = s"CAST(n$i AS DOUBLE) * CAST(n$j AS DOUBLE) / 12.0 * " +
+        s"(CAST(n$i + n$j + 1 AS DOUBLE) - CAST(t${i}_$j AS DOUBLE) " +
+        s"/ (CAST(n$i + n$j AS DOUBLE) * CAST(n$i + n$j - 1 AS DOUBLE)))"
+      s"""SELECT '${keys(i)}' AS key_a, '${keys(j)}' AS key_b,
+                 n$i AS n_a, n$j AS n_b,
+                 CAST(u${i}_$j AS DOUBLE) / 2.0 AS u_stat,
+                 round(CAST(u${i}_$j AS DOUBLE) / 2.0 / CAST(n$i AS DOUBLE)
+                   / CAST(n$j AS DOUBLE), 6) AS auc,
+                 CASE WHEN $vr > 0.0 THEN
+                   round((CAST(u${i}_$j - CAST(n$i AS DECIMAL(19,0))
+                       * CAST(n$j AS DECIMAL(19,0)) AS DOUBLE) / 2.0)
+                     / sqrt($vr), 6)
+                 END AS z_score
+          FROM d, t"""
+    }.mkString("\n              UNION ALL ")
+    s"""WITH h AS (SELECT $xCol AS x,
+                $hCols
+              FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1),
+            f AS (SELECT x, $fCols FROM h),
+            t AS (SELECT $tCols FROM h),
+            d AS (SELECT $dCols FROM f)
+         SELECT * FROM ($rows) ORDER BY key_a, key_b"""
   }
 
   /** The DuckDB oracle (keys passed as the literal sorted domain —

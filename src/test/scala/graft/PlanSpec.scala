@@ -135,6 +135,13 @@ class PlanSpec extends SparkSpec {
       "a global value-axis window would serialize the corpus: " + p.take(2000))
   }
 
+  test("q52: rank sums ride the same pid-partitioned ECDF, no global window") {
+    val p = SparkEntry.queries("q52_mannwhitney")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(_pid"), p.take(2000))
+    assert(!p.contains("windowspecdefinition(_x"), p.take(2000))
+  }
+
   test("q50: all 64 bootstrap resamples fold in ONE corpus scan") {
     val p = SparkEntry.queries("q50_bootstrap_ci")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
