@@ -92,6 +92,38 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q53_chi2_independence" ->
+      // Spark dayofweek is 1-7 Sunday=1; DuckDB's is 0-6 Sunday=0.
+      // cell terms quantize to DECIMAL(28,9) before the cumulative
+      // fold so no window fold order can move a bit
+      """WITH obs AS (SELECT event_type,
+                        CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                        CAST(count(*) AS BIGINT) AS obs
+                      FROM events GROUP BY 1, 2),
+            grid AS (SELECT e.event_type, d.dow, coalesce(o.obs, 0) AS obs
+                     FROM (SELECT DISTINCT event_type FROM obs) e
+                     CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+                     LEFT JOIN obs o USING (event_type, dow)),
+            x AS (SELECT event_type, dow, obs,
+                    CAST(sum(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                      * CAST(sum(obs) OVER (PARTITION BY dow) AS DOUBLE)
+                      / CAST(sum(obs) OVER () AS DOUBLE) AS e
+                  FROM grid),
+            y AS (SELECT event_type, dow, obs, e,
+                    (CAST(obs AS DOUBLE) - e) / sqrt(e) AS res
+                  FROM x),
+            t AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                         CAST(count(DISTINCT dow) AS BIGINT) AS nc
+                  FROM obs)
+         SELECT event_type, dow, obs, round(e, 6) AS expected,
+                round(res, 6) AS residual,
+                round(CAST(sum(CAST(round(res * res, 9) AS DECIMAL(28,9)))
+                  OVER (ORDER BY event_type, dow
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE), 6) AS cum_chi2,
+                (nr - 1) * (nc - 1) AS df
+         FROM y, t ORDER BY event_type, dow""",
+
     "q52_mannwhitney" ->
       graft.operators.Stats.mwOracleSql("events", "event_type", "value",
         Seq("click", "error", "purchase", "signup", "view")),

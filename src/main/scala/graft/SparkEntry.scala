@@ -1971,6 +1971,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q53_chi2_independence" -> ((s, dir) => {
+      // CHI-SQUARE independence (event_type x day-of-week): the float
+      // SUM over cells is the one order-sensitive step, so each cell
+      // term quantizes to DECIMAL(28,9) (one identical round of
+      // identical doubles) and the cumulative sum folds EXACTLY —
+      // no engine's window-fold order can move a bit; everything
+      // upstream is exact integers (obs, row/col/grand totals) and
+      // per-cell E/residual are pinned IEEE chains.
+      // One (etype, dow) aggregate shuffle; the full cross of the two
+      // bounded domains fills absent cells with obs=0 (they still
+      // carry expected mass). The LAST row's cum_chi2 is the
+      // statistic; df = (R-1)(C-1) rides every row
+      val ev = T(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      operators.Stats.chi2Independence(ev, "event_type", "dow")
+    }),
+
     "q52_mannwhitney" -> ((s, dir) =>
       // nonparametric A/B beside q51: stochastic dominance (AUC) and
       // the tie-corrected rank-sum z, exact integer folds in doubled

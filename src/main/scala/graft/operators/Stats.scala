@@ -109,6 +109,52 @@ object Stats {
       .orderBy("key_a", "key_b")
   }
 
+  /** CHI-SQUARE independence over two bounded categorical domains:
+    * the full cross grid (absent cells keep their expected mass),
+    * per-cell expected counts and standardized residuals as pinned
+    * IEEE chains over exact integer totals, and the statistic as a
+    * cumulative fold in pinned cell order — each term quantized to
+    * DECIMAL(28,9) first, so NO engine's window fold order can move a
+    * bit. The input aggregates ONCE into the sealed cell frame
+    * (grid/domain/total branches would otherwise each re-scan); every
+    * window runs on that ≤|rows|·|cols| frame. The LAST row's
+    * cum_chi2 is the statistic; df rides every row.
+    */
+  def chi2Independence(df: DataFrame, rowCol: String,
+                       colCol: String): DataFrame = {
+    val obs = Caching.sealOver(
+      df.groupBy(col(rowCol), col(colCol))
+        .agg(count(lit(1)).cast("long").as("obs")))
+    val grid = obs.select(rowCol).distinct()
+      .crossJoin(obs.select(colCol).distinct())
+      .join(obs, Seq(rowCol, colCol), "left")
+      .na.fill(0L, Seq("obs"))
+    val wr = Window.partitionBy(col(rowCol))
+    val wc = Window.partitionBy(col(colCol))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col(rowCol), col(colCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = sum(col("obs")).over(wr).cast("double") *
+      sum(col("obs")).over(wc).cast("double") /
+      sum(col("obs")).over(wAll).cast("double")
+    grid
+      .withColumn("_e", e)
+      .withColumn("_res",
+        (col("obs").cast("double") - col("_e")) / sqrt(col("_e")))
+      .withColumn("_nr",
+        size(collect_set(col(rowCol)).over(wAll)).cast("long"))
+      .withColumn("_nc",
+        size(collect_set(col(colCol)).over(wAll)).cast("long"))
+      .select(col(rowCol), col(colCol), col("obs"),
+        round(col("_e"), 6).as("expected"),
+        round(col("_res"), 6).as("residual"),
+        round(sum(round(col("_res") * col("_res"), 9)
+          .cast("decimal(28,9)")).over(wCum).cast("double"), 6)
+          .as("cum_chi2"),
+        ((col("_nr") - 1L) * (col("_nc") - 1L)).as("df"))
+      .orderBy(rowCol, colCol)
+  }
+
   /** MANN–WHITNEY U rank-sum test, all key pairs (the nonparametric
     * A/B answer beside q51's KS: not "did the shape move" but "does
     * one arm stochastically dominate, and by how much"). From the

@@ -135,6 +135,17 @@ class PlanSpec extends SparkSpec {
       "a global value-axis window would serialize the corpus: " + p.take(2000))
   }
 
+  test("q53: the contingency machinery runs on the sealed cell frame only") {
+    val p = SparkEntry.queries("q53_chi2_independence")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the event stream aggregates ONCE into the sealed (etype, dow)
+    // frame; domains, grid, totals and windows all derive from it —
+    // zero parquet scans may remain in the final plan
+    assert(!p.contains("FileScan parquet"),
+      "a FileScan here means a grid branch re-scanned the events: " + p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q52: rank sums ride the same pid-partitioned ECDF, no global window") {
     val p = SparkEntry.queries("q52_mannwhitney")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
