@@ -92,6 +92,32 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q54_benford" ->
+      // decimal->string is the one cross-engine-stable numeric render;
+      // the log10(1+1/d) literals are bit-shared with the Spark op
+      """WITH d AS (SELECT regexp_extract(
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING),
+                      '([1-9])', 1) AS digit
+                    FROM orders),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d WHERE digit <> '' GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+            p AS (SELECT digit, n,
+                    CASE digit WHEN '1' THEN 0.301029995664
+                      WHEN '2' THEN 0.176091259056
+                      WHEN '3' THEN 0.124938736608
+                      WHEN '4' THEN 0.096910013008
+                      WHEN '5' THEN 0.079181246048
+                      WHEN '6' THEN 0.066946789631
+                      WHEN '7' THEN 0.057991946978
+                      WHEN '8' THEN 0.051152522447
+                      WHEN '9' THEN 0.045757490561 END AS bp,
+                    CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS sh
+                  FROM c, t)
+         SELECT digit, n, round(sh, 6) AS share, bp AS benford_p,
+                round(abs(sh - bp), 6) AS abs_dev
+         FROM p ORDER BY digit""",
+
     "q53_chi2_independence" ->
       // Spark dayofweek is 1-7 Sunday=1; DuckDB's is 0-6 Sunday=0.
       // cell terms quantize to DECIMAL(28,9) before the cumulative

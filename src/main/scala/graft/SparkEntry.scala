@@ -1971,6 +1971,39 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q54_benford" -> ((s, dir) => {
+      // BENFORD first-digit audit (the fraud/fabrication screen
+      // auditors run on any monetary column): leading significant
+      // digit via one DECIMAL render + regex (decimal→string is the
+      // one cross-engine-stable numeric rendering; doubles are not),
+      // shares against the log10(1+1/d) literals (pinned to 12
+      // digits, bit-shared with the oracle), one digit-grain
+      // aggregate + a broadcast 1-row total
+      val p = Map("1" -> 0.301029995664, "2" -> 0.176091259056,
+        "3" -> 0.124938736608, "4" -> 0.096910013008,
+        "5" -> 0.079181246048, "6" -> 0.066946789631,
+        "7" -> 0.057991946978, "8" -> 0.051152522447,
+        "9" -> 0.045757490561)
+      val bp = p.foldLeft(lit(null).cast("double")) { case (acc, (d, v)) =>
+        when(col("digit") === d, lit(v)).otherwise(acc)
+      }
+      val digits = T(s, dir, "orders")
+        .select(regexp_extract(
+          col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          "([1-9])", 1).as("digit"))
+        .filter(col("digit") =!= "")
+      val counts = digits.groupBy(col("digit")).agg(cnt.as("n"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).cast("long").as("_t"))))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("_t").cast("double"), 6)
+            .as("share"),
+          bp.as("benford_p"),
+          round(abs(col("n").cast("double") / col("_t").cast("double") - bp),
+            6).as("abs_dev"))
+        .orderBy("digit")
+    }),
+
     "q53_chi2_independence" -> ((s, dir) => {
       // CHI-SQUARE independence (event_type x day-of-week): the float
       // SUM over cells is the one order-sensitive step, so each cell

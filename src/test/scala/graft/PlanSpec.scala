@@ -135,6 +135,15 @@ class PlanSpec extends SparkSpec {
       "a global value-axis window would serialize the corpus: " + p.take(2000))
   }
 
+  test("q54: one digit-grain aggregate; the total is the only nested-loop join") {
+    val p = SparkEntry.queries("q54_benford")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ReadSchema: struct<o_totalprice"),
+      "only the audited column may be read: " + p)
+  }
+
   test("q53: the contingency machinery runs on the sealed cell frame only") {
     val p = SparkEntry.queries("q53_chi2_independence")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
