@@ -29,22 +29,34 @@ object Bootstrap {
   private val hexThresholds =
     Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
 
-  /** Shared Spark-SQL/DuckDB text for one replicate's weight draw. */
-  private def weightSql(idExpr: String, b: Int): String = {
-    // STRING is the one text-type name BOTH parsers accept (Spark
-    // rejects bare VARCHAR; DuckDB aliases STRING to VARCHAR)
-    val h = s"substring(md5(concat(CAST($idExpr AS STRING), '_$b')), 1, 8)"
+  /** One (row, replicate) draw's hex prefix. STRING is the one
+    * text-type name BOTH parsers accept (Spark rejects bare VARCHAR;
+    * DuckDB aliases STRING to VARCHAR). */
+  private def hashSql(idExpr: String, b: Int): String =
+    s"substring(md5(concat(CAST($idExpr AS STRING), '_$b')), 1, 8)"
+
+  /** Threshold CASE over a hex expression. */
+  private def caseSql(h: String): String =
     hexThresholds.zipWithIndex
       .map { case (t, k) => s"WHEN $h < '$t' THEN $k" }
       .mkString("CASE ", " ", " ELSE 5 END")
-  }
+
+  /** Shared Spark-SQL/DuckDB text for one replicate's weight draw. */
+  private def weightSql(idExpr: String, b: Int): String =
+    caseSql(hashSql(idExpr, b))
 
   def meanCi(df: DataFrame, keyCol: String, idCol: String, xCol: String,
              b: Int = 64): DataFrame = {
     require(b >= 4 && b <= 256, s"meanCi: b=$b replicates must be in [4,256]")
-    val weighted = df.select(
+    // hash hoisted into its own projection: the threshold CASE names
+    // its input 5×, and inlining would evaluate md5 five times per
+    // (row, replicate) unless codegen CSE catches it — don't gamble
+    val hashed = df.select(
       col(keyCol).as("key") +: col(xCol).cast("decimal(18,6)").as("_x") +:
-        (0 until b).map(i => expr(weightSql(s"`$idCol`", i)).as(s"_c$i")): _*)
+        (0 until b).map(i => expr(hashSql(s"`$idCol`", i)).as(s"_h$i")): _*)
+    val weighted = hashed.select(
+      col("key") +: col("_x") +:
+        (0 until b).map(i => expr(caseSql(s"_h$i")).as(s"_c$i")): _*)
     // the point stats fold in the SAME aggregate as the replicates —
     // the corpus scans ONCE; everything after is the |keys|(·B) frame
     val aggs = (0 until b).flatMap(i => Seq(
