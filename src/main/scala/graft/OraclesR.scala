@@ -462,6 +462,38 @@ private[graft] object OraclesR {
                 string_agg(DISTINCT key, ',' ORDER BY key) AS keys
          FROM st GROUP BY sid ORDER BY storm_start""",
 
+    "r36_trend" ->
+      // same exact-long S/tie/var folds, one pinned z chain, and the
+      // quantile_cont median of pairwise slopes
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                    CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                  WHEN b.c < a.c THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s,
+                    quantile_cont(CAST(b.c - a.c AS DOUBLE)
+                      / CAST(b.hr - a.hr AS DOUBLE), 0.5) AS slope
+                  FROM h a JOIN h b ON b.event_type = a.event_type
+                                   AND b.hr > a.hr
+                  GROUP BY 1),
+            g AS (SELECT event_type, c, count(*) AS t FROM h GROUP BY 1, 2),
+            nt AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+                   FROM g GROUP BY 1),
+            j AS (SELECT p.event_type, nt.n, p.s, p.slope,
+                    CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5) - nt.tt
+                      AS DOUBLE) / 18.0 AS v
+                  FROM p JOIN nt USING (event_type))
+         SELECT event_type, n AS n_hours, s AS s_stat,
+                CASE WHEN v > 0.0 THEN
+                  round((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                              WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                              ELSE 0.0 END) / sqrt(v), 6)
+                END AS z_score,
+                round(slope, 6) AS sen_slope
+         FROM j ORDER BY event_type""",
+
     "r35_mad_outliers" ->
       // quantile_cont shares percentile's linear-interpolation
       // definition (the q11 pair); every derived double is an exact

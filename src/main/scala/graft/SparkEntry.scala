@@ -1742,6 +1742,14 @@ object SparkEntry {
           gapHours = 2)
         .orderBy("storm_start")),
 
+    "r36_trend" -> ((s, dir) =>
+      // Mann-Kendall monotonic-trend z + Theil-Sen slope per type:
+      // the trending-not-spiking question, robust to the very spikes
+      // r16/r35 flag
+      Windows.trendTest(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "r35_mad_outliers" -> ((s, dir) =>
       // robust upgrade of r16: median/MAD have a 50% breakdown point,
       // so one massive spike cannot inflate the baseline enough to

@@ -775,6 +775,70 @@ object Windows {
     (out, hourly)
   }
 
+  /** MANN–KENDALL trend + THEIL–SEN slope (the "is the rate TRENDING,
+    * not just spiking" question the r16/r35 point detectors don't
+    * answer — and the robust pair to a least-squares fit, immune to
+    * the spikes those detectors flag): per key over the hourly
+    * counts, S = Σ_{i<j} sign(c_j − c_i) with the tie-corrected
+    * normal approximation and continuity correction, plus the
+    * Theil–Sen slope (median of all pairwise slopes, events/hour²).
+    *
+    * Exactness: S, the tie term Σt(t−1)(2t+5), and n(n−1)(2n+5) fold
+    * as exact longs (overflow needs ~10⁶ scored hours — documented
+    * bound); each pairwise slope is ONE IEEE division of exact longs;
+    * the median is the q11 percentile pair; z is one pinned chain.
+    * S = 0 scores z = 0; zero variance (all-tied, n < 2 pairs) gives
+    * NULL z.
+    *
+    * Shape at scale: ONE (key, hour) histogram shuffle; the pair
+    * self-join runs per key over the HOURLY frame — |hours|²/2 pairs
+    * per key at hour grain (720 h ≈ 260k pairs), never the event
+    * stream (the r16 rule). The histogram persists across its three
+    * consumers (pairs ×2 sides, ties) and the |keys|-row result
+    * seals over it.
+    */
+  def trendTest(df: DataFrame, ts: String, keyCol: String): DataFrame = {
+    val (out, hourly) = trendTestPlan(df, ts, keyCol)
+    Caching.sealOver(out, hourly)
+  }
+
+  /** Unsealed core for PlanSpec (the d33/r35 precedent). */
+  private[graft] def trendTestPlan(df: DataFrame, ts: String,
+      keyCol: String): (DataFrame, DataFrame) = {
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val b = hourly.select(col("key").as("_bk"), col("_hr").as("_bhr"),
+      col("_c").as("_bc"))
+    val pairs = hourly.join(b,
+        col("_bk") === col("key") && col("_bhr") > col("_hr"))
+      .groupBy(col("key"))
+      .agg(sum(signum(col("_bc") - col("_c")).cast("long")).as("_s"),
+        count(lit(1)).as("_np"),
+        expr("percentile(CAST(_bc - _c AS DOUBLE)" +
+          " / CAST(_bhr - _hr AS DOUBLE), 0.5)").as("_slope"))
+    val nAndTies = hourly.groupBy(col("key"), col("_c"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("key"))
+      .agg(sum(col("_t")).as("_n"),
+        sum(col("_t") * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L))
+          .as("_tt"))
+    val varS = (col("_n") * (col("_n") - 1L) * (lit(2L) * col("_n") + 5L)
+      - col("_tt")).cast("double") / lit(18.0)
+    val zNum = when(col("_s") > 0L, (col("_s") - 1L).cast("double"))
+      .when(col("_s") < 0L, (col("_s") + 1L).cast("double"))
+      .otherwise(lit(0.0))
+    val out = pairs.join(nAndTies, Seq("key"))
+      .select(col("key"), col("_n").cast("long").as("n_hours"),
+        col("_s").as("s_stat"),
+        when(varS > 0.0, round(zNum / sqrt(varS), 6)).as("z_score"),
+        round(col("_slope"), 6).as("sen_slope"))
+      .orderBy("key")
+    (out, hourly)
+  }
+
   /** ALERT SUPPRESSION (the alert-fatigue gate every paging pipeline
     * ships): per key, keep an alert only if at least `suppressSec`
     * has passed since the LAST KEPT alert — the decision feeds back

@@ -237,6 +237,24 @@ class PlanSpec extends SparkSpec {
     } finally { hourly.unpersist(); () }
   }
 
+  test("r36: the pair join runs at hour grain on the cached histogram") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val (out, hourly) = graft.operators.Windows
+      .trendTestPlan(ev, "ts", "event_type")
+    try {
+      val p = out.queryExecution.explainString(ExplainMode.fromString("simple"))
+      // the event stream scans once into the cached hourly frame; the
+      // S/slope pair join and the tie aggregate both read the cache
+      assert(p.split("FileScan parquet").length == p.split("InMemoryRelation").length,
+        "every event scan must sit inside the cached relation build: " + p)
+      assert(p.split("InMemoryTableScan").length - 1 >= 3, p)
+      // the pair join is keyed (plus the hour range as a post-filter
+      // or join condition) — never a cartesian over hours of
+      // different keys
+      assert(!p.contains("CartesianProduct"), p)
+    } finally { hourly.unpersist(); () }
+  }
+
   test("r34: error filter reaches the scan; one key shuffle, no join/window") {
     val p = plan("r34_alert_suppression")
     assert(p.contains("EqualTo(event_type,error)"),
