@@ -462,6 +462,40 @@ private[graft] object OraclesR {
                 string_agg(DISTINCT key, ',' ORDER BY key) AS keys
          FROM st GROUP BY sid ORDER BY storm_start""",
 
+    "r37_changepoint" ->
+      // identical pinned gain chain per candidate; argmax ties to the
+      // earliest hour
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, hr,
+                    row_number() OVER pk AS i,
+                    sum(c) OVER pk AS s,
+                    count(*) OVER (PARTITION BY event_type) AS n,
+                    sum(c) OVER (PARTITION BY event_type) AS t
+                  FROM h
+                  WINDOW pk AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            g AS (SELECT event_type, hr, i, n,
+                    CAST(s AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+                    CAST(t - s AS DOUBLE) / CAST(n - i AS DOUBLE) AS mr,
+                    CAST(i AS DOUBLE) * CAST(n - i AS DOUBLE)
+                      / CAST(n AS DOUBLE)
+                      * ((CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+                          - CAST(t - s AS DOUBLE) / CAST(n - i AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(i AS DOUBLE)
+                          - CAST(t - s AS DOUBLE) / CAST(n - i AS DOUBLE)))
+                      AS gain
+                  FROM w WHERE i < n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY gain DESC, hr) AS rk
+                  FROM g)
+         SELECT event_type, CAST(hr * 3600 AS BIGINT) AS split_after,
+                CAST(i AS BIGINT) AS n_left, CAST(n - i AS BIGINT) AS n_right,
+                round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+                round(gain, 6) AS gain
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+
     "r36_trend" ->
       // same exact-long S/tie/var folds, one pinned z chain, and the
       // quantile_cont median of pairwise slopes

@@ -1742,6 +1742,13 @@ object SparkEntry {
           gapHours = 2)
         .orderBy("storm_start")),
 
+    "r37_changepoint" -> ((s, dir) =>
+      // WHERE did the level shift: per type, the least-squares
+      // single-changepoint split of the hourly rate series
+      Windows.changepoint(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type")),
+
     "r36_trend" -> ((s, dir) =>
       // Mann-Kendall monotonic-trend z + Theil-Sen slope per type:
       // the trending-not-spiking question, robust to the very spikes

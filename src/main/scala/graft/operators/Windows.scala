@@ -775,6 +775,58 @@ object Windows {
     (out, hourly)
   }
 
+  /** CHANGEPOINT LOCALIZATION — one binary-segmentation step (the
+    * question right after r30's CUSUM fires: WHEN did the level
+    * shift?): per key, the split hour t* maximizing the standard
+    * gain G(t) = (n_l·n_r/n)·(mean_l − mean_r)² over the hourly
+    * counts — the single-changepoint least-squares optimum.
+    *
+    * Exactness: prefix sums and counts are exact longs from one
+    * cumulative window; every candidate's gain is ONE pinned IEEE
+    * chain of those longs, identical in both engines, so the argmax
+    * (ties broken to the EARLIEST hour) is engine-neutral without
+    * any float accumulation.
+    *
+    * Shape at scale: ONE (key, hour) histogram shuffle; the
+    * candidate scan is a per-key cumulative window + rank over the
+    * HOURLY frame (the r16 rule) — the corpus never windows.
+    */
+  def changepoint(df: DataFrame, ts: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col("key")).orderBy(col("_hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"))
+    val nl = col("_i").cast("double")
+    val nr = (col("_n") - col("_i")).cast("double")
+    val meanL = col("_s").cast("double") / nl
+    val meanR = (col("_t") - col("_s")).cast("double") / nr
+    val gain = nl * nr / col("_n").cast("double") *
+      ((meanL - meanR) * (meanL - meanR))
+    val scored = hourly
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("_hr"))))
+      .withColumn("_s", sum(col("_c")).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_t", sum(col("_c")).over(wAll))
+      .filter(col("_i") < col("_n"))
+      .withColumn("_gain", gain)
+    scored
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("key"))
+        .orderBy(col("_gain").desc, col("_hr"))))
+      .filter(col("_rk") === 1)
+      .select(col("key"),
+        (col("_hr") * 3600L).as("split_after"),
+        col("_i").cast("long").as("n_left"),
+        (col("_n") - col("_i")).cast("long").as("n_right"),
+        round(meanL, 6).as("mean_left"),
+        round(meanR, 6).as("mean_right"),
+        round(col("_gain"), 6).as("gain"))
+  }
+
   /** MANN–KENDALL trend + THEIL–SEN slope (the "is the rate TRENDING,
     * not just spiking" question the r16/r35 point detectors don't
     * answer — and the robust pair to a least-squares fit, immune to

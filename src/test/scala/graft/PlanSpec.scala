@@ -237,6 +237,14 @@ class PlanSpec extends SparkSpec {
     } finally { hourly.unpersist(); () }
   }
 
+  test("r37: candidate scan is key-partitioned windows at hour grain, join-free") {
+    val p = SparkEntry.queries("r37_changepoint")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("windowspecdefinition(key"),
+      "cumulative/rank windows must partition by key: " + p.take(1500))
+  }
+
   test("r36: the pair join runs at hour grain on the cached histogram") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val (out, hourly) = graft.operators.Windows
