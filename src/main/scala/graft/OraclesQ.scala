@@ -92,6 +92,35 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q55_lorenz_gini" ->
+      // same exact DECIMAL rank*x fold; gini = two pinned divisions
+      """WITH rev AS (SELECT o_custkey,
+                        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS x
+                      FROM orders GROUP BY 1),
+            r AS (SELECT o_custkey, x,
+                    row_number() OVER (ORDER BY x, o_custkey) AS rk
+                  FROM rev),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS tt,
+                         sum(CAST(rk AS DECIMAL(19,0)) * x) AS rx
+                  FROM r),
+            d AS (SELECT CAST((rk * 10 - 1) // n + 1 AS BIGINT) AS decile,
+                         CAST(count(*) AS BIGINT) AS n_members,
+                         sum(x) AS dx
+                  FROM r, t GROUP BY 1),
+            c AS (SELECT decile, n_members,
+                    sum(dx) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+                  FROM d)
+         SELECT c.decile, c.n_members,
+                round(CAST(c.cum AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+                  AS cum_share,
+                round(2.0 * CAST(t.rx AS DOUBLE)
+                  / (CAST(t.n AS DOUBLE) * CAST(t.tt AS DOUBLE))
+                  - CAST(t.n + 1 AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+                  AS gini
+         FROM c, t ORDER BY decile""",
+
     "q54_benford" ->
       // decimal->string is the one cross-engine-stable numeric render;
       // the log10(1+1/d) literals are bit-shared with the Spark op

@@ -1986,6 +1986,16 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q55_lorenz_gini" -> ((s, dir) => {
+      // revenue-concentration curve + exact Gini over per-customer
+      // revenue: distributed global ranks (packSequences prefix
+      // discipline, no global window), rank*x folds as exact DECIMAL
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      operators.Stats.lorenzGini(rev, "o_custkey", "rev")
+    }),
+
     "q54_benford" -> ((s, dir) => {
       // BENFORD first-digit audit (the fraud/fabrication screen
       // auditors run on any monetary column): leading significant

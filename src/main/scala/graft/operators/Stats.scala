@@ -109,6 +109,62 @@ object Stats {
       .orderBy("key_a", "key_b")
   }
 
+  /** LORENZ CURVE + exact GINI coefficient (the concentration view
+    * beside q35's Pareto top-share: HOW unequal is the whole
+    * distribution, not just the head): Gini = 2·Σ(rank·x)/(n·Σx)
+    * − (n+1)/n over values sorted ascending, with rank·x folding as
+    * exact DECIMAL — so the coefficient is two pinned IEEE divisions
+    * of exact folds, no float accumulation.
+    *
+    * The global rank is the packSequences distributed prefix COUNT
+    * (range-partition on (x, id), per-partition row_number + a
+    * #partitions-row offset frame — NO global window; the ranked
+    * frame is sealed against double-evaluated range bounds). Ties
+    * order deterministically by id, which leaves Σrank·x invariant
+    * within a tie group only up to id order — hence the total order
+    * REQUIREMENT on (x, id): ids must be unique (loud downstream
+    * via the deterministic rank, same contract as packSequences).
+    *
+    * Output: one row per decile (cut by rank) with its exact
+    * cumulative revenue share, plus the global gini on every row.
+    */
+  def lorenzGini(df: DataFrame, idCol: String, xCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      col(xCol).cast("decimal(18,6)").as("_x"))
+    val ranged = Caching.sealOver(
+      base.repartitionByRange(col("_x"), col("_id"))
+        .withColumn("_pid", spark_partition_id()))
+    val local = ranged.withColumn("_lr",
+      row_number().over(Window.partitionBy("_pid")
+        .orderBy(col("_x"), col("_id"))))
+    val offs = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val ranked = local.join(broadcast(offs), Seq("_pid"))
+      .withColumn("_r", col("_lr") + col("_off"))
+    val totals = ranked.agg(count(lit(1)).as("_n"), sum(col("_x")).as("_t"),
+      sum(col("_r").cast("decimal(19,0)") * col("_x")).as("_rx"))
+    val gini = lit(2.0) * col("_rx").cast("double") /
+      (col("_n").cast("double") * col("_t").cast("double")) -
+      (col("_n") + lit(1L)).cast("double") / col("_n").cast("double")
+    ranked
+      .crossJoin(broadcast(totals))
+      .withColumn("_dec", expr("(_r * 10 - 1) div _n + 1").cast("long"))
+      .groupBy(col("_dec"), col("_n"), col("_t"), col("_rx"))
+      .agg(count(lit(1)).as("n_members"), sum(col("_x")).as("_dx"))
+      .withColumn("_cum", sum(col("_dx")).over(
+        Window.orderBy("_dec")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("_dec").as("decile"),
+        col("n_members").cast("long").as("n_members"),
+        round(col("_cum").cast("double") / col("_t").cast("double"), 6)
+          .as("cum_share"),
+        round(gini, 6).as("gini"))
+      .orderBy("decile")
+  }
+
   /** CHI-SQUARE independence over two bounded categorical domains:
     * the full cross grid (absent cells keep their expected mass),
     * per-cell expected counts and standardized residuals as pinned

@@ -124,6 +124,15 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q55: global ranks are pid-partitioned; only the 10-row decile frame windows globally") {
+    val p = SparkEntry.queries("q55_lorenz_gini")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(_pid"),
+      "ranks must come from the distributed prefix: " + p.take(1500))
+    assert(!p.contains("windowspecdefinition(_x"),
+      "a global value window would serialize the customer frame: " + p.take(1500))
+  }
+
   test("q51: the ECDF cumsums are pid-partitioned, never a global value window") {
     val p = SparkEntry.queries("q51_ks_drift")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
