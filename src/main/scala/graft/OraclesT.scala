@@ -10,6 +10,43 @@ package graft
 private[graft] object OraclesT {
   import OracleHelpers._
 
+  private val t19GopherSql: String =
+    """WITH b AS (SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks,
+               string_split(text, chr(10)) AS lines
+             FROM documents),
+            sig AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(greatest(len(toks), 1) AS DOUBLE) AS nws,
+              len(regexp_replace(text, '\s', '', 'g')) AS chars_in,
+              len(text) - len(replace(text, '#', '')) AS nhash,
+              (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
+              CAST(greatest(len(lines), 1) AS DOUBLE) AS nlines,
+              len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+                  OR starts_with(ltrim(l), '*')
+                  OR starts_with(ltrim(l), '•'))) AS bl,
+              len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS el,
+              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
+              CAST(len(list_filter(toks, t -> list_contains(
+                ['the','be','to','of','and','that','have','with'], lower(t))))
+                AS BIGINT) AS n_stop
+            FROM b),
+            o AS (SELECT doc_id, n_words,
+              round(CAST(chars_in AS DOUBLE) / nws, 6) AS mean_word_len,
+              round(CAST(nhash + nell AS DOUBLE) / nws, 6) AS symbol_ratio,
+              round(CAST(bl AS DOUBLE) / nlines, 6) AS bullet_frac,
+              round(CAST(el AS DOUBLE) / nlines, 6) AS ellipsis_frac,
+              round(CAST(aw AS DOUBLE) / nws, 6) AS alpha_frac,
+              n_stop FROM sig)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                ellipsis_frac, alpha_frac, n_stop,
+                (n_words >= 50 AND n_words <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_ratio <= 0.1
+                 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+                 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass
+         FROM o ORDER BY doc_id"""
+
   val sql: Map[String, String] = Map(
     "t08_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
@@ -597,6 +634,16 @@ private[graft] object OraclesT {
 
     "t21_quality_classifier" -> t21Oracle,
 
+    "t43_classifier_auc" ->
+      // the t21 and t19 oracle chains compose verbatim as subqueries;
+      // the MW machinery is the generated q52 text over the joined
+      // (verdict, score) frame
+      graft.operators.Stats.mwOracleSql(
+        "(SELECT CASE WHEN l.pass THEN 'b_pass' ELSE 'a_fail' END AS k, " +
+          s"s.score AS x FROM ($t21Oracle) s " +
+          "JOIN (" + t19GopherSql + ") l USING (doc_id)) j",
+        "k", "x", Seq("a_fail", "b_pass")),
+
     "t22_gopher_repetition" -> t22Oracle,
 
     "t23_divergence" ->
@@ -712,41 +759,6 @@ private[graft] object OraclesT {
                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
          FROM s""",
 
-    "t19_gopher_rules" ->
-      """WITH b AS (SELECT doc_id, text,
-               list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks,
-               string_split(text, chr(10)) AS lines
-             FROM documents),
-            sig AS (SELECT doc_id,
-              CAST(len(toks) AS BIGINT) AS n_words,
-              CAST(greatest(len(toks), 1) AS DOUBLE) AS nws,
-              len(regexp_replace(text, '\s', '', 'g')) AS chars_in,
-              len(text) - len(replace(text, '#', '')) AS nhash,
-              (len(text) - len(replace(text, '...', ''))) / 3 AS nell,
-              CAST(greatest(len(lines), 1) AS DOUBLE) AS nlines,
-              len(list_filter(lines, l -> starts_with(ltrim(l), '-')
-                  OR starts_with(ltrim(l), '*')
-                  OR starts_with(ltrim(l), '•'))) AS bl,
-              len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS el,
-              len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS aw,
-              CAST(len(list_filter(toks, t -> list_contains(
-                ['the','be','to','of','and','that','have','with'], lower(t))))
-                AS BIGINT) AS n_stop
-            FROM b),
-            o AS (SELECT doc_id, n_words,
-              round(CAST(chars_in AS DOUBLE) / nws, 6) AS mean_word_len,
-              round(CAST(nhash + nell AS DOUBLE) / nws, 6) AS symbol_ratio,
-              round(CAST(bl AS DOUBLE) / nlines, 6) AS bullet_frac,
-              round(CAST(el AS DOUBLE) / nlines, 6) AS ellipsis_frac,
-              round(CAST(aw AS DOUBLE) / nws, 6) AS alpha_frac,
-              n_stop FROM sig)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-                ellipsis_frac, alpha_frac, n_stop,
-                (n_words >= 50 AND n_words <= 100000
-                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                 AND symbol_ratio <= 0.1
-                 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-                 AND alpha_frac >= 0.8 AND n_stop >= 2) AS pass
-         FROM o ORDER BY doc_id"""
+    "t19_gopher_rules" -> t19GopherSql
   )
 }

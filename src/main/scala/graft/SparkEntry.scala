@@ -3167,6 +3167,24 @@ object SparkEntry {
       // explode runs on the vocabulary, never the corpus
       TextStats.bpePairStats(T(s, dir, "documents"), "text", topK = 30)),
 
+    "t43_classifier_auc" -> ((s, dir) => {
+      // CLASSIFIER EVAL: exact ROC-AUC of the t21 naive-Bayes quality
+      // score against the t19 Gopher rule verdict — AUC IS the
+      // Mann-Whitney U statistic, so q52's exact machinery scores the
+      // classifier with zero float accumulation; the oracle composes
+      // the t21 + t19 chains verbatim as subqueries into the
+      // generated MW text
+      val docs = T(s, dir, "documents")
+      val sc = operators.Training.qualityClassifier(docs, "doc_id", "text",
+        posPred = col("doc_id") % 50 === 0).select(col("id"), col("score"))
+      val lb = operators.TextStats.gopherRules(docs, "doc_id", "text")
+        .select(col("id"), col("pass"))
+      val j = sc.join(lb, Seq("id"))
+        .select(when(col("pass"), "b_pass").otherwise("a_fail").as("k"),
+          col("score").as("x"))
+      operators.Stats.mannWhitneyAllPairs(j, "k", "x")
+    }),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
