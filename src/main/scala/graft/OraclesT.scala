@@ -634,6 +634,24 @@ private[graft] object OraclesT {
 
     "t21_quality_classifier" -> t21Oracle,
 
+    "t44_calibration" ->
+      // same composed chains; identical bucket chain and folds
+      (s"""WITH s AS ($t21Oracle),
+            l AS ($t19GopherSql),
+            j AS (SELECT s.score, l.pass FROM s JOIN l USING (doc_id)),
+            mm AS (SELECT min(score) AS mn, max(score) AS mx FROM j),
+            b AS (SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                    ELSE CAST(least(floor((score - mm.mn) / (mm.mx - mm.mn)
+                      * 10.0), 9.0) AS BIGINT) END AS bucket,
+                    score, pass
+                  FROM j, mm)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+                round(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+         FROM b GROUP BY 1 ORDER BY bucket"""),
+
     "t43_classifier_auc" ->
       // the t21 and t19 oracle chains compose verbatim as subqueries;
       // the MW machinery is the generated q52 text over the joined

@@ -3185,6 +3185,32 @@ object SparkEntry {
       operators.Stats.mannWhitneyAllPairs(j, "k", "x")
     }),
 
+    "t44_calibration" -> ((s, dir) => {
+      // CALIBRATION curve (the other half of classifier eval beside
+      // t43's discrimination): equal-width score buckets between the
+      // observed min/max (one broadcast 1-row aggregate), per bucket
+      // the empirical rule-pass rate — exact counts, one pinned
+      // IEEE bucket chain, DECIMAL mean-score fold
+      val docs = T(s, dir, "documents")
+      val sc = operators.Training.qualityClassifier(docs, "doc_id", "text",
+        posPred = col("doc_id") % 50 === 0).select(col("id"), col("score"))
+      val lb = operators.TextStats.gopherRules(docs, "doc_id", "text")
+        .select(col("id"), col("pass"))
+      val j = sc.join(lb, Seq("id"))
+      val mm = j.agg(min(col("score")).as("_mn"), max(col("score")).as("_mx"))
+      j.crossJoin(broadcast(mm))
+        .withColumn("bucket", when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(floor((col("score") - col("_mn"))
+            / (col("_mx") - col("_mn")) * lit(10.0)), lit(9.0)).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(cnt.as("n_docs"),
+          round(sum(col("score").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_score"),
+          round(sum(when(col("pass"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("pass_rate"))
+        .orderBy("bucket")
+    }),
+
     "t21_quality_classifier" -> ((s, dir) =>
       // GPT-3-style quality filter: every-50th doc plays the curated
       // seed set (same split as d08/d19); naive-Bayes log-odds over
