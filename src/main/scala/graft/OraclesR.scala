@@ -462,6 +462,29 @@ private[graft] object OraclesR {
                 string_agg(DISTINCT key, ',' ORDER BY key) AS keys
          FROM st GROUP BY sid ORDER BY storm_start""",
 
+    "r38_hampel" ->
+      // same two neighborhood self-joins at hour grain; 4.4478 =
+      // 3 * 1.4826 folded, bit-shared with the op
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+            m AS (SELECT a.event_type, a.hr, a.c,
+                         quantile_cont(b.c, 0.5) AS med
+                  FROM h a JOIN h b ON b.event_type = a.event_type
+                                   AND b.hr BETWEEN a.hr - 3 AND a.hr + 3
+                  GROUP BY 1, 2, 3),
+            d AS (SELECT m.event_type, m.hr, m.c, m.med,
+                         quantile_cont(abs(CAST(b.c AS DOUBLE) - m.med), 0.5)
+                           AS mad
+                  FROM m JOIN h b ON b.event_type = m.event_type
+                                 AND b.hr BETWEEN m.hr - 3 AND m.hr + 3
+                  GROUP BY 1, 2, 3, 4)
+         SELECT event_type, CAST(hr * 3600 AS BIGINT) AS hr_start,
+                CAST(c AS BIGINT) AS n_events,
+                round(med, 6) AS window_median, round(mad, 6) AS window_mad,
+                abs(CAST(c AS DOUBLE) - med) > 4.4478 * mad AS is_outlier
+         FROM d ORDER BY event_type, hr_start""",
+
     "r37_changepoint" ->
       // identical pinned gain chain per candidate; argmax ties to the
       // earliest hour

@@ -1742,6 +1742,14 @@ object SparkEntry {
           gapHours = 2)
         .orderBy("storm_start")),
 
+    "r38_hampel" -> ((s, dir) =>
+      // LOCAL robust outliers: each hour vs its +-3h neighborhood's
+      // median/MAD — the diurnal-safe complement of r35's global
+      // baseline
+      Windows.hampel(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hr_start")),
+
     "r37_changepoint" -> ((s, dir) =>
       // WHERE did the level shift: per type, the least-squares
       // single-changepoint split of the hourly rate series

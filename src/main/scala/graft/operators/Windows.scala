@@ -775,6 +775,55 @@ object Windows {
     (out, hourly)
   }
 
+  /** HAMPEL FILTER — moving-window median/MAD outliers (the LOCAL
+    * robust detector beside r35's global one: a diurnal pattern makes
+    * every night hour a "global outlier"; the Hampel window compares
+    * each hour to its NEIGHBORHOOD): per key and hour, the median and
+    * MAD of the ±`halfWindow` surrounding hours; the hour flags when
+    * |count − med| > 3·1.4826·MAD (the textbook k·σ-consistent
+    * threshold; 4.4478 is the folded literal, bit-shared with the
+    * oracle).
+    *
+    * The window MAD depends on the window's own median, so no single
+    * window expression can compute it — the standard two-pass shape:
+    * one neighborhood self-join for the median, a second for the
+    * deviations (both at HOUR grain on the persisted histogram, the
+    * ewmaForecast precedent). Integer counts make med exact halves
+    * and MAD exact quarters — the r35 exactness argument, locally.
+    * MAD = 0 degenerates to the r16 rule: any deviation flags.
+    */
+  def hampel(df: DataFrame, ts: String, keyCol: String,
+             halfWindow: Int = 3): DataFrame = {
+    require(halfWindow >= 1 && halfWindow <= 168,
+      s"hampel: halfWindow=$halfWindow hours must be in [1, 168]")
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val b = hourly.select(col("key").as("_bk"), col("_hr").as("_bhr"),
+      col("_c").as("_bc"))
+    def near(df0: DataFrame): DataFrame = df0.join(b,
+      col("_bk") === col("key") &&
+        col("_bhr") >= col("_hr") - halfWindow &&
+        col("_bhr") <= col("_hr") + halfWindow)
+    val med = near(hourly)
+      .groupBy(col("key"), col("_hr"), col("_c"))
+      .agg(expr("percentile(_bc, 0.5)").as("_med"))
+    val out = near(med)
+      .groupBy(col("key"), col("_hr"), col("_c"), col("_med"))
+      .agg(expr("percentile(abs(CAST(_bc AS DOUBLE) - _med), 0.5)")
+        .as("_mad"))
+      .select(col("key"),
+        (col("_hr") * 3600L).as("hr_start"),
+        col("_c").cast("long").as("n_events"),
+        round(col("_med"), 6).as("window_median"),
+        round(col("_mad"), 6).as("window_mad"),
+        (abs(col("_c").cast("double") - col("_med"))
+          > lit(4.4478) * col("_mad")).as("is_outlier"))
+    Caching.sealOver(out, hourly)
+  }
+
   /** CHANGEPOINT LOCALIZATION — one binary-segmentation step (the
     * question right after r30's CUSUM fires: WHEN did the level
     * shift?): per key, the split hour t* maximizing the standard
