@@ -92,6 +92,27 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q56_topk_others" ->
+      """WITH rev AS (SELECT n_name, s_suppkey,
+                        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+                      FROM lineitem
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+                      GROUP BY 1, 2),
+            r AS (SELECT n_name, s_suppkey, rev,
+                    row_number() OVER (PARTITION BY n_name
+                      ORDER BY rev DESC, s_suppkey) AS rk
+                  FROM rev),
+            l AS (SELECT n_name,
+                    CASE WHEN rk <= 3 THEN CAST(s_suppkey AS STRING)
+                         ELSE '(other)' END AS supplier, rev
+                  FROM r)
+         SELECT n_name, supplier,
+                round(CAST(sum(rev) AS DOUBLE), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n_suppliers
+         FROM l GROUP BY 1, 2
+         ORDER BY n_name, revenue DESC, supplier""",
+
     "q55_lorenz_gini" ->
       // same exact DECIMAL rank*x fold; gini = two pinned divisions
       """WITH rev AS (SELECT o_custkey,

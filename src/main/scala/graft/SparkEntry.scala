@@ -1994,6 +1994,33 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q56_topk_others" -> ((s, dir) => {
+      // the dashboard classic q04's plain top-k misses: top-3
+      // suppliers per nation PLUS an "(other)" bucket so the report
+      // still sums to the total — rank window on the (nation,
+      // supplier) aggregate (never the line stream), deterministic
+      // (revenue DESC, suppkey) ties, one re-aggregate after labeling
+      val li = T(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val rev = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("_rev"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("_rev").desc, col("s_suppkey"))
+      rev.withColumn("_rk", row_number().over(w))
+        .withColumn("supplier", when(col("_rk") <= 3,
+          col("s_suppkey").cast("string")).otherwise("(other)"))
+        .groupBy(col("n_name"), col("supplier"))
+        .agg(sum(col("_rev")).cast("double").as("revenue"),
+          cnt.as("n_suppliers"))
+        .select(col("n_name"), col("supplier"),
+          round(col("revenue"), 2).as("revenue"), col("n_suppliers"))
+        .orderBy(col("n_name"), col("revenue").desc, col("supplier"))
+    }),
+
     "q55_lorenz_gini" -> ((s, dir) => {
       // revenue-concentration curve + exact Gini over per-customer
       // revenue: distributed global ranks (packSequences prefix

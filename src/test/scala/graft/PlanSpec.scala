@@ -124,6 +124,20 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q56: dims broadcast; the rank window runs on the supplier aggregate") {
+    val p = SparkEntry.queries("q56_topk_others")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.split("BroadcastHashJoin").length - 1 == 2, p)
+    assert(!p.contains("SortMergeJoin"), "supplier/nation must broadcast: " + p)
+    // the window's sort input is the (nation, supplier) aggregate —
+    // a Window directly over the raw line stream would sort the
+    // corpus; the partial agg below the first exchange pins the
+    // reduction happens map-side first
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) > winIdx,
+      "the rank window must consume the aggregate: " + p)
+  }
+
   test("q55: global ranks are pid-partitioned; only the 10-row decile frame windows globally") {
     val p = SparkEntry.queries("q55_lorenz_gini")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
