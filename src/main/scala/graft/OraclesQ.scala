@@ -92,6 +92,23 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q57_weighted_median" ->
+      // same crossing rule (2*cum >= total), exact decimal weights
+      """WITH b AS (SELECT l_returnflag AS k,
+                      CAST(l_extendedprice AS DOUBLE) AS x,
+                      CAST(l_quantity AS DECIMAL(18,6)) AS w
+                    FROM lineitem),
+            c AS (SELECT k, x, w,
+                    sum(w) OVER (PARTITION BY k ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    sum(w) OVER (PARTITION BY k) AS tot
+                  FROM b)
+         SELECT k AS l_returnflag, min(x) AS w_median,
+                CAST(max(tot) AS DOUBLE) AS total_weight
+         FROM c WHERE cum * 2 >= tot
+         GROUP BY 1 ORDER BY l_returnflag""",
+
     "q56_topk_others" ->
       """WITH rev AS (SELECT n_name, s_suppkey,
                         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev

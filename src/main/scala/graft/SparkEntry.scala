@@ -1994,6 +1994,13 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q57_weighted_median" -> ((s, dir) =>
+      // quantity-weighted median price per returnflag: the exact
+      // lower weighted median (a real data value, no interpolation),
+      // per-group cumulative weights via the distributed prefix
+      operators.Stats.weightedMedian(T(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity")),
+
     "q56_topk_others" -> ((s, dir) => {
       // the dashboard classic q04's plain top-k misses: top-3
       // suppliers per nation PLUS an "(other)" bucket so the report

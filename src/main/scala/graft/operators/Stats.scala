@@ -109,6 +109,57 @@ object Stats {
       .orderBy("key_a", "key_b")
   }
 
+  /** WEIGHTED MEDIAN per group (the volume-weighted "typical price"
+    * the unweighted q11 median gets wrong when row counts and row
+    * mass diverge): the smallest x whose cumulative weight reaches
+    * half the group total (the lower weighted median — an exact
+    * set-membership rule, no interpolation, so the answer is a REAL
+    * data value and engine-neutral by construction).
+    *
+    * Weights fold as exact DECIMAL; the crossing test 2·cum ≥ total
+    * is exact integer/decimal arithmetic — zero IEEE anywhere.
+    * Equal-x tie runs are answer-invariant: rows inside a run get
+    * cum in arbitrary intra-run order, but the run's LAST row always
+    * carries the full run weight and every run row shares x, so
+    * min(x) over crossing rows cannot depend on that order.
+    *
+    * Shape at scale: per-group cumulative weights assemble with the
+    * packSequences discipline on the (key, x) range axis —
+    * per-partition cumsum + a (#partitions × |keys|)-row offset frame
+    * (the lengthBatches per-bucket variant), NO per-group global
+    * window; group totals broadcast back; the crossing pick is one
+    * min-aggregate.
+    */
+  def weightedMedian(df: DataFrame, keyCol: String, xCol: String,
+                     wCol: String): DataFrame = {
+    val base = df.select(col(keyCol).cast("string").as("_k"),
+      col(xCol).cast("double").as("_x"),
+      col(wCol).cast("decimal(18,6)").as("_w"))
+    val ranged = Caching.sealOver(
+      base.repartitionByRange(col("_k"), col("_x"))
+        .withColumn("_pid", spark_partition_id()))
+    val local = ranged.withColumn("_lc",
+      sum(col("_w")).over(Window.partitionBy("_pid", "_k").orderBy(col("_x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = ranged.groupBy(col("_pid"), col("_k"))
+      .agg(sum(col("_w")).as("_pw"))
+      .withColumn("_off", coalesce(
+        sum(col("_pw")).over(Window.partitionBy("_k").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+      .select(col("_pid"), col("_k"), col("_off"))
+    val totals = ranged.groupBy(col("_k")).agg(sum(col("_w")).as("_tot"))
+    local.join(offs, Seq("_pid", "_k"))
+      .withColumn("_cum", col("_lc") + col("_off"))
+      .join(broadcast(totals), Seq("_k"))
+      .filter(col("_cum") * lit(2) >= col("_tot"))
+      .groupBy(col("_k"))
+      .agg(min(col("_x")).as("w_median"),
+        max(col("_tot")).cast("double").as("total_weight"))
+      .select(col("_k").as(keyCol), col("w_median"), col("total_weight"))
+      .orderBy(keyCol)
+  }
+
   /** LORENZ CURVE + exact GINI coefficient (the concentration view
     * beside q35's Pareto top-share: HOW unequal is the whole
     * distribution, not just the head): Gini = 2·Σ(rank·x)/(n·Σx)

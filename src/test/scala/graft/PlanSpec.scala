@@ -124,6 +124,16 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q57: cumulative weights are pid-partitioned, never a per-key global window") {
+    val p = SparkEntry.queries("q57_weighted_median")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(_pid"),
+      "the packSequences prefix discipline: " + p.take(1500))
+    assert(!p.contains("windowspecdefinition(_k, _x"),
+      "a per-key value window would put each group's corpus slice in one task: "
+        + p.take(1500))
+  }
+
   test("q56: dims broadcast; the rank window runs on the supplier aggregate") {
     val p = SparkEntry.queries("q56_topk_others")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
