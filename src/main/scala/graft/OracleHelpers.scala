@@ -226,6 +226,29 @@ private[graft] object OracleHelpers {
                      ORDER BY dist, j) AS rk FROM fin) WHERE rk = 1)"""
   }
 
+  /** s36 oracle: the Lloyd chain's `fin` frame already holds every
+    * (point, centroid) distance — top-2 per point gives d1/d2, the
+    * same pinned sqrt chain scores s, and the per-cluster mean folds
+    * DECIMAL-quantized terms (the q53 rule).
+    */
+  def s36Oracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${lloydCtes(k, iters, dims)},
+         t2 AS (SELECT id, j, dist, row_number() OVER (PARTITION BY id
+                  ORDER BY dist, j) AS rk FROM fin),
+         p AS (SELECT a.id, a.j AS cluster, a.dist AS d1, b.dist AS d2
+               FROM (SELECT id, j, dist FROM t2 WHERE rk = 1) a
+               JOIN (SELECT id, dist FROM t2 WHERE rk = 2) b USING (id)),
+         s AS (SELECT cluster,
+                 CASE WHEN d2 = 0 THEN 0.0
+                      ELSE (sqrt(CAST(d2 AS DOUBLE)) - sqrt(CAST(d1 AS DOUBLE)))
+                        / sqrt(CAST(d2 AS DOUBLE)) END AS sil
+               FROM p)
+       SELECT CAST(cluster AS BIGINT) AS cluster,
+              CAST(count(*) AS BIGINT) AS n_points,
+              round(CAST(sum(CAST(round(sil, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+       FROM s GROUP BY 1 ORDER BY cluster"""
+
   /** s32 oracle: the Lloyd chain trains the quantizer, queries probe
     * their `nprobe` nearest final centroids by the same exact-integer
     * metric, candidates are the probed clusters' members, the s01

@@ -1390,6 +1390,15 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    "s36_silhouette" -> ((s, dir) =>
+      // clustering-quality gate for the s29/s30 pipeline: per-cluster
+      // simplified silhouette under the SAME exact-micro Lloyd
+      // centroids — separated clusters score high, one sliced blob
+      // scores near 0
+      operators.Similarity.silhouette(T(s, dir, "embeddings"),
+        "vec_id", "embedding", kmeansQuantizer(s, dir, 8, 3, 64),
+        dims = 64)),
+
     "s30_kmeans_prune" -> ((s, dir) => {
       // unsupervised SSL prototypes (Sorscher et al. 2022, the
       // headline composition): k-means in embedding space, then

@@ -1179,6 +1179,45 @@ object Similarity {
       .select(col("id"), col("_a.j").as("cluster"), col("_a.d").as("dist_sq"))
   }
 
+  /** SIMPLIFIED SILHOUETTE per cluster (the clustering-quality gate
+    * for the s29/s30 SSL-prototype pipeline: are the trained clusters
+    * actually separated, or is the prototypicality ranking slicing
+    * one blob?): per point, d1 = distance to its OWN (nearest)
+    * centroid and d2 = distance to the nearest OTHER centroid — the
+    * centroid-based simplification (Hruschka et al.) that keeps the
+    * statistic one zero-shuffle literal-codegen pass instead of
+    * all-pairs; s = (√d2 − √d1)/√d2 ∈ [0, 1] here since d2 ≥ d1 by
+    * construction (d2 = 0 ⇒ s = 0, the coincident-centroids guard).
+    *
+    * Exactness: distances are the same exact integer micros the
+    * Lloyd trainer uses (top-2 via one array_sort over the literal
+    * centroid distance array, (d, j) struct order = the oracle's
+    * ORDER BY dist, j); each s is a pinned sqrt chain of exact longs;
+    * the per-cluster mean quantizes terms to DECIMAL(28,9) before the
+    * fold (the q53 rule), then ONE division.
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[Array[Long]], dims: Int): DataFrame = {
+    require(cents.length >= 2, "silhouette: needs k >= 2 centroids")
+    require(cents.forall(_.length == dims),
+      s"silhouette: centroid matrix must be k x $dims")
+    val s = when(col("_d2") === 0L, lit(0.0))
+      .otherwise((sqrt(col("_d2").cast("double"))
+        - sqrt(col("_d1").cast("double"))) / sqrt(col("_d2").cast("double")))
+    microVecs(df, idCol, vecCol, dims)
+      .withColumn("_ds", array_sort(centDists(cents, col("_x6"))))
+      .select(col("id"),
+        col("_ds").getItem(0).getField("j").as("cluster"),
+        col("_ds").getItem(0).getField("d").as("_d1"),
+        col("_ds").getItem(1).getField("d").as("_d2"))
+      .withColumn("_s", s)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(round(col("_s"), 9).cast("decimal(28,9)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
+
   /** The training half: `iters` Lloyd updates, returns the final
     * centroid micros only (k·d driver longs). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
