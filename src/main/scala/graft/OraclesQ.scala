@@ -92,6 +92,21 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q58_conversion_lag" ->
+      """WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tv
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+            tp AS (SELECT user_id, epoch_us(ts) AS tp
+                   FROM events WHERE event_type = 'purchase'),
+            lag AS (SELECT tp.user_id, min(tp.tp - tv.tv) AS lag
+                    FROM tp JOIN tv USING (user_id)
+                    WHERE tp.tp >= tv.tv GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                round(quantile_cont(lag, 0.5), 6) AS p50_lag_us,
+                round(quantile_cont(lag, 0.9), 6) AS p90_lag_us,
+                round(CAST(sum(CAST(lag AS DECIMAL(19,0))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS mean_lag_us
+         FROM lag""",
+
     "q57_weighted_median" ->
       // same crossing rule (2*cum >= total), exact decimal weights
       """WITH b AS (SELECT l_returnflag AS k,

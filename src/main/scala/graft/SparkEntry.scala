@@ -2003,6 +2003,28 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q58_conversion_lag" -> ((s, dir) => {
+      // funnel LATENCY (q29 counts conversions; product asks HOW
+      // LONG): per user, first view -> first subsequent purchase,
+      // exact integer-micro lags, percentiles via the q11 pair; two
+      // user-grain aggregates + one user-keyed join
+      val ev = T(s, dir, "events")
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("_tv"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("_tp"))
+      tp.join(tv, Seq("user_id"))
+        .filter(col("_tp") >= col("_tv"))
+        .groupBy(col("user_id"))
+        .agg(min(col("_tp") - col("_tv")).as("_lag"))
+        .agg(cnt.as("n_converted"),
+          round(expr("percentile(_lag, 0.5)"), 6).as("p50_lag_us"),
+          round(expr("percentile(_lag, 0.9)"), 6).as("p90_lag_us"),
+          round(sum(col("_lag").cast("decimal(19,0)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_lag_us"))
+    }),
+
     "q57_weighted_median" -> ((s, dir) =>
       // quantity-weighted median price per returnflag: the exact
       // lower weighted median (a real data value, no interpolation),

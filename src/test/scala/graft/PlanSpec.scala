@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q58: the lag join is user-keyed against the aggregated view frame") {
+    val p = SparkEntry.queries("q58_conversion_lag")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val keyed = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[user_id".r
+    assert(keyed.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the view filter prunes at the parquet footer on both scans
+    assert(p.contains("EqualTo(event_type,view)")
+      && p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
   test("q57: cumulative weights are pid-partitioned, never a per-key global window") {
     val p = SparkEntry.queries("q57_weighted_median")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
