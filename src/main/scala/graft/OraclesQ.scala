@@ -92,6 +92,48 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q59_rfm" ->
+      // same quintile boundaries (1-based list index) and pinned <=
+      // assignment chain
+      """WITH cust AS (SELECT o_custkey,
+                 max(epoch_us(o_orderdate) // 86400000000) AS lastd,
+                 CAST(count(*) AS BIGINT) AS f,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+               FROM orders GROUP BY 1),
+            a AS (SELECT max(lastd) AS anchor FROM cust),
+            rfm AS (SELECT c.f, c.m,
+                      CAST(a.anchor - c.lastd AS BIGINT) AS r
+                    FROM cust c, a),
+            q AS (SELECT
+                quantile_cont(CAST(r AS DOUBLE), [0.2,0.4,0.6,0.8]) AS qr,
+                quantile_cont(CAST(f AS DOUBLE), [0.2,0.4,0.6,0.8]) AS qf,
+                quantile_cont(CAST(m AS DOUBLE), [0.2,0.4,0.6,0.8]) AS qm
+              FROM rfm),
+            seg AS (SELECT
+                CASE WHEN CAST(r AS DOUBLE) <= qr[1] THEN 1
+                     WHEN CAST(r AS DOUBLE) <= qr[2] THEN 2
+                     WHEN CAST(r AS DOUBLE) <= qr[3] THEN 3
+                     WHEN CAST(r AS DOUBLE) <= qr[4] THEN 4
+                     ELSE 5 END AS r_q,
+                CASE WHEN CAST(f AS DOUBLE) <= qf[1] THEN 1
+                     WHEN CAST(f AS DOUBLE) <= qf[2] THEN 2
+                     WHEN CAST(f AS DOUBLE) <= qf[3] THEN 3
+                     WHEN CAST(f AS DOUBLE) <= qf[4] THEN 4
+                     ELSE 5 END AS f_q,
+                CASE WHEN CAST(m AS DOUBLE) <= qm[1] THEN 1
+                     WHEN CAST(m AS DOUBLE) <= qm[2] THEN 2
+                     WHEN CAST(m AS DOUBLE) <= qm[3] THEN 3
+                     WHEN CAST(m AS DOUBLE) <= qm[4] THEN 4
+                     ELSE 5 END AS m_q,
+                m
+              FROM rfm, q)
+         SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+                CAST(m_q AS BIGINT) AS m_q,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS avg_monetary
+         FROM seg GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
+
     "q58_conversion_lag" ->
       """WITH tv AS (SELECT user_id, min(epoch_us(ts)) AS tv
                      FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -2003,6 +2003,47 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q59_rfm" -> ((s, dir) => {
+      // RFM SEGMENTATION (the marketing-warehouse classic): per
+      // customer recency (days since last order vs the corpus
+      // anchor), frequency, monetary; quintile boundaries via the
+      // exact percentile pair (one broadcast 1-row frame), assignment
+      // by pinned <= comparisons, per-segment counts + DECIMAL mean
+      // spend. The customer frame persists across its four consumers
+      // and the <=125-segment result seals over it
+      val cust = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max((unix_micros(col("o_orderdate")) / lit(86400000000L))
+          .cast("long")).as("_last"),
+          cnt.as("_f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("_m"))
+        .persist()
+      val anchor = cust.agg(max(col("_last")).as("_anchor"))
+      val rfm = cust.crossJoin(broadcast(anchor))
+        .withColumn("_r", (col("_anchor") - col("_last")).cast("long"))
+      val qs = rfm.agg(
+        expr("percentile(CAST(_r AS DOUBLE), array(0.2D,0.4D,0.6D,0.8D))")
+          .as("_qr"),
+        expr("percentile(CAST(_f AS DOUBLE), array(0.2D,0.4D,0.6D,0.8D))")
+          .as("_qf"),
+        expr("percentile(CAST(_m AS DOUBLE), array(0.2D,0.4D,0.6D,0.8D))")
+          .as("_qm"))
+      def qi(x: Column, b: Column): Column =
+        when(x <= b.getItem(0), 1L).when(x <= b.getItem(1), 2L)
+          .when(x <= b.getItem(2), 3L).when(x <= b.getItem(3), 4L)
+          .otherwise(5L)
+      val out = rfm.crossJoin(broadcast(qs))
+        .select(qi(col("_r").cast("double"), col("_qr")).as("r_q"),
+          qi(col("_f").cast("double"), col("_qf")).as("f_q"),
+          qi(col("_m").cast("double"), col("_qm")).as("m_q"), col("_m"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(cnt.as("n_customers"),
+          round(sum(col("_m")).cast("double") / count(lit(1)).cast("double"),
+            6).as("avg_monetary"))
+        .orderBy("r_q", "f_q", "m_q")
+      operators.Caching.sealOver(out, cust)
+    }),
+
     "q58_conversion_lag" -> ((s, dir) => {
       // funnel LATENCY (q29 counts conversions; product asks HOW
       // LONG): per user, first view -> first subsequent purchase,

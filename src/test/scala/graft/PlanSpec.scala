@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
       "global window must consume the per-day aggregate: " + p)
   }
 
+  test("q59: the segment report is sealed — one orders scan at seal time") {
+    // the customer frame feeds four consumers (anchor, quintiles,
+    // assignment, report); sealing the <=125-row result over the
+    // persisted frame means the final plan is a checkpoint scan and
+    // NO consumer re-reads orders
+    val p = SparkEntry.queries("q59_rfm")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q58: the lag join is user-keyed against the aggregated view frame") {
     val p = SparkEntry.queries("q58_conversion_lag")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
