@@ -92,6 +92,31 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q60_ltv_curve" ->
+      """WITH f AS (SELECT user_id,
+                      min(epoch_us(ts) // 604800000000) AS cohort
+                    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+                   FROM f GROUP BY 1),
+            r AS (SELECT f.cohort,
+                    CAST(epoch_us(e.ts) // 604800000000 - f.cohort
+                      AS BIGINT) AS age_weeks,
+                    sum(CAST(e.value AS DECIMAL(18,6))) AS rev
+                  FROM events e JOIN f USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                  GROUP BY 1, 2),
+            c AS (SELECT r.cohort, r.age_weeks, sz.n, r.rev,
+                    sum(r.rev) OVER (PARTITION BY r.cohort
+                      ORDER BY r.age_weeks
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+                  FROM r JOIN sz USING (cohort))
+         SELECT CAST(cohort AS BIGINT) AS cohort_week, age_weeks,
+                n AS n_users, round(CAST(rev AS DOUBLE), 6) AS revenue,
+                round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS cum_ltv_per_user
+         FROM c ORDER BY cohort_week, age_weeks""",
+
     "q59_rfm" ->
       // same quintile boundaries (1-based list index) and pinned <=
       // assignment chain

@@ -2003,6 +2003,36 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q60_ltv_curve" -> ((s, dir) => {
+      // cohort LTV TRIANGLE (q31 retention counts users; growth asks
+      // how much VALUE a cohort accrues by age): cohort = first-
+      // PURCHASE epoch week (first-activity degenerates to one cohort
+      // on this corpus), per (cohort, age) purchase revenue folds
+      // as DECIMAL, the cumulative runs per cohort over the bounded
+      // age axis (the q35 contract), divided once by cohort size
+      val ev = T(s, dir, "events")
+      val wk = (unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+      val purch = ev.filter(col("event_type") === "purchase")
+      val first = purch.groupBy(col("user_id")).agg(min(wk).as("_cohort"))
+      val sizes = first.groupBy(col("_cohort")).agg(cnt.as("_n"))
+      val rev = purch
+        .select(col("user_id"), wk.as("_wk"),
+          col("value").cast("decimal(18,6)").as("_v"))
+        .join(first, Seq("user_id"))
+        .groupBy(col("_cohort"), (col("_wk") - col("_cohort")).as("age_weeks"))
+        .agg(sum(col("_v")).as("_rev"))
+      val w = Window.partitionBy(col("_cohort")).orderBy(col("age_weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(sizes), Seq("_cohort"))
+        .withColumn("_cum", sum(col("_rev")).over(w))
+        .select(col("_cohort").as("cohort_week"), col("age_weeks"),
+          col("_n").as("n_users"),
+          round(col("_rev").cast("double"), 6).as("revenue"),
+          round(col("_cum").cast("double") / col("_n").cast("double"), 6)
+            .as("cum_ltv_per_user"))
+        .orderBy("cohort_week", "age_weeks")
+    }),
+
     "q59_rfm" -> ((s, dir) => {
       // RFM SEGMENTATION (the marketing-warehouse classic): per
       // customer recency (days since last order vs the corpus
