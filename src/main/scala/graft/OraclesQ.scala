@@ -92,6 +92,33 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q61_session_kpis" ->
+      // the r12 session chain + one aggregate of the session frame
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                    FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                              OR ts_us - lag(ts_us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            sn AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session
+                   FROM g),
+            s AS (SELECT user_id, session, count(*) AS n,
+                    max(ts_us) - min(ts_us) AS dur
+                  FROM sn GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+                round(CAST(sum(CAST(n AS DECIMAL(19,0))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS avg_events,
+                round(quantile_cont(n, 0.5), 6) AS p50_events,
+                round(quantile_cont(dur, 0.5), 6) AS p50_duration_us,
+                round(quantile_cont(dur, 0.9), 6) AS p90_duration_us
+         FROM s""",
+
     "q60_ltv_curve" ->
       """WITH f AS (SELECT user_id,
                       min(epoch_us(ts) // 604800000000) AS cohort

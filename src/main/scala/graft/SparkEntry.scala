@@ -1586,6 +1586,33 @@ object SparkEntry {
         .select(col("event_id"), col("event_type").as("etype"), col("value"))
         .orderBy("event_id")),
 
+    "q61_session_kpis" -> ((s, dir) => {
+      // session-level KPI report over the r12 sessionization (the
+      // web-analytics headline row): bounce rate (1-event sessions),
+      // exact session-depth and duration percentiles, all from the
+      // (user, session) frame — one user shuffle total, the report is
+      // one aggregate of the session frame
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = T(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("_brk",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L
+            || lag(col("ts_us"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("session", sum(col("_brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session"))
+        .agg(cnt.as("_n"), (max(col("ts_us")) - min(col("ts_us"))).as("_dur"))
+      sess.agg(cnt.as("n_sessions"),
+        round(sum(when(col("_n") === 1L, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("bounce_rate"),
+        round(sum(col("_n").cast("decimal(19,0)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_events"),
+        round(expr("percentile(_n, 0.5)"), 6).as("p50_events"),
+        round(expr("percentile(_dur, 0.5)"), 6).as("p50_duration_us"),
+        round(expr("percentile(_dur, 0.9)"), 6).as("p90_duration_us"))
+    }),
+
     "r12_sessionize" -> ((s, dir) => {
       // batch twin of streaming/Sessionize: split each user's events
       // into sessions on >30min gaps — lag to mark breaks, running sum

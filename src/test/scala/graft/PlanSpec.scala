@@ -135,6 +135,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q61: one user shuffle carries sessions, breaks, numbering AND the report") {
+    val p = SparkEntry.queries("q61_session_kpis")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Join"), p)
+    // lag + cumsum + session aggregate all ride the user_id
+    // partitioning; the final report is a 1-row aggregate
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+  }
+
   test("q58: the lag join is user-keyed against the aggregated view frame") {
     val p = SparkEntry.queries("q58_conversion_lag")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
