@@ -92,6 +92,23 @@ private[graft] object OraclesQ {
                   AS n_total
          FROM p ORDER BY day""",
 
+    "q62_new_vs_returning" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+                    FROM events),
+            f AS (SELECT user_id, min(week) AS fw FROM a GROUP BY 1),
+            j AS (SELECT a.week, a.user_id, f.fw
+                  FROM a JOIN f USING (user_id))
+         SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+                CAST(sum(CASE WHEN week = fw THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_new,
+                CAST(count(*) - sum(CASE WHEN week = fw THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning,
+                round(CAST(count(*) - sum(CASE WHEN week = fw THEN 1 ELSE 0
+                  END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS pct_returning
+         FROM j GROUP BY 1 ORDER BY week""",
+
     "q61_session_kpis" ->
       // the r12 session chain + one aggregate of the session frame
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

@@ -2030,6 +2030,28 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q62_new_vs_returning" -> ((s, dir) => {
+      // weekly actives split NEW vs RETURNING (the growth dashboard's
+      // second row, q46's cumulative curve made actionable): distinct
+      // (user, week) activity joins each user's first week — new iff
+      // week == first; one user-grain aggregate + one user-keyed join
+      // + one week-grain aggregate
+      val ev = T(s, dir, "events")
+      val wk = (unix_micros(col("ts")) / lit(604800000000L)).cast("long")
+      val act = ev.select(col("user_id"), wk.as("week")).distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("week")).as("_fw"))
+      act.join(first, Seq("user_id"))
+        .groupBy(col("week"))
+        .agg(cnt.as("n_active"),
+          sum(when(col("week") === col("_fw"), 1L).otherwise(0L))
+            .cast("long").as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .withColumn("pct_returning",
+          round(col("n_returning").cast("double")
+            / col("n_active").cast("double"), 6))
+        .orderBy("week")
+    }),
+
     "q60_ltv_curve" -> ((s, dir) => {
       // cohort LTV TRIANGLE (q31 retention counts users; growth asks
       // how much VALUE a cohort accrues by age): cohort = first-

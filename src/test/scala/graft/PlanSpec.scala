@@ -135,6 +135,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q62: the first-week join is user-keyed on the deduped activity frame") {
+    val p = SparkEntry.queries("q62_new_vs_returning")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val keyed = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[user_id".r
+    assert(keyed.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q61: one user shuffle carries sessions, breaks, numbering AND the report") {
     val p = SparkEntry.queries("q61_session_kpis")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
