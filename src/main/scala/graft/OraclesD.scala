@@ -617,6 +617,64 @@ private[graft] object OraclesD {
     * banding miss rate.
     */
   val sql: Map[String, String] = base + d33Sql ++ Map(
+    "d34_threshold_curve" ->
+      // the d11 signature/banding CTEs verbatim (no verify filter),
+      // raw signature agreement per candidate, full join against the
+      // d04 truth so banding misses count as FN at every threshold
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                    FROM documents WHERE doc_id < 500),
+            sh AS (SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            sigs AS (SELECT doc_id, i,
+                            min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS sig
+                     FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY 1, 2),
+            bands AS (SELECT doc_id, i // 2 AS band,
+                             md5(min(CASE WHEN i % 2 = 0 THEN sig END)
+                                 || min(CASE WHEN i % 2 = 1 THEN sig END)) AS bkey
+                      FROM sigs GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            m AS (SELECT c.id1, c.id2,
+                    CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                      AS BIGINT) AS mm
+                  FROM cand c
+                  JOIN sigs sa ON sa.doc_id = c.id1
+                  JOIN sigs sb ON sb.doc_id = c.id2 AND sb.i = sa.i
+                  GROUP BY 1, 2),
+            truth AS (SELECT id1, id2 FROM (${base("d04_ngram_jaccard")})),
+            lab AS (SELECT coalesce(m.mm, 0) AS mm,
+                           CASE WHEN t2.id1 IS NULL THEN 0 ELSE 1 END AS ist
+                    FROM m FULL JOIN truth t2
+                      ON t2.id1 = m.id1 AND t2.id2 = m.id2),
+            th AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS min_matches),
+            agg AS (SELECT th.min_matches,
+                CAST(sum(CASE WHEN mm >= min_matches AND ist = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN mm >= min_matches AND ist = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN mm < min_matches AND ist = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM th, lab GROUP BY 1)
+         SELECT min_matches, tp, fp, fn,
+                CASE WHEN tp + fp > 0 THEN round(
+                  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+                  AS p_precision,
+                CASE WHEN tp + fn > 0 THEN round(
+                  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+                  AS p_recall,
+                CASE WHEN tp + fp > 0 AND tp + fn > 0
+                      AND CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                        + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) > 0.0
+                  THEN round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                    * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                    / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                       + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)), 6) END
+                  AS f1
+         FROM agg ORDER BY min_matches""",
+
     "d32_dedup_effectiveness" ->
       s"""WITH truth AS (${base("d04_ngram_jaccard")}),
             found AS (${base("d11_minhash_portable")}),

@@ -548,6 +548,67 @@ object SparkEntry {
           "doc_id", "text", shingleN = 3, minSim = 0.5, clipChars = 256)
         .orderBy("id1", "id2")),
 
+    "d34_threshold_curve" -> ((s, dir) => {
+      // THRESHOLD TUNING CURVE for the banded MinHash finder (d32
+      // grades ONE operating point; the tuner wants the whole curve
+      // before a 100 TB run): the d11 chain's candidates scored by
+      // raw signature agreement (0-8 matches), full-joined against
+      // the exhaustive d04 truth (so banding misses COUNT as false
+      // negatives at every threshold), then precision/recall/F1 per
+      // min-matches cut — all exact counts, three pinned divisions
+      val sh = Dedup.shingles(T(s, dir, "documents")
+        .filter(col("doc_id") < 500), "doc_id", "text", 3)
+      val sigs = sh
+        .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"),
+          col("shingle"))
+        .groupBy("id", "i")
+        .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle")))))
+          .as("sig"))
+      val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
+        .agg(unhex(md5(concat(
+          min(when(col("i") % 2 === 0, col("sig"))),
+          min(when(col("i") % 2 === 1, col("sig")))))).as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      val m = cand
+        .join(sigs.select(col("id").as("id1"), col("i"), col("sig").as("_g1")),
+          Seq("id1"))
+        .join(sigs.select(col("id").as("id2"), col("i"), col("sig").as("_g2")),
+          Seq("id2", "i"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(sum(when(col("_g1") === col("_g2"), 1L).otherwise(0L))
+          .cast("long").as("_m"))
+      val truth = queries("d04_ngram_jaccard")(s, dir)
+        .select(col("id1"), col("id2"), lit(1L).as("_t"))
+      val lab = m.join(truth, Seq("id1", "id2"), "full")
+        .na.fill(0L, Seq("_m", "_t"))
+      val tp = sum(when(col("_m") >= col("min_matches")
+        && col("_t") === 1L, 1L).otherwise(0L)).cast("long")
+      val fp = sum(when(col("_m") >= col("min_matches")
+        && col("_t") === 0L, 1L).otherwise(0L)).cast("long")
+      val fn = sum(when(col("_m") < col("min_matches")
+        && col("_t") === 1L, 1L).otherwise(0L)).cast("long")
+      val pr = col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")
+      val rc = col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double")
+      lab
+        .select(explode(sequence(lit(1L), lit(8L))).as("min_matches"),
+          col("_m"), col("_t"))
+        .groupBy(col("min_matches"))
+        .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"))
+        .withColumn("p_precision",
+          when(col("tp") + col("fp") > 0L, round(pr, 6)))
+        .withColumn("p_recall",
+          when(col("tp") + col("fn") > 0L, round(rc, 6)))
+        .withColumn("f1", when(col("tp") + col("fp") > 0L
+          && col("tp") + col("fn") > 0L && pr + rc > 0.0,
+          round(lit(2.0) * pr * rc / (pr + rc), 6)))
+        .orderBy("min_matches")
+    }),
+
     "d11_minhash_portable" -> ((s, dir) => {
       // the d02 MinHash+LSH pipeline re-run on an md5 hash family that
       // DuckDB can evaluate too, so the ENTIRE chain — signatures →
