@@ -415,6 +415,38 @@ private[graft] object OraclesS {
                          THEN 1 ELSE -1 END)), 'sum'), 6) AS proj
          FROM sj ORDER BY vec_id, j""",
 
+    "s37_pq_error" ->
+      // the s10 assignment chain verbatim, then the true squared
+      // error to the assigned codeword: terms in pinned i-order
+      // (list_aggregate folds sequentially, matching Spark's
+      // left-assoc reduce), quantized to DECIMAL before the mean
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
+              e AS (SELECT vec_id, embedding AS ev FROM embeddings),
+              sj AS (SELECT vec_id, ev, code, cv, j FROM e
+                     CROSS JOIN cb CROSS JOIN (SELECT unnest(range(8)) AS j)),
+              d AS (SELECT vec_id, j, code, ev, cv,
+                      round(list_aggregate(list_transform(range(8), i ->
+                          CAST(cv[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum')
+                        - 2 * list_aggregate(list_transform(range(8), i ->
+                          CAST(ev[j*8 + i + 1] AS DOUBLE) * CAST(cv[j*8 + i + 1] AS DOUBLE)), 'sum'),
+                        6) AS dist
+                    FROM sj),
+              r AS (SELECT vec_id, j, code, ev, cv, row_number() OVER (
+                      PARTITION BY vec_id, j ORDER BY dist, code) AS rn FROM d),
+              se AS (SELECT j AS sub,
+                       CAST(round(list_aggregate(list_transform(range(8), i ->
+                           (CAST(ev[j*8 + i + 1] AS DOUBLE)
+                              - CAST(cv[j*8 + i + 1] AS DOUBLE))
+                           * (CAST(ev[j*8 + i + 1] AS DOUBLE)
+                              - CAST(cv[j*8 + i + 1] AS DOUBLE))), 'sum'), 6)
+                         AS DECIMAL(24,8)) AS sev
+                     FROM r WHERE rn = 1)
+         SELECT CAST(sub AS BIGINT) AS sub,
+                CAST(count(*) AS BIGINT) AS n_vectors,
+                round(CAST(sum(sev) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS mse
+         FROM se GROUP BY 1 ORDER BY sub""",
+
     "s10_pq" ->
       """WITH cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16),
               e AS (SELECT vec_id, embedding AS ev FROM embeddings),

@@ -1279,6 +1279,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_toks"), col("_wkey").as("wkey"))
         .orderBy("doc_id")),
 
+    "s37_pq_error" -> ((s, dir) => {
+      // PQ RECONSTRUCTION-ERROR report (the pre-commit check for a PQ
+      // index: how much geometry does each subspace's codebook throw
+      // away?): per (vector, subspace) the true squared error to the
+      // assigned codeword — terms sum in pinned i-order (both engines
+      // fold sequentially), quantize to DECIMAL (the q53 rule), and
+      // the per-subspace mean is one division; reuses the s10 code
+      // assignment verbatim
+      val emb = T(s, dir, "embeddings")
+      val codes = queries("s10_pq")(s, dir)
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("embedding").as("_cv"))
+      val ev = emb.select(col("vec_id"), col("embedding").as("_ev"))
+      val se = (0 until 8).map { i =>
+        val pos = (col("sub") * 8 + lit(i) + lit(1)).cast("int")
+        val d = element_at(col("_ev"), pos).cast("double") -
+          element_at(col("_cv"), pos).cast("double")
+        d * d
+      }.reduceLeft(_ + _)
+      codes.join(ev, Seq("vec_id")).join(broadcast(cb), Seq("code"))
+        .withColumn("_se", round(se, 6).cast("decimal(24,8)"))
+        .groupBy(col("sub"))
+        .agg(cnt.as("n_vectors"),
+          round(sum(col("_se")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mse"))
+        .orderBy("sub")
+    }),
+
     "s10_pq" -> ((s, dir) => {
       // product quantization m=8 over 64 dims — 8 codes per vector,
       // the IVF-PQ storage layout; codebook = the 16 lowest-id
