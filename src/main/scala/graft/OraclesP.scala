@@ -309,6 +309,24 @@ private[graft] object OraclesP {
                    FROM nn)
          SELECT doc_id, n_bpe FROM cc WHERE cum <= 80000 ORDER BY doc_id"""),
 
+    "p24_cap_sweep" ->
+      // same t03 whitespace token convention; integer sums, one
+      // pinned division per cap
+      """WITH n AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                      END AS BIGINT) AS nt
+                    FROM documents),
+            c AS (SELECT CAST(unnest([32, 128, 256, 512, 1024]) AS BIGINT)
+                    AS cap)
+         SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN nt > cap THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_truncated,
+                CAST(sum(greatest(nt - cap, 0)) AS BIGINT) AS tokens_lost,
+                CAST(sum(cap - least(nt, cap)) AS BIGINT) AS pad_tokens,
+                round(CAST(sum(least(nt, cap)) AS DOUBLE)
+                  / CAST(count(*) * cap AS DOUBLE), 6) AS utilization
+         FROM c, n GROUP BY 1 ORDER BY cap""",
+
     "p23_length_batches" ->
       // plain per-bucket rank window single-node; the Spark side is
       // the distributed prefix count

@@ -2916,6 +2916,33 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    "p24_cap_sweep" -> ((s, dir) => {
+      // SEQUENCE-CAP tuning sweep (the d34-style curve for packing:
+      // which max_seq_len to commit before a 100 TB tokenization
+      // run?): for each candidate cap, exact truncation losses and
+      // pad waste under the per-doc layout (p23's single-cap world)
+      // plus utilization — one token-count scan exploded over the
+      // bounded cap list, all integer sums, one pinned division
+      val caps = Seq(32L, 128L, 256L, 512L, 1024L)
+      val toks = T(s, dir, "documents")
+        .select(functions.TextFunctions.tokenCountWs(col("text"))
+          .cast("long").as("_n"))
+      toks
+        .select(explode(typedlit(caps)).as("cap"), col("_n"))
+        .groupBy(col("cap"))
+        .agg(cnt.as("n_docs"),
+          sum(when(col("_n") > col("cap"), 1L).otherwise(0L)).cast("long")
+            .as("n_truncated"),
+          sum(greatest(col("_n") - col("cap"), lit(0L))).cast("long")
+            .as("tokens_lost"),
+          sum(col("cap") - least(col("_n"), col("cap"))).cast("long")
+            .as("pad_tokens"),
+          round(sum(least(col("_n"), col("cap"))).cast("double")
+            / (count(lit(1)) * col("cap")).cast("double"), 6)
+            .as("utilization"))
+        .orderBy("cap")
+    }),
+
     "p23_length_batches" -> ((s, dir) =>
       // pad-efficiency dynamic batching: docs bucket to the smallest
       // power-of-two cap holding them, md5-shuffled within the
