@@ -48,8 +48,12 @@ object Stats {
       s"$op: ${keys.size} keys; need 2..$maxKeys (keys are the " +
         "monitored population — raise maxKeys only with a bound in hand)")
     val idx = keys.indices
+    // null values dropped on BOTH sides: Spark range-sorts nulls
+    // first while DuckDB windows order them last — admitting them
+    // would silently diverge the ECDFs on dirty data
     val hist = df
       .select(col(keyCol).cast("string").as("_k"), col(xCol).as("_x"))
+      .where(col("_x").isNotNull)
       .groupBy(col("_x"))
       .agg(sum(when(col("_k") === keys.head, 1L).otherwise(0L)).as("_c0"),
         idx.tail.map(i =>
@@ -135,6 +139,7 @@ object Stats {
     val base = df.select(col(keyCol).cast("string").as("_k"),
       col(xCol).cast("double").as("_x"),
       col(wCol).cast("decimal(18,6)").as("_w"))
+      .where(col("_x").isNotNull && col("_w").isNotNull)
     val ranged = Caching.sealOver(
       base.repartitionByRange(col("_k"), col("_x"))
         .withColumn("_pid", spark_partition_id()))
@@ -182,6 +187,7 @@ object Stats {
   def lorenzGini(df: DataFrame, idCol: String, xCol: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("_id"),
       col(xCol).cast("decimal(18,6)").as("_x"))
+      .where(col("_x").isNotNull && col("_id").isNotNull)
     val ranged = Caching.sealOver(
       base.repartitionByRange(col("_x"), col("_id"))
         .withColumn("_pid", spark_partition_id()))
@@ -355,7 +361,8 @@ object Stats {
     }.mkString("\n              UNION ALL ")
     s"""WITH h AS (SELECT $xCol AS x,
                 $hCols
-              FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1),
+              FROM $table WHERE $keyCol IS NOT NULL AND $xCol IS NOT NULL
+              GROUP BY 1),
             f AS (SELECT x, $fCols FROM h),
             t AS (SELECT $tCols FROM h),
             d AS (SELECT $dCols FROM f)
@@ -395,7 +402,8 @@ object Stats {
     }.mkString("\n              UNION ALL ")
     s"""WITH h AS (SELECT $xCol AS x,
                 $hCols
-              FROM $table WHERE $keyCol IS NOT NULL GROUP BY 1),
+              FROM $table WHERE $keyCol IS NOT NULL AND $xCol IS NOT NULL
+              GROUP BY 1),
             f AS (SELECT x, $fCols FROM h),
             t AS (SELECT $tCols FROM h),
             d AS (SELECT $dCols FROM f, t)
