@@ -235,6 +235,29 @@ private[graft] object OraclesQ {
          FROM c WHERE cum * 2 >= tot
          GROUP BY 1 ORDER BY l_returnflag""",
 
+    "q63_abc_analysis" ->
+      // same exact integer-scaled cuts (cum*5 <= T*4, cum*20 <= T*19)
+      """WITH rev AS (SELECT l_partkey,
+                        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,6)) AS x
+                      FROM lineitem GROUP BY 1),
+            c AS (SELECT l_partkey, x,
+                    sum(x) OVER (ORDER BY x DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    sum(x) OVER () AS t
+                  FROM rev),
+            k AS (SELECT x, t,
+                    CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                         WHEN cum * 20 <= t * 19 THEN 'B'
+                         ELSE 'C' END AS abc_class
+                  FROM c)
+         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_items,
+                round(CAST(sum(x) AS DOUBLE), 6) AS value,
+                round(CAST(sum(x) AS DOUBLE) / CAST(max(t) AS DOUBLE), 6)
+                  AS value_share
+         FROM k GROUP BY 1 ORDER BY abc_class""",
+
     "q56_topk_others" ->
       """WITH rev AS (SELECT n_name, s_suppkey,
                         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev

@@ -2241,6 +2241,15 @@ object SparkEntry {
       operators.Stats.weightedMedian(T(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    "q63_abc_analysis" -> ((s, dir) =>
+      // which parts make up the first 80% of revenue: exact
+      // integer-scaled class cuts over the distributed DESC rank
+      operators.Stats.abcAnalysis(
+        T(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev")),
+        "l_partkey", "rev")),
+
     "q56_topk_others" -> ((s, dir) => {
       // the dashboard classic q04's plain top-k misses: top-3
       // suppliers per nation PLUS an "(other)" bucket so the report

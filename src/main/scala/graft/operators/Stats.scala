@@ -165,6 +165,53 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** ABC ANALYSIS (the inventory-management classic beside q55's
+    * Lorenz view: WHICH items make up the first 80% of value): items
+    * rank by value DESC, class A while cumulative value ≤ 80% of the
+    * total, B to 95%, C beyond — and the cuts are EXACT integer-
+    * scaled decimal compares (cum·5 ≤ T·4, cum·20 ≤ T·19), never a
+    * float threshold, so the classification is engine-neutral by
+    * construction.
+    *
+    * Ranks come from the packSequences distributed prefix on the
+    * DESCENDING value axis (range-partition on (−value-order, id) via
+    * a desc sort column — no global window); (value, id) ties order
+    * deterministically. Output: one row per class with exact counts,
+    * DECIMAL value, and the share (one pinned division).
+    */
+  def abcAnalysis(df: DataFrame, idCol: String, xCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      col(xCol).cast("decimal(18,6)").as("_x"))
+      .where(col("_x").isNotNull && col("_id").isNotNull)
+    val ranged = Caching.sealOver(
+      base.repartitionByRange(col("_x").desc, col("_id"))
+        .withColumn("_pid", spark_partition_id()))
+    val local = ranged.withColumn("_lc",
+      sum(col("_x")).over(Window.partitionBy("_pid")
+        .orderBy(col("_x").desc, col("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = ranged.groupBy(col("_pid")).agg(sum(col("_x")).as("_pw"))
+      .withColumn("_off", coalesce(
+        sum(col("_pw")).over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+      .select(col("_pid"), col("_off"))
+    val totals = ranged.agg(sum(col("_x")).as("_t"))
+    local.join(broadcast(offs), Seq("_pid"))
+      .withColumn("_cum", col("_lc") + col("_off"))
+      .crossJoin(broadcast(totals))
+      .withColumn("abc_class",
+        when(col("_cum") * lit(5) <= col("_t") * lit(4), "A")
+          .when(col("_cum") * lit(20) <= col("_t") * lit(19), "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("_x")).cast("double"), 6).as("value"),
+        round(sum(col("_x")).cast("double")
+          / max(col("_t")).cast("double"), 6).as("value_share"))
+      .orderBy("abc_class")
+  }
+
   /** LORENZ CURVE + exact GINI coefficient (the concentration view
     * beside q35's Pareto top-share: HOW unequal is the whole
     * distribution, not just the head): Gini = 2·Σ(rank·x)/(n·Σx)

@@ -135,6 +135,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q63: the DESC value ranks are pid-partitioned, no global value window") {
+    val p = SparkEntry.queries("q63_abc_analysis")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(_pid"), p.take(1500))
+    assert(!p.contains("windowspecdefinition(_x"), p.take(1500))
+  }
+
   test("q62: the first-week join is user-keyed on the deduped activity frame") {
     val p = SparkEntry.queries("q62_new_vs_returning")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
