@@ -235,6 +235,34 @@ private[graft] object OraclesQ {
          FROM c WHERE cum * 2 >= tot
          GROUP BY 1 ORDER BY l_returnflag""",
 
+    "q64_spearman" ->
+      // doubled average rank = 2*min_rank + tie_count - 1 (exact
+      // integers); same DECIMAL moment folds and q43 parenthesization
+      """WITH b AS (SELECT l_returnflag AS k,
+                      CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL),
+            r AS (SELECT k,
+                    2 * rank() OVER (PARTITION BY k ORDER BY x)
+                      + count(*) OVER (PARTITION BY k, x) - 1 AS dx,
+                    2 * rank() OVER (PARTITION BY k ORDER BY y)
+                      + count(*) OVER (PARTITION BY k, y) - 1 AS dy
+                  FROM b),
+            g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+                    CAST(sum(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+                    CAST(sum(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+                    CAST(sum(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS sbb,
+                    CAST(sum(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sab
+                  FROM r GROUP BY 1)
+         SELECT k AS l_returnflag, n,
+                round((CAST(n AS DOUBLE) * sab - sa * sb)
+                  / (sqrt(CAST(n AS DOUBLE) * saa - sa * sa)
+                     * sqrt(CAST(n AS DOUBLE) * sbb - sb * sb)), 6) AS rho
+         FROM g ORDER BY l_returnflag""",
+
     "q63_abc_analysis" ->
       // same exact integer-scaled cuts (cum*5 <= T*4, cum*20 <= T*19)
       """WITH rev AS (SELECT l_partkey,

@@ -2241,6 +2241,15 @@ object SparkEntry {
       operators.Stats.weightedMedian(T(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    "q64_spearman" -> ((s, dir) =>
+      // monotone association q43's Pearson misreads under heavy
+      // tails: Spearman rho of quantity vs price per returnflag —
+      // doubled average ranks (exact integers under ties) off the
+      // distributed prefix, moments as exact DECIMAL folds, one
+      // pinned IEEE chain
+      operators.Stats.spearman(T(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
     "q63_abc_analysis" -> ((s, dir) =>
       // which parts make up the first 80% of revenue: exact
       // integer-scaled class cuts over the distributed DESC rank

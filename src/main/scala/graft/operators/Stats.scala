@@ -456,4 +456,73 @@ object Stats {
             d AS (SELECT $dCols FROM f, t)
          SELECT * FROM ($rows) ORDER BY key_a, key_b"""
   }
+
+  /** SPEARMAN rank correlation per group (the monotone-association
+    * question q43's Pearson gets wrong under heavy tails or a curved
+    * relationship: rank first, THEN correlate). Ties take the
+    * standard AVERAGE rank — kept exact by folding DOUBLED ranks
+    * (2·avg_rank = 2·cntLess + cntEq + 1, always an integer; the q52
+    * doubled-unit discipline), so every moment sum is an exact
+    * DECIMAL fold and ρ derives in q43's one fixed IEEE
+    * parenthesization — Pearson over doubled ranks, the doubling
+    * cancelling in the ratio.
+    *
+    * Shape at scale — NO per-group row window anywhere: each
+    * variable's doubled rank computes at VALUE GRAIN ((key, v) →
+    * count) with the packSequences distributed prefix (per-range-
+    * partition cumsum + offset frame), then the row stream picks up
+    * (dx, dy) via two m:1 value-grain joins. The rank maps shrink by
+    * the duplication factor; the joins shuffle on (key, value), never
+    * collide a whole group into one task; the moment fold is one
+    * aggregate with map-side combine.
+    */
+  def spearman(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).cast("string").as("_k"),
+        col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+      .where(col("_k").isNotNull && col("_x").isNotNull && col("_y").isNotNull)
+
+    // doubled average rank per (key, value): 2·F(v) − c(v) + 1 with F
+    // the inclusive cumulative count off the distributed prefix
+    def rankMap(vc: String): DataFrame = {
+      val hist = base.groupBy(col("_k"), col(vc).as("_v"))
+        .agg(count(lit(1)).as("_c"))
+      val ranged = Caching.sealOver(
+        hist.repartitionByRange(col("_k"), col("_v"))
+          .withColumn("_pid", spark_partition_id()))
+      val local = ranged.withColumn("_lc",
+        sum(col("_c")).over(Window.partitionBy("_pid", "_k").orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val offs = ranged.groupBy(col("_pid"), col("_k"))
+        .agg(sum(col("_c")).as("_pc"))
+        .withColumn("_off", coalesce(
+          sum(col("_pc")).over(Window.partitionBy("_k").orderBy("_pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("_pid"), col("_k"), col("_off"))
+      local.join(offs, Seq("_pid", "_k"))
+        .select(col("_k"), col("_v"),
+          (lit(2L) * (col("_lc") + col("_off")) - col("_c") + lit(1L))
+            .as("_dr"))
+    }
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = base
+      .join(rankMap("_x").select(col("_k"), col("_v").as("_x"),
+        col("_dr").as("_dx")), Seq("_k", "_x"))
+      .join(rankMap("_y").select(col("_k"), col("_v").as("_y"),
+        col("_dr").as("_dy")), Seq("_k", "_y"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("_dx"))).cast("double").as("_sa"),
+        sum(dec(col("_dy"))).cast("double").as("_sb"),
+        sum(dec(col("_dx") * col("_dx"))).cast("double").as("_saa"),
+        sum(dec(col("_dy") * col("_dy"))).cast("double").as("_sbb"),
+        sum(dec(col("_dx") * col("_dy"))).cast("double").as("_sab"))
+    val nD = col("n").cast("double")
+    g.select(col("_k").as(keyCol), col("n"),
+        round((nD * col("_sab") - col("_sa") * col("_sb")) /
+          (sqrt(nD * col("_saa") - col("_sa") * col("_sa")) *
+            sqrt(nD * col("_sbb") - col("_sb") * col("_sb"))), 6)
+          .as("rho"))
+      .orderBy(keyCol)
+  }
 }

@@ -181,6 +181,17 @@ class PlanSpec extends SparkSpec {
         + p.take(1500))
   }
 
+  test("q64: rank maps are pid-partitioned value-grain frames, no per-key row window") {
+    val p = SparkEntry.queries("q64_spearman")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("windowspecdefinition(_pid"),
+      "the packSequences prefix discipline: " + p.take(1500))
+    assert(!p.contains("windowspecdefinition(_k, _x")
+      && !p.contains("windowspecdefinition(_k, _y"),
+      "a per-key value window would put each group's corpus slice in one task: "
+        + p.take(1500))
+  }
+
   test("q56: dims broadcast; the rank window runs on the supplier aggregate") {
     val p = SparkEntry.queries("q56_topk_others")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
