@@ -235,6 +235,34 @@ private[graft] object OraclesQ {
          FROM c WHERE cum * 2 >= tot
          GROUP BY 1 ORDER BY l_returnflag""",
 
+    "q65_histogram" ->
+      // same integer-quantized bin rule ((xi-lo)*B // (hi-lo), clamp
+      // B-1) and the same pinned edge-render chain over exact ints
+      """WITH xi AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS xi
+                     FROM orders WHERE o_totalprice IS NOT NULL),
+            mm AS (SELECT min(xi) AS lo, max(xi) AS hi,
+                     CAST(count(*) AS BIGINT) AS nt FROM xi),
+            b AS (SELECT CASE WHEN hi = lo THEN 0
+                              ELSE least(19, ((xi - lo) * 20) // (hi - lo))
+                         END AS bin
+                  FROM xi, mm),
+            c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1),
+            ax AS (SELECT unnest(range(20)) AS bin)
+         SELECT CAST(ax.bin AS BIGINT) AS bin,
+                round((CAST(mm.lo AS DOUBLE) + CAST(ax.bin AS DOUBLE)
+                  * (CAST(mm.hi AS DOUBLE) - CAST(mm.lo AS DOUBLE)) / 20.0)
+                  / 100.0, 6) AS lo_edge,
+                round((CAST(mm.lo AS DOUBLE) + CAST(ax.bin + 1 AS DOUBLE)
+                  * (CAST(mm.hi AS DOUBLE) - CAST(mm.lo AS DOUBLE)) / 20.0)
+                  / 100.0, 6) AS hi_edge,
+                CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                  / CAST(mm.nt AS DOUBLE), 6) AS share
+         FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
+         ORDER BY bin""",
+
     "q64_spearman" ->
       // doubled average rank = 2*min_rank + tie_count - 1 (exact
       // integers); same DECIMAL moment folds and q43 parenthesization

@@ -2241,6 +2241,13 @@ object SparkEntry {
       operators.Stats.weightedMedian(T(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice", "l_quantity")),
 
+    "q65_histogram" -> ((s, dir) =>
+      // exact equi-width histogram of order value (q48's shape
+      // companion): integer-quantized bin assignment (no IEEE
+      // boundary drift), empty bins materialize as 0-count rows
+      operators.Profile.histogram(T(s, dir, "orders"),
+        "o_totalprice", bins = 20)),
+
     "q64_spearman" -> ((s, dir) =>
       // monotone association q43's Pearson misreads under heavy
       // tails: Spearman rho of quantity vs price per returnflag —

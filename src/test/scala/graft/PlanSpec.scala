@@ -192,6 +192,14 @@ class PlanSpec extends SparkSpec {
         + p.take(1500))
   }
 
+  test("q65: histogram is two aggregates + broadcast 1-row frames, no window") {
+    val p = SparkEntry.queries("q65_histogram")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"), "histogram must not plan a window: " + p)
+    assert(!p.contains("SortMergeJoin"),
+      "the min/max frame and bin counts must broadcast: " + p)
+  }
+
   test("q56: dims broadcast; the rank window runs on the supplier aggregate") {
     val p = SparkEntry.queries("q56_topk_others")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
