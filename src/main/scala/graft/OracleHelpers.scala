@@ -937,6 +937,43 @@ private[graft] object OracleHelpers {
     }.mkString(",\n         ")
   }
 
+  /** The r39 Holt oracle: the SAME integer filter coefficients as the
+    * op (both sides call [[operators.Windows.holtCoeffs]]), folded as
+    * DECIMAL over the trailing-window self-join, one IEEE division by
+    * the power-of-two denominator.
+    */
+  def holtOracleSql(window: Int): String = {
+    val (lc, bc, s) = operators.Windows.holtCoeffs(window)
+    val den = java.math.BigDecimal.valueOf(math.pow(2.0, s)).toPlainString
+    val fCase = s"CASE CAST(a.hr - b.hr AS INTEGER) " + (1 to window).map(d =>
+      s"WHEN $d THEN CAST(${lc(window - d) + bc(window - d)} AS BIGINT)")
+      .mkString(" ") + " END"
+    val bCase = s"CASE CAST(a.hr - b.hr AS INTEGER) " + (1 to window).map(d =>
+      s"WHEN $d THEN CAST(${bc(window - d)} AS BIGINT)")
+      .mkString(" ") + " END"
+    s"""WITH h AS (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+              m AS (SELECT key, min(hr) AS h0 FROM h GROUP BY 1),
+              j AS (SELECT a.key, a.hr, a.c,
+                      sum(CAST(b.c * ($fCase) AS DECIMAL(38,0))) AS num,
+                      sum(CAST(b.c * ($bCase) AS DECIMAL(38,0))) AS bnum
+                    FROM h a JOIN h b
+                      ON b.key = a.key AND b.hr BETWEEN a.hr - $window AND a.hr - 1
+                    GROUP BY 1, 2, 3),
+              f AS (SELECT j.key, hr, c, CAST(num AS DOUBLE) / $den AS fc,
+                           CAST(bnum AS DOUBLE) / $den AS sl
+                    FROM j JOIN m ON m.key = j.key
+                    WHERE j.hr >= m.h0 + $window)
+         SELECT key AS event_type, hr * 3600 AS hr_start,
+                CAST(c AS BIGINT) AS n_events,
+                round(fc, 6) AS holt_forecast,
+                round(sl, 6) AS holt_slope,
+                (fc > 0.0 AND CAST(c AS DOUBLE) >= 3.0 * fc) AS is_spike,
+                (fc > 0.0 AND CAST(c AS DOUBLE) <= fc / 3.0) AS is_drop
+         FROM f ORDER BY event_type, hr_start"""
+  }
+
   def pageRankOracle(d: String, iters: Int): String = {
     val one = "CAST(1 AS DOUBLE)"
     val nD = "CAST(nn.n AS DOUBLE)"

@@ -661,6 +661,8 @@ private[graft] object OraclesR {
                 (coalesce(abs(zs) >= 3.0, false) OR zs IS NULL) AS is_anomaly
          FROM z ORDER BY template, hr_start""",
 
+    "r39_holt_forecast" -> OracleHelpers.holtOracleSql(window = 16),
+
     "r20_ewma_forecast" ->
       // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as
       // exact integers, then perform the SAME single IEEE division

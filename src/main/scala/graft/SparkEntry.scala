@@ -1814,6 +1814,14 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r39_holt_forecast" -> ((s, dir) =>
+      // trend-aware upgrade of r20: Holt's level+trend forecast as an
+      // exact finite dyadic filter (no recurrence, no pow()), absent
+      // hours zero-filled for free by the dot product
+      Windows.holtForecast(T(s, dir, "events"), "ts", "event_type")
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hr_start")),
+
     "r24_rare_transitions" -> ((s, dir) =>
       // rare template-transition mining: per-user event lines mask to
       // r18 skeletons, adjacent skeletons form transitions, and a

@@ -715,6 +715,108 @@ object Windows {
     Caching.sealOver(out, hourly)
   }
 
+  /** Exact dyadic HOLT filter coefficients: with α = β = 1/2 and the
+    * pinned init (l₀ = y₀, b₀ = 0), `window` recurrence steps of
+    * Holt's linear-trend smoothing — lₜ = (yₜ + lₜ₋₁ + bₜ₋₁)/2,
+    * bₜ = (lₜ − lₜ₋₁ + bₜ₋₁)/2 — collapse to a FINITE LINEAR FILTER
+    * over the trailing `window` points whose coefficients are exact
+    * dyadic rationals. Returned as integer numerators over the common
+    * denominator 2^shift (shift = 2·(window−1)): (levelCoeffs,
+    * trendCoeffs, shift), oldest point first. Level weights sum to
+    * 2^shift (a constant series forecasts itself), trend weights to
+    * 0. Shared by the operator and the oracle generator so both
+    * engines fold the IDENTICAL integer literals.
+    */
+  def holtCoeffs(window: Int): (Array[BigInt], Array[BigInt], Int) = {
+    require(window >= 2 && window <= 24,
+      s"holtCoeffs: window=$window not in [2, 24] (coefficients are " +
+        "2^(2·window−2)-scaled longs)")
+    var s = 0
+    var l = Array.fill(window)(BigInt(0)); l(0) = BigInt(1)
+    var b = Array.fill(window)(BigInt(0))
+    for (t <- 1 until window) {
+      val yD = BigInt(1) << s
+      // lₜ over 2^(s+1), then both rescale to the common 2^(s+2)
+      val l1 = Array.tabulate(window)(i =>
+        (if (i == t) yD else BigInt(0)) + l(i) + b(i))
+      val b2 = Array.tabulate(window)(i => l1(i) - 2 * l(i) + 2 * b(i))
+      l = l1.map(_ * 2); b = b2; s += 2
+    }
+    (l, b, s)
+  }
+
+  /** HOLT linear-trend forecast (the rung r20's EWMA misses: a
+    * steadily RAMPING rate is always above a level-only forecast, so
+    * r20 either false-alarms on growth or, tuned not to, misses real
+    * spikes on top of it — Holt carries an explicit trend term).
+    * Forecast = level + trend off the trailing `window` hourly
+    * counts; hours flag when `spikeFactor`× above a positive
+    * forecast (spike) or below 1/spikeFactor of it (drop).
+    *
+    * Cross-engine exactness with NO smoothing recurrence: the
+    * recurrence is precomputed into [[holtCoeffs]]' exact dyadic
+    * filter, so each scored hour is two plain integer dot products
+    * (terms fit longs up to ~2^32 events/hour; sums fold as DECIMAL)
+    * and ONE IEEE division by the power-of-two denominator —
+    * identical bits in both engines, no pow(), no sequential state.
+    *
+    * An ABSENT trailing hour is a ZERO count, not missing data (this
+    * is a rate series) — and a zero contributes nothing to a dot
+    * product, so the join over PRESENT hours already computes the
+    * zero-filled filter exactly; nothing materializes. Scoring
+    * requires the key's history to span the window (hr ≥ first hr +
+    * window), so the filter never reads implicit zeros from before
+    * the key existed, and a scored hour needs ≥1 present trailing
+    * hour (inner join; an all-zero window forecasts 0 and flags
+    * nothing anyway).
+    *
+    * Shape at scale: the r16/r20 contract — events aggregate ONCE to
+    * the (key, hour) histogram; the trailing window is a self-join of
+    * that histogram bounded at `window` rows per scored hour.
+    */
+  def holtForecast(df: DataFrame, ts: String, keyCol: String,
+                   window: Int = 16, spikeFactor: Double = 3.0): DataFrame = {
+    require(spikeFactor > 1.0, s"holtForecast: spikeFactor=$spikeFactor > 1")
+    val (lc, bc, s) = holtCoeffs(window)
+    val den = math.pow(2.0, s)
+    val fcArr = array((0 until window).map(i => lit((lc(i) + bc(i)).toLong)): _*)
+    val bcArr = array(bc.map(c => lit(c.toLong)).toSeq: _*)
+    val hourly = df
+      .select(col(keyCol).as("key"),
+        expr(s"unix_timestamp(`$ts`) div 3600").as("_hr"))
+      .groupBy(col("key"), col("_hr")).agg(count(lit(1)).as("_c"))
+      .persist()
+    val b = hourly.select(col("key").as("_bkey"), col("_hr").as("_bhr"),
+      col("_c").as("_bc"))
+    // lag d = hr − bhr ∈ [1, window] ⇒ series index window − d
+    // (oldest first); element_at is 1-based
+    val idx = (lit(window + 1) - (col("_hr") - col("_bhr"))).cast("int")
+    val f = col("_num").cast("double") / lit(den)
+    val sl = col("_bnum").cast("double") / lit(den)
+    val keyStart = hourly.groupBy(col("key")).agg(min(col("_hr")).as("_h0"))
+    val out = hourly.join(b,
+        col("_bkey") === col("key") &&
+          col("_bhr") >= col("_hr") - window &&
+          col("_bhr") <= col("_hr") - 1)
+      .groupBy(col("key"), col("_hr"), col("_c"))
+      .agg(sum((col("_bc") * element_at(fcArr, idx)).cast("decimal(38,0)"))
+          .as("_num"),
+        sum((col("_bc") * element_at(bcArr, idx)).cast("decimal(38,0)"))
+          .as("_bnum"))
+      .join(broadcast(keyStart), Seq("key"))
+      .filter(col("_hr") >= col("_h0") + window)
+      .select(col("key"),
+        (col("_hr") * 3600L).as("hr_start"),
+        col("_c").cast("long").as("n_events"),
+        round(f, 6).as("holt_forecast"),
+        round(sl, 6).as("holt_slope"),
+        (f > 0.0 && col("_c").cast("double") >= lit(spikeFactor) * f)
+          .as("is_spike"),
+        (f > 0.0 && col("_c").cast("double") <= f / lit(spikeFactor))
+          .as("is_drop"))
+    Caching.sealOver(out, hourly)
+  }
+
   /** MAD / Hampel ROBUST outlier detection (the rung r16's mean-based
     * z misses: ONE massive spike inflates the trailing mean AND
     * stddev enough to hide itself and mask real anomalies — median

@@ -312,6 +312,16 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
   }
 
+  test("r39: the Holt filter runs at hour grain off the cached histogram, no window") {
+    val p = SparkEntry.queries("r39_holt_forecast")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // sealed output is a checkpoint scan; the shape check is that the
+    // plan stays window-free (the filter IS a join+aggregate) — the
+    // hour-grain/caching discipline is pinned by r20/r35's shared
+    // hourly-histogram machinery
+    assert(!p.contains("Window"), "the dyadic filter must not plan a window: " + p)
+  }
+
   test("r35: one event-grain histogram; stat frames broadcast onto the cached hourly") {
     // the sealed public op is a checkpoint scan (d33 precedent), so
     // pin the UNSEALED core; the persisted hourly shows as
