@@ -937,6 +937,50 @@ private[graft] object OracleHelpers {
     }.mkString(",\n         ")
   }
 
+  /** The t45 TextRank oracle: tokenize → top-`vocab` dictionary →
+    * adjacent-pair edges symmetrized → the SAME PageRank iteration
+    * CTE chain as q38 ([[pageRankIterCtes]]) → top-`topK` cut with
+    * the op's (rank DESC, token) total order.
+    */
+  def textrankOracle(d: String, iters: Int, vocab: Int,
+                     topK: Int): String = {
+    val iterCtes = pageRankIterCtes(d, iters)
+    s"""WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                      t -> len(t) > 0) AS toks FROM documents),
+         alltok AS (SELECT unnest(toks) AS tok FROM tk),
+         freq AS (SELECT tok, count(*) AS f FROM alltok GROUP BY 1),
+         dict AS (SELECT tok, CAST(row_number()
+                    OVER (ORDER BY f DESC, tok) AS BIGINT) - 1 AS nid
+                  FROM freq ORDER BY f DESC, tok LIMIT $vocab),
+         pairs AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                   FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)
+                   WHERE len(toks) >= 2),
+         e0 AS (SELECT d1.nid AS src, d2.nid AS dst FROM pairs
+                JOIN dict d1 ON d1.tok = pairs.w1
+                JOIN dict d2 ON d2.tok = pairs.w2
+                WHERE d1.nid <> d2.nid),
+         e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM
+               (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0) GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT nid AS id
+                FROM (SELECT src AS nid FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         sh AS (SELECT src, dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS sh
+                FROM e JOIN ow USING (src)),
+         dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+         r0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+                FROM nodes CROSS JOIN nn),
+         $iterCtes,
+         ranked AS (SELECT dict.tok, round(r.rank, 9) AS score
+                    FROM r$iters r JOIN dict ON dict.nid = r.id),
+         top AS (SELECT CAST(row_number()
+                   OVER (ORDER BY score DESC, tok) AS BIGINT) AS pos,
+                   tok, score FROM ranked)
+     SELECT pos, tok AS token, score FROM top
+     WHERE pos <= $topK ORDER BY pos"""
+  }
+
   /** The r39 Holt oracle: the SAME integer filter coefficients as the
     * op (both sides call [[operators.Windows.holtCoeffs]]), folded as
     * DECIMAL over the trailing-window self-join, one IEEE division by

@@ -735,6 +735,9 @@ private[graft] object OraclesT {
                     FROM pairs GROUP BY 1)
          SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""",
 
+    "t45_textrank" ->
+      textrankOracle(d = "0.85", iters = 3, vocab = 500, topK = 20),
+
     "t24_zipf" ->
       """WITH tk AS (SELECT tok FROM (
                 SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok

@@ -3480,6 +3480,12 @@ object SparkEntry {
       TextStats.corpusDivergence(T(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    "t45_textrank" -> ((s, dir) =>
+      // corpus keywords via PageRank on the word co-occurrence graph
+      // (TextRank): row-local pair extraction, broadcast vocab maps,
+      // q38's DECIMAL-exact iterations on the bounded graph
+      TextStats.textrank(T(s, dir, "documents"), "text")),
+
     "t24_zipf" -> ((s, dir) =>
       // power-law exponent of the top-500 vocabulary: one-number
       // corpus health check; everything after the TakeOrdered runs

@@ -1330,4 +1330,56 @@ object TextStats {
     ids.join(perDoc, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
+
+  /** TEXTRANK keyword extraction (Mihalcea & Tarau 2004: PageRank
+    * over the word co-occurrence graph — the corpus-level "what is
+    * this corpus about" beside t38's per-doc TF-IDF terms): adjacent
+    * token pairs (window 1) between top-`vocab` tokens form a
+    * symmetrized weighted graph, [[Graph.pageRank]] scores it with
+    * the q38 DECIMAL-exact iteration arithmetic, and the top-`topK`
+    * tokens by rank are the keywords.
+    *
+    * The vocabulary cap bounds the GRAPH (≤vocab nodes, ≤vocab²
+    * edges), not the scan: pair extraction is row-local (the token
+    * array zipped with its own tail — no explode-then-self-join, no
+    * per-doc window), the vocab maps broadcast onto the pair stream,
+    * and the iterations run on the tiny graph. Ties are total-ordered
+    * everywhere (freq DESC then token for vocab ids; rank DESC then
+    * token for the final cut), so the keyword list is engine-neutral.
+    */
+  def textrank(df: DataFrame, textCol: String, vocab: Int = 500,
+               topK: Int = 20, damping: Double = 0.85,
+               iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val pairs = df.select(toks.as("_t")).filter(size(col("_t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("_p.w1").as("_w1"), col("_p.w2").as("_w2"))
+    val vocabDf = df.select(explode(toks).as("_tok"))
+      .groupBy(col("_tok")).agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("_tok")).limit(vocab)
+      .withColumn("_nid", row_number()
+        .over(Window.orderBy(col("_f").desc, col("_tok"))).cast("long") - 1L)
+    val e0 = pairs
+      .join(broadcast(vocabDf.select(col("_tok").as("_w1"),
+        col("_nid").as("_src"))), Seq("_w1"))
+      .join(broadcast(vocabDf.select(col("_tok").as("_w2"),
+        col("_nid").as("_dst"))), Seq("_w2"))
+      .filter(col("_src") =!= col("_dst"))
+      .select(col("_src"), col("_dst"))
+    val sym = e0.unionByName(
+        e0.select(col("_dst").as("_src"), col("_src").as("_dst")))
+      .groupBy(col("_src"), col("_dst")).agg(count(lit(1)).as("_w"))
+    Graph.pageRank(sym, "_src", "_dst", "_w", damping, iters)
+      .join(broadcast(vocabDf.select(col("_nid").as("id"), col("_tok"))),
+        Seq("id"))
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("rank").desc, col("_tok"))).cast("long"))
+      .filter(col("pos") <= topK)
+      .select(col("pos"), col("_tok").as("token"), col("rank").as("score"))
+      .orderBy("pos")
+  }
 }
