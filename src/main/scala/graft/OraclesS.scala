@@ -523,6 +523,36 @@ private[graft] object OraclesS {
          LEFT JOIN dups ON asg.vec_id = dups.id2
          WHERE dups.id2 IS NULL ORDER BY vec_id""",
 
+    "s38_knn_classify" ->
+      // same rounded-6dp cosine, (cos DESC, sid) neighbor rank, and
+      // (votes DESC, label) vote argmax as the op
+      """WITH sd AS (SELECT vec_id AS sid, embedding,
+                       CAST(label AS BIGINT) AS sl
+                     FROM embeddings WHERE vec_id < 200),
+            q AS (SELECT vec_id AS qid, embedding,
+                    CAST(label AS BIGINT) AS tl
+                  FROM embeddings WHERE vec_id >= 200 AND vec_id < 400),
+            u AS (SELECT qid, sid, sl, CAST(unnest(qe) AS DOUBLE) AS x,
+                         CAST(unnest(se) AS DOUBLE) AS y
+                  FROM (SELECT q.qid, sd.sid, sd.sl, q.embedding AS qe,
+                               sd.embedding AS se
+                        FROM q, sd WHERE q.qid <> sd.sid)),
+            s AS (SELECT qid, sid, sl,
+                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                           AS cos
+                  FROM u GROUP BY 1, 2, 3),
+            r AS (SELECT qid, sl, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, sid) AS rk
+                  FROM s),
+            v AS (SELECT qid, sl, CAST(count(*) AS BIGINT) AS votes
+                  FROM r WHERE rk <= 5 GROUP BY 1, 2),
+            p AS (SELECT qid, sl, votes, row_number() OVER (
+                    PARTITION BY qid ORDER BY votes DESC, sl) AS vr
+                  FROM v)
+         SELECT p.qid AS vec_id, p.sl AS pred_label, p.votes AS votes,
+                (p.sl = q.tl) AS is_correct
+         FROM p JOIN q ON q.qid = p.qid WHERE vr = 1 ORDER BY vec_id""",
+
     "s16_knn_graph" ->
       """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
             u AS (SELECT src, dst, CAST(unnest(se) AS DOUBLE) AS x,

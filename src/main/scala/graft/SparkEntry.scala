@@ -3492,6 +3492,21 @@ object SparkEntry {
       // on 500 rows
       TextStats.zipfFit(T(s, dir, "documents"), "text", topR = 500)),
 
+    "s38_knn_classify" -> ((s, dir) => {
+      // semi-supervised label propagation: the [200,400) slice takes
+      // the majority label of its 5 nearest labeled seeds (<200);
+      // is_correct audits against the held-back true label
+      val emb = T(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 200)
+      val qs = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      Similarity.knnClassify(qs, seeds, "vec_id", "embedding", "label", k = 5)
+        .join(qs.select(col("vec_id"),
+          col("label").cast("long").as("_true")), Seq("vec_id"))
+        .select(col("vec_id"), col("pred_label"), col("votes"),
+          (col("pred_label") === col("_true")).as("is_correct"))
+        .orderBy("vec_id")
+    }),
+
     "s16_knn_graph" -> ((s, dir) =>
       // exact directed 5-NN graph of a bounded node slice (the input
       // to kNN clustering / label propagation); the LSH family is the

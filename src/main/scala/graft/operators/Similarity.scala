@@ -969,6 +969,48 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos"), col("rank"))
   }
 
+  /** kNN MAJORITY-VOTE classification (the semi-supervised labeling
+    * step a curation pipeline runs once a small seed set is labeled:
+    * propagate quality/domain labels to the unlabeled corpus via
+    * nearest neighbors): each query point takes the majority label of
+    * its `k` nearest seeds by cosine. Deterministic end to end —
+    * neighbor ranks use the rounded-6dp cosine with ties to the lower
+    * seed id (the [[knnGraph]] rule), the vote argmax breaks ties
+    * (votes DESC, label ASC) — so the prediction is engine-neutral.
+    *
+    * The SEED side is the bounded one by contract (it's the
+    * hand-labeled set) and broadcasts; queries stream at corpus
+    * scale — per query the scan is O(|seeds|) with a map-side
+    * WindowGroupLimit keeping only k rows per query. At
+    * million-seed scale, bucket the candidate step with the LSH/IVF
+    * family (s02/s03) and rerank exactly, as s01's contract notes.
+    *
+    * Output: (idCol, pred_label, votes).
+    */
+  def knnClassify(queries: DataFrame, seeds: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("_qid"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+    val sd = seeds.select(col(idCol).as("_sid"), col(vecCol).as("_sv"),
+        col(labelCol).cast("long").as("_sl"))
+      .withColumn("_sn", norm(col("_sv")))
+    val wK = Window.partitionBy(col("_qid"))
+      .orderBy(col("_cos").desc, col("_sid"))
+    val wV = Window.partitionBy(col("_qid"))
+      .orderBy(col("votes").desc, col("_sl"))
+    q.join(broadcast(sd), col("_qid") =!= col("_sid"))
+      .withColumn("_cos", round(VecDot.dot(col("_qv"), col("_sv"))
+        / (col("_qn") * col("_sn")), 6))
+      .withColumn("_rk", row_number().over(wK))
+      .filter(col("_rk") <= k)
+      .groupBy(col("_qid"), col("_sl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_vr", row_number().over(wV))
+      .filter(col("_vr") === 1)
+      .select(col("_qid").as(idCol), col("_sl").as("pred_label"),
+        col("votes"))
+  }
+
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
                        outDims: Int, inDims: Option[Int] = None): DataFrame = {
     // Sign matrix is built to the CORPUS MAX length, not an arbitrary

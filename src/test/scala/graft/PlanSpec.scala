@@ -181,6 +181,15 @@ class PlanSpec extends SparkSpec {
         + p.take(1500))
   }
 
+  test("s38: seeds broadcast; per-query top-k gets a map-side WindowGroupLimit") {
+    val p = SparkEntry.queries("s38_knn_classify")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("vec_dot"), "dot product must use the codegen expression")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the labeled seed set must broadcast: " + p.take(2000))
+  }
+
   test("q64: rank maps are pid-partitioned value-grain frames, no per-key row window") {
     val p = SparkEntry.queries("q64_spearman")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
