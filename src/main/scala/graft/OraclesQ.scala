@@ -263,6 +263,52 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q66_fifo_allocation" ->
+      // same unit-interval overlap rule, decimal prefixes, and the
+      // all-integer microdollar cost terms ((2a+b) // 2b half-up)
+      """WITH s0 AS (SELECT l_partkey AS k,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS c,
+                       l_shipdate, l_orderkey, l_linenumber
+                     FROM lineitem WHERE l_returnflag = 'N'),
+            d0 AS (SELECT l_partkey AS k,
+                     CAST(l_quantity AS DECIMAL(18,2)) AS q,
+                     l_shipdate, l_orderkey, l_linenumber
+                   FROM lineitem WHERE l_returnflag = 'R'),
+            s2 AS (SELECT k, hi - q AS slo, hi AS shi,
+                     CAST(c * 100 AS BIGINT) AS ci,
+                     CAST(q * 100 AS BIGINT) AS qi
+                   FROM (SELECT k, q, c, sum(q) OVER (PARTITION BY k
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS hi FROM s0)),
+            d2 AS (SELECT k, hi - q AS dlo, hi AS dhi
+                   FROM (SELECT k, q, sum(q) OVER (PARTITION BY k
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS hi FROM d0)),
+            m AS (SELECT s2.k,
+                    least(shi, dhi) - greatest(slo, dlo) AS ov, ci, qi
+                  FROM s2 JOIN d2 ON d2.k = s2.k
+                  WHERE slo < dhi AND dlo < shi),
+            m2 AS (SELECT k, ov,
+                     (2 * ci * CAST(ov * 100 AS BIGINT) * 10000 + qi)
+                       // (2 * qi) AS tm
+                   FROM m),
+            a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_matches,
+                    CAST(sum(ov) AS DOUBLE) AS matched_qty,
+                    CAST(sum(CAST(tm AS DECIMAL(38,0))) AS DOUBLE)
+                      / 1000000.0 AS fifo_cogs
+                  FROM m2 GROUP BY 1),
+            ts AS (SELECT k, sum(q) AS t FROM s0 GROUP BY 1),
+            td AS (SELECT k, sum(q) AS t FROM d0 GROUP BY 1)
+         SELECT a.k AS l_partkey, n_matches, matched_qty,
+                CAST(greatest(td.t - ts.t, CAST(0 AS DECIMAL(18,2)))
+                  AS DOUBLE) AS unmatched_demand,
+                fifo_cogs
+         FROM a JOIN ts ON ts.k = a.k JOIN td ON td.k = a.k
+         ORDER BY l_partkey""",
+
     "q64_spearman" ->
       // doubled average rank = 2*min_rank + tie_count - 1 (exact
       // integers); same DECIMAL moment folds and q43 parenthesization

@@ -2256,6 +2256,18 @@ object SparkEntry {
       operators.Profile.histogram(T(s, dir, "orders"),
         "o_totalprice", bins = 20)),
 
+    "q66_fifo_allocation" -> ((s, dir) => {
+      // FIFO cost-of-goods per part: 'N' lines supply lots, 'R'
+      // lines demand against them in shipdate order — the sequential
+      // walk restated as a prefix-interval overlap join
+      val li = T(s, dir, "lineitem")
+      Windows.fifoAllocate(
+        li.filter(col("l_returnflag") === "N"),
+        li.filter(col("l_returnflag") === "R"),
+        "l_partkey", "l_quantity", "l_extendedprice",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    }),
+
     "q64_spearman" -> ((s, dir) =>
       // monotone association q43's Pearson misreads under heavy
       // tails: Spearman rho of quantity vs price per returnflag —

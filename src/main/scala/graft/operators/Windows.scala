@@ -715,6 +715,82 @@ object Windows {
     Caching.sealOver(out, hourly)
   }
 
+  /** FIFO LOT ALLOCATION (the inventory/cost-basis classic: match
+    * each demand unit against supply lots first-in-first-out and
+    * price it at the lot it consumed — COGS, tax-lot matching, queue
+    * attribution). The sequential "walk both lists" algorithm
+    * restates declaratively: each lot/demand row owns a UNIT INTERVAL
+    * [prefix−qty, prefix) on its key's cumulative-quantity axis, and
+    * FIFO matches are EXACTLY the interval overlaps — one range join
+    * instead of per-key sequential state.
+    *
+    * Exactness: quantities and prefix sums fold as DECIMAL; overlap =
+    * least(hi) − greatest(lo) is pure decimal arithmetic; and the
+    * cost allocation c·ov/q is INTEGER arithmetic end to end — scaled
+    * to microdollars and divided with an explicit half-up integer
+    * rule ((2a+b) div 2b), because round(double, 6) is NOT
+    * cross-engine-stable exactly where this operator lands most
+    * often: a fully consumed lot's ov·(c/q) is its cost to the cent,
+    * and the two engines round the ±1-ulp IEEE product to different
+    * 6dp neighbors. Terms sum as exact integers; ONE division by 10⁶
+    * at the very end.
+    *
+    * Shape at scale: prefix sums are per-key windows over the LOT
+    * frames (rows = lots per key — the data-model-bounded grain, not
+    * the corpus; a key with millions of lots needs the packSequences
+    * prefix instead, by contract). The overlap join is an equi-join
+    * on key + range predicate; FIFO monotonicity keeps true matches
+    * at |supply|+|demand|−1 per key. Output keys appear when both
+    * sides are present (the first unit always overlaps).
+    *
+    * Output: (keyCol, n_matches, matched_qty, unmatched_demand,
+    * fifo_cogs).
+    */
+  def fifoAllocate(supply: DataFrame, demand: DataFrame, keyCol: String,
+                   qtyCol: String, costCol: String,
+                   orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "fifoAllocate: orderCols must total-order each key's lots")
+    def base(df: DataFrame, cols: Column*): DataFrame =
+      df.select((col(keyCol).as("_k") +: col(qtyCol).cast("decimal(18,2)")
+        .as("_q") +: orderCols.map(col)) ++ cols: _*)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("_k"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val sup = base(supply, col(costCol).cast("decimal(18,2)").as("_c"))
+      .withColumn("_hi", sum(col("_q")).over(w))
+      .select(col("_k"), (col("_hi") - col("_q")).as("_slo"),
+        col("_hi").as("_shi"),
+        (col("_c") * lit(100)).cast("long").as("_ci"),
+        (col("_q") * lit(100)).cast("long").as("_qi"))
+    val dem = base(demand)
+      .withColumn("_hi", sum(col("_q")).over(w))
+      .select(col("_k"), (col("_hi") - col("_q")).as("_dlo"),
+        col("_hi").as("_dhi"))
+    val m = sup.join(dem, Seq("_k"))
+      .filter(col("_slo") < col("_dhi") && col("_dlo") < col("_shi"))
+      .withColumn("_ov",
+        least(col("_shi"), col("_dhi")) - greatest(col("_slo"), col("_dlo")))
+      .withColumn("_vi", (col("_ov") * lit(100)).cast("long"))
+      // microdollar term = round_half_up(ci·vi·10⁴ / qi), all BIGINT
+      .withColumn("_tm",
+        expr("(2 * _ci * _vi * 10000 + _qi) div (2 * _qi)"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("_ov")).cast("double").as("matched_qty"),
+        (sum(col("_tm").cast("decimal(38,0)")).cast("double")
+          / lit(1000000.0)).as("fifo_cogs"))
+    val totS = base(supply).groupBy(col("_k")).agg(sum(col("_q")).as("_ts"))
+    val totD = base(demand).groupBy(col("_k")).agg(sum(col("_q")).as("_td"))
+    m.join(totS, Seq("_k")).join(totD, Seq("_k"))
+      .select(col("_k").as(keyCol), col("n_matches"), col("matched_qty"),
+        greatest(col("_td") - col("_ts"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
+          .cast("double").as("unmatched_demand"),
+        col("fifo_cogs"))
+      .orderBy(keyCol)
+  }
+
   /** Exact dyadic HOLT filter coefficients: with α = β = 1/2 and the
     * pinned init (l₀ = y₀, b₀ = 0), `window` recurrence steps of
     * Holt's linear-trend smoothing — lₜ = (yₜ + lₜ₋₁ + bₜ₋₁)/2,

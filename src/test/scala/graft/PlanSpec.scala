@@ -190,6 +190,13 @@ class PlanSpec extends SparkSpec {
       "the labeled seed set must broadcast: " + p.take(2000))
   }
 
+  test("q66: the overlap join is a key equi-join, never a cartesian") {
+    val p = SparkEntry.queries("q66_fifo_allocation")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the range predicate must ride a _k equi-join: " + p)
+  }
+
   test("q64: rank maps are pid-partitioned value-grain frames, no per-key row window") {
     val p = SparkEntry.queries("q64_spearman")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
