@@ -388,6 +388,38 @@ private[graft] object OraclesP {
          WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < thr.t
          GROUP BY 1 ORDER BY 1""",
 
+    "p25_mix_report" ->
+      // p02's keep chain verbatim, then the audit aggregates with the
+      // same pinned divisions
+      """WITH w AS (SELECT doc_id, source,
+                      CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                           THEN CAST(0.08 AS DOUBLE)
+                           ELSE CAST(0.6 AS DOUBLE) / CAST(15.0 AS DOUBLE) END AS w
+                    FROM documents),
+            cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n, min(w) AS w
+                   FROM w GROUP BY 1),
+            tt AS (SELECT sum(n) AS total FROM cs),
+           thr AS (SELECT source,
+                      printf('%05x', CAST(least(floor(least(
+                        w * (CAST(total AS DOUBLE) * 0.5) / CAST(n AS DOUBLE),
+                        1.0) * 1048576.0), 1048575.0) AS BIGINT)) AS t
+                   FROM cs CROSS JOIN tt),
+            kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+                     FROM documents d JOIN thr ON d.source = thr.source
+                     WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < thr.t
+                     GROUP BY 1),
+            tk AS (SELECT sum(n_kept) AS tk FROM kept),
+            r AS (SELECT cs.source, cs.n AS n_in,
+                    CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                    cs.w FROM cs LEFT JOIN kept ON kept.source = cs.source)
+         SELECT source, n_in, n_kept,
+                round(w, 6) AS target_share,
+                round(CAST(n_kept AS DOUBLE) / CAST(tk AS DOUBLE), 6)
+                  AS achieved_share,
+                round((CAST(n_kept AS DOUBLE) / CAST(tk AS DOUBLE) - w) / w, 6)
+                  AS rel_error
+         FROM r CROSS JOIN tk ORDER BY source""",
+
     "p03_shard" ->
       """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
                     FROM documents)

@@ -3025,6 +3025,15 @@ object SparkEntry {
         .agg(cnt.as("n_kept"))
         .orderBy("source")),
 
+    "p25_mix_report" -> ((s, dir) =>
+      // the audit that closes p02's loop: achieved vs target share
+      // per source after the md5-threshold draw, with relative error
+      Training.mixtureReport(
+        T(s, dir, "documents"), "source", "doc_id",
+        when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit(0.08))
+          .otherwise(lit(0.6) / 15.0),
+        targetFrac = 0.5)),
+
     "p03_shard" -> ((s, dir) =>
       // shard assignment + deterministic pseudo-random training order:
       // md5 digit 1 picks the shard, the remaining digits order within

@@ -199,6 +199,36 @@ object Training {
       .drop("_thr")
   }
 
+  /** MIXTURE QA REPORT (the audit that closes p02's loop: a mixture
+    * you sampled but never measured is a mixture you don't have —
+    * md5-threshold keep rates only approximate the target
+    * binomially, and a small source upweighted 8× can miss by
+    * percents): per source, input count, kept count, the TARGET
+    * share, the ACHIEVED share of the kept corpus, and the relative
+    * error. Sources sampled to zero keep a row (n_kept 0, error −1)
+    * — silent absence is exactly what the audit exists to catch.
+    *
+    * Pure composition: [[mixtureSample]] unchanged underneath, one
+    * source-grain aggregate each side of it, pinned divisions.
+    */
+  def mixtureReport(df: DataFrame, sourceCol: String, idCol: String,
+                    weightExpr: Column, targetFrac: Double): DataFrame = {
+    val kept = mixtureSample(df, sourceCol, idCol, weightExpr, targetFrac)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept"))
+    val inC = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_in"), min(weightExpr).as("_w"))
+    val tot = kept.agg(sum(col("n_kept")).as("_tk"))
+    val ach = col("n_kept").cast("double") / col("_tk").cast("double")
+    inC.join(kept, Seq(sourceCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_in"), col("n_kept"),
+        round(col("_w"), 6).as("target_share"),
+        round(ach, 6).as("achieved_share"),
+        round((ach - col("_w")) / col("_w"), 6).as("rel_error"))
+      .orderBy(sourceCol)
+  }
+
   /** Per-source quota: keep at most `maxPerSource` documents from each
     * source, chosen by deterministic md5 order (not arrival order, so
     * the kept subset is unbiased and reproducible). The crawl-curation
