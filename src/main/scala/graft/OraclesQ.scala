@@ -263,6 +263,29 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q67_stickiness" ->
+      // same (user, day) grain and trailing-window expansion
+      """WITH ud AS (SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS d FROM events),
+            days AS (SELECT DISTINCT d AS day FROM ud),
+            dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY 1),
+            wau AS (SELECT days.day,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                    FROM days JOIN ud
+                      ON ud.d <= days.day AND ud.d >= days.day - 6
+                    GROUP BY 1),
+            mau AS (SELECT days.day,
+                      CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                    FROM days JOIN ud
+                      ON ud.d <= days.day AND ud.d >= days.day - 27
+                    GROUP BY 1)
+         SELECT day, dau, wau, mau,
+                round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 6)
+                  AS stickiness
+         FROM dau JOIN wau USING (day) JOIN mau USING (day)
+         ORDER BY day""",
+
     "q66_fifo_allocation" ->
       // same unit-interval overlap rule, decimal prefixes, and the
       // all-integer microdollar cost terms ((2a+b) // 2b half-up)

@@ -2268,6 +2268,30 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q67_stickiness" -> ((s, dir) => {
+      // DAU/WAU/MAU + stickiness (the product-analytics headline
+      // q46/q62 lead up to): trailing distinct-user windows computed
+      // at the (user, day) grain — the corpus reduces ONCE to that
+      // frame, the 7/28-day trailing joins expand only it (×7/×28 at
+      // day grain), never the event stream; partial leading windows
+      // report as-is, as dashboards do
+      val ud = T(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("_d"))
+        .distinct()
+      val days = ud.select(col("_d").as("day")).distinct()
+      val dau = ud.groupBy(col("_d").as("day")).agg(cnt.as("dau"))
+      def trailing(n: Int, name: String) =
+        broadcast(days).join(ud,
+            col("_d") <= col("day") && col("_d") >= col("day") - (n - 1))
+          .groupBy(col("day")).agg(countDistinct(col("user_id")).as(name))
+      dau.join(trailing(7, "wau"), Seq("day"))
+        .join(trailing(28, "mau"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     "q64_spearman" -> ((s, dir) =>
       // monotone association q43's Pearson misreads under heavy
       // tails: Spearman rho of quantity vs price per returnflag —

@@ -190,6 +190,16 @@ class PlanSpec extends SparkSpec {
       "the labeled seed set must broadcast: " + p.take(2000))
   }
 
+  test("q67: trailing windows expand the (user, day) grain with a broadcast day axis") {
+    val p = SparkEntry.queries("q67_stickiness")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    // the day axis broadcasts onto the (user, day) frame — the range
+    // join must never shuffle or sort the corpus-derived side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "trailing distincts are joins, not windows: " + p)
+  }
+
   test("q66: the overlap join is a key equi-join, never a cartesian") {
     val p = SparkEntry.queries("q66_fifo_allocation")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
