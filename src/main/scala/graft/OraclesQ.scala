@@ -263,6 +263,29 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q68_window_funnel" ->
+      // same exists-chain semantics: 24h from the chain's own start
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+            v AS (SELECT user_id, us AS tv FROM e WHERE event_type = 'view'),
+            c AS (SELECT user_id, us AS tc FROM e WHERE event_type = 'click'),
+            p AS (SELECT user_id, us AS tp FROM e WHERE event_type = 'purchase'),
+            l2 AS (SELECT v.user_id, tv, tc FROM v JOIN c USING (user_id)
+                   WHERE tc > tv AND tc <= tv + 86400000000),
+            l3u AS (SELECT DISTINCT l2.user_id FROM l2 JOIN p USING (user_id)
+                    WHERE tp > tc AND tp <= tv + 86400000000),
+            l2u AS (SELECT DISTINCT user_id FROM l2),
+            l1u AS (SELECT DISTINCT user_id FROM v),
+            lv AS (SELECT CASE WHEN l3u.user_id IS NOT NULL THEN 3
+                               WHEN l2u.user_id IS NOT NULL THEN 2
+                               ELSE 1 END AS level
+                   FROM l1u
+                   LEFT JOIN l2u ON l2u.user_id = l1u.user_id
+                   LEFT JOIN l3u ON l3u.user_id = l1u.user_id)
+         SELECT CAST(level AS BIGINT) AS level,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM lv GROUP BY 1 ORDER BY level""",
+
     "q67_stickiness" ->
       // same (user, day) grain and trailing-window expansion
       """WITH ud AS (SELECT DISTINCT user_id,

@@ -2268,6 +2268,36 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q68_window_funnel" -> ((s, dir) => {
+      // windowFunnel (the ClickHouse classic, vs q29's first-event
+      // greedy chain): a user reaches level L if ANY ordered
+      // view→click→purchase chain fits in 24h FROM THE CHAIN'S OWN
+      // START — first-event funnels undercount users whose first view
+      // went nowhere but whose later one converted. Exists-chains via
+      // two per-user equi-joins (per-user event counts are the
+      // data-model-bounded grain), then one level histogram
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("_us"))
+      def of(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("user_id"), col("_us").as(as))
+      val W = 24L * 3600L * 1000000L
+      val l2 = of("view", "_tv").join(of("click", "_tc"), Seq("user_id"))
+        .filter(col("_tc") > col("_tv") && col("_tc") <= col("_tv") + W)
+      val l3u = l2.join(of("purchase", "_tp"), Seq("user_id"))
+        .filter(col("_tp") > col("_tc") && col("_tp") <= col("_tv") + W)
+        .select(col("user_id")).distinct()
+      val l2u = l2.select(col("user_id")).distinct()
+      val l1u = of("view", "_tv").select(col("user_id")).distinct()
+      l1u.join(l2u.withColumn("_l2", lit(1)), Seq("user_id"), "left")
+        .join(l3u.withColumn("_l3", lit(1)), Seq("user_id"), "left")
+        .select(when(col("_l3") === 1, 3L).when(col("_l2") === 1, 2L)
+          .otherwise(1L).as("level"))
+        .groupBy(col("level")).agg(cnt.as("n_users"))
+        .orderBy("level")
+    }),
+
     "q67_stickiness" -> ((s, dir) => {
       // DAU/WAU/MAU + stickiness (the product-analytics headline
       // q46/q62 lead up to): trailing distinct-user windows computed
