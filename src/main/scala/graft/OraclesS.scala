@@ -577,6 +577,41 @@ private[graft] object OraclesS {
     * Denominator is the exact side's row count at k.
     */
   val sql: Map[String, String] = base ++ Map(
+    "s39_recall_curve" ->
+      // the same chains, expanded over k = {1, 5, 10} via a k axis;
+      // micro = pooled hits/exact, macro = mean of per-query recalls
+      // quantized to DECIMAL(18,6) first (the op's fold)
+      s"""WITH ex0 AS (${base("s01_ann_brute")}),
+            ap0 AS (${base("s33_lsh_portable")}),
+            kk AS (SELECT unnest([1, 5, 10]) AS k),
+            exk AS (SELECT kk.k, e.query_id, e.neighbor_id
+                    FROM ex0 e JOIN kk ON e.rank <= kk.k),
+            apk AS (SELECT DISTINCT kk.k, a.query_id, a.neighbor_id
+                    FROM ap0 a JOIN kk ON a.rank <= kk.k),
+            exn AS (SELECT k, query_id, CAST(count(*) AS BIGINT) AS n_exact
+                    FROM exk GROUP BY 1, 2),
+            hits AS (SELECT e.k, e.query_id,
+                       CAST(count(*) AS BIGINT) AS n_hits
+                     FROM exk e JOIN apk a ON a.k = e.k
+                       AND a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+                     GROUP BY 1, 2),
+            r AS (SELECT x.k, x.query_id, x.n_exact,
+                    coalesce(h.n_hits, 0) AS n_hits,
+                    round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                      / CAST(x.n_exact AS DOUBLE), 6) AS recall
+                  FROM exn x LEFT JOIN hits h
+                    ON h.k = x.k AND h.query_id = x.query_id)
+         SELECT CAST(k AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n_queries,
+                CAST(sum(n_exact) AS BIGINT) AS total_exact,
+                CAST(sum(n_hits) AS BIGINT) AS total_hits,
+                round(CAST(sum(n_hits) AS DOUBLE)
+                  / CAST(sum(n_exact) AS DOUBLE), 6) AS micro_recall,
+                round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS macro_recall
+         FROM r GROUP BY 1 ORDER BY k""",
+
     "s35_recall_eval" ->
       s"""WITH ex AS (${base("s01_ann_brute")}),
             ap AS (SELECT DISTINCT query_id, neighbor_id

@@ -864,6 +864,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s39_recall_curve" -> ((s, dir) => {
+      // s35's gate as a CURVE (the tuning view: how fast does LSH
+      // recall decay as k grows): recall@{1,5,10} of the portable
+      // multi-probe rung vs brute force, micro (pooled) and macro
+      // (per-query mean, decimal-quantized) in one report
+      val ap = queries("s33_lsh_portable")(s, dir)
+      val ex = queries("s01_ann_brute")(s, dir)
+      Seq(1, 5, 10).map { k =>
+        operators.Similarity.recallAtK(ap, ex, k)
+          .agg(cnt.as("n_queries"),
+            sum(col("n_exact")).as("total_exact"),
+            sum(col("n_hits")).as("total_hits"),
+            (sum(col("recall").cast("decimal(18,6)")).cast("double")
+              / count(lit(1)).cast("double")).as("_m"))
+          .select(lit(k.toLong).as("k"), col("n_queries"),
+            col("total_exact"), col("total_hits"),
+            round(col("total_hits").cast("double")
+              / col("total_exact").cast("double"), 6).as("micro_recall"),
+            round(col("_m"), 6).as("macro_recall"))
+      }.reduce(_ unionAll _).orderBy("k")
+    }),
+
     "s35_recall_eval" -> ((s, dir) =>
       // the ANN accuracy gate as a FIRST-CLASS operator (AnnRecallSpec
       // productionized): recall@10 of the portable multi-probe LSH
