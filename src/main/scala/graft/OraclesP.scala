@@ -388,6 +388,29 @@ private[graft] object OraclesP {
          WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5) < thr.t
          GROUP BY 1 ORDER BY 1""",
 
+    "p26_shard_entropy" ->
+      // p03's shard digit, t14's quantized log folds, pinned balance
+      """WITH a AS (SELECT CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                      AS BIGINT) AS shard, source
+                    FROM documents),
+            c AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+                  FROM a GROUP BY 1, 2),
+            n AS (SELECT shard, sum(c) AS n FROM c GROUP BY 1),
+            st AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s
+                   FROM documents),
+            h AS (SELECT c.shard, any_value(n.n) AS n,
+                    CAST(count(*) AS BIGINT) AS n_sources,
+                    sum(CAST(round((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                      * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6)
+                      AS DECIMAL(24,8))) AS hs
+                  FROM c JOIN n ON n.shard = c.shard GROUP BY 1)
+         SELECT shard, CAST(n AS BIGINT) AS n_docs, n_sources,
+                round(CAST(-hs AS DOUBLE), 6) AS entropy,
+                round(CAST(-hs AS DOUBLE) / ln(CAST(st.s AS DOUBLE)), 6)
+                  AS balance
+         FROM h CROSS JOIN st ORDER BY shard""",
+
     "p25_mix_report" ->
       // p02's keep chain verbatim, then the audit aggregates with the
       // same pinned divisions

@@ -263,6 +263,24 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q69_wow_growth" ->
+      // same DECIMAL weekly fold, exact decimal subtraction, one
+      // pinned division
+      """WITH wk AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                     FROM orders GROUP BY 1),
+            l AS (SELECT week, n_orders, rev,
+                    lag(rev) OVER (ORDER BY week) AS prev
+                  FROM wk)
+         SELECT week, n_orders,
+                CAST(rev AS DOUBLE) AS revenue,
+                CAST(prev AS DOUBLE) AS prev_revenue,
+                CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+                  round(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+                END AS wow_growth
+         FROM l ORDER BY week""",
+
     "q68_window_funnel" ->
       // same exists-chain semantics: 24h from the chain's own start
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

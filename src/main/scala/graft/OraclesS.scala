@@ -612,6 +612,27 @@ private[graft] object OraclesS {
                   / CAST(count(*) AS DOUBLE), 6) AS macro_recall
          FROM r GROUP BY 1 ORDER BY k""",
 
+    "s40_dim_profile" ->
+      // same DECIMAL(28,12)-quantized x/x² folds, q43 parenthesization,
+      // and the bit-shared 1e-6 dead threshold
+      """WITH u AS (SELECT CAST(pos AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x
+                    FROM (SELECT unnest(embedding) AS x,
+                                 unnest(range(len(embedding))) AS pos
+                          FROM embeddings)),
+            g AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+                    min(x) AS mn, max(x) AS mx
+                  FROM u GROUP BY 1)
+         SELECT pos, n,
+                round(sx / CAST(n AS DOUBLE), 6) AS mean,
+                round((sxx - sx * sx / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE), 6) AS variance,
+                round(mn, 6) AS min_x, round(mx, 6) AS max_x,
+                ((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                  <= 0.000001) AS is_dead
+         FROM g ORDER BY pos""",
+
     "s35_recall_eval" ->
       s"""WITH ex AS (${base("s01_ann_brute")}),
             ap AS (SELECT DISTINCT query_id, neighbor_id

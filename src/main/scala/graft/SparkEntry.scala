@@ -864,6 +864,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s40_dim_profile" -> ((s, dir) =>
+      // the dead-dimension audit: per-position mean/variance/min/max
+      // + dead flag over the embedding column, one pos-keyed shuffle
+      Similarity.dimProfile(T(s, dir, "embeddings"), "embedding")),
+
     "s39_recall_curve" -> ((s, dir) => {
       // s35's gate as a CURVE (the tuning view: how fast does LSH
       // recall decay as k grows): recall@{1,5,10} of the portable
@@ -2290,6 +2295,26 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q69_wow_growth" -> ((s, dir) => {
+      // week-over-week growth (the dashboard's first derivative):
+      // DECIMAL weekly revenue, lag + one pinned division — the
+      // global lag window runs over the ≤|weeks| aggregate (q46's
+      // stated-bound contract), never the order stream
+      val wk = T(s, dir, "orders")
+        .select(expr("unix_micros(o_orderdate) div 604800000000").as("week"),
+          col("o_totalprice").cast("decimal(18,2)").as("_p"))
+        .groupBy(col("week")).agg(cnt.as("n_orders"), sum(col("_p")).as("_rev"))
+      val w = Window.orderBy(col("week"))
+      wk.withColumn("_prev", lag(col("_rev"), 1).over(w))
+        .select(col("week"), col("n_orders"),
+          col("_rev").cast("double").as("revenue"),
+          col("_prev").cast("double").as("prev_revenue"),
+          when(col("_prev").isNotNull && col("_prev") =!= 0,
+            round((col("_rev") - col("_prev")).cast("double")
+              / col("_prev").cast("double"), 6)).as("wow_growth"))
+        .orderBy("week")
+    }),
+
     "q68_window_funnel" -> ((s, dir) => {
       // windowFunnel (the ClickHouse classic, vs q29's first-event
       // greedy chain): a user reaches level L if ANY ordered
@@ -3100,6 +3125,30 @@ object SparkEntry {
         .groupBy("source")
         .agg(cnt.as("n_kept"))
         .orderBy("source")),
+
+    "p26_shard_entropy" -> ((s, dir) => {
+      // shard-mix audit over p03's assignment (a shard that drew one
+      // domain trains a skewed step — the md5 shuffle should mix
+      // sources uniformly, so MEASURE it): per shard, source-mix
+      // Shannon entropy (t14's quantize-then-fold log discipline) and
+      // balance = entropy / ln(|sources|); everything after the
+      // shard×source aggregate runs on ≤16×|sources| rows
+      val docs = T(s, dir, "documents")
+      val c = Training.shardAssign(docs, "doc_id")
+        .groupBy(col("shard"), col("source")).agg(cnt.as("_c"))
+      val tot = docs.agg(countDistinct(col("source")).as("_s"))
+      val p = col("_c").cast("double") / col("_n").cast("double")
+      c.join(c.groupBy(col("shard")).agg(sum(col("_c")).as("_n")), Seq("shard"))
+        .groupBy(col("shard"), col("_n"))
+        .agg(cnt.as("n_sources"),
+          sum(round(p * log(p), 6).cast("decimal(24,8)")).as("_hs"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard"), col("_n").as("n_docs"), col("n_sources"),
+          round((-col("_hs")).cast("double"), 6).as("entropy"),
+          round((-col("_hs")).cast("double")
+            / log(col("_s").cast("double")), 6).as("balance"))
+        .orderBy("shard")
+    }),
 
     "p25_mix_report" -> ((s, dir) =>
       // the audit that closes p02's loop: achieved vs target share

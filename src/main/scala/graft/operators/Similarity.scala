@@ -969,6 +969,39 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos"), col("rank"))
   }
 
+  /** Per-DIMENSION embedding profile (the "dead dimension" audit an
+    * embedding pipeline runs before trusting a new encoder or a
+    * Matryoshka truncation: a collapsed dimension carries no signal
+    * but full storage/compute; a runaway one dominates every cosine):
+    * per position — count, mean, population variance, min, max, and
+    * the dead flag (variance ≤ 1e-6, literal bit-shared with the
+    * oracle). Mean/variance derive from DECIMAL(28,12)-quantized
+    * folds of x and x² in the q43 fixed parenthesization.
+    *
+    * Shape at scale: posexplode is map-side row multiplication (×dims)
+    * into ONE (pos)-keyed partial-aggregated shuffle — |dims| rows
+    * cross the wire per partition, never the vector mass.
+    */
+  def dimProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val e = df.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"),
+        col("x").cast("double").as("_x"))
+    def q(c: Column) = c.cast("decimal(28,12)")
+    val g = e.groupBy(col("pos")).agg(count(lit(1)).as("n"),
+      sum(q(col("_x"))).cast("double").as("_sx"),
+      sum(q(col("_x") * col("_x"))).cast("double").as("_sxx"),
+      min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+    val nD = col("n").cast("double")
+    val variance = (col("_sxx") - col("_sx") * col("_sx") / nD) / nD
+    g.select(col("pos"), col("n"),
+        round(col("_sx") / nD, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        round(col("_mn"), 6).as("min_x"),
+        round(col("_mx"), 6).as("max_x"),
+        (variance <= 1e-6).as("is_dead"))
+      .orderBy("pos")
+  }
+
   /** kNN MAJORITY-VOTE classification (the semi-supervised labeling
     * step a curation pipeline runs once a small seed set is labeled:
     * propagate quality/domain labels to the unlabeled corpus via
