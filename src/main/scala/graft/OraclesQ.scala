@@ -263,6 +263,32 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q70_ols_fit" ->
+      // same raw-sum folds and parenthesization as the op (and q43)
+      """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,4))
+                       * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,4))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+                round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                  / CAST(n AS DOUBLE), 6) AS intercept,
+                round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)))
+                  * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))), 6) AS r2
+         FROM g ORDER BY l_returnflag""",
+
     "q69_wow_growth" ->
       // same DECIMAL weekly fold, exact decimal subtraction, one
       // pinned division

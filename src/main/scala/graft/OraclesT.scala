@@ -735,6 +735,30 @@ private[graft] object OraclesT {
                     FROM pairs GROUP BY 1)
          SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""",
 
+    "t46_burstiness" ->
+      // same per-doc count folds, implicit zeros, pinned Fano chain
+      """WITH tk AS (SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            dc AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+                   FROM tk GROUP BY 1, 2),
+            per AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(c) AS BIGINT) AS n_occurrences,
+                      CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS ssq
+                    FROM dc GROUP BY 1
+                    ORDER BY n_occurrences DESC, tok LIMIT 50),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)
+         SELECT tok, n_docs, n_occurrences,
+                round(CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+                  AS mean_per_doc,
+                round((ssq / CAST(nn AS DOUBLE)
+                  - (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE)))
+                  / (CAST(n_occurrences AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+                  AS fano
+         FROM per CROSS JOIN nt
+         ORDER BY n_occurrences DESC, tok""",
+
     "t45_textrank" ->
       textrankOracle(d = "0.85", iters = 3, vocab = 500, topK = 20),
 

@@ -2295,6 +2295,33 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q70_ols_fit" -> ((s, dir) => {
+      // the regression primitive beside q43's correlation: exact OLS
+      // of quantity on discount per returnflag — slope/intercept/R²
+      // derive from the SAME five DECIMAL raw-sum folds in one fixed
+      // parenthesization (no streaming IEEE aggregates)
+      val x = col("l_discount").cast("decimal(18,4)")
+      val y = col("l_quantity").cast("decimal(18,2)")
+      val g = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(cnt.as("n"),
+          sum(x).cast("double").as("_sx"), sum(y).cast("double").as("_sy"),
+          sum(x * x).cast("double").as("_sxx"),
+          sum(y * y).cast("double").as("_syy"),
+          sum(x * y).cast("double").as("_sxy"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("_sxy") - col("_sx") * col("_sy")) /
+        (nD * col("_sxx") - col("_sx") * col("_sx"))
+      val r = (nD * col("_sxy") - col("_sx") * col("_sy")) /
+        (sqrt(nD * col("_sxx") - col("_sx") * col("_sx")) *
+          sqrt(nD * col("_syy") - col("_sy") * col("_sy")))
+      g.select(col("l_returnflag"), col("n"),
+          round(slope, 6).as("slope"),
+          round((col("_sy") - slope * col("_sx")) / nD, 6).as("intercept"),
+          round(r * r, 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     "q69_wow_growth" -> ((s, dir) => {
       // week-over-week growth (the dashboard's first derivative):
       // DECIMAL weekly revenue, lag + one pinned division — the
@@ -3625,6 +3652,35 @@ object SparkEntry {
       // exactly via the factored add-1 correction (O(nnz), no V×G)
       TextStats.corpusDivergence(T(s, dir, "documents"), "source", "text")
         .orderBy("source")),
+
+    "t46_burstiness" -> ((s, dir) => {
+      // term BURSTINESS (Church & Gale: content words clump, function
+      // words spread — the Fano factor Var/Mean over PER-DOC counts,
+      // zeros included, separates them where raw frequency can't):
+      // top-50 terms by total count, moments from exact integer folds
+      // with absent docs contributing implicit zeros (they add nothing
+      // to Σc or Σc², and N comes from the corpus frame)
+      val docs = T(s, dir, "documents")
+      val nTot = docs.agg(cnt.as("_N"))
+      val per = docs
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(cnt.as("_c"))
+        .groupBy(col("tok"))
+        .agg(cnt.as("n_docs"), sum(col("_c")).as("n_occurrences"),
+          sum((col("_c") * col("_c")).cast("decimal(38,0)"))
+            .cast("double").as("_ssq"))
+        .orderBy(col("n_occurrences").desc, col("tok")).limit(50)
+      val nD = col("_N").cast("double")
+      val mean = col("n_occurrences").cast("double") / nD
+      val vr = col("_ssq") / nD - mean * mean
+      per.crossJoin(broadcast(nTot))
+        .select(col("tok"), col("n_docs"), col("n_occurrences"),
+          round(mean, 6).as("mean_per_doc"),
+          round(vr / mean, 6).as("fano"))
+        .orderBy(col("n_occurrences").desc, col("tok"))
+    }),
 
     "t45_textrank" -> ((s, dir) =>
       // corpus keywords via PageRank on the word co-occurrence graph
