@@ -263,6 +263,61 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q71_pvm_bridge" ->
+      // same midpoint split; effect terms as all-integer microdollars
+      // with the sign-split half-away division (Spark div truncates,
+      // DuckDB // floors — they agree only on nonnegative operands)
+      """WITH li AS (SELECT l_partkey AS pk,
+                       epoch_us(l_shipdate) // 604800000000 AS wk,
+                       CAST(l_extendedprice AS DECIMAL(18,2)) AS r,
+                       CAST(l_quantity AS DECIMAL(18,2)) AS v
+                     FROM lineitem),
+            mid AS (SELECT (min(wk) + max(wk) + 1) // 2 AS mid FROM li),
+            per0 AS (SELECT pk,
+                      sum(CASE WHEN wk < mid THEN r END) AS ra,
+                      sum(CASE WHEN wk < mid THEN v END) AS va,
+                      sum(CASE WHEN wk >= mid THEN r END) AS rb,
+                      sum(CASE WHEN wk >= mid THEN v END) AS vb
+                    FROM li CROSS JOIN mid GROUP BY 1),
+            per AS (SELECT *,
+                      CAST(ra * 100 AS BIGINT) AS rai,
+                      CAST(va * 100 AS BIGINT) AS vai,
+                      CAST(rb * 100 AS BIGINT) AS rbi,
+                      CAST(vb * 100 AS BIGINT) AS vbi,
+                      (CAST(vb * 100 AS BIGINT) - CAST(va * 100 AS BIGINT))
+                        * CAST(ra * 100 AS BIGINT) * 10000 AS voln
+                    FROM per0),
+            m AS (SELECT *,
+                    CASE WHEN voln < 0
+                         THEN -((-2 * voln + vai) // (2 * vai))
+                         ELSE (2 * voln + vai) // (2 * vai) END AS volm,
+                    rbi * 10000
+                      - (2 * rai * vbi * 10000 + vai) // (2 * vai) AS prim
+                  FROM per),
+            a AS (SELECT
+                    CAST(sum(ra) AS DOUBLE) AS tota,
+                    CAST(sum(rb) AS DOUBLE) AS totb,
+                    CAST(sum(CAST(volm AS DECIMAL(38,0))) AS DOUBLE)
+                      / 1000000.0 AS vol,
+                    CAST(sum(CAST(prim AS DECIMAL(38,0))) AS DOUBLE)
+                      / 1000000.0 AS price,
+                    coalesce(CAST(sum(CASE WHEN ra IS NULL THEN rb END)
+                      AS DOUBLE), 0.0) AS nw,
+                    coalesce(CAST(sum(CASE WHEN rb IS NULL THEN ra END)
+                      AS DOUBLE), 0.0) AS lost
+                  FROM m),
+            b AS (SELECT *, totb - tota - vol - price - nw + lost AS resid
+                  FROM a)
+         SELECT component, round(value, 6) AS value FROM (
+             SELECT '1_revenue_a' AS component, tota AS value FROM b
+             UNION ALL SELECT '2_volume_effect', vol FROM b
+             UNION ALL SELECT '3_price_effect', price FROM b
+             UNION ALL SELECT '4_new_parts', nw FROM b
+             UNION ALL SELECT '5_lost_parts', -lost FROM b
+             UNION ALL SELECT '6_residual', resid FROM b
+             UNION ALL SELECT '7_revenue_b', totb FROM b)
+         ORDER BY component""",
+
     "q70_ols_fit" ->
       // same raw-sum folds and parenthesization as the op (and q43)
       """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

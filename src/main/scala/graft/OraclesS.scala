@@ -612,6 +612,43 @@ private[graft] object OraclesS {
                   / CAST(count(*) AS DOUBLE), 6) AS macro_recall
          FROM r GROUP BY 1 ORDER BY k""",
 
+    "s41_knn_homophily" ->
+      // the s16 graph chain verbatim + label joins, exact counts,
+      // pinned share/chance divisions
+      """WITH v AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS l
+                    FROM embeddings WHERE vec_id < 200),
+            u AS (SELECT src, dst, CAST(unnest(se) AS DOUBLE) AS x,
+                         CAST(unnest(de) AS DOUBLE) AS y
+                  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+                               a.embedding AS se, b.embedding AS de
+                        FROM v a, v b WHERE a.vec_id <> b.vec_id)),
+            s AS (SELECT src, dst,
+                         round(sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))), 6)
+                           AS cos
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT src, dst, CAST(row_number() OVER (
+                    PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank
+                  FROM s),
+            e AS (SELECT a.l AS label, (a.l = b.l) AS same
+                  FROM r JOIN v a ON a.vec_id = r.src
+                         JOIN v b ON b.vec_id = r.dst
+                  WHERE r.rank <= 5),
+            sz AS (SELECT l AS label, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM v GROUP BY 1),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+            g AS (SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+                    CAST(sum(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_same
+                  FROM e GROUP BY 1)
+         SELECT g.label, sz.n_nodes, g.n_edges, g.n_same,
+                round(CAST(n_same AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+                  AS same_share,
+                round((CAST(n_same AS DOUBLE) / CAST(n_edges AS DOUBLE))
+                  / (CAST(sz.n_nodes - 1 AS DOUBLE)
+                     / CAST(nt.nn - 1 AS DOUBLE)), 6) AS lift
+         FROM g JOIN sz ON sz.label = g.label CROSS JOIN nt
+         ORDER BY g.label""",
+
     "s40_dim_profile" ->
       // same DECIMAL(28,12)-quantized x/x² folds, q43 parenthesization,
       // and the bit-shared 1e-6 dead threshold

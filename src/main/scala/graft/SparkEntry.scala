@@ -864,6 +864,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s41_knn_homophily" -> ((s, dir) => {
+      // label homophily of the exact kNN graph (does the embedding
+      // geometry respect the labels? the go/no-go check before
+      // trusting s38's label propagation): per label, the share of
+      // kNN edges staying in-label vs the chance rate (n_l−1)/(N−1),
+      // lift = share/chance — all exact counts and pinned divisions
+      // over the s16 graph on the same bounded slice
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val lab = emb.select(col("vec_id"), col("label").cast("long").as("_l"))
+      val sizes = lab.groupBy(col("_l")).agg(cnt.as("n_nodes"))
+      val nTot = lab.agg(cnt.as("_N"))
+      val e = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .join(broadcast(lab.select(col("vec_id").as("src"),
+          col("_l").as("_sl"))), Seq("src"))
+        .join(broadcast(lab.select(col("vec_id").as("dst"),
+          col("_l").as("_dl"))), Seq("dst"))
+      val g = e.groupBy(col("_sl").as("label"))
+        .agg(cnt.as("n_edges"),
+          sum(when(col("_sl") === col("_dl"), 1L).otherwise(0L)).as("n_same"))
+      val share = col("n_same").cast("double") / col("n_edges").cast("double")
+      val chance = (col("n_nodes") - lit(1L)).cast("double") /
+        (col("_N") - lit(1L)).cast("double")
+      g.join(broadcast(sizes.withColumnRenamed("_l", "label")), Seq("label"))
+        .crossJoin(broadcast(nTot))
+        .select(col("label"), col("n_nodes"), col("n_edges"), col("n_same"),
+          round(share, 6).as("same_share"),
+          round(share / chance, 6).as("lift"))
+        .orderBy("label")
+    }),
+
     "s40_dim_profile" -> ((s, dir) =>
       // the dead-dimension audit: per-position mean/variance/min/max
       // + dead flag over the embedding column, one pos-keyed shuffle
@@ -2293,6 +2323,71 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         "l_partkey", "l_quantity", "l_extendedprice",
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    }),
+
+    "q71_pvm_bridge" -> ((s, dir) => {
+      // PRICE-VOLUME-MIX revenue bridge (the finance "why did revenue
+      // move" waterfall r33 answers for event rates): lineitem splits
+      // at the integer midpoint week, per-part effects decompose
+      // ΔR = (V_B−V_A)·P_A + (P_B−P_A)·V_B. Effect terms are
+      // INTEGER microdollar arithmetic (the q66 lesson, hit here too:
+      // quantizing an IEEE product to DECIMAL(18,6) rounds the
+      // shortest-string double in Spark but the binary double in
+      // DuckDB, and diverged live at the last digit) — a sign-split
+      // half-away integer division keeps Spark's truncating `div` and
+      // DuckDB's flooring `//` in agreement on negative volume
+      // deltas. Per-part bound: |Δqty_hundredths|·rev_cents·2·10⁴
+      // must fit a long (~4.6e14 dollar·unit per part — loud at the
+      // scales this corpus reaches, revisit for 100 TB parts).
+      // The residual row makes the micro rounding honest:
+      // baseline + effects + residual = total, by construction.
+      val li = T(s, dir, "lineitem")
+        .select(col("l_partkey").as("_pk"),
+          expr("unix_micros(l_shipdate) div 604800000000").as("_wk"),
+          col("l_extendedprice").cast("decimal(18,2)").as("_r"),
+          col("l_quantity").cast("decimal(18,2)").as("_v"))
+      val mid = li.agg(expr("(min(_wk) + max(_wk) + 1) div 2").as("_mid"))
+      val per = li.crossJoin(broadcast(mid))
+        .groupBy(col("_pk"))
+        .agg(sum(when(col("_wk") < col("_mid"), col("_r"))).as("_ra"),
+          sum(when(col("_wk") < col("_mid"), col("_v"))).as("_va"),
+          sum(when(col("_wk") >= col("_mid"), col("_r"))).as("_rb"),
+          sum(when(col("_wk") >= col("_mid"), col("_v"))).as("_vb"))
+        .withColumn("_rai", (col("_ra") * 100).cast("long"))
+        .withColumn("_vai", (col("_va") * 100).cast("long"))
+        .withColumn("_rbi", (col("_rb") * 100).cast("long"))
+        .withColumn("_vbi", (col("_vb") * 100).cast("long"))
+        // vol = (Vb−Va)·Ra/Va, price = Rb − Ra·Vb/Va (microdollars)
+        .withColumn("_voln", (col("_vbi") - col("_vai")) * col("_rai") * 10000L)
+        .withColumn("_volm", expr(
+          """IF(_voln < 0, -((-2 * _voln + _vai) div (2 * _vai)),
+                           (2 * _voln + _vai) div (2 * _vai))"""))
+        .withColumn("_prim", col("_rbi") * 10000L - expr(
+          "(2 * _rai * _vbi * 10000 + _vai) div (2 * _vai)"))
+      val agg = per.agg(
+        sum(col("_volm").cast("decimal(38,0)")).cast("double").as("_volu"),
+        sum(col("_prim").cast("decimal(38,0)")).cast("double").as("_priu"),
+        coalesce(sum(when(col("_ra").isNull, col("_rb"))).cast("double"),
+          lit(0.0)).as("_new"),
+        coalesce(sum(when(col("_rb").isNull, col("_ra"))).cast("double"),
+          lit(0.0)).as("_lost"),
+        sum(col("_rb")).cast("double").as("_totb"),
+        sum(col("_ra")).cast("double").as("_tota"))
+        .withColumn("_vol", col("_volu") / lit(1000000.0))
+        .withColumn("_price", col("_priu") / lit(1000000.0))
+      val resid = col("_totb") - col("_tota") - col("_vol") - col("_price") -
+        col("_new") + col("_lost")
+      agg.withColumn("_resid", resid)
+        .selectExpr("""stack(7,
+           '1_revenue_a', _tota,
+           '2_volume_effect', _vol,
+           '3_price_effect', _price,
+           '4_new_parts', _new,
+           '5_lost_parts', -_lost,
+           '6_residual', _resid,
+           '7_revenue_b', _totb) as (component, value)""")
+        .select(col("component"), round(col("value"), 6).as("value"))
+        .orderBy("component")
     }),
 
     "q70_ols_fit" -> ((s, dir) => {
