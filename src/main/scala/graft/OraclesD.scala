@@ -316,6 +316,27 @@ private[graft] object OraclesD {
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
 
+    "d36_dup_by_source" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """,
+         pairs AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+         allc AS (SELECT d.doc_id, d.source,
+                         coalesce(c.component, d.doc_id) AS component
+                  FROM (SELECT doc_id, source FROM documents WHERE doc_id < 500) d
+                  LEFT JOIN comp c ON c.id = d.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id <> component THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dups,
+                round(CAST(sum(CASE WHEN doc_id <> component THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+         FROM allc GROUP BY 1 ORDER BY source"""),
+
     "d20_soft_dedup" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       """,
          pairs AS (SELECT id1, id2 FROM inter

@@ -692,6 +692,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d36_dup_by_source" -> ((s, dir) => {
+      // WHICH sources contribute the duplicates (the actionable
+      // dedup dashboard row — d28 histograms cluster sizes, d22
+      // measures pairwise overlap; the curator's question is "which
+      // crawl do I drop"): the d06 resolution joined back to source,
+      // dup = any non-winner member, per-source rate
+      val comp = queries("d06_dedup_resolve")(s, dir)
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("source"))
+      comp.join(docs, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(cnt.as("n_docs"),
+          sum(when(col("doc_id") =!= col("component"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_rate",
+          round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    }),
+
     "d20_soft_dedup" -> ((s, dir) => {
       // SoftDeDup: downweight near-dup clusters to unit total mass
       // instead of dropping members — weight = 1/|component|
