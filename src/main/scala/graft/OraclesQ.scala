@@ -280,12 +280,12 @@ private[graft] object OraclesQ {
                       sum(CASE WHEN wk >= mid THEN v END) AS vb
                     FROM li CROSS JOIN mid GROUP BY 1),
             per AS (SELECT *,
-                      CAST(ra * 100 AS BIGINT) AS rai,
-                      CAST(va * 100 AS BIGINT) AS vai,
-                      CAST(rb * 100 AS BIGINT) AS rbi,
-                      CAST(vb * 100 AS BIGINT) AS vbi,
-                      (CAST(vb * 100 AS BIGINT) - CAST(va * 100 AS BIGINT))
-                        * CAST(ra * 100 AS BIGINT) * 10000 AS voln
+                      CAST(ra * 100 AS HUGEINT) AS rai,
+                      CAST(va * 100 AS HUGEINT) AS vai,
+                      CAST(rb * 100 AS HUGEINT) AS rbi,
+                      CAST(vb * 100 AS HUGEINT) AS vbi,
+                      (CAST(vb * 100 AS HUGEINT) - CAST(va * 100 AS HUGEINT))
+                        * CAST(ra * 100 AS HUGEINT) * 10000 AS voln
                     FROM per0),
             m AS (SELECT *,
                     CASE WHEN voln < 0

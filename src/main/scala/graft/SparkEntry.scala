@@ -2355,9 +2355,11 @@ object SparkEntry {
       // DuckDB, and diverged live at the last digit) — a sign-split
       // half-away integer division keeps Spark's truncating `div` and
       // DuckDB's flooring `//` in agreement on negative volume
-      // deltas. Per-part bound: |Δqty_hundredths|·rev_cents·2·10⁴
-      // must fit a long (~4.6e14 dollar·unit per part — loud at the
-      // scales this corpus reaches, revisit for 100 TB parts).
+      // deltas. The per-part products run in DECIMAL(38,0) (HUGEINT
+      // on the oracle side) — qty·revenue per part grows
+      // QUADRATICALLY with corpus scale and overflowed a long at the
+      // very first 10× probe; only the QUOTIENT (the microdollar
+      // effect itself) must fit a long, and it grows linearly.
       // The residual row makes the micro rounding honest:
       // baseline + effects + residual = total, by construction.
       val li = T(s, dir, "lineitem")
@@ -2372,16 +2374,17 @@ object SparkEntry {
           sum(when(col("_wk") < col("_mid"), col("_v"))).as("_va"),
           sum(when(col("_wk") >= col("_mid"), col("_r"))).as("_rb"),
           sum(when(col("_wk") >= col("_mid"), col("_v"))).as("_vb"))
-        .withColumn("_rai", (col("_ra") * 100).cast("long"))
-        .withColumn("_vai", (col("_va") * 100).cast("long"))
-        .withColumn("_rbi", (col("_rb") * 100).cast("long"))
-        .withColumn("_vbi", (col("_vb") * 100).cast("long"))
+        .withColumn("_rai", (col("_ra") * 100).cast("decimal(38,0)"))
+        .withColumn("_vai", (col("_va") * 100).cast("decimal(38,0)"))
+        .withColumn("_rbi", (col("_rb") * 100).cast("decimal(38,0)"))
+        .withColumn("_vbi", (col("_vb") * 100).cast("decimal(38,0)"))
         // vol = (Vb−Va)·Ra/Va, price = Rb − Ra·Vb/Va (microdollars)
         .withColumn("_voln", (col("_vbi") - col("_vai")) * col("_rai") * 10000L)
         .withColumn("_volm", expr(
           """IF(_voln < 0, -((-2 * _voln + _vai) div (2 * _vai)),
                            (2 * _voln + _vai) div (2 * _vai))"""))
-        .withColumn("_prim", col("_rbi") * 10000L - expr(
+        .withColumn("_prim", (col("_rbi") * 10000L).cast("decimal(38,0)")
+          .cast("long") - expr(
           "(2 * _rai * _vbi * 10000 + _vai) div (2 * _vai)"))
       val agg = per.agg(
         sum(col("_volm").cast("decimal(38,0)")).cast("double").as("_volu"),
