@@ -109,6 +109,29 @@ private[graft] object OraclesM {
                 doc_id = component AS is_canonical
          FROM allc ORDER BY doc_id""",
 
+    "m13_cell_stats" ->
+      // the m05 byte-fold cell replay (full corpus — linear, unlike
+      // m05's quadratic pairs), then exact integer stats and the
+      // pure-integer flat rule
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents),
+            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
+            byt AS (SELECT doc_id, (i - 1) % 64 AS j,
+                      (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS v
+                    FROM pos),
+            cellv AS (SELECT doc_id, j, sum(v) AS cv FROM byt GROUP BY 1, 2),
+            grid AS (SELECT doc_id, unnest(range(0, 64)) AS j FROM h),
+            cells AS (SELECT g.doc_id, g.j, coalesce(c.cv, 0) AS cv
+                      FROM grid g LEFT JOIN cellv c
+                        ON c.doc_id = g.doc_id AND c.j = g.j),
+            st AS (SELECT doc_id, sum(cv) AS s, min(cv) AS mn, max(cv) AS mx
+                   FROM cells GROUP BY 1)
+         SELECT doc_id, round(CAST(s AS DOUBLE) / 64.0, 6) AS cell_mean,
+                CAST(mx - mn AS BIGINT) AS contrast,
+                ((mx - mn) * 20 * 64 < s) AS is_flat
+         FROM st ORDER BY doc_id""",
+
     "m05_phash_pairs" ->
       // byte-level dHash replay (the m01 hex-parse rule): cell[j] =
       // sum of bytes at positions ≡ j (mod 64), bit j compares

@@ -3072,6 +3072,16 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    "m13_cell_stats" -> ((s, dir) => {
+      // the flat/blank-image screen before spending decode/embed
+      // compute: exact integer cell mean/contrast + a pure-integer
+      // flat rule ((max-min)*20*n < sum), no IEEE threshold
+      val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
+      Multimodal.cellStats(blobs, "doc_id", "blob")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "m01_multimodal" -> ((s, dir) => {
       val blobs = Multimodal.withBlob(T(s, dir, "documents"), "text")
       Multimodal.decodeFeatures(blobs, "doc_id", "blob")

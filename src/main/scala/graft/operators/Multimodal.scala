@@ -657,6 +657,46 @@ object Multimodal {
     spark.createDataFrame(rowRdd, outSchema)
   }
 
+  /** Per-image CELL STATISTICS (the flat/blank-image screen a media
+    * curation pipeline runs before spending decode/embed compute: a
+    * near-constant image — a solid color, a blank scan — carries no
+    * signal): over the decoder's `n` grayscale cells, exact integer
+    * mean/contrast and the flat flag as a PURE INTEGER comparison
+    * ((max−min)·20 < mean, i.e. relative contrast < 5% — no IEEE
+    * threshold anywhere; the q65 boundary lesson applied to images).
+    * The real-decoder swap point is the same as [[imagePhash]]'s:
+    * ImageIoDecoder pools decoded pixels, the byte-fold stub is the
+    * oracle path.
+    */
+  def cellStats(df: DataFrame, idCol: String, blobCol: String,
+                n: Int = 64,
+                decoder: MediaDecoder = ByteFoldDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cell_sum", LongType, nullable = false),
+      StructField("cell_min", LongType, nullable = false),
+      StructField("cell_max", LongType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol))
+      .filter(col(idCol).isNotNull).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        decoder.cells(bytes, n) match {
+          case None => Iterator.empty
+          case Some(cells) =>
+            Iterator.single(Row(r.getLong(0), cells.sum, cells.min, cells.max))
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, outSchema)
+      .select(col("id"),
+        round(col("cell_sum").cast("double") / lit(n.toDouble), 6)
+          .as("cell_mean"),
+        (col("cell_max") - col("cell_min")).as("contrast"),
+        ((col("cell_max") - col("cell_min")) * lit(20L) * lit(n.toLong)
+          < col("cell_sum")).as("is_flat"))
+  }
+
   /** Text–image alignment scoring (the plumbing of LAION/DataComp
     * CLIP-score filtering — the step that drops image–caption pairs
     * whose modalities don't agree): cosine between the image's
