@@ -735,6 +735,28 @@ private[graft] object OraclesT {
                     FROM pairs GROUP BY 1)
          SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 30""",
 
+    "t47_mattr" ->
+      // same windows (1-based inclusive slices), same single pinned
+      // division, same short-doc TTR fallback
+      """WITH b AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                        t -> len(t) > 0) AS t
+                    FROM documents),
+            s AS (SELECT doc_id, len(t) AS n,
+                    CASE WHEN len(t) >= 50 THEN
+                      list_sum(list_transform(range(1, len(t) - 48),
+                        p -> len(list_distinct(t[p:p+49]))))
+                    END AS sd,
+                    len(list_distinct(t)) AS d
+                  FROM b)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                CASE WHEN n = 0 THEN NULL
+                     WHEN n >= 50 THEN round(CAST(sd AS DOUBLE)
+                       / (CAST(n - 49 AS DOUBLE) * 50.0), 6)
+                     ELSE round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                END AS mattr
+         FROM s ORDER BY doc_id""",
+
     "t46_burstiness" ->
       // same per-doc count folds, implicit zeros, pinned Fano chain
       """WITH tk AS (SELECT doc_id, tok FROM (

@@ -3780,6 +3780,35 @@ object SparkEntry {
       TextStats.corpusDivergence(T(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    "t47_mattr" -> ((s, dir) => {
+      // MATTR (Covington & McFall: the moving-average type-token
+      // ratio — t26's raw TTR falls with length by construction, the
+      // 50-token moving window removes the length confound): per doc,
+      // Σ distinct(window) over all windows, ONE division by
+      // (w · n_windows) — integer sum, pinned denominator; short docs
+      // fall back to plain TTR; entirely row-local (O(n·w) per doc,
+      // zero shuffles beyond the scan)
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)
+      val w = 50
+      T(s, dir, "documents")
+        .select(col("doc_id"), toks.as("_t"))
+        .withColumn("_n", size(col("_t")))
+        .withColumn("_sd", when(col("_n") >= w,
+          aggregate(
+            transform(sequence(lit(1), col("_n") - (w - 1)),
+              p => size(array_distinct(slice(col("_t"), p, lit(w))))),
+            lit(0L), (acc, x) => acc + x)))
+        .select(col("doc_id"), col("_n").cast("long").as("n_tokens"),
+          round(
+            when(col("_n") === 0, lit(null).cast("double"))
+              .when(col("_n") >= w, col("_sd").cast("double")
+                / ((col("_n") - (w - 1)).cast("double") * lit(w.toDouble)))
+              .otherwise(size(array_distinct(col("_t"))).cast("double")
+                / col("_n").cast("double")), 6).as("mattr"))
+        .orderBy("doc_id")
+    }),
+
     "t46_burstiness" -> ((s, dir) => {
       // term BURSTINESS (Church & Gale: content words clump, function
       // words spread — the Fano factor Var/Mean over PER-DOC counts,
