@@ -263,6 +263,52 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q72_ri_audit" ->
+      // same per-relationship left joins against distinct parent keys
+      """WITH r1 AS (SELECT 'lineitem.orderkey->orders' AS relationship,
+                       CAST(count(*) AS BIGINT) AS n_child,
+                       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                     FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                       ON o.o_orderkey = l.l_orderkey),
+            r2 AS (SELECT 'lineitem.partkey->part',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+                       ON p.p_partkey = l.l_partkey),
+            r3 AS (SELECT 'lineitem.suppkey->supplier',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+                       ON s.s_suppkey = l.l_suppkey),
+            r4 AS (SELECT 'orders.custkey->customer',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                       ON c.c_custkey = o.o_custkey),
+            r5 AS (SELECT 'customer.nationkey->nation',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+                       ON n.n_nationkey = c.c_nationkey),
+            r6 AS (SELECT 'supplier.nationkey->nation',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+                       ON n.n_nationkey = s.s_nationkey),
+            r7 AS (SELECT 'nation.regionkey->region',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+                       ON r.r_regionkey = n.n_regionkey),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+                  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+                  UNION ALL SELECT * FROM r5 UNION ALL SELECT * FROM r6
+                  UNION ALL SELECT * FROM r7)
+         SELECT relationship, n_child, n_orphans,
+                round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+                  AS orphan_rate
+         FROM u ORDER BY relationship""",
+
     "q71_pvm_bridge" ->
       // same midpoint split; effect terms as all-integer microdollars
       // with the sign-split half-away division (Spark div truncates,

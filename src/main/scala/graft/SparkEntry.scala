@@ -2344,6 +2344,42 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q72_ri_audit" -> ((s, dir) => {
+      // referential-integrity audit across the star (the OTHER half
+      // of data quality q48's single-column profile can't see: a
+      // foreign key pointing nowhere silently drops rows at every
+      // downstream join): per relationship, child rows / orphans /
+      // orphan rate — each relationship is one left join against the
+      // parent's distinct key set (dims broadcast; the fact-to-fact
+      // edge shuffles on the key, as it must at any scale)
+      def rel(name: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+        val p = parent.select(col(pk).as("_pk")).distinct()
+          .withColumn("_hit", lit(1))
+        child.select(col(ck).as("_ck"))
+          .join(p, col("_ck") === col("_pk"), "left")
+          .agg(cnt.as("n_child"),
+            sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_orphans"),
+            round(col("n_orphans").cast("double")
+              / col("n_child").cast("double"), 6).as("orphan_rate"))
+      }
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer"); val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+      val pt = T(s, dir, "part")
+      Seq(
+        rel("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        rel("lineitem.partkey->part", li, "l_partkey", pt, "p_partkey"),
+        rel("lineitem.suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        rel("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        rel("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        rel("supplier.nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+        rel("nation.regionkey->region", n, "n_regionkey", r, "r_regionkey"))
+        .reduce(_ unionAll _).orderBy("relationship")
+    }),
+
     "q71_pvm_bridge" -> ((s, dir) => {
       // PRICE-VOLUME-MIX revenue bridge (the finance "why did revenue
       // move" waterfall r33 answers for event rates): lineitem splits
