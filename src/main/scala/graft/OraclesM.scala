@@ -109,6 +109,29 @@ private[graft] object OraclesM {
                 doc_id = component AS is_canonical
          FROM allc ORDER BY doc_id""",
 
+    "m14_wav_clipping" ->
+      // the m12 rule: replay the DECODED amplitudes from the text
+      // bytes alone ((b-128)*256), never parse WAV — a drop, scale,
+      // or reorder in the javax.sound path breaks the hash
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n
+                    FROM documents WHERE strlen(text) > 0),
+            pos AS (SELECT doc_id, hx, unnest(range(1, n + 1)) AS i FROM h),
+            amp AS (SELECT doc_id,
+                      ((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+                       - 128) * 256 AS a
+                    FROM pos),
+            st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                     CAST(sum(CASE WHEN abs(a) >= 24000 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_clipped,
+                     CAST(max(abs(a)) AS BIGINT) AS peak
+                   FROM amp GROUP BY 1)
+         SELECT doc_id, n_samples, n_clipped, peak,
+                round(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+                  AS clip_rate,
+                (n_clipped * 100 > n_samples * 18) AS is_clipped
+         FROM st ORDER BY doc_id""",
+
     "m13_cell_stats" ->
       // the m05 byte-fold cell replay (full corpus — linear, unlike
       // m05's quadratic pairs), then exact integer stats and the

@@ -3178,6 +3178,18 @@ object SparkEntry {
         .orderBy("doc_id", "seg_idx")
     }),
 
+    "m14_wav_clipping" -> ((s, dir) => {
+      // the recording-quality screen, REAL decoder hash-gated like
+      // m12: synth WAVs decode through javax.sound, clip counts /
+      // peak / integer rate flag from the DECODED amplitudes; the
+      // oracle replays (byte-128)*256 from the text alone
+      val wavs = Multimodal.synthWav(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.clippingStats(wavs, "id", "wav",
+          frontend = Multimodal.WavAudio)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "m12_wav_vad" -> ((s, dir) => {
       // the REAL decoder, hash-gated end to end: every document
       // synthesizes to an actual RIFF/PCM WAV (sample f = text byte f

@@ -179,6 +179,11 @@ object Multimodal {
     /** Fixed-size chunking of the decoded stream, `chunkUnits` units
       * per chunk (last chunk may be short). None = undecodable. */
     def chunks(bytes: Array[Byte], chunkUnits: Int): Option[Array[AudioChunk]]
+    /** Decoded per-unit 16-bit amplitudes (|a| ≤ 2^15). The stub
+      * recentres raw bytes exactly as [[synthWav]] encodes them
+      * ((b − 128) << 8), so stub and real decoder agree on synth
+      * input — the m12 oracle-replay property. None = undecodable. */
+    def amplitudes(bytes: Array[Byte]): Option[Array[Int]]
   }
 
   /** Deterministic byte-fold stub — the default and the oracle path.
@@ -198,6 +203,9 @@ object Multimodal {
         AudioChunk(from.toLong, n.toLong, if (n > 0) s.toDouble / n else 0.0, s)
       })
     }
+    def amplitudes(bytes: Array[Byte]): Option[Array[Int]] =
+      if (bytes == null) None
+      else Some(bytes.map(b => ((b & 0xff) - 128) << 8))
   }
 
   /** Real audio decode on `javax.sound.sampled` (WAV/AIFF/AU — the
@@ -266,6 +274,59 @@ object Multimodal {
           AudioChunk(from.toLong, n.toLong, if (n > 0) e.toDouble / n else 0.0, e)
         }
       }
+    def amplitudes(bytes: Array[Byte]): Option[Array[Int]] = pcm(bytes)
+  }
+
+  /** CLIPPING detection (the recording-quality screen an audio
+    * curation pipeline runs before transcription/embedding compute:
+    * a clipped recording distorts every downstream feature): per
+    * file, exact sample/clip counts against an INTEGER amplitude
+    * threshold, the peak, and the clipped flag as a pure integer
+    * rate comparison (n_clipped·100 > n_samples·ratePct — no IEEE
+    * threshold). Runs on the frontend's DECODED amplitudes, so the
+    * real path (m12's javax.sound WAV decode) is hash-gated end to
+    * end when driven through [[synthWav]]: the oracle replays
+    * (byte − 128)·256 from the text alone. Empty/undecodable streams
+    * drop (no evidence).
+    */
+  def clippingStats(df: DataFrame, idCol: String, blobCol: String,
+                    clipAbs: Int = 24000, ratePct: Int = 18,
+                    frontend: AudioFrontend = ByteFoldAudio): DataFrame = {
+    require(clipAbs > 0 && clipAbs <= 32768 && ratePct >= 0 && ratePct <= 100,
+      s"clippingStats: clipAbs=$clipAbs ratePct=$ratePct out of range")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val rowRdd = df.select(col(idCol).cast("long"), col(blobCol))
+      .filter(col(idCol).isNotNull).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        frontend.amplitudes(bytes) match {
+          case None => Iterator.empty
+          case Some(a) if a.isEmpty => Iterator.empty
+          case Some(a) =>
+            var nc = 0L
+            var pk = 0L
+            var i = 0
+            while (i < a.length) {
+              val v = math.abs(a(i).toLong)
+              if (v >= clipAbs) nc += 1
+              if (v > pk) pk = v
+              i += 1
+            }
+            Iterator.single(Row(r.getLong(0), a.length.toLong, nc, pk))
+        }
+      }
+    }
+    spark.createDataFrame(rowRdd, schema)
+      .select(col("id"), col("n_samples"), col("n_clipped"), col("peak"),
+        round(col("n_clipped").cast("double")
+          / col("n_samples").cast("double"), 6).as("clip_rate"),
+        (col("n_clipped") * 100L > col("n_samples") * ratePct.toLong)
+          .as("is_clipped"))
   }
 
   /** Deterministic WAV synthesis from text bytes — the end-to-end
