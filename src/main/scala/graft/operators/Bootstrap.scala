@@ -29,11 +29,17 @@ object Bootstrap {
   private val hexThresholds =
     Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
 
-  /** One (row, replicate) draw's hex prefix. STRING is the one
-    * text-type name BOTH parsers accept (Spark rejects bare VARCHAR;
-    * DuckDB aliases STRING to VARCHAR). */
-  private def hashSql(idExpr: String, b: Int): String =
-    s"substring(md5(concat(CAST($idExpr AS STRING), '_$b')), 1, 8)"
+  /** One md5 yields FOUR independent 8-hex-digit draws (slices of the
+    * 32-hex digest) — replicate b reads slice b%4 of hash group b/4,
+    * quartering the md5 count per row (the q50 hot cost: B md5s per
+    * row was 38M digests at sf0.1). STRING is the one text-type name
+    * BOTH parsers accept (Spark rejects bare VARCHAR; DuckDB aliases
+    * STRING to VARCHAR). */
+  private def groupHashSql(idExpr: String, g: Int): String =
+    s"md5(concat(CAST($idExpr AS STRING), '_$g'))"
+
+  private def sliceSql(hashExpr: String, b: Int): String =
+    s"substring($hashExpr, ${1 + 8 * (b % 4)}, 8)"
 
   /** Threshold CASE over a hex expression. */
   private def caseSql(h: String): String =
@@ -43,20 +49,24 @@ object Bootstrap {
 
   /** Shared Spark-SQL/DuckDB text for one replicate's weight draw. */
   private def weightSql(idExpr: String, b: Int): String =
-    caseSql(hashSql(idExpr, b))
+    caseSql(sliceSql(groupHashSql(idExpr, b / 4), b))
 
   def meanCi(df: DataFrame, keyCol: String, idCol: String, xCol: String,
              b: Int = 64): DataFrame = {
     require(b >= 4 && b <= 256, s"meanCi: b=$b replicates must be in [4,256]")
-    // hash hoisted into its own projection: the threshold CASE names
-    // its input 5×, and inlining would evaluate md5 five times per
-    // (row, replicate) unless codegen CSE catches it — don't gamble
+    // hashes hoisted into their own projection: the threshold CASE
+    // names its slice 5×, and inlining would evaluate md5 five times
+    // per (row, replicate) unless codegen CSE catches it — don't
+    // gamble. One GROUP hash serves four replicates (slice b%4).
+    val groups = (b + 3) / 4
     val hashed = df.select(
       col(keyCol).as("key") +: col(xCol).cast("decimal(18,6)").as("_x") +:
-        (0 until b).map(i => expr(hashSql(s"`$idCol`", i)).as(s"_h$i")): _*)
+        (0 until groups).map(g =>
+          expr(groupHashSql(s"`$idCol`", g)).as(s"_g$g")): _*)
     val weighted = hashed.select(
       col("key") +: col("_x") +:
-        (0 until b).map(i => expr(caseSql(s"_h$i")).as(s"_c$i")): _*)
+        (0 until b).map(i =>
+          expr(caseSql(sliceSql(s"_g${i / 4}", i))).as(s"_c$i")): _*)
     // the point stats fold in the SAME aggregate as the replicates —
     // the corpus scans ONCE; everything after is the |keys|(·B) frame
     val aggs = (0 until b).flatMap(i => Seq(

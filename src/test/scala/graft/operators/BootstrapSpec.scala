@@ -10,15 +10,17 @@ import graft.SparkSpec
 class BootstrapSpec extends SparkSpec {
   import spark.implicits._
 
-  private def md5hex8(s: String): String =
+  private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+      .map(b => f"$b%02x").mkString
 
   private val thresholds =
     Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5")
 
+  /** Independent replay of the sliced-draw rule: replicate b reads
+    * 8 hex digits at offset 8·(b%4) of md5(id_"b/4"). */
   private def expectedWeight(id: Long, b: Int): Int = {
-    val h = md5hex8(s"${id}_$b")
+    val h = md5hex(s"${id}_${b / 4}").substring(8 * (b % 4), 8 * (b % 4) + 8)
     thresholds.indexWhere(t => h < t) match {
       case -1 => 5
       case k => k
