@@ -263,6 +263,27 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q73_purchase_intervals" ->
+      // same customer-grain lag, exact epoch-day gaps, q11 pair
+      """WITH o AS (SELECT o_custkey,
+                      epoch_us(o_orderdate) // 86400000000 AS d,
+                      o_orderkey
+                    FROM orders),
+            g AS (SELECT o_custkey,
+                    d - lag(d) OVER (PARTITION BY o_custkey
+                      ORDER BY d, o_orderkey) AS gap
+                  FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  AS n_repeat_customers,
+                round(quantile_cont(gap, 0.5), 6) AS p50_days,
+                round(quantile_cont(gap, 0.9), 6) AS p90_days,
+                round(CAST(sum(CAST(gap AS DECIMAL(19,0))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE), 6) AS mean_days,
+                CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_same_day
+         FROM g WHERE gap IS NOT NULL""",
+
     "q72_ri_audit" ->
       // same per-relationship left joins against distinct parent keys
       """WITH r1 AS (SELECT 'lineitem.orderkey->orders' AS relationship,

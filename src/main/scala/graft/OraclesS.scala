@@ -670,6 +670,22 @@ private[graft] object OraclesS {
                   <= 0.000001) AS is_dead
          FROM g ORDER BY pos""",
 
+    "s42_mrr" ->
+      // exact top-1 into the portable ranking, same 1/rank chain
+      s"""WITH ex AS (${base("s01_ann_brute")}),
+            ap AS (${base("s33_lsh_portable")}),
+            e1 AS (SELECT query_id, neighbor_id FROM ex WHERE rank = 1),
+            j AS (SELECT e1.query_id,
+                    min(CAST(ap.rank AS BIGINT)) AS rank_of_true
+                  FROM e1 LEFT JOIN ap
+                    ON ap.query_id = e1.query_id
+                   AND ap.neighbor_id = e1.neighbor_id
+                  GROUP BY 1)
+         SELECT query_id, rank_of_true,
+                coalesce(round(1.0 / CAST(rank_of_true AS DOUBLE), 6), 0.0)
+                  AS reciprocal_rank
+         FROM j ORDER BY query_id""",
+
     "s35_recall_eval" ->
       s"""WITH ex AS (${base("s01_ann_brute")}),
             ap AS (SELECT DISTINCT query_id, neighbor_id

@@ -918,6 +918,27 @@ object SparkEntry {
       // + dead flag over the embedding column, one pos-keyed shuffle
       Similarity.dimProfile(T(s, dir, "embeddings"), "embedding")),
 
+    "s42_mrr" -> ((s, dir) => {
+      // mean-reciprocal-rank eval beside s35/s39's recall: WHERE in
+      // the approx ranking does the true nearest neighbor land (a
+      // recall=1 index that ranks the true NN 9th still degrades
+      // retrieval) — exact top-1 joined into the portable LSH
+      // ranking, rr = 1/rank, 0 when missed
+      val ex1 = queries("s01_ann_brute")(s, dir)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val ap = queries("s33_lsh_portable")(s, dir)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("_ar"))
+      ex1.join(ap, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(min(col("_ar")).as("rank_of_true"))
+        .select(col("query_id"), col("rank_of_true"),
+          coalesce(round(lit(1.0) / col("rank_of_true").cast("double"), 6),
+            lit(0.0)).as("reciprocal_rank"))
+        .orderBy("query_id")
+    }),
+
     "s39_recall_curve" -> ((s, dir) => {
       // s35's gate as a CURVE (the tuning view: how fast does LSH
       // recall decay as k grows): recall@{1,5,10} of the portable
@@ -2342,6 +2363,29 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         "l_partkey", "l_quantity", "l_extendedprice",
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    }),
+
+    "q73_purchase_intervals" -> ((s, dir) => {
+      // repeat-purchase cadence (the CRM question behind q59's R
+      // score: not just HOW recent, but the customer's own rhythm):
+      // per customer, consecutive-order gaps in exact epoch days (lag
+      // at customer grain — the data-model-bounded group), then the
+      // exact q11 percentile pair + DECIMAL mean over the gap frame
+      val o = T(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("_d"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("_d"), col("o_orderkey"))
+      val gaps = o.withColumn("_gap", col("_d") - lag(col("_d"), 1).over(w))
+        .filter(col("_gap").isNotNull)
+      gaps.agg(cnt.as("n_gaps"),
+          countDistinct(col("o_custkey")).as("n_repeat_customers"),
+          round(expr("percentile(_gap, 0.5)"), 6).as("p50_days"),
+          round(expr("percentile(_gap, 0.9)"), 6).as("p90_days"),
+          round(sum(col("_gap").cast("decimal(19,0)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_days"),
+          sum(when(col("_gap") === 0, 1L).otherwise(0L)).as("n_same_day"))
     }),
 
     "q72_ri_audit" -> ((s, dir) => {
