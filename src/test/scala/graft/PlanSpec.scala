@@ -200,6 +200,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "trailing distincts are joins, not windows: " + p)
   }
 
+  test("q69: the lag window consumes the week aggregate, never the order stream") {
+    val p = SparkEntry.queries("q69_wow_growth")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) > winIdx,
+      "the lag must run over the weekly aggregate: " + p)
+  }
+
+  test("q72: every parent key set stays below a broadcast or key shuffle, no cartesian") {
+    val p = SparkEntry.queries("q72_ri_audit")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every RI check must be an equi-join: " + p)
+  }
+
+  test("q73: the gap lag runs at customer grain with one key exchange") {
+    val p = SparkEntry.queries("q73_purchase_intervals")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS")
+      || p.split("Exchange hashpartitioning").length - 1 >= 1,
+      "the window must partition on o_custkey, not collapse to one task: " + p)
+    assert(p.split("Exchange hashpartitioning").length - 1 >= 1, p)
+  }
+
   test("q66: the overlap join is a key equi-join, never a cartesian") {
     val p = SparkEntry.queries("q66_fifo_allocation")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
