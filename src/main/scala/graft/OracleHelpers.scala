@@ -226,6 +226,24 @@ private[graft] object OracleHelpers {
                      ORDER BY dist, j) AS rk FROM fin) WHERE rk = 1)"""
   }
 
+  /** s43 oracle: list sizes off the Lloyd chain's final assignment,
+    * empty lists from the range axis, pinned share/imbalance.
+    */
+  def s43Oracle(k: Int, iters: Int, dims: Int): String =
+    s"""WITH ${lloydCtes(k, iters, dims)},
+         cnts AS (SELECT j AS cluster, CAST(count(*) AS BIGINT) AS n_points
+                  FROM asg GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM asg),
+         ax AS (SELECT unnest(range($k)) AS cluster)
+       SELECT CAST(ax.cluster AS BIGINT) AS cluster,
+              CAST(coalesce(c.n_points, 0) AS BIGINT) AS n_points,
+              round(CAST(coalesce(c.n_points, 0) AS DOUBLE)
+                / CAST(nt.nn AS DOUBLE), 6) AS share,
+              round(CAST(coalesce(c.n_points, 0) AS DOUBLE) * $k.0
+                / CAST(nt.nn AS DOUBLE), 6) AS imbalance
+       FROM ax LEFT JOIN cnts c ON c.cluster = ax.cluster CROSS JOIN nt
+       ORDER BY cluster"""
+
   /** s36 oracle: the Lloyd chain's `fin` frame already holds every
     * (point, centroid) distance — top-2 per point gives d1/d2, the
     * same pinned sqrt chain scores s, and the per-cluster mean folds

@@ -263,6 +263,18 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q74_traffic_heatmap" ->
+      // Spark dayofweek is 1-7 Sunday=1; DuckDB's is 0-6 Sunday=0
+      """WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                      CAST(hour(ts) AS BIGINT) AS hr
+                    FROM events),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e)
+         SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_events,
+                round(CAST(count(*) AS DOUBLE) / CAST(max(t.nn) AS DOUBLE), 6)
+                  AS share
+         FROM e CROSS JOIN t GROUP BY dow, hr
+         ORDER BY dow, hr""",
+
     "q73_purchase_intervals" ->
       // same customer-grain lag, exact epoch-day gaps, q11 pair
       """WITH o AS (SELECT o_custkey,

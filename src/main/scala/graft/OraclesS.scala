@@ -244,6 +244,8 @@ private[graft] object OraclesS {
 
     "s29_kmeans_train" -> s29Oracle(k = 8, iters = 3, dims = 64),
 
+    "s43_ivf_balance" -> s43Oracle(k = 8, iters = 3, dims = 64),
+
     "s36_silhouette" -> s36Oracle(k = 8, iters = 3, dims = 64),
 
     "s30_kmeans_prune" ->

@@ -1602,6 +1602,29 @@ object SparkEntry {
         .orderBy("cluster", "rank_in_cluster")
     }),
 
+    "s43_ivf_balance" -> ((s, dir) => {
+      // IVF index-health audit (the number that decides nprobe and
+      // whether to retrain: a skewed list map makes every probe of
+      // the fat list pay the imbalance): list sizes under the s29
+      // quantizer with EMPTY lists materialized off the cluster
+      // axis, share and imbalance = n·k/N as pinned divisions
+      val k = 8
+      val asg = Similarity.kmeansAssign(T(s, dir, "embeddings"), "vec_id",
+        "embedding", kmeansQuantizer(s, dir, k, 3, 64), dims = 64)
+      val counts = asg.groupBy(col("cluster")).agg(cnt.as("n_points"))
+      val tot = asg.agg(cnt.as("_N"))
+      s.range(k).select(col("id").as("cluster"))
+        .join(counts, Seq("cluster"), "left")
+        .na.fill(0L, Seq("n_points"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_points"),
+          round(col("n_points").cast("double") / col("_N").cast("double"), 6)
+            .as("share"),
+          round(col("n_points").cast("double") * k.toDouble
+            / col("_N").cast("double"), 6).as("imbalance"))
+        .orderBy("cluster")
+    }),
+
     "s29_kmeans_train" -> ((s, dir) =>
       // distributed Lloyd: 3 exact-integer-micro updates from the
       // md5-deterministic seed, then the final assignment — one
@@ -2363,6 +2386,23 @@ object SparkEntry {
         li.filter(col("l_returnflag") === "R"),
         "l_partkey", "l_quantity", "l_extendedprice",
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+    }),
+
+    "q74_traffic_heatmap" -> ((s, dir) => {
+      // the dow × hour load heatmap (capacity planning's first
+      // chart, and the shape r27's per-key baselines slice from):
+      // one grid-grain aggregate + a broadcast 1-row total, share as
+      // a pinned division
+      val ev = T(s, dir, "events")
+        .select(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+      val tot = ev.agg(cnt.as("_N"))
+      ev.groupBy(col("dow"), col("hr")).agg(cnt.as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("n_events"),
+          round(col("n_events").cast("double") / col("_N").cast("double"), 6)
+            .as("share"))
+        .orderBy("dow", "hr")
     }),
 
     "q73_purchase_intervals" -> ((s, dir) => {
