@@ -663,6 +663,33 @@ private[graft] object OraclesR {
 
     "r39_holt_forecast" -> OracleHelpers.holtOracleSql(window = 16),
 
+    "r40_rate_correlation" ->
+      // same zero-filled full-axis grid and q43 moment chain
+      """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            sp AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+            ax AS (SELECT unnest(range(lo, hi + 1)) AS hr FROM sp),
+            ks AS (SELECT DISTINCT k FROM h),
+            g AS (SELECT ax.hr, ks.k, coalesce(h.c, 0) AS c
+                  FROM ax CROSS JOIN ks
+                  LEFT JOIN h ON h.k = ks.k AND h.hr = ax.hr),
+            p AS (SELECT a.k AS key_a, b.k AS key_b,
+                    CAST(count(*) AS BIGINT) AS n_hours,
+                    CAST(sum(CAST(a.c AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST(b.c AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST(a.c * a.c AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+                    CAST(sum(CAST(b.c * b.c AS DECIMAL(28,0))) AS DOUBLE) AS syy,
+                    CAST(sum(CAST(a.c * b.c AS DECIMAL(28,0))) AS DOUBLE) AS sxy
+                  FROM g a JOIN g b ON b.hr = a.hr AND a.k < b.k
+                  GROUP BY 1, 2)
+         SELECT key_a, key_b, n_hours,
+                round((CAST(n_hours AS DOUBLE) * sxy - sx * sy)
+                  / (sqrt(CAST(n_hours AS DOUBLE) * sxx - sx * sx)
+                     * sqrt(CAST(n_hours AS DOUBLE) * syy - sy * sy)), 6)
+                  AS corr
+         FROM p ORDER BY key_a, key_b""",
+
     "r20_ewma_forecast" ->
       // dyadic weights: both engines sum c·2^(24−d) and 2^(24−d) as
       // exact integers, then perform the SAME single IEEE division

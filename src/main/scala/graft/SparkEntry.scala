@@ -1934,6 +1934,44 @@ object SparkEntry {
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "hr_start")),
 
+    "r40_rate_correlation" -> ((s, dir) => {
+      // WHICH types fail together (incident correlation — the cross-
+      // key question r16..r39 all score per key): pairwise Pearson of
+      // the hourly count series over the FULL hour axis with absent
+      // hours as true zeros (a type that's quiet while another spikes
+      // is signal, not missing data); the zero-filled grid is
+      // |hours|·|types| rows off the hourly histogram, pairs join at
+      // hour grain, moments fold as exact DECIMAL in the q43 chain
+      val hourly = T(s, dir, "events")
+        .select(col("event_type").as("_k"),
+          expr("unix_timestamp(ts) div 3600").as("_hr"))
+        .groupBy(col("_k"), col("_hr")).agg(cnt.as("_c"))
+      val span = hourly.agg(min(col("_hr")).as("_lo"), max(col("_hr")).as("_hi"))
+      val axis = span.select(explode(sequence(col("_lo"), col("_hi"))).as("_hr"))
+      val keys = hourly.select(col("_k")).distinct()
+      val grid = axis.crossJoin(broadcast(keys))
+        .join(hourly, Seq("_k", "_hr"), "left")
+        .na.fill(0L, Seq("_c"))
+      val a = grid.select(col("_hr"), col("_k").as("key_a"), col("_c").as("_x"))
+      val b = grid.select(col("_hr"), col("_k").as("key_b"), col("_c").as("_y"))
+      def d2(c: Column) = c.cast("decimal(28,0)")
+      val g = a.join(b, Seq("_hr")).filter(col("key_a") < col("key_b"))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(cnt.as("n_hours"),
+          sum(d2(col("_x"))).cast("double").as("_sx"),
+          sum(d2(col("_y"))).cast("double").as("_sy"),
+          sum(d2(col("_x") * col("_x"))).cast("double").as("_sxx"),
+          sum(d2(col("_y") * col("_y"))).cast("double").as("_syy"),
+          sum(d2(col("_x") * col("_y"))).cast("double").as("_sxy"))
+      val nD = col("n_hours").cast("double")
+      g.select(col("key_a"), col("key_b"), col("n_hours"),
+          round((nD * col("_sxy") - col("_sx") * col("_sy")) /
+            (sqrt(nD * col("_sxx") - col("_sx") * col("_sx")) *
+              sqrt(nD * col("_syy") - col("_sy") * col("_sy"))), 6)
+            .as("corr"))
+        .orderBy("key_a", "key_b")
+    }),
+
     "r39_holt_forecast" -> ((s, dir) =>
       // trend-aware upgrade of r20: Holt's level+trend forecast as an
       // exact finite dyadic filter (no recurrence, no pow()), absent
