@@ -316,6 +316,46 @@ private[graft] object OraclesD {
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
 
+    "d37_savings_curve" -> {
+      // four per-tau component chains off the shared shingle CTE
+      // (DuckDB allows multiple recursive CTEs in one WITH RECURSIVE)
+      val taus = Seq("0.5" -> "t05", "0.6" -> "t06",
+        "0.7" -> "t07", "0.8" -> "t08")
+      val chains = taus.map { case (tau, x) =>
+        s"""pairs$x AS (SELECT id1, id2 FROM inter
+                   JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= $tau),
+         edges$x AS (SELECT id1 AS a, id2 AS b FROM pairs$x
+                   UNION SELECT id2, id1 FROM pairs$x),
+         reach$x(a, b) AS (SELECT a, b FROM edges$x
+                   UNION SELECT r.a, e.b FROM reach$x r JOIN edges$x e ON r.b = e.a),
+         comp$x AS (SELECT a AS id, least(a, min(b)) AS component
+                   FROM reach$x GROUP BY a),
+         agg$x AS (SELECT CAST($tau AS DOUBLE) AS tau,
+                   CAST(count(*) AS BIGINT) AS n_removed,
+                   CAST(coalesce(sum(sx.toks), 0) AS BIGINT) AS tokens_removed,
+                   CAST(coalesce(sum(sx.bytes), 0) AS BIGINT) AS bytes_removed
+                   FROM comp$x c JOIN szx sx ON sx.doc_id = c.id
+                   WHERE c.id <> c.component)"""
+      }.mkString(",\n         ")
+      val union = taus.map { case (_, x) => s"SELECT * FROM agg$x" }
+        .mkString("\n              UNION ALL ")
+      ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+        s""",
+         szx AS (SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> len(t) > 0)) AS BIGINT) AS toks,
+                   CAST(strlen(text) AS BIGINT) AS bytes
+                 FROM documents WHERE doc_id < 500),
+         tot AS (SELECT sum(toks) AS tt FROM szx),
+         $chains,
+         u AS ($union)
+         SELECT tau, n_removed, tokens_removed, bytes_removed,
+                round(CAST(tokens_removed AS DOUBLE) / CAST(tot.tt AS DOUBLE), 6)
+                  AS token_share
+         FROM u CROSS JOIN tot ORDER BY tau"""
+    },
+
     "d36_dup_by_source" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       """,
          pairs AS (SELECT id1, id2 FROM inter

@@ -692,6 +692,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d37_savings_curve" -> ((s, dir) => {
+      // the BUSINESS CASE before a 100 TB dedup run (d34 tunes the
+      // detector, this prices the outcome): per threshold τ, docs /
+      // tokens / bytes removed if near-dups at ≥ τ collapse to their
+      // cluster winner — the d06 resolution replayed at each τ, exact
+      // integer savings + pinned share
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val sizes = docs.select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("_bytes"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("_toks"))
+      val totals = sizes.agg(cnt.as("_nd"), sum(col("_toks")).as("_tt"),
+        sum(col("_bytes")).as("_tb"))
+      Seq(0.5, 0.6, 0.7, 0.8).map { tau =>
+        val comp = Dedup.components(docs.select(col("doc_id")), "doc_id",
+          Dedup.jaccardPairs(sh, tau))
+        comp.filter(col("doc_id") =!= col("component"))
+          .join(sizes, Seq("doc_id"))
+          .agg(cnt.as("n_removed"),
+            coalesce(sum(col("_toks")), lit(0L)).as("tokens_removed"),
+            coalesce(sum(col("_bytes")), lit(0L)).as("bytes_removed"))
+          .crossJoin(broadcast(totals))
+          .select(lit(tau).as("tau"), col("n_removed"),
+            col("tokens_removed"), col("bytes_removed"),
+            round(col("tokens_removed").cast("double")
+              / col("_tt").cast("double"), 6).as("token_share"))
+      }.reduce(_ unionAll _).orderBy("tau")
+    }),
+
     "d36_dup_by_source" -> ((s, dir) => {
       // WHICH sources contribute the duplicates (the actionable
       // dedup dashboard row — d28 histograms cluster sizes, d22
