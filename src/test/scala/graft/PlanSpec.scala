@@ -363,6 +363,14 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
   }
 
+  test("r40: the zero-filled grid builds by broadcast; pairs join at hour grain") {
+    val p = SparkEntry.queries("r40_rate_correlation")(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"),
+      "the key axis must broadcast onto the hour axis: " + p)
+    assert(!p.contains("Window"), "correlation is folds, not windows: " + p)
+  }
+
   test("r39: the Holt filter runs at hour grain off the cached histogram, no window") {
     val p = SparkEntry.queries("r39_holt_forecast")(spark, dir).queryExecution
       .explainString(ExplainMode.fromString("simple"))
