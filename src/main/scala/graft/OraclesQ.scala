@@ -263,6 +263,26 @@ private[graft] object OraclesQ {
          FROM ax CROSS JOIN mm LEFT JOIN c ON c.bin = ax.bin
          ORDER BY bin""",
 
+    "q75_skyline" ->
+      // same exact-arithmetic dominance (DECIMAL revenue, integer
+      // cross-multiplied return rates), NOT EXISTS form
+      """WITH sup AS (SELECT l_suppkey,
+                        sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+                        CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS r
+                      FROM lineitem GROUP BY 1)
+         SELECT s.l_suppkey, CAST(s.rev AS DOUBLE) AS revenue,
+                s.n AS n_lines,
+                round(CAST(s.r AS DOUBLE) / CAST(s.n AS DOUBLE), 6)
+                  AS return_rate
+         FROM sup s
+         WHERE NOT EXISTS (
+           SELECT 1 FROM sup o
+           WHERE o.rev >= s.rev AND o.r * s.n <= s.r * o.n
+             AND (o.rev > s.rev OR o.r * s.n < s.r * o.n))
+         ORDER BY s.l_suppkey""",
+
     "q74_traffic_heatmap" ->
       // Spark dayofweek is 1-7 Sunday=1; DuckDB's is 0-6 Sunday=0
       """WITH e AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

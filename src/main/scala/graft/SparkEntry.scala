@@ -2456,6 +2456,38 @@ object SparkEntry {
         Seq("l_shipdate", "l_orderkey", "l_linenumber"))
     }),
 
+    "q75_skyline" -> ((s, dir) => {
+      // SKYLINE / Pareto-optimal suppliers (the multi-objective
+      // shortlist no single ranking can produce: maximize revenue,
+      // minimize return rate — q35/q63 rank one axis, the skyline
+      // keeps every supplier nobody beats on BOTH): dominance tested
+      // on EXACT arithmetic — DECIMAL revenue compares and the
+      // return-rate compare cross-multiplied to integers (r_a·n_b vs
+      // r_b·n_a — the q51 ECDF trick), so the frontier is
+      // engine-neutral with no float thresholds; the dominance
+      // anti-join runs on the |suppliers|-grain AGGREGATE (the
+      // stated-bound contract — never the line stream)
+      val sup = T(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("_rev"),
+          cnt.as("_n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("_r"))
+      val a = sup.select(col("l_suppkey"), col("_rev"), col("_n"), col("_r"))
+      val b = sup.select(col("l_suppkey").as("_ok"), col("_rev").as("_orev"),
+        col("_n").as("_on"), col("_r").as("_or"))
+      val betterEq = col("_orev") >= col("_rev") &&
+        col("_or") * col("_n") <= col("_r") * col("_on")
+      val strictly = col("_orev") > col("_rev") ||
+        col("_or") * col("_n") < col("_r") * col("_on")
+      a.join(b, betterEq && strictly, "left_anti")
+        .select(col("l_suppkey"),
+          col("_rev").cast("double").as("revenue"),
+          col("_n").as("n_lines"),
+          round(col("_r").cast("double") / col("_n").cast("double"), 6)
+            .as("return_rate"))
+        .orderBy("l_suppkey")
+    }),
+
     "q74_traffic_heatmap" -> ((s, dir) => {
       // the dow × hour load heatmap (capacity planning's first
       // chart, and the shape r27's per-key baselines slice from):
