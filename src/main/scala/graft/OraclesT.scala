@@ -757,6 +757,25 @@ private[graft] object OraclesT {
                 END AS mattr
          FROM s ORDER BY doc_id""",
 
+    "t48_vocab_overlap" ->
+      // same (source, token) distinct grain and pinned division
+      """WITH st AS (SELECT DISTINCT source, tok FROM (
+                SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM st GROUP BY 1),
+            i AS (SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(count(*) AS BIGINT) AS nab
+                  FROM st a JOIN st b
+                    ON b.tok = a.tok AND a.source < b.source
+                  GROUP BY 1, 2)
+         SELECT src_a, src_b, nab AS n_shared,
+                round(CAST(nab AS DOUBLE)
+                  / CAST(sa.n + sb.n - nab AS DOUBLE), 6) AS vocab_jaccard
+         FROM i JOIN sz sa ON sa.source = i.src_a
+                JOIN sz sb ON sb.source = i.src_b
+         ORDER BY src_a, src_b""",
+
     "t46_burstiness" ->
       // same per-doc count folds, implicit zeros, pinned Fano chain
       """WITH tk AS (SELECT doc_id, tok FROM (

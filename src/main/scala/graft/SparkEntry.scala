@@ -4041,6 +4041,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "t48_vocab_overlap" -> ((s, dir) => {
+      // which sources speak the same language — the SET view beside
+      // t23's distributional KL: pairwise vocabulary Jaccard from
+      // exact counts at the (source, token) distinct grain; the
+      // self-join keys on TOKEN (per-token fanout ≤ |sources|²,
+      // never corpus-quadratic), sizes attach by key join, one
+      // pinned division
+      val st = T(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).as("_tok"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(cnt.as("_sz"))
+      val inter = st.select(col("source").as("src_a"), col("_tok"))
+        .join(st.select(col("source").as("src_b"), col("_tok")), Seq("_tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(cnt.as("_nab"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("_sz").as("_na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("_sz").as("_nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("_nab").as("n_shared"),
+          round(col("_nab").cast("double")
+            / (col("_na") + col("_nb") - col("_nab")).cast("double"), 6)
+            .as("vocab_jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     "t46_burstiness" -> ((s, dir) => {
       // term BURSTINESS (Church & Gale: content words clump, function
       // words spread — the Fano factor Var/Mean over PER-DOC counts,
