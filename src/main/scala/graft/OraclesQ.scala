@@ -394,27 +394,30 @@ private[graft] object OraclesQ {
                       - (2 * rai * vbi * 10000 + vai) // (2 * vai) AS prim
                   FROM per),
             a AS (SELECT
-                    CAST(sum(ra) AS DOUBLE) AS tota,
-                    CAST(sum(rb) AS DOUBLE) AS totb,
-                    CAST(sum(CAST(volm AS DECIMAL(38,0))) AS DOUBLE)
-                      / 1000000.0 AS vol,
-                    CAST(sum(CAST(prim AS DECIMAL(38,0))) AS DOUBLE)
-                      / 1000000.0 AS price,
-                    coalesce(CAST(sum(CASE WHEN ra IS NULL THEN rb END)
-                      AS DOUBLE), 0.0) AS nw,
-                    coalesce(CAST(sum(CASE WHEN rb IS NULL THEN ra END)
-                      AS DOUBLE), 0.0) AS lost
+                    CAST(sum(rai) * 10000 AS BIGINT) AS tota_u,
+                    CAST(sum(rbi) * 10000 AS BIGINT) AS totb_u,
+                    CAST(sum(volm) AS BIGINT) AS volu,
+                    CAST(sum(prim) AS BIGINT) AS priu,
+                    CAST(coalesce(
+                      sum(CASE WHEN ra IS NULL THEN rbi END) * 10000, 0)
+                      AS BIGINT) AS new_u,
+                    CAST(coalesce(
+                      sum(CASE WHEN rb IS NULL THEN rai END) * 10000, 0)
+                      AS BIGINT) AS lost_u
                   FROM m),
-            b AS (SELECT *, totb - tota - vol - price - nw + lost AS resid
+            b AS (SELECT *,
+                    totb_u - tota_u - volu - priu - new_u + lost_u
+                      AS resid_u
                   FROM a)
-         SELECT component, round(value, 6) AS value FROM (
-             SELECT '1_revenue_a' AS component, tota AS value FROM b
-             UNION ALL SELECT '2_volume_effect', vol FROM b
-             UNION ALL SELECT '3_price_effect', price FROM b
-             UNION ALL SELECT '4_new_parts', nw FROM b
-             UNION ALL SELECT '5_lost_parts', -lost FROM b
-             UNION ALL SELECT '6_residual', resid FROM b
-             UNION ALL SELECT '7_revenue_b', totb FROM b)
+         SELECT component, value_micros FROM (
+             SELECT '1_revenue_a' AS component, tota_u AS value_micros
+               FROM b
+             UNION ALL SELECT '2_volume_effect', volu FROM b
+             UNION ALL SELECT '3_price_effect', priu FROM b
+             UNION ALL SELECT '4_new_parts', new_u FROM b
+             UNION ALL SELECT '5_lost_parts', -lost_u FROM b
+             UNION ALL SELECT '6_residual', resid_u FROM b
+             UNION ALL SELECT '7_revenue_b', totb_u FROM b)
          ORDER BY component""",
 
     "q70_ols_fit" ->

@@ -2582,6 +2582,16 @@ object SparkEntry {
       // effect itself) must fit a long, and it grows linearly.
       // The residual row makes the micro rounding honest:
       // baseline + effects + residual = total, by construction.
+      // OUTPUT IS INTEGER MICRODOLLARS (r15 driver red-row fix): the
+      // old render divided the micro totals by 1e6 as IEEE doubles and
+      // finished with round(value, 6) — exactly the cross-engine
+      // boundary class (Spark rounds the shortest-string repr, DuckDB
+      // the binary double), and the driver corpus hit it. Every one of
+      // the 7 components is exact in integer micros by construction
+      // (revenues are cents×10⁴, effects are half-away micro
+      // quotients, the residual is a pure integer identity), so the
+      // query never leaves integer space: value_micros is a BIGINT on
+      // both engine sides and hashes exactly at any SF.
       val li = T(s, dir, "lineitem")
         .select(col("l_partkey").as("_pk"),
           expr("unix_micros(l_shipdate) div 604800000000").as("_wk"),
@@ -2607,28 +2617,25 @@ object SparkEntry {
           .cast("long") - expr(
           "(2 * _rai * _vbi * 10000 + _vai) div (2 * _vai)"))
       val agg = per.agg(
-        sum(col("_volm").cast("decimal(38,0)")).cast("double").as("_volu"),
-        sum(col("_prim").cast("decimal(38,0)")).cast("double").as("_priu"),
-        coalesce(sum(when(col("_ra").isNull, col("_rb"))).cast("double"),
-          lit(0.0)).as("_new"),
-        coalesce(sum(when(col("_rb").isNull, col("_ra"))).cast("double"),
-          lit(0.0)).as("_lost"),
-        sum(col("_rb")).cast("double").as("_totb"),
-        sum(col("_ra")).cast("double").as("_tota"))
-        .withColumn("_vol", col("_volu") / lit(1000000.0))
-        .withColumn("_price", col("_priu") / lit(1000000.0))
-      val resid = col("_totb") - col("_tota") - col("_vol") - col("_price") -
-        col("_new") + col("_lost")
-      agg.withColumn("_resid", resid)
+        sum(col("_volm").cast("decimal(38,0)")).cast("long").as("_volu"),
+        sum(col("_prim").cast("decimal(38,0)")).cast("long").as("_priu"),
+        coalesce(sum(when(col("_ra").isNull, col("_rbi"))) * lit(10000L),
+          lit(0L)).cast("long").as("_newu"),
+        coalesce(sum(when(col("_rb").isNull, col("_rai"))) * lit(10000L),
+          lit(0L)).cast("long").as("_lostu"),
+        (sum(col("_rbi")) * lit(10000L)).cast("long").as("_totbu"),
+        (sum(col("_rai")) * lit(10000L)).cast("long").as("_totau"))
+      val resid = col("_totbu") - col("_totau") - col("_volu") -
+        col("_priu") - col("_newu") + col("_lostu")
+      agg.withColumn("_residu", resid)
         .selectExpr("""stack(7,
-           '1_revenue_a', _tota,
-           '2_volume_effect', _vol,
-           '3_price_effect', _price,
-           '4_new_parts', _new,
-           '5_lost_parts', -_lost,
-           '6_residual', _resid,
-           '7_revenue_b', _totb) as (component, value)""")
-        .select(col("component"), round(col("value"), 6).as("value"))
+           '1_revenue_a', _totau,
+           '2_volume_effect', _volu,
+           '3_price_effect', _priu,
+           '4_new_parts', _newu,
+           '5_lost_parts', -_lostu,
+           '6_residual', _residu,
+           '7_revenue_b', _totbu) as (component, value_micros)""")
         .orderBy("component")
     }),
 

@@ -750,9 +750,17 @@ object Windows {
                    qtyCol: String, costCol: String,
                    orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "fifoAllocate: orderCols must total-order each key's lots")
+    // Non-positive quantities are DROPPED, by contract (r15 ADVICE):
+    // a zero-qty lot's degenerate interval [x, x) strictly inside a
+    // demand interval would pass the overlap filter and divide by
+    // zero in the cost term; a negative qty breaks the monotonicity
+    // of the prefix axis the whole construction relies on. A zero or
+    // negative lot has no FIFO meaning — it neither supplies nor
+    // demands units — so the drop is semantic, not a silent skip.
     def base(df: DataFrame, cols: Column*): DataFrame =
       df.select((col(keyCol).as("_k") +: col(qtyCol).cast("decimal(18,2)")
         .as("_q") +: orderCols.map(col)) ++ cols: _*)
+        .filter(col("_q") > lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("_k"))
       .orderBy(orderCols.map(col): _*)

@@ -48,4 +48,22 @@ class FifoSpec extends SparkSpec {
     val out = run(Seq(("p", 1, 3.0, 1.0)), Seq(("p", 1, 1.0)))
     assert(out.head.getDouble(4) == 0.333333, out.head.toString)
   }
+
+  test("non-positive quantities drop by contract (no div-by-zero, no " +
+    "spurious matches, totals exclude them)") {
+    // zero-qty lot sits strictly inside the demand interval — the
+    // degenerate [x,x) would otherwise pass the overlap filter and
+    // divide by zero in the cost term; negative demand would break
+    // prefix monotonicity. Result must equal the clean-input run.
+    val out = run(
+      Seq(("p", 1, 5.0, 10.0), ("p", 2, 0.0, 99.0), ("p", 3, 5.0, 20.0)),
+      Seq(("p", 1, 8.0), ("p", 2, -3.0)))
+    val r = out.head
+    // FIFO: 5 from lot1 ($10) + 3 from lot3 ($12); unmatched 0
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 8.0
+      && r.getDouble(3) == 0.0 && r.getDouble(4) == 22.0, r.toString)
+    // all-dropped side → key absent, not a zero row
+    val gone = run(Seq(("z", 1, 0.0, 5.0)), Seq(("z", 1, 1.0)))
+    assert(gone.isEmpty)
+  }
 }

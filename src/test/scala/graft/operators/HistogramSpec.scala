@@ -30,4 +30,16 @@ class HistogramSpec extends SparkSpec {
     val rows = Profile.histogram(Seq.fill(5)(7.5).toDF("x"), "x", 4).collect()
     assert(rows.map(_.getLong(3)).toSeq == Seq(5L, 0L, 0L, 0L))
   }
+
+  test("span × bins past Long.MaxValue still bins exactly (DECIMAL rule)") {
+    // scale=6, domain [0, 2e9]: span in scaled units = 2e15, × 10000
+    // bins = 2e19 > Long.MaxValue — the long product would wrap to a
+    // NEGATIVE bin (r15 ADVICE); the DECIMAL(38,0) product must not.
+    val df = Seq(0.0, 1.0e9, 2.0e9).toDF("x")
+    val rows = Profile.histogram(df, "x", bins = 10000, scale = 6).collect()
+    assert(rows.length == 10000)
+    val nonEmpty = rows.filter(_.getLong(3) > 0L).map(r =>
+      (r.getLong(0), r.getLong(3))).toSeq
+    assert(nonEmpty == Seq((0L, 1L), (5000L, 1L), (9999L, 1L)), nonEmpty)
+  }
 }
