@@ -59,6 +59,25 @@ for f in sorted(glob.glob(f"{out}/*.parquet")):
 
 print(f"PASS ({len(passes)}): {' '.join(passes)}")
 print(f"WEAK rows-only ({len(weak)}): {[(n, r) for n, r in weak]}")
+
+# optional CORRECTNESS-style dump (driver schema) so survey_gate.py can
+# run against a fresh LOCAL gate, not just the last driver round:
+#   python3 scripts/check.py <sfDir> <outDir> --json /tmp/correctness.json
+if "--json" in sys.argv:
+    jp = sys.argv[sys.argv.index("--json") + 1]
+    rec = {}
+    for n in passes:
+        rec[n] = {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None}
+    for n, r in weak:
+        rec[n] = {"rows_match": True, "schema_match": True,
+                  "hash_match": None, "spark_rows": r, "err": None}
+    for n, msg in fails:
+        rec[n] = {"rows_match": False, "schema_match": False,
+                  "hash_match": False, "err": str(msg)[:200]}
+    json.dump(rec, open(jp, "w"), indent=1)
+    print(f"wrote {jp}")
+
 if fails:
     print(f"FAIL ({len(fails)}):")
     for n, msg in fails:
