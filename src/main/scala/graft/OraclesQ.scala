@@ -1254,6 +1254,30 @@ private[graft] object OraclesQ {
                                  (o_orderstatus, o_orderpriority))
          ORDER BY 1, 2""",
 
+    "q22_approx_distinct" ->
+      // the HLL estimate itself is engine-specific; the ORACLE-checked
+      // surface is the exact distinct + count and the 5% error gate
+      // pinned to literal true — Spark's estimator drifting past 5%
+      // (≈5σ at rsd=0.01) breaks the hash loudly
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                CAST(count(*) AS BIGINT) AS n,
+                true AS within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q25_percentile_approx" ->
+      // same pattern: exact percentiles hash-check (class P — integer
+      // data, dyadic midpoints), the sketch's rank-tolerance gates
+      // pin to literal true
+      """SELECT l_returnflag,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6)
+                  AS p50_exact,
+                round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6)
+                  AS p90_exact,
+                true AS p50_in_rank_tol,
+                true AS p90_in_rank_tol
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "q30_distinct_kmv" ->
       """WITH d AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
                     FROM lineitem GROUP BY 1, 2),

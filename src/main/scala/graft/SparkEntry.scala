@@ -1733,18 +1733,49 @@ object SparkEntry {
 
     "q25_percentile_approx" -> ((s, dir) =>
       // mergeable quantile sketch — the 100 TB path where exact
-      // percentile's full sort-per-group is too expensive
+      // percentile's full sort-per-group is too expensive. r16: the
+      // error gate is DRIVER-VISIBLE — the sketch value must land
+      // within rank-tolerance of the exact percentile (accuracy=1000
+      // bounds rank error by 1/1000 ≪ the ±0.02-rank bracket used
+      // here), emitted as a boolean the oracle pins to LITERAL true
+      // alongside the exact (class-P-safe) percentiles — so a drifted
+      // sketch now fails the hash gate loudly instead of hiding in a
+      // rows-only row
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50_approx"),
-          expr("percentile_approx(l_quantity, 0.9, 1000)").as("p90_approx"))
+        .agg(expr("percentile_approx(l_quantity, 0.5, 1000)").as("_a50"),
+          expr("percentile_approx(l_quantity, 0.9, 1000)").as("_a90"),
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+          expr("percentile(l_quantity, 0.9)").as("p90_exact"),
+          expr("percentile(l_quantity, 0.48)").as("_lo50"),
+          expr("percentile(l_quantity, 0.52)").as("_hi50"),
+          expr("percentile(l_quantity, 0.88)").as("_lo90"),
+          expr("percentile(l_quantity, 0.92)").as("_hi90"))
+        .select(col("l_returnflag"),
+          round(col("p50_exact"), 6).as("p50_exact"),
+          round(col("p90_exact"), 6).as("p90_exact"),
+          (col("_a50").cast("double").between(col("_lo50"), col("_hi50")))
+            .as("p50_in_rank_tol"),
+          (col("_a90").cast("double").between(col("_lo90"), col("_hi90")))
+            .as("p90_in_rank_tol"))
         .orderBy("l_returnflag")),
 
     "q22_approx_distinct" -> ((s, dir) =>
+      // HLL++ distinct sketch (the 100 TB path vs q05's exact
+      // shuffle). r16 driver-visible error gate: rsd=0.01 makes the
+      // 5% acceptance a ~5σ bound, the exact distinct rides along
+      // (hash-checked), and the oracle pins within_5pct to LITERAL
+      // true — estimator drift now breaks the hash gate loudly
       T(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("_approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           cnt.as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("_approx").cast("double") -
+            col("exact_parts").cast("double"))
+            <= col("exact_parts").cast("double") * lit(0.05))
+            .as("within_5pct"))
         .orderBy("l_returnflag")),
 
     "q30_distinct_kmv" -> ((s, dir) =>
