@@ -300,6 +300,71 @@ private[graft] object OracleHelpers {
               rnk AS rank
        FROM rr WHERE rnk <= $topK ORDER BY query_id, rank"""
 
+  /** s44 oracle: the portable store-served ADC path — the Lloyd chain
+    * trains the quantizer and assigns the lists (`asg` IS the store's
+    * cent_id column), the s10 code CTE fills the postings, queries
+    * probe their `nprobe` nearest final centroids by the exact-integer
+    * metric (the s32 probe), and the s11 ADC chain ranks the probed
+    * lists' codes. Composes the three proven chains verbatim so the
+    * oracle cannot drift from its components.
+    */
+  def s44Oracle(k: Int, iters: Int, dims: Int, m: Int, cbMax: Long,
+                nprobe: Int, topK: Int, queryMax: Long): String = {
+    val sub = dims / m
+    s"""WITH ${lloydCtes(k, iters, dims)},
+         qd AS (SELECT q.id AS qid, c.j,
+                  sum((q.x6 - c.c6) * (q.x6 - c.c6)) AS dist
+                FROM (SELECT id, pos, x6 FROM ex WHERE id < $queryMax) q
+                JOIN c$iters c USING (pos) GROUP BY 1, 2),
+         pr AS (SELECT qid, j AS cl FROM (
+                  SELECT qid, j, row_number() OVER (PARTITION BY qid
+                    ORDER BY dist, j) AS rk FROM qd) WHERE rk <= $nprobe),
+         cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings
+                WHERE vec_id < $cbMax),
+         e AS (SELECT vec_id, embedding AS ev FROM embeddings
+               WHERE len(embedding) = $dims),
+         dmat AS (SELECT vec_id, j, code,
+                    round(list_aggregate(list_transform(range($sub), i ->
+                        CAST(cv[j*$sub + i + 1] AS DOUBLE)
+                          * CAST(cv[j*$sub + i + 1] AS DOUBLE)), 'sum')
+                      - 2 * list_aggregate(list_transform(range($sub), i ->
+                        CAST(ev[j*$sub + i + 1] AS DOUBLE)
+                          * CAST(cv[j*$sub + i + 1] AS DOUBLE)), 'sum'),
+                      6) AS dist
+                  FROM e CROSS JOIN cb
+                       CROSS JOIN (SELECT unnest(range($m)) AS j)),
+         codes AS (SELECT vec_id, j, code FROM (
+                     SELECT vec_id, j, code, row_number() OVER (
+                       PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+                     FROM dmat) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < $queryMax),
+         dt AS (SELECT qid, j, code,
+                  round(list_aggregate(list_transform(range($sub), i ->
+                      CAST(cv[j*$sub + i + 1] AS DOUBLE)
+                        * CAST(cv[j*$sub + i + 1] AS DOUBLE)), 'sum')
+                    - 2 * list_aggregate(list_transform(range($sub), i ->
+                      CAST(qv[j*$sub + i + 1] AS DOUBLE)
+                        * CAST(cv[j*$sub + i + 1] AS DOUBLE)), 'sum'),
+                    6) AS dist
+                FROM q CROSS JOIN cb
+                     CROSS JOIN (SELECT unnest(range($m)) AS j)),
+         cand AS (SELECT pr.qid, a.id AS cid FROM pr
+                  JOIN asg a ON a.j = pr.cl),
+         sums AS (SELECT cand.qid, cand.cid,
+                    round(CAST(sum(CAST(dt.dist AS DECIMAL(24,8)))
+                      AS DOUBLE), 6) AS adc_dist
+                  FROM cand JOIN codes c ON c.vec_id = cand.cid
+                       JOIN dt ON dt.qid = cand.qid AND dt.j = c.j
+                              AND dt.code = c.code
+                  GROUP BY 1, 2),
+         r2 AS (SELECT qid, cid, adc_dist, CAST(row_number() OVER (
+                  PARTITION BY qid ORDER BY adc_dist, cid) AS BIGINT)
+                  AS rank FROM sums)
+       SELECT qid AS query_id, cid AS neighbor_id, adc_dist, rank
+       FROM r2 WHERE rank <= $topK ORDER BY query_id, rank"""
+  }
+
   /** s30 oracle: the Lloyd chain's `asg` assignment becomes the label
     * for the s28 prototypicality chain — unsupervised SSL prototypes
     * (Sorscher et al. 2022), both halves shared verbatim with their

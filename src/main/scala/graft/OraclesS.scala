@@ -255,6 +255,10 @@ private[graft] object OraclesS {
       s32Oracle(k = 8, iters = 3, dims = 64, nprobe = 2, topK = 10,
         queryMax = 5L),
 
+    "s44_store_adc" ->
+      s44Oracle(k = 8, iters = 3, dims = 64, m = 8, cbMax = 16L,
+        nprobe = 2, topK = 10, queryMax = 5L),
+
     "s31_centroid_drift" ->
       // two s04 centroid chains (even/odd snapshot split), the s23
       // round-6/DECIMAL dot, counts per side

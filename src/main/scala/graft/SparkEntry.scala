@@ -1594,6 +1594,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s44_store_adc" -> ((s, dir) => {
+      // PORTABLE persisted-ANN serve (s26's build-once/serve-many
+      // semantics made driver-provable — r15 verdict task 4): the
+      // exact-Lloyd quantizer (s29/s32 trajectory) assigns the lists,
+      // s10's PQ codes fill buildAnnIndex's store layout, and the s11
+      // ADC chain serves queries FROM THE STORE ALONE — no raw corpus
+      // vectors at query time. Every arithmetic step replays in SQL,
+      // so the whole build+serve path is hash-exact, where the seeded
+      // s26 rung can only be spec-gated.
+      val emb = T(s, dir, "embeddings")
+      val cents = kmeansQuantizer(s, dir, 8, 3, 64)
+      val store = Similarity.buildPortableAnnStore(emb, "vec_id",
+        "embedding", cents, emb.filter(col("vec_id") < 16), "vec_id",
+        "embedding", m = 8, dims = 64)
+      Similarity.storeAdcPortable(store, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", cents,
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+          m = 8, k = 10, nprobe = 2, dims = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "s31_centroid_drift" -> ((s, dir) => {
       // snapshot drift monitor: even vec_ids stand in for the old
       // crawl, odd for the new — per label, did its region of

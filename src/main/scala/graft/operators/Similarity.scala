@@ -2201,6 +2201,87 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** PORTABLE persisted-ANN store build — the oracle-exact twin of
+    * [[buildAnnIndex]] (r15 verdict task 4: extend the s32 exact-Lloyd
+    * + pinned-ties discipline to the PQ store-served path). The coarse
+    * quantizer arrives as the EXACT-Lloyd integer-micro centroid
+    * matrix ([[kmeansCentroids]] — the trajectory a SQL oracle replays
+    * verbatim), list assignment runs the same exact-integer metric
+    * with (dist, j) ties, and the codes are the hash-exact
+    * [[productQuantize]] chain. The store layout matches
+    * [[buildAnnIndex]]'s postings relation — (cent_id, id, codes[m]
+    * inline), no raw vectors — so the serve half reads ONLY the
+    * store. Deliberately un-seeded: every arithmetic step is
+    * DuckDB-expressible, which makes the full build+serve path
+    * driver-hash-provable instead of spec-gated.
+    */
+  def buildPortableAnnStore(corpus: DataFrame, corpusId: String,
+                            corpusVec: String, cents: Array[Array[Long]],
+                            codebook: DataFrame, cbIdCol: String,
+                            cbVecCol: String, m: Int,
+                            dims: Int): DataFrame = {
+    require(cents.nonEmpty && cents.forall(_.length == dims),
+      s"buildPortableAnnStore: centroid matrix must be k x $dims")
+    val lists = kmeansAssign(corpus, corpusId, corpusVec, cents, dims)
+      .select(col("id"), col("cluster").as("cent_id"))
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol,
+      "buildPortableAnnStore")
+    val codes = pqCodesFrame(corpus, corpusId, corpusVec, cb, m,
+        "buildPortableAnnStore")
+      .groupBy(col("id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+        .as("codes"))
+    lists.join(codes, "id")
+      .select(col("cent_id"), col("id"), col("codes"))
+  }
+
+  /** PORTABLE store-served ADC top-k — the oracle-exact twin of
+    * [[annIndexTopK]]: query probes assign against the SAME
+    * exact-integer Lloyd metric the store was built with (micro-
+    * quantized query vectors, (dist, j) pinned ties — the s32 probe),
+    * candidates come off the probed posting lists alone, and ranking
+    * is the [[pqAdcTopK]] broadcast ADC chain (round-6 table entries,
+    * DECIMAL(24,8) fold, (adc_dist, neighbor_id) ties). Same scale
+    * shape as the seeded serve path: per-query work is
+    * ~|corpus|·nprobe/nlist code reads, the ADC tables broadcast,
+    * raw vectors never leave the build side.
+    */
+  def storeAdcPortable(postings: DataFrame, queries: DataFrame,
+                       queryId: String, queryVec: String,
+                       cents: Array[Array[Long]],
+                       codebook: DataFrame, cbIdCol: String,
+                       cbVecCol: String, m: Int, k: Int, nprobe: Int,
+                       dims: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && nprobe <= cents.length,
+      s"storeAdcPortable: bad k=$k nprobe=$nprobe over ${cents.length} lists")
+    val probes = queries.filter(size(col(queryVec)) === dims)
+      .select(col(queryId).cast("long").as("query_id"),
+        transform(col(queryVec),
+          x => round(round(x.cast("double"), 6) * lit(1e6), 0).cast("long"))
+          .as("_q6"))
+      .withColumn("_probe",
+        slice(array_sort(centDists(cents, col("_q6"))), 1, nprobe))
+      .select(col("query_id"),
+        explode(col("_probe").getField("j")).as("cent_id"))
+    val cb = collectCodebook(codebook, cbIdCol, cbVecCol, "storeAdcPortable")
+    val dt = adcTable(queries, queryId, queryVec, cb, m, "storeAdcPortable")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    postings.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("id"), col("codes"))
+      .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .withColumn("sub", col("sub").cast("long"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum(col("_d").cast("decimal(24,8)")).cast("double"), 6)
+        .as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** RESIDUAL-encoded IVF-PQ — the actual FAISS IVFPQ layout (Jégou
     * 2011 §IV-A): corpus vectors PQ-encode their residual v − c(v)
     * against the assigned coarse centroid, with the subspace
