@@ -109,4 +109,190 @@ object GraphStream {
       .groupByKey(_ => "all")
       .flatMapGroupsWithState[CcState, CcDelta](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(ccUpdate _)
+
+  // ---------------------------------------------------------------
+  // Weighted single-source shortest paths (the q39 Bellman-Ford rung)
+  // ---------------------------------------------------------------
+
+  /** One weighted directed edge arrival (w >= 0 by contract). */
+  final case class WEdgeArrival(src: Long, dst: Long, w: Long)
+
+  /** adj: src -> (dst -> MIN weight seen) — min-relaxation only ever
+    * uses the lightest parallel edge, so the store is pair-grain, not
+    * arrival-grain; dist: reached node -> shortest distance. */
+  final case class SsspState(batch: Long, adj: Map[Long, Map[Long, Long]],
+                             dist: Map[Long, Long])
+
+  /** Delta row: `id`'s shortest distance from the seed set improved
+    * to `dist` as of batch `as_of`. Distances only DECREASE under
+    * edge insertions, so the stream is Append-safe and folding by max
+    * as_of per id reconstructs the full distance map at any prefix. */
+  final case class SsspDelta(as_of: Long, id: Long, dist: Long)
+
+  implicit val wEdgeEnc: Encoder[WEdgeArrival] = Encoders.product[WEdgeArrival]
+  implicit val ssspStEnc: Encoder[SsspState] = Encoders.product[SsspState]
+  implicit val ssspDeltaEnc: Encoder[SsspDelta] = Encoders.product[SsspDelta]
+
+  /** Transition (exposed for unit tests): merge the batch's edges
+    * into the min-weight adjacency, then relax to FIXPOINT from the
+    * affected frontier — the insert-only case of incremental SSSP
+    * (Ramalingam–Reps): a new or lightened edge (u,v) can only
+    * improve v through dist(u), and improvements propagate forward
+    * through the STORED adjacency, so the fixpoint equals batch
+    * Bellman-Ford (graft.operators.Graph.shortestPaths run to
+    * convergence) over every edge seen so far. State is the
+    * pair-grain adjacency + the distance map — SSSP, unlike CC,
+    * cannot consume its edges: a later improvement must re-relax
+    * through old edges (the documented store bound; shard upstream
+    * past executor state, as d25/d27).
+    */
+  def ssspUpdate(seeds: Set[Long])(key: String,
+                                   edges: Iterator[WEdgeArrival],
+                                   state: GroupState[SsspState])
+      : Iterator[SsspDelta] = {
+    val st0 = state.getOption.getOrElse(SsspState(0L, Map.empty, Map.empty))
+    var adj = st0.adj
+    val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+    st0.dist.foreach { case (k, v) => dist(k) = v }
+    // seeds enter at 0 on first sight (batch 1 when state is empty)
+    val work = scala.collection.mutable.Queue.empty[Long]
+    if (st0.batch == 0L) seeds.foreach { s =>
+      dist(s) = 0L; work += s
+    }
+    var sawEdge = false
+    edges.foreach { e =>
+      require(e.w >= 0L, s"ssspDeltas: negative weight ${e.w} on " +
+        s"(${e.src}, ${e.dst}) — insert-only incremental SSSP needs w >= 0")
+      sawEdge = true
+      val row = adj.getOrElse(e.src, Map.empty)
+      val prev = row.get(e.dst)
+      if (prev.forall(e.w < _)) {
+        adj = adj.updated(e.src, row.updated(e.dst, e.w))
+        // the new/lightened edge is itself a relaxation source
+        if (dist.contains(e.src)) work += e.src
+      }
+    }
+    if (!sawEdge && work.isEmpty) Iterator.empty
+    else {
+      val changed = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      while (work.nonEmpty) {
+        val u = work.dequeue()
+        val du = dist(u)
+        adj.getOrElse(u, Map.empty).foreach { case (v, w) =>
+          val nd = du + w
+          if (dist.get(v).forall(nd < _)) {
+            dist(v) = nd
+            changed(v) = nd
+            work += v
+          }
+        }
+      }
+      // first-batch seeds emit their 0 rows even without improvement
+      if (st0.batch == 0L) seeds.foreach(s => changed.getOrElseUpdate(s, 0L))
+      val asOf = st0.batch + 1
+      state.update(SsspState(asOf, adj, dist.toMap))
+      changed.iterator.map { case (id, d) => SsspDelta(asOf, id, d) }
+    }
+  }
+
+  /** Streaming entry: weighted directed edge arrivals against a FIXED
+    * seed set; emits distance-improvement deltas per micro-batch.
+    * Append mode, no watermark (insert-only distances are monotone).
+    */
+  def ssspDeltas(edges: Dataset[WEdgeArrival],
+                 seeds: Set[Long]): Dataset[SsspDelta] = {
+    require(seeds.nonEmpty, "ssspDeltas: empty seed set")
+    edges
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[SsspState, SsspDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(ssspUpdate(seeds))
+  }
+
+  // ---------------------------------------------------------------
+  // Weighted label propagation (the q40 community rung)
+  // ---------------------------------------------------------------
+
+  /** adj: (src, dst) pair-grain SUMMED weight (batch LPA sums _w over
+    * parallel edges, so the pair total is sufficient state). */
+  final case class LpaState(batch: Long, adj: Map[Long, Map[Long, Long]],
+                            lab: Map[Long, Long])
+
+  /** Delta row: `id`'s community label became `label` as of batch
+    * `as_of` (NOT monotone — labels can move in any direction; fold
+    * by max as_of per id for the full labeling). */
+  final case class LpaDelta(as_of: Long, id: Long, label: Long)
+
+  implicit val lpaStEnc: Encoder[LpaState] = Encoders.product[LpaState]
+  implicit val lpaDeltaEnc: Encoder[LpaDelta] = Encoders.product[LpaDelta]
+
+  /** Transition (exposed for unit tests): LPA has no incremental
+    * decomposition — a single new edge can re-label an arbitrary
+    * fraction of the graph, so the honest streaming contract is
+    * RECOMPUTE-ON-ARRIVAL: merge the batch's edges into the pair-grain
+    * weight store, replay the batch operator's exact semantics
+    * (labels init to own id over ALL seen nodes, `iters` synchronous
+    * rounds, per-(dst, label) weight sums, argmax ties to the
+    * smallest label, no-incoming keeps previous) over the stored
+    * graph, and emit only the ids whose label CHANGED vs the last
+    * emission (every id on first sight). Folding deltas by max as_of
+    * equals batch graft.operators.Graph.labelPropagation over every
+    * prefix — GraphStreamSpec pins it. State is the pair-grain
+    * weighted edge store (LPA, like SSSP, cannot consume edges).
+    */
+  def lpaUpdate(iters: Int)(key: String, edges: Iterator[WEdgeArrival],
+                            state: GroupState[LpaState])
+      : Iterator[LpaDelta] = {
+    val st0 = state.getOption.getOrElse(LpaState(0L, Map.empty, Map.empty))
+    var adj = st0.adj
+    var sawEdge = false
+    edges.foreach { e =>
+      sawEdge = true
+      val row = adj.getOrElse(e.src, Map.empty)
+      adj = adj.updated(e.src,
+        row.updated(e.dst, row.getOrElse(e.dst, 0L) + e.w))
+    }
+    if (!sawEdge) Iterator.empty
+    else {
+      val nodes = (adj.keysIterator ++
+        adj.valuesIterator.flatMap(_.keysIterator)).toSet
+      var lab: Map[Long, Long] = nodes.iterator.map(n => n -> n).toMap
+      for (_ <- 0 until iters) {
+        // per-(dst, label) weight sums under the PREVIOUS round's labels
+        val scores = scala.collection.mutable.HashMap
+          .empty[(Long, Long), Long]
+        adj.foreach { case (src, row) =>
+          val l = lab(src)
+          row.foreach { case (dst, w) =>
+            scores((dst, l)) = scores.getOrElse((dst, l), 0L) + w
+          }
+        }
+        val best = scores.toSeq
+          .groupBy(_._1._1)
+          .map { case (dst, ss) =>
+            dst -> ss.map { case ((_, l), m) => (l, m) }
+              .minBy { case (l, m) => (-m, l) }._1
+          }
+        lab = lab.map { case (id, old) => id -> best.getOrElse(id, old) }
+      }
+      val asOf = st0.batch + 1
+      val out = lab.toSeq.sortBy(_._1).collect {
+        case (id, l) if !st0.lab.get(id).contains(l) => LpaDelta(asOf, id, l)
+      }
+      state.update(LpaState(asOf, adj, lab))
+      out.iterator
+    }
+  }
+
+  /** Streaming entry: weighted directed edge arrivals; emits
+    * label-change deltas per micro-batch under the batch operator's
+    * fixed-`iters` synchronous semantics. Append mode (changes emit
+    * as fresh rows; fold by max as_of).
+    */
+  def lpaDeltas(edges: Dataset[WEdgeArrival], iters: Int): Dataset[LpaDelta] = {
+    require(iters >= 0 && iters <= 50, s"lpaDeltas: iters $iters not in [0, 50]")
+    edges
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState[LpaState, LpaDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(lpaUpdate(iters))
+  }
 }

@@ -85,3 +85,125 @@ class GraphStreamSpec extends graft.SparkSpec {
       CcDelta(2L, 1L, 1L)))
   }
 }
+
+/** Stream == batch parity for the r16 graph rungs: incremental SSSP
+  * deltas fold to converged batch Bellman-Ford at EVERY prefix of a
+  * split weighted edge stream (including a batch whose new edge
+  * shortens already-settled distances through OLD edges), and LPA
+  * recompute-on-arrival deltas fold to the fixed-iters batch
+  * labeling at every prefix.
+  */
+class GraphStreamWeightedSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import graft.streaming.GraphStream.{LpaDelta, SsspDelta, SsspState, WEdgeArrival}
+
+  private def batchSssp(edges: Seq[(Long, Long, Long)],
+                        seeds: Seq[Long]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    graft.operators.Graph.shortestPaths(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds.toDF("id"), "id", maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def batchLpa(edges: Seq[(Long, Long, Long)],
+                       iters: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    graft.operators.Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private val batches = Seq(
+    // a chain from the seed, a detached pair, a heavy direct edge
+    Seq((1L, 2L, 5L), (2L, 3L, 5L), (10L, 11L, 1L), (1L, 3L, 20L)),
+    // bridge into the detached pair + a SHORTCUT that must re-relax
+    // the settled 3 through the OLD (2,3) edge
+    Seq((3L, 10L, 2L), (1L, 2L, 1L)),
+    // parallel heavier edge (ignored by min rule) + a new branch
+    Seq((1L, 2L, 9L), (11L, 12L, 4L)))
+
+  test("sssp deltas fold to converged batch Bellman-Ford at every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.GraphStream.ssspDeltas(
+        input.toDS().map { case (a, b, w) => WEdgeArrival(a, b, w) },
+        seeds = Set(1L))
+      .writeStream.format("memory").queryName("ssspdeltas")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var prefix = Seq.empty[(Long, Long, Long)]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix = prefix ++ b
+        val deltas = s.table("ssspdeltas").as[SsspDelta].collect().toSeq
+        val folded = deltas.groupBy(_.id).map { case (id, ds) =>
+          id -> ds.maxBy(_.as_of).dist
+        }
+        assert(folded == batchSssp(prefix, Seq(1L)),
+          s"prefix ${i + 1}: $folded vs ${batchSssp(prefix, Seq(1L))}")
+      }
+    } finally q.stop()
+  }
+
+  test("lpa deltas fold to the fixed-iters batch labeling at every prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.GraphStream.lpaDeltas(
+        input.toDS().map { case (a, b, w) => WEdgeArrival(a, b, w) },
+        iters = 3)
+      .writeStream.format("memory").queryName("lpadeltas")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      var prefix = Seq.empty[(Long, Long, Long)]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+        prefix = prefix ++ b
+        val deltas = s.table("lpadeltas").as[LpaDelta].collect().toSeq
+        val folded = deltas.groupBy(_.id).map { case (id, ds) =>
+          id -> ds.maxBy(_.as_of).label
+        }
+        assert(folded == batchLpa(prefix, 3),
+          s"prefix ${i + 1}: $folded vs ${batchLpa(prefix, 3)}")
+      }
+    } finally q.stop()
+  }
+
+  test("sssp transition: a shortcut re-relaxes settled nodes through old edges") {
+    val st = new TestGroupState[SsspState]
+    st.update(SsspState(1L,
+      Map(1L -> Map(2L -> 5L), 2L -> Map(3L -> 5L)),
+      Map(1L -> 0L, 2L -> 5L, 3L -> 10L)))
+    val out = graft.streaming.GraphStream.ssspUpdate(Set(1L))("all",
+      Iterator(WEdgeArrival(1L, 2L, 1L)), st).toList
+    // 2 improves to 1 and 3 must follow to 6 through the OLD (2,3,5)
+    assert(out.toSet == Set(SsspDelta(2L, 2L, 1L), SsspDelta(2L, 3L, 6L)),
+      out.toString)
+    assert(st.get.dist == Map(1L -> 0L, 2L -> 1L, 3L -> 6L))
+  }
+
+  test("sssp transition: a heavier parallel edge changes nothing") {
+    val st = new TestGroupState[SsspState]
+    st.update(SsspState(1L, Map(1L -> Map(2L -> 5L)), Map(1L -> 0L, 2L -> 5L)))
+    val out = graft.streaming.GraphStream.ssspUpdate(Set(1L))("all",
+      Iterator(WEdgeArrival(1L, 2L, 9L)), st).toList
+    assert(out.isEmpty)
+    assert(st.get.adj(1L)(2L) == 5L)
+  }
+
+  test("sssp transition: negative weight is rejected loudly") {
+    val st = new TestGroupState[SsspState]
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraphStream.ssspUpdate(Set(1L))("all",
+        Iterator(WEdgeArrival(1L, 2L, -1L)), st).toList
+    }
+  }
+}
