@@ -150,7 +150,7 @@ object TailStream {
           .withColumn("window_end", unix_timestamp(col("window.end")))
           .drop("window")
         flat.createOrReplaceTempView("t0")
-        sink(Formatters.format(flat.sparkSession.sql(q), cfg.format))
+        sink(Formatters.format(flat.sparkSession.sql(q), cfg.format, Some(q)))
       }
       .start()
   }
@@ -212,7 +212,7 @@ object TailStream {
                   "window_start" :+ "window_end").map(col): _*)
                 .createOrReplaceTempView(v.name)
             }
-            sink(Formatters.format(flat.sparkSession.sql(sql), format))
+            sink(Formatters.format(flat.sparkSession.sql(sql), format, Some(sql)))
           }
         } finally { flat.unpersist(); () }
       }
@@ -294,7 +294,7 @@ object TailStream {
           .withColumn("window_end", unix_timestamp(col("window.end")))
           .drop("window")
         flat.createOrReplaceTempView("t0")
-        sink(Formatters.format(flat.sparkSession.sql(sql), format))
+        sink(Formatters.format(flat.sparkSession.sql(sql), format, Some(sql)))
       }
       .start()
 
@@ -346,7 +346,7 @@ object TailStream {
               "window_start" :+ "window_end").map(col): _*)
             .createOrReplaceTempView(s"t$i")
         }
-        sink(Formatters.format(flat.sparkSession.sql(sql), format))
+        sink(Formatters.format(flat.sparkSession.sql(sql), format, Some(sql)))
       }
       .start()
   }

@@ -331,7 +331,7 @@ class TailAppCliSpec extends SparkSpec {
       sink = s => captured.add(s), stopSparkOnExit = false)
     val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
     // one 00:00 window: 2 rows from source 0 joined to 1 row from source 1
-    assert(out.exists(_.endsWith(",2,1")), out.toString)
+    assert(out.exists(_.endsWith(", 2, 1")), out.toString)
   }
 
   test("--throttlers caps admissions per period through the CLI (reference -t)") {
@@ -352,7 +352,7 @@ class TailAppCliSpec extends SparkSpec {
       sink = s => captured.add(s), stopSparkOnExit = false)
     val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
     // one 00:00 window; 3 lines arrived, the throttler admitted 2
-    assert(out.exists(_.endsWith(",2")), out.toString)
+    assert(out.exists(_.endsWith(", 2")), out.toString)
   }
 
   test("a reference-style config.yaml drives the CLI to the same output as the flag form") {
@@ -400,7 +400,7 @@ class TailAppCliSpec extends SparkSpec {
       "--window", "60", "--ts-field", "ts", "--format", "raw", "--sql", sql,
       "--checkpoint", Files.createTempDirectory("ck-f").toString, "--once"))
     // two windows: 2 rows in 00:00, 1 in 00:01 — identical either way
-    assert(viaYaml.exists(_.endsWith(",2")) && viaYaml.exists(_.endsWith(",1")),
+    assert(viaYaml.exists(_.endsWith(", 2")) && viaYaml.exists(_.endsWith(", 1")),
       viaYaml.toString)
     assert(viaYaml == viaFlags, s"yaml=$viaYaml flags=$viaFlags")
   }

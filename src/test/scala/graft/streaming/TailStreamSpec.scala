@@ -9,6 +9,19 @@ import graft.SparkSpec
 
 class TailStreamSpec extends SparkSpec {
 
+  /** Raw-format blocks now carry the reference's byte frame (header
+    * line + 31-dash rule + ", "-joined cells — pinned by
+    * TailAppGoldenSpec); these behavioral tests care about the DATA
+    * rows, so strip the frame and re-tighten the separator.
+    */
+  private def rawRows(
+      captured: java.util.concurrent.ConcurrentLinkedQueue[String]): Seq[String] =
+    captured.toArray(Array.empty[String]).toSeq
+      .flatMap(_.split("\n").drop(2))
+      .filter(_.nonEmpty)
+      .map(_.replace(", ", ","))
+
+
   private val pattern =
     """(?P<ts__date>\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) (?P<level__str>\w+) (?P<ms__int>\d+)"""
 
@@ -38,7 +51,7 @@ class TailStreamSpec extends SparkSpec {
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
 
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).sorted
+    val out = rawRows(captured).sorted
     // window 00:00 has 3 rows (5+9+7ms), window 00:01 has 1 row (3ms)
     assert(out.toSeq == Seq("1704067200,3,21", "1704067260,1,3"), out.toSeq.toString)
   }
@@ -70,7 +83,7 @@ class TailStreamSpec extends SparkSpec {
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
 
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     // only b.log's row: 1 row, 9ms — a.log predates the tail cutoff
     assert(out == Seq("1704067200,1,9"), out.toString)
   }
@@ -101,8 +114,7 @@ class TailStreamSpec extends SparkSpec {
       "2024-01-01 00:00:30 INFO 4",
       "2024-01-01 00:00:40 INFO 8")
     runOnce()
-    val counts = captured.toArray(Array.empty[String]).toSeq
-      .flatMap(_.split("\n")).filter(_.nonEmpty)
+    val counts = rawRows(captured)
     // batch 1 admits both rows (1+2=3ms); batch 2 admits nothing
     assert(counts.head == "2,3", counts.toString)
     assert(counts.tail.forall(c => c.split(",", -1)(0) == "0"), counts.toString)
@@ -131,7 +143,7 @@ class TailStreamSpec extends SparkSpec {
       format = "raw", checkpointDir = ckpt.getAbsolutePath,
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     // first fire: exactly one row admitted per source; any later fires
     // (the stateful operators' final flush batch) must be empty
     assert(out.take(2) == Seq("t0,1", "t1,1"), out.toString)
@@ -162,7 +174,7 @@ class TailStreamSpec extends SparkSpec {
       format = "raw", checkpointDir = ckpt.getAbsolutePath,
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     assert(out == Seq("t0,0", "t1,1"), out.toString)
   }
 
@@ -192,7 +204,7 @@ class TailStreamSpec extends SparkSpec {
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
 
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).sorted
+    val out = rawRows(captured).sorted
     // only the 00:00 window's INFO rows co-occur on both sides
     assert(out.toSeq == Seq("1704067200,INFO,5,200"), out.toSeq.toString)
   }
@@ -233,7 +245,7 @@ class TailStreamSpec extends SparkSpec {
     val q1 = TailStream.run(spark, cfg, ckpt.getAbsolutePath,
       sink = s => captured1.add(s), trigger = Trigger.AvailableNow())
     q1.awaitTermination(60000)
-    assert(String.join("\n", captured1).contains("INFO,5"))
+    assert(String.join("\n", captured1).contains("INFO, 5"))
 
     // new file appears between runs; the old one must NOT be reprocessed
     writeLog(dir, "b.log", "2024-01-01 00:00:20 WARN 9")
@@ -242,8 +254,8 @@ class TailStreamSpec extends SparkSpec {
       sink = s => captured2.add(s), trigger = Trigger.AvailableNow())
     q2.awaitTermination(60000)
     val out2 = String.join("\n", captured2)
-    assert(out2.contains("WARN,9"), out2)
-    assert(!out2.contains("INFO,5"), "checkpoint resume must not reprocess: " + out2)
+    assert(out2.contains("WARN, 9"), out2)
+    assert(!out2.contains("INFO, 5"), "checkpoint resume must not reprocess: " + out2)
   }
 
   test("runSnapshot fires once per complete window even when its rows span batches") {
@@ -275,7 +287,7 @@ class TailStreamSpec extends SparkSpec {
     writeLog(dir, "c.log", "2024-01-01 00:30:00 INFO 1") // flushes 00:01
     runOnce()
 
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     // exactly one COMPLETE fire per closed window — no partials
     assert(out == Seq("1704067200,2,14", "1704067260,1,3"), out.toString)
   }
@@ -306,7 +318,7 @@ class TailStreamSpec extends SparkSpec {
     val q = TailStream.runSnapshot(spark, cfg, ckpt.getAbsolutePath,
       sink = s => captured.add(s), trigger = Trigger.AvailableNow(), shards = 4)
     q.awaitTermination(60000)
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     assert(out == Seq("1704067200,3"), out.toString)
   }
 
@@ -342,7 +354,7 @@ class TailStreamSpec extends SparkSpec {
     writeLog(dirL, "l2.log", "2024-01-01 00:30:00 INFO 1")
     writeLog(dirR, "r2.log", "2024-01-01 00:30:00 INFO code=204")
     runOnce()
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     assert(out == Seq("1704067200,INFO,5,200"), out.toString)
   }
 
@@ -379,7 +391,7 @@ class TailStreamSpec extends SparkSpec {
       format = "raw", checkpointDir = ckpt.getAbsolutePath,
       sink = s => captured.add(s), trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     // only the INFO rows co-occur across all three tables in window 00:00
     assert(out == Seq("1704067200,INFO,5,200,web1"), out.toString)
   }
@@ -408,7 +420,7 @@ class TailStreamSpec extends SparkSpec {
     runOnce()
     writeLog(dir, "b.log", "2024-01-01 00:30:00 INFO 1") // flush
     runOnce()
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     // window starts: 23:59:30 (row 10s only), 00:00:00 (both), 00:00:30
     // (row 40s only) — every window fires once, complete
     assert(out == Seq("1704067170,1,5", "1704067200,2,14", "1704067230,1,9"),
@@ -443,7 +455,7 @@ class TailStreamSpec extends SparkSpec {
     writeLog(dirs(0), "a2.log", "2024-01-01 00:30:00 WARN 1")
     writeLog(dirs(1), "b2.log", "2024-01-01 00:30:00 WARN code=500")
     runOnce()
-    val out = String.join("\n", captured).split("\n").filter(_.nonEmpty).toSeq
+    val out = rawRows(captured).toSeq
     assert(out == Seq("1704067200,INFO,5,200"), out.toString)
   }
 
