@@ -3,7 +3,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 /** Dev tool: build a 10x copy of an sf dir (key-offset fact copies,
   * dims as-is) for scaling experiments. Usage: runMain graft.Gen10x
-  * <srcDir> <dstDir> [copies] [mode]. Never touches /root/testdata.
+  * <srcDir> <dstDir> [copies] [mode] [tables]. Never touches
+  * /root/testdata. `tables` (comma list, default all) limits the
+  * stretch to the named fact tables — a copies=100 graph probe only
+  * needs lineitem, not 100x of the salted documents corpus.
   *
   * Modes (r15, the d24 probe-conflation fix):
   *  - `dup` (default): copies carry the ORIGINAL text verbatim, so
@@ -29,6 +32,13 @@ object Gen10x {
     val n = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "dup"
     require(Set("dup", "unique")(mode), s"Gen10x: mode $mode not dup|unique")
+    val allFacts = Seq("lineitem", "orders", "customer", "events",
+      "documents", "embeddings")
+    val wanted: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).toSet
+      else allFacts.toSet
+    require(wanted.subsetOf(allFacts.toSet),
+      s"Gen10x: unknown tables ${wanted -- allFacts}")
     val spark = GraftSession.get("32")
     def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def wr(df: DataFrame, t: String) =
@@ -53,13 +63,19 @@ object Gen10x {
     val dSpan = rd("documents").agg(max("doc_id")).head.getLong(0) + 1
     val vSpan = rd("embeddings").agg(max("vec_id")).head.getLong(0) + 1
 
-    wr(stretch(rd("lineitem"), Map("l_orderkey" -> oSpan)), "lineitem")
-    wr(stretch(rd("orders"), Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)), "orders")
-    wr(stretch(rd("customer"), Map("c_custkey" -> cSpan)), "customer")
-    wr(stretch(rd("events"), Map("event_id" -> eSpan, "user_id" -> cSpan)), "events")
-    wr(stretch(rd("documents"), Map("doc_id" -> dSpan),
-      if (mode == "unique") Some(saltText _) else None), "documents")
-    wr(stretch(rd("embeddings"), Map("vec_id" -> vSpan)), "embeddings")
+    if (wanted("lineitem"))
+      wr(stretch(rd("lineitem"), Map("l_orderkey" -> oSpan)), "lineitem")
+    if (wanted("orders"))
+      wr(stretch(rd("orders"), Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)), "orders")
+    if (wanted("customer"))
+      wr(stretch(rd("customer"), Map("c_custkey" -> cSpan)), "customer")
+    if (wanted("events"))
+      wr(stretch(rd("events"), Map("event_id" -> eSpan, "user_id" -> cSpan)), "events")
+    if (wanted("documents"))
+      wr(stretch(rd("documents"), Map("doc_id" -> dSpan),
+        if (mode == "unique") Some(saltText _) else None), "documents")
+    if (wanted("embeddings"))
+      wr(stretch(rd("embeddings"), Map("vec_id" -> vSpan)), "embeddings")
     for (t <- Seq("region", "nation", "supplier", "part")) wr(rd(t), t)
     spark.stop()
   }

@@ -20,16 +20,22 @@ class ApproxAccuracySpec extends SparkSpec {
   }
 
   test("approx_count_distinct stays within HLL++ error of the exact count") {
+    // r16: the 5% gate rides IN the query output (within_5pct, pinned
+    // to literal true by the oracle) and the exact count is a query
+    // column — assert both, plus the exact column against a fresh
+    // independent aggregate
+    val out = SparkEntry.queries("q22_approx_distinct")(spark, dir)
+      .select("l_returnflag", "exact_parts", "within_5pct").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2), s"${r.get(0)}: HLL estimate outside 5%")
+    }
     val exact = T("lineitem")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact"))
-    val approx = SparkEntry.queries("q22_approx_distinct")(spark, dir)
-      .select("l_returnflag", "approx_parts")
-    val joined = exact.join(approx, "l_returnflag").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val (e, a) = (r.getAs[Long]("exact").toDouble, r.getAs[Long]("approx_parts").toDouble)
-      assert(math.abs(a - e) / e < 0.05, s"${r.get(0)}: approx $a vs exact $e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), r.toString)
     }
   }
 
@@ -48,15 +54,24 @@ class ApproxAccuracySpec extends SparkSpec {
   }
 
   test("percentile_approx stays near the exact percentile") {
+    // r16: the rank-tolerance gates ride IN the query output as
+    // booleans (accuracy=1000 bounds rank error at 0.001, 20x inside
+    // the +-0.02-rank bracket) — assert them, plus the exact p50
+    // column against a fresh independent aggregate
+    val out = SparkEntry.queries("q25_percentile_approx")(spark, dir)
+      .select("l_returnflag", "p50_exact", "p50_in_rank_tol", "p90_in_rank_tol")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"${r.get(0)}: sketch outside the rank bracket")
+    }
     val exact = T("lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"))
-    val approx = SparkEntry.queries("q25_percentile_approx")(spark, dir)
-      .select("l_returnflag", "p50_approx")
-    exact.join(approx, "l_returnflag").collect().foreach { r =>
-      val (e, a) = (r.getDouble(1), r.getDouble(2))
-      // quantity is 1..50 integers: the sketch may land one step off
-      assert(math.abs(a - e) <= 1.0, s"${r.get(0)}: approx $a vs exact $e")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(1) == exact(r.getString(0)), r.toString)
     }
   }
 }
