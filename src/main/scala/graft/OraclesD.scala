@@ -198,6 +198,49 @@ private[graft] object OraclesD {
          WHERE CAST(n AS DOUBLE) / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5
          ORDER BY id1, id2"""),
 
+    "d38_lsh_plan" -> (ngramShingleCte +
+      // S-curve planner: powers as LEFT-ASSOCIATIVE repeated
+      // multiplication (the operator's pinned IEEE chain — no libm
+      // pow), tau cut on scaled integers, round-6 terms DECIMAL-folded
+      """,
+         pj AS (SELECT CAST(n AS DOUBLE)
+                         / CAST(s1.sz + s2.sz - n AS DOUBLE) AS s,
+                       n * 2 >= (s1.sz + s2.sz - n) * 1 AS istrue
+                FROM inter JOIN sz s1 ON s1.doc_id = id1
+                           JOIN sz s2 ON s2.doc_id = id2),
+         br(bands, rows_per_band) AS (VALUES (8, 1), (4, 2), (2, 4), (1, 8)),
+         pq AS (SELECT bands, rows_per_band, istrue,
+                  1.0 - CASE rows_per_band
+                          WHEN 1 THEN s
+                          WHEN 2 THEN s*s
+                          WHEN 4 THEN s*s*s*s
+                          WHEN 8 THEN s*s*s*s*s*s*s*s END AS q
+                FROM pj CROSS JOIN br),
+         pp AS (SELECT bands, rows_per_band, istrue,
+                  round(1.0 - CASE bands
+                                WHEN 1 THEN q
+                                WHEN 2 THEN q*q
+                                WHEN 4 THEN q*q*q*q
+                                WHEN 8 THEN q*q*q*q*q*q*q*q END, 6) AS p6
+                FROM pq)
+         SELECT CAST(bands AS BIGINT) AS bands,
+                CAST(rows_per_band AS BIGINT) AS rows_per_band,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_true,
+                round(CAST(sum(CAST(p6 AS DECIMAL(24,8))) AS DOUBLE), 6)
+                  AS exp_candidates,
+                CASE WHEN sum(CASE WHEN istrue THEN 1 ELSE 0 END) > 0 THEN
+                  round(CAST(sum(CASE WHEN istrue
+                                      THEN CAST(p6 AS DECIMAL(24,8)) END)
+                          AS DOUBLE)
+                    / CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END)
+                          AS DOUBLE), 6) END AS exp_recall_at_tau,
+                round(coalesce(CAST(sum(CASE WHEN NOT istrue
+                                            THEN CAST(p6 AS DECIMAL(24,8)) END)
+                  AS DOUBLE), 0.0), 6) AS exp_fp
+         FROM pp GROUP BY 1, 2 ORDER BY rows_per_band"""),
+
     "d28_dedup_report" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
       """,
          pairs AS (SELECT id1, id2 FROM inter

@@ -68,6 +68,24 @@ private[graft] object OraclesT {
          FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
          ORDER BY us.doc_id""",
 
+    "t49_vocab_coverage" ->
+      """WITH tk AS (SELECT tok FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents) WHERE len(tok) > 0),
+            c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+            rk AS (SELECT tok, c, CAST(row_number() OVER (
+                     ORDER BY c DESC, tok) AS BIGINT) AS rk FROM c),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+            ks(vocab_k) AS (VALUES (CAST(100 AS BIGINT)), (1000),
+                                   (4000), (16000)),
+            cov AS (SELECT vocab_k, CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(c) AS BIGINT) AS covered_tokens
+                    FROM rk CROSS JOIN ks WHERE rk <= vocab_k GROUP BY 1)
+         SELECT vocab_k, n_terms, covered_tokens, tot AS total_tokens,
+                round(CAST(covered_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                  AS coverage
+         FROM cov CROSS JOIN tot ORDER BY vocab_k""",
+
     "t09_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
                     FROM documents),

@@ -501,6 +501,17 @@ object SparkEntry {
             "doc_id", "text", 3), 0.5)
         .orderBy("id1", "id2")),
 
+    "d38_lsh_plan" -> ((s, dir) =>
+      // LSH parameter planner: expected candidates / recall / FP for
+      // each (bands, rows) split of an 8-permutation budget, S-curve
+      // evaluated at the d04 truth chain's exact pair jaccards —
+      // the b×r decision made with data instead of folklore
+      Dedup.lshPlan(
+        Dedup.shingles(T(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 3),
+        tauNum = 1, tauDen = 2,
+        splits = Seq((8, 1), (4, 2), (2, 4), (1, 8)))),
+
     "d24_allpairs_exact" -> ((s, dir) =>
       // exact all-pairs Jaccard >= 0.5 on word-token sets via prefix
       // filtering (SSJoin/AllPairs): recall-1.0 similarity join whose
@@ -1820,6 +1831,13 @@ object SparkEntry {
       TextStats.codeSwitch(T(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    "t49_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget planning: covered token-mass share at
+      // candidate vocab sizes (t33 grows the type count, t24 fits the
+      // rank curve — this one answers "how big a vocab do we buy")
+      TextStats.vocabCoverage(T(s, dir, "documents"), "text",
+        cuts = Seq(100L, 1000L, 4000L, 16000L))),
 
     "t01_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")

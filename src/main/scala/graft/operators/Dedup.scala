@@ -869,6 +869,74 @@ object Dedup {
     Caching.sealOver(finish(overlaps), sh)
   }
 
+  /** LSH PARAMETER PLANNER (the b×r decision every banded-MinHash
+    * deployment makes before a 100 TB run: d34 grades ONE trained
+    * signature scheme against truth; this compares ACROSS schemes
+    * analytically): for each (bands, rows) split of the permutation
+    * budget, the S-curve P(candidate | s) = 1 − (1 − s^r)^b evaluated
+    * at every observed pair's EXACT jaccard yields the scheme's
+    * expected candidate mass, expected recall at the tau cut, and
+    * expected false-positive mass — the three numbers that pick the
+    * operating point.
+    *
+    * Exactness: s is ONE pinned division of exact counts; the powers
+    * are LEFT-ASSOCIATIVE repeated multiplication (an identical IEEE
+    * chain on both engine sides — never libm pow, whose last ulp is
+    * implementation-defined); the tau cut compares scaled integers
+    * (tauDen·inter ≥ tauNum·union); per-pair terms round to 6dp and
+    * fold through DECIMAL(24,8) (the t13/s23 discipline).
+    *
+    * Shape at scale: the pair frame is the d04 truth chain — a
+    * PLANNING query over a bounded sample corpus by contract (the
+    * production dedup never runs all-pairs); the (b, r) axis is
+    * |splits| broadcast rows.
+    * Output: (bands, rows_per_band, n_pairs, n_true, exp_candidates,
+    * exp_recall_at_tau, exp_fp), ordered by rows_per_band.
+    */
+  def lshPlan(shDf: DataFrame, tauNum: Int, tauDen: Int,
+              splits: Seq[(Int, Int)]): DataFrame = {
+    require(tauNum >= 0 && tauDen >= 1, s"lshPlan: bad tau $tauNum/$tauDen")
+    require(splits.nonEmpty && splits.forall { case (b, r) => b >= 1 && r >= 1 },
+      "lshPlan: (bands, rows) splits must be >= 1")
+    // left-associative x*x*...*x (n factors) — the pinned power chain
+    def chain(c: Column, n: Int): Column =
+      (2 to n).foldLeft(c)((acc, _) => acc * c)
+    def powCase(base: Column, sel: Column, ns: Seq[Int]): Column =
+      ns.distinct.sorted.foldLeft(lit(null).cast("double")) {
+        case (acc, n) => when(sel === n, chain(base, n)).otherwise(acc)
+      }
+    pairOverlaps(shDf) { ov =>
+      val spark = ov.sparkSession
+      import spark.implicits._
+      val br = broadcast(splits.map { case (b, r) => (b.toLong, r.toLong) }
+        .toDF("bands", "rows_per_band"))
+      val union = col("sz1") + col("sz2") - col("inter")
+      val withP = ov.crossJoin(br)
+        .withColumn("_s", col("inter").cast("double") / union.cast("double"))
+        .withColumn("_true",
+          col("inter") * lit(tauDen.toLong) >= union * lit(tauNum.toLong))
+        .withColumn("_sr",
+          powCase(col("_s"), col("rows_per_band"), splits.map(_._2)))
+        .withColumn("_q", lit(1.0) - col("_sr"))
+        .withColumn("_qb", powCase(col("_q"), col("bands"), splits.map(_._1)))
+        .withColumn("_p6", round(lit(1.0) - col("_qb"), 6))
+      withP.groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_true"), 1L).otherwise(0L)).as("n_true"),
+          round(sum(col("_p6").cast("decimal(24,8)")).cast("double"), 6)
+            .as("exp_candidates"),
+          when(sum(when(col("_true"), 1L).otherwise(0L)) > 0L,
+            round(sum(when(col("_true"), col("_p6")).cast("decimal(24,8)"))
+              .cast("double")
+              / sum(when(col("_true"), 1L).otherwise(0L)).cast("double"), 6))
+            .as("exp_recall_at_tau"),
+          round(coalesce(
+            sum(when(!col("_true"), col("_p6")).cast("decimal(24,8)"))
+              .cast("double"), lit(0.0)), 6).as("exp_fp"))
+        .orderBy("rows_per_band")
+    }
+  }
+
   def jaccardPairs(shDf: DataFrame, minJaccard: Double): DataFrame =
     pairOverlaps(shDf)(_
       .withColumn("jaccard",

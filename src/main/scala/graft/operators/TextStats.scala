@@ -230,6 +230,49 @@ object TextStats {
     * under any partitioning, exact against the oracle.
     * Output: (id, n_toks, token_entropy).
     */
+  /** VOCABULARY COVERAGE CURVE (the tokenizer-budget planning number:
+    * what share of the corpus's token MASS does a top-k vocabulary
+    * cover — the curve that decides vocab size before a BPE train,
+    * complementing t33's type-growth and t24's rank-frequency fit):
+    * terms rank by (count desc, term asc) — a total order — and each
+    * requested cut k reports the exact covered mass at rank ≤ k.
+    *
+    * Shape at scale: one (term) aggregate with map-side combine; the
+    * global rank is a window over the VOCABULARY (term-grain, not the
+    * corpus — the t09 stated-bound contract); cuts are a broadcast
+    * axis. Exact long counts; ONE pinned division per cut.
+    * Output: (vocab_k, n_terms, covered_tokens, total_tokens,
+    * coverage), ordered by vocab_k.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    cuts: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cuts.nonEmpty && cuts.forall(_ >= 1), "vocabCoverage: cuts must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // sealed: the term-grain ranked vocabulary computes ONCE and both
+    // consumers (total + the cut join) read the materialized frame
+    val counts = Caching.sealOver(
+      df.select(explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+        .withColumn("_rk", row_number()
+          .over(Window.orderBy(col("_c").desc, col("tok"))).cast("long")))
+    val total = counts.agg(sum(col("_c")).cast("long").as("_tot"))
+    val ks = broadcast(cuts.distinct.sorted.toDF("vocab_k"))
+    counts.crossJoin(ks)
+      .filter(col("_rk") <= col("vocab_k"))
+      .groupBy(col("vocab_k"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_c")).cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_k"), col("n_terms"), col("covered_tokens"),
+        col("_tot").as("total_tokens"),
+        round(col("covered_tokens").cast("double")
+          / col("_tot").cast("double"), 6).as("coverage"))
+      .orderBy("vocab_k")
+  }
+
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(col(idCol).as("id"),
