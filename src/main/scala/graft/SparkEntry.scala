@@ -1799,11 +1799,19 @@ object SparkEntry {
       // 5% acceptance a ~5σ bound, the exact distinct rides along
       // (hash-checked), and the oracle pins within_5pct to LITERAL
       // true — estimator drift now breaks the hash gate loudly
+      // TWO-LEVEL aggregate: dedupe to (flag, partkey) grain first,
+      // then count the grain rows (exact distinct WITHOUT the
+      // count-distinct expand) and feed the SAME keys to the HLL —
+      // registers are duplicate-insensitive, so the estimate is
+      // bit-identical to the raw-stream sketch (isolated 4.6s → the
+      // map-side-combining pair aggregate)
       T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(cnt.as("_c"))
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("_approx"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          cnt.as("n"))
+          cnt.as("exact_parts"),
+          sum(col("_c")).cast("long").as("n"))
         .select(col("l_returnflag"), col("exact_parts"), col("n"),
           (abs(col("_approx").cast("double") -
             col("exact_parts").cast("double"))
