@@ -909,4 +909,43 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("_b#")),
       "audio bytes must not ride a shuffle: " + exchanges.mkString("\n"))
   }
+
+  test("q22: two-level aggregate, no count-distinct expand") {
+    // the r16 regression fix: count(distinct) alongside other
+    // aggregates planned an Expand that tripled the isolated wall —
+    // the gate pins the pair-grain pre-aggregate shape instead
+    val p = SparkEntry.queries("q22_approx_distinct")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Expand"), "count-distinct expand crept back: " + p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("t49: the ranked vocabulary is sealed — one scan feeds both consumers") {
+    // total + the cut join both read the materialized term frame;
+    // unsealed, the corpus tokenize-and-count would run twice
+    val p = SparkEntry.queries("t49_vocab_coverage")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("FileScan"),
+      "the vocabulary must be sealed, not re-scanned per consumer: " + p)
+  }
+
+  test("d38: the planning table is sealed — consumers never re-run the pair join") {
+    // pairOverlaps seals the FINISHED frame: the |splits|-row plan
+    // table materializes once and the returned plan is a bare scan —
+    // no shingle self-join, no document scan survives downstream
+    val p = SparkEntry.queries("d38_lsh_plan")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("FileScan") && !p.contains("text#"),
+      "the planner result must be sealed, not re-derived: " + p)
+  }
+
+  test("s44: the serve path reads the store, never corpus vectors; ADC broadcasts") {
+    val p = SparkEntry.queries("s44_store_adc")(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // probes + ADC tables ride broadcast exchanges into the postings join
+    assert(p.split("BroadcastExchange").length - 1 >= 2, p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!exchanges.exists(_.contains("embedding#")),
+      "corpus vectors must not ride a serve-time shuffle: " + exchanges.mkString("\n"))
+  }
 }
