@@ -359,6 +359,37 @@ private[graft] object OraclesD {
          LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
 
+    "d39_cluster_audit" -> (ngramShingleCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """,
+         pairs AS (SELECT id1, id2,
+                     round(CAST(n AS DOUBLE)
+                       / CAST(s1.sz + s2.sz - n AS DOUBLE), 6) AS j
+                   FROM inter JOIN sz s1 ON s1.doc_id = id1
+                              JOIN sz s2 ON s2.doc_id = id2
+                   WHERE CAST(n AS DOUBLE)
+                     / CAST(s1.sz + s2.sz - n AS DOUBLE) >= 0.5),
+         edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                   UNION SELECT id2, id1 FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION SELECT r.a, e.b FROM reach r
+                               JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS component
+                  FROM reach GROUP BY a),
+         cs AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+                FROM comp GROUP BY 1 HAVING count(*) >= 2),
+         pc AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_pairs,
+                  min(p.j) AS min_jaccard,
+                  round(CAST(sum(CAST(p.j AS DECIMAL(24,8))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+                FROM pairs p JOIN comp c ON c.id = p.id1 GROUP BY 1)
+         SELECT cs.component, cs.n_docs, pc.n_pairs, pc.min_jaccard,
+                pc.mean_jaccard,
+                round(CAST(pc.n_pairs * 2 AS DOUBLE)
+                  / CAST(cs.n_docs * (cs.n_docs - 1) AS DOUBLE), 6)
+                  AS pair_coverage
+         FROM cs JOIN pc ON pc.component = cs.component
+         ORDER BY cs.component"""),
+
     "d37_savings_curve" -> {
       // four per-tau component chains off the shared shingle CTE
       // (DuckDB allows multiple recursive CTEs in one WITH RECURSIVE)

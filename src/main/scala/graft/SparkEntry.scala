@@ -703,6 +703,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "d39_cluster_audit" -> ((s, dir) => {
+      // TRANSITIVE-DRIFT AUDIT of the d06 resolution — the dedup
+      // failure mode nothing else on the board measures: min-jaccard
+      // CHAINS (A~B~C) merge A and C that share almost nothing, and a
+      // 100 TB collapse then deletes half a source on the strength of
+      // one bridge doc. Per multi-doc cluster: its truth-pair count,
+      // the weakest link (min jaccard), the mean link, and
+      // pair_coverage = n_pairs / C(n,2) — a chained cluster shows
+      // coverage ≪ 1 with a low min; a genuine duplicate set shows
+      // coverage ≈ 1. Exact counts, round-6 links DECIMAL-folded,
+      // pinned divisions.
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.jaccardPairs(
+        Dedup.shingles(docs, "doc_id", "text", 3), 0.5)
+      val comp = Dedup.components(docs.select(col("doc_id")), "doc_id", pairs)
+      val sizes = comp.groupBy(col("component")).agg(cnt.as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      pairs.join(comp.withColumnRenamed("doc_id", "id1")
+          .select(col("id1"), col("component")), "id1")
+        .groupBy(col("component"))
+        .agg(cnt.as("n_pairs"),
+          min(col("jaccard")).as("min_jaccard"),
+          round(sum(col("jaccard").cast("decimal(24,8)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mean_jaccard"))
+        .join(sizes, "component")
+        .select(col("component"), col("n_docs"), col("n_pairs"),
+          col("min_jaccard"), col("mean_jaccard"),
+          round((col("n_pairs") * lit(2L)).cast("double")
+            / (col("n_docs") * (col("n_docs") - lit(1L))).cast("double"), 6)
+            .as("pair_coverage"))
+        .orderBy("component")
+    }),
+
     "d37_savings_curve" -> ((s, dir) => {
       // the BUSINESS CASE before a 100 TB dedup run (d34 tunes the
       // detector, this prices the outcome): per threshold τ, docs /
