@@ -663,6 +663,21 @@ private[graft] object OraclesR {
 
     "r39_holt_forecast" -> OracleHelpers.holtOracleSql(window = 16),
 
+    "r41_jsonl" ->
+      // the JSON escape round trip is exact, so the oracle aggregates
+      // the source table directly; the injected malformed line is the
+      // literal '(corrupt)' row
+      """WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(list_filter(
+                          string_split_regex(lower(text), '\s+'),
+                          t -> len(t) > 0))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY 1)
+         SELECT * FROM (
+             SELECT source, n_docs, n_tokens FROM agg
+             UNION ALL
+             SELECT '(corrupt)', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+         ORDER BY source""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

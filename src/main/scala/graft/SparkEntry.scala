@@ -1873,6 +1873,32 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "r41_jsonl" -> ((s, dir) => {
+      // JSONL ingestion (the format crawl dumps arrive in): format
+      // every document as a JSONL line, parse back under an EXPLICIT
+      // schema with loud corrupt-record accounting, and aggregate —
+      // the r01 format(parse(x)) == x oracle relation applied to the
+      // JSON escape round trip, plus one injected malformed line that
+      // must surface in the '(corrupt)' bucket instead of vanishing
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      val sq = s
+      import sq.implicits._
+      val lines = sources.Jsonl.toJsonl(T(s, dir, "documents"),
+          col("doc_id"), col("source"), col("lang"), col("text"))
+        .unionByName(Seq("{this is not json").toDF("value"))
+      sources.Jsonl.parse(lines, schema)
+        .withColumn("_src", when(col("_corrupt").isNotNull, lit("(corrupt)"))
+          .otherwise(col("source")))
+        .groupBy(col("_src").as("source"))
+        .agg(cnt.as("n_docs"),
+          coalesce(sum(size(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long")), lit(0L)).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     "t49_vocab_coverage" -> ((s, dir) =>
       // tokenizer-budget planning: covered token-mass share at
       // candidate vocab sizes (t33 grows the type count, t24 fits the
