@@ -82,6 +82,38 @@ orphans = sorted(set(corr) - declared)
 for k in orphans:
     fails.append(f"CORRECTNESS has `{k}` but no §2 row declares it")
 
+# r17 (r16 verdict task 8): a ◐ row passes the driver on
+# `spark_rows > 0` alone — its accuracy burden lives entirely in a
+# named spec suite. Close that softness: each remaining ◐ key's suite
+# must EXIST in target/test-reports AND report 0 failures/errors, so
+# "spec-gated" is checked, not asserted.
+MOON_SUITES = {
+    "d02_dedup_minhash": "graft.operators.MinHashRecallSpec",
+    "d03_dedup_simhash": "graft.operators.SimHashCompletenessSpec",
+    "r04_sample": "graft.sources.LogSourceSpec",
+    "s27_top_pc_fd": "graft.operators.FdSketchSpec",
+}
+moon_keys = {k for keys, status, _ in rows if status.startswith("◐")
+             for k in keys}
+for k in sorted(moon_keys):
+    suite = MOON_SUITES.get(k)
+    if suite is None:
+        fails.append(f"◐ key `{k}` has no named spec suite in survey_gate's "
+                     "MOON_SUITES map — add the suite that carries its "
+                     "accuracy gate")
+        continue
+    rpt = f"{repo}/target/test-reports/TEST-{suite}.xml"
+    if not os.path.exists(rpt):
+        fails.append(f"◐ key `{k}`: spec suite report {rpt} missing — "
+                     "run `sbt test` before the gate")
+        continue
+    head = open(rpt).read(2048)
+    mf = re.search(r'failures="(\d+)"', head)
+    me = re.search(r'errors="(\d+)"', head)
+    if not mf or not me or mf.group(1) != "0" or me.group(1) != "0":
+        fails.append(f"◐ key `{k}`: suite {suite} reports "
+                     f"failures/errors != 0 ({rpt})")
+
 n_check = sum(len(ks) for ks, s, _ in rows if not s.startswith("arch"))
 print(f"survey_gate: {len(rows)} §2 rows, {n_check} query keys checked "
       f"against {os.path.basename(cpath)} ({len(corr)} entries)")

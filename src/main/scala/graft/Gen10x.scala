@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
   * <srcDir> <dstDir> [copies] [mode] [tables]. Never touches
   * /root/testdata. `tables` (comma list, default all) limits the
   * stretch to the named fact tables — a copies=100 graph probe only
-  * needs lineitem, not 100x of the salted documents corpus.
+  * needs lineitem, not 100x of the salted documents corpus. Under a
+  * `tables` subset dst is a PARTIAL dataset: dims always copy,
+  * unselected facts are absent, and key spans are read only from the
+  * tables the selection actually offsets against.
   *
   * Modes (r15, the d24 probe-conflation fix):
   *  - `dup` (default): copies carry the ORIGINAL text verbatim, so
@@ -57,11 +60,17 @@ object Gen10x {
       df.withColumn("text",
         expr(s"array_join(transform(split(text, ' '), x -> concat(x, '_c$i')), ' ')"))
 
-    val oSpan = rd("orders").agg(max("o_orderkey")).head.getLong(0) + 1
-    val cSpan = rd("customer").agg(max("c_custkey")).head.getLong(0) + 1
-    val eSpan = rd("events").agg(max("event_id")).head.getLong(0) + 1
-    val dSpan = rd("documents").agg(max("doc_id")).head.getLong(0) + 1
-    val vSpan = rd("embeddings").agg(max("vec_id")).head.getLong(0) + 1
+    // spans compute LAZILY, only when a selected table (or one whose
+    // keys offset against it) needs them (r16 ADVICE): a source dir
+    // holding just the tables the caller selected must not fail on an
+    // absent unselected fact. dst is a PARTIAL dataset under a
+    // `tables` subset — dims always copy, unselected facts are absent.
+    def span(t: String, k: String) = rd(t).agg(max(k)).head.getLong(0) + 1
+    lazy val oSpan = span("orders", "o_orderkey")
+    lazy val cSpan = span("customer", "c_custkey")
+    lazy val eSpan = span("events", "event_id")
+    lazy val dSpan = span("documents", "doc_id")
+    lazy val vSpan = span("embeddings", "vec_id")
 
     if (wanted("lineitem"))
       wr(stretch(rd("lineitem"), Map("l_orderkey" -> oSpan)), "lineitem")

@@ -678,6 +678,22 @@ private[graft] object OraclesR {
              SELECT '(corrupt)', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
          ORDER BY source""",
 
+    "r42_jsonl_gz" ->
+      // the gzip shards hold exactly toJsonl(documents) + one corrupt
+      // member, and the JSON escape round trip is exact, so the
+      // oracle is r41's: aggregate the source table directly, the
+      // malformed gzip member is the literal '(corrupt)' row
+      """WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len(list_filter(
+                          string_split_regex(lower(text), '\s+'),
+                          t -> len(t) > 0))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY 1)
+         SELECT * FROM (
+             SELECT source, n_docs, n_tokens FROM agg
+             UNION ALL
+             SELECT '(corrupt)', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+         ORDER BY source""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

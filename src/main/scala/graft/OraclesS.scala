@@ -582,7 +582,43 @@ private[graft] object OraclesS {
     * chain run as CTEs verbatim, then one join counts per-query hits.
     * Denominator is the exact side's row count at k.
     */
+  /** r17 seeded-ANN gate oracle (the q22/q25 pinned-boolean pattern):
+    * the seeded ranking is not SQL-expressible, so the oracle carries
+    * the oracle-expressible half — per-query exact-neighbor counts
+    * from the brute-force CTE — and pins the recall gate to LITERAL
+    * true; the Spark side computes the gate from the live ranking, so
+    * any estimator drift past the margin breaks the hash loudly.
+    */
+  private def annGateSql(nCol: String, gateCol: String): String =
+    s"""WITH ex AS (${base("s01_ann_brute")})
+       SELECT query_id, CAST(count(*) AS BIGINT) AS $nCol,
+              TRUE AS $gateCol
+       FROM ex GROUP BY query_id ORDER BY query_id"""
+
   val sql: Map[String, String] = base ++ Map(
+    "s02_ann_lsh" -> annGateSql("n_exact", "recall_ge_080"),
+    "s03_ann_ivf" -> annGateSql("n_exact", "recall_ge_090"),
+    "s12_ivf_pq" -> annGateSql("n_exact", "recall_ge_080"),
+    "s13_ivf_pq_residual" -> annGateSql("n_exact", "recall_ge_050"),
+    "s26_ann_index" -> annGateSql("n_served", "store_equals_e2e"),
+
+    "s06_cosine_pairs_lsh" ->
+      // coverage gate over the bounded audit slice: the exact pair
+      // set is d05's quadratic chain verbatim (vec_id < 1000), the
+      // LSH found-share >= 0.40 gate pins to literal true
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+              p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                           a.embedding AS ea, b.embedding AS eb
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id),
+              u AS (SELECT id1, id2, CAST(unnest(ea) AS DOUBLE) AS x,
+                           CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+              s AS (SELECT id1, id2, sum(x*y) AS dot,
+                           sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+                    FROM u GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact_slice,
+                TRUE AS coverage_ge_040
+         FROM s WHERE dot / (na * nb) >= 0.45""",
+
     "s39_recall_curve" ->
       // the same chains, expanded over k = {1, 5, 10} via a k axis;
       // micro = pooled hits/exact, macro = mean of per-query recalls

@@ -77,6 +77,49 @@ object SparkEntry {
 
   private def cnt: Column = count(lit(1))
 
+  /** r42 (r16 verdict task 3): materialize the documents table ONCE
+    * per (session, sfDir) as real multi-shard gzip JSONL on local
+    * disk — the layout crawl dumps actually arrive in — plus one tiny
+    * corrupt gzip member, so the compressed ingestion path reads
+    * actual codec-decoded files, not an in-memory string column.
+    * Memoized like bpeTable: bench reruns must not rewrite. */
+  private val jsonlGzMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def jsonlGzDir(s: SparkSession, dir: String): String =
+    jsonlGzMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r42_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      sources.Jsonl.toJsonl(T(s, dir, "documents"),
+          col("doc_id"), col("source"), col("lang"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      val g = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+        new java.io.File(out, "corrupt.jsonl.gz")))
+      g.write("{this is not json\n".getBytes("UTF-8")); g.close()
+      out
+    })
+
+  /** r17 driver-visible accuracy gate for the seeded-ANN family (the
+    * q22/q25 pattern, r16 verdict task 1): pooled recall@k of a
+    * seeded approximate ranking vs the hash-exact brute-force ranking
+    * over the same query batch, emitted as a boolean the oracle pins
+    * to LITERAL true beside the oracle-expressible per-query exact
+    * counts — estimator drift now breaks the driver hash loudly
+    * instead of hiding in a spec-only gate. The threshold sits a
+    * measured margin below the pooled recall at all three SFs
+    * (GateProbe prints the measurements), so the gate trips on a
+    * mechanism change, not on data noise. */
+  private def annRecallGate(approx: DataFrame, exact: DataFrame, k: Int,
+                            threshold: Double, gateCol: String): DataFrame = {
+    val r = operators.Similarity.recallAtK(approx, exact, k)
+    val micro = r.agg((sum(col("n_hits")).cast("double") /
+      sum(col("n_exact")).cast("double")).as("_micro"))
+    r.crossJoin(broadcast(micro))
+      .select(col("query_id"), col("n_exact"),
+        (col("_micro") >= lit(threshold)).as(gateCol))
+      .orderBy("query_id")
+  }
+
   /** The synthetic "log file": events rows formatted as text lines.
     * Both the Spark queries and the DuckDB oracle derive from the same
     * parquet, so parse(format(row)) == row is the oracle relation.
@@ -931,13 +974,22 @@ object SparkEntry {
     }),
 
     "s02_ann_lsh" -> ((s, dir) => {
+      // seeded multi-table LSH ANN, served as a DRIVER-PROVABLE
+      // recall report (r16 verdict task 1): the xxhash-seeded ranking
+      // itself is not DuckDB-expressible, so the query runs lshTopK
+      // AND the brute-force exact ranking and emits pooled recall@10
+      // >= 0.80 pinned true in the oracle (measured micro 0.88–0.94
+      // across the three SFs; GateProbe). The ranking mechanism stays
+      // the operator under test — a signature or banding drift now
+      // breaks the driver hash, not just ScaleOpsSpec's 0.89 gate.
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, numPlanes = 6, numTables = 8)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val ap = Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, numPlanes = 6, numTables = 8)
+      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10)
+      annRecallGate(ap, ex, k = 10, threshold = 0.80, "recall_ge_080")
     }),
 
     "s33_lsh_portable" -> ((s, dir) => {
@@ -1048,26 +1100,50 @@ object SparkEntry {
         .orderBy("query_id")),
 
     "s03_ann_ivf" -> ((s, dir) => {
+      // seeded IVF ANN as a driver-provable recall report (same move
+      // as s02; measured micro 0.96–1.00 across SFs, gate 0.90). The
+      // hash-sampled coarse quantizer + nprobe search still runs in
+      // full — only the driver-visible surface is the gate.
       val emb = T(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-          k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val ap = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
+      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10)
+      annRecallGate(ap, ex, k = 10, threshold = 0.90, "recall_ge_090")
     }),
 
-    "s06_cosine_pairs_lsh" -> ((s, dir) =>
+    "s06_cosine_pairs_lsh" -> ((s, dir) => {
       // the embedding near-dup SCALE path: O(bucket^2) LSH candidates
-      // instead of the O(n^2) exhaustive d05; rows-only check (xxhash
-      // bucketing isn't DuckDB-expressible), quality gated by
-      // CosinePairsLshSpec + the d05 overlap at this threshold
-      // maxBucket caps a degenerate hyperplane bucket pre-self-join
-      // (no-op at these SFs — buckets run ~100x smaller than the cap)
-      Similarity.cosinePairsLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, numPlanes = 6, numTables = 8,
-          maxBucket = Some(10000))
-        .orderBy("id1", "id2")),
+      // instead of the O(n^2) exhaustive d05, served as a
+      // driver-provable COVERAGE report (r16 verdict task 1): the
+      // seeded pair mining runs over the FULL corpus, then its found
+      // set is audited against the exact cosine>=0.45 pairs on the
+      // bounded d05 slice (vec_id < 1000 — ground truth must stay
+      // sub-quadratic, the s35 five-query discipline applied to
+      // pairs). Found pairs are verified-exact by construction
+      // (precision 1), so coverage is the only quality axis; SRP
+      // collision math puts threshold-boundary pairs near p≈0.46 per
+      // 8-table probe, and measured slice coverage is 0.51–0.64
+      // across SFs → gate 0.40, pinned true in the oracle. maxBucket
+      // caps a degenerate hyperplane bucket pre-self-join (no-op at
+      // these SFs — buckets run ~100x smaller than the cap).
+      val emb = T(s, dir, "embeddings")
+      val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 6, numTables = 8,
+        maxBucket = Some(10000))
+      val exact = Similarity.cosinePairs(emb.filter(col("vec_id") < 1000),
+        "vec_id", "embedding", 0.45).select(col("id1"), col("id2"))
+      exact.join(lsh.select(col("id1"), col("id2"), lit(1L).as("_f")),
+          Seq("id1", "id2"), "left")
+        .agg(cnt.as("n_exact_slice"),
+          sum(coalesce(col("_f"), lit(0L))).as("_h"))
+        .select(col("n_exact_slice"),
+          coalesce(col("_h").cast("double") /
+              col("n_exact_slice").cast("double") >= lit(0.40),
+            lit(true)).as("coverage_ge_040"))
+    }),
 
     "s34_cosine_pairs_portable" -> ((s, dir) =>
       // s06's hash-exact twin: md5-plane signatures make the bucket
@@ -1513,8 +1589,11 @@ object SparkEntry {
       // cosine brute force drops 0.42-level). Codebook = TRAINED
       // per-subspace k-means (trainPqCodebook — raw corpus rows as
       // codewords, s11's stand-in, quantize near-random embeddings too
-      // coarsely to rank neighbors). Rows-only check (xxhash seeding
-      // not DuckDB-expressible); recall@10 gated in AnnRecallSpec.
+      // coarsely to rank neighbors). Served as a driver-provable
+      // recall report (r16 verdict task 1): the xxhash-seeded ranking
+      // is not DuckDB-expressible, so the query emits pooled
+      // recall@10 vs brute-force-on-the-same-normalized-vectors >=
+      // 0.80 pinned true (measured micro 0.88–0.98 across SFs).
       val emb = T(s, dir, "embeddings").withColumn("embedding",
         transform(col("embedding"),
           x => x.cast("double") / Similarity.norm(col("embedding"))))
@@ -1523,13 +1602,15 @@ object SparkEntry {
       // refine=3: ADC shortlists 3k, exact cosine re-ranks ONLY those
       // (FAISS IndexRefineFlat) — 30 raw-vector reads per query at any
       // corpus size, recall 0.74 -> 0.98
-      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          cb, "code", "codeword",
-          m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
-          refine = 3)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val ap = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cb, "code", "codeword",
+        m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
+        refine = 3)
+      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")), "qid", "qvec", k = 10)
+      annRecallGate(ap, ex, k = 10, threshold = 0.80, "recall_ge_080")
     }),
 
     "s26_ann_index" -> ((s, dir) => {
@@ -1538,9 +1619,14 @@ object SparkEntry {
       // coarse quantizer and encodes the corpus into posting lists
       // with inline PQ codes; annIndexTopK then serves a query batch
       // against the STORE alone, never touching raw corpus vectors.
-      // Rows-only (xxhash seeding, as s12); AnnIndexSpec pins
-      // store-served == end-to-end ivfPqTopK bit-for-bit including a
-      // parquet round-trip of both store relations.
+      // Served as a driver-provable EQUALITY report (r16 verdict
+      // task 1): AnnIndexSpec's store-served == end-to-end ivfPqTopK
+      // bit-for-bit pin, computed INSIDE the query — per query_id,
+      // bool_and over the rank-aligned full-outer join of both
+      // rankings (neighbor AND adc_dist equal, nulls coalesced to
+      // false so a missing rank fails loudly) — with n_served pinned
+      // to the exact-k count. A store-layout or serve-path drift now
+      // breaks the driver hash, not just the spec.
       val emb = T(s, dir, "embeddings").withColumn("embedding",
         transform(col("embedding"),
           x => x.cast("double") / Similarity.norm(col("embedding"))))
@@ -1549,11 +1635,24 @@ object SparkEntry {
       val (cents, postings) = Similarity.buildAnnIndex(emb, "vec_id",
         "embedding", cb, "code", "codeword",
         m = 16, nlist = 16, refineIters = 4, spill = 2)
-      Similarity.annIndexTopK(cents, postings,
+      val served = Similarity.annIndexTopK(cents, postings,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           cb, "code", "codeword", m = 16, k = 10, nprobe = 8)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("_na"), col("adc_dist").as("_da"))
+      val e2e = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cb, "code", "codeword",
+          m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
+          refine = 1)
+        .select(col("query_id"), col("rank"),
+          col("neighbor_id").as("_nb"), col("adc_dist").as("_db"))
+      served.join(e2e, Seq("query_id", "rank"), "full_outer")
+        .groupBy(col("query_id"))
+        .agg(cnt.as("n_served"),
+          bool_and(coalesce(col("_na") === col("_nb") &&
+            col("_da") === col("_db"), lit(false))).as("store_equals_e2e"))
+        .orderBy("query_id")
     }),
 
     "s13_ivf_pq_residual" -> ((s, dir) => {
@@ -1561,17 +1660,22 @@ object SparkEntry {
       // vectors PQ-encode v − centroid with residual-trained subspace
       // codebooks; each query builds one ADC table per probed list
       // from its own residual. refine=1 on purpose: this entry shows
-      // the COMPRESSED-domain rank quality residual coding buys
-      // (recall gate in AnnRecallSpec); s12 shows the refined path.
+      // the COMPRESSED-domain rank quality residual coding buys; s12
+      // shows the refined path. Served as a driver-provable recall
+      // report (r16 verdict task 1): pooled compressed-domain
+      // recall@10 >= 0.50 pinned true (measured micro 0.62–0.80
+      // across SFs — the honest compressed-only number).
       val emb = T(s, dir, "embeddings").withColumn("embedding",
         transform(col("embedding"),
           x => x.cast("double") / Similarity.norm(col("embedding"))))
-      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
-          refineIters = 4, pqIters = 4)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val ap = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
+        refineIters = 4, pqIters = 4)
+      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")), "qid", "qvec", k = 10)
+      annRecallGate(ap, ex, k = 10, threshold = 0.50, "recall_ge_050")
     }),
 
     "s14_hamming_topk" -> ((s, dir) => {
@@ -1890,6 +1994,31 @@ object SparkEntry {
           col("doc_id"), col("source"), col("lang"), col("text"))
         .unionByName(Seq("{this is not json").toDF("value"))
       sources.Jsonl.parse(lines, schema)
+        .withColumn("_src", when(col("_corrupt").isNotNull, lit("(corrupt)"))
+          .otherwise(col("source")))
+        .groupBy(col("_src").as("source"))
+        .agg(cnt.as("n_docs"),
+          coalesce(sum(size(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long")), lit(0L)).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    "r42_jsonl_gz" -> ((s, dir) => {
+      // COMPRESSED JSONL ingestion (r16 verdict task 3): the r41
+      // schema + corrupt-accounting chain reading ACTUAL gzip files
+      // from disk — 4 shards written once per session (jsonlGzDir)
+      // plus one malformed gzip member that must land in '(corrupt)'.
+      // readJsonl resolves the codec from the extension and carries
+      // the unsplittable-file guard (one giant .gz = one task = a
+      // serialized scan at cluster scale — it throws instead).
+      // zstd: probed at runtime via Jsonl.zstdAvailable — absent on
+      // this build, so the query gates .gz and JsonlSpec documents
+      // the env-dependence (the verdict-prescribed fallback).
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      sources.Jsonl.readJsonl(s, jsonlGzDir(s, dir), schema)
         .withColumn("_src", when(col("_corrupt").isNotNull, lit("(corrupt)"))
           .otherwise(col("source")))
         .groupBy(col("_src").as("source"))
@@ -2757,12 +2886,21 @@ object SparkEntry {
       val agg = per.agg(
         sum(col("_volm").cast("decimal(38,0)")).cast("long").as("_volu"),
         sum(col("_prim").cast("decimal(38,0)")).cast("long").as("_priu"),
-        coalesce(sum(when(col("_ra").isNull, col("_rbi"))) * lit(10000L),
-          lit(0L)).cast("long").as("_newu"),
-        coalesce(sum(when(col("_rb").isNull, col("_rai"))) * lit(10000L),
-          lit(0L)).cast("long").as("_lostu"),
-        (sum(col("_rbi")) * lit(10000L)).cast("long").as("_totbu"),
-        (sum(col("_rai")) * lit(10000L)).cast("long").as("_totau"))
+        // _rai/_rbi totals ride DECIMAL(38,0) through BOTH the sum and
+        // the ×10000 (r16 ADVICE): the DuckDB oracle sums in HUGEINT
+        // and casts exactly, so the Spark side must keep every step
+        // in decimal where overflow surfaces as a LOUD null (pinned
+        // by PvmBridgeSpec) instead of a silently wrapped long
+        coalesce((sum(when(col("_ra").isNull, col("_rbi")))
+            .cast("decimal(38,0)") * lit(10000L)).cast("decimal(38,0)"),
+          lit(0L).cast("decimal(38,0)")).cast("long").as("_newu"),
+        coalesce((sum(when(col("_rb").isNull, col("_rai")))
+            .cast("decimal(38,0)") * lit(10000L)).cast("decimal(38,0)"),
+          lit(0L).cast("decimal(38,0)")).cast("long").as("_lostu"),
+        (sum(col("_rbi")).cast("decimal(38,0)") * lit(10000L))
+          .cast("decimal(38,0)").cast("long").as("_totbu"),
+        (sum(col("_rai")).cast("decimal(38,0)") * lit(10000L))
+          .cast("decimal(38,0)").cast("long").as("_totau"))
       val resid = col("_totbu") - col("_totau") - col("_volu") -
         col("_priu") - col("_newu") + col("_lostu")
       agg.withColumn("_residu", resid)

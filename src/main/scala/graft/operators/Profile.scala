@@ -72,13 +72,18 @@ object Profile {
       .withColumn("bin",
         when(col("_hi") === col("_lo"), lit(0L))
           .otherwise(least(lit(bins - 1L),
-            // product in DECIMAL(38,0): span × bins can pass
-            // Long.MaxValue at scale=6 × bins=10000 on a wide domain —
-            // Spark (non-ANSI) would wrap silently to a WRONG BIN
-            // while DuckDB's HUGEINT stays exact (r15 ADVICE). The
-            // quotient is ≤ bins, so `div`'s long result is safe.
-            expr(s"(CAST(_xi - _lo AS DECIMAL(38,0)) * $bins)" +
-              s" div CAST(_hi - _lo AS DECIMAL(38,0))"))))
+            // ALL-decimal bin arithmetic: operands cast to
+            // DECIMAL(38,0) INDIVIDUALLY before subtracting (r16
+            // ADVICE) — a domain whose scaled SPAN alone exceeds
+            // Long.MaxValue would wrap in long subtraction before any
+            // decimal cast could save it, and the span × bins product
+            // passes Long.MaxValue sooner still (r15 ADVICE); Spark
+            // (non-ANSI) wraps both silently to a WRONG BIN while
+            // DuckDB's HUGEINT stays exact. The quotient is ≤ bins,
+            // so `div`'s long result is safe.
+            expr(s"((CAST(_xi AS DECIMAL(38,0)) - CAST(_lo AS DECIMAL(38,0)))" +
+              s" * $bins) div (CAST(_hi AS DECIMAL(38,0))" +
+              s" - CAST(_lo AS DECIMAL(38,0)))"))))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     val denom = lit(math.pow(10, scale))
     spark.range(bins).select(col("id").as("bin"))

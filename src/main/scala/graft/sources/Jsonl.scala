@@ -33,9 +33,13 @@ object Jsonl {
 
   /** Parse JSONL lines under an explicit schema. Output columns: the
     * schema's fields plus `_corrupt` (the raw line when the object
-    * failed to parse, null otherwise). A type-mismatched FIELD inside
-    * valid JSON nulls that field (PERMISSIVE semantics); only
-    * malformed JSON marks the row corrupt.
+    * failed to parse, null otherwise). PERMISSIVE semantics, with the
+    * caveat Spark's from_json actually implements: malformed JSON
+    * marks the row corrupt, AND a type-mismatched FIELD inside valid
+    * JSON also populates `_corrupt` with the raw line (partial-result
+    * parse — the well-typed fields still come through). Callers
+    * bucketing on `_corrupt` therefore quarantine type-drifted rows
+    * alongside malformed ones; JsonlSpec pins both behaviors.
     */
   def parse(lines: DataFrame, schema: StructType,
             lineCol: String = "value"): DataFrame = {
@@ -52,5 +56,110 @@ object Jsonl {
     parsed.select(
       (schema.fieldNames.toSeq :+ "_corrupt")
         .map(f => col("_j").getField(f).as(f)): _*)
+  }
+
+  /** Compressed-file extensions Hadoop text input CANNOT split: one
+    * such file is one task regardless of cluster size. (bzip2 is
+    * block-splittable and absent on purpose.) */
+  private val Unsplittable = Seq(".gz", ".zst", ".zstd", ".deflate")
+
+  /** Read a JSONL file/glob/directory — plain or compressed (the
+    * codec resolves from the file extension, the way crawl dumps
+    * actually arrive) — and parse under the explicit schema via
+    * [[parse]].
+    *
+    * Scale guard: a gzip/zstd file is NOT splittable, so a single
+    * giant compressed file silently serializes the whole scan into
+    * one task — on a 1000-executor cluster that is a 1000× slowdown
+    * dressed up as a working job. If the input is ONE unsplittable
+    * file above `unsplittableCap` bytes, this fails loudly with the
+    * fix (shard the dump, or recompress splittable) instead of
+    * running the degenerate plan. Many small compressed files are
+    * the correct layout and pass untouched.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: StructType,
+                unsplittableCap: Long = 256L << 20): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // enumerate what the text reader will see (dir → children, glob → matches)
+    val stats = {
+      val globbed = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      globbed.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        else Seq(st)
+      }.filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    }
+    val unsplittable = stats.filter(st =>
+      Unsplittable.exists(st.getPath.getName.toLowerCase.endsWith))
+    if (stats.size == 1 && unsplittable.size == 1 &&
+        unsplittable.head.getLen > unsplittableCap)
+      throw new IllegalArgumentException(
+        s"Jsonl.readJsonl: $path is a single unsplittable file " +
+        s"(${unsplittable.head.getPath.getName}, ${unsplittable.head.getLen} " +
+        s"bytes > cap $unsplittableCap) — the scan would serialize into ONE " +
+        "task. Shard the dump into multiple files or recompress with a " +
+        "splittable layout, or raise unsplittableCap if this is intended.")
+    parse(spark.read.textFile(path).toDF("value"), schema)
+  }
+
+  /** JSONL over the byte-offset single-file tail (r16 verdict
+    * task 6): the r41 explicit-schema corrupt-accounting parse
+    * applied to the follow-file stream — tailing a GROWING
+    * crawl-dump JSONL is the reference's whole point, and JSONL
+    * landed batch-only in r16. Same checkpointed-offset /
+    * line-boundary / rotation-reopen semantics as
+    * [[LogSource.followFile]]; malformed lines surface in `_corrupt`
+    * exactly as in batch, so a stream over any prefix of a file
+    * equals the batch parse of that prefix (TailStreamSpec pins it).
+    */
+  def follow(spark: org.apache.spark.sql.SparkSession, path: String,
+             schema: StructType, seekToEnd: Boolean = false,
+             maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+    var reader = spark.readStream.format("follow-file")
+      .option("path", path).option("seekToEnd", seekToEnd.toString)
+    maxBytesPerTrigger.foreach(m =>
+      reader = reader.option("maxBytesPerTrigger", m.toString))
+    parse(reader.load(), schema)
+  }
+
+  /** Directory-watch streaming form: new JSONL shards appearing in a
+    * dump directory parse under the same explicit schema + corrupt
+    * accounting. Compressed shards decode by extension exactly as in
+    * [[readJsonl]] (the text source shares the codec factory) — but
+    * the unsplittable-file guard is a batch-side check; a streaming
+    * dir of many small .gz shards is the intended layout.
+    */
+  def stream(spark: org.apache.spark.sql.SparkSession, dir: String,
+             schema: StructType,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    parse(reader.text(dir), schema)
+  }
+
+  /** Does this Spark/Hadoop build actually decode `.zst` text files?
+    * The class is always present; the native binding often is not —
+    * probe by round-tripping one tiny file instead of trusting
+    * class-loading. Used to gate the zstd leg of the compressed
+    * ingestion path (env-dependent by contract; .gz is always on).
+    */
+  def zstdAvailable(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      val p = new org.apache.hadoop.fs.Path("probe.zst")
+      val codec = factory.getCodec(p)
+      if (codec == null) return false
+      val bytes = new java.io.ByteArrayOutputStream()
+      val out = codec.createOutputStream(bytes)
+      out.write("{\"probe\":1}\n".getBytes("UTF-8")); out.close()
+      val in = codec.createInputStream(
+        new java.io.ByteArrayInputStream(bytes.toByteArray))
+      val buf = new Array[Byte](64); val n = in.read(buf); in.close()
+      n > 0 && new String(buf, 0, n, "UTF-8").startsWith("{\"probe\"")
+    } catch { case _: Throwable => false }
   }
 }

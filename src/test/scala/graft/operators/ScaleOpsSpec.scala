@@ -227,10 +227,24 @@ class AnnRecallSpec extends graft.SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def neighbors(q: String): Map[Long, Set[Long]] =
-    graft.SparkEntry.queries(q)(spark, dir)
-      .select("query_id", "neighbor_id").collect()
+    toSets(graft.SparkEntry.queries(q)(spark, dir))
+
+  private def toSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  // the seeded-ANN query keys now emit driver-provable gate REPORTS
+  // (r17), so this spec pins the underlying rankings by running the
+  // operators at the queries' exact parameters — tighter margins than
+  // the driver's pooled gates
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+  private def q = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def embN = emb.withColumn("embedding",
+    transform(col("embedding"),
+      x => x.cast("double") / Similarity.norm(col("embedding"))))
 
   test("multi-table LSH and IVF recall vs brute force") {
     val brute = neighbors("s01_ann_brute")
@@ -239,8 +253,11 @@ class AnnRecallSpec extends graft.SparkSpec {
         (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
       per.sum / per.size
     }
-    val lsh = recall(neighbors("s02_ann_lsh"))
-    val ivf = recall(neighbors("s03_ann_ivf"))
+    val lsh = recall(toSets(Similarity.lshTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 10, numPlanes = 6, numTables = 8)))
+    val ivf = recall(toSets(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 10, nlist = 16, nprobe = 8, refineIters = 4,
+      spill = 2)))
     info(f"LSH recall = $lsh%.3f, IVF recall = $ivf%.3f")
     // multi-probe LSH measures 0.940 here (0.88-1.00 across scales);
     // IVF with 4 Lloyd passes + spill=2 assignment replication
@@ -313,7 +330,13 @@ class AnnRecallSpec extends graft.SparkSpec {
 
   test("IVF-PQ recall@10 vs brute force clears the gate") {
     val brute = neighbors("s01_ann_brute")
-    val ivfpq = neighbors("s12_ivf_pq")
+    val cb = Similarity.trainPqCodebook(embN, "vec_id", "embedding",
+      m = 16, ksub = 256, iters = 2)
+    val ivfpq = toSets(Similarity.ivfPqTopK(embN, "vec_id", "embedding",
+      embN.filter(col("vec_id") < 5), "vec_id", "embedding",
+      cb, "code", "codeword",
+      m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
+      refine = 3))
     val per = brute.keys.toSeq.map { q =>
       (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
     }
@@ -330,7 +353,10 @@ class AnnRecallSpec extends graft.SparkSpec {
 
   test("residual IVF-PQ compressed-domain recall@10 clears the gate") {
     val brute = neighbors("s01_ann_brute")
-    val res = neighbors("s13_ivf_pq_residual")
+    val res = toSets(Similarity.ivfPqResidualTopK(embN, "vec_id", "embedding",
+      embN.filter(col("vec_id") < 5), "vec_id", "embedding",
+      m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
+      refineIters = 4, pqIters = 4))
     val per = brute.keys.toSeq.map(q =>
       (res.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
     val recall = per.sum / per.size
@@ -790,5 +816,44 @@ class SemDedupSpec extends SparkSpec {
     val n = Similarity.semDedup(dupDf, "vec_id", "embedding",
       centsDf, "vec_id", "embedding", threshold = 2.0).count()
     assert(n == 101L, n.toString)
+  }
+}
+
+/** r17 driver-visible gate surface for the seeded-ANN keys: each
+  * query now emits oracle-expressible counts plus a pinned-true gate
+  * boolean (the q22/q25 pattern). This pins the SHAPE and the gate
+  * values at sf0.001 so a drift shows up here before the driver run;
+  * the underlying ranking quality keeps its tighter gates in
+  * AnnRecallSpec.
+  */
+class AnnDriverGateSpec extends graft.SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+
+  test("s02/s03/s12/s13 emit 5 per-query rows with true recall gates") {
+    for ((key, gate) <- Seq(
+        ("s02_ann_lsh", "recall_ge_080"), ("s03_ann_ivf", "recall_ge_090"),
+        ("s12_ivf_pq", "recall_ge_080"),
+        ("s13_ivf_pq_residual", "recall_ge_050"))) {
+      val rows = run(key).collect()
+      assert(rows.length == 5, s"$key: ${rows.length} rows")
+      assert(rows.forall(_.getAs[Long]("n_exact") == 10L), s"$key n_exact")
+      assert(rows.forall(_.getAs[Boolean](gate)), s"$key $gate tripped")
+    }
+  }
+
+  test("s26 store-served equals end-to-end per query") {
+    val rows = run("s26_ann_index").collect()
+    assert(rows.length == 5, rows.length.toString)
+    assert(rows.forall(_.getAs[Long]("n_served") == 10L), "n_served")
+    assert(rows.forall(_.getAs[Boolean]("store_equals_e2e")), "equality gate")
+  }
+
+  test("s06 coverage report: one row, gate true, nonempty slice truth") {
+    val rows = run("s06_cosine_pairs_lsh").collect()
+    assert(rows.length == 1, rows.length.toString)
+    assert(rows.head.getAs[Long]("n_exact_slice") > 0L, "empty exact slice")
+    assert(rows.head.getAs[Boolean]("coverage_ge_040"), "coverage gate tripped")
   }
 }

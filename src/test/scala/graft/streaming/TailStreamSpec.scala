@@ -481,4 +481,44 @@ class TailStreamSpec extends SparkSpec {
     assert(df.isStreaming)
     assert(df.columns.toSeq == Seq("window", "level", "n"))
   }
+
+  test("JSONL tail: streamed split file equals the batch parse (r17)") {
+    // r16 verdict task 6: JSONL landed batch-only; the reference's
+    // whole point is tailing. Follow a GROWING .jsonl by byte offset,
+    // parse each batch under the r41 explicit-schema corrupt
+    // accounting, and pin stream ≡ batch on the full file — including
+    // a malformed line appended mid-stream that must surface in
+    // _corrupt, not vanish.
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-jsonl-tail").toFile
+    val f = new java.io.File(dir, "dump.jsonl")
+    Files.write(f.toPath, Seq(
+      """{"id": 1, "text": "alpha"}""",
+      """{"id": 2, "text": "beta"}""").mkString("", "\n", "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        Option(r.getString(1)).getOrElse(""),
+        Option(r.getString(2)).getOrElse(""))
+    val q = graft.sources.Jsonl.follow(spark, f.getAbsolutePath, schema)
+      .writeStream.format("memory").queryName("jsonl_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_tail").count() == 2L, "prefix rows")
+      Files.write(f.toPath, Seq(
+        """{broken""",
+        """{"id": 3, "text": "gamma"}""").mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val streamed = spark.table("jsonl_tail").collect().map(key).toSet
+      val batch = graft.sources.Jsonl.parse(
+          spark.read.text(f.getAbsolutePath), schema)
+        .collect().map(key).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.exists(_._3 == "{broken"), "corrupt line must surface")
+      assert(streamed.map(_._1) == Set(-1L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
