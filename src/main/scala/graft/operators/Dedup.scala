@@ -204,7 +204,8 @@ object Dedup {
     * PERSISTED DataFrame — unpersist it when done.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverThreshold: Long = 1L << 20): DataFrame = {
+                          driverThreshold: Long = 1L << 20,
+                          onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val p = pairs.select(col("id1").cast("long").as("id1"),
       col("id2").cast("long").as("id2")).persist()
     try {
@@ -228,7 +229,7 @@ object Dedup {
         }
         return parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
       }
-      starComponents(p, maxIter)
+      starComponents(p, maxIter, onRound)
     } finally p.unpersist()
   }
 
@@ -244,7 +245,8 @@ object Dedup {
     * fingerprint (count + XOR of edge hashes — order-independent and
     * overflow-free on distinct edges, unlike an ANSI-mode sum).
     */
-  private def starComponents(p: DataFrame, maxIter: Int): DataFrame = {
+  private def starComponents(p: DataFrame, maxIter: Int,
+                             onRound: (Int, Long) => Unit): DataFrame = {
     // each round references the previous edge set several times, so the
     // logical plan DOUBLES per round — lineage must be cut, not just
     // cached, or the driver OOMs building the plan around round ~8.
@@ -289,6 +291,10 @@ object Dedup {
       e.unpersist()
       e = next
       iter += 1
+      // observer hook (r17): lets a scale probe RECORD the O(log n)
+      // alternation (round index, edge count) without production
+      // logging in the operator
+      onRound(iter, nextFp._1)
     }
     if (!converged) {
       e.unpersist()
@@ -1105,13 +1111,24 @@ object Dedup {
     // lshCandidates seals its result (materialized, lineage-free) —
     // no extra persist needed to reuse it on two branches below
     val cand = lshCandidates(bandTable, maxBucket)
+    // broadcast the candidate side only while it FITS (r17, surfaced
+    // by the 100× dup-chain probe): organic candidate sets are
+    // thousands of pairs and broadcast is right; a dup-heavy corpus
+    // reaches millions (25M pairs ≈ 400 MB serialized) and at 100 TB
+    // the set is unbounded — past the budget the verify joins run as
+    // ordinary shuffle joins instead of OOMing the driver. cand is
+    // sealed/materialized, so the count is one cheap job, not a
+    // recompute.
+    val candN = cand.count()
+    val candFits = candN <= 4000000L
     val candIds = cand.select(explode(array(col("id1"), col("id2"))).as("id")).distinct()
+    val candIdsJ = if (candFits) broadcast(candIds) else candIds
     val sh = df
       .select(col(idCol).as("id"),
         explode(graft.functions.ShingleHashes.of(col(textCol), shingleN)).as("shingle"))
-      .join(broadcast(candIds), "id").distinct().persist()
+      .join(candIdsJ, "id").distinct().persist()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = broadcast(cand)
+    val inter = (if (candFits) broadcast(cand) else cand)
       .join(sh.as("s1"), col("s1.id") === col("id1"))
       .join(sh.as("s2"),
         col("s2.id") === col("id2") && col("s1.shingle") === col("s2.shingle"))

@@ -169,15 +169,30 @@ object Graph {
     persisted += nodes
     var lab = nodes.withColumn("label", col("id")).persist()
     persisted += lab
-    for (_ <- 0 until iters) {
-      val scores = lab.select(col("id").as("_src"), col("label"))
-        .join(e, Seq("_src"))
-        .groupBy(col("_dst").as("id"), col("label"))
+    for (r <- 0 until iters) {
+      // round 1 shortcut (r17, the q40b 100× adjudication): labels
+      // are still the node ids, so label⋈edges IS the edge list —
+      // skip the join entirely. Round 1 carries the maximum
+      // (node, label) pair mass (every src a distinct label), so this
+      // is the round where the saved join matters most.
+      val scores0 =
+        if (r == 0) e.select(col("_dst"), col("_src").as("label"), col("_w"))
+        else lab.select(col("id").as("_src"), col("label"))
+          .join(e, Seq("_src"))
+          .select(col("_dst"), col("label"), col("_w"))
+      val scores = scores0.groupBy(col("_dst").as("id"), col("label"))
         .agg(sum(col("_w")).as("_m"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("_m").desc, col("label"))
-      val best = scores.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).select(col("id"), col("label").as("_nl"))
+      // argmax as ONE map-side-combining aggregate instead of a
+      // row_number window (r17): the key struct(_m, ~label) is UNIQUE
+      // within a node's rows (label is the group key of the previous
+      // aggregate), and ~label — bitwise NOT, a total-order-reversing
+      // bijection on ALL longs with no negation overflow — makes
+      // "largest weight, then smallest label" one max_by. Same exact
+      // answer as the window, but partial aggregation collapses hub
+      // nodes map-side where a sort-window shuffled every row.
+      val best = scores.groupBy(col("id"))
+        .agg(max_by(col("label"),
+          struct(col("_m"), col("label").bitwiseXOR(lit(-1L)))).as("_nl"))
       val next = lab.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("_nl"), col("label")).as("label"))
         .persist()
