@@ -694,6 +694,22 @@ private[graft] object OraclesR {
              SELECT '(corrupt)', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
          ORDER BY source""",
 
+    "r43_warc" ->
+      // the WARC round trip is exact (payload = UTF-8 text bytes,
+      // host = the source written into the Target-URI), so the
+      // oracle aggregates the source table directly; the malformed
+      // archive is the literal '(corrupt)' row with 0 tokens
+      """WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_records,
+                        CAST(sum(len(list_filter(
+                          string_split_regex(lower(text), '\s+'),
+                          t -> len(t) > 0))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY 1)
+         SELECT * FROM (
+             SELECT source, n_records, n_tokens FROM agg
+             UNION ALL
+             SELECT '(corrupt)', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+         ORDER BY source""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

@@ -83,6 +83,36 @@ object SparkEntry {
     * corrupt gzip member, so the compressed ingestion path reads
     * actual codec-decoded files, not an in-memory string column.
     * Memoized like bpeTable: bench reruns must not rewrite. */
+  /** r43: materialize the documents table ONCE per (session, sfDir)
+    * as real multi-file `.warc.gz` (one gzip member per record — the
+    * Common Crawl layout) plus one malformed archive, so the WARC
+    * ingestion path decodes actual member-compressed records. */
+  private val warcMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def warcDir(s: SparkSession, dir: String): String =
+    warcMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r43_" + Integer.toHexString(dir.hashCode))
+      if (out.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out)
+      }
+      val docs = T(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit("/doc/"),
+          col("doc_id")).as("uri"),
+        lit("2024-01-01T00:00:00Z").as("wd"),
+        concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("rid"),
+        encode(col("text"), "UTF-8").as("payload"))
+      sources.Warc.write(docs.repartition(4), out.getAbsolutePath,
+        "uri", "wd", "rid", "payload")
+      val g = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+        new java.io.File(out, "corrupt.warc.gz")))
+      g.write("NOT A WARC RECORD\r\n".getBytes("US-ASCII")); g.close()
+      out.getAbsolutePath
+    })
+
   private val jsonlGzMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
@@ -2024,6 +2054,28 @@ object SparkEntry {
         .groupBy(col("_src").as("source"))
         .agg(cnt.as("n_docs"),
           coalesce(sum(size(filter(split(lower(col("text")), "\\s+"),
+            t => length(t) > 0)).cast("long")), lit(0L)).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    "r43_warc" -> ((s, dir) => {
+      // WARC ingestion (r17 — the web-archive half of the crawl-dump
+      // story beside r42's JSONL): documents written once per session
+      // as REAL member-compressed .warc.gz (Common Crawl layout),
+      // read back through Warc.read's per-file record iterator, host
+      // parsed from the WARC-Target-URI, payload decoded explicitly
+      // (bytes stay opaque until the caller asks). One malformed
+      // archive must surface as a '(corrupt)' row — the r41/r42
+      // loud-loss discipline applied to record streams.
+      sources.Warc.read(s, warcDir(s, dir))
+        .withColumn("_src",
+          when(col("warc_type") === "(corrupt)", lit("(corrupt)"))
+            .otherwise(regexp_extract(col("target_uri"),
+              "^http://([^/]+)/", 1)))
+        .withColumn("_text", decode(col("content"), "UTF-8"))
+        .groupBy(col("_src").as("source"))
+        .agg(cnt.as("n_records"),
+          coalesce(sum(size(filter(split(lower(col("_text")), "\\s+"),
             t => length(t) > 0)).cast("long")), lit(0L)).as("n_tokens"))
         .orderBy("source")
     }),

@@ -115,4 +115,27 @@ class JsonlSpec extends SparkSpec {
       assert(!Jsonl.zstdAvailable(spark))
     }
   }
+
+  test("dir-watch stream: new shards parse under the same schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "s0.jsonl").toPath,
+      "{\"id\": 1, \"text\": \"a\"}\n".getBytes("UTF-8"))
+    val q = Jsonl.stream(spark, dir.getAbsolutePath, schema,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("jsonl_dir")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_dir").count() == 1L)
+      // a NEW shard appears (plus one malformed line) — the watch
+      // picks it up, corrupt accounting intact
+      java.nio.file.Files.write(new java.io.File(dir, "s1.jsonl").toPath,
+        "{\"id\": 2, \"text\": \"b\"}\n{oops\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_dir").collect()
+      assert(rows.length == 3, rows.mkString("; "))
+      assert(rows.count(_.isNullAt(0)) == 1)
+      assert(rows.find(_.isNullAt(0)).get.getString(2) == "{oops")
+    } finally q.stop()
+  }
 }

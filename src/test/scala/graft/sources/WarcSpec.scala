@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC ingestion (r17): record parse off the ISO 28500 byte layout,
+  * concatenated-gzip-member decode (the Common Crawl production
+  * layout), write→read round trip through real files, and the
+  * loud-loss contract — a broken header yields ONE `(corrupt)` row
+  * and stops that file's scan (boundaries are gone past it).
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(uri: String, id: String, text: String): Array[Byte] =
+    Warc.recordGz(uri, "2024-01-01T00:00:00Z", id, text.getBytes("UTF-8"))
+
+  test("parseRecords reads headers and exact-length payloads") {
+    val plain = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(rec("http://a/1", "<urn:1>", "hello world")))
+      .readAllBytes()
+    val (rs, corrupt) = Warc.parseRecords(plain)
+    assert(corrupt.isEmpty && rs.length == 1)
+    val r = rs.head
+    assert(r.warcType == "response" && r.targetUri == "http://a/1"
+      && r.recordId == "<urn:1>"
+      && new String(r.content, "UTF-8") == "hello world")
+  }
+
+  test("read decodes multi-member .warc.gz files in parallel per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    // two files, two records each — concatenated gzip members
+    for ((name, ids) <- Seq(("a.warc.gz", Seq(1, 2)), ("b.warc.gz", Seq(3, 4)))) {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      ids.foreach(i => out.write(rec(s"http://h$i/doc/$i", s"<urn:$i>", s"text $i")))
+      out.close()
+    }
+    val got = Warc.read(spark, dir.getAbsolutePath)
+      .select("target_uri", "content_length").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("http://h1/doc/1", 6L), ("http://h2/doc/2", 6L),
+      ("http://h3/doc/3", 6L), ("http://h4/doc/4", 6L)), got.toString)
+  }
+
+  test("a broken header emits one (corrupt) row and stops that file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-bad").toFile
+    val out = new java.io.FileOutputStream(new java.io.File(dir, "x.warc.gz"))
+    out.write(rec("http://ok/doc/1", "<urn:1>", "fine"))
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write("GARBAGE NOT A HEADER\r\n".getBytes("US-ASCII")); g.finish()
+    out.write(rec("http://lost/doc/2", "<urn:2>", "unreachable"))
+    out.close()
+    val rows = Warc.read(spark, dir.getAbsolutePath).collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows.count(_.getAs[String]("warc_type") == "(corrupt)") == 1)
+    val good = rows.find(_.getAs[String]("warc_type") == "response").get
+    assert(good.getAs[String]("target_uri") == "http://ok/doc/1")
+    // the record AFTER the corruption is not silently resynced
+    assert(!rows.exists(r => r.getAs[String]("target_uri") == "http://lost/doc/2"))
+  }
+
+  test("write -> read round trip through the executor-side FS path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-rt").toFile
+    val df = Seq(
+      (1L, "http://s1/doc/1", "alpha beta"),
+      (2L, "http://s2/doc/2", "gamma"),
+      (3L, "http://s1/doc/3", "")).toDF("id", "uri", "text")
+      .select(col("uri"), lit("2024-01-01T00:00:00Z").as("wd"),
+        concat(lit("<urn:"), col("id"), lit(">")).as("rid"),
+        encode(col("text"), "UTF-8").as("payload"))
+    Warc.write(df.repartition(2), dir.getAbsolutePath,
+      "uri", "wd", "rid", "payload")
+    val back = Warc.read(spark, dir.getAbsolutePath)
+      .select(col("target_uri"), decode(col("content"), "UTF-8").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("http://s1/doc/1", "alpha beta"),
+      ("http://s2/doc/2", "gamma"), ("http://s1/doc/3", "")), back.toString)
+  }
+}
