@@ -150,6 +150,39 @@ object Warc {
     }(enc)
   }
 
+  /** Dir-watch streaming form: new `.warc`/`.warc.gz` shards landing
+    * in an archive directory parse record-by-record exactly as in
+    * [[read]] — the tail workflow for a live crawl's output dir. One
+    * file is one task here too; `maxFilesPerTrigger` bounds a batch.
+    */
+  def stream(spark: SparkSession, dir: String,
+             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var reader = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      // streaming sources need the schema stated (no inference pass);
+      // binaryFile's is fixed
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n))
+    val files = reader.load(dir).select(col("path"), col("content"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    files.flatMap { row =>
+      val p = row.getString(0)
+      val raw = row.getAs[Array[Byte]](1)
+      val bytes = if (p.endsWith(".gz")) gunzipAll(raw) else raw
+      val (recs, corrupt) = parseRecords(bytes)
+      recs.map(r => Row(r.warcType, r.recordId, r.warcDate, r.targetUri,
+        r.contentType, r.content.length.toLong, r.content, p, -1L)) ++
+        corrupt.map(off => Row("(corrupt)", null, null, null, null, 0L,
+          Array.empty[Byte], p, off))
+    }(enc)
+  }
+
   /** Write one WARC response record in the production layout: its own
     * gzip member. Used by the writer half and the r43 synthesis. */
   def recordGz(targetUri: String, date: String, recordId: String,

@@ -948,4 +948,26 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("embedding#")),
       "corpus vectors must not ride a serve-time shuffle: " + exchanges.mkString("\n"))
   }
+
+  test("r42: the gzip JSONL scan sees a MULTI-FILE layout") {
+    // unsplittable codecs make the FILE the parallelism unit: one
+    // giant gz is one task at any cluster size (readJsonl throws on
+    // that shape). This pins the other half: the memoized writer
+    // really shards — the scan\'s input is >1 file, so at production
+    // file sizes the partition count scales with files. (At this SF
+    // the files are tiny and Spark correctly BIN-PACKS them into one
+    // partition via openCostInBytes — packing small files is the
+    // desired behavior, so the gate is on the layout, not the pack.)
+    val df = SparkEntry.queries("r42_jsonl_gz")(spark, dir)
+    val files = df.inputFiles
+    assert(files.length > 1, s"gz layout has ${files.length} file(s)")
+    assert(files.exists(_.endsWith(".gz")), files.take(3).mkString(","))
+  }
+
+  test("r43: the WARC scan sees a multi-archive layout") {
+    val df = SparkEntry.queries("r43_warc")(spark, dir)
+    val files = df.inputFiles
+    assert(files.length > 1, s"warc layout has ${files.length} file(s)")
+    assert(files.forall(_.contains(".warc")), files.take(3).mkString(","))
+  }
 }

@@ -77,4 +77,26 @@ class WarcSpec extends SparkSpec {
     assert(back == Set(("http://s1/doc/1", "alpha beta"),
       ("http://s2/doc/2", "gamma"), ("http://s1/doc/3", "")), back.toString)
   }
+
+  test("dir-watch stream: new archive shards parse record-by-record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream").toFile
+    val w0 = new java.io.FileOutputStream(new java.io.File(dir, "s0.warc.gz"))
+    w0.write(rec("http://h1/doc/1", "<urn:1>", "one")); w0.close()
+    val q = Warc.stream(spark, dir.getAbsolutePath,
+        maxFilesPerTrigger = Some(1))
+      .select("target_uri", "warc_type")
+      .writeStream.format("memory").queryName("warc_dir")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_dir").count() == 1L)
+      val w1 = new java.io.FileOutputStream(new java.io.File(dir, "s1.warc.gz"))
+      w1.write(rec("http://h2/doc/2", "<urn:2>", "two"))
+      w1.write(rec("http://h3/doc/3", "<urn:3>", "three")); w1.close()
+      q.processAllAvailable()
+      val uris = spark.table("warc_dir").collect().map(_.getString(0)).toSet
+      assert(uris == Set("http://h1/doc/1", "http://h2/doc/2",
+        "http://h3/doc/3"), uris.toString)
+    } finally q.stop()
+  }
 }
