@@ -13,21 +13,16 @@ object RecallProbe {
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     val s = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     for (sf <- dirs) {
-      import graft.operators.Similarity
       def res(df: org.apache.spark.sql.DataFrame) = df
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-      // the s02/s03 query keys emit gate reports since r17, so the
-      // probe runs the underlying operators at the queries' params
-      val emb = s.read.parquet(s"$sf/embeddings.parquet")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val brute = res(SparkEntry.queries("s01_ann_brute")(s, sf))
-      val lsh = res(Similarity.lshTopK(emb, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10, numPlanes = 6, numTables = 8))
-      val ivf = res(Similarity.ivfTopK(emb, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10, nlist = 16, nprobe = 8, refineIters = 4,
-        spill = 2))
+      // the s02/s03 query keys emit gate reports since r17; the probe
+      // measures the underlying rankings via SparkEntry.AnnRankings —
+      // the same parameter block the shipped gates use
+      val emb = SparkEntry.AnnRankings.emb(s, sf)
+      val brute = res(SparkEntry.AnnRankings.brute(emb))
+      val lsh = res(SparkEntry.AnnRankings.lsh(emb))
+      val ivf = res(SparkEntry.AnnRankings.ivf(emb))
       def recall(m: Map[Long, Set[Long]]) = {
         val per = brute.keys.toSeq.map(q => (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
         per.sum / per.size

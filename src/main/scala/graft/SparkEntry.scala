@@ -91,8 +91,12 @@ object SparkEntry {
     .empty[(String, String), String]
   private def warcDir(s: SparkSession, dir: String): String =
     warcMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      // the appId rides the PATH too (not just the memo key): two
+      // concurrent graft JVMs on one box must not rm/rewrite the same
+      // directory out from under each other's running scans
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_r43_" + Integer.toHexString(dir.hashCode))
+        "graft_r43_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
       if (out.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -117,8 +121,11 @@ object SparkEntry {
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
     jsonlGzMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      // appId in the path: see warcDir — concurrent JVMs get their own
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_r42_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_r42_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+        .getAbsolutePath
       sources.Jsonl.toJsonl(T(s, dir, "documents"),
           col("doc_id"), col("source"), col("lang"), col("text"))
         .repartition(4)
@@ -139,6 +146,65 @@ object SparkEntry {
     * measured margin below the pooled recall at all three SFs
     * (GateProbe prints the measurements), so the gate trips on a
     * mechanism change, not on data noise. */
+  /** The seeded-ANN rankings behind the gate queries, exposed
+    * package-private at the EXACT shipped parameters: the probes and
+    * specs that justify the pinned gate thresholds (GateProbe,
+    * RecallProbe, AnnRecallSpec) call THESE, so tuning a parameter
+    * here is the one and only knob — the measurement surfaces cannot
+    * silently drift from the driver gates (r17 review finding).
+    */
+  private[graft] object AnnRankings {
+    import operators.Similarity
+    def emb(s: SparkSession, dir: String): DataFrame = T(s, dir, "embeddings")
+    def embNorm(s: SparkSession, dir: String): DataFrame =
+      emb(s, dir).withColumn("embedding", transform(col("embedding"),
+        x => x.cast("double") / Similarity.norm(col("embedding"))))
+    def queriesOf(e: DataFrame): DataFrame = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def brute(e: DataFrame): DataFrame = {
+      val q = queriesOf(e)
+      Similarity.bruteTopK(e, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+    }
+    def lsh(e: DataFrame): DataFrame = {
+      val q = queriesOf(e)
+      Similarity.lshTopK(e, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, numPlanes = 6, numTables = 8)
+    }
+    def ivf(e: DataFrame): DataFrame = {
+      val q = queriesOf(e)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
+    }
+    def codebook(eN: DataFrame): DataFrame =
+      Similarity.trainPqCodebook(eN, "vec_id", "embedding",
+        m = 16, ksub = 256, iters = 2)
+    /** refined IVF-PQ (s12's shipped shape); refine = 1 is s26's
+      * end-to-end comparison twin */
+    def ivfPq(eN: DataFrame, cb: DataFrame, refine: Int = 3): DataFrame =
+      Similarity.ivfPqTopK(eN, "vec_id", "embedding",
+        eN.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cb, "code", "codeword",
+        m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
+        refine = refine)
+    def ivfPqResidual(eN: DataFrame): DataFrame =
+      Similarity.ivfPqResidualTopK(eN, "vec_id", "embedding",
+        eN.filter(col("vec_id") < 5), "vec_id", "embedding",
+        m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
+        refineIters = 4, pqIters = 4)
+    def annIndexServed(eN: DataFrame, cb: DataFrame): DataFrame = {
+      val (cents, postings) = Similarity.buildAnnIndex(eN, "vec_id",
+        "embedding", cb, "code", "codeword",
+        m = 16, nlist = 16, refineIters = 4, spill = 2)
+      Similarity.annIndexTopK(cents, postings,
+        eN.filter(col("vec_id") < 5), "vec_id", "embedding",
+        cb, "code", "codeword", m = 16, k = 10, nprobe = 8)
+    }
+    def cosineLshPairs(e: DataFrame): DataFrame =
+      Similarity.cosinePairsLsh(e, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 6, numTables = 8,
+        maxBucket = Some(10000))
+  }
+
   private def annRecallGate(approx: DataFrame, exact: DataFrame, k: Int,
                             threshold: Double, gateCol: String): DataFrame = {
     val r = operators.Similarity.recallAtK(approx, exact, k)
@@ -953,14 +1019,10 @@ object SparkEntry {
           "vec_id", "embedding", 0.45)
         .orderBy("id1", "id2")),
 
-    "s01_ann_brute" -> ((s, dir) => {
-      val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.bruteTopK(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+    "s01_ann_brute" -> ((s, dir) =>
+      AnnRankings.brute(AnnRankings.emb(s, dir))
         .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
-    }),
+        .orderBy("query_id", "rank")),
 
     "s17_filtered_ann" -> ((s, dir) => {
       // metadata-filtered vector search (pre-filter strategy): top-10
@@ -1012,14 +1074,9 @@ object SparkEntry {
       // across the three SFs; GateProbe). The ranking mechanism stays
       // the operator under test — a signature or banding drift now
       // breaks the driver hash, not just ScaleOpsSpec's 0.89 gate.
-      val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val ap = Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-        k = 10, numPlanes = 6, numTables = 8)
-      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10)
-      annRecallGate(ap, ex, k = 10, threshold = 0.80, "recall_ge_080")
+      val emb = AnnRankings.emb(s, dir)
+      annRecallGate(AnnRankings.lsh(emb), AnnRankings.brute(emb),
+        k = 10, threshold = 0.80, "recall_ge_080")
     }),
 
     "s33_lsh_portable" -> ((s, dir) => {
@@ -1134,14 +1191,9 @@ object SparkEntry {
       // as s02; measured micro 0.96–1.00 across SFs, gate 0.90). The
       // hash-sampled coarse quantizer + nprobe search still runs in
       // full — only the driver-visible surface is the gate.
-      val emb = T(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val ap = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec",
-        k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2)
-      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
-        q, "qid", "qvec", k = 10)
-      annRecallGate(ap, ex, k = 10, threshold = 0.90, "recall_ge_090")
+      val emb = AnnRankings.emb(s, dir)
+      annRecallGate(AnnRankings.ivf(emb), AnnRankings.brute(emb),
+        k = 10, threshold = 0.90, "recall_ge_090")
     }),
 
     "s06_cosine_pairs_lsh" -> ((s, dir) => {
@@ -1159,10 +1211,8 @@ object SparkEntry {
       // across SFs → gate 0.40, pinned true in the oracle. maxBucket
       // caps a degenerate hyperplane bucket pre-self-join (no-op at
       // these SFs — buckets run ~100x smaller than the cap).
-      val emb = T(s, dir, "embeddings")
-      val lsh = Similarity.cosinePairsLsh(emb, "vec_id", "embedding",
-        threshold = 0.45, numPlanes = 6, numTables = 8,
-        maxBucket = Some(10000))
+      val emb = AnnRankings.emb(s, dir)
+      val lsh = AnnRankings.cosineLshPairs(emb)
       val exact = Similarity.cosinePairs(emb.filter(col("vec_id") < 1000),
         "vec_id", "embedding", 0.45).select(col("id1"), col("id2"))
       exact.join(lsh.select(col("id1"), col("id2"), lit(1L).as("_f")),
@@ -1624,23 +1674,12 @@ object SparkEntry {
       // is not DuckDB-expressible, so the query emits pooled
       // recall@10 vs brute-force-on-the-same-normalized-vectors >=
       // 0.80 pinned true (measured micro 0.88–0.98 across SFs).
-      val emb = T(s, dir, "embeddings").withColumn("embedding",
-        transform(col("embedding"),
-          x => x.cast("double") / Similarity.norm(col("embedding"))))
-      val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
-        m = 16, ksub = 256, iters = 2)
       // refine=3: ADC shortlists 3k, exact cosine re-ranks ONLY those
       // (FAISS IndexRefineFlat) — 30 raw-vector reads per query at any
       // corpus size, recall 0.74 -> 0.98
-      val ap = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        cb, "code", "codeword",
-        m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
-        refine = 3)
-      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
-          col("embedding").as("qvec")), "qid", "qvec", k = 10)
-      annRecallGate(ap, ex, k = 10, threshold = 0.80, "recall_ge_080")
+      val eN = AnnRankings.embNorm(s, dir)
+      annRecallGate(AnnRankings.ivfPq(eN, AnnRankings.codebook(eN)),
+        AnnRankings.brute(eN), k = 10, threshold = 0.80, "recall_ge_080")
     }),
 
     "s26_ann_index" -> ((s, dir) => {
@@ -1657,24 +1696,12 @@ object SparkEntry {
       // false so a missing rank fails loudly) — with n_served pinned
       // to the exact-k count. A store-layout or serve-path drift now
       // breaks the driver hash, not just the spec.
-      val emb = T(s, dir, "embeddings").withColumn("embedding",
-        transform(col("embedding"),
-          x => x.cast("double") / Similarity.norm(col("embedding"))))
-      val cb = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
-        m = 16, ksub = 256, iters = 2)
-      val (cents, postings) = Similarity.buildAnnIndex(emb, "vec_id",
-        "embedding", cb, "code", "codeword",
-        m = 16, nlist = 16, refineIters = 4, spill = 2)
-      val served = Similarity.annIndexTopK(cents, postings,
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          cb, "code", "codeword", m = 16, k = 10, nprobe = 8)
+      val eN = AnnRankings.embNorm(s, dir)
+      val cb = AnnRankings.codebook(eN)
+      val served = AnnRankings.annIndexServed(eN, cb)
         .select(col("query_id"), col("rank"),
           col("neighbor_id").as("_na"), col("adc_dist").as("_da"))
-      val e2e = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          cb, "code", "codeword",
-          m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
-          refine = 1)
+      val e2e = AnnRankings.ivfPq(eN, cb, refine = 1)
         .select(col("query_id"), col("rank"),
           col("neighbor_id").as("_nb"), col("adc_dist").as("_db"))
       served.join(e2e, Seq("query_id", "rank"), "full_outer")
@@ -1695,17 +1722,9 @@ object SparkEntry {
       // report (r16 verdict task 1): pooled compressed-domain
       // recall@10 >= 0.50 pinned true (measured micro 0.62–0.80
       // across SFs — the honest compressed-only number).
-      val emb = T(s, dir, "embeddings").withColumn("embedding",
-        transform(col("embedding"),
-          x => x.cast("double") / Similarity.norm(col("embedding"))))
-      val ap = Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
-        refineIters = 4, pqIters = 4)
-      val ex = Similarity.bruteTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
-          col("embedding").as("qvec")), "qid", "qvec", k = 10)
-      annRecallGate(ap, ex, k = 10, threshold = 0.50, "recall_ge_050")
+      val eN = AnnRankings.embNorm(s, dir)
+      annRecallGate(AnnRankings.ivfPqResidual(eN), AnnRankings.brute(eN),
+        k = 10, threshold = 0.50, "recall_ge_050")
     }),
 
     "s14_hamming_topk" -> ((s, dir) => {

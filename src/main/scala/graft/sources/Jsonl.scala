@@ -61,21 +61,24 @@ object Jsonl {
   /** Compressed-file extensions Hadoop text input CANNOT split: one
     * such file is one task regardless of cluster size. (bzip2 is
     * block-splittable and absent on purpose.) */
-  private val Unsplittable = Seq(".gz", ".zst", ".zstd", ".deflate")
+  private val Unsplittable =
+    Seq(".gz", ".zst", ".zstd", ".deflate", ".lz4", ".snappy")
 
   /** Read a JSONL file/glob/directory — plain or compressed (the
     * codec resolves from the file extension, the way crawl dumps
     * actually arrive) — and parse under the explicit schema via
     * [[parse]].
     *
-    * Scale guard: a gzip/zstd file is NOT splittable, so a single
-    * giant compressed file silently serializes the whole scan into
+    * Scale guard: a gzip/zstd file is NOT splittable, so a giant
+    * compressed file silently serializes its share of the scan into
     * one task — on a 1000-executor cluster that is a 1000× slowdown
-    * dressed up as a working job. If the input is ONE unsplittable
-    * file above `unsplittableCap` bytes, this fails loudly with the
-    * fix (shard the dump, or recompress splittable) instead of
-    * running the degenerate plan. Many small compressed files are
-    * the correct layout and pass untouched.
+    * dressed up as a working job. If the LARGEST unsplittable file
+    * exceeds `unsplittableCap` bytes AND holds the majority of the
+    * scan's bytes (a tiny sidecar file must not mask the degenerate
+    * shape), this fails loudly with the fix (shard the dump, or
+    * recompress splittable) instead of running the plan. Many
+    * similar-sized compressed shards are the correct layout and pass
+    * untouched — file-grain parallelism is what the guard protects.
     */
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
                 schema: StructType,
@@ -93,14 +96,25 @@ object Jsonl {
     }
     val unsplittable = stats.filter(st =>
       Unsplittable.exists(st.getPath.getName.toLowerCase.endsWith))
-    if (stats.size == 1 && unsplittable.size == 1 &&
-        unsplittable.head.getLen > unsplittableCap)
-      throw new IllegalArgumentException(
-        s"Jsonl.readJsonl: $path is a single unsplittable file " +
-        s"(${unsplittable.head.getPath.getName}, ${unsplittable.head.getLen} " +
-        s"bytes > cap $unsplittableCap) — the scan would serialize into ONE " +
-        "task. Shard the dump into multiple files or recompress with a " +
-        "splittable layout, or raise unsplittableCap if this is intended.")
+    // the degenerate shape is "one compressed file dominates the
+    // scan": a giant .gz serializes ITS share into one task no matter
+    // how many sidecar files ride along, so the guard fires when the
+    // LARGEST unsplittable file both exceeds the cap and holds the
+    // majority of the scan bytes. A dir of many same-sized shards —
+    // each possibly over the cap — parallelizes at file grain and
+    // passes: parallelism, not file size, is what the guard protects.
+    val total = stats.map(_.getLen).sum
+    val biggest = unsplittable.maxByOption(_.getLen)
+    biggest.filter(b => b.getLen > unsplittableCap && b.getLen * 2 > total)
+      .foreach { b =>
+        throw new IllegalArgumentException(
+          s"Jsonl.readJsonl: ${b.getPath.getName} (${b.getLen} bytes > cap " +
+          s"$unsplittableCap) is unsplittable and holds the majority of " +
+          s"$path's ${total} scan bytes — that share of the scan would " +
+          "serialize into ONE task. Shard the dump into multiple files or " +
+          "recompress with a splittable layout, or raise unsplittableCap " +
+          "if this is intended.")
+      }
     parse(spark.read.textFile(path).toDF("value"), schema)
   }
 

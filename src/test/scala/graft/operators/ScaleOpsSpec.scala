@@ -236,15 +236,14 @@ class AnnRecallSpec extends graft.SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
   // the seeded-ANN query keys now emit driver-provable gate REPORTS
-  // (r17), so this spec pins the underlying rankings by running the
-  // operators at the queries' exact parameters — tighter margins than
-  // the driver's pooled gates
-  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
-  private def q = emb.filter(col("vec_id") < 5)
-    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-  private def embN = emb.withColumn("embedding",
-    transform(col("embedding"),
-      x => x.cast("double") / Similarity.norm(col("embedding"))))
+  // (r17), so this spec pins the underlying rankings via
+  // SparkEntry.AnnRankings — the ONE parameter block the shipped
+  // gates use, so spec and driver gate cannot measure different
+  // configurations — at tighter margins than the driver's pooled
+  // gates
+  private def R = graft.SparkEntry.AnnRankings
+  private def emb = R.emb(spark, dir)
+  private def embN = R.embNorm(spark, dir)
 
   test("multi-table LSH and IVF recall vs brute force") {
     val brute = neighbors("s01_ann_brute")
@@ -253,11 +252,8 @@ class AnnRecallSpec extends graft.SparkSpec {
         (m.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
       per.sum / per.size
     }
-    val lsh = recall(toSets(Similarity.lshTopK(emb, "vec_id", "embedding",
-      q, "qid", "qvec", k = 10, numPlanes = 6, numTables = 8)))
-    val ivf = recall(toSets(Similarity.ivfTopK(emb, "vec_id", "embedding",
-      q, "qid", "qvec", k = 10, nlist = 16, nprobe = 8, refineIters = 4,
-      spill = 2)))
+    val lsh = recall(toSets(R.lsh(emb)))
+    val ivf = recall(toSets(R.ivf(emb)))
     info(f"LSH recall = $lsh%.3f, IVF recall = $ivf%.3f")
     // multi-probe LSH measures 0.940 here (0.88-1.00 across scales);
     // IVF with 4 Lloyd passes + spill=2 assignment replication
@@ -330,13 +326,8 @@ class AnnRecallSpec extends graft.SparkSpec {
 
   test("IVF-PQ recall@10 vs brute force clears the gate") {
     val brute = neighbors("s01_ann_brute")
-    val cb = Similarity.trainPqCodebook(embN, "vec_id", "embedding",
-      m = 16, ksub = 256, iters = 2)
-    val ivfpq = toSets(Similarity.ivfPqTopK(embN, "vec_id", "embedding",
-      embN.filter(col("vec_id") < 5), "vec_id", "embedding",
-      cb, "code", "codeword",
-      m = 16, k = 10, nlist = 16, nprobe = 8, refineIters = 4, spill = 2,
-      refine = 3))
+    val eN = embN
+    val ivfpq = toSets(R.ivfPq(eN, R.codebook(eN)))
     val per = brute.keys.toSeq.map { q =>
       (ivfpq.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size
     }
@@ -353,10 +344,7 @@ class AnnRecallSpec extends graft.SparkSpec {
 
   test("residual IVF-PQ compressed-domain recall@10 clears the gate") {
     val brute = neighbors("s01_ann_brute")
-    val res = toSets(Similarity.ivfPqResidualTopK(embN, "vec_id", "embedding",
-      embN.filter(col("vec_id") < 5), "vec_id", "embedding",
-      m = 16, k = 10, ksub = 256, nlist = 16, nprobe = 12,
-      refineIters = 4, pqIters = 4))
+    val res = toSets(R.ivfPqResidual(embN))
     val per = brute.keys.toSeq.map(q =>
       (res.getOrElse(q, Set.empty) intersect brute(q)).size.toDouble / brute(q).size)
     val recall = per.sum / per.size

@@ -138,4 +138,19 @@ class JsonlSpec extends SparkSpec {
       assert(rows.find(_.isNullAt(0)).get.getString(2) == "{oops")
     } finally q.stop()
   }
+
+  test("a tiny sidecar file cannot mask the giant-gzip guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-side").toFile
+    val g = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
+      new java.io.File(dir, "dump.jsonl.gz")))
+    (1 to 500).foreach(i => g.write(s"""{"id": $i, "text": "t$i"}\n""".getBytes("UTF-8")))
+    g.close()
+    java.nio.file.Files.write(new java.io.File(dir, "readme.jsonl").toPath,
+      "{\"id\": 0, \"text\": \"sidecar\"}\n".getBytes("UTF-8"))
+    // the giant file still dominates the scan bytes -> still rejected
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.readJsonl(spark, dir.getAbsolutePath, schema, unsplittableCap = 64L)
+    }
+    assert(e.getMessage.contains("ONE task"), e.getMessage)
+  }
 }

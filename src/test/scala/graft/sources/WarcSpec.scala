@@ -99,4 +99,26 @@ class WarcSpec extends SparkSpec {
         "http://h3/doc/3"), uris.toString)
     } finally q.stop()
   }
+
+  test("negative Content-Length and empty shards honor the loud-loss contract") {
+    // negative length: a (corrupt) row, not an Arrays.copyOfRange crash
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: -5\r\n\r\n").getBytes("US-ASCII")
+    val (rs, corrupt) = Warc.parseRecords(bad)
+    assert(rs.isEmpty && corrupt.contains(0L), s"$rs $corrupt")
+    // empty .warc.gz (an empty writer partition's would-be output):
+    // zero records, zero errors
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-empty").toFile
+    new java.io.FileOutputStream(new java.io.File(dir, "empty.warc.gz")).close()
+    val w = new java.io.FileOutputStream(new java.io.File(dir, "ok.warc.gz"))
+    w.write(rec("http://a/1", "<urn:1>", "x")); w.close()
+    val rows = Warc.read(spark, dir.getAbsolutePath).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("warc_type") == "response")
+    // gzip-garbled shard: one (corrupt) row, not a task crash
+    val g = new java.io.FileOutputStream(new java.io.File(dir, "junk.warc.gz"))
+    g.write("not gzip at all".getBytes("US-ASCII")); g.close()
+    val rows2 = Warc.read(spark, dir.getAbsolutePath).collect()
+    assert(rows2.count(_.getAs[String]("warc_type") == "(corrupt)") == 1,
+      rows2.mkString("; "))
+  }
 }
