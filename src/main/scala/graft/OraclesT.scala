@@ -48,6 +48,44 @@ private[graft] object OraclesT {
          FROM o ORDER BY doc_id"""
 
   val sql: Map[String, String] = Map(
+    "t50_html_extract" ->
+      // the page build and the whole extraction chain replayed
+      // verbatim: literal replace() for escape/decode (decode &amp;
+      // LAST — the HTML double-escape rule), RE2 regexes with 'g'
+      // and inline (?is) for the block drops, explicit [ \t\n\r]
+      // whitespace class
+      """WITH h AS (SELECT doc_id,
+              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+              || ' &amp; co</title><style>body { color: #fff; }</style>'
+              || '<script type="text/javascript">if (1 < 2 && x > 0) { alert("hi"); }</script></head>'
+              || '<body><!-- nav --><h1>' || source || '</h1><p>'
+              || replace(replace(replace(text, '&', '&amp;'),
+                   '<', '&lt;'), '>', '&gt;')
+              || '</p><div id="foot">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>'
+                AS html
+            FROM documents),
+          x AS (SELECT doc_id,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html,
+                          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                  '&amp;', '&'),
+                '[ \t\n\r]+', ' ', 'g')) AS t
+            FROM h)
+         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+                CAST(len(list_filter(string_split(t, ' '),
+                  s -> len(s) > 0)) AS BIGINT) AS n_tokens,
+                substr(t, 1, 24) AS lead
+         FROM x ORDER BY doc_id""",
+
     "t08_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
                        FROM documents),

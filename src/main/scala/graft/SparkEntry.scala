@@ -2099,6 +2099,36 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "t50_html_extract" -> ((s, dir) => {
+      // HTML → text extraction (r17 — the step between r43's WARC
+      // payloads and every text operator on this board): each doc is
+      // framed as a realistic page — title, style+script blocks whose
+      // CODE must NOT leak (the script even contains bare '<' and '>'
+      // that naive tag-stripping would mis-eat), a comment, an
+      // entity-ESCAPED body, an entity-laden footer incl. the
+      // double-escape case (&amp; in the title must surface as '&')
+      // — and htmlToText must recover exactly the visible text.
+      // Every build and extract step replays in DuckDB (literal
+      // replace + RE2-safe regexes, explicit whitespace classes).
+      import graft.functions.TextFunctions
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit(" &amp; co</title><style>body { color: #fff; }</style>"),
+        lit("<script type=\"text/javascript\">if (1 < 2 && x > 0) { alert(\"hi\"); }</script></head>"),
+        lit("<body><!-- nav --><h1>"), col("source"), lit("</h1><p>"), esc,
+        lit("</p><div id=\"foot\">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.htmlToText(html).as("_t"))
+        .select(col("doc_id"),
+          length(col("_t")).cast("long").as("n_chars"),
+          size(filter(split(col("_t"), " "), t => length(t) > 0))
+            .cast("long").as("n_tokens"),
+          substring(col("_t"), 1, 24).as("lead"))
+        .orderBy("doc_id")
+    }),
+
     "t49_vocab_coverage" -> ((s, dir) =>
       // tokenizer-budget planning: covered token-mass share at
       // candidate vocab sizes (t33 grows the type count, t24 fits the

@@ -164,4 +164,38 @@ object TextFunctions {
       concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
     concat(scheme, lit("://"), host, path, query)
   }
+
+  /** HTML → text extraction (the first step of every crawl pipeline —
+    * WARC response payloads ARE HTML): drop `<script>`/`<style>`
+    * blocks (their CONTENT is code, not prose — tag-stripping alone
+    * would leak it into the corpus) and comments, strip the remaining
+    * tags, decode the core entities (`&amp;` LAST, per the HTML
+    * double-escape rule: `&amp;lt;` must surface as the literal text
+    * `&lt;`, never `<`), and collapse whitespace.
+    *
+    * Pure regexp/replace CHAIN — codegen'd, no UDF — with explicit
+    * `[ \t\n\r]` classes (never `\s`, whose definition differs
+    * across engines) and no backreferences, so the whole extraction
+    * replays verbatim in DuckDB's RE2. Tolerance contract:
+    * regex-grade bulk extraction — malformed nesting degrades to
+    * plain tag-stripping, never an error; a DOM parser is the
+    * precision path a 100 TB scan intentionally skips. Entity
+    * decoding covers the named forms that dominate crawl text
+    * (amp/lt/gt/quot/apos/#39/nbsp); rarer numeric refs pass through
+    * as visible literals rather than silently mangling bytes.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&" // last — see the scaladoc
+    ).foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
 }
