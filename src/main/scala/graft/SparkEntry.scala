@@ -117,6 +117,42 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
+  /** r44: the r43 WARC store with HTML-framed payloads (the t50 page
+    * template) — a realistic crawl archive, materialized once per
+    * (session, sfDir). */
+  private val warcHtmlMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def warcHtmlDir(s: SparkSession, dir: String): String =
+    warcHtmlMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r44_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+      if (out.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out)
+      }
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (k, v)) =>
+          replace(c, lit(k), lit(v)) }
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit(" &amp; co</title><style>body { color: #fff; }</style>"),
+        lit("<script type=\"text/javascript\">if (1 < 2 && x > 0) { alert(\"hi\"); }</script></head>"),
+        lit("<body><!-- nav --><h1>"), col("source"), lit("</h1><p>"), esc,
+        lit("</p><div id=\"foot\">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>"))
+      val docs = T(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit("/doc/"),
+          col("doc_id")).as("uri"),
+        lit("2024-01-01T00:00:00Z").as("wd"),
+        concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("rid"),
+        encode(html, "UTF-8").as("payload"))
+      sources.Warc.write(docs.repartition(4), out.getAbsolutePath,
+        "uri", "wd", "rid", "payload")
+      out.getAbsolutePath
+    })
+
   private val jsonlGzMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
@@ -2097,6 +2133,28 @@ object SparkEntry {
           coalesce(sum(size(filter(split(lower(col("_text")), "\\s+"),
             t => length(t) > 0)).cast("long")), lit(0L)).as("n_tokens"))
         .orderBy("source")
+    }),
+
+    "r44_crawl_intake" -> ((s, dir) => {
+      // the END-TO-END crawl-intake chain in one driver-gated query
+      // (r17): a real member-compressed WARC archive whose payloads
+      // are HTML pages (the t50 template) → per-file record decode
+      // (r43's path) → explicit payload decode → htmlToText → per-host
+      // corpus report. This is the first mile of a 100 TB pipeline
+      // run exactly as deployed — archive files in, clean tokens out —
+      // with every step's arithmetic replayed by the oracle.
+      import graft.functions.TextFunctions
+      val w = sources.Warc.read(s, warcHtmlDir(s, dir))
+        .withColumn("_host",
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1))
+        .withColumn("_t",
+          TextFunctions.htmlToText(decode(col("content"), "UTF-8")))
+      w.groupBy(col("_host").as("host"))
+        .agg(cnt.as("n_pages"),
+          sum(size(filter(split(col("_t"), " "), t => length(t) > 0))
+            .cast("long")).as("n_tokens"),
+          sum(length(col("_t")).cast("long")).as("n_chars"))
+        .orderBy("host")
     }),
 
     "t50_html_extract" -> ((s, dir) => {
