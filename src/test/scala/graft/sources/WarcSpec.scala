@@ -100,6 +100,53 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileRows is lazy: bytes pull on demand, one record resident") {
+    // 32 records x 10 KB, PLAIN .warc (no gzip read-ahead): a counting
+    // stream proves record-at-a-time residency — the r17 scale finding
+    // was a task holding the whole decompressed archive as Rows
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    class Counting(in: java.io.InputStream)
+        extends java.io.FilterInputStream(in) {
+      override def read(): Int =
+        { val b = super.read(); if (b >= 0) counter.incrementAndGet(); b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        { val n = super.read(b, off, len); if (n > 0) counter.addAndGet(n); n }
+    }
+    def plainRec(i: Int, payload: Array[Byte]): Array[Byte] =
+      new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(
+        rec(s"http://h/$i", s"<urn:$i>", new String(payload, "UTF-8"))))
+        .readAllBytes()
+    val payload = ("x" * 10000).getBytes("UTF-8")
+    val one = plainRec(0, payload)
+    val bytes = Array.range(0, 32).flatMap(i => plainRec(i, payload))
+    counter.set(0L)
+    val it = Warc.fileRows("mem.warc", bytes.length.toLong,
+      () => new Counting(new java.io.ByteArrayInputStream(bytes)))
+    assert(counter.get == 0L) // construction reads nothing
+    val first = it.next()
+    assert(first.getLong(5) == 10000L)
+    // after ONE record the stream has advanced ~one record, not the
+    // 32-record archive
+    assert(counter.get < one.length.toLong + 64,
+      s"consumed=${counter.get} of ${bytes.length}")
+    assert(it.size == 31) // drains clean, no corrupt trailer
+    // .gz path: residency is bounded by the 64 KB read-ahead buffer,
+    // not the archive (32 x 64 KB incompressible members ~ 2 MB gz)
+    val rnd = new scala.util.Random(7)
+    val gzBytes = Array.range(0, 32).flatMap { i =>
+      val p = new Array[Byte](65536); rnd.nextBytes(p)
+      Warc.recordGz(s"http://h/$i", "2024-01-01T00:00:00Z", s"<urn:$i>", p)
+    }
+    counter.set(0L)
+    val git = Warc.fileRows("mem.warc.gz", gzBytes.length.toLong,
+      () => new Counting(new java.io.ByteArrayInputStream(gzBytes)))
+    val g1 = git.next()
+    assert(g1.getLong(5) == 65536L)
+    assert(counter.get < 256L * 1024,
+      s"gz consumed=${counter.get} of ${gzBytes.length}")
+    assert(git.size == 31)
+  }
+
   test("negative Content-Length and empty shards honor the loud-loss contract") {
     // negative length: a (corrupt) row, not an Arrays.copyOfRange crash
     val bad = ("WARC/1.0\r\nWARC-Type: response\r\n" +
