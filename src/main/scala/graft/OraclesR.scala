@@ -747,6 +747,36 @@ private[graft] object OraclesR {
                 CAST(sum(length(t)) AS BIGINT) AS n_chars
          FROM x GROUP BY 1 ORDER BY host""",
 
+    "r45_http_frame" ->
+      // the HTTP framing replayed from the page build: status by the
+      // same doc_id rule the fixture writes, Content-Type the literal
+      // header value, and BOTH byte counts from strlen(html) — the
+      // fixture's Content-Length header is written as octet_length of
+      // the same page, and the split body is the page verbatim, so a
+      // framing off-by-one on the Spark side diverges from this
+      """WITH h AS (SELECT doc_id, source,
+              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+              || ' &amp; co</title><style>body { color: #fff; }</style>'
+              || '<script type="text/javascript">if (1 < 2 && x > 0) { alert("hi"); }</script></head>'
+              || '<body><!-- nav --><h1>' || source || '</h1><p>'
+              || replace(replace(replace(text, '&', '&amp;'),
+                   '<', '&lt;'), '>', '&gt;')
+              || '</p><div id="foot">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>'
+                AS html
+            FROM documents),
+          m AS (SELECT source,
+              CASE WHEN doc_id % 97 = 0 THEN 404
+                   WHEN doc_id % 89 = 0 THEN 301
+                   ELSE 200 END AS status,
+              strlen(html) AS blen
+            FROM h)
+         SELECT source AS host, CAST(status AS INTEGER) AS status,
+                'text/html; charset=utf-8' AS content_type,
+                CAST(count(*) AS BIGINT) AS n_responses,
+                CAST(sum(blen) AS BIGINT) AS declared_bytes,
+                CAST(sum(blen) AS BIGINT) AS body_bytes
+         FROM m GROUP BY 1, 2 ORDER BY host, status""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

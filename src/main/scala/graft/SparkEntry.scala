@@ -117,9 +117,14 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
-  /** r44: the r43 WARC store with HTML-framed payloads (the t50 page
-    * template) — a realistic crawl archive, materialized once per
-    * (session, sfDir). */
+  /** r44/r45: the r43 WARC store with HTTP-framed payloads — each
+    * record is `application/http; msgtype=response` whose bytes are a
+    * full RFC 9112 response (status line + typed headers + CRLFCRLF)
+    * around the t50 HTML page, exactly how Common Crawl archives
+    * frame captures. Status varies deterministically by doc_id so the
+    * r45 per-status report is non-trivial; the BODY is the same page
+    * for every status, which is what keeps r44's report invariant
+    * under the re-framing. Materialized once per (session, sfDir). */
   private val warcHtmlMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def warcHtmlDir(s: SparkSession, dir: String): String =
@@ -142,14 +147,24 @@ object SparkEntry {
         lit("<script type=\"text/javascript\">if (1 < 2 && x > 0) { alert(\"hi\"); }</script></head>"),
         lit("<body><!-- nav --><h1>"), col("source"), lit("</h1><p>"), esc,
         lit("</p><div id=\"foot\">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>"))
+      val statusLine = when(col("doc_id") % 97 === 0, lit("404 Not Found"))
+        .when(col("doc_id") % 89 === 0, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK"))
+      val http = concat(
+        lit("HTTP/1.1 "), statusLine, lit("\r\n"),
+        lit("Content-Type: text/html; charset=utf-8\r\n"),
+        lit("Content-Length: "), octet_length(html).cast("string"),
+        lit("\r\nServer: graft-crawler/1.0\r\n\r\n"),
+        html)
       val docs = T(s, dir, "documents").select(
         concat(lit("http://"), col("source"), lit("/doc/"),
           col("doc_id")).as("uri"),
         lit("2024-01-01T00:00:00Z").as("wd"),
         concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("rid"),
-        encode(html, "UTF-8").as("payload"))
+        encode(http, "UTF-8").as("payload"))
       sources.Warc.write(docs.repartition(4), out.getAbsolutePath,
-        "uri", "wd", "rid", "payload")
+        "uri", "wd", "rid", "payload",
+        contentType = "application/http; msgtype=response")
       out.getAbsolutePath
     })
 
@@ -2137,24 +2152,58 @@ object SparkEntry {
 
     "r44_crawl_intake" -> ((s, dir) => {
       // the END-TO-END crawl-intake chain in one driver-gated query
-      // (r17): a real member-compressed WARC archive whose payloads
-      // are HTML pages (the t50 template) → per-file record decode
-      // (r43's path) → explicit payload decode → htmlToText → per-host
-      // corpus report. This is the first mile of a 100 TB pipeline
-      // run exactly as deployed — archive files in, clean tokens out —
-      // with every step's arithmetic replayed by the oracle.
+      // (r17, HTTP-framed in r18): a real member-compressed WARC
+      // archive whose payloads are RFC 9112 responses around HTML
+      // pages (the t50 template) → per-file record decode (r43's
+      // path) → explicit payload decode → httpBody (r45's framing
+      // split) → htmlToText → per-host corpus report. This is the
+      // first mile of a 100 TB pipeline run exactly as deployed —
+      // archive files in, clean tokens out — with every step's
+      // arithmetic replayed by the oracle.
       import graft.functions.TextFunctions
       val w = sources.Warc.read(s, warcHtmlDir(s, dir))
         .withColumn("_host",
           regexp_extract(col("target_uri"), "^http://([^/]+)/", 1))
-        .withColumn("_t",
-          TextFunctions.htmlToText(decode(col("content"), "UTF-8")))
+        .withColumn("_t", TextFunctions.htmlToText(
+          TextFunctions.httpBody(decode(col("content"), "UTF-8"))))
       w.groupBy(col("_host").as("host"))
         .agg(cnt.as("n_pages"),
           sum(size(filter(split(col("_t"), " "), t => length(t) > 0))
             .cast("long")).as("n_tokens"),
           sum(length(col("_t")).cast("long")).as("n_chars"))
         .orderBy("host")
+    }),
+
+    "r45_http_frame" -> ((s, dir) => {
+      // HTTP payload framing (r18 — the step between r43's record
+      // decode and t50's extraction): real WARC response payloads are
+      // HTTP MESSAGES, not bare HTML. Typed extraction per response —
+      // status code off the status line, Content-Type and
+      // Content-Length off the head (case-insensitive field names),
+      // body split at the first CRLFCRLF — rolled into a per-(host,
+      // status) intake report. body_bytes is measured off the SPLIT
+      // body while declared_bytes trusts the HEADER; the oracle
+      // replays both from the page build, so an off-by-one at the
+      // framing split (or a header leaking from the body) breaks the
+      // hash loudly.
+      import graft.functions.TextFunctions
+      sources.Warc.read(s, warcHtmlDir(s, dir))
+        .withColumn("_host",
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1))
+        .withColumn("_msg", decode(col("content"), "UTF-8"))
+        .select(col("_host"),
+          TextFunctions.httpStatus(col("_msg")).as("_status"),
+          TextFunctions.httpHeader(col("_msg"), "Content-Type").as("_ct"),
+          TextFunctions.httpHeader(col("_msg"), "Content-Length")
+            .cast("long").as("_clen"),
+          octet_length(TextFunctions.httpBody(col("_msg")))
+            .cast("long").as("_blen"))
+        .groupBy(col("_host").as("host"), col("_status").as("status"),
+          col("_ct").as("content_type"))
+        .agg(cnt.as("n_responses"),
+          sum(col("_clen")).as("declared_bytes"),
+          sum(col("_blen")).as("body_bytes"))
+        .orderBy("host", "status")
     }),
 
     "t50_html_extract" -> ((s, dir) => {

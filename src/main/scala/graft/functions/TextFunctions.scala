@@ -198,4 +198,41 @@ object TextFunctions {
     ).foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
     trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
   }
+
+  /** HTTP message framing (r18): real WARC `response` records carry
+    * `application/http; msgtype=response` payloads — an RFC 9112
+    * message (status line + header lines + CRLFCRLF + body), not bare
+    * HTML — so the intake chain needs one more split between r43's
+    * record decode and t50's extraction. Splitting at the FIRST
+    * CRLFCRLF is the whole framing contract: archives store the
+    * final captured bytes (chunked/Content-Length re-assembly already
+    * happened at crawl time), so everything after the separator is
+    * the body verbatim. A message with no CRLFCRLF yields NULL —
+    * loud, not a silent identity (the r41/r42 corrupt-accounting
+    * discipline at the payload layer). Pure codegen'd
+    * instr/substr/regexp — no UDFs in the hot path.
+    */
+  def httpBody(msg: Column): Column = {
+    val p = instr(msg, "\r\n\r\n")
+    when(p > 0, msg.substr(p + lit(4), length(msg)))
+  }
+
+  /** Status code off the RFC 9112 status line; NULL when the payload
+    * does not start with one (not an HTTP response). */
+  def httpStatus(msg: Column): Column =
+    nullif(regexp_extract(msg, "^HTTP/[0-9.]+ ([0-9]{3})", 1), lit(""))
+      .cast("int")
+
+  /** First value of header `name` in the message head, matched
+    * case-insensitively (RFC 9110 field names are); NULL when the
+    * message has no head (no CRLFCRLF terminator) or no such field.
+    * Only the head is searched — a header-shaped line INSIDE the body
+    * must never leak out as metadata. */
+  def httpHeader(msg: Column, name: String): Column = {
+    val p = instr(msg, "\r\n\r\n")
+    val head = when(p > 0, msg.substr(lit(1), p - lit(1)))
+    nullif(regexp_extract(head,
+      "(?im)^" + java.util.regex.Pattern.quote(name) +
+        "[ \\t]*:[ \\t]*([^\\r\\n]*)", 1), lit(""))
+  }
 }

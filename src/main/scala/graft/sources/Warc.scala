@@ -336,7 +336,8 @@ Content-Length: ${payload.length}\r
     * bytes into a reader-visible file.
     */
   def write(df: DataFrame, dir: String, uriCol: String, dateCol: String,
-            idCol: String, payloadCol: String): Unit = {
+            idCol: String, payloadCol: String,
+            contentType: String = "text/plain"): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -353,7 +354,7 @@ Content-Length: ${payload.length}\r
           val out = fs.create(tmp, true)
           it.foreach { r =>
             out.write(recordGz(r.getString(0), r.getString(1), r.getString(2),
-              r.getAs[Array[Byte]](3)))
+              r.getAs[Array[Byte]](3), contentType))
           }
           out.close()
           // last-commit-wins rename; attempts write record-set-
