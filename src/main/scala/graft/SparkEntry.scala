@@ -2159,19 +2159,11 @@ object SparkEntry {
       // split) → htmlToText → per-host corpus report. This is the
       // first mile of a 100 TB pipeline run exactly as deployed —
       // archive files in, clean tokens out — with every step's
-      // arithmetic replayed by the oracle.
-      import graft.functions.TextFunctions
-      val w = sources.Warc.read(s, warcHtmlDir(s, dir))
-        .withColumn("_host",
-          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1))
-        .withColumn("_t", TextFunctions.htmlToText(
-          TextFunctions.httpBody(decode(col("content"), "UTF-8"))))
-      w.groupBy(col("_host").as("host"))
-        .agg(cnt.as("n_pages"),
-          sum(size(filter(split(col("_t"), " "), t => length(t) > 0))
-            .cast("long")).as("n_tokens"),
-          sum(length(col("_t")).cast("long")).as("n_chars"))
-        .orderBy("host")
+      // arithmetic replayed by the oracle. The report transform is
+      // streaming.CrawlIntake.report — shared verbatim with the
+      // dir-watch tail form (WarcStreamSpec pins stream ≡ batch).
+      streaming.CrawlIntake.report(
+        sources.Warc.read(s, warcHtmlDir(s, dir))).orderBy("host")
     }),
 
     "r45_http_frame" -> ((s, dir) => {
