@@ -62,7 +62,10 @@ object GateProbe {
       val e2eRows = rows(AnnRankings.ivfPq(eN, cb, refine = 1))
       println(s"GATES sf=$sf s26 store==e2e: ${served == e2eRows} " +
         s"(served=${served.size} e2e=${e2eRows.size}) recall_vs_bruteN=" +
-        f"${served.groupBy(_._1).map { case (k, v) => (v.map(_._2) intersect bruteN(k)).size }.sum / 50.0}%.3f")
+        // denominator from the brute ranking itself (|queries| x k),
+        // not a literal — an AnnRankings batch/k change must not
+        // silently mis-scale the recall the gate thresholds trust
+        f"${served.groupBy(_._1).map { case (k, v) => (v.map(_._2) intersect bruteN(k)).size }.sum.toDouble / bruteN.values.map(_.size).sum}%.3f")
 
       // s06 coverage on the d05 audit slice
       val slice = emb.filter(col("vec_id") < 1000)
