@@ -3545,7 +3545,8 @@ object SparkEntry {
         .select(col("src"), col("dst"), col("w"))
       val edges = directed.unionByName(
         directed.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      Graph.labelPropagation(edges, "src", "dst", "w", iters = 3)
+      Graph.labelPropagation(edges, "src", "dst", "w", iters = 3,
+          undirected = true)
         .join(dict.select(col("nid").as("id"), col("t").as("event_type")), "id")
         .join(dict.select(col("nid").as("label"), col("t").as("community")), "label")
         .select(col("event_type"), col("community"))
@@ -3643,7 +3644,8 @@ object SparkEntry {
         .agg(sum(col("l_quantity").cast("long")).as("w"))
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      Graph.labelPropagation(edges, "src", "dst", "w", iters = 3)
+      Graph.labelPropagation(edges, "src", "dst", "w", iters = 3,
+          undirected = true)
         .select(
           when(col("id") % 2 === 0, lit("order")).otherwise(lit("part")).as("kind"),
           shiftright(col("id"), 1).as("node_id"),

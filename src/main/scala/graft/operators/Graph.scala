@@ -151,17 +151,30 @@ object Graph {
     * Output: (id, label) after `iters` rounds.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       weightCol: String, iters: Int): DataFrame = {
+                       weightCol: String, iters: Int,
+                       undirected: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 50,
       s"labelPropagation: iters $iters not in [0, 50]")
-    // persisted hash-partitioned on the per-round join key: each
-    // round's label⋈edges exchange then moves only the label frame,
-    // never the (far larger) edge frame — long-exact sums make the
-    // layout answer-invariant
-    val e = edges.select(col(srcCol).cast("long").as("_src"),
+    val eSel = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"),
       col(weightCol).cast("long").as("_w"))
-      .repartition(col("_src")).persist()
+    // persisted hash-partitioned for the per-round exchanges (r17/r18),
+    // long-exact sums making the layout answer-invariant:
+    //  - directed: partitioned on _src — each round's label⋈edges join
+    //    then moves only the label frame, never the (far larger) edges;
+    //  - undirected=true (the caller PROMISES the edge multiset is
+    //    symmetric: both directions present with equal weights, as the
+    //    q40/q40b symmetrized graphs are by construction): partitioned
+    //    on _dst — round 1's aggregates then run EXCHANGE-FREE on the
+    //    persisted layout, and later rounds flip the join orientation
+    //    (join labels on _dst, emit the score at _src): on a symmetric
+    //    multiset the flipped emission is the SAME score multiset
+    //    under (src,dst)→(dst,src), so the answer is identical while
+    //    the join still moves only labels. An asymmetric input with
+    //    undirected=true computes the TRANSPOSE propagation — the flag
+    //    is a layout promise, not a hint.
+    val e = (if (undirected) eSel.repartition(col("_dst"))
+             else eSel.repartition(col("_src"))).persist()
     val nodes = e.select(col("_src").as("id"))
       .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
     val persisted = Seq.newBuilder[DataFrame]
@@ -177,10 +190,35 @@ object Graph {
       // is the round where the saved join matters most.
       val scores0 =
         if (r == 0) e.select(col("_dst"), col("_src").as("label"), col("_w"))
+        else if (undirected)
+          // orientation flip (see the layout note above): labels meet
+          // the edges at _dst where e already lives, the score lands
+          // at _src — relabeled _dst so the aggregate below is shared
+          lab.select(col("id").as("_dst"), col("label"))
+            .join(e, Seq("_dst"))
+            .select(col("_src").as("_dst"), col("label"), col("_w"))
         else lab.select(col("id").as("_src"), col("label"))
           .join(e, Seq("_src"))
           .select(col("_dst"), col("label"), col("_w"))
-      val scores = scores0.groupBy(col("_dst").as("id"), col("label"))
+      // r18 (the q40b band close): round 1's (dst, label) pairs carry
+      // the MAXIMUM pair mass by construction (every src a distinct
+      // label), so map-side combine cannot collapse anything and the
+      // two aggregates below would redistribute the full edge mass
+      // TWICE — once clustered on (dst, label), once on dst. One
+      // explicit hash redistribution on _dst lets BOTH run
+      // exchange-free: HashPartitioning on a subset of the grouping
+      // keys satisfies their required clustering, and the argmax
+      // groups by the same key through the alias. Later rounds keep
+      // the combine-first shape — labels have collapsed, so partial
+      // aggregation shrinks the shuffle far below edge mass (measured
+      // 120M → 14.7M at the 100× probe) and a blind repartition would
+      // move MORE, not less. The undirected layout is already
+      // clustered on _dst, so round 1 there needs NO redistribution
+      // at all — zero full-edge shuffles.
+      val scored =
+        if (r == 0 && !undirected) scores0.repartition(col("_dst"))
+        else scores0
+      val scores = scored.groupBy(col("_dst").as("id"), col("label"))
         .agg(sum(col("_w")).as("_m"))
       // argmax as ONE map-side-combining aggregate instead of a
       // row_number window (r17): the key struct(_m, ~label) is UNIQUE

@@ -103,6 +103,24 @@ class GraphSpec extends SparkSpec {
       Graph.labelPropagation(e2, "src", "dst", "w", iters = 99))
   }
 
+  test("labelPropagation undirected layout equals the directed path on a symmetric graph") {
+    // the r18 orientation flip is a pure layout change: on a
+    // symmetric edge multiset both paths must produce the identical
+    // labeling (the clique+bridge fixture exercises real ties)
+    def clique(ids: Seq[Long], w: Long) =
+      for (a <- ids; b <- ids if a != b) yield (a, b, w)
+    val e = (clique(Seq(0L, 1L, 2L), 10L) ++ clique(Seq(10L, 11L, 12L), 10L) ++
+      Seq((2L, 10L, 1L), (10L, 2L, 1L))).toDF("src", "dst", "w")
+    for (iters <- Seq(1, 2, 3)) {
+      val directed = Graph.labelPropagation(e, "src", "dst", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val flipped = Graph.labelPropagation(e, "src", "dst", "w", iters,
+          undirected = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(directed == flipped, s"iters=$iters: $directed vs $flipped")
+    }
+  }
+
   test("pageRank weights matter: the heavier edge carries more rank") {
     // 0 splits 3:1 between 1 and 2; both feed back to 0
     val e = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
