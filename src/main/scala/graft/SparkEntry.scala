@@ -77,6 +77,17 @@ object SparkEntry {
 
   private def cnt: Column = count(lit(1))
 
+  /** Shard count for the memoized crawl-dump fixtures: scales with
+    * the corpus like a production writer's output does (~25 k docs
+    * per shard, floor 4, cap 64) — a fixed count would leave a 100×
+    * probe scanning 4 unsplittable files on 32 cores, measuring the
+    * fixture's layout instead of the reader. Layout-invariant
+    * results: every consumer aggregates across files. */
+  private def crawlShards(s: SparkSession, dir: String): Int = {
+    val n = T(s, dir, "documents").count()
+    math.max(4, math.min(64, (n / 25000L).toInt + 1))
+  }
+
   /** r42 (r16 verdict task 3): materialize the documents table ONCE
     * per (session, sfDir) as real multi-shard gzip JSONL on local
     * disk — the layout crawl dumps actually arrive in — plus one tiny
@@ -109,8 +120,8 @@ object SparkEntry {
         lit("2024-01-01T00:00:00Z").as("wd"),
         concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("rid"),
         encode(col("text"), "UTF-8").as("payload"))
-      sources.Warc.write(docs.repartition(4), out.getAbsolutePath,
-        "uri", "wd", "rid", "payload")
+      sources.Warc.write(docs.repartition(crawlShards(s, dir)),
+        out.getAbsolutePath, "uri", "wd", "rid", "payload")
       val g = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
         new java.io.File(out, "corrupt.warc.gz")))
       g.write("NOT A WARC RECORD\r\n".getBytes("US-ASCII")); g.close()
@@ -162,8 +173,8 @@ object SparkEntry {
         lit("2024-01-01T00:00:00Z").as("wd"),
         concat(lit("<urn:graft:"), col("doc_id"), lit(">")).as("rid"),
         encode(http, "UTF-8").as("payload"))
-      sources.Warc.write(docs.repartition(4), out.getAbsolutePath,
-        "uri", "wd", "rid", "payload",
+      sources.Warc.write(docs.repartition(crawlShards(s, dir)),
+        out.getAbsolutePath, "uri", "wd", "rid", "payload",
         contentType = "application/http; msgtype=response")
       out.getAbsolutePath
     })
@@ -179,7 +190,7 @@ object SparkEntry {
         .getAbsolutePath
       sources.Jsonl.toJsonl(T(s, dir, "documents"),
           col("doc_id"), col("source"), col("lang"), col("text"))
-        .repartition(4)
+        .repartition(crawlShards(s, dir))
         .write.mode("overwrite").option("compression", "gzip").text(out)
       val g = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(
         new java.io.File(out, "corrupt.jsonl.gz")))
