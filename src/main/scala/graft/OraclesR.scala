@@ -777,6 +777,16 @@ private[graft] object OraclesR {
                 CAST(sum(blen) AS BIGINT) AS body_bytes
          FROM m GROUP BY 1, 2 ORDER BY host, status""",
 
+    "r46_redirect_edges" ->
+      // the redirect edge list replayed from the fixture rule: 301s
+      // are doc_id % 89 = 0 minus the 404 override (% 97 = 0, the
+      // CASE order in the builder), Location = same host, doc_id + 1
+      """SELECT source AS host, doc_id AS from_doc,
+                doc_id + 1 AS to_doc
+         FROM documents
+         WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0
+         ORDER BY from_doc""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

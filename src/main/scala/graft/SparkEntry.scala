@@ -161,8 +161,16 @@ object SparkEntry {
       val statusLine = when(col("doc_id") % 97 === 0, lit("404 Not Found"))
         .when(col("doc_id") % 89 === 0, lit("301 Moved Permanently"))
         .otherwise(lit("200 OK"))
+      // 301s carry a Location header (the r46 redirect-edge source):
+      // same host, next doc id — deterministic, so the oracle replays
+      // the edge list from the doc_id rule alone
+      val locHeader = when(
+        col("doc_id") % 97 =!= 0 && col("doc_id") % 89 === 0,
+        concat(lit("Location: http://"), col("source"), lit("/doc/"),
+          (col("doc_id") + 1).cast("string"), lit("\r\n")))
+        .otherwise(lit(""))
       val http = concat(
-        lit("HTTP/1.1 "), statusLine, lit("\r\n"),
+        lit("HTTP/1.1 "), statusLine, lit("\r\n"), locHeader,
         lit("Content-Type: text/html; charset=utf-8\r\n"),
         lit("Content-Length: "), octet_length(html).cast("string"),
         lit("\r\nServer: graft-crawler/1.0\r\n\r\n"),
@@ -2207,6 +2215,32 @@ object SparkEntry {
           sum(col("_clen")).as("declared_bytes"),
           sum(col("_blen")).as("body_bytes"))
         .orderBy("host", "status")
+    }),
+
+    "r46_redirect_edges" -> ((s, dir) => {
+      // REDIRECT-EDGE EXTRACTION (r18 — the crawl frontier's second
+      // input after page text): 3xx responses carry the next fetch
+      // target in the Location header; this query lifts the typed
+      // (from_doc, to_doc) edge list out of the archive — filter on
+      // the parsed status, header extraction head-only (r45's
+      // contract), ids parsed off both URIs. Downstream this edge
+      // list is what q37/q39 chain-resolution machinery consumes; the
+      // extraction is the new, archive-facing step, replayed by the
+      // oracle from the fixture's doc_id rule.
+      import graft.functions.TextFunctions
+      sources.Warc.read(s, warcHtmlDir(s, dir))
+        .withColumn("_msg", decode(col("content"), "UTF-8"))
+        .select(
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("host"),
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("from_doc"),
+          TextFunctions.httpStatus(col("_msg")).as("_status"),
+          TextFunctions.httpHeader(col("_msg"), "Location").as("_loc"))
+        .filter(col("_status") >= 300 && col("_status") < 400)
+        .select(col("host"), col("from_doc"),
+          regexp_extract(col("_loc"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("to_doc"))
+        .orderBy("from_doc")
     }),
 
     "t50_html_extract" -> ((s, dir) => {
