@@ -787,6 +787,33 @@ private[graft] object OraclesR {
          WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0
          ORDER BY from_doc""",
 
+    "r47_robots_filter" ->
+      // the robots build + parse + prefix match replayed: same
+      // line-split / Disallow-keep / trim / drop-empty chain, the
+      // match as len(list_filter) > 0 (DuckDB's EXISTS over a list)
+      """WITH d AS (SELECT doc_id, source,
+              '/doc/' || CAST(doc_id AS VARCHAR) AS path
+            FROM documents),
+          r AS (SELECT DISTINCT source,
+              CASE WHEN length(source) % 2 = 0
+                THEN 'User-agent: *' || chr(10) || 'Disallow: /doc/1'
+                     || chr(10) || 'Disallow: /admin' || chr(10)
+                ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+              END AS robots
+            FROM documents),
+          p AS (SELECT source,
+              list_filter(list_transform(string_split(robots, chr(10)),
+                l -> CASE WHEN starts_with(l, 'Disallow:')
+                          THEN trim(substr(l, 10)) ELSE '' END),
+                x -> len(x) > 0) AS dis
+            FROM r)
+         SELECT d.source AS host, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN len(list_filter(p.dis,
+                  x -> starts_with(d.path, x))) > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+         FROM d JOIN p ON p.source = d.source
+         GROUP BY 1 ORDER BY host""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

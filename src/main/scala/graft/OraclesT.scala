@@ -86,6 +86,27 @@ private[graft] object OraclesT {
                 substr(t, 1, 24) AS lead
          FROM x ORDER BY doc_id""",
 
+    "t51_link_extract" ->
+      // the page-with-anchors build and the href pull replayed: same
+      // anchor rule (next-doc always, hub on every 3rd), same RE2
+      // group extraction, host parsed off each href
+      """WITH h AS (SELECT doc_id, source,
+              '<html><body><p>' || text || '</p>'
+              || '<a href="http://' || source || '/doc/'
+              || CAST(doc_id + 1 AS VARCHAR) || '">next</a>'
+              || CASE WHEN doc_id % 3 = 0
+                   THEN '<a href="http://hub.example/doc/0">hub</a>'
+                   ELSE '' END
+              || '</body></html>' AS html
+            FROM documents),
+          l AS (SELECT source AS host,
+              unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+            FROM h)
+         SELECT host,
+                regexp_extract(href, '^http://([^/]+)/', 1) AS target_host,
+                CAST(count(*) AS BIGINT) AS n_links
+         FROM l GROUP BY 1, 2 ORDER BY host, target_host""",
+
     "t08_repetition" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
                        FROM documents),

@@ -2243,6 +2243,67 @@ object SparkEntry {
         .orderBy("from_doc")
     }),
 
+    "r47_robots_filter" -> ((s, dir) => {
+      // ROBOTS POLICY FILTER (r18 — the fetch-permission gate every
+      // crawler runs ahead of the intake chain): a per-host
+      // robots.txt is PARSED, not assumed — split lines, keep
+      // Disallow rules, trim the prefixes, drop empties (an empty
+      // Disallow allows everything) — then every doc URI path tests
+      // against its host's prefixes and the per-host allowed/blocked
+      // tally is reported. Parsing is pure higher-order-function
+      // codegen (split/transform/filter/exists); the rule table is a
+      // |hosts|-row broadcast join — policy lookup never shuffles the
+      // corpus.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(lit("/doc/"), col("doc_id").cast("string")).as("_path"))
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("_robots",
+          when(length(col("source")) % 2 === 0,
+            lit("User-agent: *\nDisallow: /doc/1\nDisallow: /admin\n"))
+            .otherwise(lit("User-agent: *\nDisallow:\n")))
+        .withColumn("_dis", filter(
+          transform(split(col("_robots"), "\n"),
+            l => when(l.startsWith("Disallow:"),
+              trim(l.substr(lit(10), length(l)))).otherwise(lit(""))),
+          p => length(p) > 0))
+      docs.join(broadcast(robots.select(col("source"), col("_dis"))),
+          Seq("source"))
+        .withColumn("_blocked", exists(col("_dis"),
+          p => col("_path").startsWith(p)))
+        .groupBy(col("source").as("host"))
+        .agg(cnt.as("n_docs"),
+          sum(when(col("_blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("host")
+    }),
+
+    "t51_link_extract" -> ((s, dir) => {
+      // OUT-LINK EXTRACTION (r18 — the op that feeds the crawl
+      // frontier and the q38b link graph): each doc's page carries a
+      // same-host next-doc anchor (and a cross-host hub anchor on
+      // every 3rd); href values come out with ONE codegen'd
+      // regexp_extract_all, explode, target-host parse, then the
+      // (host, target_host) link matrix. RE2-safe regexes, so the
+      // whole build+extract chain replays in DuckDB.
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://"), col("source"), lit("/doc/"),
+        (col("doc_id") + 1).cast("string"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"http://hub.example/doc/0\">hub</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      T(s, dir, "documents")
+        .select(col("source").as("host"),
+          explode(regexp_extract_all(html,
+            lit("href=\"([^\"]+)\""), lit(1))).as("_href"))
+        .select(col("host"),
+          regexp_extract(col("_href"), "^http://([^/]+)/", 1)
+            .as("target_host"))
+        .groupBy(col("host"), col("target_host"))
+        .agg(cnt.as("n_links"))
+        .orderBy("host", "target_host")
+    }),
+
     "t50_html_extract" -> ((s, dir) => {
       // HTML → text extraction (r17 — the step between r43's WARC
       // payloads and every text operator on this board): each doc is
