@@ -814,6 +814,43 @@ private[graft] object OraclesR {
          FROM d JOIN p ON p.source = d.source
          GROUP BY 1 ORDER BY host""",
 
+    "r48_wet_export" ->
+      // the r44 replay (page build + extraction chain) with the WET
+      // record type as a pinned literal — the export round trip must
+      // reproduce the intake report exactly
+      """WITH h AS (SELECT doc_id, source,
+              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+              || ' &amp; co</title><style>body { color: #fff; }</style>'
+              || '<script type="text/javascript">if (1 < 2 && x > 0) { alert("hi"); }</script></head>'
+              || '<body><!-- nav --><h1>' || source || '</h1><p>'
+              || replace(replace(replace(text, '&', '&amp;'),
+                   '<', '&lt;'), '>', '&gt;')
+              || '</p><div id="foot">Contact&nbsp;&quot;us&quot; &#39;now&#39;</div></body></html>'
+                AS html
+            FROM documents),
+          x AS (SELECT doc_id, source,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html,
+                          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '<[^>]*>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                  '&amp;', '&'),
+                '[ \t\n\r]+', ' ', 'g')) AS t
+            FROM h)
+         SELECT source AS host, 'conversion' AS warc_type,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(list_filter(string_split(t, ' '),
+                  s -> len(s) > 0))) AS BIGINT) AS n_tokens,
+                CAST(sum(length(t)) AS BIGINT) AS n_chars
+         FROM x GROUP BY 1, 2 ORDER BY host""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

@@ -187,6 +187,41 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
+  /** r48: the WET store — the intake chain's OUTPUT format. Derived
+    * from the r44 archive exactly as a production run would: record
+    * decode → httpBody → htmlToText → one `conversion` record per
+    * page (the Common Crawl WET shape), written through the
+    * executor-side WARC writer. Materialized once per (session,
+    * sfDir). */
+  private val wetMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def wetDir(s: SparkSession, dir: String): String =
+    wetMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r48_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+      if (out.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out)
+      }
+      import graft.functions.TextFunctions
+      val recs = sources.Warc.read(s, warcHtmlDir(s, dir))
+        .select(col("target_uri"),
+          lit("2024-01-02T00:00:00Z").as("wd"),
+          concat(lit("<urn:graft:wet:"),
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
+            lit(">")).as("rid"),
+          encode(TextFunctions.htmlToText(
+            TextFunctions.httpBody(decode(col("content"), "UTF-8"))),
+            "UTF-8").as("payload"))
+      sources.Warc.write(recs.repartition(crawlShards(s, dir)),
+        out.getAbsolutePath, "target_uri", "wd", "rid", "payload",
+        contentType = "text/plain", warcType = "conversion")
+      out.getAbsolutePath
+    })
+
   private val jsonlGzMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
@@ -2273,6 +2308,28 @@ object SparkEntry {
         .groupBy(col("source").as("host"))
         .agg(cnt.as("n_docs"),
           sum(when(col("_blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("host")
+    }),
+
+    "r48_wet_export" -> ((s, dir) => {
+      // WET EXPORT ROUND TRIP (r18 — the intake chain's OUTPUT side):
+      // the r44 archive's pages are extracted and re-archived as
+      // WARC `conversion` records (the Common Crawl WET shape) through
+      // the executor-side writer, then read back and aggregated. The
+      // report must equal r44's — the oracle replays the page
+      // build + extraction from documents — so a divergence anywhere
+      // in extract → encode → record write → member gzip → record
+      // read → decode breaks the hash. warc_type rides the output to
+      // pin that `conversion` actually round-trips.
+      sources.Warc.read(s, wetDir(s, dir))
+        .withColumn("_host",
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1))
+        .withColumn("_t", decode(col("content"), "UTF-8"))
+        .groupBy(col("_host").as("host"), col("warc_type"))
+        .agg(cnt.as("n_docs"),
+          sum(size(filter(split(col("_t"), " "), t => length(t) > 0))
+            .cast("long")).as("n_tokens"),
+          sum(length(col("_t")).cast("long")).as("n_chars"))
         .orderBy("host")
     }),
 

@@ -303,15 +303,18 @@ object Warc {
     }(enc)
   }
 
-  /** Write one WARC response record in the production layout: its own
-    * gzip member. Used by the writer half and the r43 synthesis.
-    * Headers encode as UTF-8 — the superset readLine decodes. */
+  /** Write one WARC record in the production layout: its own gzip
+    * member. Used by the writer half and the r43 synthesis. Headers
+    * encode as UTF-8 — the superset readLine decodes. `warcType`
+    * distinguishes captures (`response`) from derived text
+    * (`conversion` — the Common Crawl WET shape, r48). */
   def recordGz(targetUri: String, date: String, recordId: String,
                payload: Array[Byte],
-               contentType: String = "text/plain"): Array[Byte] = {
+               contentType: String = "text/plain",
+               warcType: String = "response"): Array[Byte] = {
     val header =
       s"""WARC/1.0\r
-WARC-Type: response\r
+WARC-Type: $warcType\r
 WARC-Record-ID: $recordId\r
 WARC-Date: $date\r
 WARC-Target-URI: $targetUri\r
@@ -337,7 +340,8 @@ Content-Length: ${payload.length}\r
     */
   def write(df: DataFrame, dir: String, uriCol: String, dateCol: String,
             idCol: String, payloadCol: String,
-            contentType: String = "text/plain"): Unit = {
+            contentType: String = "text/plain",
+            warcType: String = "response"): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -354,7 +358,7 @@ Content-Length: ${payload.length}\r
           val out = fs.create(tmp, true)
           it.foreach { r =>
             out.write(recordGz(r.getString(0), r.getString(1), r.getString(2),
-              r.getAs[Array[Byte]](3), contentType))
+              r.getAs[Array[Byte]](3), contentType, warcType))
           }
           out.close()
           // last-commit-wins rename; attempts write record-set-

@@ -100,6 +100,19 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conversion records (the WET shape) round-trip their type") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet").toFile
+    val df = Seq(("http://a/doc/1", "extracted text")).toDF("uri", "t")
+      .select(col("uri"), lit("2024-01-02T00:00:00Z").as("wd"),
+        lit("<urn:wet:1>").as("rid"), encode(col("t"), "UTF-8").as("payload"))
+    Warc.write(df, dir.getAbsolutePath, "uri", "wd", "rid", "payload",
+      contentType = "text/plain", warcType = "conversion")
+    val r = Warc.read(spark, dir.getAbsolutePath)
+      .select("warc_type", "content_type", "target_uri").head()
+    assert(r.getString(0) == "conversion" && r.getString(1) == "text/plain"
+      && r.getString(2) == "http://a/doc/1", r.toString)
+  }
+
   test("fileRows is lazy: bytes pull on demand, one record resident") {
     // 32 records x 10 KB, PLAIN .warc (no gzip read-ahead): a counting
     // stream proves record-at-a-time residency — the r17 scale finding
