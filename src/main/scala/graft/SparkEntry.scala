@@ -206,16 +206,8 @@ object SparkEntry {
         }
         rm(out)
       }
-      import graft.functions.TextFunctions
-      val recs = sources.Warc.read(s, warcHtmlDir(s, dir))
-        .select(col("target_uri"),
-          lit("2024-01-02T00:00:00Z").as("wd"),
-          concat(lit("<urn:graft:wet:"),
-            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
-            lit(">")).as("rid"),
-          encode(TextFunctions.htmlToText(
-            TextFunctions.httpBody(decode(col("content"), "UTF-8"))),
-            "UTF-8").as("payload"))
+      val recs = streaming.CrawlIntake.wetRecords(
+        sources.Warc.read(s, warcHtmlDir(s, dir)))
       sources.Warc.write(recs.repartition(crawlShards(s, dir)),
         out.getAbsolutePath, "target_uri", "wd", "rid", "payload",
         contentType = "text/plain", warcType = "conversion")

@@ -336,12 +336,17 @@ Content-Length: ${payload.length}\r
     * so the path scales with partitions, not the driver. Each task
     * attempt writes to an attempt-suffixed temp name and COMMITS by
     * rename, so a speculative or retried attempt can never interleave
-    * bytes into a reader-visible file.
+    * bytes into a reader-visible file. `filePrefix` namespaces one
+    * logical write within a shared dir — the streaming sink passes
+    * `batch-<id>` so micro-batches append new shards instead of
+    * clobbering each other, and a REPLAYED batch (restart recovery)
+    * rewrites its own shards idempotently.
     */
   def write(df: DataFrame, dir: String, uriCol: String, dateCol: String,
             idCol: String, payloadCol: String,
             contentType: String = "text/plain",
-            warcType: String = "response"): Unit = {
+            warcType: String = "response",
+            filePrefix: String = "part"): Unit = {
     val spark = df.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -351,9 +356,10 @@ Content-Length: ${payload.length}\r
         if (it.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+          val fin = new org.apache.hadoop.fs.Path(dir,
+            f"$filePrefix%s-$pid%05d.warc.gz")
           val tmp = new org.apache.hadoop.fs.Path(dir,
-            f".part-$pid%05d.warc.gz.attempt-${tc.taskAttemptId()}")
+            f".$filePrefix%s-$pid%05d.warc.gz.attempt-${tc.taskAttemptId()}")
           val fs = fin.getFileSystem(conf.value)
           val out = fs.create(tmp, true)
           it.foreach { r =>

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.sources.Warc
@@ -62,5 +63,39 @@ class WarcStreamSpec extends SparkSpec {
       assert(streamed("a.example")._2 == 7L,
         streamed("a.example").toString)
     } finally q.stop()
+  }
+
+  test("streaming WET sink: two-batch tail writes the batch export") {
+    val in = java.nio.file.Files.createTempDirectory("graft-wet-in").toFile
+    val outDir = java.nio.file.Files.createTempDirectory("graft-wet-out")
+      .toFile.getAbsolutePath
+    val ck = java.nio.file.Files.createTempDirectory("graft-wet-ck")
+      .toFile.getAbsolutePath
+    val w0 = new java.io.FileOutputStream(new java.io.File(in, "s0.warc.gz"))
+    w0.write(httpPage("a.example", 1, "alpha beta")); w0.close()
+    val q = CrawlIntake.wetSink(
+      Warc.stream(spark, in.getAbsolutePath, maxFilesPerTrigger = Some(1)),
+      outDir, ck)
+    try {
+      q.processAllAvailable()
+      val w1 = new java.io.FileOutputStream(new java.io.File(in, "s1.warc.gz"))
+      w1.write(httpPage("b.example", 2, "gamma"))
+      w1.write(httpPage("c.example", 3, "delta epsilon")); w1.close()
+      q.processAllAvailable()
+    } finally q.stop()
+    def keyed(rows: Array[Row]) = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val streamed = keyed(Warc.read(spark, outDir)
+      .select(col("record_id"), col("warc_type"),
+        decode(col("content"), "UTF-8")).collect())
+    val batch = keyed(CrawlIntake.wetRecords(
+        Warc.read(spark, in.getAbsolutePath))
+      .select(col("rid"), lit("conversion"),
+        decode(col("payload"), "UTF-8")).collect())
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 3 && streamed.forall(_._2 == "conversion"))
+    // micro-batches landed as their own shards, no clobbering
+    val shards = new java.io.File(outDir).list().filter(_.endsWith(".warc.gz"))
+    assert(shards.map(_.split("-")(1)).distinct.length >= 2, shards.mkString(","))
   }
 }
