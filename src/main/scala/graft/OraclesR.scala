@@ -851,6 +851,18 @@ private[graft] object OraclesR {
                 CAST(sum(length(t)) AS BIGINT) AS n_chars
          FROM x GROUP BY 1, 2 ORDER BY host""",
 
+    "r49_revisit_classify" ->
+      // the change rule replayed: generation B appends ' v2' to every
+      // 7th doc's text, so changed = doc_id % 7 = 0 — appending
+      // always changes the payload bytes, and sha2-256 equality on
+      // unchanged bytes is exact
+      """SELECT source AS host, CAST(count(*) AS BIGINT) AS n_pages,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_unchanged,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changed
+         FROM documents GROUP BY 1 ORDER BY host""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

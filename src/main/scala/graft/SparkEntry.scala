@@ -214,6 +214,35 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
+  /** r49: generation B of the r43 archive — the SAME uris re-crawled
+    * later, every 7th doc's text actually changed. Joined against
+    * generation A by the revisit classifier. */
+  private val warcBMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def warcGenBDir(s: SparkSession, dir: String): String =
+    warcBMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_r49_" + Integer.toHexString(dir.hashCode) + "_" +
+          s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9._-]", "_"))
+      if (out.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(out)
+      }
+      val docs = T(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit("/doc/"),
+          col("doc_id")).as("uri"),
+        lit("2024-02-01T00:00:00Z").as("wd"),
+        concat(lit("<urn:graft:b:"), col("doc_id"), lit(">")).as("rid"),
+        encode(concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" v2")).otherwise(lit(""))),
+          "UTF-8").as("payload"))
+      sources.Warc.write(docs.repartition(crawlShards(s, dir)),
+        out.getAbsolutePath, "uri", "wd", "rid", "payload")
+      out.getAbsolutePath
+    })
+
   private val jsonlGzMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
@@ -2322,6 +2351,36 @@ object SparkEntry {
           sum(size(filter(split(col("_t"), " "), t => length(t) > 0))
             .cast("long")).as("n_tokens"),
           sum(length(col("_t")).cast("long")).as("n_chars"))
+        .orderBy("host")
+    }),
+
+    "r49_revisit_classify" -> ((s, dir) => {
+      // CROSS-SNAPSHOT REVISIT CLASSIFICATION (r18 — the refresh
+      // pipeline's first question: what actually changed since the
+      // last crawl?): two generations of the same archive join on
+      // WARC-Target-URI and payloads compare by sha2-256 digest — the
+      // WARC 'revisit' concept (an unchanged capture is recorded as a
+      // digest-matching revisit, not a duplicate payload). Digests
+      // are computed ON the opaque bytes (never decoded), the join is
+      // uri-keyed, and the per-host changed/unchanged tally is what a
+      // refresh run feeds the scheduler. The oracle replays the
+      // fixture's change rule, so a digest or join defect surfaces as
+      // a hash break.
+      val a = sources.Warc.read(s, warcDir(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"), sha2(col("content"), 256).as("_da"))
+      val b = sources.Warc.read(s, warcGenBDir(s, dir))
+        .select(col("target_uri"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+            .as("host"),
+          sha2(col("content"), 256).as("_db"))
+      b.join(a, Seq("target_uri"))
+        .groupBy(col("host"))
+        .agg(cnt.as("n_pages"),
+          sum(when(col("_da") === col("_db"), 1L).otherwise(0L))
+            .as("n_unchanged"),
+          sum(when(col("_da") =!= col("_db"), 1L).otherwise(0L))
+            .as("n_changed"))
         .orderBy("host")
     }),
 
