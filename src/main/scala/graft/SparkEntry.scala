@@ -2384,6 +2384,67 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    "r50_frontier" -> ((s, dir) => {
+      // FRONTIER COMPOSITION (r18 — the capstone of the crawl family,
+      // the next-fetch list every crawler computes): candidate
+      // targets = page out-links (the t51 build) ∪ redirect targets
+      // (r46's archive-facing Location extraction), DISTINCT by uri,
+      // robots-filtered with r47's parse chain (rules derived per
+      // candidate host — hub.example gets a rule too), then
+      // anti-joined against the crawled uri set. Note the fixture's
+      // doc ids are GLOBAL across hosts, so "next doc on my host" is
+      // usually uncrawled (id+1 lives on another host) — the new/
+      // crawled split is non-degenerate by construction. Per-host
+      // n_candidates / n_blocked / n_new out; every rule replays in
+      // the oracle.
+      import graft.functions.TextFunctions
+      val html = concat(
+        lit("<html><body><p>"), col("text"), lit("</p>"),
+        lit("<a href=\"http://"), col("source"), lit("/doc/"),
+        (col("doc_id") + 1).cast("string"), lit("\">next</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"http://hub.example/doc/0\">hub</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val links = T(s, dir, "documents")
+        .select(explode(regexp_extract_all(html,
+          lit("href=\"([^\"]+)\""), lit(1))).as("_uri"))
+      val redirects = sources.Warc.read(s, warcHtmlDir(s, dir))
+        .withColumn("_msg", decode(col("content"), "UTF-8"))
+        .filter(TextFunctions.httpStatus(col("_msg")).between(300, 399))
+        .select(TextFunctions.httpHeader(col("_msg"), "Location").as("_uri"))
+      val cand = links.unionByName(redirects).distinct()
+        .select(
+          regexp_extract(col("_uri"), "^http://([^/]+)/", 1).as("host"),
+          regexp_extract(col("_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("tid"))
+      val robots = cand.select(col("host")).distinct()
+        .withColumn("_robots",
+          when(length(col("host")) % 2 === 0,
+            lit("User-agent: *\nDisallow: /doc/1\nDisallow: /admin\n"))
+            .otherwise(lit("User-agent: *\nDisallow:\n")))
+        .withColumn("_dis", filter(
+          transform(split(col("_robots"), "\n"),
+            l => when(l.startsWith("Disallow:"),
+              trim(l.substr(lit(10), length(l)))).otherwise(lit(""))),
+          p => length(p) > 0))
+        .select(col("host"), col("_dis"))
+      val crawled = T(s, dir, "documents")
+        .select(col("source").as("host"), col("doc_id").as("tid"),
+          lit(true).as("_crawled"))
+      cand.join(broadcast(robots), Seq("host"))
+        .withColumn("_path", concat(lit("/doc/"), col("tid").cast("string")))
+        .withColumn("_blocked", exists(col("_dis"),
+          p => col("_path").startsWith(p)))
+        .join(crawled, Seq("host", "tid"), "left")
+        .groupBy(col("host"))
+        .agg(cnt.as("n_candidates"),
+          sum(when(col("_blocked"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!col("_blocked") && col("_crawled").isNull, 1L)
+            .otherwise(0L)).as("n_new"))
+        .orderBy("host")
+    }),
+
     "t51_link_extract" -> ((s, dir) => {
       // OUT-LINK EXTRACTION (r18 — the op that feeds the crawl
       // frontier and the q38b link graph): each doc's page carries a
