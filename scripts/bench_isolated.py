@@ -21,6 +21,21 @@ sweep = json.load(open("BENCH_LOCAL.json"))
 queries = sweep["queries"] if "queries" in sweep else sweep
 top = [k for k, _ in sorted(queries.items(), key=lambda kv: -kv[1])[:topn]]
 
+# r18 verdict task 5 — ledger completeness: every round's isolated set
+# must be a SUPERSET of the previous round's (no adjudication holes
+# when a key drops out of the top-N) plus ALL six ANN gate queries.
+GATES = ["s02_ann_lsh", "s03_ann_ivf", "s06_cosine_pairs_lsh",
+         "s12_ivf_pq", "s13_ivf_pq_residual", "s26_ann_index"]
+prev = {}
+for n in range(int(rnd) - 1, 13, -1):
+    p = f"BENCH_ISOLATED_r{n}.json"
+    if os.path.exists(p):
+        prev = json.load(open(p)).get("isolated", {})
+        break
+carry = [k for k in list(prev) + GATES
+         if k not in top and k in queries]
+top = top + sorted(set(carry))
+
 fams = collections.defaultdict(list)
 for q in top:
     fams[q[0]].append(q)  # family = leading letter (d/m/p/q/r/s/t)
