@@ -912,6 +912,56 @@ private[graft] object OraclesR {
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_new
          FROM j GROUP BY 1 ORDER BY host""",
 
+    "r51_politeness_schedule" ->
+      // the r50 frontier CTEs + the schedule replay: allowed new
+      // targets serialize per host under delay = 1 + len(host) % 3,
+      // fetch i at i*delay, bucketed into 60 s slots — `//` on
+      // nonnegative operands matches Spark's `div`
+      """WITH cand AS (SELECT DISTINCT uri FROM (
+              SELECT 'http://' || source || '/doc/'
+                     || CAST(doc_id + 1 AS VARCHAR) AS uri
+              FROM documents
+              UNION ALL
+              SELECT 'http://hub.example/doc/0' FROM documents
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'http://' || source || '/doc/'
+                     || CAST(doc_id + 1 AS VARCHAR)
+              FROM documents
+              WHERE doc_id % 89 = 0 AND doc_id % 97 <> 0)),
+          c2 AS (SELECT regexp_extract(uri, '^http://([^/]+)/', 1) AS host,
+                        CAST(regexp_extract(uri, '/doc/([0-9]+)$', 1)
+                          AS BIGINT) AS tid
+                 FROM cand),
+          p AS (SELECT host,
+              list_filter(list_transform(string_split(
+                CASE WHEN length(host) % 2 = 0
+                  THEN 'User-agent: *' || chr(10) || 'Disallow: /doc/1'
+                       || chr(10) || 'Disallow: /admin' || chr(10)
+                  ELSE 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+                END, chr(10)),
+                l -> CASE WHEN starts_with(l, 'Disallow:')
+                          THEN trim(substr(l, 10)) ELSE '' END),
+                x -> len(x) > 0) AS dis
+            FROM (SELECT DISTINCT host FROM c2)),
+          j AS (SELECT c2.host, c2.tid,
+                  len(list_filter(p.dis, x -> starts_with(
+                    '/doc/' || CAST(c2.tid AS VARCHAR), x))) > 0 AS blocked,
+                  d.crawled
+                FROM c2 JOIN p ON p.host = c2.host
+                LEFT JOIN (SELECT source AS host, doc_id AS tid,
+                             TRUE AS crawled FROM documents) d
+                  ON d.host = c2.host AND d.tid = c2.tid),
+          f AS (SELECT host,
+                  CAST(length(host) % 3 + 1 AS BIGINT) AS delay,
+                  CAST(row_number() OVER (PARTITION BY host
+                    ORDER BY tid) - 1 AS BIGINT) AS seq
+                FROM j WHERE NOT blocked AND crawled IS NULL)
+         SELECT CAST((seq * delay) // 60 AS BIGINT) AS slot,
+                CAST(count(*) AS BIGINT) AS n_fetches,
+                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+         FROM f GROUP BY 1 ORDER BY slot""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

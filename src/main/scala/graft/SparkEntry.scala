@@ -243,6 +243,57 @@ object SparkEntry {
       out.getAbsolutePath
     })
 
+  /** r50/r51: the composed crawl frontier — candidate (host, tid)
+    * targets from page out-links (the t51 build) ∪ redirect Locations
+    * (the r46 archive-facing extraction), DISTINCT by uri, joined with
+    * r47-parsed robots rules derived per CANDIDATE host and
+    * LEFT-joined against the crawled (host, doc_id) set. Columns:
+    * host, tid, _blocked, _crawled (null = uncrawled). Shared by the
+    * r50 tally and the r51 scheduler so the two cannot drift. */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val html = concat(
+      lit("<html><body><p>"), col("text"), lit("</p>"),
+      lit("<a href=\"http://"), col("source"), lit("/doc/"),
+      (col("doc_id") + 1).cast("string"), lit("\">next</a>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<a href=\"http://hub.example/doc/0\">hub</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    val links = T(s, dir, "documents")
+      .select(explode(regexp_extract_all(html,
+        lit("href=\"([^\"]+)\""), lit(1))).as("_uri"))
+    val redirects = sources.Warc.read(s, warcHtmlDir(s, dir))
+      .withColumn("_msg", decode(col("content"), "UTF-8"))
+      .filter(TextFunctions.httpStatus(col("_msg")).between(300, 399))
+      .select(TextFunctions.httpHeader(col("_msg"), "Location").as("_uri"))
+    val cand = links.unionByName(redirects).distinct()
+      .select(
+        regexp_extract(col("_uri"), "^http://([^/]+)/", 1).as("host"),
+        regexp_extract(col("_uri"), "/doc/([0-9]+)$", 1)
+          .cast("long").as("tid"))
+    val robots = cand.select(col("host")).distinct()
+      .withColumn("_robots",
+        when(length(col("host")) % 2 === 0,
+          lit("User-agent: *\nDisallow: /doc/1\nDisallow: /admin\n"))
+          .otherwise(lit("User-agent: *\nDisallow:\n")))
+      .withColumn("_dis", filter(
+        transform(split(col("_robots"), "\n"),
+          l => when(l.startsWith("Disallow:"),
+            trim(l.substr(lit(10), length(l)))).otherwise(lit(""))),
+        p => length(p) > 0))
+      .select(col("host"), col("_dis"))
+    val crawled = T(s, dir, "documents")
+      .select(col("source").as("host"), col("doc_id").as("tid"),
+        lit(true).as("_crawled"))
+    cand.join(broadcast(robots), Seq("host"))
+      .withColumn("_path", concat(lit("/doc/"), col("tid").cast("string")))
+      .withColumn("_blocked", exists(col("_dis"),
+        p => col("_path").startsWith(p)))
+      .join(crawled, Seq("host", "tid"), "left")
+      .select(col("host"), col("tid"), col("_blocked"), col("_crawled"))
+  }
+
   private val jsonlGzMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
   private def jsonlGzDir(s: SparkSession, dir: String): String =
@@ -2396,53 +2447,40 @@ object SparkEntry {
       // usually uncrawled (id+1 lives on another host) — the new/
       // crawled split is non-degenerate by construction. Per-host
       // n_candidates / n_blocked / n_new out; every rule replays in
-      // the oracle.
-      import graft.functions.TextFunctions
-      val html = concat(
-        lit("<html><body><p>"), col("text"), lit("</p>"),
-        lit("<a href=\"http://"), col("source"), lit("/doc/"),
-        (col("doc_id") + 1).cast("string"), lit("\">next</a>"),
-        when(col("doc_id") % 3 === 0,
-          lit("<a href=\"http://hub.example/doc/0\">hub</a>"))
-          .otherwise(lit("")),
-        lit("</body></html>"))
-      val links = T(s, dir, "documents")
-        .select(explode(regexp_extract_all(html,
-          lit("href=\"([^\"]+)\""), lit(1))).as("_uri"))
-      val redirects = sources.Warc.read(s, warcHtmlDir(s, dir))
-        .withColumn("_msg", decode(col("content"), "UTF-8"))
-        .filter(TextFunctions.httpStatus(col("_msg")).between(300, 399))
-        .select(TextFunctions.httpHeader(col("_msg"), "Location").as("_uri"))
-      val cand = links.unionByName(redirects).distinct()
-        .select(
-          regexp_extract(col("_uri"), "^http://([^/]+)/", 1).as("host"),
-          regexp_extract(col("_uri"), "/doc/([0-9]+)$", 1)
-            .cast("long").as("tid"))
-      val robots = cand.select(col("host")).distinct()
-        .withColumn("_robots",
-          when(length(col("host")) % 2 === 0,
-            lit("User-agent: *\nDisallow: /doc/1\nDisallow: /admin\n"))
-            .otherwise(lit("User-agent: *\nDisallow:\n")))
-        .withColumn("_dis", filter(
-          transform(split(col("_robots"), "\n"),
-            l => when(l.startsWith("Disallow:"),
-              trim(l.substr(lit(10), length(l)))).otherwise(lit(""))),
-          p => length(p) > 0))
-        .select(col("host"), col("_dis"))
-      val crawled = T(s, dir, "documents")
-        .select(col("source").as("host"), col("doc_id").as("tid"),
-          lit(true).as("_crawled"))
-      cand.join(broadcast(robots), Seq("host"))
-        .withColumn("_path", concat(lit("/doc/"), col("tid").cast("string")))
-        .withColumn("_blocked", exists(col("_dis"),
-          p => col("_path").startsWith(p)))
-        .join(crawled, Seq("host", "tid"), "left")
+      // the oracle. The composition lives in crawlFrontier (shared
+      // with the r51 scheduler).
+      crawlFrontier(s, dir)
         .groupBy(col("host"))
         .agg(cnt.as("n_candidates"),
           sum(when(col("_blocked"), 1L).otherwise(0L)).as("n_blocked"),
           sum(when(!col("_blocked") && col("_crawled").isNull, 1L)
             .otherwise(0L)).as("n_new"))
         .orderBy("host")
+    }),
+
+    "r51_politeness_schedule" -> ((s, dir) => {
+      // POLITENESS SCHEDULING (r18 — from frontier to fetch plan):
+      // the allowed, uncrawled frontier serializes PER HOST under
+      // that host's Crawl-delay (1 + len(host) % 3 seconds — the
+      // de-facto robots extension every polite crawler honors), fetch
+      // i firing at i·delay; the report is the crawler's aggregate
+      // request-rate curve — fetches and active hosts per 60 s slot —
+      // the number capacity planning reads off a fetch plan. One
+      // host-partitioned window (key shuffle, never corpus-wide
+      // sort), then a slot-grain aggregate; slot division is integer
+      // `div` on nonnegative operands, where Spark and DuckDB agree.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("tid"))
+      crawlFrontier(s, dir)
+        .filter(!col("_blocked") && col("_crawled").isNull)
+        .withColumn("_delay", (length(col("host")) % 3 + 1).cast("long"))
+        .withColumn("_seq", row_number().over(w).cast("long") - 1L)
+        .withColumn("_at", col("_seq") * col("_delay"))
+        .withColumn("slot", expr("_at div 60"))
+        .groupBy(col("slot"))
+        .agg(cnt.as("n_fetches"),
+          count_distinct(col("host")).as("n_hosts"))
+        .orderBy("slot")
     }),
 
     "t51_link_extract" -> ((s, dir) => {
