@@ -962,6 +962,51 @@ private[graft] object OraclesR {
                 CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
          FROM f GROUP BY 1 ORDER BY slot""",
 
+    "r52_sitemap" ->
+      // the sitemap build + parse replayed end to end: same per-doc
+      // entry string, same lexicographic entry sort into one per-host
+      // XML, same regexp group pulls (RE2-safe on both engines),
+      // positional zip, and the freshness report off the PARSED
+      // lastmod values
+      """WITH e AS (SELECT source AS host,
+              '<url><loc>http://' || source || '/doc/'
+              || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2024-01-'
+              || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+              || '</lastmod></url>' AS entry
+            FROM documents),
+          x AS (SELECT host,
+              '<?xml version="1.0"?><urlset>'
+              || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+            FROM e GROUP BY 1),
+          p AS (SELECT host,
+              regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1) AS locs,
+              regexp_extract_all(xml,
+                '<lastmod>([^<]+)</lastmod>', 1) AS mods
+            FROM x),
+          u AS (SELECT host, locs[i] AS loc, mods[i] AS mod
+                FROM (SELECT host, locs, mods,
+                        unnest(range(1, len(locs) + 1)) AS i
+                      FROM p))
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                CAST(sum(CASE WHEN mod <= '2024-01-14' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stale,
+                max(mod) AS latest_mod
+         FROM u GROUP BY 1 ORDER BY host""",
+
+    "r53_fetch_savings" ->
+      // the conditional-GET ledger replayed from the generation-B
+      // rule: changed = doc_id % 7 = 0 (' v2' appended), downloaded
+      // bytes = B payload size (strlen = BYTES, the r45 convention;
+      // +3 for the ascii suffix), saved = unchanged payload bytes
+      """SELECT source AS host, CAST(count(*) AS BIGINT) AS n_requests,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_downloads,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 THEN strlen(text) + 3
+                  ELSE 0 END) AS BIGINT) AS bytes_downloaded,
+                CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0
+                  ELSE strlen(text) END) AS BIGINT) AS bytes_saved
+         FROM documents GROUP BY 1 ORDER BY host""",
+
     "r40_rate_correlation" ->
       // same zero-filled full-axis grid and q43 moment chain
       """WITH h AS (SELECT event_type AS k, epoch_us(ts) // 3600000000 AS hr,

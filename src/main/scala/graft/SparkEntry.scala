@@ -2483,6 +2483,76 @@ object SparkEntry {
         .orderBy("slot")
     }),
 
+    "r52_sitemap" -> ((s, dir) => {
+      // SITEMAP INTAKE (r18 post-cert — the crawl's third discovery
+      // channel after page links (t51) and redirects (r46)): each
+      // host publishes a sitemap.xml; url entries are PARSED back out
+      // (loc + lastmod) with one regexp_extract_all group pull per
+      // field and zipped POSITIONALLY (arrays_zip keeps the
+      // loc↔lastmod pairing — a parse that loses or misaligns an
+      // entry breaks n_stale, not just a count), then the per-host
+      // freshness report comes off the PARSED lastmod values. The
+      // sitemap build is an in-query fixture (entries sorted
+      // lexicographically so both engines agg the same string);
+      // lastmod day = doc_id % 28 + 1, stale = on or before the 14th.
+      val day = (col("doc_id") % 28 + 1).cast("int")
+      val entry = concat(lit("<url><loc>http://"), col("source"),
+        lit("/doc/"), col("doc_id").cast("string"),
+        lit("</loc><lastmod>2024-01-"),
+        lpad(day.cast("string"), 2, "0"), lit("</lastmod></url>"))
+      T(s, dir, "documents")
+        .groupBy(col("source").as("host"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", array_sort(collect_list(entry))),
+          lit("</urlset>")).as("_xml"))
+        .select(col("host"),
+          regexp_extract_all(col("_xml"),
+            lit("<loc>([^<]+)</loc>"), lit(1)).as("_locs"),
+          regexp_extract_all(col("_xml"),
+            lit("<lastmod>([^<]+)</lastmod>"), lit(1)).as("_mods"))
+        .select(col("host"),
+          explode(arrays_zip(col("_locs"), col("_mods"))).as("_e"))
+        .select(col("host"), col("_e._locs").as("_loc"),
+          col("_e._mods").as("_mod"))
+        .groupBy(col("host"))
+        .agg(cnt.as("n_urls"),
+          sum(when(col("_mod") <= "2024-01-14", 1L).otherwise(0L))
+            .as("n_stale"),
+          max(col("_mod")).as("latest_mod"))
+        .orderBy("host")
+    }),
+
+    "r53_fetch_savings" -> ((s, dir) => {
+      // CONDITIONAL-GET SAVINGS (r18 post-cert — the refresh crawl's
+      // bandwidth ledger, the number that justifies If-Modified-Since
+      // / 304 handling): generation B re-crawls every uri; a digest
+      // match (r49's sha2-256 on the OPAQUE payload bytes) means
+      // 304-not-modified — those payload bytes are SAVED; a mismatch
+      // is a real download. Per-host requests / downloads / bytes
+      // each way. Digests and byte counts shuffle (40 B/row); the
+      // payloads themselves never move cross-generation.
+      val a = sources.Warc.read(s, warcDir(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("uri"),
+          sha2(col("content"), 256).as("_da"))
+      val b = sources.Warc.read(s, warcGenBDir(s, dir))
+        .select(col("target_uri").as("uri"),
+          regexp_extract(col("target_uri"), "^http://([^/]+)/", 1)
+            .as("host"),
+          sha2(col("content"), 256).as("_db"),
+          length(col("content")).cast("long").as("_blen"))
+      b.join(a, Seq("uri"))
+        .withColumn("_changed", col("_da") =!= col("_db"))
+        .groupBy(col("host"))
+        .agg(cnt.as("n_requests"),
+          sum(when(col("_changed"), 1L).otherwise(0L)).as("n_downloads"),
+          sum(when(col("_changed"), col("_blen")).otherwise(0L))
+            .as("bytes_downloaded"),
+          sum(when(!col("_changed"), col("_blen")).otherwise(0L))
+            .as("bytes_saved"))
+        .orderBy("host")
+    }),
+
     "t51_link_extract" -> ((s, dir) => {
       // OUT-LINK EXTRACTION (r18 — the op that feeds the crawl
       // frontier and the q38b link graph): each doc's page carries a
