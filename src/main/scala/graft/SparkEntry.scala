@@ -885,12 +885,17 @@ object SparkEntry {
       // min-matches cut — all exact counts, three pinned divisions
       val sh = Dedup.shingles(T(s, dir, "documents")
         .filter(col("doc_id") < 500), "doc_id", "text", 3)
+      // persisted (r19): THREE consumers read the signature frame
+      // (bands, and both sides of the match join) — unpersisted, each
+      // re-ran the shingle explode + 8-hash aggregate; the frame is
+      // |docs|×8 rows. Sealed away by the result below.
       val sigs = sh
         .select(col("id"), explode(sequence(lit(0), lit(7))).as("i"),
           col("shingle"))
         .groupBy("id", "i")
         .agg(min(unhex(md5(concat(col("i"), lit(":"), col("shingle")))))
           .as("sig"))
+        .persist()
       val bands = sigs.groupBy(col("id"), expr("i div 2").as("band"))
         .agg(unhex(md5(concat(
           min(when(col("i") % 2 === 0, col("sig"))),
@@ -921,7 +926,7 @@ object SparkEntry {
         (col("tp") + col("fp")).cast("double")
       val rc = col("tp").cast("double") /
         (col("tp") + col("fn")).cast("double")
-      lab
+      graft.operators.Caching.sealOver(lab
         .select(explode(sequence(lit(1L), lit(8L))).as("min_matches"),
           col("_m"), col("_t"))
         .groupBy(col("min_matches"))
@@ -933,7 +938,7 @@ object SparkEntry {
         .withColumn("f1", when(col("tp") + col("fp") > 0L
           && col("tp") + col("fn") > 0L && pr + rc > 0.0,
           round(lit(2.0) * pr * rc / (pr + rc), 6)))
-        .orderBy("min_matches")
+        .orderBy("min_matches"), sigs)
     }),
 
     "d11_minhash_portable" -> ((s, dir) => {
@@ -1066,9 +1071,15 @@ object SparkEntry {
           t => length(t) > 0)).cast("long").as("_toks"))
       val totals = sizes.agg(cnt.as("_nd"), sum(col("_toks")).as("_tt"),
         sum(col("_bytes")).as("_tb"))
+      // r19: ONE sealed overlap computation feeds all four taus
+      // (jaccardPairsSweep) — the per-tau jaccardPairs calls re-ran
+      // the shingle self-join four times; per-tau pair membership is
+      // unchanged (same unrounded compare), so components are too
+      val pairsByTau = Dedup.jaccardPairsSweep(sh, Seq(0.5, 0.6, 0.7, 0.8))
+        .toMap
       Seq(0.5, 0.6, 0.7, 0.8).map { tau =>
         val comp = Dedup.components(docs.select(col("doc_id")), "doc_id",
-          Dedup.jaccardPairs(sh, tau))
+          pairsByTau(tau))
         comp.filter(col("doc_id") =!= col("component"))
           .join(sizes, Seq("doc_id"))
           .agg(cnt.as("n_removed"),

@@ -950,6 +950,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")))
 
+  /** Threshold SWEEP over ONE overlap computation (r19): a savings
+    * curve (d37) evaluates several taus over the same corpus, and each
+    * independent [[jaccardPairs]] call re-ran the whole shingle
+    * self-join — the sweep seals the UNROUNDED-jaccard pair frame once
+    * at the lowest tau and every tau filters it. Pair membership per
+    * tau is identical to an independent jaccardPairs(shDf, tau) call:
+    * the filter compares the same unrounded division, and the emitted
+    * jaccard column rounds only after the cut. */
+  def jaccardPairsSweep(shDf: DataFrame,
+                        taus: Seq[Double]): Seq[(Double, DataFrame)] = {
+    require(taus.nonEmpty, "jaccardPairsSweep: empty tau list")
+    val all = pairOverlaps(shDf)(_
+      .withColumn("_jraw",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .filter(col("_jraw") >= taus.min)
+      .select(col("id1"), col("id2"), col("_jraw")))
+    taus.map(tau => tau -> all.filter(col("_jraw") >= tau)
+      .select(col("id1"), col("id2"), round(col("_jraw"), 6).as("jaccard")))
+  }
+
   /** Containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) >= minContainment.
     * Catches the ASYMMETRIC duplicates jaccard misses — a short
     * document wholly quoted inside a long boilerplate wrapper has low

@@ -259,9 +259,14 @@ object Graph {
                weightCol: String, d: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 0 && iters <= 50, s"pageRank: iters $iters not in [0, 50]")
     require(d > 0 && d < 1, s"pageRank: damping $d not in (0, 1)")
+    // persisted: THREE consumers read the edge projection (nodes,
+    // share, dangling) and on a corpus-derived graph its lineage is
+    // the expensive part (t45 re-tokenized the whole corpus per
+    // consumer; q38b re-ran the lineitem aggregate) — the r19 fix
+    // mirrors what labelPropagation/bfsHops/shortestPaths already do
     val e = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"),
-      col(weightCol).cast("long").as("_w"))
+      col(weightCol).cast("long").as("_w")).persist()
     val nodes = e.select(col("_src").as("id"))
       .unionByName(e.select(col("_dst").as("id"))).distinct().persist()
     val outW = e.groupBy(col("_src")).agg(sum(col("_w")).as("_ow"))
@@ -279,6 +284,7 @@ object Graph {
       .persist()
     val n = nodes.count()
     val persisted = Seq.newBuilder[DataFrame]
+    persisted += e
     persisted += nodes
     persisted += share
     var rank = nodes.withColumn("rank", lit(1.0 / n)).persist()
