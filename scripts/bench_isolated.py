@@ -32,8 +32,13 @@ for n in range(int(rnd) - 1, 13, -1):
     if os.path.exists(p):
         prev = json.load(open(p)).get("isolated", {})
         break
-carry = [k for k in list(prev) + GATES
-         if k not in top and k in queries]
+# a partial sweep (SPARK_GRAFT_ONLY dev run committed by mistake) would
+# silently drop gates/carried keys from the ledger — fail loudly instead
+missing = sorted(set(list(prev) + GATES) - set(queries))
+if missing:
+    sys.exit(f"[isolated] BENCH_LOCAL.json is not a full sweep: missing "
+             f"gates/carried keys {missing} — re-run the full Bench first")
+carry = [k for k in list(prev) + GATES if k not in top]
 top = top + sorted(set(carry))
 
 fams = collections.defaultdict(list)

@@ -5,12 +5,19 @@ package graft
   * checks plan claims against these committed files. Usage:
   *   runMain graft.PlanDump <tag> <suffix> <query...>
   * (e.g. `runMain graft.PlanDump r19 before q50_bootstrap_ci t45_textrank`)
+  *
+  * r20: plans are dumped PRE-SEAL (`graft.seal.skip=1` turns
+  * Caching.sealOver into a pass-through) — the r19 dumps of sealed
+  * queries were 5-node `Scan ExistingRDD` stubs because the eager
+  * localCheckpoint had already truncated the lineage; these show the
+  * full plan the query actually computes before sealing.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val tag = args(0)
     val suffix = args(1)
     val names = args.drop(2)
+    System.setProperty("graft.seal.skip", "1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .appName("plandump").getOrCreate()

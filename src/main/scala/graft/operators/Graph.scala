@@ -259,11 +259,10 @@ object Graph {
                weightCol: String, d: Double = 0.85, iters: Int = 3): DataFrame = {
     require(iters >= 0 && iters <= 50, s"pageRank: iters $iters not in [0, 50]")
     require(d > 0 && d < 1, s"pageRank: damping $d not in (0, 1)")
-    // persisted: THREE consumers read the edge projection (nodes,
-    // share, dangling) and on a corpus-derived graph its lineage is
-    // the expensive part (t45 re-tokenized the whole corpus per
-    // consumer; q38b re-ran the lineitem aggregate) — the r19 fix
-    // mirrors what labelPropagation/bfsHops/shortestPaths already do
+    // persisted: THREE setup consumers read the edge projection
+    // (nodes, outW, the share join) and on a corpus-derived graph its
+    // lineage is the expensive part (t45 tokenizes the whole corpus,
+    // q38b aggregates lineitem)
     val e = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"),
       col(weightCol).cast("long").as("_w")).persist()
@@ -287,31 +286,41 @@ object Graph {
     persisted += e
     persisted += nodes
     persisted += share
-    var rank = nodes.withColumn("rank", lit(1.0 / n)).persist()
-    persisted += rank
-    val dangling = nodes.join(e.select(col("_src").as("id")).distinct(),
-      Seq("id"), "left_anti").persist()
-    persisted += dangling
+    // r20 iteration shape (guide §1.2 step 1 / §2.4 — the per-query
+    // cost at bench scale was STAGE COUNT, ~43 stages of sub-second
+    // tasks): one LEFT join replaces the old inner-join + dangling
+    // semi-join pair — a rank row with no out-edges (null match) IS
+    // the dangling mass, tagged by `_dang` instead of a second pass —
+    // and the (dang?, id) aggregate computes contributions AND the
+    // dangling sum in ONE exchange. The rank frame itself is
+    // single-consumer per round now, so it doesn't persist at all
+    // (the old code cached every round's rank to pay for its two
+    // readers); only the |V|-row aggregate persists (two readers:
+    // contrib rows + the 1-row dangling-mass filter). Arithmetic is
+    // bit-identical: the same per-edge decimal(38,18) products, the
+    // same decimal dangling fold (grouped first — decimal addition is
+    // exact and associative), the same single IEEE combine.
+    var rank: DataFrame = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iters) {
-      // decimal-exact contribution sum, then one IEEE combine — the
-      // identical expression shape the oracle replays
-      val contrib = rank.join(share, rank("id") === share("_src"))
-        .select(col("_dst").as("id"),
-          (col("rank") * col("_sh")).cast("decimal(38,18)").as("_c"))
-        .groupBy(col("id")).agg(sum(col("_c")).cast("double").as("_in"))
-      val dangMass = rank.join(dangling, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast("decimal(38,18)")), lit(0))
-          .cast("double").as("_dm"))
-      val next = nodes
+      val agg = rank.join(share, rank("id") === share("_src"), "left")
+        .select(col("_dst").isNull.as("_dang"), col("_dst").as("id"),
+          when(col("_dst").isNull, col("rank").cast("decimal(38,18)"))
+            .otherwise((col("rank") * col("_sh")).cast("decimal(38,18)"))
+            .as("_c"))
+        .groupBy(col("_dang"), col("id")).agg(sum(col("_c")).as("_s"))
+        .persist()
+      persisted += agg
+      val contrib = agg.filter(!col("_dang"))
+        .select(col("id"), col("_s").cast("double").as("_in"))
+      val dangMass = agg.filter(col("_dang"))
+        .agg(coalesce(sum(col("_s")), lit(0)).cast("double").as("_dm"))
+      rank = nodes
         .join(contrib, Seq("id"), "left")
         .crossJoin(dangMass)
         .select(col("id"),
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("_in"), lit(0.0)) + col("_dm") / n))
             .as("rank"))
-        .persist()
-      persisted += next
-      rank = next
     }
     Caching.sealOver(rank.select(col("id"), round(col("rank"), 9).as("rank")),
       persisted.result(): _*)
